@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.mllib.linalg.distributed.{CoordinateMatrix, MatrixEntry}
+
+/** Distributed matrix algebra over coordinate-form DataFrames.
+  *
+  * A matrix is a DataFrame with columns `(i: BIGINT, j: BIGINT, v: DOUBLE)`
+  * holding the stored (generally nonzero) cells. This is the engine's
+  * canonical form for BOTH the reference's dense `double[n][n]` matrices
+  * (`Stage 1/C Implementation/mm_baseline.c:21-29`, `Stage 1/Java
+  * Implementation/MMBaseline.java:19-21`) and its CSR sparse matrices
+  * (`Stage 2/Python Implementation/mm_opt.py:10-28`, `Stage 2/C
+  * Implementation/mm_opt.c:81`): at the 100 TB scale the assignment PDF's
+  * Stage 4 demands ("matrices that cannot fit into the memory of a single
+  * machine"), a dense array representation is impossible and CSR's
+  * skip-the-zeros trick is exactly what a coordinate relation does by
+  * construction.
+  *
+  * Multiplication `C[i,j] = Σ_k A[i,k]·B[k,j]` (the triple loop at
+  * `Stage 1/Python Implementation/mm_baseline.py:17-28`) is an equi-join on
+  * the contraction index followed by a grouped sum — Catalyst then owns the
+  * physical strategy (sort-merge vs broadcast-hash, partial aggregation,
+  * AQE skew splitting), which subsumes the reference's hand-built loop-order
+  * / tiling / threading variants (SURVEY.md §4).
+  *
+  * Scale notes (local[32] today, 1000 executors tomorrow):
+  *   - `fromTable` pre-aggregates duplicate coordinates BEFORE the join:
+  *     correct per the reference's accumulate semantics (SURVEY Q3,
+  *     `Stage 2/C Implementation/mm_opt.c:112-120`) and shrinks the shuffle
+  *     to ≤ n² rows per side.
+  *   - `multiply` shuffles both sides by the contraction key, then the
+  *     grouped sum gets map-side partial aggregation for free. Partial
+  *     products never materialize beyond the aggregation hash maps.
+  *   - For sparse × small-dense (SpMM, `mm_opt.c:112-120`) pass
+  *     `broadcastRight = true`: it is precisely the reference's Stage-3
+  *     Python plan — chunk A across workers, replicate B to each
+  *     (`Stage 3/Python Implementation/mm_opt_par.py:26-41`) — as a
+  *     broadcast-hash join with zero shuffle on the big side.
+  */
+object MatrixOps {
+
+  /** Derive a coordinate matrix from a relational table.
+    *
+    * Deterministic arithmetic over existing columns replaces the
+    * reference's seeded RNG fills (`mm_baseline.py:13-15`, `mm_opt.c:24`,
+    * `MMBaseline.java:23-28`) so that external engines (the DuckDB oracle)
+    * reproduce bit-identical values — the reference itself could never
+    * compare results across its three languages because each used a
+    * different RNG (SURVEY.md §5). Duplicate (i,j) contributions accumulate
+    * (SURVEY Q3), hence the groupBy-sum.
+    */
+  def fromTable(df: DataFrame, i: Column, j: Column, v: Column): DataFrame =
+    df.select(i.cast("long").as("i"), j.cast("long").as("j"), v.cast("double").as("v"))
+      .groupBy("i", "j").agg(sum("v").as("v"))
+
+  /** n×n identity. Generated distributed (`spark.range` parallelizes). */
+  def identity(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(col("id").as("i"), col("id").as("j"), lit(1.0).as("v"))
+
+  /** Dense n×n generator — the engine form of `gen_matrix`/`fill*`
+    * (`mm_baseline.py:13-15`, `mm_baseline.c:31-38`, `MMBaseline.java:23-28`).
+    * Seeded `rand` matches the reference's "statistical shape only"
+    * contract: no two of its languages ever agreed on values either.
+    */
+  def genDense(spark: SparkSession, n: Long, seed: Long): DataFrame =
+    spark.range(n * n).select(
+      (col("id") / n).cast("long").as("i"),
+      (col("id") % n).as("j"),
+      rand(seed).as("v"))
+
+  /** Sparse generator mirroring `gen_sparse_csr` (`mm_opt.py:10-28`):
+    * ≈ density·n² stored cells, spread per-row like the reference's
+    * per-row quota. Deterministic stride instead of `rnd.sample` so the
+    * same cells exist on every engine/run.
+    */
+  def genSparse(spark: SparkSession, n: Long, density: Double, seed: Long): DataFrame = {
+    val stride = math.max(1L, math.round(1.0 / density))
+    genDense(spark, n, seed)
+      .filter(((col("i") * 31L + col("j") + lit(seed)) % stride) === 0)
+  }
+
+  /** C = A × B: equi-join on the contraction index k (= A.j = B.i), then
+    * grouped sum — `matmul_basic` (`mm_baseline.py:17-28`, `mm_baseline.c:40-52`,
+    * `MMBaseline.java:30-42`) and, unchanged, `spmm_csr_dense`
+    * (`mm_opt.py:75-89`): a coordinate relation only stores nnz, so the
+    * sparse kernel IS the dense kernel here.
+    *
+    * `broadcastRight` replicates B to every task (no shuffle of A) — the
+    * plan of `parallel_mul` (`mm_opt_par.py:26-41`, whole-B-per-worker).
+    */
+  def multiply(a: DataFrame, b: DataFrame, broadcastRight: Boolean = false): DataFrame = {
+    val probe = a.select(col("i"), col("j").as("k"), col("v").as("va"))
+    val build0 = b.select(col("i").as("k"), col("j"), col("v").as("vb"))
+    val build = if (broadcastRight) broadcast(build0) else build0
+    probe.join(build, "k")
+      .groupBy("i", "j")
+      .agg(sum(col("va") * col("vb")).as("v"))
+  }
+
+  /** Bᵀ — a pure projection: the reference materializes a transposed copy
+    * for cache locality (`mm_opt.c:49-61`); in coordinate form it is a
+    * column swap with zero data movement.
+    */
+  def transpose(m: DataFrame): DataFrame =
+    m.select(col("j").as("i"), col("i").as("j"), col("v"))
+
+  /** `matmul_transposed` (`mm_opt.py:42-55`, `MMOpt.java:44-62`): compute
+    * C = A × B given BT = Bᵀ. The i-j-k dot-product loop order is a
+    * physical detail Catalyst owns; logically it is the same join with the
+    * contraction on BT's j.
+    */
+  def multiplyTransposed(a: DataFrame, bt: DataFrame, broadcastRight: Boolean = false): DataFrame =
+    multiply(a, transpose(bt), broadcastRight)
+
+  /** `matmul_blocked` (`mm_opt.py:57-73`, `mm_opt.c:63-78`, `MMOpt.java:64-82`):
+    * the reference's 3-level cache tiling with block size BS maps to MLlib
+    * `BlockMatrix` — BS×BS blocks, GridPartitioner co-location, per-block
+    * GEMM, block-wise outer-product sum (a distributed SUMMA). Same logical
+    * result as [[multiply]]; this is the physical path for dense×dense at
+    * scale where per-cell coordinate join cardinality (n³ partial products)
+    * would dominate: block form shuffles n²/BS² block pairs instead.
+    */
+  def multiplyBlocked(spark: SparkSession, a: DataFrame, b: DataFrame,
+                      n: Long, blockSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    def toBlock(df: DataFrame) = new CoordinateMatrix(
+      df.select("i", "j", "v").as[(Long, Long, Double)].rdd
+        .map { case (i, j, v) => MatrixEntry(i, j, v) },
+      n, n).toBlockMatrix(blockSize, blockSize)
+    val c = toBlock(a).multiply(toBlock(b))
+    c.toCoordinateMatrix().entries
+      .map(e => (e.i, e.j, e.value))
+      .toDF("i", "j", "v")
+      .filter(col("v") =!= 0.0)
+  }
+}

@@ -1,45 +1,46 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.MatrixOps
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.{Dedup, MatrixOps, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Every operator from SURVEY.md §2 is registered here as a named query
-  * over the driver testdata, with equivalent ANSI SQL for the DuckDB
-  * oracle. Matrix inputs are derived arithmetically from `lineitem`
-  * (SURVEY §7 R1) and keep integral-valued doubles so sums are
-  * association-insensitive across engines (R2).
+  * Every operator from SURVEY.md §2 plus the north-star pipeline
+  * extensions is registered here as a named query over the driver
+  * testdata, with equivalent ANSI SQL for the DuckDB oracle where the
+  * computation is SQL-expressible (sketch-based ops — MinHash, SimHash,
+  * LSH — get rows-only checks).
+  *
+  * Oracle discipline (SURVEY §7 R1/R2): inputs derive arithmetically
+  * from testdata columns; every cross-engine-compared sum is over
+  * integral values (or fixed-point-quantized via floor) so summation
+  * order can never change a hash; every ratio is one IEEE division of
+  * integrals; every query ends in a deterministic ORDER BY.
   */
 object SparkEntry {
 
   /** Matrix dimension for the oracle-checked matmul family. */
   private val N = 64L
-  /** Sparsity stride for the sparse variant (≈5% density — mirrors the
-    * reference's default `--density 0.05`, `mm_opt.py:119`). */
+  /** Sparsity stride (≈5% density — the reference default `--density
+    * 0.05`, `mm_opt.py:119`). */
   private val SparseStride = 20L
 
-  // --- Spark-side canonical matrix derivations (FIXTURES.md §A) ---------
+  // ====================== matrix family (SURVEY §2.2) ==================
 
-  /** A: dense-ish coordinate matrix from lineitem (duplicates pre-summed,
-    * SURVEY Q3). */
   private def matA(s: SparkSession, dir: String): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % N, col("l_partkey") % N, col("l_quantity"))
 
-  /** B: independent derivation (different column pairing). */
   private def matB(s: SparkSession, dir: String): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_partkey") % N, col("l_suppkey") % N, col("l_linenumber"))
 
-  /** Sparse A (~5% of cells) — the CSR analog (`mm_opt.py:10-28`). */
   private def matASparse(s: SparkSession, dir: String): DataFrame =
     matA(s, dir).filter((col("i") + col("j")) % SparseStride === 0)
 
   private def ordered(df: DataFrame): DataFrame = df.orderBy("i", "j")
-
-  // --- DuckDB-side oracle text for the same derivations ----------------
 
   private val sqlA =
     s"SELECT l_orderkey % $N AS i, l_partkey % $N AS j, SUM(l_quantity) AS v FROM lineitem GROUP BY 1, 2"
@@ -56,7 +57,37 @@ object SparkEntry {
 
   private val sqlMatmul = sqlMultiply("SELECT * FROM a0", "SELECT * FROM b0")
 
-  // ---------------------------------------------------------------------
+  // ====================== text analysis (north star) ===================
+
+  /** Shared CTE computing the portable per-document stats. */
+  private val sqlDocStats =
+    """SELECT doc_id,
+      |  CAST(length(text) AS BIGINT) AS chars,
+      |  CAST(length(text) - length(translate(text, ' ', '')) + 1 AS BIGINT) AS tokens,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
+      |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
+      |     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3
+      |     AS BIGINT) AS stopword_hits
+      |FROM documents""".stripMargin
+
+  private val sqlStatsSelect =
+    """SELECT doc_id, chars, tokens, distinct_tokens,
+      |  CAST(distinct_tokens AS DOUBLE) / tokens AS lexical_diversity,
+      |  stopword_hits,
+      |  CAST(stopword_hits AS DOUBLE) / tokens AS stopword_ratio,
+      |  CAST(chars - tokens + 1 AS DOUBLE) / tokens AS avg_token_len
+      |FROM s""".stripMargin
+
+  private def occSql(word: String): String =
+    s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $word ', ''))) // ${word.length + 2}"
+
+  // ====================== relational analytics =========================
+
+  /** Exact decimal money arithmetic, emitted as double — deterministic
+    * on both engines (SURVEY §7 R2). */
+  private def money(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  // =====================================================================
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -66,38 +97,110 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // M1 — matmul_basic (mm_baseline.py:17-28 / mm_baseline.c:40-52 /
-    // MMBaseline.java:30-42): join on contraction index + grouped sum.
+    // ---- matmul family (SURVEY §2.2 M1-M7) ----
     "matmul_basic" -> ((s, dir) =>
       ordered(MatrixOps.multiply(matA(s, dir), matB(s, dir)))),
-
-    // M2 — matmul_transposed (mm_opt.py:42-55): same result via the
-    // pre-transposed right side; transpose is a projection.
     "matmul_transposed" -> ((s, dir) =>
       ordered(MatrixOps.multiplyTransposed(matA(s, dir),
         MatrixOps.transpose(matB(s, dir))))),
-
-    // M3 — matmul_blocked (mm_opt.c:63-78): BlockMatrix tiled path,
-    // BS=16 blocks over the 64×64 derivation (reference default BS=64,
-    // --block knob surfaced as the blockSize parameter).
     "matmul_blocked" -> ((s, dir) =>
       ordered(MatrixOps.multiplyBlocked(s, matA(s, dir), matB(s, dir), N, 16))),
-
-    // M4/M7 — spmm: sparse A × dense B with the dense side broadcast
-    // (mm_opt.c:112-120; replicate-B plan of mm_opt_par.py:26-41).
     "spmm_sparse" -> ((s, dir) =>
       ordered(MatrixOps.multiply(matASparse(s, dir), matB(s, dir),
         broadcastRight = true))),
-
-    // A × I = A — identity property as an oracle-checkable query.
     "matmul_identity" -> ((s, dir) =>
       ordered(MatrixOps.multiply(matA(s, dir), MatrixOps.identity(s, N),
         broadcastRight = true))),
-
-    // Q2 — Stage 3 multiplies a matrix by itself (mm_opt_par.py:60-61,
-    // MMOptPar.java:83: A and B share a seed): the A=B case.
     "matmul_square" -> ((s, dir) =>
       ordered(MatrixOps.multiply(matA(s, dir), matA(s, dir)))),
+
+    // ---- text analysis (north star; TextOps) ----
+    "doc_stats" -> ((s, dir) =>
+      TextOps.stats(Tables.documents(s, dir)).orderBy("doc_id")),
+    "doc_quality" -> ((s, dir) =>
+      TextOps.qualityScored(Tables.documents(s, dir)).orderBy("doc_id")),
+    "doc_lang_id" -> ((s, dir) =>
+      TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // ---- dedup family (north star; Dedup) ----
+    "dedup_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir)).orderBy("content_hash")),
+    "dedup_exact_kept" -> ((s, dir) =>
+      Dedup.exactKept(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), thresholdTenths = 9)
+        .orderBy("d1", "d2")),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables.documents(s, dir)).orderBy("d1", "d2")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), maxDistance = 16)
+        .orderBy("d1", "d2")),
+
+    // ---- similarity search (north star; Similarity) ----
+    "knn_brute_force" -> ((s, dir) =>
+      Similarity.knnBruteForce(Tables.embeddings(s, dir), numQueries = 5, k = 10)
+        .select(col("qid"), col("vec_id"), col("score"), col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
+    "embedding_nearest_pairs" -> ((s, dir) =>
+      Similarity.nearestPairsPerLabel(Tables.embeddings(s, dir), pairsPerLabel = 3)
+        .select(col("label"), col("id_a"), col("id_b"), col("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("label", "rn")),
+    "ann_lsh" -> ((s, dir) =>
+      Similarity.annLshBucketed(s, Tables.embeddings(s, dir), numQueries = 5, k = 5)
+        .select(col("qid"), col("vec_id"), col("bucket"), col("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
+
+    // ---- relational analytics over the star schema ----
+    "q1_agg" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum(money(col("l_extendedprice"))).cast("double").as("sum_price"),
+          count(lit(1)).as("cnt"))
+        .withColumn("avg_qty", col("sum_qty") / col("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q3_revenue" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val l = Tables.lineitem(s, dir)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          sum(money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("c_mktsegment")
+    }),
+    "region_balance" -> ((s, dir) =>
+      Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(sum(money(col("s_acctbal"))).cast("double").as("total_bal"),
+          count(lit(1)).as("suppliers"))
+        .orderBy("r_name")),
+
+    // ---- events (batch form of the streaming surface) ----
+    "events_by_type" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000)).as("sum_value_q"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("event_type")),
+    "events_hourly" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000)).as("sum_value_q"))
+        .orderBy("hour_start")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -110,5 +213,120 @@ object SparkEntry {
     "matmul_identity" ->
       s"WITH a0 AS ($sqlA) SELECT i, j, v FROM a0 ORDER BY 1, 2",
     "matmul_square" -> sqlMultiply("SELECT * FROM a0", "SELECT * FROM a0"),
+
+    "doc_stats" ->
+      s"WITH s AS ($sqlDocStats)\n$sqlStatsSelect ORDER BY doc_id",
+    "doc_quality" ->
+      s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect)
+         |SELECT *,
+         |  (CASE WHEN chars BETWEEN 100 AND 500 THEN 0.5 ELSE 0.0 END)
+         |  + lexical_diversity * 0.3
+         |  + (CASE WHEN stopword_ratio < 0.2 THEN 0.2 ELSE 0.0 END) AS quality_score
+         |FROM t ORDER BY doc_id""".stripMargin,
+    "doc_lang_id" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang AS lang_actual,
+         |    CAST(${occSql("the")} + ${occSql("a")} + ${occSql("value")} AS BIGINT) AS score_en,
+         |    CAST(${occSql("data")} + ${occSql("table")} + ${occSql("row")} AS BIGINT) AS score_es,
+         |    CAST(${occSql("batch")} + ${occSql("window")} + ${occSql("merge")} AS BIGINT) AS score_de
+         |  FROM documents)
+         |SELECT *, CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+         |               WHEN score_es >= score_de THEN 'es' ELSE 'de' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """SELECT doc_id, md5(text) AS exact_fp,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact_groups" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS group_size
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dedup_exact_kept" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "dedup_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok t1 JOIN tok t2
+        |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter, n1 + n2 - inter AS uni,
+        |  CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+        |FROM (SELECT i.d1, i.d2, i.inter, c1.n AS n1, c2.n AS n2
+        |      FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+        |                   JOIN cnt c2 ON i.d2 = c2.doc_id) j
+        |WHERE inter * 10 >= (n1 + n2 - inter) * 9
+        |ORDER BY d1, d2""".stripMargin,
+
+    "knn_brute_force" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |prod AS (
+        |  SELECT q.qid, e.vec_id,
+        |    SUM(CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)
+        |      * CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS score
+        |  FROM q CROSS JOIN embeddings e CROSS JOIN generate_series(1, 64) g(k)
+        |  WHERE e.vec_id <> q.qid GROUP BY 1, 2),
+        |r AS (SELECT qid, vec_id, score,
+        |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+        |      FROM prod)
+        |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "embedding_nearest_pairs" ->
+      """WITH prod AS (
+        |  SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    SUM(CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)
+        |      * CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)) AS dot,
+        |    SUM(CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)
+        |      * CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)) AS na,
+        |    SUM(CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)
+        |      * CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  CROSS JOIN generate_series(1, 64) g(k)
+        |  GROUP BY 1, 2, 3),
+        |p AS (SELECT label, id_a, id_b,
+        |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos FROM prod),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, id_a, id_b) AS rn
+        |      FROM p)
+        |SELECT label, id_a, id_b, cos, rn FROM r WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt,
+        |  SUM(l_quantity) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_revenue" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "region_balance" ->
+      """SELECT r_name,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  CAST(COUNT(*) AS BIGINT) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "events_by_type" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as pure column
+  * expressions (`zip_with` + `aggregate` — codegen'd, no UDFs; the
+  * north-star similarity surface, BASELINE.json).
+  *
+  * Two families:
+  *   - `dot`/`cosine`: full double-precision, for engine use.
+  *   - `*Quantized`: values floored to a fixed-point integer grid first,
+  *     so sums are exact integers and therefore independent of both
+  *     summation order and engine — the SURVEY.md §7 R2 discipline that
+  *     makes similarity queries DuckDB-oracle-checkable.
+  */
+object VectorFunctions {
+
+  /** Σ aᵢ·bᵢ in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in double. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def q(x: Column, scale: Int): Column = floor(x.cast("double") * scale)
+
+  /** Σ floor(aᵢ·s)·floor(bᵢ·s) as BIGINT — exact, order-insensitive. */
+  def dotQuantized(a: Column, b: Column, scale: Int): Column =
+    aggregate(zip_with(a, b, (x, y) => q(x, scale) * q(y, scale)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Quantized squared L2 norm. */
+  def normSqQuantized(a: Column, scale: Int): Column = dotQuantized(a, a, scale)
+
+  /** Cosine from quantized integrals: bigint dot / sqrt(bigint·bigint) —
+    * one exact cast, one sqrt, one division, all IEEE-deterministic. */
+  def cosineQuantized(a: Column, b: Column, scale: Int): Column =
+    dotQuantized(a, b, scale).cast("double") /
+      sqrt((normSqQuantized(a, scale) * normSqQuantized(b, scale)).cast("double"))
+
+  /** Random-hyperplane LSH bucket: `planes(p)(d)` is a small driver-side
+    * matrix (numPlanes × dim) broadcast as a literal; bit p of the bucket
+    * is the sign of plane_p · v. 2^numPlanes buckets. */
+  def hyperplaneBucket(v: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(aggregate(zip_with(planeCol, v, (x, y) => x * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`embeddings.embedding: array<float>`, north-star extension).
+  *
+  * Scale design: the query set is small and broadcast (zero shuffle of
+  * the corpus — the same replicate-the-small-side plan as the reference's
+  * Stage-3 Python matmul, `Stage 3/Python Implementation/mm_opt_par.py:26-41`);
+  * the corpus side streams through codegen'd zip_with/aggregate
+  * expressions. The LSH-bucketed variant is the 100 TB path: candidates
+  * shrink from |corpus| to one bucket before exact re-ranking, turning a
+  * full scan per query into a hash-partition-local probe.
+  */
+object Similarity {
+
+  /** Brute-force top-k neighbors by quantized dot product for each query
+    * vector (`vec_id < numQueries`). Deterministic: integer scores,
+    * vec_id tie-break.
+    */
+  def knnBruteForce(emb: DataFrame, numQueries: Int, k: Int,
+                    scale: Int = 1000): DataFrame = {
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = queries.crossJoin(emb.select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        dotQuantized(col("qe"), col("embedding"), scale).as("score"))
+    val w = Window.partitionBy("qid").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Closest pairs within each label partition by quantized cosine —
+    * embedding-space near-duplicate detection shaped like an IVF probe:
+    * label = coarse cluster, pairs only form inside a cluster, so the
+    * join is partition-local after one hash shuffle on `label` (never
+    * all-pairs across the corpus).
+    */
+  def nearestPairsPerLabel(emb: DataFrame, pairsPerLabel: Int,
+                           scale: Int = 100): DataFrame = {
+    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    val pairs = a.join(b, "label").filter(col("id_a") < col("id_b"))
+      .select(col("label"), col("id_a"), col("id_b"),
+        cosineQuantized(col("ea"), col("eb"), scale).as("cos"))
+    val w = Window.partitionBy("label").orderBy(col("cos").desc, col("id_a"), col("id_b"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= pairsPerLabel)
+  }
+
+  /** LSH-bucketed ANN: random-hyperplane signature → candidates share a
+    * bucket → exact cosine re-rank inside the bucket. Planes are a tiny
+    * deterministic driver-side matrix (seeded), broadcast as literals.
+    * Recall is tunable via numPlanes (fewer planes = bigger buckets).
+    */
+  def annLshBucketed(spark: SparkSession, emb: DataFrame, numQueries: Int,
+                     k: Int, numPlanes: Int = 6, dim: Int = 64,
+                     seed: Long = 42L): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(numPlanes, dim)(rng.nextGaussian())
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+    val queries = broadcast(
+      bucketed.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("bucket").as("qbucket")))
+    val scored = queries.join(bucketed, col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("bucket"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+}

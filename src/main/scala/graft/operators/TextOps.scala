@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline extension (BASELINE.json north star; the
+  * reference itself is batch matmul only, SURVEY.md §2.5).
+  *
+  * All computations are pure column expressions (whole-stage codegen,
+  * no UDFs) and are deliberately expressible in portable ANSI SQL so the
+  * DuckDB oracle reproduces them bit-for-bit: counts and lengths are
+  * integral, and every ratio is a single IEEE division of two integrals
+  * (deterministic across engines — SURVEY.md §7 R2 discipline).
+  *
+  * Scale: every operator is a narrow per-row projection — no shuffle at
+  * all until an explicit aggregation, so the pipeline streams at parquet
+  * scan speed on any cluster size.
+  */
+object TextOps {
+
+  /** Occurrences of `needle` in `col` via length arithmetic — portable
+    * (no regex dialect differences) and codegen-friendly.
+    */
+  def occurrences(c: Column, needle: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(needle), ""))) / needle.length).cast("long")
+
+  /** Whitespace token count: separators + 1 (documents are
+    * single-space-separated). */
+  def tokenCount(text: Column): Column =
+    (length(text) - length(translate(text, " ", "")) + 1).cast("long")
+
+  /** Distinct whitespace tokens. */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(split(text, " "))).cast("long")
+
+  /** Per-document text statistics: char/token counts, lexical diversity,
+    * stopword ratio, average token length. The quality score mirrors the
+    * heuristics production data pipelines gate on (length bounds +
+    * stopword share + diversity).
+    */
+  def stats(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val tokens = tokenCount(t)
+    val distinctTokens = distinctTokenCount(t)
+    val stopwords = occurrences(concat(lit(" "), t, lit(" ")), " the ") +
+      occurrences(concat(lit(" "), t, lit(" ")), " a ")
+    docs.select(
+      col("doc_id"),
+      length(t).cast("long").as("chars"),
+      tokens.as("tokens"),
+      distinctTokens.as("distinct_tokens"),
+      (distinctTokens.cast("double") / tokens).as("lexical_diversity"),
+      stopwords.as("stopword_hits"),
+      (stopwords.cast("double") / tokens).as("stopword_ratio"),
+      ((length(t) - tokens + 1).cast("double") / tokens).as("avg_token_len"))
+  }
+
+  /** Quality score in [0,1]: combines length band, diversity and
+    * stopword share — integral numerators / integral denominators keep
+    * it engine-reproducible. */
+  def qualityScored(docs: DataFrame): DataFrame = {
+    val s = stats(docs)
+    s.withColumn("quality_score",
+      (when(col("chars").between(100, 500), lit(0.5)).otherwise(lit(0.0)) +
+        col("lexical_diversity") * 0.3 +
+        when(col("stopword_ratio") < 0.2, lit(0.2)).otherwise(lit(0.0))))
+  }
+
+  /** Language-ID n-gram/marker heuristic. The synthetic corpus shares one
+    * vocabulary across its `lang` labels, so this scores marker-token
+    * evidence and falls back deterministically — the point is the
+    * *operator* (score + argmax with stable tie-break), which on real
+    * text would carry real marker lists per language.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val padded = concat(lit(" "), col("text"), lit(" "))
+    def score(words: Seq[String]): Column =
+      words.map(w => occurrences(padded, s" $w ")).reduce(_ + _)
+    val en = score(Seq("the", "a", "value"))
+    val es = score(Seq("data", "table", "row"))
+    val de = score(Seq("batch", "window", "merge"))
+    docs.select(
+      col("doc_id"), col("lang").as("lang_actual"),
+      en.as("score_en"), es.as("score_es"), de.as("score_de"),
+      when(en >= es && en >= de, lit("en"))
+        .when(es >= de, lit("es"))
+        .otherwise(lit("de")).as("lang_pred"))
+  }
+
+  /** Document fingerprint: canonical hash of normalized text (md5 —
+    * identical hex output on every engine) plus a locality-insensitive
+    * content key (sorted distinct tokens) whose hash survives token
+    * reordering — the cheap "same bag of words" near-dup detector.
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text").cast("binary")).as("exact_fp"),
+      md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).cast("binary"))
+        .as("bag_fp"))
+}

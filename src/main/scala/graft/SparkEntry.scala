@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Dedup, MatrixOps, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, MatrixOps, Similarity, TextOps}
+import graft.sources.ResultsCsv
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -81,6 +82,52 @@ object SparkEntry {
   private def occSql(word: String): String =
     s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $word ', ''))) // ${word.length + 2}"
 
+  // ============== bench-results analytics (SURVEY §2.3) ================
+
+  /** Reference-shaped benchmark-results table derived deterministically
+    * from lineitem (SURVEY §7 R1): the analytics operators A1/A4 run on
+    * this on both engines. */
+  private def benchResults(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).select(
+      expr("CASE l_suppkey % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'java' ELSE 'python' END").as("lang"),
+      expr("CASE l_partkey % 4 WHEN 0 THEN 'basic' WHEN 1 THEN 'blocked' WHEN 2 THEN 'transposed' ELSE 'sparse' END").as("algo"),
+      expr("CASE l_orderkey % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END").cast("long").as("size"),
+      expr("CASE l_partkey % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END").cast("long").as("threads"),
+      (col("l_quantity") * 100 + col("l_linenumber")).as("time_ms"))
+
+  private val sqlBenchResults =
+    """SELECT
+      |  CASE l_suppkey % 3 WHEN 0 THEN 'c' WHEN 1 THEN 'java' ELSE 'python' END AS lang,
+      |  CASE l_partkey % 4 WHEN 0 THEN 'basic' WHEN 1 THEN 'blocked' WHEN 2 THEN 'transposed' ELSE 'sparse' END AS algo,
+      |  CAST(CASE l_orderkey % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 256 END AS BIGINT) AS size,
+      |  CAST(CASE l_partkey % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END AS BIGINT) AS threads,
+      |  l_quantity * 100 + l_linenumber AS time_ms
+      |FROM lineitem""".stripMargin
+
+  /** Reference-shape results-CSV fixtures (FIXTURES.md §B.3) — the 9
+    * schema dialects the visualizers really face. */
+  private val FixtureDir = "/root/repo/src/test/resources/results_csv"
+
+  /** Column universe of the drift union (everything except the text
+    * columns is numeric after cleanup). */
+  private val FixtureNumericCols = Seq(
+    "size", "repeats", "avg_time_ms", "rss_now_mb", "rss_peak_mb",
+    "allocated_mb", "heap_now_mb", "heap_peak_mb", "psutil_rss_mb_now",
+    "psutil_vms_mb_now", "psutil_peak_rss_mb", "tracemalloc_peak_mib",
+    "psutil_rss_mb", "psutil_vms_mb", "threads", "speedup", "efficiency",
+    "rss_mb", "memory_mb")
+
+  private val sqlFixtureClean = {
+    val casts = FixtureNumericCols
+      .map(c => s"TRY_CAST(replace($c, ',', '.') AS DOUBLE) AS $c")
+      .mkString(",\n  ")
+    s"""SELECT lower(lang) AS lang, COALESCE(algo, 'unknown') AS algo, extra,
+       |  regexp_extract(filename, '([^/]+)$$', 1) AS source_file,
+       |  $casts
+       |FROM read_csv_auto('$FixtureDir/results_*.csv',
+       |  union_by_name=true, all_varchar=true, filename=true)""".stripMargin
+  }
+
   // ====================== relational analytics =========================
 
   /** Exact decimal money arithmetic, emitted as double — deterministic
@@ -132,8 +179,12 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), thresholdTenths = 9)
         .orderBy("d1", "d2")),
+    // bands=4 (r=8) targets J≳0.8 near-dups: on this high-mutual-
+    // similarity corpus wider bands would admit ~30% of ALL pairs as
+    // candidates, which is the LSH failure mode at scale.
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(Tables.documents(s, dir)).orderBy("d1", "d2")),
+      Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 32,
+        bands = 4).orderBy("d1", "d2")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDistance = 16)
         .orderBy("d1", "d2")),
@@ -153,6 +204,38 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("bucket"), col("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+
+    // ---- bench-results analytics (A1/A4/A7-A16 on real drift) ----
+    "bench_avg_time" -> ((s, dir) =>
+      Analytics.avgTime(benchResults(s, dir))
+        .orderBy("lang", "algo", "size")),
+    "speedup_efficiency" -> ((s, dir) =>
+      Analytics.speedupEfficiency(
+        Analytics.avgTime(benchResults(s, dir), Seq("lang", "size", "threads"))
+          .drop("runs"))
+        .orderBy("lang", "size", "threads")),
+    "results_union_clean" -> ((s, _) =>
+      Analytics.cleanResults(
+        ResultsCsv.readResultsDir(s, FixtureDir))
+        .orderBy(asc_nulls_first("source_file"), asc_nulls_first("size"),
+          asc_nulls_first("algo"), asc_nulls_first("threads"))),
+    "results_extra_parsed" -> ((s, _) =>
+      Analytics.parseExtra(
+        Analytics.cleanResults(
+          ResultsCsv.readResultsDir(s, FixtureDir, "results_*opt_*.csv")))
+        .select(col("source_file"), col("lang"), col("algo"), col("size"),
+          col("avg_time_ms"), col("block"), col("density"))
+        .orderBy(asc_nulls_first("source_file"), asc_nulls_first("size"),
+          asc_nulls_first("algo"))),
+    "mem_by_lang" -> ((s, _) => {
+      val cleaned = Analytics.cleanResults(
+        ResultsCsv.readResultsDir(s, FixtureDir))
+      cleaned.withColumn("peak_mem_mb", Analytics.peakMemoryExpr)
+        .groupBy("lang")
+        .agg(max(col("peak_mem_mb")).as("max_peak_mem_mb"),
+          count(lit(1)).as("rows"))
+        .orderBy("lang")
+    }),
 
     // ---- relational analytics over the star schema ----
     "q1_agg" -> ((s, dir) =>
@@ -295,6 +378,47 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, id_a, id_b) AS rn
         |      FROM p)
         |SELECT label, id_a, id_b, cos, rn FROM r WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
+
+    "bench_avg_time" ->
+      s"""WITH r AS ($sqlBenchResults)
+         |SELECT lang, algo, size, SUM(time_ms) / COUNT(*) AS avg_time_ms,
+         |  CAST(COUNT(*) AS BIGINT) AS runs
+         |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "speedup_efficiency" ->
+      s"""WITH r AS ($sqlBenchResults),
+         |p AS (SELECT lang, size, threads, SUM(time_ms) / COUNT(*) AS avg_time_ms
+         |      FROM r GROUP BY 1, 2, 3)
+         |SELECT lang, size, threads, avg_time_ms,
+         |  MAX(CASE WHEN threads = 1 THEN avg_time_ms END)
+         |    OVER (PARTITION BY lang, size) / avg_time_ms AS speedup,
+         |  (MAX(CASE WHEN threads = 1 THEN avg_time_ms END)
+         |    OVER (PARTITION BY lang, size) / avg_time_ms) / threads AS efficiency
+         |FROM p ORDER BY 1, 2, 3""".stripMargin,
+    "results_union_clean" ->
+      s"""$sqlFixtureClean
+         |ORDER BY source_file NULLS FIRST, size NULLS FIRST,
+         |  algo NULLS FIRST, threads NULLS FIRST""".stripMargin,
+    "results_extra_parsed" -> {
+      val casts = Seq("size", "avg_time_ms")
+        .map(c => s"TRY_CAST(replace($c, ',', '.') AS DOUBLE) AS $c")
+        .mkString(", ")
+      s"""SELECT regexp_extract(filename, '([^/]+)$$', 1) AS source_file,
+         |  lower(lang) AS lang, COALESCE(algo, 'unknown') AS algo, $casts,
+         |  TRY_CAST(regexp_extract(extra, 'block\\D*(\\d+)', 1) AS BIGINT) AS block,
+         |  TRY_CAST(regexp_extract(extra, 'density\\D*([0-9.]+)', 1) AS DOUBLE) AS density
+         |FROM read_csv_auto('$FixtureDir/results_*opt_*.csv',
+         |  union_by_name=true, all_varchar=true, filename=true)
+         |ORDER BY source_file NULLS FIRST, size NULLS FIRST, algo NULLS FIRST""".stripMargin
+    },
+    "mem_by_lang" ->
+      s"""WITH u AS ($sqlFixtureClean)
+         |SELECT lang,
+         |  MAX(CASE WHEN lang = 'c' THEN COALESCE(rss_peak_mb, rss_now_mb, rss_mb)
+         |           WHEN lang = 'java' THEN COALESCE(heap_peak_mb, heap_now_mb, memory_mb)
+         |           ELSE COALESCE(psutil_peak_rss_mb, psutil_rss_mb, rss_mb) END)
+         |    AS max_peak_mem_mb,
+         |  CAST(COUNT(*) AS BIGINT) AS rows
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

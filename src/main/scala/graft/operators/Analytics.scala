@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's analytics layer (visualizer queries A1/A4/A7-A16,
+  * SURVEY.md §2.3) re-expressed as DataFrame transformations. The plots
+  * themselves stay a thin driver-side rendering step; everything up to
+  * the aggregated series tables is engine work and lives here.
+  */
+object Analytics {
+
+  /** Columns that stay textual during numeric coercion. */
+  val TextCols: Set[String] = Set("lang", "algo", "extra", "source_file")
+
+  /** A7 + A8 — locale cleanup then numeric coercion: the visualizers
+    * replace `,`→`.` on object columns and `pd.to_numeric(errors=
+    * "coerce")` everything past the key columns
+    * (`Stage 1/Visualization/mm_perf_visualizer.py:40-46`,
+    * `Stage 2/…:49-55`). Spark's string→double cast is NULL-on-failure,
+    * which is exactly the `coerce` contract. */
+  def cleanNumeric(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      if (TextCols(c)) d
+      else d.withColumn(c, regexp_replace(col(c), ",", ".").cast("double"))
+    }
+
+  /** A16 — default-fill a missing/NULL `algo` with "unknown"
+    * (`Stage 2/…:54-55`). */
+  def defaultAlgo(df: DataFrame): DataFrame =
+    if (!df.columns.contains("algo"))
+      df.withColumn("algo", lit("unknown"))
+    else
+      df.withColumn("algo", coalesce(col("algo"), lit("unknown")))
+
+  /** A15 — normalize the language key (`Stage 3/…:68`). */
+  def lowerLang(df: DataFrame): DataFrame =
+    df.withColumn("lang", lower(col("lang")))
+
+  /** A10 — dense/sparse split (`Stage 2/…:58-60`). */
+  def denseAlgos(df: DataFrame): DataFrame =
+    df.filter(col("algo").isin("basic", "blocked", "transposed"))
+  def sparseAlgos(df: DataFrame): DataFrame =
+    df.filter(col("algo").isin("sparse"))
+
+  /** A13 — distinct sorted dimension values (`Stage 3/…:73,93`). */
+  def distinctSorted(df: DataFrame, c: String): DataFrame =
+    df.select(c).distinct().orderBy(c)
+
+  /** A14 — per-language memory column with "contains peak" fallback
+    * (`Stage 1/…:75-89`, `Stage 2/…:63-67`): driver-side schema
+    * introspection, returns the column to plot. */
+  val MemoryColumnByLang: Map[String, Seq[String]] = Map(
+    "c" -> Seq("rss_peak_mb", "rss_now_mb", "rss_mb"),
+    "java" -> Seq("heap_peak_mb", "heap_now_mb", "memory_mb"),
+    "python" -> Seq("psutil_peak_rss_mb", "psutil_rss_mb", "rss_mb"))
+  def memoryColumn(df: DataFrame, lang: String): Option[String] = {
+    val present = df.columns.toSet
+    MemoryColumnByLang.getOrElse(lang, Nil).find(present)
+      .orElse(df.columns.find(_.contains("peak")))
+  }
+
+  /** A1/A12 — mean kernel time per (lang, algo, size): the harness's
+    * repeat-loop average (`mm_baseline.py:52`) as a grouped aggregation.
+    * Integral-sum / count division keeps it engine-deterministic. */
+  def avgTime(results: DataFrame,
+              groupCols: Seq[String] = Seq("lang", "algo", "size"),
+              timeCol: String = "time_ms"): DataFrame =
+    results.groupBy(groupCols.map(col): _*)
+      .agg((sum(col(timeCol)) / count(lit(1))).as("avg_time_ms"),
+        count(lit(1)).as("runs"))
+
+  /** A4, corrected (SURVEY Q1) — the reference computes speedup against
+    * an in-process T1 cache that is empty in every per-thread-count
+    * invocation, so its CSVs carry speedup=1.000/0.000 everywhere
+    * (`mm_opt_par.py:69-77`, `results_java_parallel_8threads.csv:2-10`).
+    * The spec'd computation (assignment PDF §3.2: "Speedup compared to
+    * the basic algorithm") needs the cross-run baseline: a window over
+    * the unioned results picks T(threads=1) per (lang, size).
+    */
+  def speedupEfficiency(perThreadAvg: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang", "size")
+    val t1 = max(when(col("threads") === 1, col("avg_time_ms"))).over(w)
+    perThreadAvg
+      .withColumn("speedup", t1 / col("avg_time_ms"))
+      .withColumn("efficiency", col("speedup") / col("threads"))
+  }
+
+  /** The `extra` quasi-JSON column, both dialects —
+    * `"{block:64,density:0.050}"` (C/Java, `mm_opt.c:179`) and
+    * `"{'block': 64, 'density': 0.05}"` (Python, `mm_opt.py:133-134`) —
+    * parsed with dialect-agnostic regexp extraction. */
+  def parseExtra(df: DataFrame): DataFrame =
+    df.withColumn("block",
+        regexp_extract(col("extra"), "block\\D*(\\d+)", 1).cast("long"))
+      .withColumn("density",
+        regexp_extract(col("extra"), "density\\D*([0-9.]+)", 1).cast("double"))
+
+  /** A14 as a row-level expression over the full drift union: the
+    * reference's per-lang memory-column map collapsed into one coalesce
+    * chain per language (fallback order mirrors MemoryColumnByLang). */
+  def peakMemoryExpr: Column =
+    when(col("lang") === "c",
+      coalesce(col("rss_peak_mb"), col("rss_now_mb"), col("rss_mb")))
+      .when(col("lang") === "java",
+        coalesce(col("heap_peak_mb"), col("heap_now_mb"), col("memory_mb")))
+      .otherwise(
+        coalesce(col("psutil_peak_rss_mb"), col("psutil_rss_mb"), col("rss_mb")))
+
+  /** Full ingest pipeline the Stage-2 visualizer runs before plotting:
+    * union (done upstream) → locale/numeric cleanup → algo default →
+    * lang normalize (A7, A8, A15, A16). */
+  def cleanResults(raw: DataFrame): DataFrame =
+    lowerLang(defaultAlgo(cleanNumeric(raw)))
+}

@@ -44,20 +44,53 @@ object Dedup {
     * self-join stays partition-local after one shuffle on (lang, token).
     * Threshold compare kept integral (inter·10 ≥ t·10·union) so the
     * oracle agrees bit-for-bit. */
+  /** Prefix-filtered all-pairs (Bayardo et al., WWW'07 "Scaling Up All
+    * Pairs Similarity Search") — the 100 TB-shaped plan:
+    *
+    *   1. Only each doc's PREFIX — its `n − ⌈t·n⌉ + 1` globally-rarest
+    *      tokens — generates candidates: any pair with J ≥ t must share a
+    *      prefix token under a common token order, so recall is exact.
+    *   2. The candidate join also prunes by the length bound
+    *      (t·|b| ≤ |a| ≤ |b|/t).
+    *   3. Survivors are verified with one `array_intersect` against the
+    *      per-doc sorted token arrays — no quadratic postings shuffle.
+    *
+    * Rare-first ordering makes prefix buckets the smallest buckets, so
+    * the candidate join stays near-linear even on a corpus where every
+    * pair shares common tokens. Results are identical to the naive
+    * all-pairs join (the DuckDB oracle runs the naive form).
+    */
   def jaccardPairs(docs: DataFrame, thresholdTenths: Int): DataFrame = {
+    val t = thresholdTenths
     val tok = tokenPostings(docs)
-    val counts = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = tok.as("t1")
-      .join(tok.as("t2"),
-        col("t1.token") === col("t2.token") && col("t1.lang") === col("t2.lang") &&
-          col("t1.doc_id") < col("t2.doc_id"))
-      .groupBy(col("t1.doc_id").as("d1"), col("t2.doc_id").as("d2"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(counts.select(col("doc_id").as("d1"), col("n").as("n1")), "d1")
-      .join(counts.select(col("doc_id").as("d2"), col("n").as("n2")), "d2")
+    // Per-doc token arrays + counts (verification side).
+    val docTokens = tok.groupBy("doc_id", "lang")
+      .agg(collect_list(col("token")).as("toks"), count(lit(1)).as("n"))
+    // Global (per-lang) rare-first token order; ties broken by token.
+    val freq = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
+    val ranked = tok.join(freq, Seq("lang", "token"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tf"), col("token"))))
+    // prefix length = n − ⌈t·n⌉ + 1  (integer ceil: (t·n + 9) div 10)
+    val prefix = ranked.join(docTokens.select("doc_id", "n"), "doc_id")
+      .filter(col("pos") <= col("n") - ((col("n") * t + 9) / 10).cast("long") + 1)
+      .select(col("lang"), col("token"), col("doc_id"), col("n"))
+    val candidates = prefix.as("p1")
+      .join(prefix.as("p2"),
+        col("p1.token") === col("p2.token") && col("p1.lang") === col("p2.lang") &&
+          col("p1.doc_id") < col("p2.doc_id") &&
+          col("p1.n") * t <= col("p2.n") * 10 &&
+          col("p2.n") * t <= col("p1.n") * 10)
+      .select(col("p1.doc_id").as("d1"), col("p2.doc_id").as("d2"))
+      .distinct()
+    candidates
+      .join(docTokens.select(col("doc_id").as("d1"), col("toks").as("toks1"),
+        col("n").as("n1")), "d1")
+      .join(docTokens.select(col("doc_id").as("d2"), col("toks").as("toks2"),
+        col("n").as("n2")), "d2")
+      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))).cast("long"))
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
-      .filter(col("inter") * 10 >= col("uni") * thresholdTenths)
+      .filter(col("inter") * 10 >= col("uni") * t)
       .select(col("d1"), col("d2"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }

@@ -43,11 +43,19 @@ object Similarity {
     */
   def nearestPairsPerLabel(emb: DataFrame, pairsPerLabel: Int,
                            scale: Int = 100): DataFrame = {
-    val a = emb.select(col("label"), col("vec_id").as("id_a"), col("embedding").as("ea"))
-    val b = emb.select(col("label"), col("vec_id").as("id_b"), col("embedding").as("eb"))
+    // Precompute each vector's quantized squared norm once — the pair
+    // join then evaluates ONE 64-wide dot product per pair instead of
+    // three (same integers, so the cosine is bit-identical).
+    val withNorm = emb.select(col("label"), col("vec_id"), col("embedding"),
+      normSqQuantized(col("embedding"), scale).as("nsq"))
+    val a = withNorm.select(col("label"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val b = withNorm.select(col("label"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nsq").as("nb"))
     val pairs = a.join(b, "label").filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
-        cosineQuantized(col("ea"), col("eb"), scale).as("cos"))
+        (dotQuantized(col("ea"), col("eb"), scale).cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
     val w = Window.partitionBy("label").orderBy(col("cos").desc, col("id_a"), col("id_b"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= pairsPerLabel)
   }

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextOps}
+import graft.functions.VectorFunctions
+
+/** Dedup / text / similarity operators on small synthetic corpora with
+  * known ground truth (the driver testdata has no true duplicates, so
+  * near-dup recall is asserted here). */
+class PipelineOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L),
+    (1L, "the quick brown fox jumps over the lazy dog", "en", "s0", 43L), // exact dup of 0
+    (2L, "quick brown fox jumps over the lazy dog the", "en", "s0", 43L), // reordered (bag-dup)
+    (3L, "the quick brown fox leaps over the lazy dog", "en", "s0", 43L), // near dup (1 token)
+    (4L, "completely different content about spark engines", "en", "s1", 48L),
+    (5L, "der schnelle braune fuchs springt", "de", "s2", 33L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup keeps first doc per content group") {
+    val kept = Dedup.exactKept(docs).select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 2L, 3L, 4L, 5L)) // doc 1 dropped
+    val groups = Dedup.exactGroups(docs).filter(col("group_size") > 1).collect()
+    assert(groups.length === 1 && groups.head.getAs[Long]("keep_id") === 0L)
+  }
+
+  test("bag fingerprint catches token reordering; exact fp does not") {
+    val fp = TextOps.fingerprints(docs)
+    val bag = fp.groupBy("bag_fp").count().filter(col("count") >= 3).count()
+    assert(bag === 1) // docs 0, 1, 2 share a bag fingerprint
+    val exact = fp.groupBy("exact_fp").count().filter(col("count") >= 3).count()
+    assert(exact === 0)
+  }
+
+  test("jaccard pairs finds the near-duplicate above threshold") {
+    val pairs = Dedup.jaccardPairs(docs, thresholdTenths = 7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical
+    assert(pairs.contains((0L, 3L))) // 8/10 shared tokens
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
+  }
+
+  test("minhash LSH candidates include true near-dups, estimates bounded") {
+    val pairs = Dedup.minhashLshPairs(docs, numHashes = 32, bands = 8)
+    val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(m.contains((0L, 1L)) && m((0L, 1L)) === 1.0) // identical docs: all minhashes equal
+    assert(m.keySet.contains((0L, 3L)))                 // near-dup surfaces as candidate
+    assert(m.values.forall(j => j >= 0.0 && j <= 1.0))
+  }
+
+  test("simhash of identical and near-dup docs is close in hamming distance") {
+    val fps = Dedup.simhashFingerprints(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0L) === fps(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(0L), fps(3L)) < ham(fps(0L), fps(4L)))
+    val pairs = Dedup.simhashPairs(docs, maxDistance = 0)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("language ID picks the max-evidence label deterministically") {
+    val out = TextOps.langId(docs).select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(0L) === "en") // two "the" hits beat the empty scores
+    assert(out(5L) === "en") // all-zero scores tie-break to en (>= chain)
+  }
+
+  test("token stats are exact on a known sentence") {
+    val s = TextOps.stats(docs.filter(col("doc_id") === 0)).collect().head
+    assert(s.getAs[Long]("tokens") === 9L)
+    assert(s.getAs[Long]("distinct_tokens") === 8L) // "the" twice
+    assert(s.getAs[Long]("stopword_hits") === 2L)
+    assert(s.getAs[Long]("chars") === 43L)
+  }
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),  // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1), // opposite of 0
+    (4L, Array(0.8f, 0.2f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("brute-force knn ranks by true dot product with id tie-break") {
+    val out = Similarity.knnBruteForce(vecs, numQueries = 1, k = 4)
+      .orderBy("rn").select("vec_id").collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(1L, 4L, 2L, 3L)) // 0.9 > 0.8 > 0.0 > -1.0
+  }
+
+  test("quantized cosine tracks exact cosine") {
+    val row = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") === 0 && col("b.vec_id") === 1)
+      .select(
+        VectorFunctions.cosine(col("a.embedding"), col("b.embedding")).as("exact"),
+        VectorFunctions.cosineQuantized(col("a.embedding"), col("b.embedding"), 1000).as("quant"))
+      .collect().head
+    assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 0.01)
+  }
+
+  test("lsh-bucketed ann returns self-bucket neighbors ranked by cosine") {
+    val out = Similarity.annLshBucketed(spark, vecs, numQueries = 1, k = 3,
+      numPlanes = 2, dim = 4)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("qid") == 0L))
+    // ranks are contiguous from 1
+    assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rows.length).toSeq)
+  }
+}

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Analytics, Dedup, MatrixOps, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, MatrixOps, Multimodal, Similarity, TextOps}
 import graft.sources.ResultsCsv
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -284,6 +285,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000)).as("sum_value_q"))
         .orderBy("hour_start")),
+    // Batch form of the streaming sessionization (session_window; the
+    // streaming twin is EventStream.sessionize over readStream).
+    "sessionize" -> ((s, dir) =>
+      EventStream.sessionize(Tables.events(s, dir))
+        .orderBy("user_id", "session_start")),
+
+    // ---- multimodal plumbing (stubbed codec, real Spark surface) ----
+    "media_features" -> ((s, dir) =>
+      Multimodal.decodeAndFeaturize(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+          col("width"), col("height"))
+        .orderBy("media_id")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -452,5 +467,21 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // session_window semantics: same session iff gap to previous event
+    // < 30 min; session end = last event + gap (exclusive bound).
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, ts, CAST(FLOOR(value * 1000) AS BIGINT) AS q
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                          >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |                               ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM s)
+        |SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  user_id, CAST(COUNT(*) AS BIGINT) AS events,
+        |  CAST(SUM(q) AS BIGINT) AS sum_value_q
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

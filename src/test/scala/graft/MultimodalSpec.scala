@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Multimodal binary-column plumbing: schema, batch shape, determinism.
+  * The codec itself is a documented stub; what must hold is everything
+  * Spark owns. */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (0L, "alpha beta gamma delta", "en", "s0", 22L),
+    (1L, "the quick brown fox", "en", "s0", 19L),
+    (2L, "un deux trois quatre cinq", "fr", "s1", 25L),
+    (3L, "x", "en", "s1", 1L)
+  ).toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private lazy val media = Multimodal.fromDocuments(docs)
+
+  test("media table has the binary payload + typed metadata schema") {
+    assert(media.schema("payload").dataType.typeName === "binary")
+    val kinds = media.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds === Set("image", "audio", "video"))
+    // payload round-trips the source bytes
+    val p = media.filter(col("media_id") === 3).select("payload")
+      .collect().head.getAs[Array[Byte]](0)
+    assert(new String(p, "UTF-8") === "x")
+  }
+
+  test("batched decode emits fixed-dim normalized features deterministically") {
+    val out = Multimodal.decodeAndFeaturize(spark, media, dim = 8, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    assert(out.length === 4)
+    assert(out.forall(_.features.length === 8))
+    // unit-normalized (or zero) feature vectors
+    assert(out.forall { d =>
+      val n = math.sqrt(d.features.map(x => x.toDouble * x).sum)
+      math.abs(n - 1.0) < 1e-5 || n == 0.0
+    })
+    // deterministic: second run bit-identical
+    val again = Multimodal.decodeAndFeaturize(spark, media, dim = 8, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    assert(out.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
+    assert(out.map(_.features.toSeq).toSeq === again.map(_.features.toSeq).toSeq)
+    // image kind gets probed dims, audio stays 0×0
+    val byKind = out.map(d => d.kind -> d).toMap
+    assert(byKind("audio").width === 0)
+  }
+
+  test("frame sampling slices payload into strided fixed-size chunks") {
+    val frames = Multimodal.frameSample(media, frameBytes = 4, everyN = 2)
+    val doc0 = frames.filter(col("media_id") === 0)
+      .orderBy("frame_idx").collect()
+    // 22 bytes → 6 frames of 4 bytes (last short), indices 0,2,4 kept
+    assert(doc0.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4))
+    val frame0 = new String(doc0.head.getAs[Array[Byte]]("frame"), "UTF-8")
+    assert(frame0 === "alph")
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+
+/** Event row shape for streaming specs — top-level so Spark can build
+  * a product encoder without an outer-instance scope. */
+final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+                    event_type: String, value: Double, props: String)
+
+/** Structured Streaming surface driven through MemoryStream micro-batches. */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(hhmm: String): Timestamp =
+    Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("windowed streaming agg matches its batch twin across micro-batches") {
+    val input = MemoryStream[Ev](spark)
+    val query = EventStream.hourlyByType(input.toDF())
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(
+        Ev(1, ts("10:05"), 1, "click", 1.5, ""),
+        Ev(2, ts("10:35"), 2, "click", 2.5, ""),
+        Ev(3, ts("11:05"), 1, "view", 3.5, ""))
+      query.processAllAvailable()
+      input.addData(Ev(4, ts("10:55"), 3, "click", 4.5, "")) // late but in-watermark
+      query.processAllAvailable()
+
+      val streamed = spark.table("hourly_stream")
+      val batch = EventStream.hourlyByType(
+        Seq(
+          Ev(1, ts("10:05"), 1, "click", 1.5, ""),
+          Ev(2, ts("10:35"), 2, "click", 2.5, ""),
+          Ev(3, ts("11:05"), 1, "view", 3.5, ""),
+          Ev(4, ts("10:55"), 3, "click", 4.5, "")).toDF())
+      val s = streamed.orderBy("hour_start", "event_type").collect().toSeq
+      val b = batch.orderBy("hour_start", "event_type").collect().toSeq
+      assert(s === b)
+      val clicks10 = streamed.filter(col("event_type") === "click" &&
+        col("hour_start") === ts("10:00")).select("n").collect().head.getLong(0)
+      assert(clicks10 === 3) // late row merged into the open window
+    } finally query.stop()
+  }
+
+  test("session_window merges events within the gap per user") {
+    val df = Seq(
+      Ev(1, ts("10:00"), 1, "click", 1.0, ""),
+      Ev(2, ts("10:10"), 1, "click", 1.0, ""), // same session (gap 30m)
+      Ev(3, ts("11:30"), 1, "click", 1.0, ""), // new session
+      Ev(4, ts("10:05"), 2, "view", 1.0, "")).toDF()
+    val sessions = EventStream.sessionize(df).orderBy("user_id", "session_start")
+      .collect()
+    assert(sessions.length === 3)
+    val first = sessions.head
+    assert(first.getAs[Long]("user_id") === 1L)
+    assert(first.getAs[Long]("events") === 2L)
+    assert(first.getAs[Timestamp]("session_end") === ts("10:40")) // last+gap
+  }
+
+  test("mapGroupsWithState accumulates per-user state across micro-batches") {
+    implicit val s = spark
+    val input = MemoryStream[EventStream.UserEvent](spark)
+    val query = EventStream.runningUserStats(input.toDS())
+      .writeStream.format("memory").queryName("user_stats")
+      .outputMode("update").start()
+    try {
+      input.addData(EventStream.UserEvent(1, "click", 1.5))
+      query.processAllAvailable()
+      input.addData(EventStream.UserEvent(1, "view", 2.5),
+        EventStream.UserEvent(2, "click", 0.5))
+      query.processAllAvailable()
+      val rows = spark.table("user_stats")
+        .groupBy("user_id").agg(max("events").as("events"),
+          max("sum_value_q").as("sum_value_q"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // user 1: state carried 1500 + 2500 across batches
+      assert(rows.contains((1L, 2L, 4000L)))
+      assert(rows.contains((2L, 1L, 500L)))
+    } finally query.stop()
+  }
+
+  test("file-source stream over the events lake produces the batch result") {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream").toString
+    val checkpoint = java.nio.file.Files.createTempDirectory("ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("out").toString
+    Seq(Ev(1, ts("10:05"), 1, "click", 1.5, ""),
+      Ev(2, ts("11:15"), 2, "view", 2.5, "")).toDF()
+      .write.mode("overwrite").parquet(dir)
+    val stream = EventStream.readEventStream(spark, dir)
+    val q = EventStream.hourlyByType(stream)
+      .writeStream.format("memory").queryName("file_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("file_stream").count() === 2)
+    } finally q.stop()
+    // silence unused warnings for the parquet-sink helper paths
+    assert(checkpoint.nonEmpty && out.nonEmpty)
+  }
+}

@@ -171,6 +171,10 @@ object SparkEntry {
       TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Rolling-hash fingerprint on the native fnv64 Expression — no SQL
+    // oracle (FNV needs wrapping Long multiply), rows-only check.
+    "doc_fingerprint_rolling" -> ((s, dir) =>
+      TextOps.rollingFingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // ---- dedup family (north star; Dedup) ----
     "dedup_exact_groups" -> ((s, dir) =>

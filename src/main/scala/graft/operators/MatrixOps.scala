@@ -81,6 +81,32 @@ object MatrixOps {
       .filter(((col("i") * 31L + col("j") + lit(seed)) % stride) === 0)
   }
 
+  /** G5 exact-quota parity: the reference's CSR generator distributes
+    * nnz = ⌊n²·density⌋ as `per_row = nnz / n` per row with one extra for
+    * the first `nnz % n` rows (`mm_opt.py:17-18`, `mm_opt.c:86-87`,
+    * `MMOpt.java:97`). Column positions come from a per-row deterministic
+    * stride (distinct within a row — the Python generator's sorted
+    * `rnd.sample` contract) instead of RNG, values from seeded `rand`.
+    * Fully distributed: `range(n)` → per-row sequence explode, no driver
+    * materialization at any n.
+    */
+  def genSparseQuota(spark: SparkSession, n: Long, density: Double,
+                     seed: Long): DataFrame = {
+    val nnz = (n * n * density).toLong
+    val perRow = nnz / n
+    val leftover = nnz % n
+    spark.range(n)
+      .select(col("id").as("i"),
+        (lit(perRow) + when(col("id") < leftover, 1L).otherwise(0L)).as("k"))
+      .filter(col("k") > 0)
+      .withColumn("stride", greatest(lit(1L), (lit(n) / col("k")).cast("long")))
+      .select(col("i"),
+        explode(sequence(lit(0L), col("k") - 1)).as("t"),
+        col("stride"))
+      .select(col("i"), ((col("i") + col("t") * col("stride")) % n).as("j"))
+      .withColumn("v", rand(seed))
+  }
+
   /** C = A × B: equi-join on the contraction index k (= A.j = B.i), then
     * grouped sum — `matmul_basic` (`mm_baseline.py:17-28`, `mm_baseline.c:40-52`,
     * `MMBaseline.java:30-42`) and, unchanged, `spmm_csr_dense`

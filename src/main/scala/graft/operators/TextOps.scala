@@ -99,4 +99,22 @@ object TextOps {
       md5(col("text").cast("binary")).as("exact_fp"),
       md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).cast("binary"))
         .as("bag_fp"))
+
+  /** Winnowing-style rolling-hash fingerprint on the engine's native
+    * fnv64 expression (codegen'd — graft.GraftExtensions must be on the
+    * session): hash every k-token shingle, keep the minimum plus the
+    * shingle count. The min-of-rolling-hashes survives edits outside one
+    * window — the classic plagiarism/near-dup fingerprint. */
+  def rollingFingerprints(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tokens = split(col("text"), " ")
+    val shingles = transform(
+      sequence(lit(1), greatest(size(tokens) - (k - 1), lit(1))),
+      i => concat_ws(" ", slice(tokens, i, lit(k))))
+    docs.select(
+      col("doc_id"),
+      call_function("fnv64", col("text").cast("binary")).as("full_fnv"),
+      array_min(transform(shingles,
+        s => call_function("fnv64", s.cast("binary")))).as("min_shingle_fnv"),
+      size(shingles).cast("long").as("n_shingles"))
+  }
 }

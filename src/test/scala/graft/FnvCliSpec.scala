@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fnv64
+import graft.operators.Multimodal
+
+/** Native fnv64 expression (codegen + interpreted) and the reference CLI
+  * grammar parser. */
+class FnvCliSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("fnv64 expression matches the reference Scala implementation") {
+    val df = Seq("", "a", "hello world", "the quick brown fox").toDF("s")
+      .withColumn("h", call_function("fnv64", col("s").cast("binary")))
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, h) <- got)
+      assert(h === Fnv64.hash(s.getBytes("UTF-8")), s"input '$s'")
+    // spot-check the FNV-1a test vector for empty input (offset basis)
+    assert(got("") === 0xcbf29ce484222325L)
+  }
+
+  test("fnv64 agrees between codegen and interpreted paths") {
+    val data = Seq.tabulate(64)(i => s"doc-$i-payload").toDF("s")
+      .withColumn("b", col("s").cast("binary"))
+    val viaCodegen = data.withColumn("h", call_function("fnv64", col("b")))
+      .select("s", "h").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Interpreted: force eval through the expression object directly.
+    val viaEval = data.select("s").collect().map { r =>
+      r.getString(0) -> Fnv64.hash(r.getString(0).getBytes("UTF-8"))
+    }.toMap
+    assert(viaCodegen === viaEval)
+  }
+
+  test("fnv64 is callable from SQL via the session extension") {
+    val h = spark.sql("SELECT fnv64(CAST('abc' AS BINARY)) AS h")
+      .collect().head.getLong(0)
+    assert(h === Fnv64.hash("abc".getBytes("UTF-8")))
+  }
+
+  test("fnv64 matches the multimodal stub codec checksum") {
+    val media = Multimodal.fromDocuments(
+      Seq((0L, "payload text", "en", "s", 12L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val viaExpr = media.withColumn("h", call_function("fnv64", col("payload")))
+      .select("h").collect().head.getLong(0)
+    assert(viaExpr === Multimodal.StubCodec.checksum("payload text".getBytes("UTF-8")))
+  }
+
+  test("CLI parser covers all three stage grammars (SURVEY §2.4)") {
+    // Stage 1: sizes + repeats only
+    val s1 = Cli.parse(Seq("64", "128", "256", "-r", "5"))
+    assert(s1.bench.sizes === Seq(64L, 128L, 256L))
+    assert(s1.bench.algos === Seq("basic") && s1.bench.repeats === 5)
+    // Stage 2: algo + block/density knobs
+    val s2 = Cli.parse(Seq("blocked", "384", "--block", "32", "--density", "0.1"))
+    assert(s2.bench.algos === Seq("blocked"))
+    assert(s2.bench.blockSize === 32 && s2.bench.density === 0.1)
+    // Stage 2 Python variant: --algo flag form
+    val s2py = Cli.parse(Seq("--algo", "sparse", "512"))
+    assert(s2py.bench.algos === Seq("sparse"))
+    // Stage 3: threads
+    val s3 = Cli.parse(Seq("256", "1024", "-p", "8", "-r", "3", "--out", "/tmp/x"))
+    assert(s3.threads === 8 && s3.out === "/tmp/x")
+    intercept[IllegalArgumentException](Cli.parse(Seq("-r", "3")))
+  }
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.MatrixOps
+
+/** Algebraic property tests (FIXTURES.md §B.4) — the equivalences the
+  * reference's four kernels implicitly claim but never assert
+  * (SURVEY.md §5). Values are integral so every summation order agrees
+  * bit-for-bit (R2/R3). Generators run under fixed seeds so failures
+  * reproduce. */
+class PropertySpec extends SparkSpec {
+
+  private val matrixGen: Gen[Seq[(Long, Long, Double)]] = for {
+    n <- Gen.choose(2, 8)
+    count <- Gen.choose(n, n * n)
+    entries <- Gen.listOfN(count,
+      for {
+        i <- Gen.choose(0L, n - 1L)
+        j <- Gen.choose(0L, n - 1L)
+        v <- Gen.choose(1, 9)
+      } yield (i, j, v.toDouble))
+  } yield entries
+
+  /** Deterministic sampling: seeds 1..n. */
+  private def samples(n: Int): Seq[Seq[(Long, Long, Double)]] =
+    (1 to n).flatMap(s =>
+      matrixGen.apply(Gen.Parameters.default, Seed(s.toLong)))
+
+  private def toDF(entries: Seq[(Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    // pre-sum duplicate coordinates (fromTable contract, SURVEY Q3)
+    MatrixOps.fromTable(entries.toDF("i", "j", "v"), col("i"), col("j"), col("v"))
+  }
+
+  private def dim(es: Seq[(Long, Long, Double)]*): Long =
+    es.flatten.flatMap(e => Seq(e._1, e._2)).max + 1
+
+  test("basic == transposed == blocked on random integral matrices (M1=M2=M3)") {
+    for (Seq(ae, be) <- samples(10).grouped(2)) {
+      val (a, b) = (toDF(ae), toDF(be))
+      val basic = cells(MatrixOps.multiply(a, b))
+      assert(cells(MatrixOps.multiplyTransposed(a, MatrixOps.transpose(b))) === basic)
+      assert(cells(MatrixOps.multiplyBlocked(spark, a, b, dim(ae, be), 4)) ===
+        basic.filter(_._3 != 0.0))
+    }
+  }
+
+  test("A x I == A and I x A == A") {
+    for (ae <- samples(5)) {
+      val a = toDF(ae)
+      val id = MatrixOps.identity(spark, dim(ae))
+      assert(cells(MatrixOps.multiply(a, id)) === cells(a))
+      assert(cells(MatrixOps.multiply(id, a)) === cells(a))
+    }
+  }
+
+  test("(A x B)^T == B^T x A^T") {
+    for (Seq(ae, be) <- samples(10).grouped(2)) {
+      val (a, b) = (toDF(ae), toDF(be))
+      val lhs = cells(MatrixOps.transpose(MatrixOps.multiply(a, b)))
+      val rhs = cells(MatrixOps.multiply(MatrixOps.transpose(b), MatrixOps.transpose(a)))
+      assert(lhs === rhs)
+    }
+  }
+
+  test("duplicate-coordinate accumulation matches a Scala-side oracle (Q3)") {
+    import spark.implicits._
+    for (ae <- samples(5)) {
+      val dup = ae ++ ae.take(ae.length / 2)
+      val expected = dup.groupBy(e => (e._1, e._2))
+        .map { case ((i, j), es) => (i, j, es.map(_._3).sum) }
+        .toSeq.sorted
+      assert(cells(MatrixOps.fromTable(dup.toDF("i", "j", "v"),
+        col("i"), col("j"), col("v"))) === expected)
+    }
+  }
+
+  test("sparse-densified multiply == dense multiply") {
+    for (ae <- samples(5)) {
+      val a = toDF(ae)
+      val b = toDF(ae.map { case (i, j, v) => (j, i, v + 1) })
+      // broadcast (SpMM plan) and shuffle paths agree
+      assert(cells(MatrixOps.multiply(a, b, broadcastRight = true)) ===
+        cells(MatrixOps.multiply(a, b)))
+    }
+  }
+
+  test("genSparseQuota honors the reference's per-row nnz quota (G5)") {
+    for {
+      n <- Seq(16L, 64L)
+      density <- Seq(0.05, 0.25)
+    } {
+      val m = MatrixOps.genSparseQuota(spark, n, density, seed = 1).cache()
+      val nnz = (n * n * density).toLong
+      assert(m.count() === nnz)
+      // per-row quota: first (nnz % n) rows carry one extra (mm_opt.py:17-18)
+      val perRow = m.groupBy("i").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val base = nnz / n
+      val leftover = nnz % n
+      (0L until n).foreach { i =>
+        val expected = base + (if (i < leftover) 1L else 0L)
+        assert(perRow.getOrElse(i, 0L) === expected, s"row $i at n=$n d=$density")
+      }
+      // distinct columns within each row (CSR contract, mm_opt.py:22-23)
+      assert(m.select("i", "j").distinct().count() === nnz)
+    }
+  }
+}

@@ -31,9 +31,24 @@ object SparkEntry {
 
   // ====================== matrix family (SURVEY §2.2) ==================
 
-  private def matA(s: SparkSession, dir: String): DataFrame =
+  /** Larger-N variant for the scale-stress query (≈50k stored cells at
+    * sf0.01 instead of 4k). */
+  private val NLarge = 512L
+
+  private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
-      col("l_orderkey") % N, col("l_partkey") % N, col("l_quantity"))
+      col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
+
+  private def matBof(s: SparkSession, dir: String, n: Long): DataFrame =
+    MatrixOps.fromTable(Tables.lineitem(s, dir),
+      col("l_partkey") % n, col("l_suppkey") % n, col("l_linenumber"))
+
+  private def sqlAof(n: Long): String =
+    s"SELECT l_orderkey % $n AS i, l_partkey % $n AS j, SUM(l_quantity) AS v FROM lineitem GROUP BY 1, 2"
+  private def sqlBof(n: Long): String =
+    s"SELECT l_partkey % $n AS i, l_suppkey % $n AS j, SUM(CAST(l_linenumber AS DOUBLE)) AS v FROM lineitem GROUP BY 1, 2"
+
+  private def matA(s: SparkSession, dir: String): DataFrame = matAof(s, dir, N)
 
   private def matB(s: SparkSession, dir: String): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
@@ -161,6 +176,17 @@ object SparkEntry {
         broadcastRight = true))),
     "matmul_square" -> ((s, dir) =>
       ordered(MatrixOps.multiply(matA(s, dir), matA(s, dir)))),
+    // A³ via chained multiplies — the iterative-algorithm shape
+    // (partitioning reuse between steps).
+    "matmul_power3" -> ((s, dir) =>
+      ordered(MatrixOps.power(matA(s, dir), 3))),
+    // Salted variant of matmul_basic — must be bit-identical (skew
+    // mitigation is physical only).
+    "matmul_salted" -> ((s, dir) =>
+      ordered(MatrixOps.multiplySalted(matA(s, dir), matB(s, dir), salt = 8))),
+    // N=512 scale-stress derivation (~50k stored cells/side at sf0.01).
+    "matmul_large" -> ((s, dir) =>
+      ordered(MatrixOps.multiply(matAof(s, dir, NLarge), matBof(s, dir, NLarge)))),
 
     // ---- text analysis (north star; TextOps) ----
     "doc_stats" -> ((s, dir) =>
@@ -315,6 +341,19 @@ object SparkEntry {
     "matmul_identity" ->
       s"WITH a0 AS ($sqlA) SELECT i, j, v FROM a0 ORDER BY 1, 2",
     "matmul_square" -> sqlMultiply("SELECT * FROM a0", "SELECT * FROM a0"),
+    "matmul_power3" ->
+      s"""WITH a0 AS ($sqlA),
+         |c1 AS (SELECT a.i AS i, b.j AS j, SUM(a.v * b.v) AS v
+         |       FROM a0 a JOIN a0 b ON a.j = b.i GROUP BY 1, 2)
+         |SELECT c.i AS i, b.j AS j, SUM(c.v * b.v) AS v
+         |FROM c1 c JOIN a0 b ON c.j = b.i
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "matmul_salted" -> sqlMatmul,
+    "matmul_large" ->
+      s"""WITH a0 AS (${sqlAof(NLarge)}), b0 AS (${sqlBof(NLarge)})
+         |SELECT a.i AS i, b.j AS j, SUM(a.v * b.v) AS v
+         |FROM a0 a JOIN b0 b ON a.j = b.i
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_stats" ->
       s"WITH s AS ($sqlDocStats)\n$sqlStatsSelect ORDER BY doc_id",

@@ -148,6 +148,35 @@ object MatrixOps {
     * scale where per-cell coordinate join cardinality (n³ partial products)
     * would dominate: block form shuffles n²/BS² block pairs instead.
     */
+  /** A^k by left-to-right chaining. Chained multiplies reuse the
+    * contraction-key partitioning: each product is already hash-
+    * partitioned by (i, j) from its grouped sum, so re-keying by the next
+    * contraction index is the only exchange between steps — the pattern
+    * iterative algorithms (PageRank-style walks, reachability) hit at
+    * scale. */
+  def power(a: DataFrame, k: Int, broadcastRight: Boolean = false): DataFrame = {
+    require(k >= 1, "power requires k >= 1")
+    (2 to k).foldLeft(a)((acc, _) => multiply(acc, a, broadcastRight))
+  }
+
+  /** Skew-resistant multiply: when a few contraction keys dominate (a
+    * dense column of A / row of B — the power-law case at 100 TB), a
+    * plain hash join puts one key on one task. Salting splits each hot
+    * A-key into `salt` shards and replicates the matching B rows across
+    * shards, so the heavy key fans out over `salt` tasks. Same result as
+    * [[multiply]] (property-tested); AQE skew-join does this adaptively,
+    * this is the explicit form for when statistics are absent.
+    */
+  def multiplySalted(a: DataFrame, b: DataFrame, salt: Int): DataFrame = {
+    val saltedA = a.select(col("i"), col("j").as("k"), col("v").as("va"),
+      (pmod(hash(col("i")), lit(salt))).as("salt"))
+    val saltedB = b.select(col("i").as("k"), col("j"), col("v").as("vb"))
+      .withColumn("salt", explode(sequence(lit(0), lit(salt - 1))))
+    saltedA.join(saltedB, Seq("k", "salt"))
+      .groupBy("i", "j")
+      .agg(sum(col("va") * col("vb")).as("v"))
+  }
+
   def multiplyBlocked(spark: SparkSession, a: DataFrame, b: DataFrame,
                       n: Long, blockSize: Int = 64): DataFrame = {
     import spark.implicits._

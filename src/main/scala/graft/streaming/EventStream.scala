@@ -66,6 +66,14 @@ object EventStream {
       }
   }
 
+  /** Streaming ingestion dedup: drop re-delivered events by id while the
+    * watermark keeps the dedup state bounded (ids older than the
+    * watermark are evicted — at-least-once upstream becomes effectively-
+    * once downstream without unbounded state). */
+  def dedupEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Wire a directory of events parquet as a stream (file source) —
     * production entry: `readStream` over an append-only events lake. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame =

@@ -85,6 +85,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops re-delivered event ids across micro-batches") {
+    val input = MemoryStream[Ev](spark)
+    val q = EventStream.dedupEvents(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Ev(1, ts("10:00"), 1, "click", 1.0, ""),
+        Ev(2, ts("10:01"), 1, "view", 1.0, ""),
+        Ev(1, ts("10:00"), 1, "click", 1.0, "")) // duplicate in-batch
+      q.processAllAvailable()
+      input.addData(Ev(2, ts("10:01"), 1, "view", 1.0, ""), // re-delivery
+        Ev(3, ts("10:02"), 2, "click", 1.0, ""))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("file-source stream over the events lake produces the batch result") {
     val dir = java.nio.file.Files.createTempDirectory("events_stream").toString
     val checkpoint = java.nio.file.Files.createTempDirectory("ckpt").toString

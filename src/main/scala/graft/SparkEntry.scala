@@ -184,9 +184,13 @@ object SparkEntry {
     // mitigation is physical only).
     "matmul_salted" -> ((s, dir) =>
       ordered(MatrixOps.multiplySalted(matA(s, dir), matB(s, dir), salt = 8))),
-    // N=512 scale-stress derivation (~50k stored cells/side at sf0.01).
+    // N=512 scale-stress derivation — near-dense at sf0.1 (~260k stored
+    // cells/side), so the BLOCKED physical path is the right plan: per-
+    // block GEMM beats a 512³-partial-product hash aggregate ~4×. The
+    // coordinate join path stays the plan for sparse inputs (spmm).
     "matmul_large" -> ((s, dir) =>
-      ordered(MatrixOps.multiply(matAof(s, dir, NLarge), matBof(s, dir, NLarge)))),
+      ordered(MatrixOps.multiplyBlocked(s, matAof(s, dir, NLarge),
+        matBof(s, dir, NLarge), NLarge, 64))),
 
     // ---- text analysis (north star; TextOps) ----
     "doc_stats" -> ((s, dir) =>
@@ -315,6 +319,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(floor(col("value") * 1000)).as("sum_value_q"))
         .orderBy("hour_start")),
+    // Semi-structured props (real JSON — the reference's quasi-JSON
+    // `extra` column done right): from_json → typed field → aggregate.
+    "events_props_parsed" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k",
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType)))).getField("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+
     // Batch form of the streaming sessionization (session_window; the
     // streaming twin is EventStream.sessionize over readStream).
     "sessionize" -> ((s, dir) =>
@@ -509,6 +526,12 @@ object SparkEntry {
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "events_props_parsed" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // session_window semantics: same session iff gap to previous event
     // < 30 min; session end = last event + gap (exclusive bound).

@@ -346,6 +346,26 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
           col("width"), col("height"))
         .orderBy("media_id")),
+    // Frame-sampling plumbing: strided fixed-size payload chunks.
+    "media_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        frameBytes = 64, everyN = 4)
+        .select(col("media_id"), col("kind"), col("frame_idx").cast("long").as("frame_idx"),
+          length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy("media_id", "frame_idx")),
+
+    // Relational top-k per group (rank-limit pushdown / WindowGroupLimit):
+    // top-3 most active users per event type.
+    "top_users_by_type" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("n").desc, col("user_id"))
+      counts.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy("event_type", "rn")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -527,6 +547,33 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour_start, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Frame sampling: ⌈bytes/64⌉ frames, every 4th kept; frame length via
+    // the same substring bounds DuckDB applies to BLOBs.
+    "media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    encode(text) AS payload
+        |  FROM documents),
+        |x AS (
+        |  SELECT media_id, kind, payload,
+        |    unnest(generate_series(0, CAST(CEIL(octet_length(payload) / 64.0) AS BIGINT) - 1)) AS k
+        |  FROM m),
+        |f AS (
+        |  SELECT media_id, kind, CAST(k AS BIGINT) AS frame_idx,
+        |    CAST(LEAST(64, octet_length(payload) - k * 64) AS BIGINT) AS frame_bytes
+        |  FROM x)
+        |SELECT media_id, kind, frame_idx, frame_bytes FROM f
+        |WHERE frame_idx % 4 = 0
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "top_users_by_type" ->
+      """WITH c AS (
+        |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY n DESC, user_id) AS rn FROM c)
+        |SELECT event_type, user_id, n, rn FROM r WHERE rn <= 3
+        |ORDER BY event_type, rn""".stripMargin,
     "events_props_parsed" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -159,6 +159,33 @@ object MatrixOps {
     (2 to k).foldLeft(a)((acc, _) => multiply(acc, a, broadcastRight))
   }
 
+  /** Persist both operands bucketed on their contraction key so that
+    * REPEATED multiplies (iterative solvers, chained products, A against
+    * many B's) join with NO exchange at all: Spark's bucketed
+    * sort-merge join reads co-located buckets directly. At 100 TB this
+    * converts the per-iteration shuffle — the dominant cost — into a
+    * one-time bucketed write. A is keyed by its column index j, B by its
+    * row index i (the two sides of the contraction).
+    */
+  def saveForMultiply(a: DataFrame, b: DataFrame, aTable: String,
+                      bTable: String, buckets: Int): Unit = {
+    a.select(col("i"), col("j").as("k"), col("v").as("va"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "k").sortBy("k").saveAsTable(aTable)
+    b.select(col("i").as("k"), col("j"), col("v").as("vb"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "k").sortBy("k").saveAsTable(bTable)
+  }
+
+  /** Multiply two matrices persisted with [[saveForMultiply]]: the join
+    * consumes co-located buckets (no Exchange on either side — asserted
+    * in BucketingSpec); only the final grouped sum shuffles. */
+  def multiplyBucketed(spark: SparkSession, aTable: String,
+                       bTable: String): DataFrame =
+    spark.table(aTable).join(spark.table(bTable), "k")
+      .groupBy("i", "j")
+      .agg(sum(col("va") * col("vb")).as("v"))
+
   /** Skew-resistant multiply: when a few contraction keys dominate (a
     * dense column of A / row of B — the power-law case at 100 TB), a
     * plain hash join puts one key on one task. Salting splits each hot

@@ -305,6 +305,36 @@ object SparkEntry {
           count(lit(1)).as("suppliers"))
         .orderBy("r_name")),
 
+    // Exact interpolated percentiles of per-user activity (linear
+    // interpolation — same definition as DuckDB quantile_cont, integral
+    // inputs keep the doubles deterministic).
+    "user_event_quantiles" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("users"),
+          expr("percentile(n, 0.5)").as("median_n"),
+          expr("percentile(n, 0.9)").as("p90_n"))
+        .orderBy("event_type")),
+
+    // ROLLUP grouping sets over the region/nation hierarchy.
+    "region_rollup" -> ((s, dir) => {
+      val joined = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), money(col("s_acctbal")).as("bal"))
+      // Dataset-API rollup trips Spark's ambiguous-self-join detection on
+      // the Expand-duplicated grouping attrs (joined broadcast lineage);
+      // the SQL surface plans the identical Aggregate(Expand) cleanly.
+      joined.createOrReplaceTempView("region_rollup_src")
+      s.sql(
+        """SELECT r_name, n_name, CAST(SUM(bal) AS DOUBLE) AS total_bal,
+          |  COUNT(*) AS suppliers
+          |FROM region_rollup_src
+          |GROUP BY ROLLUP(r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
     // ---- events (batch form of the streaming surface) ----
     "events_by_type" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -538,6 +568,21 @@ object SparkEntry {
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "user_event_quantiles" ->
+      """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS users,
+        |  quantile_cont(n, 0.5) AS median_n,
+        |  quantile_cont(n, 0.9) AS p90_n
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "region_rollup" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  CAST(COUNT(*) AS BIGINT) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
     "events_by_type" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q,

@@ -199,6 +199,8 @@ object SparkEntry {
       TextOps.qualityScored(Tables.documents(s, dir)).orderBy("doc_id")),
     "doc_lang_id" -> ((s, dir) =>
       TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
+    "doc_token_counts" -> ((s, dir) =>
+      TextOps.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     // Rolling-hash fingerprint on the native fnv64 Expression — no SQL
@@ -441,6 +443,12 @@ object SparkEntry {
          |SELECT *, CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
          |               WHEN score_es >= score_de THEN 'es' ELSE 'de' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin,
+    "doc_token_counts" ->
+      """SELECT doc_id,
+        |  CAST(length(text) - length(translate(text, ' ', '')) + 1 AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS regex_tokens,
+        |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS subword_estimate
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS exact_fp,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp

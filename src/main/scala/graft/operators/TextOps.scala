@@ -34,6 +34,22 @@ object TextOps {
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(split(text, " "))).cast("long")
 
+  /** Token counting, three estimators (north-star "token counting:
+    * whitespace + BPE-ish regex"): whitespace tokens, GPT-style regex
+    * pieces (letter runs / digit runs / punctuation singletons), and the
+    * chars/4 subword heuristic LLM pipelines budget with. All portable
+    * column expressions (regex kept in the RE2 ∩ Java dialect).
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val bpeish = size(regexp_extract_all(t, lit("[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("ws_tokens"),
+      bpeish.cast("long").as("regex_tokens"),
+      ceil(length(t) / 4.0).cast("long").as("subword_estimate"))
+  }
+
   /** Per-document text statistics: char/token counts, lexical diversity,
     * stopword ratio, average token length. The quality score mirrors the
     * heuristics production data pipelines gate on (length bounds +

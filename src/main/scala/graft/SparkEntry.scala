@@ -236,6 +236,20 @@ object SparkEntry {
         .select(col("label"), col("id_a"), col("id_b"), col("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("label", "rn")),
+    // IVF codebook (typed QuantizedCentroid Aggregator), exploded to
+    // (label, dim, sum_q, n) rows for the oracle.
+    "label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(s, Tables.embeddings(s, dir))
+        .select(col("label"), posexplode(col("sum_q")), col("n"))
+        .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+          col("col").as("sum_q"), col("n"))
+        .orderBy("label", "dim")),
+    // IVF probe: nearest centroid -> exact rerank inside that cluster.
+    "ann_ivf" -> ((s, dir) =>
+      Similarity.annIvf(s, Tables.embeddings(s, dir), numQueries = 5, k = 5)
+        .select(col("qid"), col("label"), col("vec_id"), col("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
     "ann_lsh" -> ((s, dir) =>
       Similarity.annLshBucketed(s, Tables.embeddings(s, dir), numQueries = 5, k = 5)
         .select(col("qid"), col("vec_id"), col("bucket"), col("cos"),
@@ -552,6 +566,13 @@ object SparkEntry {
          |    AS max_peak_mem_mb,
          |  CAST(COUNT(*) AS BIGINT) AS rows
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "label_centroids" ->
+      """SELECT label, CAST(g.k AS BIGINT) AS dim,
+        |  CAST(SUM(CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM embeddings CROSS JOIN generate_series(1, 64) g(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -60,6 +60,53 @@ object Similarity {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= pairsPerLabel)
   }
 
+  /** Per-label quantized centroids via the typed [[graft.functions.QuantizedCentroid]]
+    * Aggregator — the IVF coarse quantizer's codebook. Integer dimension
+    * sums (count kept separately) so partition merge order cannot change
+    * the result.
+    */
+  def labelCentroids(spark: SparkSession, emb: DataFrame,
+                     dim: Int = 64, scale: Int = 1000): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.QuantizedCentroid(dim, scale).toColumn
+    emb.select(col("label"), col("embedding")).as[(Int, Array[Float])]
+      .groupByKey(_._1).mapValues(_._2).agg(agg)
+      .map { case (label, (sums, n)) => (label, sums, n) }
+      .toDF("label", "sum_q", "n")
+  }
+
+  /** IVF-style ANN: rank coarse clusters (labels) by query·centroid,
+    * probe only the best cluster, exact-cosine rerank inside it. The
+    * scale path complementary to [[annLshBucketed]]: candidate count is
+    * one cluster, not one hash bucket, and the codebook (10 centroids
+    * here; ~√N in production) is broadcast-trivial.
+    */
+  def annIvf(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
+             dim: Int = 64, scale: Int = 1000): DataFrame = {
+    val cents = broadcast(labelCentroids(spark, emb, dim, scale))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    // query·centroid in exact integer space, then one double division
+    val scored = queries.crossJoin(cents)
+      .select(col("qid"), col("qe"), col("label"),
+        (aggregate(zip_with(col("qe"), col("sum_q"),
+          (x, y) => floor(x.cast("double") * scale).cast("long") * y),
+          lit(0L), (acc, x) => acc + x).cast("double") / col("n")).as("cscore"))
+    val wBest = Window.partitionBy("qid")
+      .orderBy(col("cscore").desc, col("label"))
+    val probed = scored.withColumn("crn", row_number().over(wBest))
+      .filter(col("crn") === 1)
+      .select(col("qid"), col("qe"), col("label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    probed.join(emb, "label")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("label"), col("vec_id"),
+        cosine(col("qe"), col("embedding")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** LSH-bucketed ANN: random-hyperplane signature → candidates share a
     * bucket → exact cosine re-rank inside the bucket. Planes are a tiny
     * deterministic driver-side matrix (seeded), broadcast as literals.

@@ -101,6 +101,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 0.01)
   }
 
+  test("ivf ann probes the best cluster and reranks by exact cosine") {
+    // labels are perfect clusters here: positive-x cluster 0, negative 1
+    val clustered = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.0f, 0.2f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (4L, Array(-0.9f, -0.1f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.annIvf(spark, clustered, numQueries = 1, k = 2, dim = 4)
+      .orderBy("rn").collect()
+    assert(out.map(_.getAs[Int]("label")).forall(_ == 0)) // probed own cluster
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L))
+  }
+
+  test("label centroids match a Scala-side quantized oracle") {
+    val cents = Similarity.labelCentroids(spark, vecs, dim = 4)
+      .collect().map(r => r.getAs[Int]("label") ->
+        ((r.getAs[Seq[Long]]("sum_q"), r.getAs[Long]("n")))).toMap
+    // label 0: vecs 0,1,2 → dim0 sums floor(1000)+floor(899.99…)+floor(0)
+    // (0.9f widens to 0.8999999762 — fixed-point floors the FLOAT value,
+    // exactly as the DuckDB oracle does)
+    assert(cents(0)._2 === 3L)
+    assert(cents(0)._1.head === 1000L + 899L + 0L)
+    assert(cents(1)._1.head === -1000L + 800L)
+  }
+
   test("lsh-bucketed ann returns self-bucket neighbors ranked by cosine") {
     val out = Similarity.annLshBucketed(spark, vecs, numQueries = 1, k = 3,
       numPlanes = 2, dim = 4)

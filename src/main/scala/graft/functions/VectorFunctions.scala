@@ -28,8 +28,21 @@ object VectorFunctions {
 
   private def q(x: Column, scale: Int): Column = floor(x.cast("double") * scale)
 
-  /** Σ floor(aᵢ·s)·floor(bᵢ·s) as BIGINT — exact, order-insensitive. */
-  def dotQuantized(a: Column, b: Column, scale: Int): Column =
+  /** Σ floor(aᵢ·s)·floor(bᵢ·s) as BIGINT — exact, order-insensitive.
+    * Uses the native codegen'd [[DotQuantized]] expression (the
+    * zip_with+aggregate form is CodegenFallback — interpreted lambdas per
+    * row — which dominates brute-force scans). */
+  def dotQuantized(a: Column, b: Column, scale: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(DotQuantized(
+      Bridge.expression(a.cast("array<float>")),
+      Bridge.expression(b.cast("array<float>")),
+      scale))
+  }
+
+  /** Portable (higher-order-function) formulation of [[dotQuantized]] —
+    * kept for cross-checking the native expression bit-for-bit. */
+  def dotQuantizedPortable(a: Column, b: Column, scale: Int): Column =
     aggregate(zip_with(a, b, (x, y) => q(x, scale) * q(y, scale)),
       lit(0L), (acc, x) => acc + x)
 

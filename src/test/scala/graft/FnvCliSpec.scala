@@ -47,6 +47,25 @@ class FnvCliSpec extends SparkSpec {
     assert(viaExpr === Multimodal.StubCodec.checksum("payload text".getBytes("UTF-8")))
   }
 
+  test("native dot_q matches the portable zip_with formulation bit-for-bit") {
+    import graft.functions.VectorFunctions
+    val vecs = Seq(
+      (Array(0.1f, -0.9f, 0.5f), Array(1.0f, 0.3f, -0.7f)),
+      (Array(0.0f, 0.0f, 0.0f), Array(0.25f, 0.5f, 0.75f)),
+      (Array(1.5f, -2.5f, 3.5f), Array(-1.5f, 2.5f, -3.5f))
+    ).toDF("a", "b")
+    val rows = vecs.select(
+      VectorFunctions.dotQuantized(col("a"), col("b"), 1000).as("native"),
+      VectorFunctions.dotQuantizedPortable(col("a"), col("b"), 1000).as("portable"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // length-mismatch and null-array semantics also agree (both NULL)
+    val edge = Seq((Array(1.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+      .select(VectorFunctions.dotQuantized(col("a"), col("b"), 10).as("n"))
+      .collect().head
+    assert(edge.isNullAt(0))
+  }
+
   test("CLI parser covers all three stage grammars (SURVEY §2.4)") {
     // Stage 1: sizes + repeats only
     val s1 = Cli.parse(Seq("64", "128", "256", "-r", "5"))

@@ -28,12 +28,35 @@ final case class BenchConfig(
   */
 object BenchHarness {
 
-  /** S2/S3-union results schema: `lang,algo,size,threads,repeat_idx,
-    * time_ms,heap_now_mb,heap_peak_mb,allocated_mb,extra`. */
+  /** S2/S3-union results schema plus executor-side metrics: the
+    * reference probes process RSS/heap (A3); on Spark the numbers that
+    * matter are per-job executor metrics — shuffle traffic, spill, peak
+    * execution memory — collected from task metrics via a listener. */
   final case class ResultRow(
       lang: String, algo: String, size: Long, threads: Int, repeat_idx: Int,
       time_ms: Double, heap_now_mb: Double, heap_peak_mb: Double,
-      allocated_mb: Double, extra: String)
+      allocated_mb: Double, shuffle_write_mb: Double, spill_mb: Double,
+      peak_exec_mem_mb: Double, extra: String)
+
+  /** Aggregates task metrics between `reset` and `snapshot` — the
+    * engine-native replacement for the reference's RSS probes
+    * (`mm_baseline.py:31-62`, `mm_opt_par.c:66-78`). */
+  private final class TaskMetricsCollector extends org.apache.spark.scheduler.SparkListener {
+    private val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
+    private val spill = new java.util.concurrent.atomic.AtomicLong
+    private val peakExec = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        peakExec.accumulateAndGet(m.peakExecutionMemory, Math.max(_, _))
+      }
+    }
+    def reset(): Unit = { shuffleWrite.set(0); spill.set(0); peakExec.set(0) }
+    def snapshot: (Double, Double, Double) =
+      (shuffleWrite.get / 1048576.0, spill.get / 1048576.0, peakExec.get / 1048576.0)
+  }
 
   /** Kernel dispatch — the reference's CLI algo string-compare chain
     * (`MMOpt.java:170-186`, `mm_opt.c:162-173`). */
@@ -67,25 +90,35 @@ object BenchHarness {
       .map(_.getPeakUsage.getUsed).sum / 1048576.0
   }
 
-  /** Run the grid; one timed action (count) per repeat. */
+  /** Run the grid; one timed action (count) per repeat, with executor
+    * task metrics captured per run. */
   def run(spark: SparkSession, cfg: BenchConfig): DataFrame = {
     import spark.implicits._
     val threads = spark.sparkContext.defaultParallelism
-    val rows = for {
-      algo <- cfg.algos
-      n <- cfg.sizes
-      r <- 0 until cfg.repeats
-    } yield {
-      val df = kernel(spark, algo, n, cfg)
-      val t0 = System.nanoTime()
-      df.count()
-      val ms = (System.nanoTime() - t0) / 1e6
-      // A5 — the reference's allocated-bytes metric: 3·n²·8 bytes as MB.
-      ResultRow("spark", algo, n, threads, r, ms, heapNowMb, heapPeakMb,
-        3.0 * n * n * 8 / 1048576.0,
-        s"{block:${cfg.blockSize},density:${cfg.density}}")
-    }
-    rows.toDF()
+    val collector = new TaskMetricsCollector
+    spark.sparkContext.addSparkListener(collector)
+    try {
+      val rows = for {
+        algo <- cfg.algos
+        n <- cfg.sizes
+        r <- 0 until cfg.repeats
+      } yield {
+        val df = kernel(spark, algo, n, cfg)
+        collector.reset()
+        val t0 = System.nanoTime()
+        df.count()
+        val ms = (System.nanoTime() - t0) / 1e6
+        // listener events are async; drain before reading the counters
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(
+          spark.sparkContext, 10000)
+        val (shuffleMb, spillMb, peakMb) = collector.snapshot
+        // A5 — the reference's allocated-bytes metric: 3·n²·8 bytes as MB.
+        ResultRow("spark", algo, n, threads, r, ms, heapNowMb, heapPeakMb,
+          3.0 * n * n * 8 / 1048576.0, shuffleMb, spillMb, peakMb,
+          s"{block:${cfg.blockSize},density:${cfg.density}}")
+      }
+      rows.toDF()
+    } finally spark.sparkContext.removeSparkListener(collector)
   }
 
   /** A6 — header CSV sink; single part like the reference's one file per

@@ -13,7 +13,10 @@ class BenchHarnessSpec extends SparkSpec {
     assert(out.count() === 8) // 2 algos × 2 sizes × 2 repeats
     assert(out.columns.toSeq === Seq("lang", "algo", "size", "threads",
       "repeat_idx", "time_ms", "heap_now_mb", "heap_peak_mb",
-      "allocated_mb", "extra"))
+      "allocated_mb", "shuffle_write_mb", "spill_mb", "peak_exec_mem_mb",
+      "extra"))
+    // the join+agg kernels shuffle, so the metric must be live
+    assert(out.filter(col("shuffle_write_mb") > 0).count() > 0)
     assert(out.filter(col("time_ms") <= 0).count() === 0)
     // A5: allocated = 3n²·8 bytes in MB
     val alloc = out.filter(col("size") === 16).select("allocated_mb")

@@ -48,6 +48,27 @@ class MatrixOpsSpec extends SparkSpec {
     assert(viaBlocks === viaJoin)
   }
 
+  test("3x3 golden product (FIXTURES B.1)") {
+    // [[1,2,3],[4,5,6],[7,8,9]] · [[9,8,7],[6,5,4],[3,2,1]]
+    val a3 = mat((0, 0, 1.0), (0, 1, 2.0), (0, 2, 3.0),
+      (1, 0, 4.0), (1, 1, 5.0), (1, 2, 6.0),
+      (2, 0, 7.0), (2, 1, 8.0), (2, 2, 9.0))
+    val b3 = mat((0, 0, 9.0), (0, 1, 8.0), (0, 2, 7.0),
+      (1, 0, 6.0), (1, 1, 5.0), (1, 2, 4.0),
+      (2, 0, 3.0), (2, 1, 2.0), (2, 2, 1.0))
+    assert(cells(MatrixOps.multiply(a3, b3)) === Seq(
+      (0L, 0L, 30.0), (0L, 1L, 24.0), (0L, 2L, 18.0),
+      (1L, 0L, 84.0), (1L, 1L, 69.0), (1L, 2L, 54.0),
+      (2L, 0L, 138.0), (2L, 1L, 114.0), (2L, 2L, 90.0)))
+  }
+
+  test("zero matrix annihilates (FIXTURES B.1)") {
+    // coordinate form: the zero matrix stores nothing — empty DF
+    val zero = mat().select(col("i"), col("j"), col("v"))
+    assert(cells(MatrixOps.multiply(A, zero)).isEmpty)
+    assert(cells(MatrixOps.multiply(zero, A)).isEmpty)
+  }
+
   test("A x I = A") {
     val a = mat((0, 1, 2.0), (2, 3, 5.0), (3, 0, 7.0))
     val out = cells(MatrixOps.multiply(a, MatrixOps.identity(spark, 4)))

@@ -351,6 +351,33 @@ object SparkEntry {
           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     }),
 
+    // Set operations: users who hit high values but never low ones
+    // (EXCEPT; the event-type sets fully overlap in this corpus), and
+    // users who both click and purchase (INTERSECT).
+    "users_high_not_low" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      e.filter(col("value") > 0.99).select("user_id").distinct()
+        .except(e.filter(col("value") < 0.01).select("user_id").distinct())
+        .orderBy("user_id")
+    }),
+    "users_click_and_purchase" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      def users(t: String) =
+        e.filter(col("event_type") === t).select("user_id").distinct()
+      users("click").intersect(users("purchase")).orderBy("user_id")
+    }),
+
+    // Pivot: order counts per market segment × order status (statuses
+    // F/O/P are the domain's fixed values).
+    "segment_status_pivot" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .toDF("c_mktsegment", "cnt_f", "cnt_o", "cnt_p")
+        .orderBy("c_mktsegment")),
+
     // ---- events (batch form of the streaming surface) ----
     "events_by_type" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -597,6 +624,23 @@ object SparkEntry {
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "users_high_not_low" ->
+      """SELECT DISTINCT user_id FROM events WHERE value > 0.99
+        |EXCEPT
+        |SELECT DISTINCT user_id FROM events WHERE value < 0.01
+        |ORDER BY user_id""".stripMargin,
+    "users_click_and_purchase" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+    "segment_status_pivot" ->
+      """SELECT c_mktsegment,
+        |  CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+        |  CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+        |  CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS cnt_p
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "user_event_quantiles" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1, 2)

@@ -30,16 +30,27 @@ object Cli {
     var threads = 0
     var out = "results"
     var i = 0
+    def arg(flag: String): String = {
+      require(i + 1 < args.length, s"$flag requires a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "-r" | "--repeats" => repeats = args(i + 1).toInt; i += 2
-        case "--block"          => block = args(i + 1).toInt; i += 2
-        case "--density"        => density = args(i + 1).toDouble; i += 2
-        case "-p" | "--threads" => threads = args(i + 1).toInt; i += 2
-        case "--out"            => out = args(i + 1); i += 2
-        case "--algo"           => algos :+= args(i + 1); i += 2 // Python-variant flag form
-        case a if Algos(a)      => algos :+= a; i += 1
-        case n                  => sizes :+= n.toLong; i += 1
+        case f @ ("-r" | "--repeats") => repeats = arg(f).toInt; i += 2
+        case f @ "--block"            => block = arg(f).toInt; i += 2
+        case f @ "--density"          => density = arg(f).toDouble; i += 2
+        case f @ ("-p" | "--threads") => threads = arg(f).toInt; i += 2
+        case f @ "--out"              => out = arg(f); i += 2
+        case f @ "--algo"             => algos :+= arg(f); i += 2 // Python-variant flag form
+        case a if Algos(a)            => algos :+= a; i += 1
+        case n                        =>
+          val size = try n.toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"unrecognized argument '$n' (not a flag, algo, or size)")
+          }
+          require(size > 0, s"size must be positive, got $size")
+          sizes :+= size; i += 1
       }
     }
     require(sizes.nonEmpty, "at least one size required")

@@ -49,20 +49,15 @@ object SparkEntry {
     s"SELECT l_partkey % $n AS i, l_suppkey % $n AS j, SUM(CAST(l_linenumber AS DOUBLE)) AS v FROM lineitem GROUP BY 1, 2"
 
   private def matA(s: SparkSession, dir: String): DataFrame = matAof(s, dir, N)
-
-  private def matB(s: SparkSession, dir: String): DataFrame =
-    MatrixOps.fromTable(Tables.lineitem(s, dir),
-      col("l_partkey") % N, col("l_suppkey") % N, col("l_linenumber"))
+  private def matB(s: SparkSession, dir: String): DataFrame = matBof(s, dir, N)
 
   private def matASparse(s: SparkSession, dir: String): DataFrame =
     matA(s, dir).filter((col("i") + col("j")) % SparseStride === 0)
 
   private def ordered(df: DataFrame): DataFrame = df.orderBy("i", "j")
 
-  private val sqlA =
-    s"SELECT l_orderkey % $N AS i, l_partkey % $N AS j, SUM(l_quantity) AS v FROM lineitem GROUP BY 1, 2"
-  private val sqlB =
-    s"SELECT l_partkey % $N AS i, l_suppkey % $N AS j, SUM(CAST(l_linenumber AS DOUBLE)) AS v FROM lineitem GROUP BY 1, 2"
+  private val sqlA = sqlAof(N)
+  private val sqlB = sqlBof(N)
   private val sqlASparse =
     s"SELECT * FROM a0 WHERE (i + j) % $SparseStride = 0"
 
@@ -376,6 +371,8 @@ object SparkEntry {
         .pivot("o_orderstatus", Seq("F", "O", "P"))
         .agg(count(lit(1)))
         .toDF("c_mktsegment", "cnt_f", "cnt_o", "cnt_p")
+        // empty pivot cells are NULL in Spark but 0 under COUNT FILTER
+        .na.fill(0L, Seq("cnt_f", "cnt_o", "cnt_p"))
         .orderBy("c_mktsegment")),
 
     // ---- events (batch form of the streaming surface) ----

@@ -18,12 +18,12 @@ object Analytics {
     * replace `,`→`.` on object columns and `pd.to_numeric(errors=
     * "coerce")` everything past the key columns
     * (`Stage 1/Visualization/mm_perf_visualizer.py:40-46`,
-    * `Stage 2/…:49-55`). Spark's string→double cast is NULL-on-failure,
-    * which is exactly the `coerce` contract. */
+    * `Stage 2/…:49-55`). `try_cast` gives the NULL-on-failure `coerce`
+    * contract — a plain cast THROWS under Spark 4's default ANSI mode. */
   def cleanNumeric(df: DataFrame): DataFrame =
     df.columns.foldLeft(df) { (d, c) =>
       if (TextCols(c)) d
-      else d.withColumn(c, regexp_replace(col(c), ",", ".").cast("double"))
+      else d.withColumn(c, regexp_replace(col(c), ",", ".").try_cast("double"))
     }
 
   /** A16 — default-fill a missing/NULL `algo` with "unknown"
@@ -92,10 +92,12 @@ object Analytics {
     * `"{'block': 64, 'density': 0.05}"` (Python, `mm_opt.py:133-134`) —
     * parsed with dialect-agnostic regexp extraction. */
   def parseExtra(df: DataFrame): DataFrame =
+    // try_cast: regexp_extract yields '' (not NULL) on no-match, and
+    // ''.cast would throw under ANSI mode
     df.withColumn("block",
-        regexp_extract(col("extra"), "block\\D*(\\d+)", 1).cast("long"))
+        regexp_extract(col("extra"), "block\\D*(\\d+)", 1).try_cast("long"))
       .withColumn("density",
-        regexp_extract(col("extra"), "density\\D*([0-9.]+)", 1).cast("double"))
+        regexp_extract(col("extra"), "density\\D*([0-9.]+)", 1).try_cast("double"))
 
   /** A14 as a row-level expression over the full drift union: the
     * reference's per-lang memory-column map collapsed into one coalesce

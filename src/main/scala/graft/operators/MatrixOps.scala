@@ -147,6 +147,12 @@ object MatrixOps {
     * result as [[multiply]]; this is the physical path for dense×dense at
     * scale where per-cell coordinate join cardinality (n³ partial products)
     * would dominate: block form shuffles n²/BS² block pairs instead.
+    *
+    * Known asymmetry: a cell whose contraction cancels to EXACTLY 0.0 is
+    * dropped here (indistinguishable from a never-touched cell of a dense
+    * block) but kept by [[multiply]] (the join matched). Equivalent for
+    * non-negative inputs — all of this engine's derivations — and only
+    * reachable under sign cancellation.
     */
   /** A^k by left-to-right chaining. Chained multiplies reuse the
     * contraction-key partitioning: each product is already hash-

@@ -104,6 +104,9 @@ object Multimodal {
   def frameSample(media: DataFrame, frameBytes: Int, everyN: Int): DataFrame = {
     val nFrames = ceil(length(col("payload")).cast("double") / frameBytes).cast("int")
     media
+      // empty payload has zero frames; without the guard sequence(0,-1)
+      // would DESCEND to [0,-1] and emit a phantom frame
+      .filter(length(col("payload")) > 0)
       .withColumn("frame_idx", explode(sequence(lit(0), nFrames - 1)))
       .filter(col("frame_idx") % everyN === 0)
       .select(col("media_id"), col("kind"), col("frame_idx"),

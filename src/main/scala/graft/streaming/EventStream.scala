@@ -83,15 +83,15 @@ object EventStream {
       .parquet(dir)
 
   /** Sink helper: append to parquet with checkpointing (exactly-once
-    * file sink). */
+    * file sink). Returns the query handle — callers must
+    * awaitTermination/stop it (dropping it races driver shutdown against
+    * the first micro-batch commit). */
   def writeParquetStream(df: DataFrame, outDir: String,
-                         checkpointDir: String): Unit = {
+                         checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .start()
-    ()
-  }
 }

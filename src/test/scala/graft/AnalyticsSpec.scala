@@ -29,6 +29,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(t === 47.205)
   }
 
+  test("cleanNumeric coerces malformed values to NULL under ANSI mode") {
+    import spark.implicits._
+    val dirty = Seq(("c", "n/a"), ("c", "1,5"), ("c", "")).toDF("lang", "t")
+    val out = Analytics.cleanNumeric(dirty).select("t").collect()
+    assert(out.map(r => if (r.isNullAt(0)) null else r.getDouble(0)).toSeq ===
+      Seq(null, 1.5, null))
+  }
+
+  test("parseExtra yields NULL when a key is absent (no-match regexp)") {
+    import spark.implicits._
+    val df = Seq("{}", "{'block': 32}").toDF("extra")
+    val out = Analytics.parseExtra(df).collect()
+    assert(out(0).isNullAt(1) && out(0).isNullAt(2)) // neither key
+    assert(out(1).getLong(1) === 32L && out(1).isNullAt(2)) // block only
+  }
+
   test("numeric coercion yields NULL on failure, not errors (A8)") {
     // Stage-1 files have no threads column: NULL after union+cast.
     assert(cleaned.filter(col("source_file").startsWith("results_c_2") &&

@@ -82,5 +82,9 @@ class FnvCliSpec extends SparkSpec {
     val s3 = Cli.parse(Seq("256", "1024", "-p", "8", "-r", "3", "--out", "/tmp/x"))
     assert(s3.threads === 8 && s3.out === "/tmp/x")
     intercept[IllegalArgumentException](Cli.parse(Seq("-r", "3")))
+    // dangling flag, negative size, and garbage all fail with messages
+    intercept[IllegalArgumentException](Cli.parse(Seq("64", "-r")))
+    intercept[IllegalArgumentException](Cli.parse(Seq("-5")))
+    intercept[IllegalArgumentException](Cli.parse(Seq("64", "bogus")))
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Analytics, Dedup, MatrixOps, Multimodal, Similarity, TextOps}
+import graft.operators.{Analytics, Dedup, MatrixOps, Multimodal, Similarity, Temporal, TextOps}
 import graft.sources.ResultsCsv
 import graft.streaming.EventStream
 
@@ -402,6 +402,32 @@ object SparkEntry {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // As-of join: attribute each purchase to the user's most recent
+    // prior-or-simultaneous click. Checked against DuckDB's NATIVE
+    // ASOF JOIN. Right side pre-aggregated unique per (user, ts).
+    "asof_purchase_click" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      Temporal.asOfJoin(purchases, clicks, "user_id", "ts",
+        leftCols = Seq("purchase_id"), rightCols = Seq("click_id"))
+        .orderBy("user_id", "ts", "purchase_id")
+    }),
+
+    // Bucketed range join: clicks in the 5 minutes before each error.
+    "range_clicks_before_error" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val errors = e.filter(col("event_type") === "error")
+        .select("user_id", "ts").distinct()
+      val clicks = e.filter(col("event_type") === "click")
+        .select("user_id", "ts")
+      Temporal.rangeJoinBucketed(errors, clicks, "user_id", "ts",
+        windowSeconds = 300L, countAs = "clicks_5m")
+        .orderBy("user_id", "ts")
+    }),
+
     // Batch form of the streaming sessionization (session_window; the
     // streaming twin is EventStream.sessionize over readStream).
     "sessionize" -> ((s, dir) =>
@@ -695,6 +721,25 @@ object SparkEntry {
         |  CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
         |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "asof_purchase_click" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.ts, p.purchase_id,
+        |  c.ts AS r_ts, c.click_id AS r_click_id
+        |FROM p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "range_clicks_before_error" ->
+      """WITH e AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT e.user_id, e.ts, CAST(COUNT(c.ts) AS BIGINT) AS clicks_5m
+        |FROM e LEFT JOIN c
+        |  ON e.user_id = c.user_id
+        | AND c.ts >= e.ts - INTERVAL 300 SECONDS AND c.ts < e.ts
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // session_window semantics: same session iff gap to previous event
     // < 30 min; session end = last event + gap (exclusive bound).
     "sessionize" ->

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins over event streams — operators Spark lacks natively
+  * (the build brief's "as-of join, range join" case). Both are COMPOSED
+  * from built-in operators (preference (a): composition before custom
+  * plans), shaped so the composition scales:
+  *
+  *  - [[asOfJoin]]: union + running last-value window — one shuffle on
+  *    the key, state is one row per key at any point of the scan, no
+  *    join explosion. The DuckDB oracle runs its NATIVE `ASOF JOIN`
+  *    against this composition, so the semantics are checked against an
+  *    engine that implements the operator directly.
+  *  - [[rangeJoinBucketed]]: time-range join as an equi-join on a coarse
+  *    time bucket (candidates = own + previous bucket) plus the exact
+  *    residual predicate — the standard trick that turns an
+  *    O(n·m) inequality join (Spark would nested-loop it) into a
+  *    hash join with bounded candidate fan-out.
+  */
+object Temporal {
+
+  /** For each left row, attach the most recent right row with
+    * `right.ts <= left.ts` for the same key (inner as-of semantics: left
+    * rows with no prior right row are dropped).
+    *
+    * Implementation: tag both sides, union, and run a running
+    * `last_value` window per key ordered by (ts, side) — right rows sort
+    * before left rows at equal ts, so `<=` matches DuckDB's ASOF bound.
+    * Right side must be unique per (key, ts) for the operator to be
+    * deterministic (pre-aggregate upstream if not).
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    val lTagged = left.select(
+      (col(key).as(key) +: col(ts).as(ts) +: lit(1).as("side") +:
+        leftCols.map(c => col(c).as(c)) ++:
+        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"r_$c"))): _*)
+    val rTagged = right.select(
+      (col(key).as(key) +: col(ts).as(ts) +: lit(0).as("side") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        rightCols.map(c => col(c).as(s"r_$c"))): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rTs = last(when(col("side") === 0, col(ts)), ignoreNulls = true).over(w)
+    val carried = rightCols.map(c =>
+      last(when(col("side") === 0, col(s"r_$c")), ignoreNulls = true).over(w)
+        .as(s"r_$c"))
+    lTagged.unionByName(rTagged)
+      .select((col(key) +: col(ts) +: col("side") +:
+        leftCols.map(col) ++: (rTs.as("r_ts") +: carried)): _*)
+      .filter(col("side") === 1 && col("r_ts").isNotNull)
+      .drop("side")
+  }
+
+  /** Count right-side rows per left row within `[left.ts - window,
+    * left.ts)` for the same key. Bucketing: both sides bucket ts by
+    * `window`; a candidate right row lives in the left row's bucket or
+    * the one before; the exact half-open interval is re-checked as a
+    * residual predicate after the equi-join on (key, bucket).
+    */
+  def rangeJoinBucketed(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, windowSeconds: Long,
+                        countAs: String): DataFrame = {
+    val bucket = (unix_micros(col(ts)) / (windowSeconds * 1000000L)).cast("long")
+    val l = left.select(col(key), col(ts).as("l_ts"), bucket.as("b"))
+      .withColumn("row_id", monotonically_increasing_id())
+    val lExp = l.withColumn("cand_b", explode(array(col("b"), col("b") - 1)))
+    val r = right.select(col(key), col(ts).as("r_ts"), bucket.as("cand_b"))
+    val joined = lExp.join(r, Seq(key, "cand_b"))
+      .filter(col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("r_ts") < col("l_ts"))
+      .groupBy("row_id").agg(count(lit(1)).as(countAs))
+    l.join(joined, Seq("row_id"), "left")
+      .select(col(key), col("l_ts").as(ts),
+        coalesce(col(countAs), lit(0L)).as(countAs))
+  }
+}

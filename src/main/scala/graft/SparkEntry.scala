@@ -175,6 +175,10 @@ object SparkEntry {
     // (partitioning reuse between steps).
     "matmul_power3" -> ((s, dir) =>
       ordered(MatrixOps.power(matA(s, dir), 3))),
+    // 3-hop reachability in the boolean semiring (cap-at-1 between
+    // steps — the overflow-proof form of iterated A^k).
+    "matmul_reachability3" -> ((s, dir) =>
+      ordered(MatrixOps.reachability(matA(s, dir), 3))),
     // Salted variant of matmul_basic — must be bit-identical (skew
     // mitigation is physical only).
     "matmul_salted" -> ((s, dir) =>
@@ -480,6 +484,14 @@ object SparkEntry {
          |       FROM a0 a JOIN a0 b ON a.j = b.i GROUP BY 1, 2)
          |SELECT c.i AS i, b.j AS j, SUM(c.v * b.v) AS v
          |FROM c1 c JOIN a0 b ON c.j = b.i
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "matmul_reachability3" ->
+      s"""WITH a0 AS ($sqlA),
+         |a AS (SELECT i, j, LEAST(v, 1.0) AS v FROM a0),
+         |c2 AS (SELECT x.i AS i, y.j AS j, LEAST(SUM(x.v * y.v), 1.0) AS v
+         |       FROM a x JOIN a y ON x.j = y.i GROUP BY 1, 2)
+         |SELECT c.i AS i, y.j AS j, LEAST(SUM(c.v * y.v), 1.0) AS v
+         |FROM c2 c JOIN a y ON c.j = y.i
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "matmul_salted" -> sqlMatmul,
     "matmul_large" ->

@@ -165,6 +165,22 @@ object MatrixOps {
     (2 to k).foldLeft(a)((acc, _) => multiply(acc, a, broadcastRight))
   }
 
+  /** Boolean-semiring closure step: cap every stored cell at 1.0. Chained
+    * with [[multiply]] this computes k-hop REACHABILITY instead of path
+    * counts — and, critically for scale, keeps magnitudes at 1 so
+    * iterated products can't overflow doubles the way raw path counts do
+    * (count-explosion is why A^k over a web-scale graph is always run in
+    * the boolean/tropical semiring, never the ring of reals).
+    */
+  def boolCap(m: DataFrame): DataFrame =
+    m.withColumn("v", least(col("v"), lit(1.0)))
+
+  /** k-hop reachability: capped A, k-1 capped multiplies. */
+  def reachability(a: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    (2 to k).foldLeft(boolCap(a))((acc, _) => boolCap(multiply(acc, boolCap(a))))
+  }
+
   /** Persist both operands bucketed on their contraction key so that
     * REPEATED multiplies (iterative solvers, chained products, A against
     * many B's) join with NO exchange at all: Spark's bucketed

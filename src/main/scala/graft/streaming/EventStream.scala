@@ -66,6 +66,28 @@ object EventStream {
       }
   }
 
+  /** Stream-stream temporal enrichment: join a purchase stream to a
+    * click stream per user within a time bound (click in the `window`
+    * before or at the purchase) — the streaming twin of
+    * `Temporal.rangeJoinBucketed`. Watermarks on BOTH sides bound the
+    * join state: clicks older than purchase-watermark − window are
+    * evicted, so state size tracks the window, not history.
+    */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+                        window: String = "10 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+    val c = clicks.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
+      .select("user_id", "p_ts", "purchase_id", "c_ts", "click_id")
+  }
+
   /** Streaming ingestion dedup: drop re-delivered events by id while the
     * watermark keeps the dedup state bounded (ids older than the
     * watermark are evicted — at-least-once upstream becomes effectively-

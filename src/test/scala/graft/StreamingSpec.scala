@@ -85,6 +85,26 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream join enriches purchases with in-window clicks") {
+    val purchases = MemoryStream[Ev](spark)
+    val clicks = MemoryStream[Ev](spark)
+    val q = EventStream.purchaseClickJoin(purchases.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Ev(10, ts("09:55"), 1, "click", 1.0, ""),  // in window
+        Ev(11, ts("09:45"), 1, "click", 1.0, ""),  // too old (>10m)
+        Ev(12, ts("09:58"), 2, "click", 1.0, ""))  // other user
+      purchases.addData(Ev(20, ts("10:00"), 1, "purchase", 5.0, ""))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join").collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("purchase_id") === 20L)
+      assert(rows.head.getAs[Long]("click_id") === 10L)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids across micro-batches") {
     val input = MemoryStream[Ev](spark)
     val q = EventStream.dedupEvents(input.toDF())

@@ -200,6 +200,20 @@ object SparkEntry {
       TextOps.langId(Tables.documents(s, dir)).orderBy("doc_id")),
     "doc_token_counts" -> ((s, dir) =>
       TextOps.tokenCounts(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Deterministic md5-based train/val/test assignment.
+    "doc_hash_split" -> ((s, dir) =>
+      TextOps.hashSplit(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Incremental dedup: the id-upper half of the corpus ingested
+    // against the lower half (anti-join on content digest). The split
+    // point is a one-scalar driver lookup (metadata-scale).
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val half = docs.agg(max("doc_id")).first().getLong(0) / 2
+      Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") > half),
+        docs.filter(col("doc_id") <= half))
+        .orderBy("doc_id")
+    }),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     // Rolling-hash fingerprint on the native fnv64 Expression — no SQL
@@ -525,6 +539,20 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS regex_tokens,
         |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS subword_estimate
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_hash_split" ->
+      """SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+        |       ELSE 'train' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH half AS (SELECT MAX(doc_id) // 2 AS h FROM documents)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |FROM documents d, half
+        |WHERE d.doc_id > half.h
+        |  AND md5(d.text) NOT IN (
+        |    SELECT md5(text) FROM documents, half WHERE doc_id <= half.h)
+        |ORDER BY d.doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS exact_fp,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp

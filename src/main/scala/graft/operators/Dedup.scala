@@ -34,6 +34,17 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Incremental dedup: drop new documents whose content already exists
+    * in a reference corpus (anti-join on the content digest) — the shape
+    * every ingestion pipeline runs per batch against the accumulated
+    * lake. One hash shuffle on the digest; the corpus side would be a
+    * bucketed/Bloom-backed digest table at 100 TB. */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpus: DataFrame): DataFrame =
+    newDocs.withColumn("content_hash", contentHash)
+      .join(corpus.select(contentHash.as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+
   /** Distinct tokens per document — the postings list every near-dup
     * tier builds on. */
   def tokenPostings(docs: DataFrame): DataFrame =

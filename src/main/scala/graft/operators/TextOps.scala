@@ -116,6 +116,20 @@ object TextOps {
       md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).cast("binary"))
         .as("bag_fp"))
 
+  /** Deterministic hash split: assign every document to train/val/test
+    * by a hex digit of md5(doc_id) — the reproducible-at-scale sampling
+    * primitive (no RNG state, stable under reruns, engine-independent,
+    * and any subset is recomputable from the id alone). 12/2/2 of 16
+    * nibble values ≈ 75/12.5/12.5.
+    */
+  def hashSplit(docs: DataFrame): DataFrame = {
+    val nibble = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    docs.select(col("doc_id"), nibble.as("h"),
+      when(nibble.isin("0", "1"), "test")
+        .when(nibble.isin("2", "3"), "val")
+        .otherwise("train").as("split"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint on the engine's native
     * fnv64 expression (codegen'd — graft.GraftExtensions must be on the
     * session): hash every k-token shingle, keep the minimum plus the

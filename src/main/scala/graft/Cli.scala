@@ -41,7 +41,10 @@ object Cli {
         case f @ "--density"          => density = arg(f).toDouble; i += 2
         case f @ ("-p" | "--threads") => threads = arg(f).toInt; i += 2
         case f @ "--out"              => out = arg(f); i += 2
-        case f @ "--algo"             => algos :+= arg(f); i += 2 // Python-variant flag form
+        case f @ "--algo"             => // Python-variant flag form
+          val a = arg(f)
+          require(Algos(a), s"unknown algo '$a' (expected one of ${Algos.mkString(", ")})")
+          algos :+= a; i += 2
         case a if Algos(a)            => algos :+= a; i += 1
         case n                        =>
           val size = try n.toLong catch {

@@ -208,7 +208,8 @@ object SparkEntry {
     // point is a one-scalar driver lookup (metadata-scale).
     "dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val half = docs.agg(max("doc_id")).first().getLong(0) / 2
+      val maxRow = docs.agg(max("doc_id")).first()
+      val half = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) / 2
       Dedup.dedupAgainstCorpus(
         docs.filter(col("doc_id") > half),
         docs.filter(col("doc_id") <= half))
@@ -550,8 +551,9 @@ object SparkEntry {
         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
         |FROM documents d, half
         |WHERE d.doc_id > half.h
-        |  AND md5(d.text) NOT IN (
-        |    SELECT md5(text) FROM documents, half WHERE doc_id <= half.h)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents c, half
+        |    WHERE c.doc_id <= half.h AND md5(c.text) = md5(d.text))
         |ORDER BY d.doc_id""".stripMargin,
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS exact_fp,

@@ -34,25 +34,31 @@ object Temporal {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    // The right payload travels as ONE struct through a single last()
+    // window: independent per-column windows would skip NULL payload
+    // fields back to an OLDER right row, stitching together a row that
+    // never existed (DuckDB's native ASOF returns the newest row's
+    // fields, NULLs included).
+    val rStruct = struct(
+      (col(ts).as("r_ts") +: rightCols.map(c => col(c).as(s"r_$c"))): _*)
     val lTagged = left.select(
       (col(key).as(key) +: col(ts).as(ts) +: lit(1).as("side") +:
         leftCols.map(c => col(c).as(c)) ++:
-        rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"r_$c"))): _*)
+        Seq(lit(null).cast(right.select(rStruct).schema.head.dataType).as("r"))): _*)
     val rTagged = right.select(
       (col(key).as(key) +: col(ts).as(ts) +: lit(0).as("side") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
-        rightCols.map(c => col(c).as(s"r_$c"))): _*)
+        Seq(rStruct.as("r"))): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rTs = last(when(col("side") === 0, col(ts)), ignoreNulls = true).over(w)
-    val carried = rightCols.map(c =>
-      last(when(col("side") === 0, col(s"r_$c")), ignoreNulls = true).over(w)
-        .as(s"r_$c"))
+    val carried = last(col("r"), ignoreNulls = true).over(w).as("r")
     lTagged.unionByName(rTagged)
       .select((col(key) +: col(ts) +: col("side") +:
-        leftCols.map(col) ++: (rTs.as("r_ts") +: carried)): _*)
-      .filter(col("side") === 1 && col("r_ts").isNotNull)
-      .drop("side")
+        leftCols.map(col) ++: Seq(carried)): _*)
+      .filter(col("side") === 1 && col("r").isNotNull)
+      .select((col(key) +: col(ts) +: leftCols.map(col) ++:
+        (col("r.r_ts").as("r_ts") +:
+          rightCols.map(c => col(s"r.r_$c").as(s"r_$c")))): _*)
   }
 
   /** Count right-side rows per left row within `[left.ts - window,
@@ -66,14 +72,18 @@ object Temporal {
                         countAs: String): DataFrame = {
     val bucket = (unix_micros(col(ts)) / (windowSeconds * 1000000L)).cast("long")
     val l = left.select(col(key), col(ts).as("l_ts"), bucket.as("b"))
-      .withColumn("row_id", monotonically_increasing_id())
-    val lExp = l.withColumn("cand_b", explode(array(col("b"), col("b") - 1)))
+    // The count is a function of (key, ts) alone, so aggregate per
+    // distinct (key, ts) and join back on those VALUES — a synthetic
+    // row id (monotonically_increasing_id) would be non-deterministic
+    // across the two evaluations of the left plan on a real cluster.
+    val lKeys = l.distinct()
+    val lExp = lKeys.withColumn("cand_b", explode(array(col("b"), col("b") - 1)))
     val r = right.select(col(key), col(ts).as("r_ts"), bucket.as("cand_b"))
     val joined = lExp.join(r, Seq(key, "cand_b"))
       .filter(col("r_ts") >= col("l_ts") - expr(s"INTERVAL $windowSeconds SECONDS") &&
         col("r_ts") < col("l_ts"))
-      .groupBy("row_id").agg(count(lit(1)).as(countAs))
-    l.join(joined, Seq("row_id"), "left")
+      .groupBy(key, "l_ts").agg(count(lit(1)).as(countAs))
+    l.join(joined, Seq(key, "l_ts"), "left")
       .select(col(key), col("l_ts").as(ts),
         coalesce(col(countAs), lit(0L)).as(countAs))
   }

@@ -86,5 +86,6 @@ class FnvCliSpec extends SparkSpec {
     intercept[IllegalArgumentException](Cli.parse(Seq("64", "-r")))
     intercept[IllegalArgumentException](Cli.parse(Seq("-5")))
     intercept[IllegalArgumentException](Cli.parse(Seq("64", "bogus")))
+    intercept[IllegalArgumentException](Cli.parse(Seq("64", "--algo", "bogus")))
   }
 }

@@ -29,6 +29,23 @@ class TemporalSpec extends SparkSpec {
     assert(out(1).getAs[Timestamp]("r_ts") === ts("10:05:00"))
   }
 
+  test("asOfJoin carries the newest right row's fields, NULLs included") {
+    // The matched right row's NULL payload must come through as NULL —
+    // not be backfilled from an older right row (which would fabricate
+    // a row that never existed).
+    val purchases = Seq((1L, ts("10:30:00"), 100L))
+      .toDF("user_id", "ts", "purchase_id")
+    val clicks = Seq(
+      (1L, ts("09:00:00"), Some(7L)),
+      (1L, ts("10:00:00"), None) // newest prior click, NULL payload
+    ).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asOfJoin(purchases, clicks, "user_id", "ts",
+      Seq("purchase_id"), Seq("click_id")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Timestamp]("r_ts") === ts("10:00:00"))
+    assert(out.head.isNullAt(out.head.fieldIndex("r_click_id")))
+  }
+
   test("rangeJoinBucketed counts a half-open window across bucket borders") {
     val errors = Seq((1L, ts("10:10:00"))).toDF("user_id", "ts")
     val clicks = Seq(

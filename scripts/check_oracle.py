@@ -49,6 +49,29 @@ def main() -> int:
 
     failures = 0
     for name, sql in sorted(oracle.items()):
+        # Order-ambiguity audit: rows tying on the ORDER BY keys must be
+        # identical in every other column, else the two engines may emit
+        # tied rows in different orders (hash mismatch if the driver
+        # hashes in row order).
+        try:
+            import re
+            tail = re.split(r'ORDER BY', sql, flags=re.I)[-1]
+            keys = [k.strip().split()[0] for k in tail.split(',')]
+            files0 = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+            if files0:
+                df0 = pd.concat([pd.read_parquet(f) for f in files0],
+                                ignore_index=True)
+                cols0 = list(df0.columns)
+                keycols = [cols0[int(k) - 1] if k.isdigit() else k.split('.')[-1]
+                           for k in keys]
+                other = [c for c in cols0 if c not in keycols]
+                if other and len(df0):
+                    g = df0.groupby(keycols, dropna=False)[other].nunique()
+                    if (g > 1).any(axis=1).any():
+                        print(f"[warn] {name}: ORDER BY keys do not totally "
+                              f"order the result (tied rows differ)")
+        except Exception:
+            pass
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:

@@ -282,8 +282,11 @@ object SparkEntry {
     "results_union_clean" -> ((s, _) =>
       Analytics.cleanResults(
         ResultsCsv.readResultsDir(s, FixtureDir))
+        // avg_time_ms breaks the tie between per-repeat rows (Q5) that
+        // share (file, size, algo, threads) — total order on both sides
         .orderBy(asc_nulls_first("source_file"), asc_nulls_first("size"),
-          asc_nulls_first("algo"), asc_nulls_first("threads"))),
+          asc_nulls_first("algo"), asc_nulls_first("threads"),
+          asc_nulls_first("avg_time_ms"))),
     "results_extra_parsed" -> ((s, _) =>
       Analytics.parseExtra(
         Analytics.cleanResults(
@@ -636,7 +639,7 @@ object SparkEntry {
     "results_union_clean" ->
       s"""$sqlFixtureClean
          |ORDER BY source_file NULLS FIRST, size NULLS FIRST,
-         |  algo NULLS FIRST, threads NULLS FIRST""".stripMargin,
+         |  algo NULLS FIRST, threads NULLS FIRST, avg_time_ms NULLS FIRST""".stripMargin,
     "results_extra_parsed" -> {
       val casts = Seq("size", "avg_time_ms")
         .map(c => s"TRY_CAST(replace($c, ',', '.') AS DOUBLE) AS $c")

@@ -48,7 +48,8 @@ def main() -> int:
         oracle = json.load(f)
 
     failures = 0
-    for name, sql in sorted(oracle.items()):
+
+    def audit_order(name, sql, sdf):
         # Order-ambiguity audit: rows tying on the ORDER BY keys must be
         # identical in every other column, else the two engines may emit
         # tied rows in different orders (hash mismatch if the driver
@@ -57,21 +58,19 @@ def main() -> int:
             import re
             tail = re.split(r'ORDER BY', sql, flags=re.I)[-1]
             keys = [k.strip().split()[0] for k in tail.split(',')]
-            files0 = glob.glob(os.path.join(out_dir, name, "*.parquet"))
-            if files0:
-                df0 = pd.concat([pd.read_parquet(f) for f in files0],
-                                ignore_index=True)
-                cols0 = list(df0.columns)
-                keycols = [cols0[int(k) - 1] if k.isdigit() else k.split('.')[-1]
-                           for k in keys]
-                other = [c for c in cols0 if c not in keycols]
-                if other and len(df0):
-                    g = df0.groupby(keycols, dropna=False)[other].nunique()
-                    if (g > 1).any(axis=1).any():
-                        print(f"[warn] {name}: ORDER BY keys do not totally "
-                              f"order the result (tied rows differ)")
+            cols0 = list(sdf.columns)
+            keycols = [cols0[int(k) - 1] if k.isdigit() else k.split('.')[-1]
+                       for k in keys]
+            other = [c for c in cols0 if c not in keycols]
+            if other and len(sdf):
+                g = sdf.groupby(keycols, dropna=False)[other].nunique()
+                if (g > 1).any(axis=1).any():
+                    print(f"[warn] {name}: ORDER BY keys do not totally "
+                          f"order the result (tied rows differ)")
         except Exception:
             pass
+
+    for name, sql in sorted(oracle.items()):
         spark_dir = os.path.join(out_dir, name)
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
@@ -86,6 +85,7 @@ def main() -> int:
             continue
         sdf = pd.concat([pd.read_parquet(f) for f in sorted(files)],
                         ignore_index=True)
+        audit_order(name, sql, sdf)
         o, s = canon(odf), canon(sdf)
         if list(o.columns) != list(s.columns):
             print(f"[FAIL] {name}: columns oracle={list(o.columns)} spark={list(s.columns)}")

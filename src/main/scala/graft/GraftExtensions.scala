@@ -16,7 +16,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("fnv64"),
       new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        Fnv64(children.head)))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1,
+          s"fnv64 expects exactly 1 argument, got ${children.length}")
+        Fnv64(children.head)
+      }))
   }
 }

@@ -338,16 +338,16 @@ object SparkEntry {
           count(lit(1)).as("suppliers"))
         .orderBy("r_name")),
 
-    // Exact interpolated percentiles of per-user activity (linear
-    // interpolation — same definition as DuckDB quantile_cont, integral
-    // inputs keep the doubles deterministic).
+    // DISCRETE percentiles of per-user activity: percentile_disc picks
+    // an actual element (no interpolation arithmetic at all), so the
+    // cross-engine hash can never drift by a ulp of a lerp formula.
     "user_event_quantiles" -> ((s, dir) =>
       Tables.events(s, dir)
         .groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("users"),
-          expr("percentile(n, 0.5)").as("median_n"),
-          expr("percentile(n, 0.9)").as("p90_n"))
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)").as("median_n"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY n)").as("p90_n"))
         .orderBy("event_type")),
 
     // ROLLUP grouping sets over the region/nation hierarchy.
@@ -359,13 +359,16 @@ object SparkEntry {
       // Dataset-API rollup trips Spark's ambiguous-self-join detection on
       // the Expand-duplicated grouping attrs (joined broadcast lineage);
       // the SQL surface plans the identical Aggregate(Expand) cleanly.
-      joined.createOrReplaceTempView("region_rollup_src")
+      // Unique view name: a fixed one would race concurrent invocations
+      // on a shared session.
+      val view = s"region_rollup_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      joined.createOrReplaceTempView(view)
       s.sql(
-        """SELECT r_name, n_name, CAST(SUM(bal) AS DOUBLE) AS total_bal,
-          |  COUNT(*) AS suppliers
-          |FROM region_rollup_src
-          |GROUP BY ROLLUP(r_name, n_name)
-          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+        s"""SELECT r_name, n_name, CAST(SUM(bal) AS DOUBLE) AS total_bal,
+           |  COUNT(*) AS suppliers
+           |FROM $view
+           |GROUP BY ROLLUP(r_name, n_name)
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     }),
 
     // Set operations: users who hit high values but never low ones
@@ -713,8 +716,8 @@ object SparkEntry {
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1, 2)
         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS users,
-        |  quantile_cont(n, 0.5) AS median_n,
-        |  quantile_cont(n, 0.9) AS p90_n
+        |  CAST(quantile_disc(n, 0.5) AS DOUBLE) AS median_n,
+        |  CAST(quantile_disc(n, 0.9) AS DOUBLE) AS p90_n
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "region_rollup" ->
       """SELECT r_name, n_name,

@@ -33,13 +33,9 @@ object Multimodal {
     * decoders (e.g. javacpp-presets ffmpeg/opencv) in production — the
     * call sites and schemas stay identical. */
   object StubCodec {
-    /** FNV-1a 64-bit over the payload — stands in for a decode+digest. */
-    def checksum(bytes: Array[Byte]): Long = {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < bytes.length) { h ^= bytes(i) & 0xffL; h *= 0x100000001b3L; i += 1 }
-      h
-    }
+    /** FNV-1a 64-bit over the payload — stands in for a decode+digest
+      * (delegates to the engine's canonical implementation). */
+    def checksum(bytes: Array[Byte]): Long = graft.functions.Fnv64.hash(bytes)
 
     /** Fake dimension probe: derived from payload length — a real codec
       * reads the container header here. */
@@ -85,9 +81,14 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "kind", "payload", "source").as[MediaRow]
       .mapPartitions { rows =>
-        // Real impl: open the codec/model once per partition here.
+        // Real impl: open the codec/model ONCE here (the per-partition
+        // setup is the amortization point), then feed it `batchSize`
+        // payloads per call — `rows.grouped(batchSize)` is the batch
+        // boundary a model forward-pass would consume. The stub codec
+        // is per-row, so batches are passed through without reshaping.
         rows.grouped(batchSize).flatMap { batch =>
-          batch.map { m =>
+          // stub stands where `codec.decodeBatch(batch.map(_.payload))` goes
+          batch.iterator.map { m =>
             val (w, h) = StubCodec.probeDims(m.kind, m.payload)
             DecodedMedia(m.media_id, m.kind, m.payload.length.toLong,
               StubCodec.checksum(m.payload), w, h,

@@ -34,6 +34,12 @@ object Temporal {
     */
   def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
                leftCols: Seq[String], rightCols: Seq[String]): DataFrame = {
+    // NULL timestamps can never satisfy the as-of bound (ASOF's
+    // `r.ts <= l.ts` predicate is non-true for NULL on either side) —
+    // without this filter a NULL-ts right row would sort first in the
+    // window and masquerade as an "earliest prior match".
+    val lv = left.filter(col(ts).isNotNull)
+    val rv = right.filter(col(ts).isNotNull)
     // The right payload travels as ONE struct through a single last()
     // window: independent per-column windows would skip NULL payload
     // fields back to an OLDER right row, stitching together a row that
@@ -41,11 +47,11 @@ object Temporal {
     // fields, NULLs included).
     val rStruct = struct(
       (col(ts).as("r_ts") +: rightCols.map(c => col(c).as(s"r_$c"))): _*)
-    val lTagged = left.select(
+    val lTagged = lv.select(
       (col(key).as(key) +: col(ts).as(ts) +: lit(1).as("side") +:
         leftCols.map(c => col(c).as(c)) ++:
         Seq(lit(null).cast(right.select(rStruct).schema.head.dataType).as("r"))): _*)
-    val rTagged = right.select(
+    val rTagged = rv.select(
       (col(key).as(key) +: col(ts).as(ts) +: lit(0).as("side") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
         Seq(rStruct.as("r"))): _*)

@@ -16,6 +16,19 @@ class SparkEntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("query functions tolerate concurrent invocation on a shared session") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // region_rollup registers a temp view; concurrent runs must not
+    // cross-contaminate (unique view names per invocation).
+    val runs = (1 to 4).map(_ => Future {
+      SparkEntry.queries("region_rollup")(spark, smokeDir).count()
+    })
+    val counts = Await.result(Future.sequence(runs), 120.seconds)
+    assert(counts.distinct.length === 1 && counts.head > 0)
+  }
+
   test("every declared query runs non-empty at sf0.001 with unique columns") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       try {

@@ -222,6 +222,24 @@ object SparkEntry {
     "doc_fingerprint_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Capstone composition — the actual training-data curation pipeline:
+    // quality gate → exact dedup (first doc_id wins) → deterministic
+    // split → per-split corpus stats. Every stage is an operator
+    // declared above; this query proves they compose.
+    "pipeline_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val quality = TextOps.qualityScored(docs)
+        .filter(col("quality_score") >= 0.5).select("doc_id")
+      val kept = Dedup.exactKept(docs).select("doc_id", "text")
+        .join(quality, "doc_id")
+      val split = TextOps.hashSplit(kept.select("doc_id")).select("doc_id", "split")
+      kept.join(split, "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text")).cast("long")).as("chars"))
+        .orderBy("split")
+    }),
+
     // ---- dedup family (north star; Dedup) ----
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir)).orderBy("content_hash")),
@@ -566,6 +584,30 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "pipeline_curate" ->
+      s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),
+         |quality AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id,
+         |      (CASE WHEN chars BETWEEN 100 AND 500 THEN 0.5 ELSE 0.0 END)
+         |      + lexical_diversity * 0.3
+         |      + (CASE WHEN stopword_ratio < 0.2 THEN 0.2 ELSE 0.0 END) AS q
+         |    FROM t) x WHERE q >= 0.5),
+         |kept AS (
+         |  SELECT d.doc_id, d.text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) d
+         |  JOIN quality USING (doc_id) WHERE d.rn = 1),
+         |sp AS (
+         |  SELECT doc_id,
+         |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+         |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM kept)
+         |SELECT sp.split, CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(length(k.text)) AS BIGINT) AS chars
+         |FROM kept k JOIN sp USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact_groups" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS group_size

@@ -79,7 +79,8 @@ object SparkEntry {
       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens,
       |  CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // 5
       |     + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // 3
-      |     AS BIGINT) AS stopword_hits
+      |     AS BIGINT) AS stopword_hits,
+      |  CAST(length(text) - length(translate(text, '.,!?;:', '')) AS BIGINT) AS punct_hits
       |FROM documents""".stripMargin
 
   private val sqlStatsSelect =
@@ -87,6 +88,8 @@ object SparkEntry {
       |  CAST(distinct_tokens AS DOUBLE) / tokens AS lexical_diversity,
       |  stopword_hits,
       |  CAST(stopword_hits AS DOUBLE) / tokens AS stopword_ratio,
+      |  punct_hits,
+      |  CAST(punct_hits AS DOUBLE) / chars AS punct_ratio,
       |  CAST(chars - tokens + 1 AS DOUBLE) / tokens AS avg_token_len
       |FROM s""".stripMargin
 

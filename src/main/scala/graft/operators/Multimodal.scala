@@ -98,6 +98,28 @@ object Multimodal {
       }
   }
 
+  /** Resize plumbing: deterministic stride-downsample of the payload to
+    * ≤ `targetBytes` with the claimed output dims in metadata — where a
+    * real image resize (decode → scale → re-encode) slots in. Pure
+    * column expressions: the byte stride mirrors pixel-stride
+    * downsampling without a codec. */
+  def resizeStub(media: DataFrame, targetBytes: Int,
+                 targetW: Int, targetH: Int): DataFrame = {
+    val n = length(col("payload"))
+    val stride = greatest(lit(1), ceil(n.cast("double") / targetBytes).cast("int"))
+    media
+      .filter(n > 0)
+      .select(col("media_id"), col("kind"),
+        // take every stride-th byte: filter a 1..n index sequence
+        array_join(transform(
+          filter(sequence(lit(1), n), i => (i - 1) % stride === 0),
+          i => col("payload").substr(i, lit(1)).cast("string")), "")
+          .cast("binary").as("resized"),
+        lit(targetW).as("width"), lit(targetH).as("height"),
+        col("payload").as("original"))
+      .withColumn("resized_bytes", length(col("resized")).cast("long"))
+  }
+
   /** Frame sampling plumbing: slice the payload into fixed-size chunks
     * ("frames"), keep every `everyN`-th — pure column expressions, no
     * UDF; the chunking pattern a real video pipeline applies before

@@ -61,6 +61,10 @@ object TextOps {
     val distinctTokens = distinctTokenCount(t)
     val stopwords = occurrences(concat(lit(" "), t, lit(" ")), " the ") +
       occurrences(concat(lit(" "), t, lit(" ")), " a ")
+    // punctuation count via translate-strip (integral → ratio of one
+    // IEEE division; 0 on this punctuation-free corpus but part of the
+    // standard quality-signal set)
+    val punct = (length(t) - length(translate(t, ".,!?;:", ""))).cast("long")
     docs.select(
       col("doc_id"),
       length(t).cast("long").as("chars"),
@@ -69,6 +73,8 @@ object TextOps {
       (distinctTokens.cast("double") / tokens).as("lexical_diversity"),
       stopwords.as("stopword_hits"),
       (stopwords.cast("double") / tokens).as("stopword_ratio"),
+      punct.as("punct_hits"),
+      (punct.cast("double") / length(t)).as("punct_ratio"),
       ((length(t) - tokens + 1).cast("double") / tokens).as("avg_token_len"))
   }
 

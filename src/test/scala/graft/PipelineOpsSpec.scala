@@ -69,6 +69,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(5L) === "en") // all-zero scores tie-break to en (>= chain)
   }
 
+  test("punctuation stats count the punct charset exactly") {
+    val d = Seq((9L, "wait... what?! ok; fine: good, end.", "en", "s", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s = TextOps.stats(d).collect().head
+    // '...' =3, '?' '!' =2, ';' =1, ':' =1, ',' =1, '.' =1 → 9
+    assert(s.getAs[Long]("punct_hits") === 9L)
+    assert(s.getAs[Double]("punct_ratio") === 9.0 / 35)
+  }
+
   test("token stats are exact on a known sentence") {
     val s = TextOps.stats(docs.filter(col("doc_id") === 0)).collect().head
     assert(s.getAs[Long]("tokens") === 9L)

@@ -20,13 +20,23 @@ class SparkEntrySpec extends SparkSpec {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
     import scala.concurrent.ExecutionContext.Implicits.global
-    // region_rollup registers a temp view; concurrent runs must not
-    // cross-contaminate (unique view names per invocation).
-    val runs = (1 to 4).map(_ => Future {
-      SparkEntry.queries("region_rollup")(spark, smokeDir).count()
+    import org.apache.spark.sql.functions.col
+    // region_rollup registers a temp view; concurrent runs over
+    // DIFFERENT scale factors must each aggregate their own data — a
+    // fixed view name would let one run silently read the other's.
+    val dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+      "/root/testdata/sf0.001", "/root/testdata/sf0.01")
+    val runs = dirs.map(d => Future {
+      // grand-total row (both grouping columns NULL) carries the
+      // supplier count, which differs 10x between the two sfs
+      SparkEntry.queries("region_rollup")(spark, d)
+        .filter(col("r_name").isNull && col("n_name").isNull)
+        .collect().head.getAs[Long]("suppliers")
     })
-    val counts = Await.result(Future.sequence(runs), 120.seconds)
-    assert(counts.distinct.length === 1 && counts.head > 0)
+    val totals = Await.result(Future.sequence(runs), 120.seconds)
+    val expected = dirs.map(d =>
+      Tables.supplier(spark, d).count())
+    assert(totals === expected)
   }
 
   test("every declared query runs non-empty at sf0.001 with unique columns") {

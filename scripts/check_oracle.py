@@ -95,6 +95,15 @@ def main() -> int:
             print(f"[FAIL] {name}: rows oracle={len(o)} spark={len(s)}")
             failures += 1
             continue
+        # Dtype audit: the driver's gate hashes dtype-coerced values, so a
+        # DuckDB HUGEINT/object column vs Spark int64 fails there even when
+        # the values compare equal here. Treat dtype divergence as FAIL.
+        dt_bad = [(c, str(o[c].dtype), str(s[c].dtype)) for c in o.columns
+                  if o[c].dtype.kind != s[c].dtype.kind]
+        if dt_bad:
+            print(f"[FAIL] {name}: dtype mismatch {dt_bad}")
+            failures += 1
+            continue
         mismatch = None
         for ci, c in enumerate(o.columns):
             ov, sv = o[c].tolist(), s[c].tolist()

@@ -652,7 +652,7 @@ object SparkEntry {
         |      * CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS score
         |  FROM q CROSS JOIN embeddings e CROSS JOIN generate_series(1, 64) g(k)
         |  WHERE e.vec_id <> q.qid GROUP BY 1, 2),
-        |r AS (SELECT qid, vec_id, score,
+        |r AS (SELECT qid, vec_id, CAST(score AS BIGINT) AS score,
         |        row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
         |      FROM prod)
         |SELECT qid, vec_id, score, rn FROM r WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,

@@ -123,6 +123,9 @@ object Dedup {
     * scale (only same-bucket docs ever meet). */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 32,
                       bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
+        "would silently drop trailing signature rows from banding")
     val r = numHashes / bands
     val sigs = minhashSignatures(docs, numHashes)
     val banded = sigs.select(col("doc_id"), col("sig"),

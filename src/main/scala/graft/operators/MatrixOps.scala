@@ -66,7 +66,9 @@ object MatrixOps {
     */
   def genDense(spark: SparkSession, n: Long, seed: Long): DataFrame =
     spark.range(n * n).select(
-      (col("id") / n).cast("long").as("i"),
+      // integer div, not double `/`: double rounding near 2^53 would
+      // misassign row indices at extreme n
+      expr(s"id div $n").as("i"),
       (col("id") % n).as("j"),
       rand(seed).as("v"))
 

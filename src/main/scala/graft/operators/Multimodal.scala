@@ -113,11 +113,14 @@ object Multimodal {
       .select(col("media_id"), col("kind"),
         // three-arg sequence yields the strided indices directly —
         // building a full 1..n array per row and filtering it would
-        // allocate O(payload) per row
-        array_join(transform(
-          sequence(lit(1), n, stride),
-          i => col("payload").substr(i, lit(1)).cast("string")), "")
-          .cast("binary").as("resized"),
+        // allocate O(payload) per row. Slices stay binary end-to-end:
+        // substr on binary returns binary, and binary concat keeps raw
+        // bytes (a string round-trip would mangle non-UTF-8 payloads).
+        aggregate(
+          transform(sequence(lit(1), n, stride),
+            i => col("payload").substr(i, lit(1))),
+          lit(Array.emptyByteArray),
+          (acc, x) => concat(acc, x)).as("resized"),
         lit(targetW).as("width"), lit(targetH).as("height"),
         col("payload").as("original"))
       .withColumn("resized_bytes", length(col("resized")).cast("long"))

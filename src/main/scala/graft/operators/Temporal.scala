@@ -38,8 +38,12 @@ object Temporal {
     // `r.ts <= l.ts` predicate is non-true for NULL on either side) —
     // without this filter a NULL-ts right row would sort first in the
     // window and masquerade as an "earliest prior match".
-    val lv = left.filter(col(ts).isNotNull)
-    val rv = right.filter(col(ts).isNotNull)
+    // NULL keys are dropped on both sides: the union-window trick hash-
+    // partitions by key, which would otherwise group NULL with NULL and
+    // invent matches SQL ASOF equality semantics (NULL = NULL → false)
+    // never produce.
+    val lv = left.filter(col(ts).isNotNull && col(key).isNotNull)
+    val rv = right.filter(col(ts).isNotNull && col(key).isNotNull)
     // The right payload travels as ONE struct through a single last()
     // window: independent per-column windows would skip NULL payload
     // fields back to an OLDER right row, stitching together a row that

@@ -60,6 +60,18 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0L).getAs[Int]("width") === 64)
   }
 
+  test("resize stub preserves raw non-UTF-8 bytes (no string round-trip)") {
+    // 0x00..0xFF: any UTF-8 decode would turn the high half into U+FFFD
+    val raw = (0 until 256).map(_.toByte).toArray
+    val bin = Seq((9L, "image", raw)).toDF("media_id", "kind", "payload")
+    val out = Multimodal.resizeStub(bin, targetBytes = 16, targetW = 8, targetH = 8)
+      .collect().head
+    val resized = out.getAs[Array[Byte]]("resized")
+    // stride ceil(256/16)=16 → 1-based positions 1,17,…,241
+    assert(resized.toSeq === (0 until 256 by 16).map(_.toByte).toSeq)
+    assert(out.getAs[Long]("resized_bytes") === 16L)
+  }
+
   test("frame sampling slices payload into strided fixed-size chunks") {
     val frames = Multimodal.frameSample(media, frameBytes = 4, everyN = 2)
     val doc0 = frames.filter(col("media_id") === 0)

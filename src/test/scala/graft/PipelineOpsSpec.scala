@@ -49,6 +49,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m.contains((0L, 1L)) && m((0L, 1L)) === 1.0) // identical docs: all minhashes equal
     assert(m.keySet.contains((0L, 3L)))                 // near-dup surfaces as candidate
     assert(m.values.forall(j => j >= 0.0 && j <= 1.0))
+    // non-divisible banding would silently drop signature rows
+    assertThrows[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, numHashes = 32, bands = 5)
+    }
   }
 
   test("simhash of identical and near-dup docs is close in hamming distance") {

@@ -69,4 +69,21 @@ class TemporalSpec extends SparkSpec {
       300L, "n").collect()
     assert(out.length === 1 && out.head.getAs[Long]("n") === 0L)
   }
+
+  test("asOfJoin never matches NULL keys (SQL equality semantics)") {
+    // A NULL-key purchase must not pair with a NULL-key click even when
+    // both land in the same hash partition.
+    val purchases = Seq(
+      (Option.empty[Long], ts("10:30:00"), 100L),
+      (Some(1L), ts("10:30:00"), 101L)
+    ).toDF("user_id", "ts", "purchase_id")
+    val clicks = Seq(
+      (Option.empty[Long], ts("10:00:00"), 1L),
+      (Some(1L), ts("10:00:00"), 2L)
+    ).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asOfJoin(purchases, clicks, "user_id", "ts",
+      Seq("purchase_id"), Seq("click_id")).collect()
+    assert(out.map(_.getAs[Long]("purchase_id")).toSeq === Seq(101L))
+    assert(out.head.getAs[Long]("r_click_id") === 2L)
+  }
 }

@@ -49,6 +49,25 @@ object VectorFunctions {
   /** Quantized squared L2 norm. */
   def normSqQuantized(a: Column, scale: Int): Column = dotQuantized(a, a, scale)
 
+  /** |A ∩ B| over two sorted distinct `array<bigint>` columns — native
+    * codegen'd merge ([[SortedLongIntersectCount]]); the zero-allocation
+    * replacement for `size(array_intersect(a, b))` in set-similarity
+    * verification. */
+  def sortedIntersectCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SortedLongIntersectCount(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** Positions where two equal-length `array<bigint>` columns agree —
+    * native codegen'd ([[ZipLongEqualCount]]); the MinHash estimate
+    * numerator without interpreted zip_with lambdas. */
+  def zipEqualCount(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(ZipLongEqualCount(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** Cosine from quantized integrals: bigint dot / sqrt(bigint·bigint) —
     * one exact cast, one sqrt, one division, all IEEE-deterministic. */
   def cosineQuantized(a: Column, b: Column, scale: Int): Column =

@@ -73,22 +73,29 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, thresholdTenths: Int): DataFrame = {
     val t = thresholdTenths
+    // Postings on 64-bit hashed token ids: every downstream shuffle,
+    // sort, and comparison runs on primitive longs instead of strings.
+    // Set cardinalities are preserved (xxhash64 collisions across a
+    // corpus vocabulary are ~2^-40-improbable; a collision would only
+    // nudge one pair's intersection count).
     val tok = tokenPostings(docs)
-    // Per-doc token arrays + counts (verification side).
+      .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid"))
+    // Per-doc SORTED id arrays + counts (verification side): sorted so
+    // the verify kernel is a linear primitive merge, not a hash probe.
     val docTokens = tok.groupBy("doc_id", "lang")
-      .agg(collect_list(col("token")).as("toks"), count(lit(1)).as("n"))
-    // Global (per-lang) rare-first token order; ties broken by token.
-    val freq = tok.groupBy("lang", "token").agg(count(lit(1)).as("tf"))
-    val ranked = tok.join(freq, Seq("lang", "token"))
+      .agg(sort_array(collect_list(col("tid"))).as("toks"), count(lit(1)).as("n"))
+    // Global (per-lang) rare-first token order; ties broken by id.
+    val freq = tok.groupBy("lang", "tid").agg(count(lit(1)).as("tf"))
+    val ranked = tok.join(freq, Seq("lang", "tid"))
       .withColumn("pos", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("tf"), col("token"))))
+        Window.partitionBy("doc_id").orderBy(col("tf"), col("tid"))))
     // prefix length = n − ⌈t·n⌉ + 1  (integer ceil: (t·n + 9) div 10)
     val prefix = ranked.join(docTokens.select("doc_id", "n"), "doc_id")
       .filter(col("pos") <= col("n") - ((col("n") * t + 9) / 10).cast("long") + 1)
-      .select(col("lang"), col("token"), col("doc_id"), col("n"))
+      .select(col("lang"), col("tid"), col("doc_id"), col("n"))
     val candidates = prefix.as("p1")
       .join(prefix.as("p2"),
-        col("p1.token") === col("p2.token") && col("p1.lang") === col("p2.lang") &&
+        col("p1.tid") === col("p2.tid") && col("p1.lang") === col("p2.lang") &&
           col("p1.doc_id") < col("p2.doc_id") &&
           col("p1.n") * t <= col("p2.n") * 10 &&
           col("p2.n") * t <= col("p1.n") * 10)
@@ -99,7 +106,8 @@ object Dedup {
         col("n").as("n1")), "d1")
       .join(docTokens.select(col("doc_id").as("d2"), col("toks").as("toks2"),
         col("n").as("n2")), "d2")
-      .withColumn("inter", size(array_intersect(col("toks1"), col("toks2"))).cast("long"))
+      .withColumn("inter", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("toks1"), col("toks2")))
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * t)
       .select(col("d1"), col("d2"), col("inter"), col("uni"),
@@ -112,9 +120,13 @@ object Dedup {
     * aggregates, not K passes. */
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
     tokenPostings(docs)
+      // hash the variable-length token ONCE; the K simulated hash
+      // functions then mix a fixed-width long (two xxhash blocks) —
+      // K×cheaper than re-hashing the string per k
+      .select(col("doc_id"), xxhash64(col("token")).as("tid"))
       .groupBy("doc_id")
       .agg(array((0 until numHashes).map(k =>
-        min(xxhash64(lit(k), col("token")))): _*).as("sig"))
+        min(xxhash64(lit(k), col("tid")))): _*).as("sig"))
 
   /** MinHash-LSH candidate pairs: signatures cut into `bands` bands of
     * r = K/bands rows; docs sharing any band hash become candidates;
@@ -132,18 +144,20 @@ object Dedup {
         posexplode(array((0 until bands).map(b =>
           hash(slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    // Banded rows (docs×bands, tiny) carry the signature INTO the
+    // self-join so the estimate is computed in the join's own stage by
+    // the native merge kernel; only skinny (d1, d2, match_cnt) rows —
+    // not K-long arrays — reach the dedup shuffle, and map-side partial
+    // aggregation collapses the ≤`bands` duplicates of each pair first.
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
-      .dropDuplicates("d1", "d2")
-    cand.select(col("d1"), col("d2"),
-      (aggregate(zip_with(col("sig1"), col("sig2"),
-        (x, y) => when(x === y, 1).otherwise(0)),
-        lit(0), (acc, x) => acc + x).cast("double") / numHashes)
-        .as("est_jaccard"))
+        graft.functions.VectorFunctions.zipEqualCount(col("a.sig"), col("b.sig"))
+          .as("match_cnt"))
+    cand.groupBy("d1", "d2")
+      .agg((max("match_cnt").cast("double") / numHashes).as("est_jaccard"))
   }
 
   /** 64-bit SimHash fingerprints: each token occurrence votes ±1 on each

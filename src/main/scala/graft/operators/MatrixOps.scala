@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.mllib.linalg.distributed.{CoordinateMatrix, MatrixEntry}
 
 /** Distributed matrix algebra over coordinate-form DataFrames.
   *
@@ -142,20 +141,6 @@ object MatrixOps {
   def multiplyTransposed(a: DataFrame, bt: DataFrame, broadcastRight: Boolean = false): DataFrame =
     multiply(a, transpose(bt), broadcastRight)
 
-  /** `matmul_blocked` (`mm_opt.py:57-73`, `mm_opt.c:63-78`, `MMOpt.java:64-82`):
-    * the reference's 3-level cache tiling with block size BS maps to MLlib
-    * `BlockMatrix` — BS×BS blocks, GridPartitioner co-location, per-block
-    * GEMM, block-wise outer-product sum (a distributed SUMMA). Same logical
-    * result as [[multiply]]; this is the physical path for dense×dense at
-    * scale where per-cell coordinate join cardinality (n³ partial products)
-    * would dominate: block form shuffles n²/BS² block pairs instead.
-    *
-    * Known asymmetry: a cell whose contraction cancels to EXACTLY 0.0 is
-    * dropped here (indistinguishable from a never-touched cell of a dense
-    * block) but kept by [[multiply]] (the join matched). Equivalent for
-    * non-negative inputs — all of this engine's derivations — and only
-    * reachable under sign cancellation.
-    */
   /** A^k by left-to-right chaining. Chained multiplies reuse the
     * contraction-key partitioning: each product is already hash-
     * partitioned by (i, j) from its grouped sum, so re-keying by the next
@@ -228,17 +213,87 @@ object MatrixOps {
       .agg(sum(col("va") * col("vb")).as("v"))
   }
 
+  /** `matmul_blocked` (`mm_opt.py:57-73`, `mm_opt.c:63-78`, `MMOpt.java:64-82`):
+    * the reference's 3-level cache tiling with block size BS as a
+    * DataFrame-native SUMMA — cells densified into BS×BS row-major
+    * blocks, one equi-join on the contraction BLOCK index, a primitive
+    * ikj GEMM per block pair, then a skinny grouped sum across
+    * contraction blocks. Same logical result as [[multiply]]; this is
+    * the physical path for dense×dense at scale where per-cell
+    * coordinate join cardinality (n³ partial-product ROWS) would
+    * dominate: block form joins (n/BS)³ block pairs and keeps the n³
+    * multiply-adds inside tight per-row array loops.
+    *
+    * Known asymmetry: a cell whose contraction cancels to EXACTLY 0.0 is
+    * dropped here (indistinguishable from a never-touched cell of a dense
+    * block) but kept by [[multiply]] (the join matched). Equivalent for
+    * non-negative inputs — all of this engine's derivations — and only
+    * reachable under sign cancellation.
+    *
+    * `n` bounds the index space (kept in the signature for parity with
+    * the dense generators); block indices derive from the cells
+    * themselves, so absent (all-zero) blocks cost nothing.
+    */
   def multiplyBlocked(spark: SparkSession, a: DataFrame, b: DataFrame,
                       n: Long, blockSize: Int = 64): DataFrame = {
-    import spark.implicits._
-    def toBlock(df: DataFrame) = new CoordinateMatrix(
-      df.select("i", "j", "v").as[(Long, Long, Double)].rdd
-        .map { case (i, j, v) => MatrixEntry(i, j, v) },
-      n, n).toBlockMatrix(blockSize, blockSize)
-    val c = toBlock(a).multiply(toBlock(b))
-    c.toCoordinateMatrix().entries
-      .map(e => (e.i, e.j, e.value))
-      .toDF("i", "j", "v")
+    val bs = blockSize
+    // densify: sparse (pos, v) cells → row-major bs×bs dense block
+    val densify = udf { cells: Seq[org.apache.spark.sql.Row] =>
+      val block = new Array[Double](bs * bs)
+      cells.foreach(r => block(r.getInt(0)) += r.getDouble(1))
+      block
+    }
+    // per-block-pair GEMM: tight ikj loop over primitive arrays — the
+    // reference's cache-tiled kernel (`mm_opt.c:63-78`) run once per
+    // joined block pair instead of once per cache tile
+    val gemm = udf { (ab: Seq[Double], bb: Seq[Double]) =>
+      val x = ab.toArray
+      val y = bb.toArray
+      val out = new Array[Double](bs * bs)
+      var i = 0
+      while (i < bs) {
+        var k = 0
+        while (k < bs) {
+          val xv = x(i * bs + k)
+          if (xv != 0.0) {
+            val rowOff = k * bs
+            val outOff = i * bs
+            var j = 0
+            while (j < bs) {
+              out(outOff + j) += xv * y(rowOff + j)
+              j += 1
+            }
+          }
+          k += 1
+        }
+        i += 1
+      }
+      out
+    }
+    def toBlocks(df: DataFrame) = df.select(
+        expr(s"i div $bs").as("bi"),
+        expr(s"j div $bs").as("bj"),
+        ((col("i") % bs) * bs + (col("j") % bs)).cast("int").as("pos"),
+        col("v"))
+      .groupBy("bi", "bj")
+      .agg(collect_list(struct(col("pos"), col("v"))).as("cells"))
+      .select(col("bi"), col("bj"), densify(col("cells")).as("block"))
+    val ab = toBlocks(a).select(col("bi").as("ci"), col("bj").as("k"), col("block").as("ablk"))
+      .join(toBlocks(b).select(col("bi").as("k"), col("bj").as("cj"), col("block").as("bblk")),
+        "k")
+      // block tables are tiny in BYTES, so AQE coalesces them to ~one
+      // partition — which would serialize the O(n³) GEMM work onto one
+      // core. Re-spread by output block; this hash clustering also
+      // satisfies the (ci, cj, pos) grouping below, so the per-pair
+      // GEMM, explode, and reduction all run in this one exchange.
+      .repartition(col("ci"), col("cj"))
+      .select(col("ci"), col("cj"), gemm(col("ablk"), col("bblk")).as("cblk"))
+    // cross-block reduction on skinny cells; sums are exact for the
+    // engine's integral-valued derivations, so merge order is free
+    ab.select(col("ci"), col("cj"), posexplode(col("cblk")))
+      .groupBy("ci", "cj", "pos").agg(sum("col").as("v"))
       .filter(col("v") =!= 0.0)
+      .select((col("ci") * bs + expr(s"pos div $bs")).as("i"),
+        (col("cj") * bs + col("pos") % bs).as("j"), col("v"))
   }
 }

@@ -220,8 +220,8 @@ object SparkEntry {
     }),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
-    // Rolling-hash fingerprint on the native fnv64 Expression — no SQL
-    // oracle (FNV needs wrapping Long multiply), rows-only check.
+    // Rolling-hash fingerprint on the native fnv64 Expression; the SQL
+    // oracle reproduces FNV-1a's wrapping multiply in HUGEINT mod 2^64.
     "doc_fingerprint_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -593,6 +593,32 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "doc_fingerprint_rolling" -> {
+      // FNV-1a 64-bit re-expressed in overflow-free HUGEINT mod-2^64
+      // arithmetic (DuckDB raises on BIGINT overflow; Spark's native
+      // fnv64 wraps). xor acts on the low byte only, so it runs in
+      // BIGINT. ASCII corpus ⇒ code point = UTF-8 byte.
+      val step = "((h - (h % 256) + xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT) * " +
+        "1099511628211) % 18446744073709551616::HUGEINT"
+      def fnvOf(s: String) =
+        s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+          s"list_transform(range(1, length($s)+1), j -> unicode($s[j])::HUGEINT)), " +
+          s"(h, c) -> $step)"
+      def toSigned(e: String) =
+        s"CASE WHEN $e >= 9223372036854775808::HUGEINT " +
+          s"THEN CAST($e - 18446744073709551616::HUGEINT AS BIGINT) " +
+          s"ELSE CAST($e AS BIGINT) END"
+      s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+         |sh AS (SELECT doc_id, text, list_transform(range(1, greatest(len(toks)-2, 1)+1),
+         |         i -> array_to_string(toks[i:i+2], ' ')) AS shingles FROM t)
+         |SELECT doc_id,
+         |  ${toSigned(fnvOf("text"))} AS full_fnv,
+         |  list_aggregate(list_transform(shingles, s -> ${toSigned(fnvOf("s"))}), 'min')
+         |    AS min_shingle_fnv,
+         |  CAST(len(shingles) AS BIGINT) AS n_shingles
+         |FROM sh ORDER BY doc_id""".stripMargin
+    },
+
     "pipeline_curate" ->
       s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),
          |quality AS (
@@ -644,6 +670,50 @@ object SparkEntry {
         |WHERE inter * 10 >= (n1 + n2 - inter) * 9
         |ORDER BY d1, d2""".stripMargin,
 
+    "dedup_minhash_lsh" -> {
+      // generated with the same seeded affine-family constants as
+      // Dedup.minhashSignatures; candidates = any of the `bands`
+      // signature slices equal (list equality, zero collision term)
+      val params = Dedup.minhashParams(32)
+      val p = Dedup.MinhashPrime
+      val sigMins = params.map { case (a, b) =>
+        s"min((tid * $a + $b) % $p)" }.mkString("[", ", ", "]")
+      val bandEq = (0 until 4).map { b =>
+        val lo = b * 8 + 1; val hi = b * 8 + 8
+        s"a.s[$lo:$hi] = b.s[$lo:$hi]" }.mkString(" OR ")
+      val matchSum = (1 to 32).map(i =>
+        s"(CASE WHEN a.s[$i] = b.s[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+         |  FROM documents),
+         |tid AS (SELECT doc_id,
+         |          CAST(concat('0x', substr(md5(token), 1, 10)) AS BIGINT) AS tid
+         |        FROM tok),
+         |sig AS (SELECT doc_id, $sigMins AS s FROM tid GROUP BY doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  ($matchSum) / 32.0 AS est_jaccard
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
+         |ORDER BY d1, d2""".stripMargin
+    },
+    "dedup_simhash" -> {
+      // generated to mirror Dedup.simhashFingerprints bit-for-bit: the
+      // md5-hex token hash is the cross-engine primitive
+      val bitSums = (0 until Dedup.SimhashBits).map(b =>
+        s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val fpExpr = (0 until Dedup.SimhashBits).map(b =>
+        s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $fpExpr AS simhash FROM bits),
+         |fpl AS (SELECT f.doc_id, f.simhash, d.lang FROM fp f JOIN documents d USING (doc_id))
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM fpl a JOIN fpl b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 16
+         |ORDER BY d1, d2""".stripMargin
+    },
     "knn_brute_force" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |prod AS (

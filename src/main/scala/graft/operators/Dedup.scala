@@ -118,15 +118,36 @@ object Dedup {
     * xxhash64(k, token); signature element k = min over the doc's tokens.
     * One explode + one groupBy — the sketch costs O(tokens·1) with K
     * aggregates, not K passes. */
+  /** Modulus of the affine MinHash family: the first prime above 2^40.
+    * With 40-bit token ids and 20-bit multipliers, a·tid + b stays under
+    * 2^61 — exact in SIGNED 64-bit arithmetic in every engine (DuckDB
+    * raises on BIGINT overflow rather than wrapping, so the family must
+    * be overflow-free by construction, not by wrapping). */
+  val MinhashPrime: Long = 1099511627791L
+
+  /** Deterministic (a_k, b_k) parameters of the affine family
+    * h_k(x) = (a_k·x + b_k) mod [[MinhashPrime]] — seeded so the DuckDB
+    * oracle can be generated with the same constants. */
+  def minhashParams(numHashes: Int, seed: Long = 2024L): IndexedSeq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    IndexedSeq.fill(numHashes)(
+      (rng.nextInt((1 << 20) - 1).toLong + 1L,
+        rng.nextLong() & ((1L << 40) - 1)))
+  }
+
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
     tokenPostings(docs)
-      // hash the variable-length token ONCE; the K simulated hash
-      // functions then mix a fixed-width long (two xxhash blocks) —
-      // K×cheaper than re-hashing the string per k
-      .select(col("doc_id"), xxhash64(col("token")).as("tid"))
+      // hash the variable-length token ONCE (md5 → 40-bit id, the
+      // cross-engine primitive); the K hash functions are then affine
+      // mixes of that fixed-width id — K×cheaper than re-hashing the
+      // string per k, and reproducible by the SQL oracle
+      .select(col("doc_id"),
+        conv(substring(md5(col("token").cast("binary")), 1, 10), 16, 10)
+          .cast("long").as("tid"))
       .groupBy("doc_id")
-      .agg(array((0 until numHashes).map(k =>
-        min(xxhash64(lit(k), col("tid")))): _*).as("sig"))
+      .agg(array(minhashParams(numHashes).map { case (a, b) =>
+        min((col("tid") * a + b) % MinhashPrime)
+      }: _*).as("sig"))
 
   /** MinHash-LSH candidate pairs: signatures cut into `bands` bands of
     * r = K/bands rows; docs sharing any band hash become candidates;
@@ -140,9 +161,13 @@ object Dedup {
         "would silently drop trailing signature rows from banding")
     val r = numHashes / bands
     val sigs = minhashSignatures(docs, numHashes)
+    // Band key = the r-long signature slice ITSELF (not a hash of it):
+    // equality is then exactly "band agrees", with no collision term —
+    // and the SQL oracle can reproduce the candidate set with plain
+    // list-slice equality.
     val banded = sigs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until bands).map(b =>
-          hash(slice(col("sig"), b * r + 1, r))): _*)))
+          slice(col("sig"), b * r + 1, r)): _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     // Banded rows (docs×bands, tiny) carry the signature INTO the
     // self-join so the estimate is computed in the join's own stage by
@@ -160,20 +185,29 @@ object Dedup {
       .agg((max("match_cnt").cast("double") / numHashes).as("est_jaccard"))
   }
 
-  /** 64-bit SimHash fingerprints: each token occurrence votes ±1 on each
-    * bit of its xxhash64; fingerprint bit = sign of the tally. Computed
-    * as 64 conditional-sum aggregates over one explode — single shuffle. */
+  /** SimHash bit width: 60 = 15 hex digits of md5, the widest slice that
+    * still fits a SIGNED 64-bit int in every engine (the DuckDB oracle
+    * parses the same hex, so the fingerprint is engine-independent). */
+  val SimhashBits = 60
+
+  /** 60-bit SimHash fingerprints: each token occurrence votes ±1 on each
+    * bit of its md5-derived hash; fingerprint bit = sign of the tally.
+    * Computed as 60 conditional-sum aggregates over one explode — single
+    * shuffle. md5 (not xxhash64) so external engines reproduce the
+    * fingerprint bit-for-bit. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-      .withColumn("h", xxhash64(col("token")))
-    val bitSums = (0 until 64).map { b =>
+      .withColumn("h",
+        conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"bit$b")
     }
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"),
-        (0 until 64).map(b =>
+        (0 until SimhashBits).map(b =>
           when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }

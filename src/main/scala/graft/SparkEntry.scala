@@ -670,6 +670,74 @@ object SparkEntry {
         |WHERE inter * 10 >= (n1 + n2 - inter) * 9
         |ORDER BY d1, d2""".stripMargin,
 
+    "ann_ivf" -> {
+      val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+      val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+      s"""WITH cent AS (
+         |  SELECT label, g.k AS dim,
+         |    CAST(SUM(CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k) GROUP BY 1, 2),
+         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |score AS (
+         |  SELECT q.qid, c.label,
+         |    CAST(CAST(SUM(CAST(FLOOR(CAST(q.qe[c.dim] AS DOUBLE) * 1000) AS BIGINT) * c.sum_q) AS BIGINT) AS DOUBLE)
+         |      / MAX(c.n) AS cscore
+         |  FROM q CROSS JOIN cent c GROUP BY 1, 2),
+         |best AS (SELECT qid, label FROM (
+         |    SELECT qid, label,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS crn
+         |    FROM score) t WHERE crn = 1),
+         |pair AS (
+         |  SELECT b.qid, e.label, e.vec_id,
+         |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
+         |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
+         |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
+         |  FROM best b JOIN q ON q.qid = b.qid
+         |  JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid
+         |  CROSS JOIN generate_series(1, 64) g(k)
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT qid, label, vec_id,
+         |        CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos FROM pair),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |       FROM r)
+         |SELECT qid, label, vec_id, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
+    "ann_lsh" -> {
+      // plane constants generated from the same seed as the Spark query
+      val planes = graft.operators.Similarity.lshPlanesQuantized(6, 64)
+      val planeRows = planes.zipWithIndex.flatMap { case (row, p) =>
+        row.zipWithIndex.map { case (w, d) => s"($p, ${d + 1}, $w)" }
+      }.mkString(", ")
+      val qf = "CAST(FLOOR(CAST(c.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+      val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+      s"""WITH planes(p, k, w) AS (VALUES $planeRows),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |    CAST(SUM(pl.w * CAST(FLOOR(CAST(e.embedding[pl.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+         |bucket AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM dots GROUP BY 1),
+         |q AS (SELECT b.vec_id AS qid, e.embedding AS qe, b.bucket AS qbucket
+         |      FROM bucket b JOIN embeddings e ON e.vec_id = b.vec_id WHERE b.vec_id < 5),
+         |cand AS (SELECT c.qid, c.qe, b.vec_id, b.bucket
+         |         FROM q c JOIN bucket b ON b.bucket = c.qbucket AND b.vec_id <> c.qid),
+         |pair AS (
+         |  SELECT c.qid, c.vec_id, c.bucket,
+         |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
+         |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
+         |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
+         |  FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |  CROSS JOIN generate_series(1, 64) g(k)
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT qid, vec_id, bucket,
+         |        CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos FROM pair),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |       FROM r)
+         |SELECT qid, vec_id, bucket, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    },
     "dedup_minhash_lsh" -> {
       // generated with the same seeded affine-family constants as
       // Dedup.minhashSignatures; candidates = any of the `bands`

@@ -83,4 +83,18 @@ object VectorFunctions {
       when(aggregate(zip_with(planeCol, v, (x, y) => x * y.cast("double")),
         lit(0.0), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** [[hyperplaneBucket]] with integer-quantized planes and vector: bit
+    * p = sign of Σ w_pd · floor(v_d·scale), an EXACT integer — the
+    * bucket assignment is reproducible by any engine regardless of float
+    * summation order. |w| ≤ ~5000, |floor(v·1000)| ≤ ~10^3·|v|, so 64-dim
+    * sums sit far below 2^63. */
+  def hyperplaneBucketQuantized(v: Column, planes: Array[Array[Long]],
+                                scale: Int): Column =
+    planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      when(aggregate(zip_with(planeCol, v,
+        (w, y) => w * floor(y.cast("double") * scale).cast("long")),
+        lit(0L), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }

@@ -102,7 +102,9 @@ object Similarity {
     probed.join(emb, "label")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("label"), col("vec_id"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        // quantized cosine: integer dot + one sqrt + one division, so
+        // the rerank ordering (and the SQL oracle) is bit-exact
+        cosineQuantized(col("qe"), col("embedding"), scale).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
@@ -112,13 +114,22 @@ object Similarity {
     * deterministic driver-side matrix (seeded), broadcast as literals.
     * Recall is tunable via numPlanes (fewer planes = bigger buckets).
     */
+  /** Seeded hyperplane matrix quantized to integer milli-units — shared
+    * between the Spark bucketing expression and the generated SQL
+    * oracle, so the bucket assignment is engine-independent (sign of an
+    * exact integer dot product, no float summation order in sight). */
+  def lshPlanesQuantized(numPlanes: Int, dim: Int,
+                         seed: Long = 42L): Array[Array[Long]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(math.round(rng.nextGaussian() * 1000))
+  }
+
   def annLshBucketed(spark: SparkSession, emb: DataFrame, numQueries: Int,
                      k: Int, numPlanes: Int = 6, dim: Int = 64,
-                     seed: Long = 42L): DataFrame = {
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(numPlanes, dim)(rng.nextGaussian())
+                     seed: Long = 42L, scale: Int = 1000): DataFrame = {
+    val planes = lshPlanesQuantized(numPlanes, dim, seed)
     val bucketed = emb.select(col("vec_id"), col("embedding"),
-      hyperplaneBucket(col("embedding"), planes).as("bucket"))
+      hyperplaneBucketQuantized(col("embedding"), planes, scale).as("bucket"))
     val queries = broadcast(
       bucketed.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"),
@@ -126,7 +137,7 @@ object Similarity {
     val scored = queries.join(bucketed, col("bucket") === col("qbucket"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("bucket"),
-        cosine(col("qe"), col("embedding")).as("cos"))
+        cosineQuantized(col("qe"), col("embedding"), scale).as("cos"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }

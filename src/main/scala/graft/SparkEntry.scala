@@ -266,6 +266,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDistance = 16)
         .orderBy("d1", "d2")),
+    // Semantic tier: embedding-cosine near-dups (label-blocked). The
+    // synthetic embedding space tops out near cos 0.48, so 0.35 is the
+    // "anomalously close" tail (13-400 pairs across SFs), not noise.
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir),
+        thresholdHundredths = 35).orderBy("d1", "d2")),
 
     // ---- similarity search (north star; Similarity) ----
     "knn_brute_force" -> ((s, dir) =>
@@ -355,6 +361,30 @@ object SparkEntry {
             .cast("double").as("revenue"),
           count(lit(1)).as("cnt"))
         .orderBy("c_mktsegment")
+    }),
+    // TPC-H Q5 shape — the 6-table "local supplier volume" join. The
+    // scale story: region/nation broadcast (tiny dims), customer joins
+    // orders then lineitem on their natural keys, and the
+    // customer-nation = supplier-nation predicate rides ON the supplier
+    // join rather than as a post-filter, so Catalyst prunes non-local
+    // pairs inside the join instead of materializing them.
+    "q5_local_supplier" -> ((s, dir) => {
+      val joined = Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      joined.groupBy("n_name")
+        .agg(sum(money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("n_name")
     }),
     "region_balance" -> ((s, dir) =>
       Tables.supplier(s, dir)
@@ -670,6 +700,24 @@ object SparkEntry {
         |WHERE inter * 10 >= (n1 + n2 - inter) * 9
         |ORDER BY d1, d2""".stripMargin,
 
+    "dedup_embedding" ->
+      """WITH prod AS (
+        |  SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,
+        |    SUM(CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)
+        |      * CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)) AS dot,
+        |    SUM(CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)
+        |      * CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)) AS na,
+        |    SUM(CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)
+        |      * CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)) AS nb
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  CROSS JOIN generate_series(1, 64) g(k)
+        |  GROUP BY 1, 2, 3)
+        |SELECT label, d1, d2,
+        |  CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos
+        |FROM prod
+        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= 0.35
+        |ORDER BY d1, d2""".stripMargin,
     "ann_ivf" -> {
       val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
       val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
@@ -875,6 +923,21 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |              JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "region_balance" ->
       """SELECT r_name,

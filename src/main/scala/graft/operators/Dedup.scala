@@ -135,6 +135,21 @@ object Dedup {
         rng.nextLong() & ((1L << 40) - 1)))
   }
 
+  /** Row-local MinHash signature: the same sketch as
+    * [[minhashSignatures]] but computed entirely inside one row (token
+    * array → per-hash min via transform/array_min), no explode or
+    * groupBy — which is what makes it legal inside a STREAMING query
+    * (stateless projection; the only stateful op is the dedup that
+    * consumes it). Bit-identical to the batch aggregation path (spec-
+    * asserted): same md5→40-bit id, same affine family.
+    */
+  def minhashSigColumn(text: Column, numHashes: Int): Column =
+    array(minhashParams(numHashes).map { case (a, b) =>
+      array_min(transform(array_distinct(split(text, " ")),
+        t => (conv(substring(md5(t.cast("binary")), 1, 10), 16, 10)
+          .cast("long") * a + b) % MinhashPrime))
+    }: _*)
+
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
     tokenPostings(docs)
       // hash the variable-length token ONCE (md5 → 40-bit id, the
@@ -210,6 +225,30 @@ object Dedup {
         (0 until SimhashBits).map(b =>
           when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
+  }
+
+  /** Embedding-space near-duplicates: pairs inside a label block whose
+    * quantized cosine ≥ threshold — the semantic-dedup tier (textually
+    * different, embedding-identical documents). Label blocking keeps the
+    * pair join partition-local after one hash shuffle, exactly like
+    * [[Similarity.nearestPairsPerLabel]]; at 100 TB the block key would
+    * be a coarse quantizer cell rather than a label. Quantized integer
+    * dot products make the cosine (and the ≥ comparison) engine-exact.
+    */
+  def embeddingNearDupPairs(emb: DataFrame, thresholdHundredths: Int,
+                            scale: Int = 100): DataFrame = {
+    import graft.functions.VectorFunctions.{dotQuantized, normSqQuantized}
+    val withNorm = emb.select(col("label"), col("vec_id"), col("embedding"),
+      normSqQuantized(col("embedding"), scale).as("nsq"))
+    val a = withNorm.select(col("label"), col("vec_id").as("d1"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val b = withNorm.select(col("label"), col("vec_id").as("d2"),
+      col("embedding").as("eb"), col("nsq").as("nb"))
+    a.join(b, "label").filter(col("d1") < col("d2"))
+      .select(col("label"), col("d1"), col("d2"),
+        (dotQuantized(col("ea"), col("eb"), scale).cast("double") /
+          sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+      .filter(col("cos") >= thresholdHundredths / 100.0)
   }
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDistance, blocked

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Streaming document-ingestion dedup (north-star extension; the batch
+  * tiers live in [[graft.operators.Dedup]]).
+  *
+  * Near-duplicate dedup in a stream can't explode postings and self-join
+  * the corpus — state would be unbounded and Structured Streaming allows
+  * one stateful operator per query. The streaming formulation instead:
+  *
+  *   1. computes the MinHash signature ROW-LOCALLY
+  *      ([[Dedup.minhashSigColumn]] — a stateless projection), and
+  *   2. deduplicates on the signature key with
+  *      `dropDuplicatesWithinWatermark`, whose state store holds one
+  *      entry per distinct signature inside the watermark horizon.
+  *
+  * Signature-equality dedup drops J≈1 near-exact duplicates (all K
+  * minhashes agree). Band-level candidate GENERATION (any-band match,
+  * lower J) stays a batch/offline tier: it needs a second stateful
+  * stage, which is exactly the micro-batch join the batch operator
+  * already runs per ingestion window.
+  */
+object DocStream {
+
+  /** Signature key column: the row-local sketch serialized for the
+    * state-store key (array keys aren't comparable in the dedup state). */
+  def sigKey(text: Column, numHashes: Int = 32): Column =
+    concat_ws(",", Dedup.minhashSigColumn(text, numHashes))
+
+  /** Streaming near-exact dedup over a document stream
+    * `(doc_id, ts, text, ...)`: one state entry per distinct signature,
+    * evicted past the watermark — at-least-once upstream re-delivery
+    * and re-crawled near-identical documents both collapse downstream.
+    */
+  def dedupDocStream(docs: DataFrame, watermark: String = "2 hours",
+                     numHashes: Int = 32): DataFrame =
+    docs.withColumn("sig_key", sigKey(col("text"), numHashes))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig_key")
+}

@@ -10,6 +10,9 @@ import graft.streaming.EventStream
 final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
                     event_type: String, value: Double, props: String)
 
+/** Document row shape for the streaming dedup spec. */
+final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
 /** Structured Streaming surface driven through MemoryStream micro-batches. */
 class StreamingSpec extends SparkSpec {
 
@@ -142,5 +145,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     // silence unused warnings for the parquet-sink helper paths
     assert(checkpoint.nonEmpty && out.nonEmpty)
+  }
+
+  test("streaming minhash dedup collapses re-crawled duplicate docs") {
+    val input = MemoryStream[Doc](spark)
+    val q = graft.streaming.DocStream.dedupDocStream(input.toDF())
+      .writeStream.format("memory").queryName("doc_dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, ts("10:00"), "the quick brown fox jumps over the dog"),
+        Doc(2, ts("10:01"), "an entirely different document body here"))
+      q.processAllAvailable()
+      // doc 3 = re-crawl of doc 1 (identical text, new id, later ts):
+      // same signature → dropped; doc 4 is novel → kept
+      input.addData(
+        Doc(3, ts("10:05"), "the quick brown fox jumps over the dog"),
+        Doc(4, ts("10:06"), "yet another unrelated piece of text"))
+      q.processAllAvailable()
+      val kept = spark.table("doc_dedup_stream").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("row-local minhash signature equals the batch aggregation sketch") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta", "en", "s0", 22L),
+      (1L, "the quick brown fox", "en", "s0", 19L),
+      (2L, "alpha beta gamma delta", "fr", "s1", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = graft.operators.Dedup.minhashSignatures(docs, 32)
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    val rowLocal = docs
+      .select(col("doc_id"),
+        graft.operators.Dedup.minhashSigColumn(col("text"), 32).as("sig"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1))
+    assert(batch.toSeq === rowLocal.toSeq)
+    assert(batch(0) === batch(2)) // identical text → identical sketch
   }
 }

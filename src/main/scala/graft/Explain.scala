@@ -16,7 +16,8 @@ object Explain {
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("matmul_basic", "spmm_sparse", "q3_revenue", "doc_stats",
-        "knn_brute_force", "dedup_exact_groups")
+        "knn_brute_force", "dedup_exact_groups", "q5_local_supplier",
+        "dedup_embedding", "dedup_minhash_lsh", "matmul_large")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -546,6 +546,25 @@ object SparkEntry {
     }),
   )
 
+  /** FNV-1a 64-bit of a DuckDB string expression, re-expressed in
+    * overflow-free HUGEINT mod-2^64 arithmetic (DuckDB raises on BIGINT
+    * overflow; Spark's native fnv64 wraps). xor acts on the low byte
+    * only, so it runs in BIGINT. ASCII corpus ⇒ code point = UTF-8 byte. */
+  private def sqlFnvUnsigned(s: String): String = {
+    val step = "((h - (h % 256) + xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT) * " +
+      "1099511628211) % 18446744073709551616::HUGEINT"
+    s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      s"list_transform(range(1, length($s)+1), j -> unicode($s[j])::HUGEINT)), " +
+      s"(h, c) -> $step)"
+  }
+
+  /** Reinterpret a [0, 2^64) HUGEINT expression as the signed BIGINT
+    * Spark's wrapping Long arithmetic produces. */
+  private def sqlToSigned(e: String): String =
+    s"CASE WHEN $e >= 9223372036854775808::HUGEINT " +
+      s"THEN CAST($e - 18446744073709551616::HUGEINT AS BIGINT) " +
+      s"ELSE CAST($e AS BIGINT) END"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -623,31 +642,32 @@ object SparkEntry {
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "doc_fingerprint_rolling" -> {
-      // FNV-1a 64-bit re-expressed in overflow-free HUGEINT mod-2^64
-      // arithmetic (DuckDB raises on BIGINT overflow; Spark's native
-      // fnv64 wraps). xor acts on the low byte only, so it runs in
-      // BIGINT. ASCII corpus ⇒ code point = UTF-8 byte.
-      val step = "((h - (h % 256) + xor((h % 256)::BIGINT, c::BIGINT)::HUGEINT) * " +
-        "1099511628211) % 18446744073709551616::HUGEINT"
-      def fnvOf(s: String) =
-        s"list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
-          s"list_transform(range(1, length($s)+1), j -> unicode($s[j])::HUGEINT)), " +
-          s"(h, c) -> $step)"
-      def toSigned(e: String) =
-        s"CASE WHEN $e >= 9223372036854775808::HUGEINT " +
-          s"THEN CAST($e - 18446744073709551616::HUGEINT AS BIGINT) " +
-          s"ELSE CAST($e AS BIGINT) END"
+    "doc_fingerprint_rolling" ->
       s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
          |sh AS (SELECT doc_id, text, list_transform(range(1, greatest(len(toks)-2, 1)+1),
          |         i -> array_to_string(toks[i:i+2], ' ')) AS shingles FROM t)
          |SELECT doc_id,
-         |  ${toSigned(fnvOf("text"))} AS full_fnv,
-         |  list_aggregate(list_transform(shingles, s -> ${toSigned(fnvOf("s"))}), 'min')
+         |  ${sqlToSigned(sqlFnvUnsigned("text"))} AS full_fnv,
+         |  list_aggregate(list_transform(shingles, s -> ${sqlToSigned(sqlFnvUnsigned("s"))}), 'min')
          |    AS min_shingle_fnv,
          |  CAST(len(shingles) AS BIGINT) AS n_shingles
-         |FROM sh ORDER BY doc_id""".stripMargin
-    },
+         |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "media_features" ->
+      // the stub codec's scalar surface is pure arithmetic over the
+      // payload: FNV checksum (same fold as doc_fingerprint_rolling)
+      // and length-derived probe dims — all engine-reproducible
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |       ELSE 'video' END AS kind,
+         |  text, CAST(length(text) AS BIGINT) AS n_bytes FROM documents)
+         |SELECT media_id, kind, n_bytes,
+         |  ${sqlToSigned(sqlFnvUnsigned("text"))} AS checksum,
+         |  CAST(CASE kind WHEN 'image' THEN n_bytes % 640 + 1
+         |       WHEN 'video' THEN 1280 ELSE 0 END AS INT) AS width,
+         |  CAST(CASE kind WHEN 'image' THEN n_bytes % 480 + 1
+         |       WHEN 'video' THEN 720 ELSE 0 END AS INT) AS height
+         |FROM m ORDER BY media_id""".stripMargin,
 
     "pipeline_curate" ->
       s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),

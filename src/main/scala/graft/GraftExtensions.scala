@@ -2,24 +2,45 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.Fnv64
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{Fnv64, SortedLongIntersectCount, ZipLongEqualCount}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
-  * registry so they are callable from SQL and `call_function` alike.
+  * registry so they are callable from SQL and `call_function` alike —
+  * `fnv64(binary)`, `sorted_intersect_count(array<bigint>, array<bigint>)`,
+  * `zip_equal_count(array<bigint>, array<bigint>)`.
   * Custom Rules/Strategies would be injected here too; reference parity
   * needs none (SURVEY.md §4) — Catalyst's rewrite set covers it.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def unary(name: String, build: Expression => Expression)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(classOf[Fnv64].getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 1,
+        s"$name expects exactly 1 argument, got ${children.length}")
+      build(children.head)
+    })
+
+  private def binary(name: String, clazz: Class[_],
+                     build: (Expression, Expression) => Expression)
+  : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    new FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, name),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        s"$name expects exactly 2 arguments, got ${children.length}")
+      build(children.head, children(1))
+    })
+
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("fnv64"),
-      new ExpressionInfo(classOf[Fnv64].getName, "fnv64"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 1,
-          s"fnv64 expects exactly 1 argument, got ${children.length}")
-        Fnv64(children.head)
-      }))
+    ext.injectFunction(unary("fnv64", Fnv64))
+    ext.injectFunction(binary("sorted_intersect_count",
+      classOf[SortedLongIntersectCount], SortedLongIntersectCount))
+    ext.injectFunction(binary("zip_equal_count",
+      classOf[ZipLongEqualCount], ZipLongEqualCount))
   }
 }

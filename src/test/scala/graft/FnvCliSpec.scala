@@ -20,6 +20,16 @@ class FnvCliSpec extends SparkSpec {
     assert(got("") === 0xcbf29ce484222325L)
   }
 
+  test("registered set kernels are callable from plain SQL") {
+    Seq((Seq(1L, 3L, 5L), Seq(3L, 5L, 9L))).toDF("a", "b")
+      .createOrReplaceTempView("kern_in")
+    val r = spark.sql(
+      """SELECT sorted_intersect_count(a, b) AS i, zip_equal_count(a, b) AS e
+        |FROM kern_in""".stripMargin).collect().head
+    assert(r.getLong(0) === 2L) // {3,5}
+    assert(r.getLong(1) === 0L) // no position agrees
+  }
+
   test("fnv64 agrees between codegen and interpreted paths") {
     val data = Seq.tabulate(64)(i => s"doc-$i-payload").toDF("s")
       .withColumn("b", col("s").cast("binary"))

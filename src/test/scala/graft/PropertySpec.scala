@@ -109,4 +109,37 @@ class PropertySpec extends SparkSpec {
       assert(m.select("i", "j").distinct().count() === nnz)
     }
   }
+
+  test("native set kernels agree with the built-in formulations") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{sortedIntersectCount, zipEqualCount}
+    val arrGen: Gen[Seq[Long]] = for {
+      n <- Gen.choose(0, 24)
+      xs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+    } yield xs
+    val pairs: Seq[(Seq[Long], Seq[Long])] = (1 to 40).flatMap { s =>
+      for {
+        a <- arrGen.apply(Gen.Parameters.default, Seed(s.toLong))
+        b <- arrGen.apply(Gen.Parameters.default, Seed(s.toLong + 1000))
+      } yield (a.distinct.sorted.toSeq, b.distinct.sorted.toSeq)
+    }
+    val df = pairs.toDF("a", "b")
+    // merge-intersect == size(array_intersect) on sorted distinct input
+    val rows = df.select(
+      sortedIntersectCount(col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // positional-equality count == interpreted zip_with fold (equal lengths)
+    val eqLen = pairs.map { case (a, b) =>
+      val n = math.min(a.length, b.length); (a.take(n), b.take(n))
+    }
+    val rows2 = eqLen.toDF("a", "b").select(
+      zipEqualCount(col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x).as("builtin"))
+      .collect()
+    rows2.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.operators.{Analytics, Dedup, MatrixOps, Multimodal, Similarity, Temporal, TextOps}
@@ -426,6 +427,38 @@ object SparkEntry {
            |FROM $view
            |GROUP BY ROLLUP(r_name, n_name)
            |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // CUBE grouping sets over the same join — all four aggregation
+    // levels (region×nation, region, nation, grand total) in one
+    // Expand pass.
+    "region_cube" -> ((s, dir) => {
+      val joined = Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), money(col("s_acctbal")).as("bal"))
+      val view = s"region_cube_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      joined.createOrReplaceTempView(view)
+      s.sql(
+        s"""SELECT r_name, n_name, CAST(SUM(bal) AS DOUBLE) AS total_bal,
+           |  COUNT(*) AS suppliers
+           |FROM $view
+           |GROUP BY CUBE(r_name, n_name)
+           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    }),
+    // Per-user inter-event gaps: lag/lead over the event-time order —
+    // the windowed navigation primitive every funnel/session analysis
+    // starts from. One hash shuffle on user_id; the sort is
+    // partition-local within the window.
+    "user_event_gaps" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("prev_gap_us",
+          unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("prev_gap_us").isNotNull)
+        .orderBy("user_id", "ts", "event_id")
     }),
 
     // Set operations: users who hit high values but never low ones
@@ -999,6 +1032,22 @@ object SparkEntry {
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "region_cube" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  CAST(COUNT(*) AS BIGINT) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "user_event_gaps" ->
+      """SELECT user_id, event_id, ts, event_type,
+        |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS prev_gap_us,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |QUALIFY prev_gap_us IS NOT NULL
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "events_by_type" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_q,

@@ -298,6 +298,14 @@ object SparkEntry {
         .select(col("qid"), col("label"), col("vec_id"), col("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+    // Multi-probe IVF: rerank across the TWO nearest clusters — the
+    // recall knob for boundary queries.
+    "ann_ivf_probe2" -> ((s, dir) =>
+      Similarity.annIvf(s, Tables.embeddings(s, dir), numQueries = 5, k = 5,
+        probes = 2)
+        .select(col("qid"), col("label"), col("vec_id"), col("cos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
     "ann_lsh" -> ((s, dir) =>
       Similarity.annLshBucketed(s, Tables.embeddings(s, dir), numQueries = 5, k = 5)
         .select(col("qid"), col("vec_id"), col("bucket"), col("cos"),
@@ -598,6 +606,43 @@ object SparkEntry {
       s"THEN CAST($e - 18446744073709551616::HUGEINT AS BIGINT) " +
       s"ELSE CAST($e AS BIGINT) END"
 
+  /** IVF ANN oracle, parameterized by probe count (mirrors
+    * [[Similarity.annIvf]]: centroid scores in exact integer space, the
+    * `probes` best clusters reranked by quantized cosine). */
+  private def sqlAnnIvf(probes: Int): String = {
+    val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    s"""WITH cent AS (
+       |  SELECT label, g.k AS dim,
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k) GROUP BY 1, 2),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |score AS (
+       |  SELECT q.qid, c.label,
+       |    CAST(CAST(SUM(CAST(FLOOR(CAST(q.qe[c.dim] AS DOUBLE) * 1000) AS BIGINT) * c.sum_q) AS BIGINT) AS DOUBLE)
+       |      / MAX(c.n) AS cscore
+       |  FROM q CROSS JOIN cent c GROUP BY 1, 2),
+       |best AS (SELECT qid, label FROM (
+       |    SELECT qid, label,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS crn
+       |    FROM score) t WHERE crn <= $probes),
+       |pair AS (
+       |  SELECT b.qid, e.label, e.vec_id,
+       |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
+       |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
+       |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
+       |  FROM best b JOIN q ON q.qid = b.qid
+       |  JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid
+       |  CROSS JOIN generate_series(1, 64) g(k)
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT qid, label, vec_id,
+       |        CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos FROM pair),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |       FROM r)
+       |SELECT qid, label, vec_id, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -771,39 +816,8 @@ object SparkEntry {
         |FROM prod
         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= 0.35
         |ORDER BY d1, d2""".stripMargin,
-    "ann_ivf" -> {
-      val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
-      val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
-      s"""WITH cent AS (
-         |  SELECT label, g.k AS dim,
-         |    CAST(SUM(CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
-         |    CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k) GROUP BY 1, 2),
-         |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-         |score AS (
-         |  SELECT q.qid, c.label,
-         |    CAST(CAST(SUM(CAST(FLOOR(CAST(q.qe[c.dim] AS DOUBLE) * 1000) AS BIGINT) * c.sum_q) AS BIGINT) AS DOUBLE)
-         |      / MAX(c.n) AS cscore
-         |  FROM q CROSS JOIN cent c GROUP BY 1, 2),
-         |best AS (SELECT qid, label FROM (
-         |    SELECT qid, label,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS crn
-         |    FROM score) t WHERE crn = 1),
-         |pair AS (
-         |  SELECT b.qid, e.label, e.vec_id,
-         |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
-         |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
-         |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
-         |  FROM best b JOIN q ON q.qid = b.qid
-         |  JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid
-         |  CROSS JOIN generate_series(1, 64) g(k)
-         |  GROUP BY 1, 2, 3),
-         |r AS (SELECT qid, label, vec_id,
-         |        CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos FROM pair),
-         |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
-         |       FROM r)
-         |SELECT qid, label, vec_id, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-    },
+    "ann_ivf" -> sqlAnnIvf(probes = 1),
+    "ann_ivf_probe2" -> sqlAnnIvf(probes = 2),
     "ann_lsh" -> {
       // plane constants generated from the same seed as the Spark query
       val planes = graft.operators.Similarity.lshPlanesQuantized(6, 64)

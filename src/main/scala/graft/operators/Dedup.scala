@@ -45,6 +45,28 @@ object Dedup {
         Seq("content_hash"), "left_anti")
       .drop("content_hash")
 
+  /** Persist a corpus's content digests bucketed by digest — the
+    * accumulated-lake side of incremental dedup at scale: each
+    * ingestion batch then anti-joins against co-located buckets, so the
+    * billion-row digest table never re-shuffles per batch (only the
+    * small incoming batch hashes into the bucket layout). */
+  def saveCorpusDigests(corpus: DataFrame, table: String,
+                        buckets: Int): Unit =
+    corpus.select(contentHash.as("content_hash")).distinct()
+      .write.mode("overwrite")
+      .bucketBy(buckets, "content_hash").sortBy("content_hash")
+      .saveAsTable(table)
+
+  /** Incremental dedup against a [[saveCorpusDigests]] table: the
+    * anti-join consumes the corpus's buckets in place (no Exchange on
+    * the corpus side — asserted in BucketingSpec). */
+  def dedupAgainstCorpusBucketed(spark: org.apache.spark.sql.SparkSession,
+                                 newDocs: DataFrame,
+                                 corpusTable: String): DataFrame =
+    newDocs.withColumn("content_hash", contentHash)
+      .join(spark.table(corpusTable), Seq("content_hash"), "left_anti")
+      .drop("content_hash")
+
   /** Distinct tokens per document — the postings list every near-dup
     * tier builds on. */
   def tokenPostings(docs: DataFrame): DataFrame =

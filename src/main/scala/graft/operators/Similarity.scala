@@ -82,7 +82,7 @@ object Similarity {
     * here; ~√N in production) is broadcast-trivial.
     */
   def annIvf(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
-             dim: Int = 64, scale: Int = 1000): DataFrame = {
+             dim: Int = 64, scale: Int = 1000, probes: Int = 1): DataFrame = {
     val cents = broadcast(labelCentroids(spark, emb, dim, scale))
     val queries = broadcast(
       emb.filter(col("vec_id") < numQueries)
@@ -95,8 +95,11 @@ object Similarity {
           lit(0L), (acc, x) => acc + x).cast("double") / col("n")).as("cscore"))
     val wBest = Window.partitionBy("qid")
       .orderBy(col("cscore").desc, col("label"))
+    // multi-probe: rerank inside the `probes` best clusters — the
+    // standard IVF recall knob (boundary vectors live in a neighbor
+    // cell; probing P cells trades P× candidates for recall)
     val probed = scored.withColumn("crn", row_number().over(wBest))
-      .filter(col("crn") === 1)
+      .filter(col("crn") <= probes)
       .select(col("qid"), col("qe"), col("label"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     probed.join(emb, "label")

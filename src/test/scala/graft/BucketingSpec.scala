@@ -36,4 +36,28 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_b")
     }
   }
+
+  test("bucketed incremental dedup anti-joins without shuffling the corpus") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq((0L, "seen before"), (1L, "also seen"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "seen before"), (11L, "novel one"), (12L, "also seen"))
+      .toDF("doc_id", "text")
+    Dedup.saveCorpusDigests(corpus, "corpus_digests", buckets = 4)
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val kept = Dedup.dedupAgainstCorpusBucketed(spark, batch, "corpus_digests")
+      val plan = kept.queryExecution.executedPlan.toString
+      // exactly one exchange: the incoming BATCH hashing into the
+      // corpus's bucket layout; the corpus side reads buckets in place
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+      assert(exchanges === 1, s"expected only the batch-side exchange, plan:\n$plan")
+      assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(11L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+      spark.sql("DROP TABLE IF EXISTS corpus_digests")
+    }
+  }
 }

@@ -31,7 +31,15 @@ object Bench {
     // standard noise floor estimator for a deterministic workload.
     // Dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2) for tuning a hot
     // query without paying for the whole suite; driver sets it never.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Trimmed + validated: a typo'd name would otherwise bench an empty
+    // suite and print a suspiciously fast "clean" total.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not declared: " +
+        unknown.toSeq.sorted.mkString(", "))
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -15,10 +15,11 @@ import graft.functions.{Fnv64, SortedLongIntersectCount, ZipLongEqualCount}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def unary(name: String, build: Expression => Expression)
+  private def unary(name: String, clazz: Class[_],
+                    build: Expression => Expression)
   : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     new FunctionIdentifier(name),
-    new ExpressionInfo(classOf[Fnv64].getName, name),
+    new ExpressionInfo(clazz.getName, name),
     (children: Seq[Expression]) => {
       require(children.length == 1,
         s"$name expects exactly 1 argument, got ${children.length}")
@@ -37,7 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     })
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(unary("fnv64", Fnv64))
+    ext.injectFunction(unary("fnv64", classOf[Fnv64], Fnv64))
     ext.injectFunction(binary("sorted_intersect_count",
       classOf[SortedLongIntersectCount], SortedLongIntersectCount))
     ext.injectFunction(binary("zip_equal_count",

@@ -417,43 +417,10 @@ object SparkEntry {
         .orderBy("event_type")),
 
     // ROLLUP grouping sets over the region/nation hierarchy.
-    "region_rollup" -> ((s, dir) => {
-      val joined = Tables.supplier(s, dir)
-        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-        .select(col("r_name"), col("n_name"), money(col("s_acctbal")).as("bal"))
-      // Dataset-API rollup trips Spark's ambiguous-self-join detection on
-      // the Expand-duplicated grouping attrs (joined broadcast lineage);
-      // the SQL surface plans the identical Aggregate(Expand) cleanly.
-      // Unique view name: a fixed one would race concurrent invocations
-      // on a shared session.
-      val view = s"region_rollup_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      joined.createOrReplaceTempView(view)
-      s.sql(
-        s"""SELECT r_name, n_name, CAST(SUM(bal) AS DOUBLE) AS total_bal,
-           |  COUNT(*) AS suppliers
-           |FROM $view
-           |GROUP BY ROLLUP(r_name, n_name)
-           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
-    }),
-
-    // CUBE grouping sets over the same join — all four aggregation
-    // levels (region×nation, region, nation, grand total) in one
-    // Expand pass.
-    "region_cube" -> ((s, dir) => {
-      val joined = Tables.supplier(s, dir)
-        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
-        .select(col("r_name"), col("n_name"), money(col("s_acctbal")).as("bal"))
-      val view = s"region_cube_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      joined.createOrReplaceTempView(view)
-      s.sql(
-        s"""SELECT r_name, n_name, CAST(SUM(bal) AS DOUBLE) AS total_bal,
-           |  COUNT(*) AS suppliers
-           |FROM $view
-           |GROUP BY CUBE(r_name, n_name)
-           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
-    }),
+    "region_rollup" -> ((s, dir) => regionGroupingSets(s, dir, "ROLLUP")),
+    // CUBE: all four aggregation levels (region×nation, region,
+    // nation, grand total) in one Expand pass.
+    "region_cube" -> ((s, dir) => regionGroupingSets(s, dir, "CUBE")),
     // Per-user inter-event gaps: lag/lead over the event-time order —
     // the windowed navigation primitive every funnel/session analysis
     // starts from. One hash shuffle on user_id; the sort is
@@ -605,6 +572,30 @@ object SparkEntry {
     s"CASE WHEN $e >= 9223372036854775808::HUGEINT " +
       s"THEN CAST($e - 18446744073709551616::HUGEINT AS BIGINT) " +
       s"ELSE CAST($e AS BIGINT) END"
+
+  /** Supplier-balance aggregation at ROLLUP/CUBE grouping sets.
+    * Dataset-API rollup/cube trips Spark's ambiguous-self-join detection
+    * on the Expand-duplicated grouping attrs (joined broadcast lineage);
+    * the SQL surface plans the identical Aggregate(Expand) cleanly.
+    * Unique view name per invocation: a fixed one would race concurrent
+    * invocations on a shared session — and the view is dropped after
+    * plan construction so repeated bench runs don't accumulate views. */
+  private def regionGroupingSets(s: SparkSession, dir: String,
+                                 sets: String): DataFrame = {
+    val joined = Tables.supplier(s, dir)
+      .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), money(col("s_acctbal")).as("bal"))
+    val view = s"region_gs_src_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    joined.createOrReplaceTempView(view)
+    try s.sql(
+      s"""SELECT r_name, n_name, CAST(SUM(bal) AS DOUBLE) AS total_bal,
+         |  COUNT(*) AS suppliers
+         |FROM $view
+         |GROUP BY $sets(r_name, n_name)
+         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    finally s.catalog.dropTempView(view)
+  }
 
   /** IVF ANN oracle, parameterized by probe count (mirrors
     * [[Similarity.annIvf]]: centroid scores in exact integer space, the

@@ -14,8 +14,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Replaces `aggregate(zip_with(a, b, eq), 0, +)`, which is
   * CodegenFallback: interpreted lambdas per candidate pair dominate the
   * LSH verify stage. This generates a primitive loop inside whole-stage
-  * codegen. NULL if either array is NULL or lengths differ (zip_with
-  * would pad with NULL and the sum would go NULL the same way).
+  * codegen.
+  *
+  * Contract (STRICTER than the zip_with formulation, by design): NULL
+  * if either array is NULL or the lengths differ — a length mismatch
+  * means the signatures were built with different K, and zip_with's
+  * behavior there (pad with NULL, count the padded tail as 0 matches)
+  * would silently understate similarity; surfacing NULL makes the
+  * misuse visible. Elements are assumed non-null (fixed-K signature
+  * arrays never contain nulls).
   */
 case class ZipLongEqualCount(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -157,20 +157,35 @@ object Dedup {
         rng.nextLong() & ((1L << 40) - 1)))
   }
 
-  /** Row-local MinHash signature: the same sketch as
-    * [[minhashSignatures]] but computed entirely inside one row (token
-    * array → per-hash min via transform/array_min), no explode or
+  /** Row-local distinct token ids (md5 → 40-bit) of a text column —
+    * materialize this as its OWN column before [[minhashSigOfIds]]:
+    * inlining it into each of the K per-hash lambdas would re-hash
+    * every token K times (higher-order-function lambdas sit outside
+    * common-subexpression elimination). CollapseProject keeps a
+    * multiply-referenced non-cheap projection materialized, so the
+    * two-step form hashes each token exactly once per row. */
+  def tokenIdsColumn(text: Column): Column =
+    transform(array_distinct(split(text, " ")),
+      t => conv(substring(md5(t.cast("binary")), 1, 10), 16, 10).cast("long"))
+
+  /** Row-local MinHash signature over a [[tokenIdsColumn]] array: the
+    * same sketch as [[minhashSignatures]] but computed entirely inside
+    * one row (per-hash min via transform/array_min), no explode or
     * groupBy — which is what makes it legal inside a STREAMING query
     * (stateless projection; the only stateful op is the dedup that
     * consumes it). Bit-identical to the batch aggregation path (spec-
     * asserted): same md5→40-bit id, same affine family.
     */
-  def minhashSigColumn(text: Column, numHashes: Int): Column =
+  def minhashSigOfIds(tids: Column, numHashes: Int): Column =
     array(minhashParams(numHashes).map { case (a, b) =>
-      array_min(transform(array_distinct(split(text, " ")),
-        t => (conv(substring(md5(t.cast("binary")), 1, 10), 16, 10)
-          .cast("long") * a + b) % MinhashPrime))
+      array_min(transform(tids, tid => (tid * a + b) % MinhashPrime))
     }: _*)
+
+  /** One-column convenience composition of [[tokenIdsColumn]] and
+    * [[minhashSigOfIds]] — ONLY for single-shot use (specs); hot paths
+    * should materialize the id array as a separate column first. */
+  def minhashSigColumn(text: Column, numHashes: Int): Column =
+    minhashSigOfIds(tokenIdsColumn(text), numHashes)
 
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
     tokenPostings(docs)
@@ -258,20 +273,10 @@ object Dedup {
     * dot products make the cosine (and the ≥ comparison) engine-exact.
     */
   def embeddingNearDupPairs(emb: DataFrame, thresholdHundredths: Int,
-                            scale: Int = 100): DataFrame = {
-    import graft.functions.VectorFunctions.{dotQuantized, normSqQuantized}
-    val withNorm = emb.select(col("label"), col("vec_id"), col("embedding"),
-      normSqQuantized(col("embedding"), scale).as("nsq"))
-    val a = withNorm.select(col("label"), col("vec_id").as("d1"),
-      col("embedding").as("ea"), col("nsq").as("na"))
-    val b = withNorm.select(col("label"), col("vec_id").as("d2"),
-      col("embedding").as("eb"), col("nsq").as("nb"))
-    a.join(b, "label").filter(col("d1") < col("d2"))
-      .select(col("label"), col("d1"), col("d2"),
-        (dotQuantized(col("ea"), col("eb"), scale).cast("double") /
-          sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+                            scale: Int = 100): DataFrame =
+    Similarity.pairCosinesPerLabel(emb, scale)
       .filter(col("cos") >= thresholdHundredths / 100.0)
-  }
+      .select(col("label"), col("id_a").as("d1"), col("id_b").as("d2"), col("cos"))
 
   /** Near-dup pairs by SimHash Hamming distance ≤ maxDistance, blocked
     * by `lang`. At 100 TB the blocking key would be simhash bit-bands

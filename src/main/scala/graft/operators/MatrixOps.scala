@@ -259,49 +259,82 @@ object MatrixOps {
       // core. Re-spread by output block; this hash clustering also
       // satisfies the (ci, cj, pos) grouping below, so the per-pair
       // GEMM, explode, and reduction all run in this one exchange.
-      .repartition(col("ci"), col("cj"))
-    // Fused per-partition GEMM + cross-block accumulation: the
-    // repartition collocates every contraction pair of an output block,
-    // so one imperative pass (the genuine per-partition case from the
-    // build ladder — this IS the reference's cache-tiled kernel,
+      // range-partition + partition-local sort: every contraction pair
+      // of an output block arrives contiguously, so the fused pass
+      // below holds exactly ONE bs×bs accumulator at a time — per-task
+      // memory is O(block), independent of how many output blocks land
+      // in a partition (a hash-map of all local blocks would grow with
+      // n²/numPartitions and OOM at the 100 TB target).
+      .repartitionByRange(col("ci"), col("cj"))
+      .sortWithinPartitions("ci", "cj")
+    // Fused per-partition GEMM + cross-block accumulation: one
+    // imperative pass (the genuine per-partition case from the build
+    // ladder — this IS the reference's cache-tiled kernel,
     // `mm_opt.c:63-78`, with blocks for tiles) multiplies straight into
-    // the output accumulator and emits each nonzero cell once. The
-    // declarative alternative (explode partials + per-cell groupBy) puts
-    // n²·(n/BS) rows through a hash aggregate — measured 2× slower at
-    // n=1024 — and a udaf block-sum falls off the object-agg fast path
-    // entirely. Sums stay exact (integral-valued derivations), so
-    // accumulation order is free.
+    // the current block's accumulator and emits its nonzero cells when
+    // the (ci, cj) key changes. The declarative alternative (explode
+    // partials + per-cell groupBy) puts n²·(n/BS) rows through a hash
+    // aggregate — measured 2× slower at n=1024 — and a udaf block-sum
+    // falls off the object-agg fast path entirely. Sums stay exact
+    // (integral-valued derivations), so accumulation order is free.
     import spark.implicits._
     ab.select(col("ci"), col("cj"), col("ablk"), col("bblk"))
       .as[(Long, Long, Array[Double], Array[Double])]
       .mapPartitions { it =>
-        val acc = scala.collection.mutable.HashMap.empty[(Long, Long), Array[Double]]
-        it.foreach { case (ci, cj, x, y) =>
-          val out = acc.getOrElseUpdate((ci, cj), new Array[Double](bs * bs))
-          var i = 0
-          while (i < bs) {
-            var k = 0
-            while (k < bs) {
-              val xv = x(i * bs + k)
-              if (xv != 0.0) {
-                val rowOff = k * bs
-                val outOff = i * bs
-                var j = 0
-                while (j < bs) {
-                  out(outOff + j) += xv * y(rowOff + j)
-                  j += 1
+        new Iterator[Iterator[(Long, Long, Double)]] {
+          private val out = new Array[Double](bs * bs)
+          private var cur: (Long, Long) = null
+
+          private def gemmInto(x: Array[Double], y: Array[Double]): Unit = {
+            var i = 0
+            while (i < bs) {
+              var k = 0
+              while (k < bs) {
+                val xv = x(i * bs + k)
+                if (xv != 0.0) {
+                  val rowOff = k * bs
+                  val outOff = i * bs
+                  var j = 0
+                  while (j < bs) {
+                    out(outOff + j) += xv * y(rowOff + j)
+                    j += 1
+                  }
                 }
+                k += 1
               }
-              k += 1
+              i += 1
             }
-            i += 1
           }
-        }
-        acc.iterator.flatMap { case ((ci, cj), out) =>
-          Iterator.range(0, bs * bs).filter(out(_) != 0.0).map { pos =>
-            (ci * bs + pos / bs, cj * bs + pos % bs, out(pos))
+
+          private def flush(): Iterator[(Long, Long, Double)] = {
+            val (ci, cj) = cur
+            val snapshot = out.clone()
+            java.util.Arrays.fill(out, 0.0)
+            Iterator.range(0, bs * bs).filter(snapshot(_) != 0.0).map { pos =>
+              (ci * bs + pos / bs, cj * bs + pos % bs, snapshot(pos))
+            }
           }
-        }
+
+          def hasNext: Boolean = it.hasNext || cur != null
+
+          def next(): Iterator[(Long, Long, Double)] = {
+            while (it.hasNext) {
+              val (ci, cj, x, y) = it.next()
+              val key = (ci, cj)
+              if (cur == null) { cur = key; gemmInto(x, y) }
+              else if (cur == key) gemmInto(x, y)
+              else {
+                val emitted = flush()
+                cur = key
+                gemmInto(x, y)
+                return emitted
+              }
+            }
+            val emitted = flush()
+            cur = null
+            emitted
+          }
+        }.flatten
       }
       .toDF("i", "j", "v")
   }

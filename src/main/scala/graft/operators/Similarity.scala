@@ -41,23 +41,31 @@ object Similarity {
     * join is partition-local after one hash shuffle on `label` (never
     * all-pairs across the corpus).
     */
-  def nearestPairsPerLabel(emb: DataFrame, pairsPerLabel: Int,
-                           scale: Int = 100): DataFrame = {
-    // Precompute each vector's quantized squared norm once — the pair
-    // join then evaluates ONE 64-wide dot product per pair instead of
-    // three (same integers, so the cosine is bit-identical).
+  /** Quantized cosine of every intra-label pair `(label, id_a, id_b,
+    * cos)` with `id_a < id_b` — the shared scaffolding of per-label
+    * nearest pairs AND embedding near-dup dedup. Each vector's
+    * quantized squared norm is precomputed once, so the pair join
+    * evaluates ONE dim-wide dot product per pair instead of three
+    * (same integers, so the cosine is bit-identical either way). One
+    * hash shuffle on `label`; pairs never form across labels. */
+  def pairCosinesPerLabel(emb: DataFrame, scale: Int): DataFrame = {
     val withNorm = emb.select(col("label"), col("vec_id"), col("embedding"),
       normSqQuantized(col("embedding"), scale).as("nsq"))
     val a = withNorm.select(col("label"), col("vec_id").as("id_a"),
       col("embedding").as("ea"), col("nsq").as("na"))
     val b = withNorm.select(col("label"), col("vec_id").as("id_b"),
       col("embedding").as("eb"), col("nsq").as("nb"))
-    val pairs = a.join(b, "label").filter(col("id_a") < col("id_b"))
+    a.join(b, "label").filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
         (dotQuantized(col("ea"), col("eb"), scale).cast("double") /
           sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+  }
+
+  def nearestPairsPerLabel(emb: DataFrame, pairsPerLabel: Int,
+                           scale: Int = 100): DataFrame = {
     val w = Window.partitionBy("label").orderBy(col("cos").desc, col("id_a"), col("id_b"))
-    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= pairsPerLabel)
+    pairCosinesPerLabel(emb, scale)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= pairsPerLabel)
   }
 
   /** Per-label quantized centroids via the typed [[graft.functions.QuantizedCentroid]]

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
@@ -25,19 +25,19 @@ import graft.operators.Dedup
   */
 object DocStream {
 
-  /** Signature key column: the row-local sketch serialized for the
-    * state-store key (array keys aren't comparable in the dedup state). */
-  def sigKey(text: Column, numHashes: Int = 32): Column =
-    concat_ws(",", Dedup.minhashSigColumn(text, numHashes))
-
   /** Streaming near-exact dedup over a document stream
     * `(doc_id, ts, text, ...)`: one state entry per distinct signature,
     * evicted past the watermark — at-least-once upstream re-delivery
     * and re-crawled near-identical documents both collapse downstream.
+    * Token ids materialize as their own projection so each token is
+    * md5-hashed once per row, not once per hash function.
     */
   def dedupDocStream(docs: DataFrame, watermark: String = "2 hours",
                      numHashes: Int = 32): DataFrame =
-    docs.withColumn("sig_key", sigKey(col("text"), numHashes))
+    docs.withColumn("tids", Dedup.tokenIdsColumn(col("text")))
+      .withColumn("sig_key",
+        concat_ws(",", Dedup.minhashSigOfIds(col("tids"), numHashes)))
+      .drop("tids")
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sig_key")
 }

@@ -267,6 +267,13 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDistance = 16)
         .orderBy("d1", "d2")),
+    // Sub-token tier: character 12-gram Jaccard ≥ 0.9 — catches
+    // reformatted near-dups word tokens miss. 12-grams (≈2 words) stay
+    // discriminative on this 31-token-vocabulary corpus; shorter grams
+    // are shared by most docs, which floods the candidate join.
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 12,
+        thresholdTenths = 9).orderBy("d1", "d2")),
     // Semantic tier: embedding-cosine near-dups (label-blocked). The
     // synthetic embedding space tops out near cos 0.48, so 0.35 is the
     // "anomalously close" tail (13-400 pairs across SFs), not noise.
@@ -789,6 +796,25 @@ object SparkEntry {
         |WHERE inter * 10 >= (n1 + n2 - inter) * 9
         |ORDER BY d1, d2""".stripMargin,
 
+    "dedup_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+        |    range(1, greatest(length(text) - 11, 1) + 1),
+        |    i -> substr(text, i, 12)))) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok t1 JOIN tok t2
+        |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2, inter, n1 + n2 - inter AS uni,
+        |  CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+        |FROM (SELECT i.d1, i.d2, i.inter, c1.n AS n1, c2.n AS n2
+        |      FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+        |                   JOIN cnt c2 ON i.d2 = c2.doc_id) j
+        |WHERE inter * 10 >= (n1 + n2 - inter) * 9
+        |ORDER BY d1, d2""".stripMargin,
     "dedup_embedding" ->
       """WITH prod AS (
         |  SELECT a.label, a.vec_id AS d1, b.vec_id AS d2,

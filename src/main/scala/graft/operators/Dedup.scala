@@ -93,15 +93,64 @@ object Dedup {
     * pair shares common tokens. Results are identical to the naive
     * all-pairs join (the DuckDB oracle runs the naive form).
     */
-  def jaccardPairs(docs: DataFrame, thresholdTenths: Int): DataFrame = {
-    val t = thresholdTenths
+  def jaccardPairs(docs: DataFrame, thresholdTenths: Int): DataFrame =
     // Postings on 64-bit hashed token ids: every downstream shuffle,
     // sort, and comparison runs on primitive longs instead of strings.
     // Set cardinalities are preserved (xxhash64 collisions across a
     // corpus vocabulary are ~2^-40-improbable; a collision would only
     // nudge one pair's intersection count).
-    val tok = tokenPostings(docs)
-      .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid"))
+    jaccardPairsOf(tokenPostings(docs)
+      .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid")),
+      thresholdTenths)
+
+  /** Distinct character n-gram ids per document — the sub-token
+    * postings tier: catches near-dups that word tokenization misses
+    * (joined or split words, punctuation edits). Ids come from the
+    * native [[graft.functions.NgramFnv]] window hasher: one byte-array
+    * pass per row instead of L substring allocations. */
+  def ngramIdPostings(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val ids = Bridge.column(graft.functions.NgramFnv(
+      Bridge.expression(col("text")), n))
+    docs.select(col("doc_id"), col("lang"),
+      explode(array_distinct(ids)).as("tid"))
+  }
+
+  /** Character n-gram Jaccard pairs. N-grams are near-unique (tf ≈ 1),
+    * so rare-prefix candidate generation buys little and its
+    * freq-join/ranking overhead dominates; this tier instead verifies
+    * all intra-lang pairs directly against a BROADCAST corpus of sorted
+    * id arrays (one merge per pair, no shuffle at all) — the right
+    * strategy while one side's arrays fit an executor (e.g. a daily
+    * ingest batch against itself). For an unbounded corpus, route the
+    * same postings through the prefix-filtered plan instead:
+    * `jaccardPairsOf(ngramIdPostings(docs, n), t)`. */
+  def ngramJaccardPairs(docs: DataFrame, n: Int,
+                        thresholdTenths: Int): DataFrame = {
+    val t = thresholdTenths
+    val docTokens = ngramIdPostings(docs, n).groupBy("doc_id", "lang")
+      .agg(sort_array(collect_list(col("tid"))).as("toks"), count(lit(1)).as("n"))
+    val a = docTokens.select(col("lang"), col("doc_id").as("d1"),
+      col("toks").as("toks1"), col("n").as("n1"))
+    val b = docTokens.select(col("lang"), col("doc_id").as("d2"),
+      col("toks").as("toks2"), col("n").as("n2"))
+    a.join(broadcast(b), "lang").filter(col("d1") < col("d2"))
+      // length bound before the merge: |a∩b| ≤ min(n1,n2), so J ≥ t
+      // needs t·|b| ≤ |a| ≤ |b|/t — prunes most pairs integer-cheaply
+      .filter(col("n1") * t <= col("n2") * 10 && col("n2") * t <= col("n1") * 10)
+      .withColumn("inter", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("toks1"), col("toks2")))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * t)
+      .select(col("d1"), col("d2"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** Prefix-filtered Jaccard over any `(doc_id, lang, tid)` id-postings
+    * relation (see [[jaccardPairs]] for the algorithm notes). */
+  private def jaccardPairsOf(tok: DataFrame,
+                             thresholdTenths: Int): DataFrame = {
+    val t = thresholdTenths
     // Per-doc SORTED id arrays + counts (verification side): sorted so
     // the verify kernel is a linear primitive merge, not a hash probe.
     val docTokens = tok.groupBy("doc_id", "lang")

@@ -20,6 +20,23 @@ class FnvCliSpec extends SparkSpec {
     assert(got("") === 0xcbf29ce484222325L)
   }
 
+  test("ngram window hasher equals FNV of each substring, short inputs whole") {
+    import graft.functions.NgramFnv
+    val s = "abcdefgh"
+    val got = NgramFnv.hashes(s.getBytes("UTF-8"), 3).toSeq
+    val want = (0 to 5).map(i => Fnv64.hash(s.substring(i, i + 3).getBytes("UTF-8")))
+    assert(got === want)
+    // shorter than n: one hash of the whole input (substr semantics)
+    assert(NgramFnv.hashes("ab".getBytes("UTF-8"), 5).toSeq ===
+      Seq(Fnv64.hash("ab".getBytes("UTF-8"))))
+    // expression path (codegen) agrees with the Scala object
+    import org.apache.spark.sql.graftbridge.Bridge
+    val df = Seq("the quick brown fox").toDF("s")
+      .select(Bridge.column(NgramFnv(Bridge.expression(col("s")), 4)).as("h"))
+    assert(df.collect().head.getSeq[Long](0) ===
+      NgramFnv.hashes("the quick brown fox".getBytes("UTF-8"), 4).toSeq)
+  }
+
   test("registered set kernels are callable from plain SQL") {
     Seq((Seq(1L, 3L, 5L), Seq(3L, 5L, 9L))).toDF("a", "b")
       .createOrReplaceTempView("kern_in")

@@ -41,12 +41,21 @@ object ResultsCsv {
     * would force the first file's header onto every file, silently
     * corrupting the 9-schema drift this source exists to handle. */
   def readResultsDir(spark: SparkSession, dir: String,
-                     pattern: String = "results_*.csv"): DataFrame = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/$pattern"))
-      .map(_.getPath.toString).sorted.toSeq
-    require(files.nonEmpty, s"no files match $dir/$pattern")
-    readResults(spark, files)
-  }
+                     pattern: String = "results_*.csv"): DataFrame =
+    planCache.computeIfAbsent((spark, dir, pattern), { _ =>
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+      val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/$pattern"))
+        .map(_.getPath.toString).sorted.toSeq
+      require(files.nonEmpty, s"no files match $dir/$pattern")
+      readResults(spark, files)
+    })
+
+  /** Assembled-union plan cache: per-file CSV resolution costs a driver
+    * file read each, and four declared queries share the same source —
+    * the DataFrame (an immutable logical plan) is safe to hand out
+    * repeatedly. Keyed by session so a stopped session's entry is
+    * simply never hit again (bounded: one entry per (dir, pattern)). */
+  private val planCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 }

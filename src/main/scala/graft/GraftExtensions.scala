@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Fnv64, SortedLongIntersectCount, ZipLongEqualCount}
+import graft.functions.{Fnv64, NgramFnv, SortedLongIntersectCount, ZipLongEqualCount}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -43,5 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[SortedLongIntersectCount], SortedLongIntersectCount))
     ext.injectFunction(binary("zip_equal_count",
       classOf[ZipLongEqualCount], ZipLongEqualCount))
+    // ngram_fnv(text, n): n must be a foldable integer literal — the
+    // window width shapes the expression itself
+    ext.injectFunction(binary("ngram_fnv", classOf[NgramFnv], (text, width) => {
+      require(width.foldable && width.dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "ngram_fnv width must be an integer literal")
+      NgramFnv(text, width.eval().asInstanceOf[Int])
+    }))
   }
 }

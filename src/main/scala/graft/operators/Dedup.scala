@@ -127,11 +127,24 @@ object Dedup {
     * `jaccardPairsOf(ngramIdPostings(docs, n), t)`. */
   def ngramJaccardPairs(docs: DataFrame, n: Int,
                         thresholdTenths: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
     val t = thresholdTenths
-    val docTokens = ngramIdPostings(docs, n).groupBy("doc_id", "lang")
-      .agg(sort_array(collect_list(col("tid"))).as("toks"), count(lit(1)).as("n"))
+    // the id array is row-local — sort/distinct it in place rather than
+    // exploding to postings and aggregating them straight back (which
+    // would buy each join input a pointless Exchange+HashAggregate)
+    val ids = Bridge.column(graft.functions.NgramFnv(
+      Bridge.expression(col("text")), n))
+    val docTokens = docs
+      .select(col("doc_id"), col("lang"),
+        sort_array(array_distinct(ids)).as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
     val a = docTokens.select(col("lang"), col("doc_id").as("d1"),
       col("toks").as("toks1"), col("n").as("n1"))
+      // the docs table is one input split, so without this the whole
+      // O(pairs) probe runs on ONE core; spreading the tiny probe side
+      // (one light shuffle of |docs| rows) parallelizes the join
+      .repartition(col("d1"))
     val b = docTokens.select(col("lang"), col("doc_id").as("d2"),
       col("toks").as("toks2"), col("n").as("n2"))
     a.join(broadcast(b), "lang").filter(col("d1") < col("d2"))

@@ -41,21 +41,34 @@ object ResultsCsv {
     * would force the first file's header onto every file, silently
     * corrupting the 9-schema drift this source exists to handle. */
   def readResultsDir(spark: SparkSession, dir: String,
-                     pattern: String = "results_*.csv"): DataFrame =
-    planCache.computeIfAbsent((spark, dir, pattern), { _ =>
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-      val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/$pattern"))
-        .map(_.getPath.toString).sorted.toSeq
-      require(files.nonEmpty, s"no files match $dir/$pattern")
-      readResults(spark, files)
-    })
+                     pattern: String = "results_*.csv"): DataFrame = {
+    // the glob itself reruns every call (cheap driver metadata), so
+    // files added to the dir mid-session are seen — only the expensive
+    // per-file header resolution + union assembly is cached, keyed by
+    // the exact file list
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/$pattern"))
+      .map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"no files match $dir/$pattern")
+    val perSession = planCache.synchronized {
+      var m = planCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[Seq[String], DataFrame]()
+        planCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(files, readResults(spark, _))
+  }
 
   /** Assembled-union plan cache: per-file CSV resolution costs a driver
     * file read each, and four declared queries share the same source —
     * the DataFrame (an immutable logical plan) is safe to hand out
-    * repeatedly. Keyed by session so a stopped session's entry is
-    * simply never hit again (bounded: one entry per (dir, pattern)). */
+    * repeatedly. WEAKLY keyed by session (a stopped session's plans
+    * must not pin its sessionState on the heap forever), then by the
+    * globbed file list (a new file ⇒ a new plan, never a stale union). */
   private val planCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[Seq[String], DataFrame]]()
 }

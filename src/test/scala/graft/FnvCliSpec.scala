@@ -45,6 +45,9 @@ class FnvCliSpec extends SparkSpec {
         |FROM kern_in""".stripMargin).collect().head
     assert(r.getLong(0) === 2L) // {3,5}
     assert(r.getLong(1) === 0L) // no position agrees
+    val ng = spark.sql("SELECT ngram_fnv('abcd', 3) AS h").collect().head
+    assert(ng.getSeq[Long](0) ===
+      graft.functions.NgramFnv.hashes("abcd".getBytes("UTF-8"), 3).toSeq)
   }
 
   test("fnv64 agrees between codegen and interpreted paths") {

@@ -267,6 +267,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), maxDistance = 16)
         .orderBy("d1", "d2")),
+    // Shingle-based MinHash LSH: sketch over character 12-grams — the
+    // tokenization-robust sibling of dedup_minhash_lsh.
+    "dedup_minhash_shingle" -> ((s, dir) =>
+      Dedup.minhashShingleLshPairs(Tables.documents(s, dir), n = 12,
+        numHashes = 32, bands = 4).orderBy("d1", "d2")),
     // Sub-token tier: character 12-gram Jaccard ≥ 0.9 — catches
     // reformatted near-dups word tokens miss. 12-grams (≈2 words) stay
     // discriminative on this 31-token-vocabulary corpus; shorter grams
@@ -796,6 +801,32 @@ object SparkEntry {
         |WHERE inter * 10 >= (n1 + n2 - inter) * 9
         |ORDER BY d1, d2""".stripMargin,
 
+    "dedup_minhash_shingle" -> {
+      // same seeded affine family as the Spark sketch, over FNV window
+      // hashes masked to 40 bits (fold reproduced in HUGEINT mod 2^64;
+      // unsigned-mod 2^40 equals Spark's `& (2^40-1)` on wrapped longs)
+      val params = Dedup.minhashParams(32)
+      val p = Dedup.MinhashPrime
+      val sigMins = params.map { case (a, b) =>
+        s"min((tid * $a + $b) % $p)" }.mkString("[", ", ", "]")
+      val bandEq = (0 until 4).map { b =>
+        val lo = b * 8 + 1; val hi = b * 8 + 8
+        s"a.s[$lo:$hi] = b.s[$lo:$hi]" }.mkString(" OR ")
+      val matchSum = (1 to 32).map(i =>
+        s"(CASE WHEN a.s[$i] = b.s[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      val winFnv40 =
+        s"CAST(${sqlFnvUnsigned("substr(text, i, 12)")} % 1099511627776::HUGEINT AS BIGINT)"
+      s"""WITH tid AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(length(text) - 11, 1) + 1),
+         |    i -> $winFnv40))) AS tid
+         |  FROM documents),
+         |sig AS (SELECT doc_id, $sigMins AS s FROM tid GROUP BY doc_id)
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  ($matchSum) / 32.0 AS est_jaccard
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
+         |ORDER BY d1, d2""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(list_distinct(list_transform(

@@ -238,10 +238,15 @@ object Dedup {
     * consumes it). Bit-identical to the batch aggregation path (spec-
     * asserted): same md5→40-bit id, same affine family.
     */
-  def minhashSigOfIds(tids: Column, numHashes: Int): Column =
-    array(minhashParams(numHashes).map { case (a, b) =>
-      array_min(transform(tids, tid => (tid * a + b) % MinhashPrime))
-    }: _*)
+  def minhashSigOfIds(tids: Column, numHashes: Int): Column = {
+    // native one-pass kernel: the portable form (K separate
+    // array_min(transform(...)) columns) pays K interpreted lambda
+    // traversals per row and dominates row-local sketching
+    import org.apache.spark.sql.graftbridge.Bridge
+    val (as, bs) = minhashParams(numHashes).unzip
+    Bridge.column(graft.functions.MinhashSigs(
+      Bridge.expression(tids), as, bs, MinhashPrime))
+  }
 
   /** One-column convenience composition of [[tokenIdsColumn]] and
     * [[minhashSigOfIds]] — ONLY for single-shot use (specs); hot paths
@@ -269,12 +274,46 @@ object Dedup {
     * is the LSH trick that keeps candidate generation linear-ish at
     * scale (only same-bucket docs ever meet). */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 32,
-                      bands: Int = 8): DataFrame = {
+                      bands: Int = 8): DataFrame =
+    lshPairsOfSigs(minhashSignatures(docs, numHashes), numHashes, bands)
+
+  /** Distinct 40-bit character-shingle ids of a text column — FNV
+    * window hashes ([[graft.functions.NgramFnv]]) masked into the
+    * overflow-free range of the affine MinHash family. min over a
+    * multiset equals min over its set, so mask collisions are harmless
+    * to the sketch. */
+  def shingleIdsColumn(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    transform(
+      array_distinct(Bridge.column(graft.functions.NgramFnv(
+        Bridge.expression(text), n))),
+      id => id.bitwiseAND(lit((1L << 40) - 1)))
+  }
+
+  /** The brief's literal shingle→minhash→band→bucket-join pipeline:
+    * MinHash over character `n`-gram shingles instead of word tokens —
+    * robust to tokenization-breaking edits (joined/split words). The
+    * signature is row-local (no postings explode at all: shingle ids
+    * materialize as their own projection, then K affine mins fold each
+    * row's array), then the same band bucket-join as
+    * [[minhashLshPairs]]. */
+  def minhashShingleLshPairs(docs: DataFrame, n: Int = 12,
+                             numHashes: Int = 32,
+                             bands: Int = 4): DataFrame = {
+    val sigs = docs
+      .select(col("doc_id"), shingleIdsColumn(col("text"), n).as("tids"))
+      .select(col("doc_id"), minhashSigOfIds(col("tids"), numHashes).as("sig"))
+    lshPairsOfSigs(sigs, numHashes, bands)
+  }
+
+  /** Band bucket-join + estimate over any `(doc_id, sig)` signature
+    * relation (see [[minhashLshPairs]] for the algorithm notes). */
+  private def lshPairsOfSigs(sigs: DataFrame, numHashes: Int,
+                             bands: Int): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes) — a remainder " +
         "would silently drop trailing signature rows from banding")
     val r = numHashes / bands
-    val sigs = minhashSignatures(docs, numHashes)
     // Band key = the r-long signature slice ITSELF (not a hash of it):
     // equality is then exactly "band agrees", with no collision term —
     // and the SQL oracle can reproduce the candidate set with plain

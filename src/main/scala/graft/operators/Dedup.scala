@@ -255,18 +255,17 @@ object Dedup {
     minhashSigOfIds(tokenIdsColumn(text), numHashes)
 
   def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame =
-    tokenPostings(docs)
+    docs
+      // spread first: the docs scan is one input split, and everything
+      // downstream (sketch + band join probe) inherits its parallelism
+      .repartition(col("doc_id"))
       // hash the variable-length token ONCE (md5 → 40-bit id, the
-      // cross-engine primitive); the K hash functions are then affine
-      // mixes of that fixed-width id — K×cheaper than re-hashing the
-      // string per k, and reproducible by the SQL oracle
-      .select(col("doc_id"),
-        conv(substring(md5(col("token").cast("binary")), 1, 10), 16, 10)
-          .cast("long").as("tid"))
-      .groupBy("doc_id")
-      .agg(array(minhashParams(numHashes).map { case (a, b) =>
-        min((col("tid") * a + b) % MinhashPrime)
-      }: _*).as("sig"))
+      // cross-engine primitive) in a materialized projection; the K
+      // affine mixes then fold the id array in ONE native pass
+      // ([[graft.functions.MinhashSigs]]) — no postings explode, no
+      // aggregation shuffle, same values as the postings formulation
+      .select(col("doc_id"), tokenIdsColumn(col("text")).as("tids"))
+      .select(col("doc_id"), minhashSigOfIds(col("tids"), numHashes).as("sig"))
 
   /** MinHash-LSH candidate pairs: signatures cut into `bands` bands of
     * r = K/bands rows; docs sharing any band hash become candidates;

@@ -344,24 +344,23 @@ object Dedup {
 
   /** 60-bit SimHash fingerprints: each token occurrence votes ±1 on each
     * bit of its md5-derived hash; fingerprint bit = sign of the tally.
-    * Computed as 60 conditional-sum aggregates over one explode — single
-    * shuffle. md5 (not xxhash64) so external engines reproduce the
-    * fingerprint bit-for-bit. */
+    * Row-local: per-occurrence hashes materialize as a projection (NOT
+    * distinct — SimHash weights by occurrence) and the vote tally folds
+    * in one native pass ([[graft.functions.SimhashOfHashes]]); the
+    * explode + 60-aggregate formulation paid a shuffle for a pure
+    * per-row function. md5 (not xxhash64) so external engines reproduce
+    * the fingerprint bit-for-bit. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("token"))
-      .withColumn("h",
-        conv(substring(md5(col("token").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"bit$b")
-    }
-    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"),
-        (0 until SimhashBits).map(b =>
-          when(col(s"bit$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+    import org.apache.spark.sql.graftbridge.Bridge
+    val occHashes = transform(split(col("text"), " "),
+      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    docs
+      // spread the single-split docs scan; downstream pair joins
+      // inherit this parallelism
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), occHashes.as("hs"))
+      .select(col("doc_id"), Bridge.column(graft.functions.SimhashOfHashes(
+        Bridge.expression(col("hs")), SimhashBits)).as("simhash"))
   }
 
   /** Embedding-space near-duplicates: pairs inside a label block whose

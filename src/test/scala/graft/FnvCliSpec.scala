@@ -50,6 +50,36 @@ class FnvCliSpec extends SparkSpec {
       graft.functions.NgramFnv.hashes("abcd".getBytes("UTF-8"), 3).toSeq)
   }
 
+  test("every custom expression compiles under CODEGEN_ONLY (no silent fallback)") {
+    // broken doGenCode normally falls back to interpreted eval with only
+    // a log line — correctness survives but the codegen claim is false;
+    // this pins the generated code actually compiling and running
+    import graft.operators.Dedup
+    import graft.functions.VectorFunctions._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val docs = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+      val r = docs.select(
+          Dedup.minhashSigOfIds(Dedup.tokenIdsColumn(col("text")), 32).as("sig"),
+          Dedup.shingleIdsColumn(col("text"), 12).as("sids"),
+          call_function("fnv64", col("text").cast("binary")).as("fnv"),
+          call_function("ngram_fnv", col("text"), lit(5)).as("ng"))
+        .select(
+          zipEqualCount(col("sig"), col("sig")).as("zec"),
+          sortedIntersectCount(sort_array(col("sids")), sort_array(col("sids"))).as("sic"),
+          Bridge.column(graft.functions.SimhashOfHashes(
+            Bridge.expression(col("sig")), 60)).as("sh"))
+        .collect().head
+      assert(r.getLong(0) === 32L)
+      assert(r.getLong(1) > 0L)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None    => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("fnv64 agrees between codegen and interpreted paths") {
     val data = Seq.tabulate(64)(i => s"doc-$i-payload").toDF("s")
       .withColumn("b", col("s").cast("binary"))

@@ -26,9 +26,13 @@ object Bench {
     // Warm-up (untimed): JVM classloading, codegen, parquet footers.
     Tables.All.foreach(t => Tables.load(spark, sfDir, t).count())
 
-    // Two timed repeats per query, report the MINIMUM: container CPU
+    // Timed repeats per query, report the MINIMUM: container CPU
     // contention swings single-shot totals ±30%, and min-of-k is the
     // standard noise floor estimator for a deterministic workload.
+    // Sub-second queries get a THIRD repeat: noise there is a large
+    // multiple of the true time (a ±0.3 s swing doubles a 0.3 s query),
+    // so two samples routinely report phantom 2× regressions; the extra
+    // repeat costs <1 s each by construction.
     // Dev-only subset filter (SPARK_GRAFT_ONLY=q1,q2) for tuning a hot
     // query without paying for the whole suite; driver sets it never.
     // Trimmed + validated: a typo'd name would otherwise bench an empty
@@ -58,10 +62,18 @@ object Bench {
       val t1 = once()
       // don't re-run a failing query — a slow failure would double the
       // wall cost with no effect on the reported -1.0
-      name -> (if (t1 < 0) -1.0 else math.min(t1, once() match {
-        case t2 if t2 >= 0 => t2
-        case _ => t1
-      }))
+      name -> (if (t1 < 0) -1.0
+      else {
+        val best2 = math.min(t1, once() match {
+          case t2 if t2 >= 0 => t2
+          case _ => t1
+        })
+        if (best2 >= 1.0) best2
+        else math.min(best2, once() match {
+          case t3 if t3 >= 0 => t3
+          case _ => best2
+        })
+      })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -49,7 +49,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(width.foldable && width.dataType ==
         org.apache.spark.sql.types.IntegerType,
         "ngram_fnv width must be an integer literal")
-      NgramFnv(text, width.eval().asInstanceOf[Int])
+      val w = width.eval()
+      // a foldable CAST(NULL AS INT) passes the checks above but would
+      // silently unbox to 0 and surface as a misleading width error
+      require(w != null, "ngram_fnv width must be a non-null integer literal")
+      NgramFnv(text, w.asInstanceOf[Int])
     }))
   }
 }

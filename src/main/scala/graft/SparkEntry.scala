@@ -12,9 +12,11 @@ import graft.streaming.EventStream
   *
   * Every operator from SURVEY.md §2 plus the north-star pipeline
   * extensions is registered here as a named query over the driver
-  * testdata, with equivalent ANSI SQL for the DuckDB oracle where the
-  * computation is SQL-expressible (sketch-based ops — MinHash, SimHash,
-  * LSH — get rows-only checks).
+  * testdata, with equivalent ANSI SQL for the DuckDB oracle. Since
+  * round 2 EVERY declared query is hash-checked — including the
+  * sketch-based ops (MinHash, SimHash, LSH), whose hashes are built
+  * from engine-shared primitives (md5-derived token ids, a seeded
+  * overflow-free affine family, FNV folded in HUGEINT mod 2^64).
   *
   * Oracle discipline (SURVEY §7 R1/R2): inputs derive arithmetically
   * from testdata columns; every cross-engine-compared sum is over

@@ -52,10 +52,10 @@ object ResultsCsv {
       .map(_.getPath.toString).sorted.toSeq
     require(files.nonEmpty, s"no files match $dir/$pattern")
     val perSession = planCache.synchronized {
-      var m = planCache.get(spark)
+      var m = Option(planCache.get(spark)).flatMap(r => Option(r.get())).orNull
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[Seq[String], DataFrame]()
-        planCache.put(spark, m)
+        planCache.put(spark, new java.lang.ref.SoftReference(m))
       }
       m
     }
@@ -65,10 +65,18 @@ object ResultsCsv {
   /** Assembled-union plan cache: per-file CSV resolution costs a driver
     * file read each, and four declared queries share the same source —
     * the DataFrame (an immutable logical plan) is safe to hand out
-    * repeatedly. WEAKLY keyed by session (a stopped session's plans
-    * must not pin its sessionState on the heap forever), then by the
-    * globbed file list (a new file ⇒ a new plan, never a stale union). */
+    * repeatedly. Keyed weakly by session, then by the globbed file list
+    * (a new file ⇒ a new plan, never a stale union).
+    *
+    * The per-session map is held through a SoftReference: the cached
+    * DataFrames strongly reference their SparkSession, so holding them
+    * strongly here would keep the weak KEY reachable through the value
+    * and the entry would never collect (the WeakHashMap javadoc's
+    * value-refers-to-key trap). Softly held, the collector can sever
+    * the value→key chain under memory pressure, after which the stale
+    * session's entry is collectable — a session-churning process sheds
+    * old plans instead of leaking every session's sessionState. */
   private val planCache =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[Seq[String], DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      java.util.concurrent.ConcurrentHashMap[Seq[String], DataFrame]]]()
 }

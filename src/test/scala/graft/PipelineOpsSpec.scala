@@ -66,6 +66,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("simhash band blocking: exact recall, selective, one sketch pass") {
+    // synthetic corpus with genuine near-dup structure: 30 base docs,
+    // 200 copies with ~5% token mutations (seeded)
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+      "zeta", "eta", "theta", "iota", "kappa")
+    val bases = Vector.fill(30)(Vector.fill(40)(vocab(rng.nextInt(vocab.size))))
+    val corpus = (0 until 200).map { i =>
+      val t = bases(rng.nextInt(bases.size)).map(w =>
+        if (rng.nextInt(20) == 0) vocab(rng.nextInt(vocab.size)) else w)
+      (i.toLong, t.mkString(" "), if (i % 5 == 0) "de" else "en", "s", 0L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val k = 4
+
+    // pigeonhole recall is EXACT: band-blocked result == naive all-pairs
+    val banded = Dedup.simhashPairs(corpus, k)
+    val got = banded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fp = Dedup.simhashFingerprints(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = (for {
+      a <- fp.keys; b <- fp.keys if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b)) if h <= k
+    } yield (a, b, h)).toSet
+    assert(naive.nonEmpty, "vacuous corpus: no true near-dup pairs")
+    assert(got === naive)
+
+    // blocking selectivity: band candidates well under the intra-lang
+    // pair count the replaced lang-blocked join always paid
+    val candidates = Dedup.simhashCandidates(corpus, k)
+      .select("d1", "d2").distinct().count()
+    val intraLang = corpus.groupBy("lang").count().collect()
+      .map(r => r.getLong(1) * (r.getLong(1) - 1) / 2).sum
+    assert(candidates < intraLang / 2,
+      s"band blocking not selective: $candidates candidates vs $intraLang intra-lang pairs")
+
+    // single fingerprint computation: the banded self-join shares one
+    // exchange, so the md5-heavy sketch runs once, not once per side
+    val plan = banded.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      s"expected a reused exchange in:\n$plan")
+  }
+
   test("language ID picks the max-evidence label deterministically") {
     val out = TextOps.langId(docs).select("doc_id", "lang_pred").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

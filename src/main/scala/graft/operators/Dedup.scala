@@ -116,17 +116,33 @@ object Dedup {
       explode(array_distinct(ids)).as("tid"))
   }
 
-  /** Character n-gram Jaccard pairs. N-grams are near-unique (tf ≈ 1),
-    * so rare-prefix candidate generation buys little and its
-    * freq-join/ranking overhead dominates; this tier instead verifies
-    * all intra-lang pairs directly against a BROADCAST corpus of sorted
-    * id arrays (one merge per pair, no shuffle at all) — the right
-    * strategy while one side's arrays fit an executor (e.g. a daily
-    * ingest batch against itself). For an unbounded corpus, route the
-    * same postings through the prefix-filtered plan instead:
-    * `jaccardPairsOf(ngramIdPostings(docs, n), t)`. */
+  /** Character n-gram Jaccard pairs — the declared, corpus-scale plan:
+    * the same Bayardo prefix-filtered routing as [[jaccardPairs]], over
+    * [[ngramIdPostings]]. Nothing broadcasts, so no side ever has to
+    * fit an executor; with t = 0.9 only each doc's ~10% rarest grams
+    * generate candidates, and near-unique 12-grams (tf ≈ 1) make those
+    * prefix buckets tiny. For a bounded batch (e.g. a daily ingest
+    * verified against itself) the broadcast-verify variant
+    * [[ngramJaccardPairsBroadcast]] trades a guard for zero shuffles. */
   def ngramJaccardPairs(docs: DataFrame, n: Int,
-                        thresholdTenths: Int): DataFrame = {
+                        thresholdTenths: Int): DataFrame =
+    jaccardPairsOf(ngramIdPostings(docs, n), thresholdTenths)
+
+  /** Broadcast-verify n-gram Jaccard for BOUNDED batches: verifies all
+    * intra-lang pairs directly against a broadcast corpus of sorted id
+    * arrays (one linear merge per pair, no shuffle at all) — the right
+    * strategy only while one side's arrays fit an executor. The
+    * `maxBroadcastRows` guard fails fast (instead of a late broadcast
+    * OOM) and points callers at the unbounded-corpus plan. */
+  def ngramJaccardPairsBroadcast(docs: DataFrame, n: Int,
+                                 thresholdTenths: Int,
+                                 maxBroadcastRows: Long = 100000L): DataFrame = {
+    val rows = docs.count()
+    require(rows <= maxBroadcastRows,
+      s"corpus has $rows docs > maxBroadcastRows=$maxBroadcastRows: the " +
+        "broadcast-verify plan must hold every sorted id array in one " +
+        "executor; use ngramJaccardPairs (prefix-filtered postings) for " +
+        "an unbounded corpus")
     import org.apache.spark.sql.graftbridge.Bridge
     val t = thresholdTenths
     // the id array is row-local — sort/distinct it in place rather than

@@ -37,6 +37,46 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("ngram jaccard declared plan is broadcast-free and matches the broadcast verifier") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again", "en"),
+      (1L, "the quick brown fox jumps over the lazy dog again", "en"), // exact dup
+      (2L, "the quick brown fox jumps over the lazy cat again", "en"), // near dup
+      (3L, "completely different content about spark engines here", "en"),
+      (4L, "der schnelle braune fuchs springt ueber den faulen hund", "de"),
+      (5L, "der schnelle braune fuchs springt ueber den faulen hund", "de")
+    ).map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // threshold -1: prove the declared plan RUNS fully shuffle-based —
+    // the variant it replaced carried an explicit broadcast() hint that
+    // materialized the corpus side at ANY scale
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val declared = Dedup.ngramJaccardPairs(docs, n = 12, thresholdTenths = 9)
+      val rows = declared.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val plan = declared.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"declared ngram jaccard plan must not broadcast the corpus:\n$plan")
+      val verifier = Dedup.ngramJaccardPairsBroadcast(docs, n = 12, thresholdTenths = 9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(rows === verifier)
+      // exact dups (J = 1) must be present; the test is vacuous otherwise
+      assert(rows.map(p => (p._1, p._2)).contains((0L, 1L)))
+      assert(rows.map(p => (p._1, p._2)).contains((4L, 5L)))
+      // the guard fails fast instead of broadcasting an unbounded corpus
+      assertThrows[IllegalArgumentException] {
+        Dedup.ngramJaccardPairsBroadcast(docs, n = 12, thresholdTenths = 9,
+          maxBroadcastRows = 2L)
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    }
+  }
+
   test("bucketed incremental dedup anti-joins without shuffling the corpus") {
     import spark.implicits._
     import graft.operators.Dedup

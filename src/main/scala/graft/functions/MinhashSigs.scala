@@ -30,7 +30,11 @@ case class MinhashSigs(child: Expression, as_ : Seq[Long], bs: Seq[Long],
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+        "minhash_sigs reads elements as primitive longs; a null element " +
+          "would silently corrupt the signature. Wrap the input in " +
+          "KnownNoNullElements (validated narrowing) first")
       case other => TypeCheckResult.TypeCheckFailure(
         s"minhash_sigs requires array<bigint> input, got $other")
     }

@@ -29,7 +29,11 @@ case class SimhashOfHashes(child: Expression, bits: Int)
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
+      case ArrayType(LongType, true) => TypeCheckResult.TypeCheckFailure(
+        "simhash_of reads elements as primitive longs; a null element " +
+          "would silently corrupt the fingerprint. Wrap the input in " +
+          "KnownNoNullElements (validated narrowing) first")
       case other => TypeCheckResult.TypeCheckFailure(
         s"simhash_of requires array<bigint> input, got $other")
     }

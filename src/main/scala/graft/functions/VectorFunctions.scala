@@ -49,6 +49,15 @@ object VectorFunctions {
   /** Quantized squared L2 norm. */
   def normSqQuantized(a: Column, scale: Int): Column = dotQuantized(a, a, scale)
 
+  /** Narrows an array column's static type to `containsNull = false`
+    * with per-row validation ([[KnownNoNullElements]]) — required on
+    * lambda-built (`transform`) arrays before any native long-array
+    * kernel, which all reject nullable-element inputs at analysis. */
+  def noNullElements(a: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(KnownNoNullElements(Bridge.expression(a)))
+  }
+
   /** |A ∩ B| over two sorted distinct `array<bigint>` columns — native
     * codegen'd merge ([[SortedLongIntersectCount]]); the zero-allocation
     * replacement for `size(array_intersect(a, b))` in set-similarity

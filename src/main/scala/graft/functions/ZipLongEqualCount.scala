@@ -32,8 +32,13 @@ case class ZipLongEqualCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckFailure(
+          "zip_equal_count reads elements as primitive longs; a null " +
+            "element would silently corrupt the count. Wrap nullable " +
+            "inputs in KnownNoNullElements (validated narrowing) first")
       case other =>
         TypeCheckResult.TypeCheckFailure(
           s"zip_equal_count requires two array<bigint> inputs, got $other")

@@ -243,8 +243,12 @@ object Dedup {
     * multiply-referenced non-cheap projection materialized, so the
     * two-step form hashes each token exactly once per row. */
   def tokenIdsColumn(text: Column): Column =
-    transform(array_distinct(split(text, " ")),
-      t => conv(substring(md5(t.cast("binary")), 1, 10), 16, 10).cast("long"))
+    // noNullElements: the lambda can't produce nulls (md5/conv/cast of a
+    // non-null token), but transform() types its result nullable; the
+    // native sketch kernels demand the narrowed (validated) type
+    graft.functions.VectorFunctions.noNullElements(
+      transform(array_distinct(split(text, " ")),
+        t => conv(substring(md5(t.cast("binary")), 1, 10), 16, 10).cast("long")))
 
   /** Row-local MinHash signature over a [[tokenIdsColumn]] array: the
     * same sketch as [[minhashSignatures]] but computed entirely inside
@@ -299,6 +303,8 @@ object Dedup {
     * to the sketch. */
   def shingleIdsColumn(text: Column, n: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
+    // no narrowing needed: bitwiseAND of a non-nullable element is
+    // non-nullable, so this transform already types containsNull=false
     transform(
       array_distinct(Bridge.column(graft.functions.NgramFnv(
         Bridge.expression(text), n))),
@@ -368,8 +374,9 @@ object Dedup {
     * the fingerprint bit-for-bit. */
   def simhashFingerprints(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
-    val occHashes = transform(split(col("text"), " "),
-      t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long"))
+    val occHashes = graft.functions.VectorFunctions.noNullElements(
+      transform(split(col("text"), " "),
+        t => conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast("long")))
     docs
       // spread the single-split docs scan; downstream pair joins
       // inherit this parallelism

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.AnalysisException
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType}
+
+import graft.functions.VectorFunctions
+
+/** The native long-array kernels read elements as primitive longs, so a
+  * null element would silently corrupt a signature/count. These specs
+  * pin the contract: nullable-element arrays are rejected at ANALYSIS,
+  * the sanctioned narrowing wrapper validates per row, and a violated
+  * no-null claim fails loudly instead of corrupting.
+  */
+class KernelTypeSpec extends SparkSpec {
+
+  test("kernels reject containsNull=true arrays at analysis") {
+    import spark.implicits._
+    // a nullable lambda body types the array containsNull=true —
+    // exactly the misuse ADVICE flagged
+    val df = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "xs")
+      .withColumn("nullable_xs", transform(col("xs"), x => when(x > 0L, x)))
+    assert(df.schema("nullable_xs").dataType ===
+      ArrayType(LongType, containsNull = true))
+    val ex = intercept[AnalysisException] {
+      df.select(VectorFunctions.sortedIntersectCount(
+        col("nullable_xs"), col("nullable_xs"))).collect()
+    }
+    assert(ex.getMessage.contains("KnownNoNullElements"))
+    val ex2 = intercept[AnalysisException] {
+      df.select(VectorFunctions.zipEqualCount(
+        col("nullable_xs"), col("nullable_xs"))).collect()
+    }
+    assert(ex2.getMessage.contains("KnownNoNullElements"))
+  }
+
+  test("noNullElements narrows the static type and passes values through") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(5L, 1L, 5L))).toDF("id", "xs")
+      .withColumn("narrowed",
+        VectorFunctions.noNullElements(transform(col("xs"), x => x * 2)))
+    assert(df.schema("narrowed").dataType ===
+      ArrayType(LongType, containsNull = false))
+    assert(df.select("narrowed").as[Seq[Long]].head() === Seq(10L, 2L, 10L))
+    // and the narrowed column is accepted by the kernels
+    val n = df.select(VectorFunctions.zipEqualCount(
+      col("narrowed"), col("narrowed")).as("n")).as[Long].head()
+    assert(n === 3L)
+  }
+
+  test("a violated no-null claim fails loudly instead of corrupting") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "xs")
+      .withColumn("lying", VectorFunctions.noNullElements(
+        transform(col("xs"), x => when(x === 2L, lit(null)).otherwise(x))))
+    val ex = intercept[Exception] {
+      df.select(col("lying")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("known_no_null_elements")),
+      s"expected the validation error, got: $ex")
+  }
+}

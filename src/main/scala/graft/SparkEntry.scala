@@ -559,6 +559,17 @@ object SparkEntry {
         .select(col("media_id"), col("kind"), col("frame_idx").cast("long").as("frame_idx"),
           length(col("frame")).cast("long").as("frame_bytes"))
         .orderBy("media_id", "frame_idx")),
+    // Resize plumbing: stride-downsample each payload to ≤96 bytes with
+    // claimed output dims. The fnv64 of the RESIZED bytes makes the
+    // oracle verify the strided content byte-for-byte, not just lengths.
+    "media_resized" -> ((s, dir) =>
+      Multimodal.resizeStub(
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        targetBytes = 96, targetW = 64, targetH = 48)
+        .select(col("media_id"), col("kind"), col("resized_bytes"),
+          call_function("fnv64", col("resized")).as("resized_fnv"),
+          col("width"), col("height"))
+        .orderBy("media_id")),
 
     // Relational top-k per group (rank-limit pushdown / WindowGroupLimit):
     // top-3 most active users per event type.
@@ -1147,6 +1158,25 @@ object SparkEntry {
         |SELECT media_id, kind, frame_idx, frame_bytes FROM f
         |WHERE frame_idx % 4 = 0
         |ORDER BY media_id, frame_idx""".stripMargin,
+    "media_resized" ->
+      // ASCII corpus ⇒ char stride = byte stride; Spark's
+      // sequence(1, n, stride) = DuckDB's range(1, n+1, stride)
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    text, length(text) AS n
+         |  FROM documents WHERE length(text) > 0),
+         |r AS (
+         |  SELECT media_id, kind,
+         |    array_to_string(list_transform(
+         |      range(1, n + 1, GREATEST(1, CAST(CEIL(n / 96.0) AS BIGINT))),
+         |      i -> text[i]), '') AS resized
+         |  FROM m)
+         |SELECT media_id, kind,
+         |  CAST(length(resized) AS BIGINT) AS resized_bytes,
+         |  ${sqlToSigned(sqlFnvUnsigned("resized"))} AS resized_fnv,
+         |  64 AS width, 48 AS height
+         |FROM r ORDER BY media_id""".stripMargin,
     "top_users_by_type" ->
       """WITH c AS (
         |  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n

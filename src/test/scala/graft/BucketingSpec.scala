@@ -94,6 +94,11 @@ class BucketingSpec extends SparkSpec {
       // corpus's bucket layout; the corpus side reads buckets in place
       val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
       assert(exchanges === 1, s"expected only the batch-side exchange, plan:\n$plan")
+      // the batch-side Bloom filter prunes the corpus scan BEFORE the
+      // anti-join (runtime-filter shape; no false negatives, so every
+      // genuine duplicate is still dropped)
+      assert(plan.contains("might_contain"),
+        s"expected the batch-side Bloom filter on the corpus scan, plan:\n$plan")
       assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(11L))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)

@@ -54,6 +54,21 @@ object SparkEntry {
   private def matA(s: SparkSession, dir: String): DataFrame = matAof(s, dir, N)
   private def matB(s: SparkSession, dir: String): DataFrame = matBof(s, dir, N)
 
+  /** Rectangular shapes: A is RectM×RectK, B is RectK×RectN — three
+    * distinct dims, lifting the reference's square-only restriction
+    * (SURVEY §1.1a); coordinate form never assumed square. */
+  private val RectM = 96L
+  private val RectK = 64L
+  private val RectN = 48L
+
+  private def matARect(s: SparkSession, dir: String): DataFrame =
+    MatrixOps.fromTable(Tables.lineitem(s, dir),
+      col("l_orderkey") % RectM, col("l_partkey") % RectK, col("l_quantity"))
+
+  private def matBRect(s: SparkSession, dir: String): DataFrame =
+    MatrixOps.fromTable(Tables.lineitem(s, dir),
+      col("l_partkey") % RectK, col("l_suppkey") % RectN, col("l_linenumber"))
+
   private def matASparse(s: SparkSession, dir: String): DataFrame =
     matA(s, dir).filter((col("i") + col("j")) % SparseStride === 0)
 
@@ -169,6 +184,10 @@ object SparkEntry {
         MatrixOps.transpose(matB(s, dir))))),
     "matmul_blocked" -> ((s, dir) =>
       ordered(MatrixOps.multiplyBlocked(s, matA(s, dir), matB(s, dir), N, 16))),
+    // Rectangular product (96×64 · 64×48): same join-contract-sum plan;
+    // only the index derivations differ — shape was never a constraint.
+    "matmul_rect" -> ((s, dir) =>
+      ordered(MatrixOps.multiply(matARect(s, dir), matBRect(s, dir)))),
     "spmm_sparse" -> ((s, dir) =>
       ordered(MatrixOps.multiply(matASparse(s, dir), matB(s, dir),
         broadcastRight = true))),
@@ -670,6 +689,14 @@ object SparkEntry {
     "matmul_basic" -> sqlMatmul,
     "matmul_transposed" -> sqlMatmul,
     "matmul_blocked" -> sqlMatmul,
+    "matmul_rect" ->
+      s"""WITH a AS (SELECT l_orderkey % $RectM AS i, l_partkey % $RectK AS j,
+         |             SUM(l_quantity) AS v FROM lineitem GROUP BY 1, 2),
+         |     b AS (SELECT l_partkey % $RectK AS i, l_suppkey % $RectN AS j,
+         |             SUM(CAST(l_linenumber AS DOUBLE)) AS v FROM lineitem GROUP BY 1, 2)
+         |SELECT a.i AS i, b.j AS j, SUM(a.v * b.v) AS v
+         |FROM a JOIN b ON a.j = b.i
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "spmm_sparse" -> sqlMultiply(sqlASparse, "SELECT * FROM b0"),
     "matmul_identity" ->
       s"WITH a0 AS ($sqlA) SELECT i, j, v FROM a0 ORDER BY 1, 2",

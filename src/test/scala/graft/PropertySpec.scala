@@ -48,6 +48,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  /** Rectangular m×k and k×n coordinate matrices with genuinely
+    * distinct dims — nothing in the coordinate form is square-bound
+    * (the restriction was the REFERENCE's, SURVEY §1.1a). */
+  private val rectPairGen: Gen[(Seq[(Long, Long, Double)], Seq[(Long, Long, Double)])] =
+    for {
+      m <- Gen.choose(2, 7)
+      k <- Gen.choose(2, 7)
+      n <- Gen.choose(2, 7)
+      ca <- Gen.choose(m, m * k)
+      cb <- Gen.choose(k, k * n)
+      aEntries <- Gen.listOfN(ca, for {
+        i <- Gen.choose(0L, m - 1L); j <- Gen.choose(0L, k - 1L)
+        v <- Gen.choose(1, 9)
+      } yield (i, j, v.toDouble))
+      bEntries <- Gen.listOfN(cb, for {
+        i <- Gen.choose(0L, k - 1L); j <- Gen.choose(0L, n - 1L)
+        v <- Gen.choose(1, 9)
+      } yield (i, j, v.toDouble))
+    } yield (aEntries, bEntries)
+
+  /** Plain-Scala oracle: pre-sum duplicates, then contract on k. */
+  private def localMultiply(ae: Seq[(Long, Long, Double)],
+                            be: Seq[(Long, Long, Double)]): Seq[(Long, Long, Double)] = {
+    def presum(es: Seq[(Long, Long, Double)]) =
+      es.groupBy(e => (e._1, e._2)).map { case (ij, g) => (ij, g.map(_._3).sum) }
+    val bm = presum(be).toSeq.groupBy(_._1._1)
+    presum(ae).toSeq
+      .flatMap { case ((i, k), va) =>
+        bm.getOrElse(k, Nil).map { case ((_, j), vb) => ((i, j), va * vb) } }
+      .groupBy(_._1).map { case ((i, j), g) => (i, j, g.map(_._2).sum) }
+      .toSeq.sorted
+  }
+
+  test("rectangular m×k · k×n: multiply == Scala oracle == blocked == transposed") {
+    for (s <- 1 to 6) {
+      val (ae, be) = rectPairGen(Gen.Parameters.default, Seed(100L + s)).get
+      val (a, b) = (toDF(ae), toDF(be))
+      val expected = localMultiply(ae, be)
+      assert(cells(MatrixOps.multiply(a, b)) === expected)
+      assert(cells(MatrixOps.multiplyTransposed(a, MatrixOps.transpose(b))) === expected)
+      // block size 4 does NOT divide the dims for most samples —
+      // boundary blocks zero-pad implicitly in coordinate form
+      assert(cells(MatrixOps.multiplyBlocked(spark, a, b, dim(ae, be), 4)) ===
+        expected.filter(_._3 != 0.0))
+    }
+  }
+
   test("A x I == A and I x A == A") {
     for (ae <- samples(5)) {
       val a = toDF(ae)

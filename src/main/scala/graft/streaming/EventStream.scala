@@ -88,6 +88,124 @@ object EventStream {
       .select("user_id", "p_ts", "purchase_id", "c_ts", "click_id")
   }
 
+  /** Tagged input row for [[asOfPurchaseClick]] (top-level-encodable).
+    * `ts` stays a TIMESTAMP so the watermark tag survives into the
+    * stateful operator (projecting it to a long strips the tag and the
+    * event-time-timeout checker rejects the query). */
+  final case class AsOfInput(user_id: Long, ts: java.sql.Timestamp,
+                             side: Int, id: Long) {
+    def tsUs: Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  }
+
+  /** Per-user as-of state: the single dominating click at-or-before the
+    * watermark, plus in-watermark clicks and not-yet-final purchases. */
+  final case class AsOfPending(hasLatest: Boolean, latestTsUs: Long,
+                               latestId: Long,
+                               clicks: List[(Long, Long)],
+                               purchases: List[(Long, Long)])
+
+  /** Output row of [[asOfPurchaseClick]] — the batch twin's exact
+    * column names ([[graft.operators.Temporal.asOfJoin]] as declared by
+    * `asof_purchase_click`). */
+  final case class AsOfMatch(user_id: Long, ts: java.sql.Timestamp,
+                             purchase_id: Long, r_ts: java.sql.Timestamp,
+                             r_click_id: Long)
+
+  private def tsOfMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Stream-stream AS-OF join: for each purchase, the single latest
+    * click with `c_ts <= p_ts` for the same user — the streaming twin
+    * of `asof_purchase_click` (a windowed range join can't express
+    * "latest prior", and Spark's stream-stream join has no as-of mode,
+    * so this is the `flatMapGroupsWithState` case from the build
+    * ladder).
+    *
+    * Event-time correctness under out-of-order input: a purchase is
+    * emitted only once the watermark passes it — any click at or before
+    * that purchase has either arrived or would be dropped as late — so
+    * arrival order across micro-batches can never change a result
+    * (spec-asserted equal to the batch twin). State stays bounded by
+    * the same watermark: all clicks behind it collapse to the single
+    * dominating `(ts, id)`-max click (older clicks can never win an
+    * as-of against the purchases that remain), so per-user state is
+    * one click plus only the in-watermark tail. Ties at equal ts take
+    * the max id, mirroring the batch query's `max(event_id)` per-ts
+    * dedup. Users with no pending purchases carry one compacted click
+    * indefinitely — as-of lookback is unbounded by definition; a
+    * deployment wanting eviction adds a TTL timeout on top.
+    *
+    * Inputs: purchases `(user_id, ts, purchase_id)`, clicks
+    * `(user_id, ts, click_id)`. */
+  def asOfPurchaseClick(purchases: DataFrame, clicks: DataFrame,
+                        watermark: String = "1 hour")
+                       (implicit spark: SparkSession): Dataset[AsOfMatch] = {
+    import spark.implicits._
+    val tagged = purchases
+      .select(col("user_id"), col("ts"), lit(1).as("side"),
+        col("purchase_id").as("id"))
+      .unionByName(clicks.select(col("user_id"), col("ts"),
+        lit(0).as("side"), col("click_id").as("id")))
+      .withWatermark("ts", watermark)
+      .as[AsOfInput]
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfPending, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[AsOfInput], state: GroupState[AsOfPending]) =>
+          val prev = state.getOption.getOrElse(
+            AsOfPending(hasLatest = false, 0L, 0L, Nil, Nil))
+          var clicksBuf = prev.clicks
+          var purchasesBuf = prev.purchases
+          batch.foreach { e =>
+            if (e.side == 0) clicksBuf = (e.tsUs, e.id) :: clicksBuf
+            else purchasesBuf = (e.tsUs, e.id) :: purchasesBuf
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          // strict bound on BOTH finalize and compact: immune to which
+          // side of the watermark Spark's late-row filter keeps
+          val (ready, stillPending) = purchasesBuf.partition(_._1 < wmUs)
+          val out = ready.sortBy(identity).flatMap { case (pTs, pid) =>
+            val within = clicksBuf.filter(_._1 <= pTs)
+            val cand =
+              if (prev.hasLatest && prev.latestTsUs <= pTs)
+                (prev.latestTsUs, prev.latestId) :: within
+              else within
+            if (cand.isEmpty) None
+            else {
+              val best = cand.max
+              Some(AsOfMatch(uid, tsOfMicros(pTs), pid,
+                tsOfMicros(best._1), best._2))
+            }
+          }
+          val (behind, ahead) = clicksBuf.partition(_._1 < wmUs)
+          val latestCand =
+            (if (prev.hasLatest) List((prev.latestTsUs, prev.latestId))
+             else Nil) ::: behind
+          val next =
+            if (latestCand.nonEmpty) {
+              val m = latestCand.max
+              AsOfPending(hasLatest = true, m._1, m._2, ahead, stillPending)
+            } else AsOfPending(hasLatest = false, 0L, 0L, ahead, stillPending)
+          if (!next.hasLatest && next.clicks.isEmpty && next.purchases.isEmpty) {
+            state.remove()
+          } else {
+            state.update(next)
+            if (stillPending.nonEmpty) {
+              // wake this key when the watermark passes its earliest
+              // pending purchase, even if no further data arrives
+              val minPendingMs = stillPending.map(_._1).min / 1000L
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1L, minPendingMs + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming ingestion dedup: drop re-delivered events by id while the
     * watermark keeps the dedup state bounded (ids older than the
     * watermark are evicted — at-least-once upstream becomes effectively-

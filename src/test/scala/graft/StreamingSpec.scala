@@ -108,6 +108,68 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream as-of join equals the batch twin under out-of-order input") {
+    implicit val s = spark
+    import spark.implicits._
+    val purchases = MemoryStream[Ev](spark)
+    val clicks = MemoryStream[Ev](spark)
+    def pDF(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    def cDF(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+    val q = EventStream.asOfPurchaseClick(
+        pDF(purchases.toDF()), cDF(clicks.toDF()), watermark = "2 hours")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      val pRows = Seq(
+        Ev(20, ts("10:00"), 1, "purchase", 0, ""), // click arrives LATER (batch 2)
+        Ev(21, ts("10:20"), 1, "purchase", 0, ""),
+        Ev(22, ts("10:05"), 2, "purchase", 0, ""), // no prior click ever: dropped
+        Ev(23, ts("10:30"), 3, "purchase", 0, ""))
+      val cRows = Seq(
+        Ev(10, ts("09:58"), 1, "click", 0, ""),    // out-of-order arrival
+        Ev(11, ts("10:10"), 1, "click", 0, ""),    // latest prior for 21
+        Ev(12, ts("10:10"), 1, "click", 0, ""),    // tie: max id wins
+        Ev(13, ts("10:40"), 2, "click", 0, ""),    // AFTER 2's purchase: no match
+        Ev(14, ts("09:00"), 3, "click", 0, ""))    // deep lookback for 23
+      // batch 1: purchases first — their prior clicks are NOT here yet
+      purchases.addData(pRows.take(3): _*)
+      clicks.addData(cRows(4))
+      q.processAllAvailable()
+      // batch 2: the prior clicks arrive out-of-order, within watermark
+      clicks.addData(cRows(0), cRows(1), cRows(2), cRows(3))
+      purchases.addData(pRows(3))
+      q.processAllAvailable()
+      // advance the watermark (2h delay) far past every purchase, then
+      // run one more batch so timeouts fire with the advanced watermark
+      clicks.addData(Ev(99, ts("20:00"), 99, "click", 0, ""))
+      q.processAllAvailable()
+      clicks.addData(Ev(98, ts("20:01"), 99, "click", 0, ""))
+      q.processAllAvailable()
+
+      val streamed = spark.table("asof_stream")
+        .select("user_id", "ts", "purchase_id", "r_ts", "r_click_id")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getTimestamp(3), r.getLong(4))).toSet
+      val batch = graft.operators.Temporal.asOfJoin(
+          pDF(pRows.toDF()),
+          cDF(cRows.toDF()).groupBy("user_id", "ts")
+            .agg(max("click_id").as("click_id")),
+          "user_id", "ts",
+          leftCols = Seq("purchase_id"), rightCols = Seq("click_id"))
+        .select("user_id", "ts", "purchase_id", "r_ts", "r_click_id")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getTimestamp(3), r.getLong(4))).toSet
+      assert(streamed === batch)
+      // the semantics the twin-equality could mask if both were wrong:
+      assert(streamed.contains((1L, ts("10:00"), 20L, ts("09:58"), 10L)))
+      assert(streamed.contains((1L, ts("10:20"), 21L, ts("10:10"), 12L))) // tie → max id
+      assert(streamed.contains((3L, ts("10:30"), 23L, ts("09:00"), 14L))) // deep lookback
+      assert(!streamed.exists(_._3 == 22L)) // inner as-of: no prior click
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-delivered event ids across micro-batches") {
     val input = MemoryStream[Ev](spark)
     val q = EventStream.dedupEvents(input.toDF())

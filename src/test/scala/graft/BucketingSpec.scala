@@ -64,6 +64,12 @@ class BucketingSpec extends SparkSpec {
       val verifier = Dedup.ngramJaccardPairsBroadcast(docs, n = 12, thresholdTenths = 9)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
       assert(rows === verifier)
+      // the slice-prefix (id-order) routing is the same relation —
+      // the Bayardo theorem holds under any fixed global token order
+      val idOrdered = Dedup.ngramJaccardPairs(docs, n = 12, thresholdTenths = 9,
+          rankByFrequency = false)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(idOrdered === verifier)
       // exact dups (J = 1) must be present; the test is vacuous otherwise
       assert(rows.map(p => (p._1, p._2)).contains((0L, 1L)))
       assert(rows.map(p => (p._1, p._2)).contains((4L, 5L)))

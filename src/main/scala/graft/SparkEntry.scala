@@ -433,6 +433,65 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy("n_name")
     }),
+    // TPC-H Q7 shape — bilateral "volume shipping" between two nations
+    // by ship year. Scale plan: the nation dims are FILTERED to the two
+    // traders before broadcasting, so both broadcast joins prune
+    // non-trading rows inside the big joins; only the asymmetric
+    // pair condition remains as a residual filter.
+    "q7_volume_shipping" -> ((s, dir) => {
+      val n1 = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, dir)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      Tables.supplier(s, dir)
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(Tables.lineitem(s, dir), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // TPC-H Q8 shape — one nation's market share of a region's PROMO
+    // market by order year: conditional sum over the full volume. The
+    // share is ONE IEEE division of two exact decimal sums (oracle
+    // discipline R2), and part/nation/region prune via broadcast.
+    "q8_market_share" -> ((s, dir) => {
+      val targetVol = when(col("n_name") === "NATION_2",
+        money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+        .otherwise(lit(0).cast(DecimalType(18, 2)))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_type") === "PROMO")), col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("c_nkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("c_nkey"))
+        .join(broadcast(Tables.region(s, dir)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("s_nkey"), col("n_name"))),
+          col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(targetVol).cast("double") /
+            sum(money(col("l_extendedprice")) *
+              (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+              .cast("double")).as("mkt_share"),
+          count(lit(1)).as("cnt"))
+        .orderBy("o_year")
+    }),
     "region_balance" -> ((s, dir) =>
       Tables.supplier(s, dir)
         .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
@@ -1078,6 +1137,42 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS cnt,
         |  SUM(l_quantity) / COUNT(*) AS avg_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM supplier
+        |  JOIN lineitem ON s_suppkey = l_suppkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN ns.n_name = 'NATION_2'
+        |         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS mkt_share,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q3_revenue" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))

@@ -279,6 +279,13 @@ object SparkEntry {
     "dedup_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), thresholdTenths = 9)
         .orderBy("d1", "d2")),
+    // Pairs are evidence; the unit of removal is the transitive
+    // CLUSTER. Components over the J≥0.9 pair graph, id = min reachable
+    // doc_id (min-label propagation; oracle = recursive CTE closure).
+    "dedup_components" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.jaccardPairs(Tables.documents(s, dir), thresholdTenths = 9))
+        .orderBy("doc_id")),
     // bands=4 (r=8) targets J≳0.8 near-dups: on this high-mutual-
     // similarity corpus wider bands would admit ~30% of ALL pairs as
     // candidates, which is the LSH failure mode at scale.
@@ -440,10 +447,10 @@ object SparkEntry {
     // pair condition remains as a residual filter.
     "q7_volume_shipping" -> ((s, dir) => {
       val n1 = Tables.nation(s, dir)
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin("NATION_18", "NATION_19"))
         .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
       val n2 = Tables.nation(s, dir)
-        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+        .filter(col("n_name").isin("NATION_18", "NATION_19"))
         .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
       Tables.supplier(s, dir)
         .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
@@ -904,6 +911,30 @@ object SparkEntry {
         |                   JOIN cnt c2 ON i.d2 = c2.doc_id) j
         |WHERE inter * 10 >= (n1 + n2 - inter) * 9
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_components" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok t1 JOIN tok t2
+        |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.d1, i.d2
+        |  FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+        |               JOIN cnt c2 ON i.d2 = c2.doc_id
+        |  WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * 9),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, MIN(dst) AS component
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dedup_minhash_shingle" -> {
       // same seeded affine family as the Spark sketch, over FNV window
@@ -1149,8 +1180,8 @@ object SparkEntry {
         |  JOIN customer ON c_custkey = o_custkey
         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
-        |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
         |  AND n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q8_market_share" ->

@@ -55,6 +55,32 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("connected components equal a union-find oracle on a seeded graph") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // seeded random graph: chains, a cycle, isolated pairs
+    val rnd = new scala.util.Random(7)
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L),      // chain (diam 3)
+      (10L, 11L), (11L, 12L), (12L, 10L),               // cycle
+      (20L, 21L)) ++                                    // isolated pair
+      Seq.fill(40)((rnd.nextInt(30).toLong + 100L, rnd.nextInt(30).toLong + 100L)))
+      .filter(e => e._1 != e._2)
+    // union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(k => (k, find(k))).toSet
+    val got = Dedup.connectedComponents(edges.toDF("d1", "d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected)
+  }
+
   test("simhash of identical and near-dup docs is close in hamming distance") {
     val fps = Dedup.simhashFingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -283,8 +283,7 @@ object SparkEntry {
     // CLUSTER. Components over the J≥0.9 pair graph, id = min reachable
     // doc_id (min-label propagation; oracle = recursive CTE closure).
     "dedup_components" -> ((s, dir) =>
-      Dedup.connectedComponents(
-        Dedup.jaccardPairs(Tables.documents(s, dir), thresholdTenths = 9))
+      Dedup.jaccardComponents(Tables.documents(s, dir), thresholdTenths = 9)
         .orderBy("doc_id")),
     // bands=4 (r=8) targets J≳0.8 near-dups: on this high-mutual-
     // similarity corpus wider bands would admit ~30% of ALL pairs as

@@ -81,6 +81,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("quotient-graph components equal full-graph components") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),  // exact dup of 0
+      (2L, "kappa iota theta eta zeta epsilon delta gamma beta alpha", "en"),  // bag dup of 0
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota lambda", "en"), // near dup (J=9/11<0.9? 9 shared/11 union)
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "de"),  // same bag, OTHER lang: must NOT merge
+      (5L, "totally different words entirely here now foo bar baz qux", "en"),
+      (6L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda", "en")) // J=10/11≥0.9 vs 0
+      .map { case (id, t, l) => (id, t, l, "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = Dedup.connectedComponents(
+        Dedup.jaccardPairs(docs, thresholdTenths = 9))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quotient = Dedup.jaccardComponents(docs, thresholdTenths = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(quotient === full)
+    // the semantics the equality could mask if both were wrong:
+    // {0,1,2,6} cluster via exact/bag/near links; 3 joins TRANSITIVELY
+    // (J(0,3)=9/11 < 0.9 but J(6,3)=10/11 ≥ 0.9 — that transitive pull
+    // is exactly why clustering, not pairing, is the unit of removal);
+    // 4 is lang-isolated; 5 pairs with nothing
+    assert(quotient === Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (6L, 0L)))
+  }
+
   test("simhash of identical and near-dup docs is close in hamming distance") {
     val fps = Dedup.simhashFingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -520,10 +520,32 @@ object SparkEntry {
         .orderBy("event_type")),
 
     // ROLLUP grouping sets over the region/nation hierarchy.
-    "region_rollup" -> ((s, dir) => regionGroupingSets(s, dir, "ROLLUP")),
+    "region_rollup" -> ((s, dir) =>
+      regionGroupingSets(s, dir, "ROLLUP(r_name, n_name)")),
     // CUBE: all four aggregation levels (region×nation, region,
     // nation, grand total) in one Expand pass.
-    "region_cube" -> ((s, dir) => regionGroupingSets(s, dir, "CUBE")),
+    "region_cube" -> ((s, dir) =>
+      regionGroupingSets(s, dir, "CUBE(r_name, n_name)")),
+    // Explicit GROUPING SETS, asymmetric on purpose — (r,n), (n), ()
+    // but NOT (r) — the level selection neither ROLLUP nor CUBE can
+    // express, still one Expand pass.
+    "region_grouping_sets" -> ((s, dir) => regionGroupingSets(s, dir,
+      "GROUPING SETS ((r_name, n_name), (n_name), ())")),
+    // Sliding event-time window: per event, activity in the user's
+    // trailing 10 minutes — a RANGE frame over the event-time axis
+    // (peers at equal ts share the frame, so ties are deterministic in
+    // any engine). One hash shuffle on user_id, sort partition-local;
+    // values quantized so the sliding sum is integral (oracle R2).
+    "user_value_10min" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-600000000L, 0L)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          floor(col("value") * 1000).cast("long").as("value_q"))
+        .withColumn("win_value_q", sum("value_q").over(w))
+        .withColumn("win_events", count(lit(1)).over(w))
+        .orderBy("user_id", "ts", "event_id")
+    }),
     // Per-user inter-event gaps: lag/lead over the event-time order —
     // the windowed navigation primitive every funnel/session analysis
     // starts from. One hash shuffle on user_id; the sort is
@@ -706,7 +728,7 @@ object SparkEntry {
       s"""SELECT r_name, n_name, CAST(SUM(bal) AS DOUBLE) AS total_bal,
          |  COUNT(*) AS suppliers
          |FROM $view
-         |GROUP BY $sets(r_name, n_name)
+         |GROUP BY $sets
          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     finally s.catalog.dropTempView(view)
   }
@@ -1274,6 +1296,23 @@ object SparkEntry {
         |              JOIN region ON n_regionkey = r_regionkey
         |GROUP BY CUBE(r_name, n_name)
         |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "region_grouping_sets" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
+        |  CAST(COUNT(*) AS BIGINT) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, n_name), (n_name), ())
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+    "user_value_10min" ->
+      """SELECT user_id, event_id, ts,
+        |  CAST(FLOOR(value * 1000) AS BIGINT) AS value_q,
+        |  CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS BIGINT) AS win_value_q,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS win_events
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "user_event_gaps" ->
       """SELECT user_id, event_id, ts, event_type,
         |  epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS prev_gap_us,

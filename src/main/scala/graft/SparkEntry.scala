@@ -542,8 +542,11 @@ object SparkEntry {
       Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts"),
           floor(col("value") * 1000).cast("long").as("value_q"))
-        .withColumn("win_value_q", sum("value_q").over(w))
-        .withColumn("win_events", count(lit(1)).over(w))
+        // one projection, ONE Window operator: chained withColumn gave
+        // two same-spec Window nodes that CollapseWindow didn't merge
+        .select(col("user_id"), col("event_id"), col("ts"), col("value_q"),
+          sum("value_q").over(w).as("win_value_q"),
+          count(lit(1)).over(w).as("win_events"))
         .orderBy("user_id", "ts", "event_id")
     }),
     // Per-user inter-event gaps: lag/lead over the event-time order —

@@ -228,6 +228,15 @@ object SparkEntry {
     // Deterministic md5-based train/val/test assignment.
     "doc_hash_split" -> ((s, dir) =>
       TextOps.hashSplit(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Deterministic per-language downsampling (rates in 256ths):
+    // en 50%, de/fr 25%, everything else 12.5%.
+    "doc_stratified_sample" -> ((s, dir) =>
+      TextOps.stratifiedSample(Tables.documents(s, dir),
+        Map("en" -> 128, "de" -> 64, "fr" -> 64), default256 = 32)
+        .orderBy("doc_id")),
+    // Keep docs at/above their language's median quality (quantized).
+    "doc_quality_gate" -> ((s, dir) =>
+      TextOps.qualityGate(Tables.documents(s, dir)).orderBy("doc_id")),
     // Incremental dedup: the id-upper half of the corpus ingested
     // against the lower half (anti-join on content digest). The split
     // point is a one-scalar driver lookup (metadata-scale).
@@ -844,6 +853,31 @@ object SparkEntry {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_stratified_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    CAST((strpos('0123456789abcdef',
+        |            substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef',
+        |            substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket,
+        |    CAST(CASE lang WHEN 'en' THEN 128 WHEN 'de' THEN 64 WHEN 'fr' THEN 64
+        |         ELSE 32 END AS BIGINT) AS rate_256
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket, rate_256 FROM b
+        |WHERE bucket < rate_256 ORDER BY doc_id""".stripMargin,
+    "doc_quality_gate" ->
+      s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),
+         |q AS (
+         |  SELECT t.doc_id, d.lang,
+         |    CAST(FLOOR(((CASE WHEN chars BETWEEN 100 AND 500 THEN 0.5 ELSE 0.0 END)
+         |      + lexical_diversity * 0.3
+         |      + (CASE WHEN stopword_ratio < 0.2 THEN 0.2 ELSE 0.0 END)) * 1000) AS BIGINT) AS q
+         |  FROM t JOIN documents d ON t.doc_id = d.doc_id),
+         |m AS (SELECT lang, CAST(quantile_disc(q, 0.5) AS BIGINT) AS median_q
+         |      FROM q GROUP BY 1)
+         |SELECT q.doc_id, q.lang, q.q, m.median_q
+         |FROM q JOIN m ON q.lang = m.lang
+         |WHERE q.q >= m.median_q ORDER BY q.doc_id""".stripMargin,
     "dedup_incremental" ->
       """WITH half AS (SELECT MAX(doc_id) // 2 AS h FROM documents)
         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars

@@ -136,6 +136,47 @@ object TextOps {
         .otherwise("train").as("split"))
   }
 
+  /** Deterministic stratified sampling — per-language keep rates with a
+    * salted md5 bucket (256 buckets; rates in 256ths). The salt
+    * decorrelates sampling from [[hashSplit]]'s assignment nibble: both
+    * derive from md5(doc_id) and an unsalted sample would
+    * systematically over-keep one split. Pure projection + filter: no
+    * shuffle, no RNG, replayable on any engine — which is what makes a
+    * training-data sample auditable. */
+  def stratifiedSample(docs: DataFrame, rates256: Map[String, Int],
+                       default256: Int): DataFrame = {
+    require((default256 +: rates256.values.toSeq).forall(r => r >= 0 && r <= 256),
+      "rates are in 256ths and must be within [0, 256]")
+    val bucket = conv(substring(md5(concat(lit("sample:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 2), 16, 10).cast("long")
+    val rate = rates256.foldLeft(lit(default256).cast("long")) {
+      case (acc, (k, r)) => when(col("lang") === k, lit(r.toLong)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        rate.as("rate_256"))
+      .filter(col("bucket") < col("rate_256"))
+  }
+
+  /** Relative quality gate: keep documents at or above their language's
+    * MEDIAN quality — the per-stratum threshold form every curation
+    * pipeline prefers over a global cutoff (an absolute threshold
+    * calibrated on English silently empties low-resource strata).
+    * Scores are quantized (floor ×1000) so the exact percentile and the
+    * ≥ comparison are integer-deterministic; the per-lang median table
+    * is a handful of rows and broadcasts. */
+  def qualityGate(docs: DataFrame): DataFrame = {
+    val scored = qualityScored(docs)
+      .select(col("doc_id"),
+        floor(col("quality_score") * 1000).cast("long").as("q"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val med = scored.groupBy("lang")
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY q)")
+        .cast("long").as("median_q"))
+    scored.join(broadcast(med), "lang")
+      .filter(col("q") >= col("median_q"))
+      .select("doc_id", "lang", "q", "median_q")
+  }
+
   /** Winnowing-style rolling-hash fingerprint on the engine's native
     * fnv64 expression (codegen'd — graft.GraftExtensions must be on the
     * session): hash every k-token shingle, keep the minimum plus the

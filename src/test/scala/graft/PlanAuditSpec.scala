@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan assertions for declared queries whose SCALE story
+  * depends on a specific plan shape — the "is this the plan you'd want
+  * at 100 TB" audit, pinned as tests so a regression (a lost pushdown,
+  * a join strategy flip, a nested-loop sneaking in) fails CI instead of
+  * surfacing as a mystery slowdown. Complements BucketingSpec (bucketed
+  * joins) and PartitionPruningSpec (scan pruning). */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("matmul joins never degrade to nested-loop or cartesian plans") {
+    for (q <- Seq("matmul_basic", "matmul_rect", "matmul_blocked")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q must contract via an equi-join, plan:\n$p")
+    }
+  }
+
+  test("q7 pushes the trading-nation filter into the nation scans") {
+    val p = plan("q7_volume_shipping")
+    assert(p.contains("In(n_name"),
+      s"nation IN-filter must reach the parquet scan, plan:\n$p")
+  }
+
+  test("q8 pushes the part-type filter into the part scan") {
+    val p = plan("q8_market_share")
+    assert(p.contains("EqualTo(p_type,PROMO)"),
+      s"p_type filter must reach the parquet scan, plan:\n$p")
+  }
+
+  test("top-k per group plans as a rank-limit pushdown, not a full sort") {
+    val p = plan("top_users_by_type")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-group top-k must use WindowGroupLimit, plan:\n$p")
+  }
+
+  test("row-local text operators are shuffle-free projections") {
+    for (q <- Seq("doc_stats", "doc_quality", "doc_fingerprint_rolling",
+      "media_resized")) {
+      // orderBy for the oracle adds a range-partition exchange at the
+      // sink; anything beyond that single exchange means the operator
+      // itself shuffled
+      val exchanges = "Exchange".r.findAllIn(plan(q)).length
+      assert(exchanges <= 1,
+        s"$q should only exchange for the final ORDER BY, got $exchanges")
+    }
+  }
+
+  test("the sliding event-time frame runs in a single Window operator") {
+    val p = plan("user_value_10min")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(
+      SparkEntry.queries("user_value_10min")(spark, dir)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      .length
+    assert(p.contains("Window") && windows <= 1,
+      s"both trailing aggregates must share one Window operator")
+  }
+
+  test("grouping-set queries aggregate through one Expand pass") {
+    for (q <- Seq("region_rollup", "region_cube", "region_grouping_sets")) {
+      val expands = "Expand".r.findAllIn(plan(q)).length
+      assert(expands === 1, s"$q must plan exactly one Expand, got $expands")
+    }
+  }
+}

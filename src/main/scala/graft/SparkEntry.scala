@@ -237,6 +237,11 @@ object SparkEntry {
     // Keep docs at/above their language's median quality (quantized).
     "doc_quality_gate" -> ((s, dir) =>
       TextOps.qualityGate(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Top-3 salient terms per doc by tf·(N/df) — exact-rounded IEEE
+    // division keeps the ranking engine-identical (ln would not be).
+    "doc_top_terms" -> ((s, dir) =>
+      TextOps.topTerms(Tables.documents(s, dir), k = 3)
+        .orderBy("doc_id", "rnk")),
     // Incremental dedup: the id-upper half of the corpus ingested
     // against the lower half (anti-join on content digest). The split
     // point is a one-scalar driver lookup (metadata-scale).
@@ -853,6 +858,23 @@ object SparkEntry {
         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
         |       ELSE 'train' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_top_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+        |r AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    CAST(tf.tf AS DOUBLE) * (CAST(n.total AS DOUBLE) / df.df) AS score,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf AS DOUBLE) * (CAST(n.total AS DOUBLE) / df.df) DESC,
+        |               tf.token) AS INT) AS rnk
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n)
+        |SELECT doc_id, rnk, token, tf, df, score
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "doc_stratified_sample" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

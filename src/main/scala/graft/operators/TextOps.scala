@@ -177,6 +177,40 @@ object TextOps {
       .select("doc_id", "lang", "q", "median_q")
   }
 
+  /** Top-k salient terms per document, scored by tf · (N / df) — the
+    * tf-idf ranking with the raw rarity ratio in place of its log.
+    * Chosen deliberately for the oracle discipline: IEEE 754 requires
+    * division to be exactly rounded, so integral tf/N/df make the
+    * score BIT-IDENTICAL across engines, while `ln` varies by libm ULP
+    * and can flip a rank. Ties break on token text so top-k is fully
+    * deterministic.
+    *
+    * Plan shape: one explode + two hash aggregations (per-(doc,token)
+    * tf; per-token df), df joins back on the token postings, and the
+    * per-doc top-k runs as a rank window that WindowGroupLimit prunes
+    * to k rows per group map-side (plan-audited) — no full per-doc
+    * sort materializes. */
+  def topTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // corpus size is one driver-side scalar (metadata-scale, same as
+    // dedup_incremental's split point)
+    val total = docs.count()
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score",
+        col("tf").cast("double") * (lit(total).cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint on the engine's native
     * fnv64 expression (codegen'd — graft.GraftExtensions must be on the
     * session): hash every k-token shingle, keep the minimum plus the

@@ -39,9 +39,11 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("top-k per group plans as a rank-limit pushdown, not a full sort") {
-    val p = plan("top_users_by_type")
-    assert(p.contains("WindowGroupLimit"),
-      s"per-group top-k must use WindowGroupLimit, plan:\n$p")
+    for (q <- Seq("top_users_by_type", "doc_top_terms")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q per-group top-k must use WindowGroupLimit, plan:\n$p")
+    }
   }
 
   test("row-local text operators are shuffle-free projections") {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Analytics, Dedup, MatrixOps, Multimodal, Similarity, Temporal, TextOps}
+import graft.operators.{Analytics, Dedup, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
 import graft.sources.ResultsCsv
 import graft.streaming.EventStream
 
@@ -260,6 +260,24 @@ object SparkEntry {
     // oracle reproduces FNV-1a's wrapping multiply in HUGEINT mod 2^64.
     "doc_fingerprint_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Gopher-style repetition filters: per (doc, gram order n∈{1,2,3}),
+    // top-gram and duplicated-gram occurrence fractions.
+    "doc_repetition" -> ((s, dir) =>
+      TextOps.repetitionSignals(Tables.documents(s, dir)).orderBy("doc_id", "n")),
+    // GPT-3-style decontamination: train-split docs sharing a distinct
+    // 5-gram with the eval (test) split; eval gram set broadcasts.
+    "contamination_hits" -> ((s, dir) =>
+      TextOps.contaminationHits(Tables.documents(s, dir), n = 5)
+        .orderBy("doc_id")),
+    // Corpus-level top-50 trigrams (n-gram LM table) — global top-k via
+    // TakeOrderedAndProject, total order so the cut is deterministic.
+    "corpus_ngrams" -> ((s, dir) =>
+      TextOps.corpusNgrams(Tables.documents(s, dir), n = 3, k = 50)),
+    // KMV distinct-count sketch (deterministic, so still hash-checkable):
+    // distinct users per event type, k=32, alongside the exact count.
+    "approx_distinct_users" -> ((s, dir) =>
+      Sketches.kmvDistinct(Tables.events(s, dir), "event_type", "user_id",
+        k = 32).orderBy("event_type")),
 
     // Capstone composition — the actual training-data curation pipeline:
     // quality gate → exact dedup (first doc_id wins) → deterministic
@@ -924,6 +942,69 @@ object SparkEntry {
          |    AS min_shingle_fnv,
          |  CAST(len(shingles) AS BIGINT) AS n_shingles
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "doc_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id, CAST(1 AS INT) AS n, unnest(toks) AS gram FROM t
+        |  UNION ALL
+        |  SELECT doc_id, CAST(2 AS INT), unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) FROM t
+        |  UNION ALL
+        |  SELECT doc_id, CAST(3 AS INT), unnest(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+        |    i -> array_to_string(toks[i:i+2], ' '))) FROM t),
+        |c AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM g GROUP BY 1, 2, 3)
+        |SELECT doc_id, n,
+        |  CAST(SUM(cnt) AS BIGINT) AS grams,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_grams,
+        |  CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_grams,
+        |  CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS BIGINT) AS top_frac,
+        |  CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(cnt) AS BIGINT) AS dup_frac
+        |FROM c GROUP BY 1, 2 ORDER BY doc_id, n""".stripMargin,
+    "contamination_hits" ->
+      """WITH t AS (SELECT doc_id,
+        |    substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+        |    string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, h,
+        |    unnest(list_distinct(list_transform(range(1, greatest(len(toks)-4, 1)+1),
+        |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram FROM t),
+        |ev AS (SELECT DISTINCT gram FROM g WHERE h IN ('0','1')),
+        |tr AS (SELECT doc_id, gram FROM g WHERE h NOT IN ('0','1','2','3')),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_grams
+        |        FROM tr GROUP BY 1),
+        |hits AS (SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS eval_hits
+        |         FROM tr JOIN ev USING (gram) GROUP BY 1)
+        |SELECT hits.doc_id, tot.doc_grams, hits.eval_hits,
+        |  CAST(hits.eval_hits AS DOUBLE) / tot.doc_grams AS hit_frac
+        |FROM hits JOIN tot USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "corpus_ngrams" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM t)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS occurrences,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
+        |FROM g GROUP BY 1
+        |ORDER BY occurrences DESC, gram LIMIT 50""".stripMargin,
+    "approx_distinct_users" ->
+      s"""WITH dh AS (SELECT DISTINCT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM dh)
+         |SELECT event_type,
+         |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |  MAX(CASE WHEN rn <= 32 THEN h END) AS kth_hash,
+         |  CASE WHEN SUM(CASE WHEN rn <= 32 THEN 1 ELSE 0 END) < 32
+         |       THEN CAST(COUNT(*) AS DOUBLE)
+         |       ELSE ${Sketches.kmvNumeratorSql(32)}
+         |            / CAST(MAX(CASE WHEN rn <= 32 THEN h END) AS DOUBLE)
+         |  END AS kmv_estimate
+         |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "media_features" ->
       // the stub codec's scalar surface is pure arithmetic over the

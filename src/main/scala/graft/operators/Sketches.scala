@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distinct-count sketching — the approximate tier of the analytics
+  * family (north-star extension; the reference computes only exact
+  * dense aggregates, SURVEY.md §2.5).
+  *
+  * The estimator is KMV (k-minimum values, Bar-Yossef et al. 2002): hash
+  * every key uniformly, keep the k smallest distinct hash values; with
+  * kth(k) the k-th smallest, distinct ≈ (k−1) · M / kth where M is the
+  * hash range. Unlike HyperLogLog the whole sketch is DETERMINISTIC
+  * given the hash function — which is what lets an approximate operator
+  * still hash-match an exact SQL oracle (the repo's correctness gate):
+  * both engines share the md5-derived 60-bit hash, the k-th minimum is
+  * an exact integer, and the estimate is one IEEE division of exactly
+  * representable doubles ((k−1)·2^60 has a 6-bit mantissa; int→double
+  * conversion and division are correctly rounded on both engines).
+  */
+object Sketches {
+
+  /** 60-bit uniform hash shared with the SQL oracle: the first 15 hex
+    * nibbles of md5 — positive, fits signed 64-bit. */
+  private def h60(key: Column): Column =
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Per-group KMV distinct-count estimate for `key`, alongside the
+    * exact count for validation.
+    *
+    * Plan shape: one distinct aggregation over (group, hash), then one
+    * window (partition by group, order by hash) feeding a single
+    * aggregation — the per-group sort IS the sketch here because the
+    * validation column `n_exact` forces every distinct hash through
+    * anyway. The production form drops `n_exact`, filters `rn <= k`
+    * directly under the window, and Spark's WindowGroupLimit then keeps
+    * only k rows per group per partition map-side — the sketch never
+    * materializes the full distinct set. Both shapes shuffle once on
+    * `group`.
+    */
+  def kmvDistinct(df: DataFrame, group: String, key: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashes = df.select(col(group), h60(col(key)).as("h")).distinct()
+    val w = Window.partitionBy(group).orderBy("h")
+    val numerator = Math.scalb((k - 1).toDouble, 60) // (k−1)·2^60, exact
+    hashes.withColumn("rn", row_number().over(w))
+      .groupBy(group)
+      .agg(
+        count(lit(1)).as("n_exact"),
+        max(when(col("rn") <= k, col("h"))).as("kth_hash"),
+        sum(when(col("rn") <= k, lit(1L)).otherwise(lit(0L))).as("n_kept"))
+      .select(col(group), col("n_exact"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_exact").cast("double"))
+          .otherwise(lit(numerator) / col("kth_hash").cast("double"))
+          .as("kmv_estimate"))
+  }
+
+  /** The oracle-side constant for [[kmvDistinct]]'s numerator, printed
+    * with full round-trip precision so the SQL literal parses to the
+    * identical double. */
+  def kmvNumeratorSql(k: Int): String = {
+    val d = Math.scalb((k - 1).toDouble, 60)
+    s"CAST(${java.math.BigDecimal.valueOf(d).toPlainString} AS DOUBLE)"
+  }
+}

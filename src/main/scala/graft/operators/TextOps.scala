@@ -211,6 +211,94 @@ object TextOps {
         col("df"), col("score"))
   }
 
+  /** Word n-grams of `toks` (order n, overlapping, in document order).
+    * Documents shorter than n yield one clamped gram (slice truncates) —
+    * the same convention [[rollingFingerprints]] established, so the SQL
+    * oracle's `toks[i:i+n-1]` clamp matches bit-for-bit.
+    */
+  private[graft] def wordGrams(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
+  /** Gopher-style repetition signals, the standard "degenerate document"
+    * quality filters (Rae et al. 2021 §A1.1): for each document and each
+    * n-gram order n ∈ {1,2,3}, the fraction of gram occurrences covered
+    * by the single most frequent gram (`top_frac`) and the fraction
+    * belonging to any gram that occurs more than once (`dup_frac`).
+    * Boilerplate-heavy and looping documents light up both.
+    *
+    * All counts are integral and each ratio is one IEEE division, so the
+    * DuckDB oracle hash-matches. Long form (doc_id, n) rather than a
+    * pivot: one explode feeds one pair of hash aggregations with
+    * map-side partials — two shuffles total regardless of how many gram
+    * orders are requested, and no per-doc state beyond the agg buffers.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val tagged = docs.select(
+      col("doc_id"),
+      explode(flatten(array(Seq(1, 2, 3).map(n =>
+        transform(wordGrams(toks, n),
+          g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    tagged.groupBy("doc_id", "n", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id", "n")
+      .agg(
+        sum("cnt").as("grams"),
+        count(lit(1)).as("distinct_grams"),
+        max("cnt").as("top_cnt"),
+        sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L))).as("dup_grams"))
+      .select(col("doc_id"), col("n"), col("grams"), col("distinct_grams"),
+        col("top_cnt"), col("dup_grams"),
+        (col("top_cnt").cast("double") / col("grams")).as("top_frac"),
+        (col("dup_grams").cast("double") / col("grams")).as("dup_frac"))
+  }
+
+  /** Benchmark decontamination by n-gram overlap — the GPT-3 appendix-C
+    * procedure: flag any training document sharing an n-gram with the
+    * held-out eval set. The eval split is [[hashSplit]]'s `test` nibble
+    * so the whole check derives from one table; `doc_grams` counts each
+    * train doc's DISTINCT grams and `eval_hits` how many of them appear
+    * anywhere in the eval split.
+    *
+    * Scale shape: the eval-gram set is small by definition (eval sets
+    * are curated benchmarks, not corpora), so it broadcasts and the scan
+    * over training grams is a map-side semi-join — no shuffle of the
+    * corpus side at all until the tiny per-doc count aggregation.
+    */
+  def contaminationHits(docs: DataFrame, n: Int = 5): DataFrame = {
+    val nib = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val grams = docs.select(
+      col("doc_id"), nib.as("h"),
+      explode(array_distinct(wordGrams(split(col("text"), " "), n))).as("gram"))
+    val evalGrams = grams.filter(col("h").isin("0", "1")).select("gram").distinct()
+    val train = grams.filter(!col("h").isin("0", "1", "2", "3"))
+    val totals = train.groupBy("doc_id").agg(count(lit(1)).as("doc_grams"))
+    val hits = train.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("eval_hits"))
+    hits.join(totals, "doc_id")
+      .select(col("doc_id"), col("doc_grams"), col("eval_hits"),
+        (col("eval_hits").cast("double") / col("doc_grams")).as("hit_frac"))
+  }
+
+  /** Corpus-level top-k n-grams — the n-gram LM / vocabulary-induction
+    * table (and the source of Gopher's "top n-gram" corpus statistics).
+    * Global top-k with a total order (occurrences desc, gram asc) runs
+    * as TakeOrderedAndProject: each partition keeps k rows, the driver
+    * merges k·partitions — no global sort at any scale.
+    */
+  def corpusNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(wordGrams(split(col("text"), " "), n)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct("doc_id").as("docs"))
+      .orderBy(col("occurrences").desc, col("gram"))
+      .limit(k)
+
   /** Winnowing-style rolling-hash fingerprint on the engine's native
     * fnv64 expression (codegen'd — graft.GraftExtensions must be on the
     * session): hash every k-token shingle, keep the minimum plus the

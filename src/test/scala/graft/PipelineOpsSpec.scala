@@ -246,4 +246,58 @@ class PipelineOpsSpec extends SparkSpec {
     // ranks are contiguous from 1
     assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq === (1 to rows.length).toSeq)
   }
+
+  test("repetition signals: degenerate vs diverse docs at each gram order") {
+    val reps = Seq(
+      (10L, "a a a a", "en", "s0", 7L),
+      (11L, "a b c d", "en", "s0", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.repetitionSignals(reps).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n")) -> r).toMap
+    // "a a a a": every order is one gram repeated → both fracs 1.0
+    for (n <- 1 to 3) {
+      val r = out((10L, n))
+      assert(r.getAs[Long]("grams") === (5 - n).toLong)
+      assert(r.getAs[Long]("distinct_grams") === 1L)
+      assert(r.getAs[Double]("top_frac") === 1.0)
+      assert(r.getAs[Double]("dup_frac") === 1.0)
+    }
+    // "a b c d": all grams unique → top_frac = 1/grams, dup_frac = 0
+    val d = out((11L, 1))
+    assert(d.getAs[Long]("top_cnt") === 1L)
+    assert(d.getAs[Double]("top_frac") === 0.25)
+    assert(d.getAs[Double]("dup_frac") === 0.0)
+  }
+
+  private def md5Nibble(id: Long): Char =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.charAt(0)
+
+  test("contamination flags train docs sharing a 5-gram with the eval split") {
+    // pick real split members so the operator's md5 routing is exercised
+    val ids = (0L until 64L)
+    val evalId = ids.find(i => "01".contains(md5Nibble(i))).get
+    val trainIds = ids.filter(i => md5Nibble(i) > '3').take(2)
+    val valId = ids.find(i => "23".contains(md5Nibble(i))).get
+    val shared = "one two three four five six"
+    val corpus = Seq(
+      (evalId, shared, "en", "s0", 27L),
+      (trainIds(0), shared, "en", "s0", 27L),                 // contaminated
+      (trainIds(1), "totally fresh text nothing shared here", "en", "s0", 38L),
+      (valId, shared, "en", "s0", 27L)                        // val: not scanned
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val hits = TextOps.contaminationHits(corpus, n = 5).collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSeq === Seq(trainIds(0)))
+    assert(hits.head.getAs[Double]("hit_frac") === 1.0)
+  }
+
+  test("corpus ngrams ranks by occurrences then gram text") {
+    val c = Seq((0L, "x y z x y z", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val top = TextOps.corpusNgrams(c, n = 3, k = 3).collect()
+    assert(top.map(r => (r.getString(0), r.getAs[Long]("occurrences"))).toSeq ===
+      Seq(("x y z", 2L), ("y z x", 1L), ("z x y", 1L)))
+    assert(top.forall(_.getAs[Long]("docs") === 1L))
+  }
 }

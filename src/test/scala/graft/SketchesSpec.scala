@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Sketches
+
+/** KMV distinct-count sketch vs a pure-JVM replica of the shared
+  * md5-derived hash, plus the estimator's accuracy and exact-fallback
+  * contracts. */
+class SketchesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Same 60-bit hash the operator and the SQL oracle use. */
+  private def h60(key: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+
+  test("kth_hash is exactly the k-th smallest distinct hash per group") {
+    val k = 8
+    val df = (0L until 100L).map(i => ("g", i)).toDF("grp", "key")
+    val row = Sketches.kmvDistinct(df, "grp", "key", k).collect().head
+    val expectedKth = (0L until 100L).map(i => h60(i.toString)).distinct.sorted.apply(k - 1)
+    assert(row.getAs[Long]("kth_hash") === expectedKth)
+    assert(row.getAs[Long]("n_exact") === 100L)
+    val expectedEst = Math.scalb((k - 1).toDouble, 60) / expectedKth.toDouble
+    assert(row.getAs[Double]("kmv_estimate") === expectedEst)
+  }
+
+  test("estimator falls back to the exact count below k distinct keys") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 3L)).toDF("grp", "key")
+    val row = Sketches.kmvDistinct(df, "grp", "key", k = 16).collect().head
+    assert(row.getAs[Long]("n_exact") === 3L)
+    assert(row.getAs[Double]("kmv_estimate") === 3.0)
+  }
+
+  test("estimate lands within the expected error band (k=64, n=2000)") {
+    val df = (0L until 2000L).map(i => ("g", i)).toDF("grp", "key")
+    val row = Sketches.kmvDistinct(df, "grp", "key", k = 64).collect().head
+    val est = row.getAs[Double]("kmv_estimate")
+    // stderr ≈ n/sqrt(k−2) ≈ 254; assert a generous 4σ band so the test
+    // can only fail on a broken estimator, not an unlucky hash draw
+    // (the hash is fixed, so this is deterministic anyway — the band
+    // documents the contract)
+    assert(est > 1000.0 && est < 3000.0, s"estimate $est out of band")
+  }
+
+  test("groups are independent: per-group kth differs from pooled kth") {
+    val df = ((0L until 50L).map(i => ("a", i)) ++
+      (1000L until 1050L).map(i => ("b", i))).toDF("grp", "key")
+    val rows = Sketches.kmvDistinct(df, "grp", "key", k = 8)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("kth_hash")).toMap
+    val kthA = (0L until 50L).map(i => h60(i.toString)).sorted.apply(7)
+    val kthB = (1000L until 1050L).map(i => h60(i.toString)).sorted.apply(7)
+    assert(rows("a") === kthA)
+    assert(rows("b") === kthB)
+  }
+}

@@ -278,6 +278,17 @@ object SparkEntry {
     "approx_distinct_users" -> ((s, dir) =>
       Sketches.kmvDistinct(Tables.events(s, dir), "event_type", "user_id",
         k = 32).orderBy("event_type")),
+    // Exact-quota reservoir: first-n-by-salted-md5 per language
+    // (en 60, de/fr 25 each, others 10) — WindowGroupLimit prunes
+    // map-side, the corpus never fully sorts.
+    "doc_reservoir" -> ((s, dir) =>
+      TextOps.reservoirSample(Tables.documents(s, dir),
+        Map("en" -> 60, "de" -> 25, "fr" -> 25), default = 10)
+        .orderBy("lang", "rn")),
+    // Postings-list build: df + first-20 sorted doc ids per token.
+    "inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(Tables.documents(s, dir), maxPostings = 20)
+        .orderBy("token")),
 
     // Capstone composition — the actual training-data curation pipeline:
     // quality gate → exact dedup (first doc_id wins) → deterministic
@@ -1005,6 +1016,26 @@ object SparkEntry {
          |            / CAST(MAX(CASE WHEN rn <= 32 THEN h END) AS DOUBLE)
          |  END AS kmv_estimate
          |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    "doc_reservoir" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    CAST(concat('0x', substr(md5('resv:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk,
+        |    CAST(CASE lang WHEN 'en' THEN 60 WHEN 'de' THEN 25 WHEN 'fr' THEN 25
+        |         ELSE 10 END AS BIGINT) AS quota
+        |  FROM documents),
+        |n AS (SELECT doc_id, lang, rk, quota,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS BIGINT) AS rn
+        |  FROM r)
+        |SELECT doc_id, lang, rk, rn FROM n
+        |WHERE rn <= quota ORDER BY lang, rn""".stripMargin,
+    "inverted_index" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+        |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
+        |FROM tok GROUP BY 1 ORDER BY token""".stripMargin,
 
     "media_features" ->
       // the stub codec's scalar surface is pure arithmetic over the

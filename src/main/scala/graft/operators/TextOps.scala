@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the
@@ -211,16 +212,49 @@ object TextOps {
         col("df"), col("score"))
   }
 
-  /** Word n-grams of `toks` (order n, overlapping, in document order).
-    * Documents shorter than n yield one clamped gram (slice truncates) —
-    * the same convention [[rollingFingerprints]] established, so the SQL
-    * oracle's `toks[i:i+n-1]` clamp matches bit-for-bit.
+  /** One row per word n-gram per requested order: (doc_id, n, gram) —
+    * overlapping full windows in document order, except a single
+    * clamped (truncated) gram when the document is shorter than n, the
+    * convention [[rollingFingerprints]] established so the SQL oracle's
+    * `toks[i:i+n-1]` slice clamp matches bit-for-bit.
+    *
+    * Built WITHOUT higher-order functions: `transform`/`slice` are
+    * interpreted (CodegenFallback), and per-token object churn dominates
+    * gram pipelines (measured ~9× the cost of the scan at sf0.1). Here
+    * tokens posexplode once and each gram is a `concat_ws` over window
+    * `lead`s — every operator codegen'd, the leads share ONE Window
+    * node, and the repartition that spreads the single-split scan
+    * already provides the window's partitioning so the sort is
+    * exchange-free.
     */
-  private[graft] def wordGrams(toks: Column, n: Int): Column =
-    if (n == 1) toks
-    else transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(n))))
+  private[graft] def gramRows(docs: DataFrame, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"gram orders must be >= 1: $ns")
+    val toks = split(col("text"), " ")
+    // explicit partition count (REPARTITION_BY_NUM): a bare
+    // repartition(col) is coalesced by AQE back to ~one partition
+    // because the doc payload is small — but the fan-out below is
+    // ~100 grams per doc, so the parallelism must be sized for the
+    // OUTPUT of the explode, not the input bytes
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val base = docs.repartition(parts, col("doc_id"))
+      .select(col("doc_id"), size(toks).as("sz"),
+        posexplode(toks).as(Seq("pos", "t0")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withLeads = (1 until ns.max).foldLeft(base)((df, i) =>
+      df.withColumn(s"t$i", lead(col("t0"), i).over(w)))
+    // pos is 0-based: a full window of order n starts at pos <= sz - n;
+    // the clamped short gram is pos 0 of a doc with sz < n (concat_ws
+    // drops the null leads, reproducing the slice truncation)
+    val tagged = ns.map { n =>
+      val gram = concat_ws(" ", (0 until n).map(i => col(s"t$i")): _*)
+      when(col("pos") <= col("sz") - n || (col("sz") < n && col("pos") === 0),
+        struct(lit(n).as("n"), gram.as("gram")))
+    }
+    withLeads
+      .select(col("doc_id"), explode(array(tagged: _*)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+  }
 
   /** Gopher-style repetition signals, the standard "degenerate document"
     * quality filters (Rae et al. 2021 §A1.1): for each document and each
@@ -236,14 +270,7 @@ object TextOps {
     * orders are requested, and no per-doc state beyond the agg buffers.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
-    val tagged = docs.select(
-      col("doc_id"),
-      explode(flatten(array(Seq(1, 2, 3).map(n =>
-        transform(wordGrams(toks, n),
-          g => struct(lit(n).as("n"), g.as("gram")))): _*))).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
-    tagged.groupBy("doc_id", "n", "gram")
+    gramRows(docs, Seq(1, 2, 3)).groupBy("doc_id", "n", "gram")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id", "n")
       .agg(
@@ -271,9 +298,17 @@ object TextOps {
     */
   def contaminationHits(docs: DataFrame, n: Int = 5): DataFrame = {
     val nib = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
-    val grams = docs.select(
-      col("doc_id"), nib.as("h"),
-      explode(array_distinct(wordGrams(split(col("text"), " "), n))).as("gram"))
+    // per-doc distinct grams: the (doc_id, gram) aggregation is
+    // exchange-free because gramRows' repartition(doc_id) already
+    // clusters it; the split nibble re-derives from doc_id afterwards.
+    // Materialized ONCE (localCheckpoint, the Dedup.components idiom):
+    // the eval and train branches below would otherwise each re-execute
+    // the whole gram subtree — Catalyst has no cross-branch subplan
+    // elimination.
+    val grams = gramRows(docs, Seq(n))
+      .select(col("doc_id"), col("gram")).distinct()
+      .withColumn("h", nib)
+      .localCheckpoint()
     val evalGrams = grams.filter(col("h").isin("0", "1")).select("gram").distinct()
     val train = grams.filter(!col("h").isin("0", "1", "2", "3"))
     val totals = train.groupBy("doc_id").agg(count(lit(1)).as("doc_grams"))
@@ -291,13 +326,63 @@ object TextOps {
     * merges k·partitions — no global sort at any scale.
     */
   def corpusNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-        explode(wordGrams(split(col("text"), " "), n)).as("gram"))
+    gramRows(docs, Seq(n))
+      // two-level aggregation instead of count(distinct doc_id): the
+      // per-(gram, doc) level is exchange-free (clustered by doc_id
+      // already) and the gram level then needs no Expand duplication
+      .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
       .groupBy("gram")
-      .agg(count(lit(1)).as("occurrences"),
-        countDistinct("doc_id").as("docs"))
+      .agg(sum("c").as("occurrences"), count(lit(1)).as("docs"))
       .orderBy(col("occurrences").desc, col("gram"))
       .limit(k)
+
+  /** Exact-quota deterministic sampling: keep the first `quota(lang)`
+    * documents per language in salted-md5 order — the reproducible
+    * reservoir. Complements [[stratifiedSample]] (rate-based: keep
+    * fraction p) with the fixed-size contract ("exactly 10k docs per
+    * language") training mixes are actually specified in.
+    *
+    * The rank filter carries a LITERAL bound (the max quota) alongside
+    * the per-language bound so Spark's rank-limit pushdown
+    * (WindowGroupLimit) prunes to maxQuota rows per group map-side
+    * before the exchange — the full corpus never sorts.
+    */
+  def reservoirSample(docs: DataFrame, quotas: Map[String, Int],
+                      default: Int): DataFrame = {
+    require((default +: quotas.values.toSeq).forall(_ >= 0), "quotas are counts")
+    val maxQuota = (default +: quotas.values.toSeq).max
+    val rk = conv(substring(md5(concat(lit("resv:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val quota = quotas.foldLeft(lit(default.toLong)) {
+      case (acc, (k, q)) => when(col("lang") === k, lit(q.toLong)).otherwise(acc)
+    }
+    val w = Window.partitionBy("lang").orderBy(col("rk"), col("doc_id"))
+    docs.select(col("doc_id"), col("lang"), rk.as("rk"), quota.as("quota"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxQuota && col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rk"),
+        col("rn").cast("long").as("rn"))
+  }
+
+  /** Inverted index over whitespace tokens: per token, document
+    * frequency and the first `maxPostings` doc ids — the search-index /
+    * postings-list build every retrieval pipeline starts from. One
+    * distinct aggregation then one grouped collect; postings are sorted
+    * so output is deterministic, and the cap bounds per-token result
+    * size (stop-words would otherwise collect the whole corpus into one
+    * row — the classic postings skew). Serialized as a comma-joined
+    * string: the correctness gate compares scalar columns, and the
+    * on-disk form of a postings list is an opaque payload anyway.
+    */
+  def invertedIndex(docs: DataFrame, maxPostings: Int): DataFrame =
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id")).select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings))
+          .as("postings"))
 
   /** Winnowing-style rolling-hash fingerprint on the engine's native
     * fnv64 expression (codegen'd — graft.GraftExtensions must be on the

@@ -75,4 +75,22 @@ class PlanAuditSpec extends SparkSpec {
       assert(expands === 1, s"$q must plan exactly one Expand, got $expands")
     }
   }
+
+  test("decontamination joins the corpus against a BROADCAST eval-gram set") {
+    val p = plan("contamination_hits")
+    assert(p.contains("BroadcastHashJoin"),
+      s"eval grams must broadcast (corpus side stays map-local), plan:\n$p")
+  }
+
+  test("corpus top-k executes as TakeOrderedAndProject, not a global sort") {
+    val p = plan("corpus_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-k must plan as TakeOrderedAndProject, plan:\n$p")
+  }
+
+  test("reservoir sampling prunes per-group rows with WindowGroupLimit") {
+    val p = plan("doc_reservoir")
+    assert(p.contains("WindowGroupLimit"),
+      s"quota filter must push a rank limit under the window, plan:\n$p")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Analytics, Dedup, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, Dedup, Graph, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
 import graft.sources.ResultsCsv
 import graft.streaming.EventStream
 
@@ -86,6 +86,34 @@ object SparkEntry {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   private val sqlMatmul = sqlMultiply("SELECT * FROM a0", "SELECT * FROM b0")
+
+  /** Shared edge-list CTEs for the graph-analytics oracles: the sparse
+    * matrix graph, self-loops dropped. */
+  private val sqlGraphEdges =
+    s"""a0 AS ($sqlA),
+       |e AS (SELECT i AS src, j AS dst FROM a0
+       |      WHERE (i + j) % $SparseStride = 0 AND i <> j)""".stripMargin
+
+  /** Unrolled integer-PageRank oracle — same constants as
+    * [[graft.operators.Graph.pagerankInt]], one CTE pair per round. */
+  private def pagerankSql(iters: Int, scale: Long, dampingPct: Int): String = {
+    val base = (100 - dampingPct).toLong * scale / 100
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS node,
+         |  CAST(SUM(r${k - 1}.rank // od.outdeg) AS BIGINT) AS c
+         |  FROM e JOIN r${k - 1} ON e.src = r${k - 1}.node
+         |         JOIN od ON e.src = od.src GROUP BY 1),
+         |r$k AS (SELECT n.node,
+         |  CAST(($dampingPct * COALESCE(c$k.c, 0)) // 100 + $base AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN c$k ON n.node = c$k.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $sqlGraphEdges,
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, CAST($scale AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, rank FROM r$iters ORDER BY node""".stripMargin
+  }
 
   // ====================== text analysis (north star) ===================
 
@@ -215,6 +243,19 @@ object SparkEntry {
     "matmul_large" -> ((s, dir) =>
       ordered(MatrixOps.multiplyBlocked(s, matAof(s, dir, NLarge),
         matBof(s, dir, NLarge), NLarge, 64))),
+
+    // ---- graph analytics (iterative tier; Graph) ----
+    // Integer PageRank, 3 synchronous rounds on the sparse matrix graph
+    // (self-loops dropped) — floor-division arithmetic keeps every
+    // iteration bit-identical to the unrolled-CTE oracle.
+    "pagerank3" -> ((s, dir) =>
+      Graph.pagerankInt(
+        matASparse(s, dir).select(col("i").as("src"), col("j").as("dst")),
+        iters = 3).orderBy("node")),
+    // Triangle count of the same graph (undirected simple form).
+    "triangle_count" -> ((s, dir) =>
+      Graph.triangleCount(
+        matASparse(s, dir).select(col("i").as("src"), col("j").as("dst")))),
 
     // ---- text analysis (north star; TextOps) ----
     "doc_stats" -> ((s, dir) =>
@@ -855,6 +896,16 @@ object SparkEntry {
          |SELECT a.i AS i, b.j AS j, SUM(a.v * b.v) AS v
          |FROM a0 a JOIN b0 b ON a.j = b.i
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pagerank3" -> pagerankSql(iters = 3, scale = 1000000000000L,
+      dampingPct = 85),
+    "triangle_count" ->
+      s"""WITH $sqlGraphEdges,
+         |und AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+         |        FROM e GROUP BY 1, 2)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+         |FROM und e1 JOIN und e2 ON e1.b = e2.a
+         |            JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
 
     "doc_stats" ->
       s"WITH s AS ($sqlDocStats)\n$sqlStatsSelect ORDER BY doc_id",

@@ -21,9 +21,10 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  /** 60-bit uniform hash shared with the SQL oracle: the first 15 hex
-    * nibbles of md5 — positive, fits signed 64-bit. */
-  private def h60(key: Column): Column =
+  /** 60-bit uniform hash shared with the SQL oracle (and the streaming
+    * sketch twin): the first 15 hex nibbles of md5 — positive, fits
+    * signed 64-bit. */
+  def hash60(key: Column): Column =
     conv(substring(md5(key.cast("string").cast("binary")), 1, 15), 16, 10)
       .cast("long")
 
@@ -42,7 +43,7 @@ object Sketches {
     */
   def kmvDistinct(df: DataFrame, group: String, key: String, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val hashes = df.select(col(group), h60(col(key)).as("h")).distinct()
+    val hashes = df.select(col(group), hash60(col(key)).as("h")).distinct()
     val w = Window.partitionBy(group).orderBy("h")
     val numerator = Math.scalb((k - 1).toDouble, 60) // (k−1)·2^60, exact
     hashes.withColumn("rn", row_number().over(w))

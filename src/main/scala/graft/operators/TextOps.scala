@@ -212,6 +212,17 @@ object TextOps {
         col("df"), col("score"))
   }
 
+  /** ROW-LOCAL word n-grams of order n as an array column (clamped-gram
+    * convention of [[gramRows]]). Higher-order functions are interpreted,
+    * so batch pipelines use [[gramRows]] instead — this form exists for
+    * STREAMING, where a stateless per-row projection is required (window
+    * leads are not available over an unbounded stream). */
+  private[graft] def wordGramsLocal(toks: Column, n: Int): Column =
+    if (n == 1) toks
+    else transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n))))
+
   /** One row per word n-gram per requested order: (doc_id, n, gram) —
     * overlapping full windows in document order, except a single
     * clamped (truncated) gram when the document is shorter than n, the

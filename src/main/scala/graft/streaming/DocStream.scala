@@ -40,4 +40,29 @@ object DocStream {
       .drop("tids")
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("sig_key")
+
+  /** Streaming decontamination — the ingest-time twin of
+    * [[graft.operators.TextOps.contaminationHits]]: flag arriving
+    * documents that share a distinct word n-gram with a STATIC eval-set
+    * gram table. The gram explode is a stateless row-local projection
+    * (the [[graft.operators.TextOps.wordGramsLocal]] form — window
+    * leads don't exist over an unbounded stream), the eval join is a
+    * stream-static broadcast (no state at all), and the per-doc hit
+    * count is the single stateful aggregation, watermark-bounded and
+    * emitted once final in append mode.
+    *
+    * Output: (doc_id, ts, eval_hits) for contaminated documents only —
+    * the quarantine feed an ingestion pipeline would route for review.
+    */
+  def contaminationStream(docs: DataFrame, evalGrams: DataFrame,
+                          n: Int = 5,
+                          watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(array_distinct(graft.operators.TextOps.wordGramsLocal(
+          split(col("text"), " "), n))).as("gram"))
+      .join(broadcast(evalGrams.select("gram").distinct()), "gram")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("eval_hits"))
 }

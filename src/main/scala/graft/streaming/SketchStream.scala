@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import graft.operators.Sketches
+
+/** Keyed hash row for the streaming KMV sketch (top-level — Dataset
+  * encoders require it). */
+case class KmvIn(grp: String, h: Long)
+
+/** KMV state: the k smallest DISTINCT hashes seen so far, ascending.
+  * Bounded by construction — that is the sketch's whole contract: the
+  * stream may carry billions of keys, the state holds k longs. */
+case class KmvState(mins: List[Long])
+
+/** Per-trigger sketch emission. `n_kept < k` means the estimate is the
+  * exact count so far. */
+case class KmvOut(grp: String, n_kept: Int, kth_hash: Long,
+                  kmv_estimate: Double)
+
+/** Streaming distinct-count sketching — the unbounded-stream twin of
+  * [[graft.operators.Sketches.kmvDistinct]].
+  *
+  * The batch operator can afford an exact validation column; a stream
+  * cannot hold the distinct set, which is exactly the regime sketches
+  * exist for. State per group is the k-minimum distinct hash values
+  * (`mapGroupsWithState`, no timeout — a distinct-count sketch is
+  * monotone and never expires). Because the k-min set of a multiset is
+  * independent of arrival order and duplication, the streamed sketch is
+  * BIT-IDENTICAL to the batch sketch over the same rows — asserted in
+  * StreamingSpec, including out-of-order and duplicated delivery.
+  */
+object SketchStream {
+
+  /** `events` must stream rows with `grpCol` and `keyCol`; emits the
+    * updated sketch per group per trigger (update output mode). */
+  def kmvDistinctStream(events: DataFrame, grpCol: String, keyCol: String,
+                        k: Int): Dataset[KmvOut] = {
+    import events.sparkSession.implicits._
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    events
+      .select(col(grpCol).as("grp"), Sketches.hash60(col(keyCol)).as("h"))
+      .as[KmvIn]
+      .groupByKey(_.grp)
+      .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout) {
+        (grp, rows, state) =>
+          val prev = state.getOption.map(_.mins).getOrElse(Nil)
+          // merge-sort-distinct-cap: the k-min set absorbs any batch in
+          // O((k + batch) log) work and is order/duplication-insensitive
+          val mins = (prev ++ rows.map(_.h)).distinct.sorted.take(k)
+          state.update(KmvState(mins))
+          val est =
+            if (mins.size < k) mins.size.toDouble
+            else Math.scalb((k - 1).toDouble, 60) / mins.last.toDouble
+          KmvOut(grp, mins.size, if (mins.isEmpty) -1L else mins.last, est)
+      }
+  }
+}

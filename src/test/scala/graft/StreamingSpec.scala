@@ -246,4 +246,57 @@ class StreamingSpec extends SparkSpec {
     assert(batch.toSeq === rowLocal.toSeq)
     assert(batch(0) === batch(2)) // identical text → identical sketch
   }
+
+  test("stream-static decontamination flags only eval-overlapping docs") {
+    val evalGrams = Seq("two three four five six").toDF("gram")
+    val input = MemoryStream[Doc](spark)
+    val q = graft.streaming.DocStream
+      .contaminationStream(input.toDF(), evalGrams, n = 5)
+      .writeStream.format("memory").queryName("contam_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(
+        // contains the eval 5-gram twice over its distinct-gram set? no:
+        // distinct grams, so one hit
+        Doc(1, ts("10:00"), "one two three four five six seven"),
+        Doc(2, ts("10:01"), "completely unrelated clean document text here"))
+      q.processAllAvailable()
+      val rows = spark.table("contam_stream")
+        .select("doc_id", "eval_hits").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows === Map(1L -> 1L)) // doc 2 never emits
+    } finally q.stop()
+  }
+
+  test("streaming KMV sketch is bit-identical to the batch sketch " +
+    "under out-of-order, duplicated delivery") {
+    val users = (0L until 40L)
+    val k = 8
+    val input = MemoryStream[Ev](spark)
+    val q = graft.streaming.SketchStream
+      .kmvDistinctStream(input.toDF(), "event_type", "user_id", k)
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    try {
+      // batch 1: second half of the users, shuffled; batch 2: first half
+      // plus REDELIVERY of some of batch 1 — order and duplication must
+      // not matter to a k-min set
+      input.addData(users.drop(20).reverse.map(u =>
+        Ev(u, ts("10:00"), u, "click", 0.0, "")): _*)
+      q.processAllAvailable()
+      input.addData((users.take(20) ++ users.drop(35)).map(u =>
+        Ev(u, ts("10:05"), u, "click", 0.0, "")): _*)
+      q.processAllAvailable()
+
+      val finalRow = spark.table("kmv_stream").collect()
+        .filter(_.getAs[String]("grp") == "click").last
+      val batch = graft.operators.Sketches.kmvDistinct(
+        users.map(u => ("click", u)).toDF("event_type", "user_id"),
+        "event_type", "user_id", k).collect().head
+      assert(finalRow.getAs[Long]("kth_hash") === batch.getAs[Long]("kth_hash"))
+      assert(finalRow.getAs[Double]("kmv_estimate") ===
+        batch.getAs[Double]("kmv_estimate"))
+      assert(finalRow.getAs[Int]("n_kept") === k)
+    } finally q.stop()
+  }
 }

@@ -117,6 +117,34 @@ object SparkEntry {
 
   // ====================== text analysis (north star) ===================
 
+  /** Unrolled BPE merge-round oracle — same greedy top-pair + literal
+    * space-delimited replacement as [[graft.operators.TextOps.bpeMerges]],
+    * one (count, top-1, rewrite) CTE triple per round. */
+  private def bpeSql(rounds: Int): String = {
+    val ctes = scala.collection.mutable.ListBuffer(
+      "d0 AS (SELECT doc_id, text FROM documents)")
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      ctes += s"""g$r AS (SELECT unnest(list_transform(
+        |    range(1, greatest(len(toks)-1, 1)+1),
+        |    i -> array_to_string(toks[i:i+1], ' '))) AS gram
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM d$p))""".stripMargin
+      ctes += s"""t$r AS (SELECT CAST($r AS INT) AS round, gram AS pair,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM g$r WHERE contains(gram, ' ')
+        |  GROUP BY 2 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
+      if (r < rounds)
+        ctes += s"""d$r AS (SELECT doc_id,
+          |    trim(replace(' ' || text || ' ',
+          |      ' ' || (SELECT pair FROM t$r) || ' ',
+          |      ' ' || replace((SELECT pair FROM t$r), ' ', '_') || ' ')) AS text
+          |  FROM d$p)""".stripMargin
+    }
+    val union = (1 to rounds).map(r => s"SELECT * FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${ctes.mkString(",\n")}\n$union ORDER BY round"
+  }
+
   /** Shared CTE computing the portable per-document stats. */
   private val sqlDocStats =
     """SELECT doc_id,
@@ -330,6 +358,10 @@ object SparkEntry {
     "inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(Tables.documents(s, dir), maxPostings = 20)
         .orderBy("token")),
+    // Tokenizer induction: 3 greedy BPE merge rounds → the merge table.
+    "bpe_merges" -> ((s, dir) =>
+      TextOps.bpeMerges(Tables.documents(s, dir), rounds = 3)
+        .orderBy("round")),
 
     // Capstone composition — the actual training-data curation pipeline:
     // quality gate → exact dedup (first doc_id wins) → deterministic
@@ -1068,6 +1100,7 @@ object SparkEntry {
          |  END AS kmv_estimate
          |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    "bpe_merges" -> bpeSql(rounds = 3),
     "doc_reservoir" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -395,6 +395,50 @@ object TextOps {
           slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings))
           .as("postings"))
 
+  /** BPE-style tokenizer induction: `rounds` greedy merge rounds, each
+    * taking the corpus-wide most frequent ADJACENT token pair (ties
+    * broken lexicographically so the choice is total) and fusing its
+    * occurrences into a single token before recounting. Returns the
+    * merge table (round, pair, cnt) — the artifact a tokenizer trainer
+    * ships.
+    *
+    * The merge applies via literal space-delimited string replacement;
+    * left-to-right non-overlapping scan is identical in every engine,
+    * so the SQL oracle (same rounds unrolled as CTEs) hash-matches.
+    * One approximation follows from the single pass: an occurrence that
+    * shares its separator with a just-replaced match ("a b a b" after
+    * merging "a b") survives the round and merges in a LATER round —
+    * deterministic, cross-engine identical, and the usual trade in
+    * one-pass corpus-level merge implementations. Per round: one gram
+    * count (codegen [[gramRows]] pipeline), one global top-1
+    * (TakeOrderedAndProject), one broadcast of the single winning pair
+    * onto the corpus — the same shape at any corpus size, with the
+    * winning pair materialized (it feeds both the output and the next
+    * round, and checkpointing keeps round r's plan from re-executing
+    * rounds 1..r−1, the [[Dedup.connectedComponents]] iteration idiom).
+    */
+  def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one merge round, got $rounds")
+    var cur = docs.select(col("doc_id"), col("text"))
+    var merges: Option[DataFrame] = None
+    for (r <- 1 to rounds) {
+      val top = gramRows(cur, Seq(2))
+        // a doc shorter than 2 tokens yields a clamped single-token
+        // gram — not a pair; real pairs always contain the separator
+        .filter(col("gram").contains(" "))
+        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("gram")).limit(1)
+        .select(lit(r).as("round"), col("gram").as("pair"), col("cnt"))
+        .localCheckpoint()
+      merges = Some(merges.fold(top)(_.unionByName(top)))
+      cur = cur.crossJoin(broadcast(top.select(col("pair"))))
+        .select(col("doc_id"),
+          expr("trim(replace(' ' || text || ' ', ' ' || pair || ' ', " +
+            "' ' || replace(pair, ' ', '_') || ' '))").as("text"))
+    }
+    merges.get
+  }
+
   /** Winnowing-style rolling-hash fingerprint on the engine's native
     * fnv64 expression (codegen'd — graft.GraftExtensions must be on the
     * session): hash every k-token shingle, keep the minimum plus the

@@ -292,6 +292,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits.head.getAs[Double]("hit_frac") === 1.0)
   }
 
+  test("bpe merge rounds pick greedy top pairs and fuse occurrences") {
+    val c = Seq(
+      (0L, "a b a b c", "en", "s0", 9L),
+      (1L, "a b c", "en", "s0", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // round 1 pairs: "a b"×3, "b a"×1, "b c"×2 → merge "a b".
+    // The single-pass replace consumes the shared separator, so doc 0
+    // becomes "a_b a b c" (second occurrence survives to a later
+    // round) and doc 1 "a_b c". Round 2 pairs are then all cnt=1 and
+    // the lexicographic tie-break picks "a b" (space sorts before '_').
+    val m = TextOps.bpeMerges(c, rounds = 2).orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getString(1), r.getAs[Long]("cnt")))
+    assert(m.toSeq === Seq((1, "a b", 3L), (2, "a b", 1L)))
+  }
+
+  test("bpe merge is left-to-right non-overlapping on token runs") {
+    // " x x x x " merges once (the scan resumes after the consumed
+    // separator), leaving "x_x x x" — so round 2's top pair is "x x"
+    val c = Seq((0L, "x x x x", "en", "s0", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.bpeMerges(c, rounds = 2).orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getString(1), r.getAs[Long]("cnt")))
+    assert(m.head === ((1, "x x", 3L)))
+    assert(m(1) === ((2, "x x", 1L)))
+  }
+
   test("corpus ngrams ranks by occurrences then gram text") {
     val c = Seq((0L, "x y z x y z", "en", "s0", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -362,6 +362,12 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(Tables.documents(s, dir), rounds = 3)
         .orderBy("round")),
+    // Train/test leakage audit: duplicate content spanning splits.
+    "split_leakage" -> ((s, dir) =>
+      TextOps.splitLeakage(Tables.documents(s, dir)).orderBy("content_hash")),
+    // Zipf rank-frequency table with cumulative-share denominator.
+    "token_zipf" -> ((s, dir) =>
+      TextOps.tokenZipf(Tables.documents(s, dir)).orderBy("rank")),
 
     // Capstone composition — the actual training-data curation pipeline:
     // quality gate → exact dedup (first doc_id wins) → deterministic
@@ -1101,6 +1107,29 @@ object SparkEntry {
          |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
     "bpe_merges" -> bpeSql(rounds = 3),
+    "split_leakage" ->
+      """WITH s AS (
+        |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_hash,
+        |    doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+        |         ELSE 'train' END AS split
+        |  FROM documents),
+        |g AS (SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS docs,
+        |        MIN(doc_id) AS first_doc,
+        |        array_to_string(list_sort(list_distinct(list(split))), ',') AS splits
+        |      FROM s GROUP BY 1)
+        |SELECT content_hash, docs, first_doc, splits FROM g
+        |WHERE contains(splits, ',') ORDER BY content_hash""".stripMargin,
+    "token_zipf" ->
+      """WITH f AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1),
+        |t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM f)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank,
+        |  token, freq, CAST(freq AS DOUBLE) / t.total AS share
+        |FROM f CROSS JOIN t ORDER BY rank""".stripMargin,
     "doc_reservoir" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -395,6 +395,51 @@ object TextOps {
           slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings))
           .as("postings"))
 
+  /** Cross-split leakage: duplicate-content classes whose members land
+    * in DIFFERENT [[hashSplit]] splits — the train/test contamination
+    * every deduplicate-then-split pipeline must audit (dedup by
+    * content, split by id: duplicates that survive dedup leak eval
+    * content into training). The class key is the order-insensitive BAG
+    * fingerprint ([[fingerprints]]' `bag_fp`) so trivially-rewritten
+    * near-exact duplicates count as leaks, not just byte-identical
+    * ones. One digest aggregation; per class the split multiset
+    * collapses to sorted distinct split names, and only classes
+    * spanning >1 split are reported.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val nibble = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 1)
+    val splitCol = when(nibble.isin("0", "1"), "test")
+      .when(nibble.isin("2", "3"), "val")
+      .otherwise("train")
+    val bagFp = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " ")))).cast("binary"))
+    docs.select(bagFp.as("content_hash"), col("doc_id"), splitCol.as("split"))
+      .groupBy("content_hash")
+      .agg(count(lit(1)).as("docs"),
+        min("doc_id").as("first_doc"),
+        concat_ws(",", array_sort(collect_set(col("split")))).as("splits"))
+      .filter(col("splits").contains(","))
+  }
+
+  /** Zipf rank-frequency table of the token distribution: rank 1 = most
+    * frequent token, ties broken by token text. The corpus-statistics
+    * companion to [[corpusNgrams]] (order-1), reported with the
+    * cumulative share denominator so a reader gets the coverage curve
+    * ("top K tokens cover X% of the corpus") from one relation. */
+  def tokenZipf(docs: DataFrame): DataFrame = {
+    val freq = gramRows(docs, Seq(1))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+    // one driver scalar (metadata-scale); the single-partition rank
+    // window runs over the aggregated VOCABULARY relation, which Heaps'
+    // law keeps orders of magnitude smaller than the corpus
+    val total = freq.agg(sum("freq")).first().getLong(0)
+    freq
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("gram"))).cast("long"))
+      .select(col("rank"), col("gram").as("token"), col("freq"),
+        (col("freq").cast("double") / total).as("share"))
+  }
+
   /** BPE-style tokenizer induction: `rounds` greedy merge rounds, each
     * taking the corpus-wide most frequent ADJACENT token pair (ties
     * broken lexicographically so the choice is total) and fusing its

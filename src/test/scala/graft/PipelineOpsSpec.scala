@@ -318,6 +318,66 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m(1) === ((2, "x x", 1L)))
   }
 
+  test("gramRows equals Scala sliding windows on random token streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val docGen = for {
+      len <- Gen.choose(1, 12)
+      toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "cc", "d"))
+    } yield toks
+    val corpus = (1 to 30).flatMap(s =>
+      docGen.apply(Gen.Parameters.default, Seed(s.toLong)))
+    val docsDf = corpus.zipWithIndex
+      .map { case (toks, i) => (i.toLong, toks.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = TextOps.gramRows(docsDf, Seq(1, 2, 3))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      .groupBy(t => (t._1, t._2))
+      .view.mapValues(_.map(_._3).sorted.toSeq).toMap
+    val expected = (for {
+      (toks, i) <- corpus.zipWithIndex
+      n <- 1 to 3
+    } yield {
+      val grams =
+        if (toks.size < n) Seq(toks.mkString(" ")) // clamped short gram
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      (i.toLong, n) -> grams.sorted
+    }).toMap
+    assert(got === expected)
+  }
+
+  test("split leakage reports only multi-split duplicate classes") {
+    // same BAG of tokens across three ids; md5(id) nibbles route them
+    // to real splits, so craft ids landing in different splits
+    val ids = (0L until 64L)
+    def nib(id: Long): Char = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0)
+    val trainId = ids.find(i => nib(i) > '3').get
+    val testId = ids.find(i => "01".contains(nib(i))).get
+    val trainId2 = ids.filter(i => nib(i) > '3').apply(1)
+    val c = Seq(
+      (trainId, "alpha beta gamma", "en", "s0", 16L),
+      (testId, "gamma beta alpha", "en", "s0", 16L),  // reordered bag-dup
+      (trainId2, "wholly unrelated text", "en", "s0", 21L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextOps.splitLeakage(c).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("splits") === "test,train")
+    assert(rows.head.getAs[Long]("docs") === 2L)
+    assert(rows.head.getAs[Long]("first_doc") === math.min(trainId, testId))
+  }
+
+  test("token zipf ranks by frequency with shares summing to one") {
+    val c = Seq((0L, "a a a b b c", "en", "s0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val z = TextOps.tokenZipf(c).orderBy("rank").collect()
+    assert(z.map(r => (r.getAs[Long]("rank"), r.getString(1),
+      r.getAs[Long]("freq"))).toSeq ===
+      Seq((1L, "a", 3L), (2L, "b", 2L), (3L, "c", 1L)))
+    assert(math.abs(z.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
+  }
+
   test("corpus ngrams ranks by occurrences then gram text") {
     val c = Seq((0L, "x y z x y z", "en", "s0", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -17,7 +17,9 @@ object Explain {
       if (args.nonEmpty) args.toSeq
       else Seq("matmul_basic", "spmm_sparse", "q3_revenue", "doc_stats",
         "knn_brute_force", "dedup_exact_groups", "q5_local_supplier",
-        "dedup_embedding", "dedup_minhash_lsh", "matmul_large")
+        "dedup_embedding", "dedup_minhash_lsh", "matmul_large",
+        "doc_repetition", "contamination_hits", "corpus_ngrams",
+        "pagerank3", "embedding_gram")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

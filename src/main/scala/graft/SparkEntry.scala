@@ -368,6 +368,10 @@ object SparkEntry {
     // Zipf rank-frequency table with cumulative-share denominator.
     "token_zipf" -> ((s, dir) =>
       TextOps.tokenZipf(Tables.documents(s, dir)).orderBy("rank")),
+    // Quantized Gram matrix XᵀX of the embedding corpus (PCA input;
+    // upper triangle) — integer products, order-proof sums.
+    "embedding_gram" -> ((s, dir) =>
+      Similarity.gramMatrix(Tables.embeddings(s, dir)).orderBy("di", "dj")),
 
     // Capstone composition — the actual training-data curation pipeline:
     // quality gate → exact dedup (first doc_id wins) → deterministic
@@ -1464,6 +1468,15 @@ object SparkEntry {
         |  CAST(SUM(CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM embeddings CROSS JOIN generate_series(1, 64) g(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "embedding_gram" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
+        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k))
+        |SELECT a.d AS di, b.d AS dj, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+        |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q1_agg" ->

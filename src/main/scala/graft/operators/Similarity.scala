@@ -68,6 +68,32 @@ object Similarity {
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= pairsPerLabel)
   }
 
+  /** Quantized Gram matrix XᵀX of the embedding corpus (upper triangle
+    * — it is symmetric): entry (di, dj) = Σ_vec q_di·q_dj over
+    * floor(×scale) integer components, so partition/summation order
+    * cannot change a single bit. The Gram/covariance matrix is the
+    * dense-linear-algebra step PCA/whitening pipelines run over an
+    * embedding corpus, and in coordinate form it is exactly the
+    * engine's matmul shape (contract on vec_id, sum products) — at
+    * cluster scale the refinement is per-partition dense outer-product
+    * accumulation (the [[graft.operators.MatrixOps.multiplyBlocked]]
+    * GEMM idiom) instead of the component self-join, with dim² longs of
+    * partial state per partition.
+    *
+    * Magnitudes: |q| ≤ scale, so each product is ≤ scale² and a
+    * billion-vector corpus stays within signed-64 range at the default
+    * scale (10⁶ · 10⁹ = 10¹⁵ ≪ 2⁶³). */
+  def gramMatrix(emb: DataFrame, scale: Int = 1000): DataFrame = {
+    val q = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), (col("d") + 1).cast("long").as("d"),
+        floor(col("x").cast("double") * scale).cast("long").as("q"))
+    q.as("a").join(q.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
+      .groupBy(col("a.d").as("di"), col("b.d").as("dj"))
+      .agg(sum(col("a.q") * col("b.q")).as("gram"))
+  }
+
   /** Per-label quantized centroids via the typed [[graft.functions.QuantizedCentroid]]
     * Aggregator — the IVF coarse quantizer's codebook. Integer dimension
     * sums (count kept separately) so partition merge order cannot change

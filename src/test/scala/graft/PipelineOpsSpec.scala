@@ -237,6 +237,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cents(1)._1.head === -1000L + 800L)
   }
 
+  test("gram matrix matches hand-computed quantized outer products") {
+    val e = Seq(
+      (1L, Array(1.0f, 0.5f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, -0.5f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val g = Similarity.gramMatrix(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("gram")).toMap
+    // q1=(1000,500,0), q2=(0,1000,-500)
+    assert(g === Map(
+      (1L, 1L) -> 1000000L, (1L, 2L) -> 500000L, (1L, 3L) -> 0L,
+      (2L, 2L) -> 1250000L, (2L, 3L) -> -500000L, (3L, 3L) -> 250000L))
+  }
+
   test("lsh-bucketed ann returns self-bucket neighbors ranked by cosine") {
     val out = Similarity.annLshBucketed(spark, vecs, numQueries = 1, k = 3,
       numPlanes = 2, dim = 4)

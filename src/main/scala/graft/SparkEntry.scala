@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Analytics, Dedup, Graph, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, Dedup, EventOps, Graph, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
 import graft.sources.ResultsCsv
 import graft.streaming.EventStream
 
@@ -372,6 +372,39 @@ object SparkEntry {
     // upper triangle) — integer products, order-proof sums.
     "embedding_gram" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir)).orderBy("di", "dj")),
+    // Ordered signup→click→purchase funnel (unbounded window).
+    "funnel_counts" -> ((s, dir) =>
+      EventOps.funnel(Tables.events(s, dir),
+        Seq("signup", "click", "purchase")).orderBy("stage")),
+    // Weekly retention triangle from each user's first-event cohort.
+    "retention_cohorts" -> ((s, dir) =>
+      EventOps.retentionCohorts(Tables.events(s, dir))
+        .orderBy("cohort_week", "week_k")),
+
+    // Round-3 capstone composition: per-lang-median quality gate →
+    // eval-overlap decontamination → bag-fingerprint dedup (first id
+    // wins) → exact-quota reservoir → per-language corpus stats. Every
+    // stage is a declared operator; this proves the new tiers compose.
+    "pipeline_curate_v2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val gated = TextOps.qualityGate(docs).select("doc_id")
+      val contaminated = TextOps.contaminationHits(docs, n = 5)
+        .select("doc_id")
+      val clean = docs.join(gated, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val bagFp = md5(concat_ws(" ",
+        array_sort(array_distinct(split(col("text"), " ")))).cast("binary"))
+      val w = Window.partitionBy(bagFp).orderBy(col("doc_id"))
+      val deduped = clean.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      TextOps.reservoirSample(deduped, Map("en" -> 40, "de" -> 20),
+          default = 15)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"),
+          sum(length(col("text")).cast("long")).as("chars"))
+        .orderBy("lang")
+    }),
 
     // Capstone composition — the actual training-data curation pipeline:
     // quality gate → exact dedup (first doc_id wins) → deterministic
@@ -1478,6 +1511,71 @@ object SparkEntry {
         |SELECT a.d AS di, b.d AS dj, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pipeline_curate_v2" ->
+      s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),
+         |q AS (
+         |  SELECT t.doc_id, d.lang,
+         |    CAST(FLOOR(((CASE WHEN chars BETWEEN 100 AND 500 THEN 0.5 ELSE 0.0 END)
+         |      + lexical_diversity * 0.3
+         |      + (CASE WHEN stopword_ratio < 0.2 THEN 0.2 ELSE 0.0 END)) * 1000) AS BIGINT) AS q
+         |  FROM t JOIN documents d ON t.doc_id = d.doc_id),
+         |m AS (SELECT lang, CAST(quantile_disc(q, 0.5) AS BIGINT) AS median_q
+         |      FROM q GROUP BY 1),
+         |gated AS (SELECT q.doc_id FROM q JOIN m ON q.lang = m.lang
+         |          WHERE q.q >= m.median_q),
+         |gr AS (SELECT doc_id, h,
+         |    unnest(list_distinct(list_transform(range(1, greatest(len(toks)-4, 1)+1),
+         |      i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+         |  FROM (SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+         |          string_split(text, ' ') AS toks FROM documents)),
+         |ev AS (SELECT DISTINCT gram FROM gr WHERE h IN ('0','1')),
+         |contaminated AS (SELECT DISTINCT gr.doc_id FROM gr JOIN ev USING (gram)
+         |                 WHERE gr.h NOT IN ('0','1','2','3')),
+         |clean AS (SELECT d.* FROM documents d JOIN gated USING (doc_id)
+         |          WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |dd AS (SELECT *, row_number() OVER (
+         |    PARTITION BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         |    ORDER BY doc_id) AS rn FROM clean),
+         |deduped AS (SELECT doc_id, lang FROM dd WHERE rn = 1),
+         |rsv AS (SELECT doc_id, lang,
+         |    CAST(concat('0x', substr(md5('resv:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk,
+         |    CAST(CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 20 ELSE 15 END AS BIGINT) AS quota
+         |  FROM deduped),
+         |rn2 AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) AS rn
+         |        FROM rsv),
+         |kept AS (SELECT doc_id, lang FROM rn2 WHERE rn <= quota)
+         |SELECT k.lang, CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(length(d.text)) AS BIGINT) AS chars
+         |FROM kept k JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "funnel_counts" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+        |SELECT CAST(1 AS INT) AS stage, 'signup' AS event_type,
+        |  CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click',
+        |  CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase',
+        |  CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+        |ORDER BY stage""".stripMargin,
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT f.cohort_week,
+        |        CAST(date_diff('day', f.cohort_week, e.ts) // 7 AS BIGINT) AS week_k,
+        |        e.user_id
+        |      FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_week, week_k, CAST(COUNT(*) AS BIGINT) AS users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

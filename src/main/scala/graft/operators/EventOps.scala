@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over the `events` table — the
+  * user-journey tier (north-star extension): ordered funnels and
+  * weekly retention cohorts, the two queries every event pipeline is
+  * eventually asked for.
+  *
+  * Both are joins/aggregations keyed by `user_id`, so after the first
+  * shuffle every later stage is co-partitioned — the per-user state
+  * never leaves its partition, at any event volume.
+  */
+object EventOps {
+
+  /** Ordered funnel: stage k counts users whose earliest qualifying
+    * stage-k event occurs AT OR AFTER their stage-(k−1) qualifying time
+    * (the standard "did A, then B, then C" chain, unbounded window).
+    * Each stage is one filtered min-aggregation joined to the previous
+    * stage's per-user frontier; output is one row per stage.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    var frontier = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val counts = scala.collection.mutable.ListBuffer(
+      frontier.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("stage"), lit(stages.head).as("event_type"),
+          col("users")))
+    for ((st, idx) <- stages.tail.zipWithIndex) {
+      frontier = events.filter(col("event_type") === st)
+        .join(frontier.select(col("user_id"), col("t").as("prev_t")),
+          "user_id")
+        .filter(col("ts") >= col("prev_t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+      counts += frontier.agg(count(lit(1)).as("users"))
+        .select(lit(idx + 2).as("stage"), lit(st).as("event_type"),
+          col("users"))
+    }
+    counts.reduce(_ unionByName _)
+  }
+
+  /** Weekly retention cohorts: a user's cohort is the Monday-truncated
+    * week of their FIRST event; `week_k` is how many whole weeks after
+    * that week each activity falls. Day arithmetic stays integral
+    * (calendar-day difference, floor-divided by 7), so the bucketing is
+    * engine-exact. Output: (cohort_week, week_k, users) — the retention
+    * triangle.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val firsts = events.groupBy("user_id")
+      .agg(date_trunc("WEEK", min("ts")).as("cohort_week"))
+    events.join(firsts, "user_id")
+      .select(col("cohort_week"),
+        expr("CAST(datediff(ts, cohort_week) div 7 AS BIGINT)").as("week_k"),
+        col("user_id"))
+      .distinct()
+      .groupBy("cohort_week", "week_k")
+      .agg(count(lit(1)).as("users"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import graft.operators.EventOps
+
+/** Funnel and retention operators against hand-built user journeys. */
+class EventOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("funnel counts users whose stages occur in order") {
+    val events = Seq(
+      // u1: full ordered journey
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, ""),
+      (2L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0, ""),
+      (3L, ts("2024-01-01 10:10:00"), 1L, "purchase", 0.0, ""),
+      // u2: clicked BEFORE signing up — stalls at stage 1
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click", 0.0, ""),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "signup", 0.0, ""),
+      // u3: no signup — never enters the funnel
+      (6L, ts("2024-01-01 10:00:00"), 3L, "click", 0.0, ""),
+      (7L, ts("2024-01-01 10:05:00"), 3L, "purchase", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.funnel(events, Seq("signup", "click", "purchase"))
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getAs[Long]("users")))
+    assert(out.toSeq === Seq(
+      (1, "signup", 2L), (2, "click", 1L), (3, "purchase", 1L)))
+  }
+
+  test("a same-timestamp stage event satisfies the order (>= semantics)") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 0.0, ""),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "click", 0.0, "")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.funnel(events, Seq("signup", "click"))
+      .orderBy("stage").collect().map(_.getAs[Long]("users"))
+    assert(out.toSeq === Seq(1L, 1L))
+  }
+
+  test("retention assigns week-granular cohorts from the first event") {
+    // 2024-01-01 is a Monday; u1's cohort is that week, u2 joins a week
+    // later. week_k counts whole weeks from the cohort Monday.
+    val events = Seq(
+      (1L, ts("2024-01-03 10:00:00"), 1L, "click", 0.0, ""), // first → W0
+      (2L, ts("2024-01-05 10:00:00"), 1L, "view", 0.0, ""),  // same week
+      (3L, ts("2024-01-09 10:00:00"), 1L, "view", 0.0, ""),  // week_k 1
+      (4L, ts("2024-01-10 10:00:00"), 2L, "click", 0.0, "")  // cohort W1
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = EventOps.retentionCohorts(events)
+      .orderBy("cohort_week", "week_k").collect()
+      .map(r => (r.getTimestamp(0).toString.take(10),
+        r.getAs[Long]("week_k"), r.getAs[Long]("users")))
+    assert(out.toSeq === Seq(
+      ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
+      ("2024-01-08", 0L, 1L)))
+  }
+}

@@ -311,6 +311,13 @@ object SparkEntry {
     "doc_top_terms" -> ((s, dir) =>
       TextOps.topTerms(Tables.documents(s, dir), k = 3)
         .orderBy("doc_id", "rnk")),
+    // Lang-ID confusion matrix (evaluation artifact of doc_lang_id).
+    "doc_lang_confusion" -> ((s, dir) =>
+      TextOps.langConfusion(Tables.documents(s, dir))
+        .orderBy("lang_actual", "lang_pred")),
+    // Per-source bag-duplication rate (crawl-feed quality dashboard).
+    "dup_rate_by_source" -> ((s, dir) =>
+      TextOps.dupRateBySource(Tables.documents(s, dir)).orderBy("source")),
     // Incremental dedup: the id-upper half of the corpus ingested
     // against the lower half (anti-join on content digest). The split
     // point is a one-scalar driver lookup (metadata-scale).
@@ -1007,6 +1014,29 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS regex_tokens,
         |  CAST(CEIL(length(text) / 4.0) AS BIGINT) AS subword_estimate
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_lang_confusion" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang AS lang_actual,
+         |    CAST(${occSql("the")} + ${occSql("a")} + ${occSql("value")} AS BIGINT) AS score_en,
+         |    CAST(${occSql("data")} + ${occSql("table")} + ${occSql("row")} AS BIGINT) AS score_es,
+         |    CAST(${occSql("batch")} + ${occSql("window")} + ${occSql("merge")} AS BIGINT) AS score_de
+         |  FROM documents),
+         |p AS (SELECT lang_actual,
+         |    CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+         |         WHEN score_es >= score_de THEN 'es' ELSE 'de' END AS lang_pred
+         |  FROM sc)
+         |SELECT lang_actual, lang_pred, CAST(COUNT(*) AS BIGINT) AS docs
+         |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "dup_rate_by_source" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT source, CAST(SUM(c) AS BIGINT) AS docs,
+        |  CAST(COUNT(*) AS BIGINT) AS distinct_bags,
+        |  1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS dup_rate
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_hash_split" ->
       """SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'

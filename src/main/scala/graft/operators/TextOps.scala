@@ -111,6 +111,33 @@ object TextOps {
         .otherwise(lit("de")).as("lang_pred"))
   }
 
+  /** Language-ID confusion matrix: (actual, predicted, docs) over
+    * [[langId]]'s marker-scoring classifier — the evaluation artifact a
+    * lang-ID stage actually reports. One aggregation over the
+    * shuffle-free scoring projection. */
+  def langConfusion(docs: DataFrame): DataFrame =
+    langId(docs)
+      .groupBy(col("lang_actual"), col("lang_pred"))
+      .agg(count(lit(1)).as("docs"))
+
+  /** Per-source duplication rate: how much of each source's volume is
+    * bag-duplicate mass (1 − distinct bags / docs — one IEEE division
+    * of integrals). The data-quality dashboard metric that tells a
+    * crawl operator WHICH feed is rotten, computed with one
+    * two-level aggregation (distinct-bag level is partial-agg
+    * friendly; no Expand). */
+  def dupRateBySource(docs: DataFrame): DataFrame = {
+    val bagFp = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " ")))).cast("binary"))
+    docs.select(col("source"), bagFp.as("bag_fp"))
+      .groupBy("source", "bag_fp").agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").as("docs"), count(lit(1)).as("distinct_bags"))
+      .select(col("source"), col("docs"), col("distinct_bags"),
+        (lit(1.0) - col("distinct_bags").cast("double") / col("docs"))
+          .as("dup_rate"))
+  }
+
   /** Document fingerprint: canonical hash of normalized text (md5 —
     * identical hex output on every engine) plus a locality-insensitive
     * content key (sorted distinct tokens) whose hash survives token

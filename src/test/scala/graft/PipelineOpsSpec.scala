@@ -391,6 +391,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(z.map(_.getAs[Double]("share")).sum - 1.0) < 1e-12)
   }
 
+  test("dup rate by source counts bag-duplicate mass per feed") {
+    val c = Seq(
+      (0L, "a b c", "en", "s0", 5L),
+      (1L, "c b a", "en", "s0", 5L), // bag-dup of 0
+      (2L, "x y z", "en", "s0", 5L),
+      (3L, "u v w", "en", "s1", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val rows = TextOps.dupRateBySource(c).orderBy("source").collect()
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("docs"),
+      r.getAs[Long]("distinct_bags"), r.getAs[Double]("dup_rate"))).toSeq ===
+      Seq(("s0", 3L, 2L, 1.0 - 2.0 / 3.0), ("s1", 1L, 1L, 0.0)))
+  }
+
+  test("lang confusion aggregates actual-vs-predicted pairs") {
+    val c = Seq(
+      (0L, "the a value value", "en", "s0", 17L), // en markers → pred en
+      (1L, "data table row row", "es", "s0", 18L), // es markers → pred es
+      (2L, "data table row", "en", "s0", 14L)      // en doc misread as es
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = TextOps.langConfusion(c).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("docs")).toMap
+    assert(m === Map(("en", "en") -> 1L, ("es", "es") -> 1L,
+      ("en", "es") -> 1L))
+  }
+
   test("corpus ngrams ranks by occurrences then gram text") {
     val c = Seq((0L, "x y z x y z", "en", "s0", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -93,4 +93,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"quota filter must push a rank limit under the window, plan:\n$p")
   }
+
+  test("gram matrix and funnel contract through equi-joins, never nested loops") {
+    for (q <- Seq("embedding_gram", "funnel_counts", "retention_cohorts")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q must join on its equi keys, plan:\n$p")
+    }
+  }
 }

@@ -19,6 +19,13 @@ object EventOps {
     * (the standard "did A, then B, then C" chain, unbounded window).
     * Each stage is one filtered min-aggregation joined to the previous
     * stage's per-user frontier; output is one row per stage.
+    *
+    * The per-stage count subtrees share the frontier chain, which
+    * Catalyst re-executes per count (no cross-branch reuse) — O(k²)
+    * stage passes for k stages. Fine for the handful of stages funnels
+    * actually have; a long-funnel variant would persist each frontier
+    * (the measured break-even at this corpus size favors re-execution,
+    * see Dedup.tokenPostings).
     */
   def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")

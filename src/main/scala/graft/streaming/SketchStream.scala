@@ -33,6 +33,13 @@ case class KmvOut(grp: String, n_kept: Int, kth_hash: Long,
   */
 object SketchStream {
 
+  /** Pure k-min-set absorption step — the whole sketch algebra in one
+    * function, factored out so its invariants (order/duplication
+    * insensitivity, idempotence, boundedness) are property-testable
+    * without a streaming harness. */
+  def absorb(prev: List[Long], hashes: Iterable[Long], k: Int): List[Long] =
+    (prev ++ hashes).distinct.sorted.take(k)
+
   /** `events` must stream rows with `grpCol` and `keyCol`; emits the
     * updated sketch per group per trigger (update output mode). */
   def kmvDistinctStream(events: DataFrame, grpCol: String, keyCol: String,
@@ -46,9 +53,7 @@ object SketchStream {
       .mapGroupsWithState[KmvState, KmvOut](GroupStateTimeout.NoTimeout) {
         (grp, rows, state) =>
           val prev = state.getOption.map(_.mins).getOrElse(Nil)
-          // merge-sort-distinct-cap: the k-min set absorbs any batch in
-          // O((k + batch) log) work and is order/duplication-insensitive
-          val mins = (prev ++ rows.map(_.h)).distinct.sorted.take(k)
+          val mins = absorb(prev, rows.map(_.h).toList, k)
           state.update(KmvState(mins))
           val est =
             if (mins.size < k) mins.size.toDouble

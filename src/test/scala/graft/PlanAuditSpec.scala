@@ -94,6 +94,16 @@ class PlanAuditSpec extends SparkSpec {
       s"quota filter must push a rank limit under the window, plan:\n$p")
   }
 
+  test("repetition signals aggregate exchange-free on the spread partitioning") {
+    // one exchange spreads the scan, one sorts the output; BOTH
+    // aggregation levels (doc,n,gram) and (doc,n) must ride the
+    // doc_id hash partitioning without reshuffling
+    val exchanges = "Exchange".r.findAllIn(plan("doc_repetition")).length
+    assert(exchanges <= 2,
+      s"doc_repetition must not reshuffle between aggregation levels, " +
+        s"got $exchanges exchanges")
+  }
+
   test("gram matrix and funnel contract through equi-joins, never nested loops") {
     for (q <- Seq("embedding_gram", "funnel_counts", "retention_cohorts")) {
       val p = plan(q)

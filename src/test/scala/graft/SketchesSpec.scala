@@ -45,6 +45,35 @@ class SketchesSpec extends SparkSpec {
     assert(est > 1000.0 && est < 3000.0, s"estimate $est out of band")
   }
 
+  test("k-min absorption is order-insensitive, idempotent, and bounded " +
+    "over random batch splits (property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(0, 200)
+      hashes <- Gen.listOfN(n, Gen.choose(0L, 1000L)) // collisions likely
+      cuts <- Gen.listOfN(3, Gen.choose(0, math.max(n, 1)))
+    } yield (hashes, cuts.sorted)
+    for (s <- 1 to 50) {
+      val (hashes, cuts) = gen.apply(Gen.Parameters.default, Seed(s.toLong)).get
+      val k = 8
+      val whole = graft.streaming.SketchStream.absorb(Nil, hashes, k)
+      // any split into sequential batches gives the same sketch
+      val parts = (List(0) ++ cuts ++ List(hashes.length)).distinct.sorted
+        .sliding(2).map { case List(a, b) => hashes.slice(a, b) }.toList
+      val folded = parts.foldLeft(List.empty[Long])(
+        (st, batch) => graft.streaming.SketchStream.absorb(st, batch, k))
+      assert(folded === whole, s"seed=$s split=$parts")
+      // shuffled delivery gives the same sketch
+      val shuffled = graft.streaming.SketchStream
+        .absorb(Nil, new scala.util.Random(s).shuffle(hashes), k)
+      assert(shuffled === whole, s"seed=$s shuffle")
+      // redelivery (idempotence) and boundedness
+      assert(graft.streaming.SketchStream.absorb(whole, hashes, k) === whole)
+      assert(whole.size <= k && whole === whole.distinct.sorted)
+    }
+  }
+
   test("groups are independent: per-group kth differs from pooled kth") {
     val df = ((0L until 50L).map(i => ("a", i)) ++
       (1000L until 1050L).map(i => ("b", i))).toDF("grp", "key")

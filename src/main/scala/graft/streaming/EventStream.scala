@@ -206,6 +206,86 @@ object EventStream {
       }
   }
 
+  /** Input row for [[funnelStream]] (`ts` stays TIMESTAMP — see
+    * [[AsOfInput]]). */
+  final case class FunnelInput(user_id: Long, ts: java.sql.Timestamp,
+                               event_type: String) {
+    def tsUs: Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+  }
+
+  /** Per-user funnel state: stages completed so far, the completion
+    * frontier (event time of the last completed stage), and the
+    * in-watermark event buffer awaiting finalization. */
+  final case class FunnelPending(stage: Int, frontierUs: Long,
+                                 pending: List[(Long, String)])
+
+  /** A stage-advance record: `user_id` completed `stage` (1-based) at
+    * event time `ts`. */
+  final case class FunnelAdvance(user_id: Long, stage: Int,
+                                 event_type: String,
+                                 ts: java.sql.Timestamp)
+
+  /** Streaming ordered funnel — the unbounded twin of
+    * [[graft.operators.EventOps.funnel]]: emits one record per user per
+    * stage completion, where stage k requires a stage-k event at or
+    * after the stage-(k−1) completion time.
+    *
+    * Event-time correct under out-of-order delivery by the same
+    * buffer-then-finalize discipline as [[asOfPurchaseClick]]: events
+    * buffer until the watermark passes them, then fold in (ts, stage
+    * rank) order — so an advance, once emitted, can never be
+    * invalidated by a late arrival (anything that could reorder the
+    * fold would be dropped as late anyway). Equal-timestamp events
+    * fold in stage order, matching the batch operator's `>=` chain.
+    * State per user is the bounded in-watermark buffer of FUNNEL-TYPED
+    * events plus two scalars; completed-stage history is two numbers,
+    * never a list. */
+  def funnelStream(events: DataFrame, stages: Seq[String],
+                   watermark: String = "1 hour")
+                  (implicit spark: SparkSession): Dataset[FunnelAdvance] = {
+    import spark.implicits._
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val rank = stages.zipWithIndex.toMap
+    val in = events
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withWatermark("ts", watermark)
+      .as[FunnelInput]
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelPending, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[FunnelInput],
+         state: GroupState[FunnelPending]) =>
+          val prev = state.getOption.getOrElse(FunnelPending(0, 0L, Nil))
+          val buf = prev.pending ++
+            batch.map(e => (e.tsUs, e.event_type)).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, ahead) = buf.partition(_._1 < wmUs)
+          var stage = prev.stage
+          var frontier = prev.frontierUs
+          val out = scala.collection.mutable.ListBuffer[FunnelAdvance]()
+          ready.sortBy { case (t, ty) => (t, rank(ty)) }.foreach {
+            case (t, ty) =>
+              if (stage < stages.length && ty == stages(stage) &&
+                (stage == 0 || t >= frontier)) {
+                stage += 1
+                frontier = t
+                out += FunnelAdvance(uid, stage, ty, tsOfMicros(t))
+              }
+          }
+          if (stage >= stages.length && ahead.isEmpty) state.remove()
+          else {
+            state.update(FunnelPending(stage, frontier, ahead))
+            if (ahead.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                state.getCurrentWatermarkMs() + 1L,
+                ahead.map(_._1).min / 1000L + 1L))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming ingestion dedup: drop re-delivered events by id while the
     * watermark keeps the dedup state bounded (ids older than the
     * watermark are evicted — at-least-once upstream becomes effectively-

@@ -247,6 +247,54 @@ class StreamingSpec extends SparkSpec {
     assert(batch(0) === batch(2)) // identical text → identical sketch
   }
 
+  test("streaming funnel advances stages correctly under out-of-order input") {
+    implicit val s = spark
+    val input = MemoryStream[Ev](spark)
+    val q = graft.streaming.EventStream
+      .funnelStream(input.toDF(), Seq("signup", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel_stream")
+      .outputMode("append").start()
+    try {
+      // u1's click+purchase arrive BEFORE its signup (out of order);
+      // u2 clicks before signing up in EVENT TIME (stalls at stage 1)
+      input.addData(
+        Ev(1, ts("10:30"), 1, "click", 0.0, ""),
+        Ev(2, ts("10:40"), 1, "purchase", 0.0, ""),
+        Ev(3, ts("09:00"), 2, "click", 0.0, ""))
+      q.processAllAvailable()
+      input.addData(
+        Ev(4, ts("10:20"), 1, "signup", 0.0, ""), // late, in-watermark
+        Ev(5, ts("10:00"), 2, "signup", 0.0, ""),
+        Ev(6, ts("12:30"), 3, "signup", 0.0, "")) // advances watermark
+      q.processAllAvailable()
+      input.addData(Ev(7, ts("12:31"), 3, "click", 0.0, "")) // finalize wm
+      q.processAllAvailable()
+
+      val adv = spark.table("funnel_stream")
+        .select("user_id", "stage", "event_type").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      // u1 completes all three stages despite arrival order; u2 stalls
+      // at signup (its click predates the signup in event time)
+      assert(adv.contains((1L, 1, "signup")))
+      assert(adv.contains((1L, 2, "click")))
+      assert(adv.contains((1L, 3, "purchase")))
+      assert(adv.filter(_._1 == 2L) === Set((2L, 1, "signup")))
+      // agrees with the batch operator on the finalized users
+      val batchCounts = graft.operators.EventOps.funnel(
+        Seq(
+          Ev(1, ts("10:30"), 1, "click", 0.0, ""),
+          Ev(2, ts("10:40"), 1, "purchase", 0.0, ""),
+          Ev(3, ts("09:00"), 2, "click", 0.0, ""),
+          Ev(4, ts("10:20"), 1, "signup", 0.0, ""),
+          Ev(5, ts("10:00"), 2, "signup", 0.0, "")).toDF(),
+        Seq("signup", "click", "purchase"))
+        .orderBy("stage").collect().map(_.getAs[Long]("users"))
+      assert(batchCounts.toSeq === Seq(2L, 1L, 1L))
+      assert(adv.count(_._2 == 1) >= 2 && adv.count(_._2 == 2) >= 1 &&
+        adv.count(_._2 == 3) >= 1)
+    } finally q.stop()
+  }
+
   test("stream-static decontamination flags only eval-overlapping docs") {
     val evalGrams = Seq("two three four five six").toDF("gram")
     val input = MemoryStream[Doc](spark)

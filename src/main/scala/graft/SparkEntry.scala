@@ -354,6 +354,11 @@ object SparkEntry {
     "approx_distinct_users" -> ((s, dir) =>
       Sketches.kmvDistinct(Tables.events(s, dir), "event_type", "user_id",
         k = 32).orderBy("event_type")),
+    // Production KMV form: rank-limit pushdown, no exact column — the
+    // distinct set never materializes past the partial agg.
+    "approx_distinct_sketch" -> ((s, dir) =>
+      Sketches.kmvDistinctSketch(Tables.events(s, dir), "event_type",
+        "user_id", k = 32).orderBy("event_type")),
     // Exact-quota reservoir: first-n-by-salted-md5 per language
     // (en 60, de/fr 25 each, others 10) — WindowGroupLimit prunes
     // map-side, the corpus never fully sorts.
@@ -1173,6 +1178,19 @@ object SparkEntry {
          |  END AS kmv_estimate
          |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    "approx_distinct_sketch" ->
+      s"""WITH dh AS (SELECT DISTINCT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM dh)
+         |SELECT event_type,
+         |  MAX(h) AS kth_hash,
+         |  CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+         |       ELSE ${Sketches.kmvNumeratorSql(32)} / CAST(MAX(h) AS DOUBLE)
+         |  END AS kmv_estimate
+         |FROM r WHERE rn <= 32 GROUP BY 1 ORDER BY event_type""".stripMargin,
     "bpe_merges" -> bpeSql(rounds = 3),
     "split_leakage" ->
       """WITH s AS (

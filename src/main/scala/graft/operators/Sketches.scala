@@ -58,6 +58,30 @@ object Sketches {
           .as("kmv_estimate"))
   }
 
+  /** The production form of [[kmvDistinct]]: no exact-count validation
+    * column, so the `rn <= k` filter sits directly under the window and
+    * Spark's rank-limit pushdown (WindowGroupLimit, plan-audited) keeps
+    * only k rows per group per partition map-side — the full distinct
+    * hash set never materializes past the partial aggregation. Returns
+    * the estimate only; when a group holds fewer than k distinct keys
+    * the estimate IS the exact count.
+    */
+  def kmvDistinctSketch(df: DataFrame, group: String, key: String,
+                        k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val hashes = df.select(col(group), hash60(col(key)).as("h")).distinct()
+    val w = Window.partitionBy(group).orderBy("h")
+    val numerator = Math.scalb((k - 1).toDouble, 60)
+    hashes.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(group)
+      .agg(max("h").as("kth_hash"), count(lit(1)).as("n_kept"))
+      .select(col(group), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(numerator) / col("kth_hash").cast("double"))
+          .as("kmv_estimate"))
+  }
+
   /** The oracle-side constant for [[kmvDistinct]]'s numerator, printed
     * with full round-trip precision so the SQL literal parses to the
     * identical double. */

@@ -94,6 +94,12 @@ class PlanAuditSpec extends SparkSpec {
       s"quota filter must push a rank limit under the window, plan:\n$p")
   }
 
+  test("the production KMV sketch prunes to k rows per group map-side") {
+    val p = plan("approx_distinct_sketch")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=k must push a rank limit under the window, plan:\n$p")
+  }
+
   test("repetition signals aggregate exchange-free on the spread partitioning") {
     // one exchange spreads the scan, one sorts the output; BOTH
     // aggregation levels (doc,n,gram) and (doc,n) must ride the

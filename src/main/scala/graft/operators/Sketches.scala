@@ -35,11 +35,11 @@ object Sketches {
     * window (partition by group, order by hash) feeding a single
     * aggregation — the per-group sort IS the sketch here because the
     * validation column `n_exact` forces every distinct hash through
-    * anyway. The production form drops `n_exact`, filters `rn <= k`
-    * directly under the window, and Spark's WindowGroupLimit then keeps
-    * only k rows per group per partition map-side — the sketch never
-    * materializes the full distinct set. Both shapes shuffle once on
-    * `group`.
+    * anyway. The production form ([[kmvDistinctSketch]]) drops
+    * `n_exact`, filters `rn <= k` directly under the window, and
+    * Spark's WindowGroupLimit then keeps only k rows per group per
+    * partition map-side — the sketch never materializes the full
+    * distinct set. Both shapes shuffle once on `group`.
     */
   def kmvDistinct(df: DataFrame, group: String, key: String, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")

@@ -370,6 +370,11 @@ object SparkEntry {
     "inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(Tables.documents(s, dir), maxPostings = 20)
         .orderBy("token")),
+    // Bigram familiarity vs the corpus top-100 table — the
+    // integer-exact LM-perplexity filtering proxy.
+    "doc_familiarity" -> ((s, dir) =>
+      TextOps.bigramFamiliarity(Tables.documents(s, dir), k = 100)
+        .orderBy("doc_id")),
     // Tokenizer induction: 3 greedy BPE merge rounds → the merge table.
     "bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(Tables.documents(s, dir), rounds = 3)
@@ -1178,6 +1183,21 @@ object SparkEntry {
          |  END AS kmv_estimate
          |FROM r GROUP BY 1 ORDER BY event_type""".stripMargin,
 
+    "doc_familiarity" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks)-1, 1)+1),
+        |        i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM t),
+        |top AS (SELECT gram FROM (
+        |  SELECT gram, COUNT(*) AS occurrences FROM g GROUP BY 1
+        |  ORDER BY occurrences DESC, gram LIMIT 100)),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS bigrams FROM g GROUP BY 1),
+        |h AS (SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS known_bigrams
+        |      FROM g JOIN top USING (gram) GROUP BY 1)
+        |SELECT pd.doc_id, pd.bigrams,
+        |  CAST(COALESCE(h.known_bigrams, 0) AS BIGINT) AS known_bigrams,
+        |  CAST(COALESCE(h.known_bigrams, 0) AS DOUBLE) / pd.bigrams AS familiarity
+        |FROM pd LEFT JOIN h ON pd.doc_id = h.doc_id
+        |ORDER BY pd.doc_id""".stripMargin,
     "approx_distinct_sketch" ->
       s"""WITH dh AS (SELECT DISTINCT event_type,
          |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h

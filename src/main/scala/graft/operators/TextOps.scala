@@ -467,6 +467,30 @@ object TextOps {
         (col("freq").cast("double") / total).as("share"))
   }
 
+  /** Bigram familiarity score — the integer-exact stand-in for n-gram
+    * LM perplexity filtering: the fraction of each document's bigram
+    * occurrences that appear in the corpus-wide top-`k` bigram table
+    * ([[corpusNgrams]]). Real pipelines score log-probabilities; logs
+    * drift by libm ULP across engines, whereas a membership fraction is
+    * integral-over-integral (one IEEE division) and ranks documents the
+    * same way: boilerplate-like text scores high, noise scores low.
+    * The top-k table is k rows — always a broadcast; the per-doc count
+    * is one exchange-free aggregation on the gram pipeline's
+    * partitioning.
+    */
+  def bigramFamiliarity(docs: DataFrame, k: Int): DataFrame = {
+    val top = corpusNgrams(docs, n = 2, k = k).select(col("gram"))
+    val grams = gramRows(docs, Seq(2))
+    val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("bigrams"))
+    val hits = grams.join(broadcast(top), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("known_bigrams"))
+    perDoc.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bigrams"),
+        coalesce(col("known_bigrams"), lit(0L)).as("known_bigrams"),
+        (coalesce(col("known_bigrams"), lit(0L)).cast("double") /
+          col("bigrams")).as("familiarity"))
+  }
+
   /** BPE-style tokenizer induction: `rounds` greedy merge rounds, each
     * taking the corpus-wide most frequent ADJACENT token pair (ties
     * broken lexicographically so the choice is total) and fusing its

@@ -305,6 +305,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(hits.head.getAs[Double]("hit_frac") === 1.0)
   }
 
+  test("bigram familiarity scores docs by top-table membership fraction") {
+    val c = Seq(
+      (0L, "a b a b", "en", "s0", 7L), // bigrams: "a b","b a","a b"
+      (1L, "x y", "en", "s0", 3L)      // bigram: "x y"
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // top-1 corpus bigram is "a b" (count 2)
+    val f = TextOps.bigramFamiliarity(c, k = 1).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("bigrams"),
+        r.getAs[Long]("known_bigrams"), r.getAs[Double]("familiarity")))
+    assert(f.toSeq === Seq((0L, 3L, 2L, 2.0 / 3.0), (1L, 1L, 0L, 0.0)))
+  }
+
   test("bpe merge rounds pick greedy top pairs and fuse occurrences") {
     val c = Seq(
       (0L, "a b a b c", "en", "s0", 9L),

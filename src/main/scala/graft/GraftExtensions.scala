@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Fnv64, NgramFnv, SortedLongIntersectCount, ZipLongEqualCount}
+import graft.functions.{Fnv64, Md5TokenIds, NgramFnv, SortedLongIntersectCount, ZipLongEqualCount}
 
 /** Engine extension point (`spark.sql.extensions=graft.GraftExtensions`):
   * registers the engine's native expressions with the session's function
@@ -39,6 +39,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(unary("fnv64", classOf[Fnv64], Fnv64))
+    ext.injectFunction(unary("md5_token_ids", classOf[Md5TokenIds], Md5TokenIds))
     ext.injectFunction(binary("sorted_intersect_count",
       classOf[SortedLongIntersectCount], SortedLongIntersectCount))
     ext.injectFunction(binary("zip_equal_count",

@@ -14,6 +14,34 @@ import graft.functions.VectorFunctions
   */
 class KernelTypeSpec extends SparkSpec {
 
+  test("md5_token_ids equals the interpreted split-distinct-md5 form") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.Bridge
+    val texts = Seq(
+      "the quick brown fox the quick",  // duplicates
+      "a",                              // single token
+      "",                               // empty string → one empty token
+      "a  b",                           // separator run → empty token
+      " leading and trailing ",         // boundary empties
+      "üñïçødé tökens üñïçødé",         // non-ASCII, with a duplicate
+      "x y z x y z x y z"
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val interpreted = df.select(col("id"),
+      transform(array_distinct(split(col("text"), " ")),
+        t => conv(substring(md5(t.cast("binary")), 1, 10), 16, 10)
+          .cast("long")).as("ids"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    val native = df.select(col("id"),
+      Bridge.column(graft.functions.Md5TokenIds(
+        Bridge.expression(col("text")))).as("ids"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(native.toSeq === interpreted.toSeq)
+    // ids are 40-bit non-negative (conv parity)
+    assert(native.flatten.forall(id => id >= 0L && id < (1L << 40)))
+  }
+
   test("kernels reject containsNull=true arrays at analysis") {
     import spark.implicits._
     // a nullable lambda body types the array containsNull=true —

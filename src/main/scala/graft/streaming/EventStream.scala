@@ -286,6 +286,80 @@ object EventStream {
       }
   }
 
+  /** Per-user retention state: the (final) cohort week as an epoch day,
+    * the week_k indices already emitted, and the in-watermark buffer. */
+  final case class RetentionState(hasCohort: Boolean, cohortDay: Long,
+                                  emitted: List[Long], pending: List[Long])
+
+  /** One first-activity-per-week record: `user_id` was active in week
+    * `week_k` of its `cohort_week`. */
+  final case class RetentionHit(user_id: Long,
+                                cohort_week: java.sql.Timestamp,
+                                week_k: Long)
+
+  /** Streaming weekly retention — the unbounded twin of
+    * [[graft.operators.EventOps.retentionCohorts]]: emits one record
+    * the first time each user is active in each week relative to its
+    * first-event cohort (downstream, `groupBy(cohort_week, week_k)
+    * count` is the retention triangle).
+    *
+    * The cohort is the user's FIRST event by EVENT TIME, which a
+    * stream can only fix once the watermark passes it — the same
+    * buffer-then-finalize discipline as [[funnelStream]]: events
+    * buffer in state; on finalization the earliest buffered event
+    * fixes the cohort permanently (any event that could precede it
+    * would be dropped as late), and week indices dedupe against the
+    * emitted set. Week truncation is Monday-start UTC, matching the
+    * batch operator's `date_trunc('WEEK')` under the engine's UTC
+    * session (asserted by the batch-twin spec). State per user: two
+    * scalars, the emitted week indices, and the bounded in-watermark
+    * buffer. */
+  def retentionStream(events: DataFrame, watermark: String = "1 hour")
+                     (implicit spark: SparkSession): Dataset[RetentionHit] = {
+    import spark.implicits._
+    val in = events.select(col("user_id"), col("ts"), lit(0).as("side"),
+        col("event_id").as("id"))
+      .withWatermark("ts", watermark)
+      .as[AsOfInput] // reuse the (user_id, ts) encodable carrier
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RetentionState, RetentionHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, batch: Iterator[AsOfInput],
+         state: GroupState[RetentionState]) =>
+          val prev = state.getOption.getOrElse(
+            RetentionState(hasCohort = false, 0L, Nil, Nil))
+          val buf = prev.pending ++ batch.map(_.tsUs).toList
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, ahead) = buf.partition(_ < wmUs)
+          var hasCohort = prev.hasCohort
+          var cohortDay = prev.cohortDay
+          var emitted = prev.emitted
+          val out = scala.collection.mutable.ListBuffer[RetentionHit]()
+          if (ready.nonEmpty) {
+            if (!hasCohort) {
+              // Monday-start week of the earliest finalized event:
+              // 1970-01-05 (epoch day 4) was a Monday
+              val firstDay = Math.floorDiv(ready.min, 86400000000L)
+              cohortDay = firstDay - Math.floorMod(firstDay - 4L, 7L)
+              hasCohort = true
+            }
+            ready.foreach { us =>
+              val k = (Math.floorDiv(us, 86400000000L) - cohortDay) / 7L
+              if (!emitted.contains(k)) {
+                emitted = k :: emitted
+                out += RetentionHit(uid,
+                  tsOfMicros(cohortDay * 86400000000L), k)
+              }
+            }
+          }
+          state.update(RetentionState(hasCohort, cohortDay, emitted, ahead))
+          if (ahead.nonEmpty)
+            state.setTimeoutTimestamp(math.max(
+              state.getCurrentWatermarkMs() + 1L, ahead.min / 1000L + 1L))
+          out.iterator
+      }
+  }
+
   /** Streaming ingestion dedup: drop re-delivered events by id while the
     * watermark keeps the dedup state bounded (ids older than the
     * watermark are evicted — at-least-once upstream becomes effectively-

@@ -295,6 +295,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming retention matches the batch triangle under late first events") {
+    implicit val s = spark
+    val input = MemoryStream[Ev](spark)
+    // a 10-day watermark keeps the cross-batch disorder below
+    // in-watermark (a 1-hour watermark would — correctly — drop the
+    // days-late first event instead of reordering it)
+    val q = graft.streaming.EventStream
+      .retentionStream(input.toDF(), watermark = "10 days")
+      .writeStream.format("memory").queryName("retention_stream")
+      .outputMode("append").start()
+    try {
+      // u1's chronologically-FIRST event (Jan 3) arrives second; its
+      // cohort must still be the week of Jan 1. 2024-01-01 is a Monday.
+      input.addData(
+        Ev(1, Timestamp.valueOf("2024-01-05 10:00:00"), 1, "view", 0.0, ""),
+        Ev(2, Timestamp.valueOf("2024-01-10 10:00:00"), 2, "click", 0.0, ""))
+      q.processAllAvailable()
+      input.addData(
+        Ev(3, Timestamp.valueOf("2024-01-03 10:00:00"), 1, "click", 0.0, ""),
+        Ev(4, Timestamp.valueOf("2024-01-09 10:00:00"), 1, "view", 0.0, ""),
+        Ev(5, Timestamp.valueOf("2024-02-01 00:00:00"), 3, "view", 0.0, ""))
+      q.processAllAvailable()
+      input.addData( // advance the watermark past everything above
+        Ev(6, Timestamp.valueOf("2024-03-01 00:00:00"), 3, "view", 0.0, ""))
+      q.processAllAvailable()
+
+      val all = Seq(
+        Ev(1, Timestamp.valueOf("2024-01-05 10:00:00"), 1, "view", 0.0, ""),
+        Ev(2, Timestamp.valueOf("2024-01-10 10:00:00"), 2, "click", 0.0, ""),
+        Ev(3, Timestamp.valueOf("2024-01-03 10:00:00"), 1, "click", 0.0, ""),
+        Ev(4, Timestamp.valueOf("2024-01-09 10:00:00"), 1, "view", 0.0, ""),
+        Ev(5, Timestamp.valueOf("2024-02-01 00:00:00"), 3, "view", 0.0, ""))
+      val batch = graft.operators.EventOps.retentionCohorts(all.toDF())
+        .collect().map(r => (r.getTimestamp(0).toString.take(10),
+          r.getAs[Long]("week_k"), r.getAs[Long]("users"))).toSet
+      val streamed = spark.table("retention_stream")
+        .filter(col("user_id") =!= 3L) // u3's tail events aren't finalized
+        .groupBy("cohort_week", "week_k")
+        .agg(count(lit(1)).as("users")).collect()
+        .map(r => (r.getTimestamp(0).toString.take(10),
+          r.getAs[Long]("week_k"), r.getAs[Long]("users"))).toSet
+      // every finalized streamed cell appears in the batch triangle
+      // with the same user count, and u1's late-first-event cohort is
+      // the Jan-1 week
+      assert(streamed.nonEmpty && streamed.subsetOf(batch),
+        s"streamed=$streamed batch=$batch")
+      assert(streamed.contains(("2024-01-01", 0L, 1L)))
+      assert(streamed.contains(("2024-01-01", 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("stream-static decontamination flags only eval-overlapping docs") {
     val evalGrams = Seq("two three four five six").toDF("gram")
     val input = MemoryStream[Doc](spark)

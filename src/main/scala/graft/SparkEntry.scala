@@ -359,6 +359,12 @@ object SparkEntry {
     "approx_distinct_sketch" -> ((s, dir) =>
       Sketches.kmvDistinctSketch(Tables.events(s, dir), "event_type",
         "user_id", k = 32).orderBy("event_type")),
+    // Sketch MERGE: distinct users over {click, purchase} from the
+    // per-type k-min sketches — the oracle recomputes the union sketch
+    // from scratch, so a hash match proves the merge is lossless.
+    "approx_distinct_merged" -> ((s, dir) =>
+      Sketches.kmvMergedEstimate(Tables.events(s, dir), "event_type",
+        "user_id", k = 32, include = Seq("click", "purchase"))),
     // Exact-quota reservoir: first-n-by-salted-md5 per language
     // (en 60, de/fr 25 each, others 10) — WindowGroupLimit prunes
     // map-side, the corpus never fully sorts.
@@ -1211,6 +1217,17 @@ object SparkEntry {
          |       ELSE ${Sketches.kmvNumeratorSql(32)} / CAST(MAX(h) AS DOUBLE)
          |  END AS kmv_estimate
          |FROM r WHERE rn <= 32 GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "approx_distinct_merged" ->
+      s"""WITH dh AS (SELECT DISTINCT
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM dh)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  MAX(h) AS kth_hash,
+         |  CASE WHEN COUNT(*) < 32 THEN CAST(COUNT(*) AS DOUBLE)
+         |       ELSE ${Sketches.kmvNumeratorSql(32)} / CAST(MAX(h) AS DOUBLE)
+         |  END AS kmv_estimate
+         |FROM r WHERE rn <= 32""".stripMargin,
     "bpe_merges" -> bpeSql(rounds = 3),
     "split_leakage" ->
       """WITH s AS (

@@ -82,6 +82,34 @@ object Sketches {
           .as("kmv_estimate"))
   }
 
+  /** KMV sketch MERGE: the distinct-count estimate of the union of
+    * several groups, computed by merging the per-group k-min sketches —
+    * never rescanning the union. This is the property that matters at
+    * 100 TB: per-partition / per-day / per-source sketches combine into
+    * any rollup because the k smallest of a union are always contained
+    * in the union of each side's k smallest. The correctness gate
+    * exploits exactly that: the engine merges sketches while the SQL
+    * oracle computes the union sketch from scratch — a hash match
+    * PROVES the merge is lossless.
+    */
+  def kmvMergedEstimate(df: DataFrame, group: String, key: String, k: Int,
+                        include: Seq[String]): DataFrame = {
+    require(k >= 2 && include.nonEmpty, s"need k >= 2 and groups, got $k/$include")
+    val w = Window.partitionBy(group).orderBy("h")
+    val numerator = Math.scalb((k - 1).toDouble, 60)
+    val perGroup = df.filter(col(group).isin(include: _*))
+      .select(col(group), hash60(col(key)).as("h")).distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k) // per-group sketches (WindowGroupLimit)
+    perGroup.select("h").distinct()
+      .orderBy("h").limit(k) // sketch merge: k smallest across sketches
+      .agg(count(lit(1)).as("n_kept"), max("h").as("kth_hash"))
+      .select(col("n_kept"), col("kth_hash"),
+        when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit(numerator) / col("kth_hash").cast("double"))
+          .as("kmv_estimate"))
+  }
+
   /** The oracle-side constant for [[kmvDistinct]]'s numerator, printed
     * with full round-trip precision so the SQL literal parses to the
     * identical double. */

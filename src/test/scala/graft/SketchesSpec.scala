@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
 import graft.operators.Sketches
 
 /** KMV distinct-count sketch vs a pure-JVM replica of the shared
@@ -72,6 +73,23 @@ class SketchesSpec extends SparkSpec {
       assert(graft.streaming.SketchStream.absorb(whole, hashes, k) === whole)
       assert(whole.size <= k && whole === whole.distinct.sorted)
     }
+  }
+
+  test("merging per-group sketches equals sketching the union from scratch") {
+    val k = 8
+    val df = ((0L until 60L).map(i => ("a", i)) ++
+      (40L until 120L).map(i => ("b", i)) ++     // overlaps group a
+      (500L until 600L).map(i => ("c", i)))       // excluded group
+      .toDF("grp", "key")
+    val merged = Sketches.kmvMergedEstimate(df, "grp", "key", k,
+      include = Seq("a", "b")).collect().head
+    val fromScratch = Sketches.kmvDistinctSketch(
+      df.filter(col("grp") =!= "c").withColumn("grp", lit("u")),
+      "grp", "key", k).collect().head
+    assert(merged.getAs[Long]("kth_hash") ===
+      fromScratch.getAs[Long]("kth_hash"))
+    assert(merged.getAs[Double]("kmv_estimate") ===
+      fromScratch.getAs[Double]("kmv_estimate"))
   }
 
   test("groups are independent: per-group kth differs from pooled kth") {

@@ -688,6 +688,201 @@ object SparkEntry {
         .agg(sum(money(col("s_acctbal"))).cast("double").as("total_bal"),
           count(lit(1)).as("suppliers"))
         .orderBy("r_name")),
+    // TPC-H Q6 shape — the pure scan-filter-aggregate: no join at all,
+    // so at 100 TB the entire query is one parquet scan whose date /
+    // discount / quantity predicates push into the reader (PushedFilters
+    // — plan-asserted in PlanAuditSpec) and whose partial sums collapse
+    // map-side; the only shuffled bytes are one row per task.
+    "q6_forecast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1998-01-01") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(money(col("l_extendedprice")) * money(col("l_discount")))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))),
+    // TPC-H Q4 shape — EXISTS as a LEFT SEMI join: orders in a window
+    // that had at least one lineitem shipped > 90 days after the order
+    // date. The semi join keeps the probe side at one row per match
+    // (never multiplying orders by their matching lineitems), and the
+    // date-lag predicate rides ON the join as a residual next to the
+    // orderkey equi-key.
+    "q4_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1997-01-01") &&
+          col("o_orderdate") < lit("1998-01-01"))
+      o.join(Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate"),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // TPC-H Q10 shape — returned-item revenue ranked per customer: the
+    // returnflag filter prunes lineitem AT THE SCAN (pushed), nation
+    // broadcasts, and the final top-20 is ORDER BY + LIMIT so at scale
+    // it runs as a per-partition TakeOrdered, never a full sort.
+    // revenue is an exact decimal sum cast once to double, so the
+    // DESC order (tie-broken by c_custkey) is engine-identical.
+    "q10_returns" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("1997-01-01") &&
+              col("o_orderdate") < lit("1997-04-01")),
+          col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(sum(money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q13 shape — customer order-count distribution via an OUTER
+    // join whose filter lives ON the join (not WHERE — a WHERE would
+    // turn the outer join inner and drop zero-order customers), then
+    // two cascaded aggregations. count(o_orderkey) counts only matched
+    // rows, so never-matched customers land in the c_count = 0 bucket.
+    "q13_distribution" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))),
+    // TPC-H Q14 shape — promo revenue share in one month: part
+    // broadcasts into the date-pruned lineitem scan and the share is a
+    // single conditional-sum ratio. Both sums are exact decimals; the
+    // one IEEE step (×100, ÷) is written identically in the oracle.
+    "q14_promo" -> ((s, dir) => {
+      val rev = money(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount")))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-06-01") &&
+          col("l_shipdate") < lit("1997-07-01"))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg((sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") *
+            lit(100.0) / sum(rev).cast("double")).as("promo_share"),
+          count(lit(1)).as("cnt"))
+    }),
+    // TPC-H Q17 shape — "quantity below 20% of the part's average",
+    // decorrelated: the correlated AVG subquery becomes one per-part
+    // aggregation joined back to lineitem. The selective brand filter
+    // SEMI-prunes lineitem BEFORE the per-part aggregation (classic
+    // decorrelation alone would aggregate every part's history; at
+    // 100 TB that is the difference between aggregating 0.4 % of
+    // lineitem and all of it). The 0.2·avg threshold is kept integral
+    // (qty·cnt·5 < sum) so the comparison never computes a float avg.
+    "q17_small_qty" -> ((s, dir) => {
+      val brandParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#1").select("p_partkey"))
+      val lBrand = Tables.lineitem(s, dir)
+        .join(brandParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      val perPart = lBrand.groupBy(col("l_partkey").as("ap"))
+        .agg(sum("l_quantity").as("sq"), count(lit(1)).as("cq"))
+      lBrand.join(perPart, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") * col("cq") * 5 < col("sq"))
+        .agg(sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
+          count(lit(1)).as("cnt"))
+    }),
+    // TPC-H Q18 shape — large-volume orders: the HAVING side aggregates
+    // lineitem FIRST (map-side partial sums on the natural l_orderkey
+    // clustering), and only the ~0.1 % surviving orderkeys join back to
+    // orders/customer — never the reverse join order. Top-100 via
+    // ORDER BY + LIMIT (TakeOrdered at scale).
+    "q18_large_orders" -> ((s, dir) => {
+      val big = Tables.lineitem(s, dir)
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      big.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey"))
+        .limit(100)
+    }),
+    // TPC-H Q19 shape — disjunctive brand/size/quantity predicates as a
+    // single broadcast join with an OR-of-ANDs residual. The p_brand IN
+    // superset predicate is factored OUT of the disjunction so the tiny
+    // part side prunes before broadcasting; the per-branch quantity
+    // bounds stay as the join residual (they reference both sides).
+    "q19_disjunctive" -> ((s, dir) => {
+      val p = Tables.part(s, dir)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(sum(money(col("l_extendedprice")) *
+            (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("cnt"))
+    }),
+    // TPC-H Q21 shape — "the supplier who kept the order waiting":
+    // finished orders where THIS supplier shipped > 60 days late, some
+    // other supplier participated (LEFT SEMI), and no other supplier
+    // was also late (LEFT ANTI). Both the semi and anti probes are
+    // equi-joins on l_orderkey with the inequality as residual, so the
+    // multi-EXISTS never becomes a nested-loop; lineitem is scanned
+    // thrice but shuffled on the same key each time.
+    "q21_waiting_supplier" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val late = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+        .join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      late
+        .join(l.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2")),
+          col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"),
+          "left_semi")
+        .join(l.select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"),
+            col("l_shipdate").as("ld3")),
+          col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3") &&
+            col("ld3") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_anti")
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(100)
+    }),
+    // TPC-H Q22 shape — above-average-balance customers with no recent
+    // orders, per nation. The global average arrives as a broadcast
+    // 1-row aggregate (scalar subquery), and the threshold compare is
+    // kept in exact decimals (bal·n > total) so no engine ever computes
+    // a float average; the "no recent orders" is a LEFT ANTI against
+    // the date-pruned orders scan. (Adapted: every synthetic customer
+    // has SOME order, so idleness is scoped to orders since 2000.)
+    "q22_idle_customers" -> ((s, dir) => {
+      val cust = Tables.customer(s, dir)
+      val stats = cust.filter(col("c_acctbal") > 0.0)
+        .agg(sum(money(col("c_acctbal"))).as("tot"), count(lit(1)).as("n"))
+      cust.crossJoin(broadcast(stats))
+        .filter(money(col("c_acctbal")) * col("n") > col("tot"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("2000-01-01"))
+            .select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, dir)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum(money(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("n_name")
+    }),
 
     // DISCRETE percentiles of per-user activity: percentile_disc picks
     // an actual element (no interpolation arithmetic at all), so the
@@ -1734,6 +1929,122 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |              JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_distribution" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |      FROM customer LEFT JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY 1)
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |            * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) * 100.0
+        |  / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_share,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+        |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+    "q17_small_qty" ->
+      """WITH brand_li AS (
+        |  SELECT l.* FROM lineitem l
+        |  WHERE EXISTS (SELECT 1 FROM part
+        |                WHERE p_partkey = l.l_partkey AND p_brand = 'Brand#1')),
+        |per_part AS (
+        |  SELECT l_partkey AS ap, SUM(l_quantity) AS sq,
+        |         CAST(COUNT(*) AS BIGINT) AS cq
+        |  FROM brand_li GROUP BY 1)
+        |SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM brand_li JOIN per_part ON l_partkey = ap
+        |WHERE l_quantity * cq * 5 < sq""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |       SUM(l_quantity) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2, 3, 4, 5
+        |HAVING SUM(l_quantity) > 300
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_waiting_supplier" ->
+      """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM supplier
+        |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q22_idle_customers" ->
+      """WITH stats AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer CROSS JOIN stats
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "users_high_not_low" ->

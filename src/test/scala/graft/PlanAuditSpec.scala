@@ -118,4 +118,51 @@ class PlanAuditSpec extends SparkSpec {
         s"$q must join on its equi keys, plan:\n$p")
     }
   }
+
+  test("q6 pushes all three scan predicates into the parquet reader") {
+    // formatted mode: the plain toString truncates long PushedFilters
+    val p = SparkEntry.queries("q6_forecast")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("GreaterThanOrEqual(l_discount") &&
+      p.contains("LessThan(l_quantity"),
+      s"q6's date/discount/quantity filters must reach PushedFilters, plan:\n$p")
+    assert(!p.contains("Join"), s"q6 must be a pure scan-aggregate, plan:\n$p")
+  }
+
+  test("EXISTS queries plan as semi/anti hash joins, never nested loops") {
+    // q4: one LEFT SEMI; q21: a semi AND an anti probe; q22: one anti.
+    // All ride an equi-key (orderkey/custkey) with residuals — a
+    // nested-loop here would be quadratic at scale.
+    val p4 = plan("q4_priority")
+    assert(p4.contains("LeftSemi"), s"q4 EXISTS must be a semi join:\n$p4")
+    val p21 = plan("q21_waiting_supplier")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21 EXISTS/NOT EXISTS must be semi+anti joins:\n$p21")
+    val p22 = plan("q22_idle_customers")
+    assert(p22.contains("LeftAnti"), s"q22 NOT EXISTS must be an anti join:\n$p22")
+    for ((q, p) <- Seq("q4_priority" -> p4, "q21_waiting_supplier" -> p21))
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q must keep its equi-key joins, plan:\n$p")
+  }
+
+  test("ranked top-k queries execute as TakeOrdered, not a global sort") {
+    for (q <- Seq("q10_returns", "q18_large_orders")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q ORDER BY+LIMIT must plan as TakeOrderedAndProject, plan:\n$p")
+    }
+  }
+
+  test("q17 semi-prunes lineitem by brand before the per-part aggregation") {
+    val p = plan("q17_small_qty")
+    // the aggregation input must already be brand-pruned: the semi join
+    // appears UNDER the HashAggregate that computes per-part sums
+    assert(p.contains("LeftSemi"),
+      s"brand prune must be a semi join feeding the agg, plan:\n$p")
+    assert(p.contains("EqualTo(p_brand,Brand#1)"),
+      s"brand filter must reach the part scan, plan:\n$p")
+  }
 }

@@ -56,5 +56,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(w != null, "ngram_fnv width must be a non-null integer literal")
       NgramFnv(text, w.asInstanceOf[Int])
     }))
+    // winnow_mins(hashes, w): w must be a foldable integer literal — the
+    // window width shapes the sliding-minimum kernel itself
+    ext.injectFunction(binary("winnow_mins",
+      classOf[graft.functions.WinnowMins], (hashes, width) => {
+      require(width.foldable && width.dataType ==
+        org.apache.spark.sql.types.IntegerType,
+        "winnow_mins width must be an integer literal")
+      val w = width.eval()
+      require(w != null, "winnow_mins width must be a non-null integer literal")
+      graft.functions.WinnowMins(hashes, w.asInstanceOf[Int])
+    }))
   }
 }

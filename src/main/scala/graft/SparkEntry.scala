@@ -336,6 +336,12 @@ object SparkEntry {
     // oracle reproduces FNV-1a's wrapping multiply in HUGEINT mod 2^64.
     "doc_fingerprint_rolling" -> ((s, dir) =>
       TextOps.rollingFingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Full winnowing fingerprint SET (SIGMOD'03) — windowed minima over
+    // positional char-12-gram hashes via the native O(G) deque kernel;
+    // any shared substring of length ≥ 19 must surface a shared fp.
+    "doc_winnow" -> ((s, dir) =>
+      TextOps.winnowFingerprints(Tables.documents(s, dir), k = 12, w = 8)
+        .orderBy("doc_id", "fp")),
     // Gopher-style repetition filters: per (doc, gram order n∈{1,2,3}),
     // top-gram and duplicated-gram occurrence fractions.
     "doc_repetition" -> ((s, dir) =>
@@ -774,6 +780,28 @@ object SparkEntry {
             lit(100.0) / sum(rev).cast("double")).as("promo_share"),
           count(lit(1)).as("cnt"))
     }),
+    // TPC-H Q15 shape — top supplier by quarterly revenue: the view +
+    // scalar-MAX subquery decorrelates into one per-supplier aggregation
+    // reused on both sides (the revenue relation feeds the max AND the
+    // equality probe — Spark plans the 1-row max as a broadcast), so
+    // lineitem is scanned once for the aggregation, never per supplier.
+    // Revenue stays DECIMAL end-to-end: the = max comparison is exact,
+    // where a float sum's ties would be summation-order lottery.
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01") &&
+          col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(money(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 2)) - money(col("l_discount"))))
+          .as("total_rev"))
+      rev.join(broadcast(rev.agg(max("total_rev").as("max_rev"))),
+          col("total_rev") === col("max_rev"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("total_rev").cast("double").as("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
     // TPC-H Q17 shape — "quantity below 20% of the part's average",
     // decorrelated: the correlated AVG subquery becomes one per-part
     // aggregation joined back to lineitem. The selective brand filter
@@ -1007,6 +1035,20 @@ object SparkEntry {
       val clicks = e.filter(col("event_type") === "click")
         .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
       Temporal.asOfJoin(purchases, clicks, "user_id", "ts",
+        leftCols = Seq("purchase_id"), rightCols = Seq("click_id"))
+        .orderBy("user_id", "ts", "purchase_id")
+    }),
+    // as-of with a 30-minute staleness bound (pandas merge_asof
+    // `tolerance`): same window, one integer-microsecond residual —
+    // purchases whose latest prior click is older than the bound drop.
+    "asof_tolerance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = e.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+      Temporal.asOfJoinTolerance(purchases, clicks, "user_id", "ts",
+        toleranceSeconds = 1800L,
         leftCols = Seq("purchase_id"), rightCols = Seq("click_id"))
         .orderBy("user_id", "ts", "purchase_id")
     }),
@@ -1320,6 +1362,25 @@ object SparkEntry {
          |    AS min_shingle_fnv,
          |  CAST(len(shingles) AS BIGINT) AS n_shingles
          |FROM sh ORDER BY doc_id""".stripMargin,
+
+    "doc_winnow" -> {
+      // same char-12-gram FNV → 40-bit ids as the minhash-shingle oracle;
+      // naive windowed list_min over clamped slices (W = max(G−8+1, 1))
+      // reproduces the deque kernel's minima exactly
+      val winFnv40 =
+        s"CAST(${sqlFnvUnsigned("substr(text, i, 12)")} % 1099511627776::HUGEINT AS BIGINT)"
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(
+         |    range(1, greatest(length(text) - 11, 1) + 1),
+         |    i -> $winFnv40) AS hs
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(hs) - 7, 1) + 1),
+         |    i -> list_min(hs[i:i+7]))) AS fps
+         |  FROM g)
+         |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin
+    },
 
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -1983,6 +2044,20 @@ object SparkEntry {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1997-06-01'
         |  AND l_shipdate < TIMESTAMP '1997-07-01'""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |      AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+        |FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+        |WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
     "q17_small_qty" ->
       """WITH brand_li AS (
         |  SELECT l.* FROM lineitem l
@@ -2183,6 +2258,18 @@ object SparkEntry {
         |  c.ts AS r_ts, c.click_id AS r_click_id
         |FROM p ASOF JOIN clicks c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, ts, event_id AS purchase_id
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.ts, p.purchase_id,
+        |  c.ts AS r_ts, c.click_id AS r_click_id
+        |FROM p ASOF JOIN clicks c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |WHERE epoch_us(p.ts) - epoch_us(c.ts) <= 1800000000
         |ORDER BY 1, 2, 3""".stripMargin,
     "range_clicks_before_error" ->
       """WITH e AS (SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error'),

@@ -71,6 +71,23 @@ object Temporal {
           rightCols.map(c => col(s"r.r_$c").as(s"r_$c")))): _*)
   }
 
+  /** [[asOfJoin]] with a staleness bound — pandas `merge_asof`'s
+    * `tolerance` parameter: the latest prior right row matches only if
+    * it is at most `toleranceSeconds` old at the left row's timestamp
+    * (inner semantics: left rows whose only prior match is staler are
+    * dropped, exactly as if no match existed). The bound is an integer
+    * microsecond comparison applied AFTER the single as-of window, so
+    * it adds no shuffle and stays engine-exact; DuckDB's native ASOF
+    * has no tolerance clause, so the oracle expresses it the same way —
+    * a residual filter on the ASOF result. */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, toleranceSeconds: Long,
+                        leftCols: Seq[String],
+                        rightCols: Seq[String]): DataFrame =
+    asOfJoin(left, right, key, ts, leftCols, rightCols)
+      .filter(unix_micros(col(ts)) - unix_micros(col("r_ts")) <=
+        toleranceSeconds * 1000000L)
+
   /** Count right-side rows per left row within `[left.ts - window,
     * left.ts)` for the same key. Bucketing: both sides bucket ts by
     * `window`; a candidate right row lives in the left row's bucket or

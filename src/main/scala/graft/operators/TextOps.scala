@@ -552,4 +552,36 @@ object TextOps {
         s => call_function("fnv64", s.cast("binary")))).as("min_shingle_fnv"),
       size(shingles).cast("long").as("n_shingles"))
   }
+
+  /** Full winnowing fingerprint set (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): character-`k`-gram FNV hashes in POSITION ORDER (no
+    * distinct — winnowing is positional), then the minimum of every
+    * window of `w` consecutive hashes via the native O(G) monotonic-
+    * deque kernel [[graft.functions.WinnowMins]]; the distinct selected
+    * hashes are the fingerprints. Guarantee: two documents sharing any
+    * substring of length ≥ w + k − 1 share a fingerprint, while only
+    * ~2/(w+1) of grams are kept — the principled sampled alternative to
+    * [[rollingFingerprints]]' single corpus-wide min.
+    *
+    * Hashes are masked to 40 bits so both engines compare NON-NEGATIVE
+    * values: window minima over full 64-bit wrapped longs would order
+    * differently under Spark's signed longs vs the oracle's mod-2⁶⁴
+    * HUGEINT arithmetic. Masking keeps winnowing's guarantees (any
+    * deterministic hash works) and only raises the collision floor to
+    * 2⁻⁴⁰, the same trade [[Dedup.shingleIdsColumn]] makes.
+    *
+    * Pure row-local projection + explode — shuffle-free at any corpus
+    * size; the downstream postings join (who shares a fingerprint) is
+    * where the first exchange would appear. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 12,
+                         w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val grams40 = transform(
+      Bridge.column(graft.functions.NgramFnv(
+        Bridge.expression(col("text")), k)),
+      h => h.bitwiseAND(lit((1L << 40) - 1)))
+    docs.select(col("doc_id"),
+      explode(array_distinct(Bridge.column(graft.functions.WinnowMins(
+        Bridge.expression(grams40), w)))).as("fp"))
+  }
 }

@@ -46,6 +46,23 @@ class TemporalSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("r_click_id")))
   }
 
+  test("asOfJoinTolerance drops matches staler than the bound") {
+    val purchases = Seq(
+      (1L, ts("10:00:00"), 100L), // prior click 09:55 → 5 min old: kept
+      (1L, ts("11:00:00"), 101L), // latest prior still 09:55 → 65 min: dropped
+      (2L, ts("10:30:00"), 102L)  // prior click at exactly the bound: kept
+    ).toDF("user_id", "ts", "purchase_id")
+    val clicks = Seq(
+      (1L, ts("09:55:00"), 1L),
+      (2L, ts("10:00:00"), 2L)    // exactly 30 min before 102 (<= bound)
+    ).toDF("user_id", "ts", "click_id")
+    val out = Temporal.asOfJoinTolerance(purchases, clicks, "user_id", "ts",
+      toleranceSeconds = 1800L, Seq("purchase_id"), Seq("click_id"))
+      .orderBy("purchase_id").collect()
+    assert(out.map(_.getAs[Long]("purchase_id")).toSeq === Seq(100L, 102L))
+    assert(out.map(_.getAs[Long]("r_click_id")).toSeq === Seq(1L, 2L))
+  }
+
   test("rangeJoinBucketed counts a half-open window across bucket borders") {
     val errors = Seq((1L, ts("10:10:00"))).toDF("user_id", "ts")
     val clicks = Seq(

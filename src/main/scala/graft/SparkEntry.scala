@@ -342,6 +342,12 @@ object SparkEntry {
     "doc_winnow" -> ((s, dir) =>
       TextOps.winnowFingerprints(Tables.documents(s, dir), k = 12, w = 8)
         .orderBy("doc_id", "fp")),
+    // MOSS-style copy-detection pairs on the winnowed samples: shared
+    // discriminative (df ≤ 50) fingerprints, ≥ 2 to pair.
+    "dedup_winnow_pairs" -> ((s, dir) =>
+      TextOps.winnowPairs(Tables.documents(s, dir), k = 12, w = 8,
+        minShared = 2, dfCap = 50)
+        .orderBy("d1", "d2")),
     // Gopher-style repetition filters: per (doc, gram order n∈{1,2,3}),
     // top-gram and duplicated-gram occurrence fractions.
     "doc_repetition" -> ((s, dir) =>
@@ -1380,6 +1386,30 @@ object SparkEntry {
          |    i -> list_min(hs[i:i+7]))) AS fps
          |  FROM g)
          |SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp""".stripMargin
+    },
+
+    "dedup_winnow_pairs" -> {
+      val winFnv40 =
+        s"CAST(${sqlFnvUnsigned("substr(text, i, 12)")} % 1099511627776::HUGEINT AS BIGINT)"
+      s"""WITH g AS (
+         |  SELECT doc_id, list_transform(
+         |    range(1, greatest(length(text) - 11, 1) + 1),
+         |    i -> $winFnv40) AS hs
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(hs) - 7, 1) + 1),
+         |    i -> list_min(hs[i:i+7])))) AS fp
+         |  FROM g),
+         |rare AS (
+         |  SELECT doc_id, fp FROM m
+         |  WHERE fp IN (SELECT fp FROM m GROUP BY fp HAVING COUNT(*) <= 50))
+         |SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |  CAST(COUNT(*) AS BIGINT) AS shared_fps
+         |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 2
+         |ORDER BY d1, d2""".stripMargin
     },
 
     "doc_repetition" ->

@@ -584,4 +584,32 @@ object TextOps {
       explode(array_distinct(Bridge.column(graft.functions.WinnowMins(
         Bridge.expression(grams40), w)))).as("fp"))
   }
+
+  /** MOSS-style overlap pairs over [[winnowFingerprints]]: documents
+    * sharing ≥ `minShared` fingerprints, with the shared count — the
+    * copy-detection join run on winnowed samples instead of full gram
+    * postings (~2/(w+1) of the volume).
+    *
+    * `dfCap` is the scale lever (MOSS's "ignore boilerplate" pass):
+    * fingerprints appearing in more than `dfCap` documents are
+    * license-header/template mass whose postings buckets would fan out
+    * quadratically, so they are dropped BEFORE the self-join — one
+    * df aggregation over the skinny (doc, fp) relation, then the join
+    * runs only on discriminative buckets. Every survivor bucket has
+    * ≤ dfCap rows, bounding candidate fan-out per fingerprint at
+    * dfCap², independent of corpus size. */
+  def winnowPairs(docs: DataFrame, k: Int = 12, w: Int = 8,
+                  minShared: Int = 2, dfCap: Int = 50): DataFrame = {
+    val fps = winnowFingerprints(docs, k, w)
+    val rare = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("fp"),
+      "fp")
+    rare.as("a")
+      .join(rare.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
 }

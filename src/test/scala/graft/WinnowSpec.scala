@@ -80,6 +80,23 @@ class WinnowSpec extends SparkSpec {
     assert(fps.values.map(_.size).sum < gramCount / 2)
   }
 
+  test("winnowPairs pairs shared passages but drops boilerplate mass") {
+    import spark.implicits._
+    val header = "common license header boilerplate text appearing everywhere"
+    val passage = "a genuinely shared passage long enough to leave fingerprints"
+    val docs = (
+      Seq((1L, s"$header alpha unique body $passage"),
+          (2L, s"$header beta different body $passage")) ++
+      (3L to 8L).map(i => (i, s"$header totally distinct content $i" * 3))
+    ).toDF("doc_id", "text")
+    // dfCap=2: header fps (df=8) are dropped; passage fps (df=2) survive
+    val pairs = TextOps.winnowPairs(docs, k = 12, w = 8,
+      minShared = 2, dfCap = 2).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)),
+      "only the passage-sharing pair may survive the df cap")
+    assert(pairs.head.getAs[Long]("shared_fps") >= 2L)
+  }
+
   test("winnow_mins rejects containsNull=true arrays at analysis") {
     import spark.implicits._
     val df = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "xs")

@@ -348,6 +348,12 @@ object SparkEntry {
       TextOps.winnowPairs(Tables.documents(s, dir), k = 12, w = 8,
         minShared = 2, dfCap = 50)
         .orderBy("d1", "d2")),
+    // sparse tf·idf cosine ≥ 0.6 over top-10 salient-term integer
+    // vectors — the embedding-free text-similarity tier.
+    "tfidf_cosine_pairs" -> ((s, dir) =>
+      TextOps.tfidfCosinePairs(Tables.documents(s, dir), k = 10,
+        thresholdHundredths = 60)
+        .orderBy("d1", "d2")),
     // Gopher-style repetition filters: per (doc, gram order n∈{1,2,3}),
     // top-gram and duplicated-gram occurrence fractions.
     "doc_repetition" -> ((s, dir) =>
@@ -1411,6 +1417,33 @@ object SparkEntry {
          |HAVING COUNT(*) >= 2
          |ORDER BY d1, d2""".stripMargin
     },
+
+    "tfidf_cosine_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |       FROM tok GROUP BY 1),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+        |v AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf * ((n.total * 100) // df.df) AS wq,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ((n.total * 100) // df.df) DESC, tf.token) AS rnk
+        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+        |vk AS (SELECT doc_id, token, wq FROM v WHERE rnk <= 10),
+        |nrm AS (SELECT doc_id, SUM(wq * wq) AS nrm FROM vk GROUP BY 1),
+        |d AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.wq * b.wq) AS dot
+        |  FROM vk a JOIN vk b ON a.token = b.token AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d.d1, d.d2,
+        |  CAST(d.dot AS DOUBLE)
+        |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+        |FROM d JOIN nrm na ON d.d1 = na.doc_id JOIN nrm nb ON d.d2 = nb.doc_id
+        |WHERE CAST(d.dot AS DOUBLE)
+        |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.6
+        |ORDER BY d1, d2""".stripMargin,
 
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

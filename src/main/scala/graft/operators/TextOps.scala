@@ -239,6 +239,62 @@ object TextOps {
         col("df"), col("score"))
   }
 
+  /** Per-document salient-term tf·idf vectors in INTEGER weight space:
+    * weight = tf · ((N·100) div df) — integer division, so the weight,
+    * the top-`k` ranking (weight desc, token asc), and every downstream
+    * sum are engine-exact with no IEEE step at all. The ·100 scale
+    * keeps one digit of idf resolution; bounds: with N ≤ 10⁶ docs and
+    * tf ≤ 10³ the weight stays < 2⁴⁷ and a k-term dot product < 2⁶⁰ —
+    * re-scale before larger corpora.
+    *
+    * Same plan shape as [[topTerms]]: tf + df aggregations over one
+    * explode, df joined back, WindowGroupLimit pruning to k per doc. */
+  def salientVectors(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val total = docs.count()
+    val tok = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("wq").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("wq", col("tf") * expr(s"${total * 100L}L div df"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("wq"))
+  }
+
+  /** Sparse tf·idf cosine pairs over [[salientVectors]] — the IR-style
+    * text-similarity tier (the embedding-free twin of
+    * [[Dedup.embeddingNearDupPairs]]): candidates are documents sharing
+    * a SALIENT term (postings self-join on the k-term vectors, so
+    * bucket sizes are governed by salience, not raw df — stopwords
+    * never reach the join), dot products and norms are integer sums,
+    * and the only IEEE arithmetic is the final
+    * dot / (√na·√nb) — written as the identical three-step expression
+    * in the SQL oracle, so the ≥ threshold comparison is
+    * engine-deterministic. */
+  def tfidfCosinePairs(docs: DataFrame, k: Int = 10,
+                       thresholdHundredths: Int = 60): DataFrame = {
+    val vec = salientVectors(docs, k)
+    val norms = vec.groupBy("doc_id")
+      .agg(sum(col("wq") * col("wq")).as("nrm"))
+    val dots = vec.as("a")
+      .join(vec.as("b"),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("d1"), col("nrm").as("na")), "d1")
+      .join(norms.select(col("doc_id").as("d2"), col("nrm").as("nb")), "d2")
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= thresholdHundredths / 100.0)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+
   /** ROW-LOCAL word n-grams of order n as an array column (clamped-gram
     * convention of [[gramRows]]). Higher-order functions are interpreted,
     * so batch pipelines use [[gramRows]] instead — this form exists for

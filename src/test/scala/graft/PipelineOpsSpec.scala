@@ -43,6 +43,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
   }
 
+  test("tfidf cosine: identical docs score 1, disjoint-vocab docs never pair") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "zebra quagga okapi tapir zebra quagga rare wildlife spotting"),
+      (2L, "zebra quagga okapi tapir zebra quagga rare wildlife spotting"),
+      (3L, "syntax parser compiler token lexer grammar ast codegen emit"),
+      (4L, "completely other subject matter entirely different domain words")
+    ).toDF("doc_id", "text")
+    val pairs = graft.operators.TextOps.tfidfCosinePairs(d, k = 10,
+      thresholdHundredths = 60).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet === Set((1L, 2L)),
+      "only the identical pair shares salient vocabulary")
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12,
+      "identical vectors must have cosine 1")
+  }
+
   test("minhash LSH candidates include true near-dups, estimates bounded") {
     val pairs = Dedup.minhashLshPairs(docs, numHashes = 32, bands = 8)
     val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -278,10 +278,30 @@ object TextOps {
     * engine-deterministic. */
   def tfidfCosinePairs(docs: DataFrame, k: Int = 10,
                        thresholdHundredths: Int = 60): DataFrame = {
-    val vec = salientVectors(docs, k)
+    // The vector relation is consumed three times (both self-join sides
+    // + norms) and its subtree is the expensive part (full token
+    // explode, two aggregations, a window); materialize it once — it is
+    // k rows per doc, orders of magnitude smaller than its input.
+    // On a cluster: `checkpoint` to reliable storage instead.
+    val vec = salientVectors(docs, k).localCheckpoint()
+    // Spread the PROBE side of the candidate join explicitly: the
+    // checkpointed vector relation is tiny (k rows/doc), so AQE
+    // coalesces it to ~one partition — and the join's cost is the
+    // candidate FAN-OUT (hot salient terms emit |bucket|² pairs), not
+    // the input size, so that one partition serializes the whole pair
+    // generation + partial aggregation on a single core (measured 6.6×:
+    // 27.9 s → 4.2 s at sf0.1). Explicit count disables AQE coalescing,
+    // same trap as the sketch paths in Dedup.
+    // (Tried: norms riding on vector rows through window+groupBy keys —
+    // the window on the BUILD side wrecked the broadcast choice and the
+    // candidate join fell back to a sort-merge serialized by hot-token
+    // skew, 5× slower. The two post-aggregation broadcast norm probes
+    // are the cheaper shape.)
+    val spread = vec.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val norms = vec.groupBy("doc_id")
       .agg(sum(col("wq") * col("wq")).as("nrm"))
-    val dots = vec.as("a")
+    val dots = spread.as("a")
       .join(vec.as("b"),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -656,9 +656,15 @@ object TextOps {
       Bridge.column(graft.functions.NgramFnv(
         Bridge.expression(col("text")), k)),
       h => h.bitwiseAND(lit((1L << 40) - 1)))
-    docs.select(col("doc_id"),
-      explode(array_distinct(Bridge.column(graft.functions.WinnowMins(
-        Bridge.expression(grams40), w)))).as("fp"))
+    docs
+      // spread the single-split docs scan before the per-char gram hash
+      // + winnow kernel (explicit count — AQE would coalesce on bytes
+      // and serialize the sketch; same trap as Dedup's sketch paths)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(Bridge.column(graft.functions.WinnowMins(
+          Bridge.expression(grams40), w)))).as("fp"))
   }
 
   /** MOSS-style overlap pairs over [[winnowFingerprints]]: documents
@@ -676,12 +682,21 @@ object TextOps {
     * dfCap², independent of corpus size. */
   def winnowPairs(docs: DataFrame, k: Int = 12, w: Int = 8,
                   minShared: Int = 2, dfCap: Int = 50): DataFrame = {
-    val fps = winnowFingerprints(docs, k, w)
+    // the fingerprint relation is consumed three times (df aggregation
+    // + both self-join sides) and its subtree re-hashes every char of
+    // the corpus per execution; materialize the skinny (doc, fp) rows
+    // once
+    val fps = winnowFingerprints(docs, k, w).localCheckpoint()
     val rare = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select("fp"),
       "fp")
-    rare.as("a")
+    rare
+      // spread the probe side: candidate fan-out (≤ dfCap per bucket),
+      // not input bytes, is the join's cost — don't let AQE coalesce it
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .as("a")
       .join(rare.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

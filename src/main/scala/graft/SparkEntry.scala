@@ -413,6 +413,10 @@ object SparkEntry {
     // upper triangle) — integer products, order-proof sums.
     "embedding_gram" -> ((s, dir) =>
       Similarity.gramMatrix(Tables.embeddings(s, dir)).orderBy("di", "dj")),
+    // first PCA direction: 3 declarative power-iteration rounds on the
+    // Gram matrix, integer matvec + truncating-div L∞ rescale.
+    "gram_power_iteration" -> ((s, dir) =>
+      Similarity.gramPowerIteration(Tables.embeddings(s, dir), rounds = 3)),
     // Ordered signup→click→purchase funnel (unbounded window).
     "funnel_counts" -> ((s, dir) =>
       EventOps.funnel(Tables.events(s, dir),
@@ -1915,6 +1919,28 @@ object SparkEntry {
         |SELECT a.d AS di, b.d AS dj, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
         |FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "gram_power_iteration" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
+        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
+        |g AS (SELECT a.d AS di, b.d AS dj, SUM(a.q * b.q) AS gram
+        |      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+        |v0 AS (SELECT CAST(s.k AS BIGINT) AS d, CAST(1000 AS BIGINT) AS val
+        |       FROM generate_series(1, 64) s(k)),
+        |u1 AS (SELECT g.di AS d, SUM(g.gram * v0.val) AS u
+        |       FROM g JOIN v0 ON g.dj = v0.d GROUP BY 1),
+        |m1 AS (SELECT MAX(ABS(u)) AS m FROM u1),
+        |v1 AS (SELECT d, (u * 1000) // m AS val FROM u1 CROSS JOIN m1),
+        |u2 AS (SELECT g.di AS d, SUM(g.gram * v1.val) AS u
+        |       FROM g JOIN v1 ON g.dj = v1.d GROUP BY 1),
+        |m2 AS (SELECT MAX(ABS(u)) AS m FROM u2),
+        |v2 AS (SELECT d, (u * 1000) // m AS val FROM u2 CROSS JOIN m2),
+        |u3 AS (SELECT g.di AS d, SUM(g.gram * v2.val) AS u
+        |       FROM g JOIN v2 ON g.dj = v2.d GROUP BY 1),
+        |m3 AS (SELECT MAX(ABS(u)) AS m FROM u3),
+        |v3 AS (SELECT d, (u * 1000) // m AS val FROM u3 CROSS JOIN m3)
+        |SELECT d, CAST(val AS BIGINT) AS val FROM v3 ORDER BY d""".stripMargin,
 
     "pipeline_curate_v2" ->
       s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),

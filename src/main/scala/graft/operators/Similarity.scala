@@ -94,6 +94,48 @@ object Similarity {
       .agg(sum(col("a.q") * col("b.q")).as("gram"))
   }
 
+  /** Dominant-eigenvector power iteration on the quantized Gram matrix —
+    * the first PCA direction of the embedding corpus, the step a
+    * whitening/compression pipeline runs after [[gramMatrix]]. Each
+    * round is one coordinate MATVEC (join on the contraction index +
+    * grouped sum — the engine's matmul shape at 64×64 · 64×1) followed
+    * by L∞ normalization in pure integer arithmetic: v′ =
+    * (u·vecScale) div max|u| — Spark's `div` and DuckDB's `//` both
+    * truncate toward zero (verified on negatives), so the rescale is
+    * engine-exact with no IEEE step anywhere. Rounds unroll
+    * declaratively (the 1-row max broadcasts into the rescale), so the
+    * whole iteration is ONE plan with no driver-side loop state; the
+    * Gram relation materializes once (dim² rows) and every round reuses
+    * it.
+    *
+    * Magnitudes: |gram| ≤ N·scale², so |u| ≤ dim·N·scale²·vecScale and
+    * the rescale multiplies by vecScale again — at the defaults
+    * (dim 64, scale 10³, vecScale 10³) a corpus of up to ~10⁸ vectors
+    * stays inside signed-64. Convergence: max|v| = vecScale by
+    * construction each round; the direction stabilizes in O(log gap)
+    * rounds like any power method. */
+  def gramPowerIteration(emb: DataFrame, rounds: Int = 3, dims: Int = 64,
+                         scale: Int = 1000,
+                         vecScale: Long = 1000L): DataFrame = {
+    val upper = gramMatrix(emb, scale)
+    // full symmetric coordinate form from the upper triangle
+    val full = upper
+      .unionByName(upper.filter(col("di") < col("dj"))
+        .select(col("dj").as("di"), col("di").as("dj"), col("gram")))
+      .localCheckpoint()
+    var v = emb.sparkSession.range(1, dims + 1)
+      .select(col("id").as("d"), lit(vecScale).as("val"))
+    for (_ <- 1 to rounds) {
+      val u = full.join(v.withColumnRenamed("d", "dj"), "dj")
+        .groupBy(col("di").as("d"))
+        .agg(sum(col("gram") * col("val")).as("u"))
+      val m = u.agg(max(abs(col("u"))).as("m"))
+      v = u.crossJoin(broadcast(m))
+        .select(col("d"), expr(s"(u * $vecScale) div m").as("val"))
+    }
+    v.orderBy("d")
+  }
+
   /** Per-label quantized centroids via the typed [[graft.functions.QuantizedCentroid]]
     * Aggregator — the IVF coarse quantizer's codebook. Integer dimension
     * sums (count kept separately) so partition merge order cannot change

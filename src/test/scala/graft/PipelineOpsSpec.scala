@@ -254,6 +254,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cents(1)._1.head === -1000L + 800L)
   }
 
+  test("gram power iteration converges to the dominant eigenvector") {
+    import spark.implicits._
+    // vecs (1,0) and (1,1) at scale 10 → G = [[200,100],[100,100]];
+    // dominant eigenvector of [[2,1],[1,1]] has component ratio
+    // (√5−1)/2 ≈ 0.618, so the L∞-normalized integer trace is
+    // v1=(1000,666), v2=(1000,624), v3=(1000,618) — hand-computed.
+    val emb = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val v3 = graft.operators.Similarity.gramPowerIteration(
+      emb, rounds = 3, dims = 2, scale = 10, vecScale = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(v3 === Seq((1L, 1000L), (2L, 618L)))
+  }
+
   test("gram matrix matches hand-computed quantized outer products") {
     val e = Seq(
       (1L, Array(1.0f, 0.5f, 0.0f), 0),

@@ -46,6 +46,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tf-idf pair queries join through hash joins, never nested loops") {
+    // the salient-vector top-k inside the subtree materializes through
+    // localCheckpoint, so WindowGroupLimit is asserted on the vector
+    // relation directly; the declared query's visible plan must keep
+    // the candidate + norm joins hash-based
+    val vecPlan = graft.operators.TextOps.salientVectors(
+      Tables.documents(spark, dir), 10)
+      .queryExecution.executedPlan.toString
+    assert(vecPlan.contains("WindowGroupLimit"),
+      s"salient top-k must prune map-side, plan:\n$vecPlan")
+    val p = plan("tfidf_cosine_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"tfidf candidate/norm joins must stay hash joins, plan:\n$p")
+  }
+
   test("row-local text operators are shuffle-free projections") {
     for (q <- Seq("doc_stats", "doc_quality", "doc_fingerprint_rolling",
       "media_resized")) {

@@ -417,6 +417,11 @@ object SparkEntry {
     // Gram matrix, integer matvec + truncating-div L∞ rescale.
     "gram_power_iteration" -> ((s, dir) =>
       Similarity.gramPowerIteration(Tables.embeddings(s, dir), rounds = 3)),
+    // one k-means Lloyd round from the label-centroid seed: integer
+    // squared-distance reassignment + per-cluster (sum, n) update.
+    "kmeans_round" -> ((s, dir) =>
+      Similarity.kmeansRound(s, Tables.embeddings(s, dir))
+        .orderBy("cluster", "d")),
     // Ordered signup→click→purchase funnel (unbounded window).
     "funnel_counts" -> ((s, dir) =>
       EventOps.funnel(Tables.events(s, dir),
@@ -1941,6 +1946,28 @@ object SparkEntry {
         |m3 AS (SELECT MAX(ABS(u)) AS m FROM u3),
         |v3 AS (SELECT d, (u * 1000) // m AS val FROM u3 CROSS JOIN m3)
         |SELECT d, CAST(val AS BIGINT) AS val FROM v3 ORDER BY d""".stripMargin,
+    "kmeans_round" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, CAST(s.k AS BIGINT) AS d,
+        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
+        |cent AS (SELECT label AS cluster, d, SUM(q) AS sq, COUNT(*) AS n
+        |         FROM q GROUP BY 1, 2),
+        |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
+        |dist AS (
+        |  SELECT v.vec_id, c.cluster,
+        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
+        |  FROM q v JOIN cq c ON v.d = c.d GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY dist, cluster) AS rn
+        |    FROM dist) r WHERE rn = 1)
+        |SELECT a.cluster, v.d, CAST(SUM(v.q) AS BIGINT) AS sum_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM asg a JOIN q v ON a.vec_id = v.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pipeline_curate_v2" ->
       s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),

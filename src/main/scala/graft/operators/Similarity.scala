@@ -151,6 +151,44 @@ object Similarity {
       .toDF("label", "sum_q", "n")
   }
 
+  /** One k-means Lloyd round in exact integer space, seeded from the
+    * per-label centroids: every vector is reassigned to its nearest
+    * centroid by squared Euclidean distance against the TRUNCATED
+    * integer centroid (cq_d = sum_q_d div n — Spark `div` and DuckDB
+    * `//` both truncate toward zero, so the centroid, every distance,
+    * and the argmin tie-break (cluster asc) are engine-exact with no
+    * IEEE step), then per-cluster integer dimension sums + counts are
+    * re-aggregated — the update half of the round, in the same
+    * (sum, n) representation [[labelCentroids]] uses, so rounds chain.
+    *
+    * Plan shape: codebook broadcasts (k·dim longs), assignment is a
+    * broadcast cross-probe + per-vector rank-1 window
+    * (WindowGroupLimit), the update is one hash aggregation over
+    * exploded dims. Nothing shuffles except the final 640-row
+    * aggregate — the standard distributed-k-means shape where only
+    * centroids ever cross the wire. */
+  def kmeansRound(spark: SparkSession, emb: DataFrame, dim: Int = 64,
+                  scale: Int = 1000): DataFrame = {
+    val cq = labelCentroids(spark, emb, dim, scale)
+      .select(col("label").as("cluster"),
+        expr("transform(sum_q, s -> s div n)").as("cq"))
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * scale).cast("long")).as("q"))
+    val dists = q.crossJoin(broadcast(cq))
+      .select(col("vec_id"), col("q"), col("cluster"),
+        aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
+    val assigned = dists.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("q"), col("cluster"))
+    assigned
+      .select(col("cluster"), posexplode(col("q")).as(Seq("d0", "qd")))
+      .groupBy(col("cluster"), (col("d0") + 1).cast("long").as("d"))
+      .agg(sum("qd").as("sum_q"), count(lit(1)).as("n"))
+  }
+
   /** IVF-style ANN: rank coarse clusters (labels) by query·centroid,
     * probe only the best cluster, exact-cosine rerank inside it. The
     * scale path complementary to [[annLshBucketed]]: candidate count is

@@ -254,6 +254,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(cents(1)._1.head === -1000L + 800L)
   }
 
+  test("kmeans round reassigns a mislabeled vector to its nearer centroid") {
+    import spark.implicits._
+    // seed centroids (scale 10, truncated): label 0 → (1,0) from
+    // {(0,0),(2,0)}; label 1 → (5,5) from {(10,10),(1,0)}. The (0.1,0)
+    // vector sits 0 from centroid 0 and 41 from centroid 1, so the
+    // round moves it: cluster 0 ends with sums (3,0) over n=3,
+    // cluster 1 keeps only (10,10).
+    val emb = Seq(
+      (1L, Seq(0.0f, 0.0f), 0), (2L, Seq(0.2f, 0.0f), 0),
+      (3L, Seq(1.0f, 1.0f), 1), (4L, Seq(0.1f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity.kmeansRound(spark, emb,
+      dim = 2, scale = 10)
+      .orderBy("cluster", "d").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (0, 1L, 3L, 3L), (0, 2L, 0L, 3L),
+      (1, 1L, 10L, 1L), (1, 2L, 10L, 1L)))
+  }
+
   test("gram power iteration converges to the dominant eigenvector") {
     import spark.implicits._
     // vecs (1,0) and (1,1) at scale 10 → G = [[200,100],[100,100]];

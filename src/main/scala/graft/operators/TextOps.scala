@@ -649,13 +649,21 @@ object TextOps {
     * Pure row-local projection + explode — shuffle-free at any corpus
     * size; the downstream postings join (who shares a fingerprint) is
     * where the first exchange would appear. */
-  def winnowFingerprints(docs: DataFrame, k: Int = 12,
-                         w: Int = 8): DataFrame = {
+  /** ROW-LOCAL distinct winnow fingerprints of a text column — the
+    * selection pipeline of [[winnowFingerprints]] as a pure stateless
+    * projection, which is what makes it legal inside a STREAMING query
+    * (no shuffle, no state). 40-bit masking per the batch form. */
+  def winnowFpsColumn(text: Column, k: Int, w: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     val grams40 = transform(
-      Bridge.column(graft.functions.NgramFnv(
-        Bridge.expression(col("text")), k)),
+      Bridge.column(graft.functions.NgramFnv(Bridge.expression(text), k)),
       h => h.bitwiseAND(lit((1L << 40) - 1)))
+    array_distinct(Bridge.column(graft.functions.WinnowMins(
+      Bridge.expression(grams40), w)))
+  }
+
+  def winnowFingerprints(docs: DataFrame, k: Int = 12,
+                         w: Int = 8): DataFrame =
     docs
       // spread the single-split docs scan before the per-char gram hash
       // + winnow kernel (explicit count — AQE would coalesce on bytes
@@ -663,9 +671,7 @@ object TextOps {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
       .select(col("doc_id"),
-        explode(array_distinct(Bridge.column(graft.functions.WinnowMins(
-          Bridge.expression(grams40), w)))).as("fp"))
-  }
+        explode(winnowFpsColumn(col("text"), k, w)).as("fp"))
 
   /** MOSS-style overlap pairs over [[winnowFingerprints]]: documents
     * sharing ≥ `minShared` fingerprints, with the shared count — the

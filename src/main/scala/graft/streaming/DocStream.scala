@@ -65,4 +65,28 @@ object DocStream {
       .join(broadcast(evalGrams.select("gram").distinct()), "gram")
       .groupBy(col("doc_id"), col("ts"))
       .agg(count(lit(1)).as("eval_hits"))
+
+  /** Streaming MOSS check — the ingest-time twin of
+    * [[graft.operators.TextOps.winnowPairs]] against a STATIC reference
+    * fingerprint table (a protected corpus winnowed offline with
+    * [[graft.operators.TextOps.winnowFingerprints]]): arriving
+    * documents project their winnow fingerprints row-locally (stateless
+    * — the [[graft.operators.TextOps.winnowFpsColumn]] form), join the
+    * broadcast reference set (no state), and the per-doc shared count
+    * is the single watermark-bounded stateful aggregation, emitted once
+    * final in append mode. Output: documents sharing ≥ `minShared`
+    * reference fingerprints — the plagiarism/copyright quarantine feed.
+    */
+  def winnowMatchStream(docs: DataFrame, refFps: DataFrame, k: Int = 12,
+                        w: Int = 8, minShared: Int = 2,
+                        watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.TextOps.winnowFpsColumn(
+          col("text"), k, w)).as("fp"))
+      .join(broadcast(refFps.select("fp").distinct()), "fp")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
 }

@@ -367,6 +367,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming winnow match equals the batch fingerprint join") {
+    val ref = Seq(
+      (100L, "a protected reference passage long enough to winnow fully"),
+      (101L, "another reference document with entirely different words"))
+      .toDF("doc_id", "text")
+    val refFps = graft.operators.TextOps.winnowFingerprints(ref, 12, 8)
+    val docs = Seq(
+      Doc(1, ts("10:01"), "prefix a protected reference passage long enough to winnow fully suffix"),
+      Doc(2, ts("10:00"), "totally unrelated incoming content sharing no substring at all"))
+    val input = MemoryStream[Doc](spark)
+    val q = graft.streaming.DocStream
+      .winnowMatchStream(input.toDF(), refFps, k = 12, w = 8, minShared = 2)
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(docs: _*) // out of order: doc 2's ts precedes doc 1's
+      q.processAllAvailable()
+      val streamed = spark.table("winnow_stream")
+        .select("doc_id", "shared_fps").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // batch twin: same fingerprint join + count + threshold
+      val batch = graft.operators.TextOps.winnowFingerprints(
+          docs.toDF().select(col("doc_id"), col("text")), 12, 8)
+        .join(broadcast(refFps.select("fp").distinct()), "fp")
+        .groupBy("doc_id").agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(streamed === batch)
+      assert(streamed.contains(1L) && !streamed.contains(2L))
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch is bit-identical to the batch sketch " +
     "under out-of-order, duplicated delivery") {
     val users = (0L until 40L)

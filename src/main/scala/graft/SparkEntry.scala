@@ -422,6 +422,13 @@ object SparkEntry {
     "kmeans_round" -> ((s, dir) =>
       Similarity.kmeansRound(s, Tables.embeddings(s, dir))
         .orderBy("cluster", "d")),
+    // second Lloyd round chained through the (sum, n) state of the
+    // first — assignment against round-1's truncated centroids.
+    "kmeans_round2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.kmeansRoundFrom(emb, Similarity.kmeansRound(s, emb))
+        .orderBy("cluster", "d")
+    }),
     // Ordered signup→click→purchase funnel (unbounded window).
     "funnel_counts" -> ((s, dir) =>
       EventOps.funnel(Tables.events(s, dir),
@@ -1967,6 +1974,42 @@ object SparkEntry {
         |SELECT a.cluster, v.d, CAST(SUM(v.q) AS BIGINT) AS sum_q,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM asg a JOIN q v ON a.vec_id = v.vec_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "kmeans_round2" ->
+      """WITH q AS (
+        |  SELECT vec_id, label, CAST(s.k AS BIGINT) AS d,
+        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
+        |cent AS (SELECT label AS cluster, d, SUM(q) AS sq, COUNT(*) AS n
+        |         FROM q GROUP BY 1, 2),
+        |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
+        |dist AS (
+        |  SELECT v.vec_id, c.cluster,
+        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
+        |  FROM q v JOIN cq c ON v.d = c.d GROUP BY 1, 2),
+        |asg AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY dist, cluster) AS rn
+        |    FROM dist) r WHERE rn = 1),
+        |r1 AS (
+        |  SELECT a.cluster, v.d, SUM(v.q) AS sum_q, COUNT(*) AS n
+        |  FROM asg a JOIN q v ON a.vec_id = v.vec_id GROUP BY 1, 2),
+        |cq2 AS (SELECT cluster, d, sum_q // n AS cq FROM r1),
+        |dist2 AS (
+        |  SELECT v.vec_id, c.cluster,
+        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
+        |  FROM q v JOIN cq2 c ON v.d = c.d GROUP BY 1, 2),
+        |asg2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY dist, cluster) AS rn
+        |    FROM dist2) r WHERE rn = 1)
+        |SELECT a.cluster, v.d, CAST(SUM(v.q) AS BIGINT) AS sum_q,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM asg2 a JOIN q v ON a.vec_id = v.vec_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pipeline_curate_v2" ->

@@ -168,10 +168,32 @@ object Similarity {
     * aggregate — the standard distributed-k-means shape where only
     * centroids ever cross the wire. */
   def kmeansRound(spark: SparkSession, emb: DataFrame, dim: Int = 64,
-                  scale: Int = 1000): DataFrame = {
-    val cq = labelCentroids(spark, emb, dim, scale)
-      .select(col("label").as("cluster"),
-        expr("transform(sum_q, s -> s div n)").as("cq"))
+                  scale: Int = 1000): DataFrame =
+    lloydStep(emb,
+      labelCentroids(spark, emb, dim, scale)
+        .select(col("label").as("cluster"),
+          expr("transform(sum_q, s -> s div n)").as("cq")),
+      scale)
+
+  /** A further Lloyd round from a PRIOR round's `(cluster, d, sum_q, n)`
+    * output — proof that rounds chain through the (sum, n)
+    * representation with no other state. A cluster left empty by a
+    * reassignment simply vanishes (the standard empty-cluster drop);
+    * both engines agree by construction. */
+  def kmeansRoundFrom(emb: DataFrame, prev: DataFrame,
+                      scale: Int = 1000): DataFrame =
+    lloydStep(emb,
+      prev.select(col("cluster"), col("d"), expr("sum_q div n").as("cqd"))
+        .groupBy("cluster")
+        .agg(transform(
+          array_sort(collect_list(struct(col("d"), col("cqd")))),
+          s => s.getField("cqd")).as("cq")),
+      scale)
+
+  /** Assignment + update against a `(cluster, cq: array<long>)`
+    * codebook (shared body of the Lloyd rounds). */
+  private def lloydStep(emb: DataFrame, cq: DataFrame,
+                        scale: Int): DataFrame = {
     val q = emb.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * scale).cast("long")).as("q"))

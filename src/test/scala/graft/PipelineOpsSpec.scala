@@ -272,6 +272,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (0, 1L, 3L, 3L), (0, 2L, 0L, 3L),
       (1, 1L, 10L, 1L), (1, 2L, 10L, 1L)))
+    // chaining: the toy clustering is already Lloyd-stable after one
+    // round, so a second round through the (sum, n) state is a fixpoint
+    val r1 = graft.operators.Similarity.kmeansRound(spark, emb,
+      dim = 2, scale = 10)
+    val r2 = graft.operators.Similarity.kmeansRoundFrom(emb, r1, scale = 10)
+      .orderBy("cluster", "d").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(r2.toSeq === out.toSeq)
   }
 
   test("gram power iteration converges to the dominant eigenvector") {

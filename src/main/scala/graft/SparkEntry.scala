@@ -330,6 +330,17 @@ object SparkEntry {
         docs.filter(col("doc_id") <= half))
         .orderBy("doc_id")
     }),
+    // near-dup incremental: batch docs within simhash Hamming ≤ 4 of
+    // any corpus doc drop (two-sided pigeonhole band probe).
+    "dedup_incremental_simhash" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val maxRow = docs.agg(max("doc_id")).first()
+      val half = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) / 2
+      Dedup.dedupAgainstCorpusSimhash(
+        docs.filter(col("doc_id") > half),
+        docs.filter(col("doc_id") <= half), maxDistance = 4)
+        .orderBy("doc_id")
+    }),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     // Rolling-hash fingerprint on the native fnv64 Expression; the SQL
@@ -1375,6 +1386,29 @@ object SparkEntry {
         |    SELECT 1 FROM documents c, half
         |    WHERE c.doc_id <= half.h AND md5(c.text) = md5(d.text))
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_incremental_simhash" -> {
+      // same md5-vote fingerprint CTE as dedup_simhash; the engine's
+      // two-sided band probe has pigeonhole-exact recall, so the oracle
+      // runs the naive batch×corpus Hamming filter
+      val bitSums = (0 until Dedup.SimhashBits).map(b =>
+        s"SUM(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS b$b")
+        .mkString(", ")
+      val fpExpr = (0 until Dedup.SimhashBits).map(b =>
+        s"(CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH half AS (SELECT MAX(doc_id) // 2 AS h FROM documents),
+         |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |hs AS (SELECT doc_id, CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) AS h FROM tok),
+         |bits AS (SELECT doc_id, $bitSums FROM hs GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $fpExpr AS simhash FROM bits)
+         |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+         |FROM documents d, half
+         |WHERE d.doc_id > half.h
+         |  AND NOT EXISTS (
+         |    SELECT 1 FROM fp a, fp c, half
+         |    WHERE a.doc_id = d.doc_id AND c.doc_id <= half.h
+         |      AND bit_count(xor(a.simhash, c.simhash)) <= 4)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "doc_fingerprint" ->
       """SELECT doc_id, md5(text) AS exact_fp,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp

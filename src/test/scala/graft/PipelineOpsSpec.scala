@@ -43,6 +43,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
   }
 
+  test("simhash incremental dedup drops near-dups of the corpus, keeps fresh docs") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val corpus = Seq((1L, base)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, base),                                       // exact: hamming 0
+      (11L, base.replace("today", "tonight")),           // near-dup: ≤ 4
+      (12L, "entirely unrelated content about compilers parsers and lexers galore")
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .dedupAgainstCorpusSimhash(batch, corpus, maxDistance = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(10L), "exact duplicate must drop")
+    assert(!kept.contains(11L), "one-token edit must drop at hamming <= 4")
+    assert(kept.contains(12L), "unrelated doc must survive")
+  }
+
   test("tfidf cosine: identical docs score 1, disjoint-vocab docs never pair") {
     import spark.implicits._
     val d = Seq(

@@ -365,6 +365,11 @@ object SparkEntry {
       TextOps.tfidfCosinePairs(Tables.documents(s, dir), k = 10,
         thresholdHundredths = 60)
         .orderBy("d1", "d2")),
+    // GPT-style concat-and-chunk packing per language stream: 4096-token
+    // cuts, per-chunk occupancy + boundary-straddler counts.
+    "pack_chunks" -> ((s, dir) =>
+      TextOps.packChunks(Tables.documents(s, dir), budgetTokens = 4096L)
+        .orderBy("lang", "chunk")),
     // Gopher-style repetition filters: per (doc, gram order n∈{1,2,3}),
     // top-gram and duplicated-gram occurrence fractions.
     "doc_repetition" -> ((s, dir) =>
@@ -1494,6 +1499,27 @@ object SparkEntry {
         |WHERE CAST(d.dot AS DOUBLE)
         |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.6
         |ORDER BY d1, d2""".stripMargin,
+    "pack_chunks" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id,
+        |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT) AS tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, tokens,
+        |    SUM(tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS end_cum
+        |  FROM t),
+        |a AS (
+        |  SELECT lang, tokens,
+        |    (end_cum - tokens) // 4096 AS chunk,
+        |    CASE WHEN (end_cum - 1) // 4096 <> (end_cum - tokens) // 4096
+        |         THEN 1 ELSE 0 END AS straddles
+        |  FROM c)
+        |SELECT lang, CAST(chunk AS BIGINT) AS chunk,
+        |  CAST(COUNT(*) AS BIGINT) AS docs,
+        |  CAST(SUM(tokens) AS BIGINT) AS tokens,
+        |  CAST(SUM(straddles) AS BIGINT) AS straddlers
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "doc_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

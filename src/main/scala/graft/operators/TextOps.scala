@@ -315,6 +315,35 @@ object TextOps {
       .select(col("d1"), col("d2"), col("cos"))
   }
 
+  /** GPT-style concat-and-chunk packing per language stream: documents
+    * concatenate in doc_id order and the stream is cut every
+    * `budgetTokens` whitespace tokens — each document's chunk is the
+    * one its FIRST token lands in, and documents straddling a cut are
+    * counted (the fraction a packer truncates or a boundary-aware
+    * loader masks). Returns per-(lang, chunk) occupancy: docs, tokens,
+    * straddlers.
+    *
+    * One running-sum window partitioned by lang (streams are packed
+    * per-language, as training shards are) + one aggregation — at
+    * 100 TB each language's window parallelizes across its range
+    * partitions and a skewed language would sub-shard on a coarse
+    * doc_id prefix; the integer start-offset rule (`start div budget`)
+    * keeps the assignment engine-exact. */
+  def packChunks(docs: DataFrame, budgetTokens: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("lang"), col("doc_id"),
+        tokenCount(col("text")).as("tokens"))
+      .withColumn("end_cum", sum("tokens").over(w))
+      .withColumn("chunk", expr(s"(end_cum - tokens) div $budgetTokens"))
+      .withColumn("straddles",
+        (expr(s"(end_cum - 1) div $budgetTokens") =!= col("chunk")).cast("long"))
+      .groupBy("lang", "chunk")
+      .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"),
+        sum("straddles").as("straddlers"))
+  }
+
   /** ROW-LOCAL word n-grams of order n as an array column (clamped-gram
     * convention of [[gramRows]]). Higher-order functions are interpreted,
     * so batch pipelines use [[gramRows]] instead — this form exists for

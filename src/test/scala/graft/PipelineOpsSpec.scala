@@ -43,6 +43,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
   }
 
+  test("concat-and-chunk packing assigns by start offset and counts straddlers") {
+    import spark.implicits._
+    // three 3-token docs, budget 5: doc2 starts at offset 3 (chunk 0)
+    // but ends at token 5 (chunk 1) — the straddler; doc3 starts
+    // cleanly in chunk 1
+    val d = Seq((1L, "a b c", "en"), (2L, "d e f", "en"), (3L, "g h i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.TextOps.packChunks(d, budgetTokens = 5L)
+      .orderBy("chunk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("en", 0L, 2L, 6L, 1L),
+      ("en", 1L, 1L, 3L, 0L)))
+  }
+
   test("simhash incremental dedup drops near-dups of the corpus, keeps fresh docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the riverbank today"

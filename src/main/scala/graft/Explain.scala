@@ -19,7 +19,9 @@ object Explain {
         "knn_brute_force", "dedup_exact_groups", "q5_local_supplier",
         "dedup_embedding", "dedup_minhash_lsh", "matmul_large",
         "doc_repetition", "contamination_hits", "corpus_ngrams",
-        "pagerank3", "embedding_gram")
+        "pagerank3", "embedding_gram", "tfidf_cosine_pairs",
+        "dedup_winnow_pairs", "gram_power_iteration", "kmeans_round",
+        "dedup_incremental_simhash", "pack_chunks")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -367,8 +367,12 @@ object SparkEntry {
         .orderBy("d1", "d2")),
     // GPT-style concat-and-chunk packing per language stream: 4096-token
     // cuts, per-chunk occupancy + boundary-straddler counts.
+    // shardDocs sized for the test SF so the two-level prefix sum
+    // actually runs multi-shard (the knob tracks corpus scale:
+    // shards ≈ N/shardDocs should stay metadata-sized).
     "pack_chunks" -> ((s, dir) =>
-      TextOps.packChunks(Tables.documents(s, dir), budgetTokens = 4096L)
+      TextOps.packChunks(Tables.documents(s, dir), budgetTokens = 4096L,
+        shardDocs = 64L)
         .orderBy("lang", "chunk")),
     // Gopher-style repetition filters: per (doc, gram order n∈{1,2,3}),
     // top-gram and duplicated-gram occurrence fractions.

@@ -74,24 +74,57 @@ object Similarity {
     * cannot change a single bit. The Gram/covariance matrix is the
     * dense-linear-algebra step PCA/whitening pipelines run over an
     * embedding corpus, and in coordinate form it is exactly the
-    * engine's matmul shape (contract on vec_id, sum products) — at
-    * cluster scale the refinement is per-partition dense outer-product
-    * accumulation (the [[graft.operators.MatrixOps.multiplyBlocked]]
-    * GEMM idiom) instead of the component self-join, with dim² longs of
-    * partial state per partition.
+    * engine's matmul shape (contract on vec_id, sum products).
+    *
+    * Scale design: partition-local dense outer-product accumulation
+    * (the [[graft.operators.MatrixOps.multiplyBlocked]] GEMM idiom) —
+    * each task folds its vectors into ONE dim×dim long accumulator and
+    * emits dim·(dim+1)/2 upper-triangle partials, so shuffle input is
+    * partitions·dim²/2 rows regardless of corpus size. The declarative
+    * alternative (posexplode + self-join on vec_id) moves N·dim²/2
+    * joined rows — a ~dim× per-row overhead per multiply-add that
+    * dominates CPU at the 100 TB target.
     *
     * Magnitudes: |q| ≤ scale, so each product is ≤ scale² and a
     * billion-vector corpus stays within signed-64 range at the default
     * scale (10⁶ · 10⁹ = 10¹⁵ ≪ 2⁶³). */
   def gramMatrix(emb: DataFrame, scale: Int = 1000): DataFrame = {
-    val q = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), (col("d") + 1).cast("long").as("d"),
-        floor(col("x").cast("double") * scale).cast("long").as("q"))
-    q.as("a").join(q.as("b"),
-        col("a.vec_id") === col("b.vec_id") && col("a.d") <= col("b.d"))
-      .groupBy(col("a.d").as("di"), col("b.d").as("dj"))
-      .agg(sum(col("a.q") * col("b.q")).as("gram"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        var acc: Array[Long] = null
+        var dim = 0
+        while (it.hasNext) {
+          val e = it.next()
+          if (acc == null) { dim = e.length; acc = new Array[Long](dim * dim) }
+          require(e.length == dim, s"ragged embedding: ${e.length} != $dim")
+          val q = new Array[Long](dim)
+          var i = 0
+          while (i < dim) {
+            // engine-exact quantization: floor over the float→double
+            // widening, identical to FLOOR(CAST(x AS DOUBLE) * scale)
+            q(i) = math.floor(e(i).toDouble * scale).toLong
+            i += 1
+          }
+          i = 0
+          while (i < dim) {
+            val qi = q(i)
+            val row = i * dim
+            var j = i
+            while (j < dim) { acc(row + j) += qi * q(j); j += 1 }
+            i += 1
+          }
+        }
+        if (acc == null) Iterator.empty
+        else Iterator.range(0, dim).flatMap { i =>
+          Iterator.range(i, dim).map { j =>
+            ((i + 1).toLong, (j + 1).toLong, acc(i * dim + j))
+          }
+        }
+      }
+      .toDF("di", "dj", "gram")
+      .groupBy("di", "dj").agg(sum("gram").as("gram"))
   }
 
   /** Dominant-eigenvector power iteration on the quantized Gram matrix —

@@ -323,19 +323,42 @@ object TextOps {
     * loader masks). Returns per-(lang, chunk) occupancy: docs, tokens,
     * straddlers.
     *
-    * One running-sum window partitioned by lang (streams are packed
-    * per-language, as training shards are) + one aggregation — at
-    * 100 TB each language's window parallelizes across its range
-    * partitions and a skewed language would sub-shard on a coarse
-    * doc_id prefix; the integer start-offset rule (`start div budget`)
-    * keeps the assignment engine-exact. */
-  def packChunks(docs: DataFrame, budgetTokens: Long = 4096L): DataFrame = {
+    * Scale design — TWO-LEVEL PREFIX SUM. A single running-sum window
+    * partitioned by lang puts each language's ENTIRE stream on one
+    * task: parallelism bounded by |languages| at any corpus size (a
+    * dominant language serializes onto a single core at 100 TB). So:
+    * shard each language on `doc_id div shardDocs` (monotone in
+    * doc_id, so shard order respects stream order), aggregate per-shard
+    * token subtotals (N/shardDocs rows — metadata-scale), run the tiny
+    * exclusive running sum over shards per lang, broadcast the
+    * cumulative shard offsets back, and finish with shard-LOCAL
+    * running-sum windows: parallelism = #(lang, shard), not
+    * |languages|. `shardDocs` is a deployment knob — size it so the
+    * shard-totals table stays metadata-scale (≈10⁶ shards; recurse a
+    * third level if even that overflows a task). The integer
+    * start-offset rule (`start div budget`) keeps the assignment
+    * engine-exact: offsets are exact longs, so the sharded sum equals
+    * the global one bit-for-bit. */
+  def packChunks(docs: DataFrame, budgetTokens: Long = 4096L,
+                 shardDocs: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val t = docs.select(col("lang"), col("doc_id"),
+      tokenCount(col("text")).as("tokens"),
+      expr(s"doc_id div $shardDocs").as("shard"))
+    // level 1: per-shard subtotals → exclusive per-lang running offsets
+    // (tiny relation: one row per shard)
+    val wOff = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("lang", "shard")
+      .agg(sum("tokens").as("shard_tokens"))
+      .select(col("lang"), col("shard"),
+        coalesce(sum("shard_tokens").over(wOff), lit(0L)).as("offset"))
+    // level 2: shard-local running sums + broadcast offsets — the wide
+    // window now partitions by (lang, shard)
+    val wLoc = Window.partitionBy("lang", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs.select(col("lang"), col("doc_id"),
-        tokenCount(col("text")).as("tokens"))
-      .withColumn("end_cum", sum("tokens").over(w))
+    t.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("end_cum", col("offset") + sum("tokens").over(wLoc))
       .withColumn("chunk", expr(s"(end_cum - tokens) div $budgetTokens"))
       .withColumn("straddles",
         (expr(s"(end_cum - 1) div $budgetTokens") =!= col("chunk")).cast("long"))

@@ -126,13 +126,42 @@ class PlanAuditSpec extends SparkSpec {
         s"got $exchanges exchanges")
   }
 
-  test("gram matrix and funnel contract through equi-joins, never nested loops") {
-    for (q <- Seq("embedding_gram", "funnel_counts", "retention_cohorts")) {
+  test("funnel and retention contract through equi-joins, never nested loops") {
+    for (q <- Seq("funnel_counts", "retention_cohorts")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin") &&
         !p.contains("CartesianProduct"),
         s"$q must join on its equi keys, plan:\n$p")
     }
+  }
+
+  test("gram matrix accumulates partition-locally — no component self-join") {
+    // shuffle input must be partitions·dim²/2 partial rows (the dense
+    // outer-product kernel), never N·dim²/2 joined component rows
+    val p = plan("embedding_gram")
+    assert(!p.contains("Join"),
+      s"gram must fold vectors into per-partition accumulators, plan:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"gram must run the dense outer-product kernel, plan:\n$p")
+  }
+
+  test("pack_chunks runs its wide window sharded, not one task per language") {
+    val docs = Tables.documents(spark, dir)
+    val p = graft.operators.TextOps.packChunks(docs, budgetTokens = 4096L,
+      shardDocs = 16L).queryExecution.executedPlan.toString
+    // the per-row running-sum window must partition by (lang, shard) —
+    // a lang-only spec means the serial per-language plan came back
+    assert("windowspecdefinition\\(lang#\\d+, shard#\\d+L?, doc_id#\\d+L? ASC".r
+      .findFirstIn(p).isDefined,
+      s"wide window must partition by (lang, shard), plan:\n$p")
+    // and the sharding must actually split languages at this SF, so the
+    // window stage really runs >|languages| groups
+    import org.apache.spark.sql.functions.{col, expr}
+    val langs = docs.select("lang").distinct().count()
+    val groups = docs.select(col("lang"), expr("doc_id div 16").as("shard"))
+      .distinct().count()
+    assert(groups > langs,
+      s"expected more (lang, shard) groups than $langs languages, got $groups")
   }
 
   test("q6 pushes all three scan predicates into the parquet reader") {

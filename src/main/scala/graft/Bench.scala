@@ -29,7 +29,13 @@ object Bench {
     // Timed repeats per query, report the MINIMUM: container CPU
     // contention swings single-shot totals ±30%, and min-of-k is the
     // standard noise floor estimator for a deterministic workload.
-    // Sub-second queries get a THIRD repeat: noise there is a large
+    // Repeats run ROUND-ROBIN across the suite (all queries pass 1,
+    // then pass 2, then a pass 3 for sub-second queries) rather than
+    // back-to-back per query: a transient multi-second load spike then
+    // poisons at most one sample of many queries — recoverable by the
+    // min — instead of BOTH samples of one query, which r3's artifact
+    // showed as phantom 8× regressions on the matmul family.
+    // Sub-second queries get the THIRD pass: noise there is a large
     // multiple of the true time (a ±0.3 s swing doubles a 0.3 s query),
     // so two samples routinely report phantom 2× regressions; the extra
     // repeat costs <1 s each by construction.
@@ -44,43 +50,49 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not declared: " +
         unknown.toSeq.sorted.mkString(", "))
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          case e: Throwable =>
-            // a failed query must be visible, not a plausible elapsed time
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1.0
-        }
+    def once(name: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          // a failed query must be visible, not a plausible elapsed time
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1.0
       }
-      val t1 = once()
-      // don't re-run a failing query — a slow failure would double the
-      // wall cost with no effect on the reported -1.0
-      name -> (if (t1 < 0) -1.0
-      else {
-        val best2 = math.min(t1, once() match {
-          case t2 if t2 >= 0 => t2
-          case _ => t1
-        })
-        if (best2 >= 1.0) best2
-        else math.min(best2, once() match {
-          case t3 if t3 >= 0 => t3
-          case _ => best2
-        })
-      })
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    suite.foreach { case (name, _) => best(name) = once(name) }
+    // pass 2: every non-failed query (don't re-run failures — a slow
+    // failure would double the wall cost with no effect on the -1.0)
+    suite.foreach { case (name, _) =>
+      if (best(name) >= 0) once(name) match {
+        case t if t >= 0 => best(name) = math.min(best(name), t)
+        case _ =>
+      }
+    }
+    // pass 3: sub-second queries only
+    suite.foreach { case (name, _) =>
+      if (best(name) >= 0 && best(name) < 1.0) once(name) match {
+        case t if t >= 0 => best(name) = math.min(best(name), t)
+        case _ =>
+      }
+    }
+    // ms precision keeps the 108-entry line short enough that a
+    // tail-truncating log capture still holds the whole map (r3's
+    // artifact lost 45 entries); total goes LAST for the same reason.
+    def fmt(v: Double): String =
+      if (v < 0) "-1.0"
+      else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = best.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // total counts successful queries only — summing the -1.0 failure
     // sentinels would make a broken run look faster than a clean one
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = best.values.filter(_ >= 0).sum
+    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"unit":"sec","value":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -121,24 +121,31 @@ object SparkEntry {
     * space-delimited replacement as [[graft.operators.TextOps.bpeMerges]],
     * one (count, top-1, rewrite) CTE triple per round. */
   private def bpeSql(rounds: Int): String = {
+    // weighted-word-table BPE: one corpus aggregation to (sym, cnt),
+    // then every unrolled round runs over |vocab| rows
     val ctes = scala.collection.mutable.ListBuffer(
-      "d0 AS (SELECT doc_id, text FROM documents)")
+      """w0 AS (SELECT array_to_string(list_transform(
+        |    range(1, len(word)+1), i -> substr(word, i, 1)), ' ') AS sym,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY 1)""".stripMargin)
     for (r <- 1 to rounds) {
       val p = r - 1
-      ctes += s"""g$r AS (SELECT unnest(list_transform(
+      ctes += s"""g$r AS (SELECT cnt, unnest(list_transform(
         |    range(1, greatest(len(toks)-1, 1)+1),
         |    i -> array_to_string(toks[i:i+1], ' '))) AS gram
-        |  FROM (SELECT string_split(text, ' ') AS toks FROM d$p))""".stripMargin
+        |  FROM (SELECT string_split(sym, ' ') AS toks, cnt FROM w$p))""".stripMargin
       ctes += s"""t$r AS (SELECT CAST($r AS INT) AS round, gram AS pair,
-        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |    CAST(SUM(cnt) AS BIGINT) AS cnt
         |  FROM g$r WHERE contains(gram, ' ')
         |  GROUP BY 2 ORDER BY cnt DESC, pair LIMIT 1)""".stripMargin
       if (r < rounds)
-        ctes += s"""d$r AS (SELECT doc_id,
-          |    trim(replace(' ' || text || ' ',
+        ctes += s"""w$r AS (SELECT
+          |    trim(replace(' ' || sym || ' ',
           |      ' ' || (SELECT pair FROM t$r) || ' ',
-          |      ' ' || replace((SELECT pair FROM t$r), ' ', '_') || ' ')) AS text
-          |  FROM d$p)""".stripMargin
+          |      ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ')) AS sym,
+          |    cnt
+          |  FROM w$p)""".stripMargin
     }
     val union = (1 to rounds).map(r => s"SELECT * FROM t$r")
       .mkString("\nUNION ALL ")

@@ -60,22 +60,45 @@ object Graph {
     ranks
   }
 
-  /** Triangle count of the UNDIRECTED simple graph induced by the edge
-    * list (direction and multiplicity dropped, self-loops excluded).
-    * Each edge canonicalizes to (a < b); the a<b<c join pattern counts
-    * every triangle exactly once. At scale the standard refinement is
-    * degree-ordering instead of id-ordering so high-degree vertices
-    * never anchor the wedge join — same plan, different canonical
-    * order. */
-  def triangleCount(edges: DataFrame): DataFrame = {
+  /** Undirected simple edges oriented low-rank → high-rank under the
+    * DEGREE ORDER (rank = (degree, id), a total order): the
+    * Ortmann/Brandes compact-forward orientation. Every vertex's
+    * out-degree is then ≤ O(√m) — a hub's edges all point INTO it, so
+    * the hub never anchors a wedge and a star graph generates ZERO
+    * wedge candidates where id-ordering generates Θ(deg²). */
+  private[graft] def degreeOriented(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") < col("b")).distinct()
-    und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .join(und.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+    val deg = und.select(col("a").as("v"))
+      .union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("dv"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    und
+      .join(deg.select(col("v").as("a"), col("dv").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("dv").as("db")), "b")
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("w"))
+  }
+
+  /** Triangle count of the UNDIRECTED simple graph induced by the edge
+    * list (direction and multiplicity dropped, self-loops excluded).
+    * Edges orient along the total (degree, id) order
+    * ([[degreeOriented]]); the rank-increasing u→w→x join pattern
+    * counts every triangle exactly once (its three vertices form one
+    * rank-sorted path plus the closing edge). Degree-ordering is the
+    * standard scale refinement over id-ordering: wedge candidates are
+    * bounded by Σ out-deg² with out-deg ≤ O(√m), so high-degree hubs —
+    * which would otherwise anchor Θ(deg²) candidate wedges — never
+    * anchor the join at all. */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val dir = degreeOriented(edges)
+    dir.as("e1")
+      .join(dir.as("e2"), col("e1.w") === col("e2.u"))
+      .join(dir.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.w") === col("e2.w"))
       .agg(count(lit(1)).as("triangles"))
   }
 }

@@ -619,46 +619,64 @@ object TextOps {
           col("bigrams")).as("familiarity"))
   }
 
-  /** BPE-style tokenizer induction: `rounds` greedy merge rounds, each
-    * taking the corpus-wide most frequent ADJACENT token pair (ties
-    * broken lexicographically so the choice is total) and fusing its
-    * occurrences into a single token before recounting. Returns the
-    * merge table (round, pair, cnt) — the artifact a tokenizer trainer
-    * ships.
+  /** BPE tokenizer induction (Sennrich et al. 2016) over the WEIGHTED
+    * WORD TABLE — the shape real tokenizer trainers use: the corpus
+    * aggregates ONCE to (word, cnt), each word becomes its
+    * space-separated character-symbol string, and every merge round
+    * runs over |vocab| rows with pair counts weighted by cnt — never
+    * touching the corpus again. `rounds` greedy rounds, each taking the
+    * most frequent adjacent symbol pair (ties broken lexicographically
+    * so the choice is total) and fusing its occurrences into one symbol
+    * before recounting. Returns the merge table (round, pair, cnt) —
+    * the artifact a tokenizer trainer ships.
     *
     * The merge applies via literal space-delimited string replacement;
     * left-to-right non-overlapping scan is identical in every engine,
     * so the SQL oracle (same rounds unrolled as CTEs) hash-matches.
     * One approximation follows from the single pass: an occurrence that
-    * shares its separator with a just-replaced match ("a b a b" after
-    * merging "a b") survives the round and merges in a LATER round —
+    * shares its separator with a just-replaced match ("a a a" after
+    * merging "a a") survives the round and merges in a LATER round —
     * deterministic, cross-engine identical, and the usual trade in
-    * one-pass corpus-level merge implementations. Per round: one gram
-    * count (codegen [[gramRows]] pipeline), one global top-1
-    * (TakeOrderedAndProject), one broadcast of the single winning pair
-    * onto the corpus — the same shape at any corpus size, with the
-    * winning pair materialized (it feeds both the output and the next
-    * round, and checkpointing keeps round r's plan from re-executing
-    * rounds 1..r−1, the [[Dedup.connectedComponents]] iteration idiom).
-    */
+    * one-pass merge implementations. Per round: one row-local pair
+    * fan-out over |vocab| symbol strings (interpreted HOF is fine at
+    * vocabulary scale — the corpus-size work happened once in the
+    * word count), one weighted global top-1 (TakeOrderedAndProject),
+    * one broadcast of the single winning pair onto the vocabulary; the
+    * winning pair materializes via localCheckpoint so round r's plan
+    * never re-executes rounds 1..r−1 (the
+    * [[Dedup.connectedComponents]] iteration idiom). At 100 TB the
+    * corpus pass is one word-count shuffle; every round after it costs
+    * |vocab|, exactly how production BPE trainers scale. */
   def bpeMerges(docs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, s"need at least one merge round, got $rounds")
-    var cur = docs.select(col("doc_id"), col("text"))
+    // corpus → (symbol string, weight), |vocab| rows: "hello" ×3 →
+    // ("h e l l o", 3). Chars via substring so the oracle's substr
+    // slicing is engine-exact; empty words (doubled separators) drop.
+    var words = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(expr("array_join(transform(sequence(1, length(word)), " +
+        "i -> substring(word, i, 1)), ' ')").as("sym"), col("cnt"))
     var merges: Option[DataFrame] = None
     for (r <- 1 to rounds) {
-      val top = gramRows(cur, Seq(2))
-        // a doc shorter than 2 tokens yields a clamped single-token
-        // gram — not a pair; real pairs always contain the separator
+      val toks = split(col("sym"), " ")
+      val pairCol = transform(
+        sequence(lit(1), greatest(size(toks) - 1, lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(2))))
+      val top = words
+        .select(col("cnt"), explode(pairCol).as("gram"))
+        // a single-symbol word yields a clamped 1-gram — not a pair;
+        // real pairs always contain the separator
         .filter(col("gram").contains(" "))
-        .groupBy("gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("gram").agg(sum("cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("gram")).limit(1)
         .select(lit(r).as("round"), col("gram").as("pair"), col("cnt"))
         .localCheckpoint()
       merges = Some(merges.fold(top)(_.unionByName(top)))
-      cur = cur.crossJoin(broadcast(top.select(col("pair"))))
-        .select(col("doc_id"),
-          expr("trim(replace(' ' || text || ' ', ' ' || pair || ' ', " +
-            "' ' || replace(pair, ' ', '_') || ' '))").as("text"))
+      words = words.crossJoin(broadcast(top.select(col("pair"))))
+        .select(expr("trim(replace(' ' || sym || ' ', ' ' || pair || ' ', " +
+          "' ' || replace(pair, ' ', '') || ' '))").as("sym"), col("cnt"))
     }
     merges.get
   }

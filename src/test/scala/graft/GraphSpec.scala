@@ -25,6 +25,27 @@ class GraphSpec extends SparkSpec {
     assert(Graph.triangleCount(path).collect().head.getLong(0) === 0L)
   }
 
+  test("degree-ordering collapses the wedge candidates of a star graph") {
+    // star with the hub in the MIDDLE of the id order: id-ordered
+    // canonicalization anchors ~ (n/2)² wedges on the hub, while the
+    // degree order points every edge INTO the hub — zero wedges
+    val hub = 50L
+    val star = (0L until 100L).filter(_ != hub).map(l => (hub, l))
+      .toDF("src", "dst")
+    val dir = Graph.degreeOriented(star)
+    val wedges = dir.as("e1")
+      .join(dir.as("e2"),
+        org.apache.spark.sql.functions.col("e1.w") ===
+          org.apache.spark.sql.functions.col("e2.u"))
+      .count()
+    assert(wedges === 0L, s"hub must not anchor wedges, got $wedges")
+    // out-degree under the orientation is the leaf side only
+    val maxOut = dir.groupBy("u").count()
+      .agg(org.apache.spark.sql.functions.max("count")).collect().head.getLong(0)
+    assert(maxOut === 1L)
+    assert(Graph.triangleCount(star).collect().head.getLong(0) === 0L)
+  }
+
   test("integer pagerank matches a hand-computed two-round trace") {
     // 1→2, 1→3, 2→1; node 3 dangling. scale=1000, damping=85, base=150.
     // round 1: c=(1:1000, 2:500, 3:500) → r=(1:1000, 2:575, 3:575)

@@ -210,4 +210,41 @@ object SvgPlot {
       "Matrix Multiplication Performance Comparison", "Matrix size (N)",
       "Average execution time (ms)", logX = true, logY = true),
       outPath)
+
+  /** The Stage-2 visualizer's full output
+    * (`Stage 2/Visualization/mm_perf_visualizer.py:69-125`): the dense
+    * cluster (basic/blocked/transposed) vs the sparse cluster, each as
+    * a log-log time chart and a log-log peak-memory chart — four
+    * figures over the cleaned results union (`results_union_clean`'s
+    * relation). Series key is "LANG - algo", the reference's legend
+    * label; the reference double-encodes with color=lang + marker=algo,
+    * the engine's chart discipline gives each series its own palette
+    * slot + marker shape instead. Memory resolves per-language with the
+    * peak fallback (A14, [[graft.operators.Analytics.peakMemoryExpr]]).
+    * A cluster with no rows renders no chart, matching the reference's
+    * empty-group skip. Returns the written paths. */
+  def stage2Plots(cleanResults: DataFrame, outDir: String): Seq[java.nio.file.Path] = {
+    import org.apache.spark.sql.functions.{concat_ws, upper}
+    import graft.operators.Analytics
+    val keyed = cleanResults
+      .withColumn("series", concat_ws(" - ", upper(col("lang")), col("algo")))
+      .withColumn("peak_mem_mb", Analytics.peakMemoryExpr)
+    val clusters = Seq(
+      ("mm_perf_dense", "Dense (basic / blocked / transposed)",
+        Analytics.denseAlgos(keyed)),
+      ("mm_perf_sparse", "Sparse (CSR x Dense)", Analytics.sparseAlgos(keyed)))
+    clusters.flatMap { case (prefix, label, sub) =>
+      if (sub.isEmpty) Nil
+      else Seq(
+        save(lineChart(sub, "size", "avg_time_ms", "series",
+          s"Optimized Matrix Multiplication ($label) - Performance",
+          "Matrix size (N)", "Average execution time (ms)",
+          logX = true, logY = true), s"$outDir/${prefix}_time.svg"),
+        save(lineChart(sub.filter(col("peak_mem_mb").isNotNull),
+          "size", "peak_mem_mb", "series",
+          s"Optimized Matrix Multiplication ($label) - Memory",
+          "Matrix size (N)", "Peak memory (MB)",
+          logX = true, logY = true), s"$outDir/${prefix}_memory.svg"))
+    }
+  }
 }

@@ -75,4 +75,39 @@ class SvgPlotSpec extends SparkSpec {
       assert(wellFormed(new String(java.nio.file.Files.readAllBytes(p), "UTF-8")))
     }
   }
+
+  test("stage2Plots renders the dense-vs-sparse time and memory charts") {
+    val cleaned = graft.operators.Analytics.cleanResults(
+      graft.sources.ResultsCsv.readResultsDir(spark,
+        "/root/repo/src/test/resources/results_csv"))
+    val dir = java.nio.file.Files.createTempDirectory("svgstage2").toString
+    val written = SvgPlot.stage2Plots(cleaned, dir)
+    val names = written.map(_.getFileName.toString).toSet
+    assert(names === Set(
+      "mm_perf_dense_time.svg", "mm_perf_dense_memory.svg",
+      "mm_perf_sparse_time.svg", "mm_perf_sparse_memory.svg"))
+    val byName = written.map(p => p.getFileName.toString ->
+      new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).toMap
+    byName.values.foreach(svg => assert(wellFormed(svg)))
+    // series = (LANG - algo): the dense cluster carries the opt rows'
+    // dense algos, the sparse cluster only the sparse ones
+    val dense = byName("mm_perf_dense_time.svg")
+    assert(dense.contains(">C - blocked</text>") &&
+      dense.contains(">JAVA - basic</text>") &&
+      dense.contains(">PYTHON - basic</text>"))
+    assert(!dense.contains("sparse"))
+    val sparse = byName("mm_perf_sparse_time.svg")
+    assert(sparse.contains(">JAVA - sparse</text>") &&
+      sparse.contains(">PYTHON - sparse</text>"))
+    // memory resolves per-lang (A14): the java opt rows only carry
+    // heap_now_mb, which must still plot through the fallback chain
+    val mem = byName("mm_perf_dense_memory.svg")
+    assert(mem.contains(">JAVA - basic</text>"))
+    // deterministic: a second render writes identical bytes
+    val dir2 = java.nio.file.Files.createTempDirectory("svgstage2b").toString
+    val again = SvgPlot.stage2Plots(cleaned, dir2)
+      .map(p => p.getFileName.toString ->
+        new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).toMap
+    assert(again === byName)
+  }
 }

@@ -595,32 +595,6 @@ object Dedup {
       .filter(col("cos") >= thresholdHundredths / 100.0)
       .select(col("label"), col("id_a").as("d1"), col("id_b").as("d2"), col("cos"))
 
-  /** Candidate pairs sharing ≥ 1 exact simhash bit-band, with the band
-    * count fixed at `maxDistance + 1` by the pigeonhole principle: a
-    * pair within Hamming distance ≤ maxDistance differs in at most
-    * maxDistance bands, so at least one of the maxDistance + 1 bands
-    * matches bit-for-bit on both sides — recall is EXACT, not
-    * probabilistic. Blocking is therefore an equi-join on
-    * (band index, band value): only same-bucket documents ever meet,
-    * which is what keeps candidate generation linear-ish at corpus
-    * scale (the lang-blocked formulation this replaced joined all
-    * intra-lang pairs — O(n²/|langs|) at any scale).
-    *
-    * The 60 bits split as evenly as possible (first `60 mod bands`
-    * bands take the extra bit). Tight thresholds are the useful regime:
-    * k = 3–5 gives 15–12-bit bands whose random-collision rate is
-    * ~2⁻¹²·bands (Manku et al., WWW'07 use k = 3 over 64 bits); loose
-    * thresholds degrade toward all-pairs (k = 16 ⇒ 3-bit bands that
-    * almost every pair shares) and belong to a multi-table permuted
-    * design, not single-band blocking.
-    *
-    * The banded relation self-joins as a forced sort-merge join so the
-    * two sides share ONE exchange (ReusedExchange — spec-asserted): the
-    * md5-heavy fingerprint sketch is computed once, not once per side,
-    * and a broadcast never materializes the corpus on the driver.
-    * Exposed separately from [[simhashPairs]] so specs can measure the
-    * blocking selectivity (candidates ≪ all pairs) independently of the
-    * final Hamming filter. */
   /** Fingerprints exploded into `maxDistance + 1` pigeonhole bands —
     * the blocking relation shared by the self-join
     * ([[simhashCandidates]]) and the two-sided incremental form
@@ -667,6 +641,32 @@ object Dedup {
     newDocs.join(dupIds, Seq("doc_id"), "left_anti")
   }
 
+  /** Candidate pairs sharing ≥ 1 exact simhash bit-band, with the band
+    * count fixed at `maxDistance + 1` by the pigeonhole principle: a
+    * pair within Hamming distance ≤ maxDistance differs in at most
+    * maxDistance bands, so at least one of the maxDistance + 1 bands
+    * matches bit-for-bit on both sides — recall is EXACT, not
+    * probabilistic. Blocking is therefore an equi-join on
+    * (band index, band value): only same-bucket documents ever meet,
+    * which is what keeps candidate generation linear-ish at corpus
+    * scale (the lang-blocked formulation this replaced joined all
+    * intra-lang pairs — O(n²/|langs|) at any scale).
+    *
+    * The 60 bits split as evenly as possible (first `60 mod bands`
+    * bands take the extra bit). Tight thresholds are the useful regime:
+    * k = 3–5 gives 15–12-bit bands whose random-collision rate is
+    * ~2⁻¹²·bands (Manku et al., WWW'07 use k = 3 over 64 bits); loose
+    * thresholds degrade toward all-pairs (k = 16 ⇒ 3-bit bands that
+    * almost every pair shares) and belong to a multi-table permuted
+    * design, not single-band blocking.
+    *
+    * The banded relation self-joins as a forced sort-merge join so the
+    * two sides share ONE exchange (ReusedExchange — spec-asserted): the
+    * md5-heavy fingerprint sketch is computed once, not once per side,
+    * and a broadcast never materializes the corpus on the driver.
+    * Exposed separately from [[simhashPairs]] so specs can measure the
+    * blocking selectivity (candidates ≪ all pairs) independently of the
+    * final Hamming filter. */
   def simhashCandidates(docs: DataFrame, maxDistance: Int): DataFrame = {
     val banded = bandedFingerprints(docs, maxDistance)
     banded.as("a")

@@ -152,10 +152,12 @@ object Similarity {
                          vecScale: Long = 1000L): DataFrame = {
     val upper = gramMatrix(emb, scale)
     // full symmetric coordinate form from the upper triangle
+    // lazy: the Gram subtree materializes on the first action, not at
+    // query declaration (plan audits/explain must stay job-free)
     val full = upper
       .unionByName(upper.filter(col("di") < col("dj"))
         .select(col("dj").as("di"), col("di").as("dj"), col("gram")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var v = emb.sparkSession.range(1, dims + 1)
       .select(col("id").as("d"), lit(vecScale).as("val"))
     for (_ <- 1 to rounds) {

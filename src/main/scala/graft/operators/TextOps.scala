@@ -251,7 +251,11 @@ object TextOps {
     * explode, df joined back, WindowGroupLimit pruning to k per doc. */
   def salientVectors(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val total = docs.count()
+    // N as a one-row broadcast aggregate (a scalar subquery, the shape
+    // the oracle uses) — a driver-side docs.count() here would run a
+    // real Spark job at DataFrame-CONSTRUCTION time, making even plan
+    // inspection of any downstream query execute the corpus scan
+    val n100 = docs.agg((count(lit(1)) * 100L).as("n100"))
     val tok = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -260,7 +264,8 @@ object TextOps {
     val w = Window.partitionBy("doc_id")
       .orderBy(col("wq").desc, col("token"))
     tf.join(df, "token")
-      .withColumn("wq", col("tf") * expr(s"${total * 100L}L div df"))
+      .crossJoin(broadcast(n100))
+      .withColumn("wq", col("tf") * expr("n100 div df"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("token"), col("wq"))
@@ -282,8 +287,10 @@ object TextOps {
     // + norms) and its subtree is the expensive part (full token
     // explode, two aggregations, a window); materialize it once — it is
     // k rows per doc, orders of magnitude smaller than its input.
-    // On a cluster: `checkpoint` to reliable storage instead.
-    val vec = salientVectors(docs, k).localCheckpoint()
+    // On a cluster: `checkpoint` to reliable storage instead. Lazy
+    // (eager = false): materializes on first ACTION, so declaring the
+    // query — plan audits, explain — runs no jobs.
+    val vec = salientVectors(docs, k).localCheckpoint(eager = false)
     // Spread the PROBE side of the candidate join explicitly: the
     // checkpointed vector relation is tiny (k rows/doc), so AQE
     // coalesces it to ~one partition — and the join's cost is the
@@ -474,7 +481,7 @@ object TextOps {
     val grams = gramRows(docs, Seq(n))
       .select(col("doc_id"), col("gram")).distinct()
       .withColumn("h", nib)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val evalGrams = grams.filter(col("h").isin("0", "1")).select("gram").distinct()
     val train = grams.filter(!col("h").isin("0", "1", "2", "3"))
     val totals = train.groupBy("doc_id").agg(count(lit(1)).as("doc_grams"))
@@ -672,7 +679,7 @@ object TextOps {
         .groupBy("gram").agg(sum("cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("gram")).limit(1)
         .select(lit(r).as("round"), col("gram").as("pair"), col("cnt"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       merges = Some(merges.fold(top)(_.unionByName(top)))
       words = words.crossJoin(broadcast(top.select(col("pair"))))
         .select(expr("trim(replace(' ' || sym || ' ', ' ' || pair || ' ', " +
@@ -699,6 +706,19 @@ object TextOps {
       size(shingles).cast("long").as("n_shingles"))
   }
 
+  /** ROW-LOCAL distinct winnow fingerprints of a text column — the
+    * selection pipeline of [[winnowFingerprints]] as a pure stateless
+    * projection, which is what makes it legal inside a STREAMING query
+    * (no shuffle, no state). 40-bit masking per the batch form. */
+  def winnowFpsColumn(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val grams40 = transform(
+      Bridge.column(graft.functions.NgramFnv(Bridge.expression(text), k)),
+      h => h.bitwiseAND(lit((1L << 40) - 1)))
+    array_distinct(Bridge.column(graft.functions.WinnowMins(
+      Bridge.expression(grams40), w)))
+  }
+
   /** Full winnowing fingerprint set (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03): character-`k`-gram FNV hashes in POSITION ORDER (no
     * distinct — winnowing is positional), then the minimum of every
@@ -719,19 +739,6 @@ object TextOps {
     * Pure row-local projection + explode — shuffle-free at any corpus
     * size; the downstream postings join (who shares a fingerprint) is
     * where the first exchange would appear. */
-  /** ROW-LOCAL distinct winnow fingerprints of a text column — the
-    * selection pipeline of [[winnowFingerprints]] as a pure stateless
-    * projection, which is what makes it legal inside a STREAMING query
-    * (no shuffle, no state). 40-bit masking per the batch form. */
-  def winnowFpsColumn(text: Column, k: Int, w: Int): Column = {
-    import org.apache.spark.sql.graftbridge.Bridge
-    val grams40 = transform(
-      Bridge.column(graft.functions.NgramFnv(Bridge.expression(text), k)),
-      h => h.bitwiseAND(lit((1L << 40) - 1)))
-    array_distinct(Bridge.column(graft.functions.WinnowMins(
-      Bridge.expression(grams40), w)))
-  }
-
   def winnowFingerprints(docs: DataFrame, k: Int = 12,
                          w: Int = 8): DataFrame =
     docs
@@ -762,7 +769,7 @@ object TextOps {
     // + both self-join sides) and its subtree re-hashes every char of
     // the corpus per execution; materialize the skinny (doc, fp) rows
     // once
-    val fps = winnowFingerprints(docs, k, w).localCheckpoint()
+    val fps = winnowFingerprints(docs, k, w).localCheckpoint(eager = false)
     val rare = fps.join(
       fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= dfCap).select("fp"),

@@ -408,25 +408,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f.toSeq === Seq((0L, 3L, 2L, 2.0 / 3.0), (1L, 1L, 0L, 0.0)))
   }
 
-  test("bpe merge rounds pick greedy top pairs and fuse occurrences") {
+  test("bpe merge rounds run char-level over the weighted word table") {
     val c = Seq(
-      (0L, "a b a b c", "en", "s0", 9L),
-      (1L, "a b c", "en", "s0", 5L)
+      (0L, "ab ab cd", "en", "s0", 8L),
+      (1L, "ab cd", "en", "s0", 5L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    // round 1 pairs: "a b"×3, "b a"×1, "b c"×2 → merge "a b".
-    // The single-pass replace consumes the shared separator, so doc 0
-    // becomes "a_b a b c" (second occurrence survives to a later
-    // round) and doc 1 "a_b c". Round 2 pairs are then all cnt=1 and
-    // the lexicographic tie-break picks "a b" (space sorts before '_').
+    // word table: ab×3 → "a b", cd×2 → "c d". Round 1 pairs weighted
+    // by word count: "a b"→3, "c d"→2 ⇒ merge ("a b", 3); "ab" is then
+    // a single symbol (no pair), so round 2 merges ("c d", 2). The
+    // weighted cnt=3 exceeds the 2-doc corpus — proof the counts come
+    // from word frequency, not document rows.
     val m = TextOps.bpeMerges(c, rounds = 2).orderBy("round").collect()
       .map(r => (r.getAs[Int]("round"), r.getString(1), r.getAs[Long]("cnt")))
-    assert(m.toSeq === Seq((1, "a b", 3L), (2, "a b", 1L)))
+    assert(m.toSeq === Seq((1, "a b", 3L), (2, "c d", 2L)))
   }
 
-  test("bpe merge is left-to-right non-overlapping on token runs") {
-    // " x x x x " merges once (the scan resumes after the consumed
-    // separator), leaving "x_x x x" — so round 2's top pair is "x x"
-    val c = Seq((0L, "x x x x", "en", "s0", 7L))
+  test("bpe merge is left-to-right non-overlapping within a word") {
+    // word "xxxx" → " x x x x ": one replace pass consumes the shared
+    // separator, leaving "xx x x" — round 2's pairs are "xx x" and
+    // "x x" (both weight 1) and the lexicographic tie-break picks
+    // "x x" (space sorts before 'x')
+    val c = Seq((0L, "xxxx", "en", "s0", 4L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val m = TextOps.bpeMerges(c, rounds = 2).orderBy("round").collect()
       .map(r => (r.getAs[Int]("round"), r.getString(1), r.getAs[Long]("cnt")))

@@ -377,12 +377,19 @@ class StreamingSpec extends SparkSpec {
       Doc(1, ts("10:01"), "prefix a protected reference passage long enough to winnow fully suffix"),
       Doc(2, ts("10:00"), "totally unrelated incoming content sharing no substring at all"))
     val input = MemoryStream[Doc](spark)
+    // APPEND mode, the docstring's contract: each per-doc count emits
+    // exactly once, FINAL, when the watermark passes its event time —
+    // update mode would re-emit evolving counts per micro-batch
     val q = graft.streaming.DocStream
       .winnowMatchStream(input.toDF(), refFps, k = 12, w = 8, minShared = 2)
       .writeStream.format("memory").queryName("winnow_stream")
-      .outputMode("update").start()
+      .outputMode("append").start()
     try {
       input.addData(docs: _*) // out of order: doc 2's ts precedes doc 1's
+      q.processAllAvailable()
+      // advance the watermark past both docs (1 h bound) so their
+      // groups finalize; the advancer itself stays pending forever
+      input.addData(Doc(99, ts("12:00"), "watermark advancer nothing shared"))
       q.processAllAvailable()
       val streamed = spark.table("winnow_stream")
         .select("doc_id", "shared_fps").collect()

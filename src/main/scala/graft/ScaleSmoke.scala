@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MatrixOps, Similarity, TextOps}
+
+/** Scale-regression smoke (dev/judge tooling, not a driver surface):
+  * times the heavy LLM-pipeline operators at sf0.1 AND at a `factor`×
+  * replica of it, then reports the growth ratio per operator. A plan
+  * whose cost is linear-ish in the corpus lands near `factor` (plus
+  * noise and log terms); a plan that only worked at sf0.1 — the
+  * pack_chunks class of bug, a quadratic candidate blow-up, a
+  * parallelism ceiling — shows up as a ratio far above it. The matmul
+  * family scales by problem size instead (n=1024 → n=2048: 8× FLOPs).
+  *
+  * The replica derives from the driver's own testdata (never
+  * synthesized from scratch): copy k shifts ids by a stride and
+  * appends a copy-tag token to `text`, so replicated documents are
+  * NEAR-duplicates of their originals (realistic dedup pressure, not
+  * degenerate exact-dup mass).
+  *
+  * Usage: `graft.ScaleSmoke [sfDir] [factor]`; prints one JSON line.
+  */
+object ScaleSmoke {
+  private def scaledDocs(docs: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+      if (k == 0) d
+      else d.withColumn("text", concat_ws(" ", col("text"), lit(s"copytag$k")))
+    }.reduce(_.unionByName(_))
+
+  private def scaledEmb(emb: DataFrame, factor: Int): DataFrame =
+    (0 until factor).map { k =>
+      emb.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+    }.reduce(_.unionByName(_))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // materialize both tiers as parquet so 1× and N× run the same
+    // scan-shaped plans (a cached in-memory union would flatter the N×)
+    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val docs1 = Tables.documents(spark, sfDir)
+    val emb1 = Tables.embeddings(spark, sfDir)
+    scaledDocs(docs1, factor).write.mode("overwrite")
+      .parquet(s"$base/documents")
+    scaledEmb(emb1, factor).write.mode("overwrite")
+      .parquet(s"$base/embeddings")
+    val docsN = spark.read.parquet(s"$base/documents")
+    val embN = spark.read.parquet(s"$base/embeddings")
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // The testdata corpus is adversarially self-similar (tiny
+    // vocabulary — a large fraction of ALL doc pairs are genuine
+    // near-dup candidates), so pair-EMISSION operators' output grows
+    // ~quadratically in the replication factor by construction. Those
+    // ops run at a capped factor (copies 0..2 of the replica, output
+    // ~9×) — their ratio measures whether cost TRACKS the genuine
+    // candidate volume; the linear-shaped ops run at the full factor.
+    val pairFactor = math.min(factor, 3)
+    val docsP = docsN.filter(col("doc_id") < pairFactor * 1000000L)
+    val ops: Seq[(String, DataFrame => DataFrame, String)] = Seq(
+      ("pack_chunks", d => TextOps.packChunks(d, 4096L, 64L), "doc"),
+      ("dedup_exact_groups", Dedup.exactGroups, "doc"),
+      ("doc_repetition", TextOps.repetitionSignals, "doc"),
+      ("corpus_ngrams", d => TextOps.corpusNgrams(d, 3, 50), "doc"),
+      ("bpe_merges", d => TextOps.bpeMerges(d, 3), "doc"),
+      ("contamination_hits", d => TextOps.contaminationHits(d, 5), "doc"),
+      ("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
+      ("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
+      ("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),
+      ("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pair"),
+      ("dedup_winnow_pairs", d => TextOps.winnowPairs(d, 12, 8, 2, 50), "pair"),
+      ("tfidf_cosine_pairs", d => TextOps.tfidfCosinePairs(d, 10, 60), "pair"),
+      ("dedup_simhash_pairs", d => Dedup.simhashPairs(d, 4), "pair"))
+
+    // warm-up: JVM + codegen + all scans
+    docs1.count(); docsN.count(); emb1.count(); embN.count()
+
+    val rows = ops.map { case (name, f, tier) =>
+      val (small, big, fac) = tier match {
+        case "doc" => (docs1, docsN, factor)
+        case "emb" => (emb1, embN, factor)
+        case _ => (docs1, docsP, pairFactor)
+      }
+      println(s"[scale] running $name (factor $fac) ..."); Console.flush()
+      f(small).count() // per-op codegen warm-up at the small tier
+      // min-of-2 per tier: a transient load spike on a shared container
+      // otherwise records a phantom blow-up (observed 52 s vs a true
+      // 4-7 s on one run of doc_repetition)
+      val t1 = math.min(time(f(small)), time(f(small)))
+      val tN = math.min(time(f(big)), time(f(big)))
+      val ratio = if (t1 > 0) tN / t1 else -1.0
+      println(f"[scale] $name%-22s t1=$t1%7.2fs tN=$tN%7.2fs factor=$fac ratio=$ratio%6.2f")
+      Console.flush()
+      (name, t1, tN, fac, ratio)
+    }
+
+    // matmul: FLOP scaling instead of corpus scaling (8× work per 2×n)
+    def mm(n: Long): Double = {
+      val a = MatrixOps.genDense(spark, n, seed = 7)
+      val b = MatrixOps.genDense(spark, n, seed = 11)
+      time(MatrixOps.multiplyBlocked(spark, a, b, n))
+    }
+    mm(256) // warm the blocked-kernel codegen
+    val t1024 = mm(1024)
+    val t2048 = mm(2048)
+    System.err.println(f"[scale] matmul n=1024 ${t1024}%.2fs n=2048 ${t2048}%.2fs ratio=${t2048 / t1024}%.2f (ideal 8)")
+
+    def fmt(v: Double) = f"$v%.3f"
+    val qs = rows.map { case (n, t1, tN, fac, r) =>
+      s""""$n":{"t1":${fmt(t1)},"tN":${fmt(tN)},"factor":$fac,"ratio":${fmt(r)}}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_smoke","factor":$factor,"sf":"$sfDir","ops":$qs,"matmul":{"t1024":${fmt(t1024)},"t2048":${fmt(t2048)},"ratio":${fmt(t2048 / t1024)}}}""")
+    spark.stop()
+  }
+}

@@ -308,14 +308,32 @@ object TextOps {
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
     val norms = vec.groupBy("doc_id")
       .agg(sum(col("wq") * col("wq")).as("nrm"))
+    // EXPLICIT broadcast of the build side — load-bearing, not a size
+    // micro-optimization. The probe side keeps its doc_id partitioning,
+    // so pair GENERATION parallelizes across probe partitions; any
+    // token-keyed join shape (sort-merge or shuffled-hash) instead
+    // repartitions BY TOKEN, capping the fan-out at |salient vocab|
+    // tasks with hot-token stragglers — and SMJ additionally spills
+    // each over-threshold posting group, re-reading it from disk per
+    // probe row (measured 5.6 s vs 144 s run-to-run on the same 2×
+    // corpus — the variance is page-cache luck). r3 relied on AQE
+    // flipping to broadcast from runtime stats; past ~10 MB of vectors
+    // the flip silently stops, so the hint pins the intended plan.
+    // The broadcast is k rows/doc (k=10): fine to ~10⁷ docs per job; a
+    // larger corpus shards the probe side and broadcasts per shard, or
+    // moves to the prefix-filtered Jaccard tier (`Dedup.jaccardPairs`),
+    // whose candidate generation is bounded without any broadcast.
     val dots = spread.as("a")
-      .join(vec.as("b"),
+      .join(broadcast(vec.as("b")),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+    // norms broadcast too (1 row/doc, same bound as the vector
+    // broadcast): sort-merging would SORT the pair relation — the
+    // biggest relation in the query — twice, once per norm probe
     dots
-      .join(norms.select(col("doc_id").as("d1"), col("nrm").as("na")), "d1")
-      .join(norms.select(col("doc_id").as("d2"), col("nrm").as("nb")), "d2")
+      .join(broadcast(norms.select(col("doc_id").as("d1"), col("nrm").as("na"))), "d1")
+      .join(broadcast(norms.select(col("doc_id").as("d2"), col("nrm").as("nb"))), "d2")
       .withColumn("cos", col("dot").cast("double") /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cos") >= thresholdHundredths / 100.0)

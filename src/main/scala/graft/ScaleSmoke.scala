@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, MatrixOps, Similarity, TextOps}
+import graft.operators.{Dedup, Graph, MatrixOps, Similarity, TextOps}
+import graft.streaming.EventStream
 
 /** Scale-regression smoke (dev/judge tooling, not a driver surface):
   * times the heavy LLM-pipeline operators at sf0.1 AND at a `factor`×
@@ -18,21 +19,57 @@ import graft.operators.{Dedup, MatrixOps, Similarity, TextOps}
   * synthesized from scratch): copy k shifts ids by a stride and
   * appends a copy-tag token to `text`, so replicated documents are
   * NEAR-duplicates of their originals (realistic dedup pressure, not
-  * degenerate exact-dup mass).
+  * degenerate exact-dup mass). Strides derive from the actual max id
+  * in the input (+1), never a hard-coded constant: a corpus whose ids
+  * exceed a fixed stride would silently collide replica ids and
+  * corrupt every ratio downstream.
+  *
+  * The graph tier replicates an order→part co-occurrence graph folded
+  * from lineitem, PLUS a star hub per replica touching every part
+  * vertex — the adversarial high-degree case the degree-ordered
+  * triangle orientation must absorb (id-ordered wedges would grow
+  * Θ(hub²) and torpedo the ratio).
+  *
+  * Op names match `SparkEntry.queries` keys exactly so artifact rows
+  * grep back to declared queries.
   *
   * Usage: `graft.ScaleSmoke [sfDir] [factor]`; prints one JSON line.
+  * Dev subset: SPARK_GRAFT_ONLY=op1,op2 (same contract as Bench).
   */
 object ScaleSmoke {
-  private def scaledDocs(docs: DataFrame, factor: Int): DataFrame =
+  private def scaledDocs(docs: DataFrame, factor: Int, stride: Long): DataFrame =
     (0 until factor).map { k =>
-      val d = docs.withColumn("doc_id", col("doc_id") + lit(k * 1000000L))
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(k * stride))
       if (k == 0) d
       else d.withColumn("text", concat_ws(" ", col("text"), lit(s"copytag$k")))
     }.reduce(_.unionByName(_))
 
-  private def scaledEmb(emb: DataFrame, factor: Int): DataFrame =
+  private def scaledEmb(emb: DataFrame, factor: Int, stride: Long): DataFrame =
     (0 until factor).map { k =>
-      emb.withColumn("vec_id", col("vec_id") + lit(k * 1000000L))
+      emb.withColumn("vec_id", col("vec_id") + lit(k * stride))
+    }.reduce(_.unionByName(_))
+
+  /** Replicas shift user ids, so each copy is a fresh user population
+    * with the original's event stream — sessions per user stay constant
+    * while the corpus grows. */
+  private def scaledEvents(ev: DataFrame, factor: Int, stride: Long): DataFrame =
+    (0 until factor).map { k =>
+      ev.withColumn("user_id", col("user_id") + lit(k * stride))
+    }.reduce(_.unionByName(_))
+
+  /** Order→part co-occurrence edges folded onto `%nodes` vertex ids,
+    * plus a star hub (vertex id = nodes) adjacent to every part vertex:
+    * hub degree ≈ |parts|, orders of magnitude above the mean. */
+  private def edgeBase(li: DataFrame, nodes: Long): DataFrame =
+    li.select((col("l_orderkey") % nodes).as("src"),
+        (col("l_partkey") % nodes).as("dst"))
+      .unionByName(li.select(lit(nodes).as("src"),
+        (col("l_partkey") % nodes).as("dst")))
+
+  private def scaledEdges(e: DataFrame, factor: Int, stride: Long): DataFrame =
+    (0 until factor).map { k =>
+      e.select((col("src") + lit(k * stride)).as("src"),
+        (col("dst") + lit(k * stride)).as("dst"))
     }.reduce(_.unionByName(_))
 
   def main(args: Array[String]): Unit = {
@@ -49,17 +86,42 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
     // materialize both tiers as parquet so 1× and N× run the same
     // scan-shaped plans (a cached in-memory union would flatter the N×)
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
     val docs1 = Tables.documents(spark, sfDir)
     val emb1 = Tables.embeddings(spark, sfDir)
-    scaledDocs(docs1, factor).write.mode("overwrite")
+    val docStride = docs1.agg(max("doc_id")).first().getLong(0) + 1
+    val embStride = emb1.agg(max("vec_id")).first().getLong(0) + 1
+    scaledDocs(docs1, factor, docStride).write.mode("overwrite")
       .parquet(s"$base/documents")
-    scaledEmb(emb1, factor).write.mode("overwrite")
+    scaledEmb(emb1, factor, embStride).write.mode("overwrite")
       .parquet(s"$base/embeddings")
     val docsN = spark.read.parquet(s"$base/documents")
     val embN = spark.read.parquet(s"$base/embeddings")
+
+    // events: materialize the 1× too — Tables.events wraps the scan in
+    // a nanos→micros projection, so a raw-parquet replica would run a
+    // cheaper scan shape than the original and understate the ratio
+    val ev0 = Tables.events(spark, sfDir)
+    val userStride = ev0.agg(max("user_id")).first().getLong(0) + 1
+    ev0.write.mode("overwrite").parquet(s"$base/events1")
+    scaledEvents(ev0, factor, userStride).write.mode("overwrite")
+      .parquet(s"$base/eventsN")
+    val ev1 = spark.read.parquet(s"$base/events1")
+    val evN = spark.read.parquet(s"$base/eventsN")
+
+    // graph: hub id = GraphNodes, so ids < GraphNodes + 1
+    val GraphNodes = 50000L
+    val e0 = edgeBase(Tables.lineitem(spark, sfDir), GraphNodes)
+    e0.write.mode("overwrite").parquet(s"$base/edges1")
+    scaledEdges(e0, factor, GraphNodes + 1).write.mode("overwrite")
+      .parquet(s"$base/edgesN")
+    val edges1 = spark.read.parquet(s"$base/edges1")
+    val edgesN = spark.read.parquet(s"$base/edgesN")
 
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
@@ -75,7 +137,7 @@ object ScaleSmoke {
     // ~9×) — their ratio measures whether cost TRACKS the genuine
     // candidate volume; the linear-shaped ops run at the full factor.
     val pairFactor = math.min(factor, 3)
-    val docsP = docsN.filter(col("doc_id") < pairFactor * 1000000L)
+    val docsP = docsN.filter(col("doc_id") < pairFactor * docStride)
     val ops: Seq[(String, DataFrame => DataFrame, String)] = Seq(
       ("pack_chunks", d => TextOps.packChunks(d, 4096L, 64L), "doc"),
       ("dedup_exact_groups", Dedup.exactGroups, "doc"),
@@ -86,32 +148,47 @@ object ScaleSmoke {
       ("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
       ("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
       ("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),
+      ("sessionize", e => EventStream.sessionize(e), "evt"),
+      ("pagerank3", e => Graph.pagerankInt(e, iters = 3), "graph"),
+      ("triangle_count", e => Graph.triangleCount(e), "graph"),
       ("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pair"),
       ("dedup_winnow_pairs", d => TextOps.winnowPairs(d, 12, 8, 2, 50), "pair"),
       ("tfidf_cosine_pairs", d => TextOps.tfidfCosinePairs(d, 10, 60), "pair"),
-      ("dedup_simhash_pairs", d => Dedup.simhashPairs(d, 4), "pair"))
+      ("dedup_components", d => Dedup.jaccardComponents(d, 9), "pair"),
+      ("dedup_simhash", d => Dedup.simhashPairs(d, 4), "pair"))
+
+    only.foreach { names =>
+      val unknown = names -- ops.map(_._1).toSet
+      require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not smoked: " +
+        unknown.toSeq.sorted.mkString(", "))
+    }
 
     // warm-up: JVM + codegen + all scans
     docs1.count(); docsN.count(); emb1.count(); embN.count()
+    ev1.count(); evN.count(); edges1.count(); edgesN.count()
 
-    val rows = ops.map { case (name, f, tier) =>
-      val (small, big, fac) = tier match {
-        case "doc" => (docs1, docsN, factor)
-        case "emb" => (emb1, embN, factor)
-        case _ => (docs1, docsP, pairFactor)
+    val rows = ops
+      .filter { case (name, _, _) => only.forall(_.contains(name)) }
+      .map { case (name, f, tier) =>
+        val (small, big, fac) = tier match {
+          case "doc" => (docs1, docsN, factor)
+          case "emb" => (emb1, embN, factor)
+          case "evt" => (ev1, evN, factor)
+          case "graph" => (edges1, edgesN, factor)
+          case _ => (docs1, docsP, pairFactor)
+        }
+        println(s"[scale] running $name (factor $fac) ..."); Console.flush()
+        f(small).count() // per-op codegen warm-up at the small tier
+        // min-of-2 per tier: a transient load spike on a shared container
+        // otherwise records a phantom blow-up (observed 52 s vs a true
+        // 4-7 s on one run of doc_repetition)
+        val t1 = math.min(time(f(small)), time(f(small)))
+        val tN = math.min(time(f(big)), time(f(big)))
+        val ratio = if (t1 > 0) tN / t1 else -1.0
+        println(f"[scale] $name%-22s t1=$t1%7.2fs tN=$tN%7.2fs factor=$fac ratio=$ratio%6.2f")
+        Console.flush()
+        (name, t1, tN, fac, ratio)
       }
-      println(s"[scale] running $name (factor $fac) ..."); Console.flush()
-      f(small).count() // per-op codegen warm-up at the small tier
-      // min-of-2 per tier: a transient load spike on a shared container
-      // otherwise records a phantom blow-up (observed 52 s vs a true
-      // 4-7 s on one run of doc_repetition)
-      val t1 = math.min(time(f(small)), time(f(small)))
-      val tN = math.min(time(f(big)), time(f(big)))
-      val ratio = if (t1 > 0) tN / t1 else -1.0
-      println(f"[scale] $name%-22s t1=$t1%7.2fs tN=$tN%7.2fs factor=$fac ratio=$ratio%6.2f")
-      Console.flush()
-      (name, t1, tN, fac, ratio)
-    }
 
     // matmul: FLOP scaling instead of corpus scaling (8× work per 2×n)
     def mm(n: Long): Double = {
@@ -119,16 +196,20 @@ object ScaleSmoke {
       val b = MatrixOps.genDense(spark, n, seed = 11)
       time(MatrixOps.multiplyBlocked(spark, a, b, n))
     }
-    mm(256) // warm the blocked-kernel codegen
-    val t1024 = mm(1024)
-    val t2048 = mm(2048)
-    System.err.println(f"[scale] matmul n=1024 ${t1024}%.2fs n=2048 ${t2048}%.2fs ratio=${t2048 / t1024}%.2f (ideal 8)")
+    val matmulJson = if (only.isEmpty) {
+      mm(256) // warm the blocked-kernel codegen
+      val t1024 = mm(1024)
+      val t2048 = mm(2048)
+      System.err.println(f"[scale] matmul n=1024 ${t1024}%.2fs n=2048 ${t2048}%.2fs ratio=${t2048 / t1024}%.2f (ideal 8)")
+      def fmt(v: Double) = f"$v%.3f"
+      s""","matmul":{"t1024":${fmt(t1024)},"t2048":${fmt(t2048)},"ratio":${fmt(t2048 / t1024)}}"""
+    } else ""
 
     def fmt(v: Double) = f"$v%.3f"
     val qs = rows.map { case (n, t1, tN, fac, r) =>
       s""""$n":{"t1":${fmt(t1)},"tN":${fmt(tN)},"factor":$fac,"ratio":${fmt(r)}}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke","factor":$factor,"sf":"$sfDir","ops":$qs,"matmul":{"t1024":${fmt(t1024)},"t2048":${fmt(t2048)},"ratio":${fmt(t2048 / t1024)}}}""")
+    println(s"""{"metric":"scale_smoke","factor":$factor,"sf":"$sfDir","ops":$qs$matmulJson}""")
     spark.stop()
   }
 }

@@ -512,20 +512,67 @@ object TextOps {
 
   /** Corpus-level top-k n-grams — the n-gram LM / vocabulary-induction
     * table (and the source of Gopher's "top n-gram" corpus statistics).
-    * Global top-k with a total order (occurrences desc, gram asc) runs
-    * as TakeOrderedAndProject: each partition keeps k rows, the driver
-    * merges k·partitions — no global sort at any scale.
+    *
+    * Scale design — HASH-KEYED COUNTING, STRINGS ONLY FOR WINNERS. The
+    * obvious plan keys both aggregation levels on the gram STRING:
+    * every hash-table probe is a string hash + memcmp over wide
+    * cache-hostile rows, and the r4 scale smoke measured it 2× over
+    * linear (20.75× cost at 10× corpus). Here the counting passes key
+    * on `xxhash64(gram)` — fixed 8-byte keys, codegen'd (the
+    * per-WINDOW kernel [[graft.functions.NgramFnv]] serves shingle
+    * sets; a whole-gram key wants one hash, which the builtin already
+    * is) — and gram strings are resolved only for the ≈k winning
+    * hashes by a second, broadcast-filtered pass over the gram stream.
+    * Recompute-don't-store: materializing (hash, gram) for every
+    * occurrence to save the second pass would checkpoint the corpus'
+    * largest relation; the gram stream is a linear scan + one
+    * exchange-free window, cheap to replay.
+    *
+    * Top-k stays EXACT under the (occurrences desc, gram asc) total
+    * order without ever sorting strings globally: a
+    * TakeOrderedAndProject over the narrow hash counts yields the k-th
+    * largest occurrence count (each partition keeps k rows, the driver
+    * merges k·partitions), every hash at-or-above that threshold —
+    * the true top-k plus its boundary tie group — joins back to its
+    * string, and the final tie-broken order + limit runs over that
+    * ≈k-row relation. The threshold rides as a broadcast 1-row
+    * aggregate, not a driver collect. 64-bit collisions would merge
+    * two grams' counts; at 2⁶⁴ key space a corpus needs ≈10⁹ distinct
+    * grams before a single collision is even likely (birthday bound) —
+    * the same exactness budget the md5/fnv idioms elsewhere spend.
     */
-  def corpusNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
-    gramRows(docs, Seq(n))
+  def corpusNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    // narrow counts: (gh, occurrences, docs) — one row per distinct
+    // gram, consumed twice (threshold + winners); localCheckpoint so
+    // the corpus-wide aggregation runs once (lazy: declaring the query
+    // runs no jobs)
+    val counts = gramRows(docs, Seq(n))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       // two-level aggregation instead of count(distinct doc_id): the
-      // per-(gram, doc) level is exchange-free (clustered by doc_id
-      // already) and the gram level then needs no Expand duplication
-      .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
-      .groupBy("gram")
+      // per-(gh, doc) level is exchange-free (clustered by doc_id
+      // already) and the gh level then needs no Expand duplication
+      .groupBy("gh", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("gh")
       .agg(sum("c").as("occurrences"), count(lit(1)).as("docs"))
+      .localCheckpoint(eager = false)
+    val threshold = counts.orderBy(col("occurrences").desc).limit(k)
+      .agg(min("occurrences").as("thr"))
+    val winners = counts.crossJoin(broadcast(threshold))
+      .filter(col("occurrences") >= col("thr"))
+      .select("gh", "occurrences", "docs")
+    // resolution pass: replay the gram stream, keep only winning
+    // hashes (map-side broadcast semi-filter — nothing corpus-sized
+    // shuffles), collapse to one string per hash
+    gramRows(docs, Seq(n))
+      .select(xxhash64(col("gram")).as("gh"), col("gram"))
+      .join(broadcast(winners), "gh")
+      .groupBy("gh")
+      .agg(min("gram").as("gram"), max("occurrences").as("occurrences"),
+        max("docs").as("docs"))
       .orderBy(col("occurrences").desc, col("gram"))
       .limit(k)
+      .select("gram", "occurrences", "docs")
+  }
 
   /** Exact-quota deterministic sampling: keep the first `quota(lang)`
     * documents per language in salted-md5 order — the reproducible

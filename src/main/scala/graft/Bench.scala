@@ -50,12 +50,17 @@ object Bench {
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not declared: " +
         unknown.toSeq.sorted.mkString(", "))
     }
-    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    // capture the query map ONCE: `queries` is a def that rebuilds the
+    // full 108-entry Map per lookup — inside the timed region that
+    // construction cost would fold into every sample
+    val qmap = SparkEntry.queries
+    val suite = qmap.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     def once(name: String): Double = {
+      val fn = qmap(name)
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(name)(spark, sfDir).count()
+        fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       } catch {
         case e: Throwable =>
@@ -64,6 +69,27 @@ object Bench {
           -1.0
       }
     }
+    // CALIBRATION ANCHOR: a fixed synthetic workload — one codegen'd
+    // scan over a generated range plus one small fixed-size shuffle —
+    // timed before and after the suite. Its true cost is a machine
+    // constant independent of sfDir and of any engine change, so
+    // round-over-round artifact comparisons divide it out to normalize
+    // ambient container load (r3 and r4 both re-litigated phantom
+    // 2× "regressions" that were shared-machine contention: every
+    // unchanged query inflated uniformly, which is exactly the
+    // signature the anchor now measures directly).
+    def calibrate(): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 4000000L, 1, 32)
+          .selectExpr("id % 997 AS k", "id AS v")
+          .groupBy("k").sum("v").count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one() // codegen warm-up, untimed
+      Seq.fill(3)(one()).min
+    }
+    val calibPre = calibrate()
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     suite.foreach { case (name, _) => best(name) = once(name) }
     // pass 2: every non-failed query (don't re-run failures — a slow
@@ -92,7 +118,17 @@ object Bench {
     // total counts successful queries only — summing the -1.0 failure
     // sentinels would make a broken run look faster than a clean one
     val total = best.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","sf":"$sfDir","queries":$qs,"unit":"sec","value":${fmt(total)}}""")
+    val calibPost = calibrate()
+    val line = s"""{"metric":"total","sf":"$sfDir","calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"queries":$qs,"unit":"sec","value":${fmt(total)}}"""
+    println(line)
+    // committed-file twin of the stdout line: the driver's tail capture
+    // has dropped 29-45 head entries two rounds running; the full
+    // artifact must survive regardless of how the log is clipped
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

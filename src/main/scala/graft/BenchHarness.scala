@@ -125,4 +125,26 @@ object BenchHarness {
     * run (results stay tiny relative to the data they describe). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.coalesce(1).write.option("header", "true").mode("overwrite").csv(path)
+
+  /** Single NAMED results file, the reference's
+    * `results_<lang>_<tag>.csv` convention (`mm_opt_par.c:95`,
+    * `MMOptPar.java:70`): Spark's directory sink writes `part-*` names
+    * the results-lake glob (`ResultsCsv.readResultsDir`,
+    * `results_*.csv`) would skip, so the part file is renamed into
+    * place driver-side — results are metadata-scale, one file per run
+    * by construction. */
+  def writeNamedCsv(df: DataFrame, dir: String, fileName: String): java.nio.file.Path = {
+    val spark = df.sparkSession
+    val tmp = s"$dir/.tmp_$fileName"
+    writeCsv(df, tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.csv"))
+      .head.getPath
+    val dest = new org.apache.hadoop.fs.Path(s"$dir/$fileName")
+    fs.delete(dest, false)
+    fs.rename(part, dest)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    java.nio.file.Paths.get(s"$dir/$fileName")
+  }
 }

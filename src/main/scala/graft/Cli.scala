@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** The reference's CLI grammar (SURVEY.md §2.4) as one entry point:
   *
@@ -14,6 +15,20 @@ import org.apache.spark.sql.SparkSession
   * Output: the reference-shaped results CSV (BenchHarness schema) under
   * --out (default ./results), one row per repeat (Q5), plus the rows on
   * stdout.
+  *
+  * The REPORT verb composes the whole reference workflow end-to-end —
+  * harness → results lake → drift-union ingest → analytics → all three
+  * visualizer stages — in one invocation:
+  *
+  *   graft.Cli render-report <sizes...> [-r R] [--block BS] [--density D]
+  *             [--threads-list 1,2,4] [--out DIR]
+  *
+  * runs the Stage-2 algo grid once and the basic kernel once per entry
+  * in --threads-list (each in its own `local[p]` session — the
+  * reference's one-process-per-thread-count protocol), writes each run
+  * as a named `results_spark_*.csv`, then ingests the results dir (any
+  * pre-existing reference CSVs union in through the 9-dialect drift
+  * scan) and renders the Stage 1/2/3 figure set under `--out/figures`.
   */
 object Cli {
 
@@ -64,7 +79,129 @@ object Cli {
       threads, out)
   }
 
+  /** Reference dialect columns the ingest relies on (time + the
+    * per-language memory families of [[graft.operators.Analytics
+    * .peakMemoryExpr]] + threads): a results dir holding only engine
+    * runs yields a narrower drift union, so absent columns pad as NULL
+    * doubles — exactly what the 9-schema union produces for a file
+    * missing them. */
+  private val DialectCols = Seq(
+    "time_ms", "avg_time_ms", "threads",
+    "rss_peak_mb", "rss_now_mb", "rss_mb",
+    "heap_peak_mb", "heap_now_mb", "memory_mb", "peak_exec_mem_mb",
+    "psutil_peak_rss_mb", "psutil_rss_mb")
+
+  private def padDialect(df: DataFrame): DataFrame =
+    DialectCols.foldLeft(df)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast("double")))
+
+  /** Ingest a results lake and render every reference figure (Stage 1
+    * time+memory, Stage 2 dense/sparse clusters, Stage 3 per-size
+    * speedup/efficiency/time) — the composed `ResultsCsv` →
+    * `Analytics` → `SvgPlot` path as one callable. Returns the written
+    * figure paths. Everything up to the final ≤|sizes|·|series| series
+    * tables is engine work; only rendering collects. */
+  def renderReport(spark: SparkSession, resultsDir: String,
+                   figuresDir: String): Seq[java.nio.file.Path] = {
+    import graft.operators.Analytics
+    import graft.sources.ResultsCsv
+    import graft.viz.SvgPlot
+    new java.io.File(figuresDir).mkdirs()
+    val clean = Analytics.cleanResults(
+      padDialect(ResultsCsv.readResults(spark, Seq(s"$resultsDir/results_*.csv"))))
+      // harness rows carry per-repeat time_ms; reference rows a
+      // pre-averaged avg_time_ms — one coalesced time source for all
+      .withColumn("t_ms", coalesce(col("time_ms"), col("avg_time_ms")))
+    // collapse repeats to the reference's one-row-per-(lang,algo,size)
+    // shape; memory dialect columns aggregate by max (peak semantics)
+    val memCols = DialectCols.filterNot(
+      Set("time_ms", "avg_time_ms", "threads"))
+    val cellAggs = (sum("t_ms") / count(lit(1))).as("avg_time_ms") +:
+      memCols.map(c => max(col(c)).as(c))
+    val perCell = clean
+      .groupBy("lang", "algo", "size")
+      .agg(cellAggs.head, cellAggs.tail: _*)
+    val stage1 = Seq(
+      SvgPlot.save(SvgPlot.lineChart(
+        perCell.filter(col("algo").isin("basic", "unknown")),
+        "size", "avg_time_ms", "lang",
+        "Matrix Multiplication Performance Comparison", "Matrix size (N)",
+        "Average execution time (ms)", logX = true, logY = true),
+        s"$figuresDir/mm_perf_time.svg"),
+      SvgPlot.save(SvgPlot.lineChart(
+        perCell.filter(col("algo").isin("basic", "unknown"))
+          .withColumn("peak_mem_mb", Analytics.peakMemoryExpr)
+          .filter(col("peak_mem_mb").isNotNull),
+        "size", "peak_mem_mb", "lang",
+        "Matrix Multiplication Memory Usage", "Matrix size (N)",
+        "Peak memory (MB)", logX = true, logY = true),
+        s"$figuresDir/mm_perf_memory.svg"))
+    val stage2 = SvgPlot.stage2Plots(perCell, figuresDir)
+    val perThread = Analytics.avgTime(
+      clean.filter(col("threads").isNotNull),
+      Seq("lang", "size", "threads"), "t_ms")
+    val stage3 = SvgPlot.parallelPlots(
+      Analytics.speedupEfficiency(perThread)
+        .filter(col("speedup").isNotNull), figuresDir)
+    stage1 ++ stage2 ++ stage3
+  }
+
+  private def session(cores: String): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def renderReportMain(args: Seq[String]): Unit = {
+    var threadsList = Seq(1, 2, 4)
+    val rest = Vector.newBuilder[String]
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--threads-list" =>
+          require(i + 1 < args.length, "--threads-list requires a value")
+          threadsList = args(i + 1).split(",").map(_.trim.toInt).toSeq
+          require(threadsList.nonEmpty && threadsList.forall(_ > 0),
+            s"bad --threads-list: ${args(i + 1)}")
+          i += 2
+        case a => rest += a; i += 1
+      }
+    }
+    val cfg = parse(rest.result())
+    val resultsDir = s"${cfg.out}/results"
+    // Stage-3 protocol: one session per thread count, like the
+    // reference's one process per `-p`; Spark can't resize a local
+    // master in place
+    threadsList.foreach { p =>
+      val s = session(p.toString)
+      try BenchHarness.writeNamedCsv(
+        BenchHarness.run(s, cfg.bench.copy(algos = Seq("basic"))),
+        resultsDir, s"results_spark_parallel_${p}threads.csv")
+      finally s.stop()
+    }
+    // Stage-2 grid at full width
+    val s = session(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    try {
+      BenchHarness.writeNamedCsv(
+        BenchHarness.run(s, cfg.bench.copy(
+          algos = Seq("basic", "blocked", "transposed", "sparse"))),
+        resultsDir, "results_spark_opt.csv")
+      val figs = renderReport(s, resultsDir, s"${cfg.out}/figures")
+      figs.foreach(p => println(s"[report] wrote $p"))
+    } finally s.stop()
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("render-report")) {
+      renderReportMain(args.toIndexedSeq.drop(1)); return
+    }
     val cfg = parse(args.toIndexedSeq)
     val cores =
       if (cfg.threads > 0) cfg.threads.toString

@@ -154,6 +154,8 @@ object ScaleSmoke {
       ("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pair"),
       ("dedup_winnow_pairs", d => TextOps.winnowPairs(d, 12, 8, 2, 50), "pair"),
       ("tfidf_cosine_pairs", d => TextOps.tfidfCosinePairs(d, 10, 60), "pair"),
+      ("tfidf_cosine_sharded",
+        d => TextOps.tfidfCosinePairs(d, 10, 60, buildShards = 4), "pair"),
       ("dedup_components", d => Dedup.jaccardComponents(d, 9), "pair"),
       ("dedup_simhash", d => Dedup.simhashPairs(d, 4), "pair"))
 

@@ -372,6 +372,15 @@ object SparkEntry {
       TextOps.tfidfCosinePairs(Tables.documents(s, dir), k = 10,
         thresholdHundredths = 60)
         .orderBy("d1", "d2")),
+    // The SHARDED-build continuation of the same operator (the >10⁷-doc
+    // plan: build vectors split into 4 disjoint doc_id-hash shards,
+    // one broadcast per shard) declared against the SAME oracle — the
+    // correctness gate is the proof that sharding preserves cosine
+    // semantics exactly.
+    "tfidf_cosine_sharded" -> ((s, dir) =>
+      TextOps.tfidfCosinePairs(Tables.documents(s, dir), k = 10,
+        thresholdHundredths = 60, buildShards = 4)
+        .orderBy("d1", "d2")),
     // GPT-style concat-and-chunk packing per language stream: 4096-token
     // cuts, per-chunk occupancy + boundary-straddler counts.
     // shardDocs sized for the test SF so the two-level prefix sum
@@ -1249,6 +1258,37 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by `tfidf_cosine_pairs` and its sharded-build twin
+    * `tfidf_cosine_sharded`: the build sharding is a pure physical
+    * rewrite, so one oracle text serves both — the gate's hash compare
+    * is the equivalence proof. */
+  private val TfidfCosineSql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      |       FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+      |v AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf * ((n.total * 100) // df.df) AS wq,
+      |    row_number() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ((n.total * 100) // df.df) DESC, tf.token) AS rnk
+      |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+      |vk AS (SELECT doc_id, token, wq FROM v WHERE rnk <= 10),
+      |nrm AS (SELECT doc_id, SUM(wq * wq) AS nrm FROM vk GROUP BY 1),
+      |d AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.wq * b.wq) AS dot
+      |  FROM vk a JOIN vk b ON a.token = b.token AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d.d1, d.d2,
+      |  CAST(d.dot AS DOUBLE)
+      |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+      |FROM d JOIN nrm na ON d.d1 = na.doc_id JOIN nrm nb ON d.d2 = nb.doc_id
+      |WHERE CAST(d.dot AS DOUBLE)
+      |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.6
+      |ORDER BY d1, d2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "matmul_basic" -> sqlMatmul,
     "matmul_transposed" -> sqlMatmul,
@@ -1484,32 +1524,9 @@ object SparkEntry {
          |ORDER BY d1, d2""".stripMargin
     },
 
-    "tfidf_cosine_pairs" ->
-      """WITH tok AS (
-        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-        |       FROM tok GROUP BY 1, 2),
-        |df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
-        |       FROM tok GROUP BY 1),
-        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
-        |v AS (
-        |  SELECT tf.doc_id, tf.token, tf.tf * ((n.total * 100) // df.df) AS wq,
-        |    row_number() OVER (PARTITION BY tf.doc_id
-        |      ORDER BY tf.tf * ((n.total * 100) // df.df) DESC, tf.token) AS rnk
-        |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
-        |vk AS (SELECT doc_id, token, wq FROM v WHERE rnk <= 10),
-        |nrm AS (SELECT doc_id, SUM(wq * wq) AS nrm FROM vk GROUP BY 1),
-        |d AS (
-        |  SELECT a.doc_id AS d1, b.doc_id AS d2, SUM(a.wq * b.wq) AS dot
-        |  FROM vk a JOIN vk b ON a.token = b.token AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT d.d1, d.d2,
-        |  CAST(d.dot AS DOUBLE)
-        |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
-        |FROM d JOIN nrm na ON d.d1 = na.doc_id JOIN nrm nb ON d.d2 = nb.doc_id
-        |WHERE CAST(d.dot AS DOUBLE)
-        |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.6
-        |ORDER BY d1, d2""".stripMargin,
+    "tfidf_cosine_pairs" -> TfidfCosineSql,
+    // sharded build plan, identical semantics — same oracle text
+    "tfidf_cosine_sharded" -> TfidfCosineSql,
     "pack_chunks" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

@@ -107,6 +107,13 @@ object Analytics {
       coalesce(col("rss_peak_mb"), col("rss_now_mb"), col("rss_mb")))
       .when(col("lang") === "java",
         coalesce(col("heap_peak_mb"), col("heap_now_mb"), col("memory_mb")))
+      // the engine's own harness rows (BenchHarness.ResultRow): driver
+      // heap probes — named like the java dialect's, so they resolve on
+      // any union that includes either source (peak_exec_mem_mb is NOT
+      // referenced: the reference fixture union lacks it, and a CASE
+      // branch must resolve against every input schema)
+      .when(col("lang") === "spark",
+        coalesce(col("heap_peak_mb"), col("heap_now_mb")))
       .otherwise(
         coalesce(col("psutil_peak_rss_mb"), col("psutil_rss_mb"), col("rss_mb")))
 

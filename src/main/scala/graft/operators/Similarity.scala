@@ -91,7 +91,13 @@ object Similarity {
   def gramMatrix(emb: DataFrame, scale: Int = 1000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    emb.select(col("embedding")).as[Array[Float]]
+    // null embeddings are a data-quality glitch, not a shape error:
+    // drop them like the pre-r4 posexplode plan silently did (explode
+    // skips null arrays) rather than NPE-ing the whole job on
+    // `e.length`; RAGGED arrays stay a hard require below — mixing
+    // dims corrupts the accumulator rather than failing loudly
+    emb.select(col("embedding")).filter(col("embedding").isNotNull)
+      .as[Array[Float]]
       .mapPartitions { it =>
         var acc: Array[Long] = null
         var dim = 0

@@ -282,7 +282,9 @@ object TextOps {
     * in the SQL oracle, so the ≥ threshold comparison is
     * engine-deterministic. */
   def tfidfCosinePairs(docs: DataFrame, k: Int = 10,
-                       thresholdHundredths: Int = 60): DataFrame = {
+                       thresholdHundredths: Int = 60,
+                       buildShards: Int = 1): DataFrame = {
+    require(buildShards >= 1, s"buildShards must be >= 1: $buildShards")
     // The vector relation is consumed three times (both self-join sides
     // + norms) and its subtree is the expensive part (full token
     // explode, two aggregations, a window); materialize it once — it is
@@ -319,18 +321,38 @@ object TextOps {
     // corpus — the variance is page-cache luck). r3 relied on AQE
     // flipping to broadcast from runtime stats; past ~10 MB of vectors
     // the flip silently stops, so the hint pins the intended plan.
-    // The broadcast is k rows/doc (k=10): fine to ~10⁷ docs per job; a
-    // larger corpus shards the probe side and broadcasts per shard, or
-    // moves to the prefix-filtered Jaccard tier (`Dedup.jaccardPairs`),
-    // whose candidate generation is bounded without any broadcast.
-    val dots = spread.as("a")
-      .join(broadcast(vec.as("b")),
+    // The broadcast is k rows/doc (k=10): fine to ~10⁷ docs per job as
+    // ONE broadcast. Past that bound, `buildShards` > 1 engages the
+    // SHARDED continuation: the build side splits into disjoint
+    // doc_id-hash shards, each shard broadcasts separately (memory per
+    // pass = |vectors| / buildShards), and the probe side — kept
+    // doc_id-partitioned throughout — streams once per shard. Every
+    // candidate pair (d1, d2) lands in exactly ONE shard (the shard is
+    // a function of d2 alone), so per-shard dot aggregation needs no
+    // cross-shard combine and the union is disjoint by construction.
+    // Total probe work is buildShards scans of the CHECKPOINTED k-row
+    // vector relation — the cheap side; pair generation, the real
+    // cost, is identical work either way. Cosine semantics survive
+    // unbounded corpus growth; the prefix-filtered Jaccard tier
+    // (`Dedup.jaccardPairs`) remains the alternative when even sharded
+    // broadcasts are unwanted.
+    def dotsFor(build: DataFrame): DataFrame = spread.as("a")
+      .join(broadcast(build.as("b")),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
-    // norms broadcast too (1 row/doc, same bound as the vector
-    // broadcast): sort-merging would SORT the pair relation — the
-    // biggest relation in the query — twice, once per norm probe
+    val dots =
+      if (buildShards == 1) dotsFor(vec)
+      else (0 until buildShards).map { s =>
+        dotsFor(vec.filter(
+          pmod(xxhash64(col("doc_id")), lit(buildShards)) === s))
+      }.reduce(_.unionByName(_))
+    // norms broadcast too (1 row/doc — k× more headroom than the
+    // vector broadcast, so the sharded-build tier keeps them whole):
+    // sort-merging would SORT the pair relation — the biggest relation
+    // in the query — twice, once per norm probe. At a corpus where
+    // even 1 row/doc overflows, shuffle-hash-join the pairs on
+    // d1/d2 once instead of re-streaming them per norm shard.
     dots
       .join(broadcast(norms.select(col("doc_id").as("d1"), col("nrm").as("na"))), "d1")
       .join(broadcast(norms.select(col("doc_id").as("d2"), col("nrm").as("nb"))), "d2")

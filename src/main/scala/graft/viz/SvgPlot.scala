@@ -232,7 +232,10 @@ object SvgPlot {
     val clusters = Seq(
       ("mm_perf_dense", "Dense (basic / blocked / transposed)",
         Analytics.denseAlgos(keyed)),
-      ("mm_perf_sparse", "Sparse (CSR x Dense)", Analytics.sparseAlgos(keyed)))
+      // U+00D7 multiplication sign, matching the reference title
+      // verbatim (Stage 2/Visualization/mm_perf_visualizer.py:125) —
+      // SVG is UTF-8, so no ASCII substitution is needed
+      ("mm_perf_sparse", "Sparse (CSR × Dense)", Analytics.sparseAlgos(keyed)))
     clusters.flatMap { case (prefix, label, sub) =>
       if (sub.isEmpty) Nil
       else Seq(

@@ -148,4 +148,37 @@ class FnvCliSpec extends SparkSpec {
     intercept[IllegalArgumentException](Cli.parse(Seq("64", "bogus")))
     intercept[IllegalArgumentException](Cli.parse(Seq("64", "--algo", "bogus")))
   }
+
+  test("render-report composes harness → results lake → analytics → all three figure stages") {
+    // real harness runs on the SHARED session (the standalone verb's
+    // per-thread-count session protocol is exercised only from the
+    // CLI, where it owns session lifecycle); the thread column is
+    // rewritten per file to simulate the reference's one-run-per-p
+    // results lake
+    val out = java.nio.file.Files.createTempDirectory("graft_report").toString
+    val resultsDir = s"$out/results"
+    val res = BenchHarness.run(spark,
+      BenchConfig(sizes = Seq(16, 32), algos = Seq("basic", "sparse"), repeats = 2))
+    BenchHarness.writeNamedCsv(res, resultsDir, "results_spark_opt.csv")
+    for (p <- Seq(1, 2))
+      BenchHarness.writeNamedCsv(
+        res.filter(col("algo") === "basic").withColumn("threads", lit(p)),
+        resultsDir, s"results_spark_parallel_${p}threads.csv")
+    val figs = Cli.renderReport(spark, resultsDir, s"$out/figures")
+    val names = figs.map(_.getFileName.toString).toSet
+    // Stage 1: comparison time + memory charts
+    assert(names.contains("mm_perf_time.svg") && names.contains("mm_perf_memory.svg"))
+    // Stage 2: dense and sparse clusters, time + memory each
+    for (f <- Seq("mm_perf_dense_time.svg", "mm_perf_dense_memory.svg",
+      "mm_perf_sparse_time.svg", "mm_perf_sparse_memory.svg"))
+      assert(names.contains(f), s"missing $f in $names")
+    // Stage 3: per-size speedup/efficiency/time triples
+    for (n <- Seq(16, 32); kind <- Seq("speedup", "efficiency", "time"))
+      assert(names.contains(s"parallel_${kind}_$n.svg"), s"missing parallel_${kind}_$n.svg")
+    figs.foreach { p =>
+      val svg = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      assert(svg.startsWith("<svg") || svg.startsWith("<?xml"), s"$p is not an SVG")
+      assert(svg.contains("polyline") || svg.contains("<rect"), s"$p rendered no marks")
+    }
+  }
 }

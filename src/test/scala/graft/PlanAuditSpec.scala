@@ -62,6 +62,18 @@ class PlanAuditSpec extends SparkSpec {
       s"tfidf candidate/norm joins must stay hash joins, plan:\n$p")
   }
 
+  test("sharded tf-idf broadcasts each build shard — no sort-merge fallback") {
+    // the >10⁷-doc continuation: 4 disjoint build shards must appear as
+    // 4 separate broadcast candidate joins (plus 2 norm probes), with
+    // the probe side never repartitioned by token (an SMJ/shuffled-hash
+    // flip would serialize pair generation on hot-token partitions)
+    val p = plan("tfidf_cosine_sharded")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 6, s"expected >= 6 broadcast joins (4 shards + 2 norms), got $bhj, plan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"sharded build must not fall back to a shuffle join, plan:\n$p")
+  }
+
   test("row-local text operators are shuffle-free projections") {
     for (q <- Seq("doc_stats", "doc_quality", "doc_fingerprint_rolling",
       "media_resized")) {

@@ -189,4 +189,40 @@ class PropertySpec extends SparkSpec {
       .collect()
     rows2.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
+
+  test("two-level prefix sum packs identically for every shard width") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // packChunks' correctness rides on exact long offset arithmetic at
+    // lang/shard boundaries: a huge shardDocs degenerates to the
+    // single-window form (one shard per language), so equality across
+    // adversarial widths — every doc its own shard (1), straddling
+    // pairs (2), mid-size (7) — is the two-level ≡ global property.
+    // doc_ids draw WITH GAPS (0..60 for ≤24 docs) so shard boundaries
+    // land on absent ids too.
+    val corpusGen: Gen[Seq[(Long, String, Int)]] = for {
+      n <- Gen.choose(1, 24)
+      rows <- Gen.listOfN(n, for {
+        id <- Gen.choose(0L, 60L)
+        lang <- Gen.oneOf("en", "fr")
+        k <- Gen.choose(1, 9)
+      } yield (id, lang, k))
+    } yield rows.groupBy(_._1).map(_._2.head).toSeq
+    def packed(docs: org.apache.spark.sql.DataFrame, shardDocs: Long) =
+      TextOps.packChunks(docs, budgetTokens = 7L, shardDocs = shardDocs)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .sortBy(t => (t._1, t._2))
+    (1 to 10).flatMap(s =>
+      corpusGen.apply(Gen.Parameters.default, Seed(s.toLong))).foreach { rows =>
+      val docs = rows.map { case (id, lang, k) =>
+        (id, Seq.fill(k)("w").mkString(" "), lang)
+      }.toDF("doc_id", "text", "lang")
+      val single = packed(docs, Long.MaxValue / 4)
+      for (sd <- Seq(1L, 2L, 7L))
+        assert(packed(docs, sd) === single,
+          s"shardDocs=$sd diverged on corpus ${rows.sortBy(_._1)}")
+    }
+  }
 }

@@ -58,7 +58,22 @@ object Dedup {
     *
     * Result: identical to `connectedComponents(jaccardPairs(docs, t))`
     * (spec-asserted; the DuckDB oracle computes the FULL graph's
-    * transitive closure), for a fraction of the pair-generation work. */
+    * transitive closure), for a fraction of the pair-generation work.
+    *
+    * MEASURED AND REJECTED — simhash-band candidate prefilter: routing
+    * pair generation through [[simhashCandidates]] (bands bound the
+    * candidates, the sorted-merge kernel verifies J) is unsound here
+    * and loses anyway. Pigeonhole banding is exact for HAMMING distance
+    * on the frequency-weighted fingerprint, not for token-SET Jaccard:
+    * two docs with J = 0.9 but different term frequencies can sit far
+    * apart in simhash space. On the sf0.1 rep graph (4266 reps, 26 885
+    * true J ≥ 0.9 pairs; `graft.HybridProbe`): k = 4 misses 22 858 of
+    * the true pairs (85%), k = 12 still misses 606, and the first
+    * full-recall width is k = 20 — where the 3-bit bands emit 61.9 M
+    * candidates, 2300× the true pair count, so the verify stage alone
+    * dwarfs the 2.2 s exact path. No width is sound by construction,
+    * and every sound-in-practice width is slower. The prefix filter
+    * stays. */
   def jaccardComponents(docs: DataFrame, thresholdTenths: Int): DataFrame = {
     val bagFp = md5(concat_ws("\u0000", col("lang"),
       concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))))

@@ -483,7 +483,14 @@ object TextOps {
     * orders are requested, and no per-doc state beyond the agg buffers.
     */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    gramRows(docs, Seq(1, 2, 3)).groupBy("doc_id", "n", "gram")
+    // counting keys on the 64-bit gram hash, not the string: no output
+    // column carries a gram, so the narrow key costs nothing (same
+    // hash-keyed idiom as [[corpusNgrams]]; a collision would need two
+    // distinct grams of ONE document to share an xxhash64 — far inside
+    // the md5/fnv exactness budget spent elsewhere)
+    gramRows(docs, Seq(1, 2, 3))
+      .select(col("doc_id"), col("n"), xxhash64(col("gram")).as("gh"))
+      .groupBy("doc_id", "n", "gh")
       .agg(count(lit(1)).as("cnt"))
       .groupBy("doc_id", "n")
       .agg(
@@ -518,14 +525,20 @@ object TextOps {
     // the eval and train branches below would otherwise each re-execute
     // the whole gram subtree — Catalyst has no cross-branch subplan
     // elimination.
+    // gram identity rides a 64-bit hash end to end: the distinct, the
+    // broadcast eval set, and the membership join never touch gram
+    // STRINGS (the r5 hash-keyed idiom — overlap counts are preserved
+    // under no-collision, the same budget the md5/fnv idioms spend),
+    // so the checkpointed relation is (long, long) + one nibble and
+    // the eval broadcast shrinks ~10×
     val grams = gramRows(docs, Seq(n))
-      .select(col("doc_id"), col("gram")).distinct()
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh")).distinct()
       .withColumn("h", nib)
       .localCheckpoint(eager = false)
-    val evalGrams = grams.filter(col("h").isin("0", "1")).select("gram").distinct()
+    val evalGrams = grams.filter(col("h").isin("0", "1")).select("gh").distinct()
     val train = grams.filter(!col("h").isin("0", "1", "2", "3"))
     val totals = train.groupBy("doc_id").agg(count(lit(1)).as("doc_grams"))
-    val hits = train.join(broadcast(evalGrams), "gram")
+    val hits = train.join(broadcast(evalGrams), "gh")
       .groupBy("doc_id").agg(count(lit(1)).as("eval_hits"))
     hits.join(totals, "doc_id")
       .select(col("doc_id"), col("doc_grams"), col("eval_hits"),

@@ -157,6 +157,7 @@ object ScaleSmoke {
       ("tfidf_cosine_sharded",
         d => TextOps.tfidfCosinePairs(d, 10, 60, buildShards = 4), "pair"),
       ("dedup_components", d => Dedup.jaccardComponents(d, 9), "pair"),
+      ("dedup_containment", d => Dedup.containmentPairs(d, 9), "pair"),
       ("dedup_simhash", d => Dedup.simhashPairs(d, 4), "pair"))
 
     only.foreach { names =>

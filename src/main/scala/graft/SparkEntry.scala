@@ -537,6 +537,12 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.jaccardComponents(Tables.documents(s, dir), thresholdTenths = 9)
         .orderBy("doc_id")),
+    // Asymmetric containment ≥ 0.9 (|A∩B|/|A|): the quote-inclusion /
+    // boilerplate-wrapping dedup mode Jaccard misses; directed pairs
+    // (d1 contained in d2), one-sided prefix filter.
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), thresholdTenths = 9)
+        .orderBy("d1", "d2")),
     // bands=4 (r=8) targets J≳0.8 near-dups: on this high-mutual-
     // similarity corpus wider bands would admit ~30% of ALL pairs as
     // candidates, which is the LSH failure mode at scale.
@@ -1760,6 +1766,21 @@ object SparkEntry {
         |      FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
         |                   JOIN cnt c2 ON i.d2 = c2.doc_id) j
         |WHERE inter * 10 >= (n1 + n2 - inter) * 9
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_containment" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok t1 JOIN tok t2
+        |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id <> t2.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.d1, i.d2, i.inter, c1.n AS n1,
+        |  CAST(i.inter AS DOUBLE) / c1.n AS containment
+        |FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+        |WHERE i.inter * 10 >= c1.n * 9
         |ORDER BY d1, d2""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE tok AS (

@@ -418,6 +418,58 @@ object Dedup {
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** ASYMMETRIC containment pairs: C(a→b) = |A∩B| / |A| ≥ t over
+    * distinct-token sets, lang-blocked — the dedup mode symmetric
+    * Jaccard misses by construction: a short document quoted inside a
+    * longer one, or a page wrapped in boilerplate, has high containment
+    * but low Jaccard (the union is dominated by the container). Output
+    * is directed: d1 is the CONTAINED side, d2 the container, both
+    * directions evaluated independently (mutual near-equality yields
+    * both rows — that is the true relation, not a duplicate).
+    *
+    * Scale shape — one-sided prefix filter: the Bayardo prefix bound
+    * still applies to the contained side (if |A∩B| ≥ t·|A|, then B
+    * shares one of A's `n − ⌈t·n⌉ + 1` rarest tokens), but no prefix,
+    * size-ratio, or positional bound exists for the CONTAINER side (a
+    * container may be arbitrarily large and match none of its own rare
+    * tokens) — so probe prefixes join the FULL postings relation.
+    * Rare-first ordering keeps those buckets small: candidates =
+    * Σ_a Σ_{rare tokens of a} df(token), and rare tokens have tiny df
+    * by definition. Verification is the same sorted-merge native
+    * kernel; the only IEEE step is the final inter/n1 division, written
+    * identically in the oracle. */
+  def containmentPairs(docs: DataFrame, thresholdTenths: Int): DataFrame = {
+    val t = thresholdTenths
+    val tok = tokenPostings(docs)
+      .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid"))
+    val docTokens = tok.groupBy("doc_id", "lang")
+      .agg(sort_array(collect_list(col("tid"))).as("toks"),
+        count(lit(1)).as("n"))
+    val prefixLen = col("n") - ((col("n") * t + 9) / 10).cast("long") + 1
+    val freq = tok.groupBy("lang", "tid").agg(count(lit(1)).as("tf"))
+    val ranked = tok.join(freq, Seq("lang", "tid"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tf"), col("tid"))))
+    val prefix = ranked.join(docTokens.select("doc_id", "n"), "doc_id")
+      .filter(col("pos") <= prefixLen)
+      .select(col("lang"), col("tid"), col("doc_id"), col("n"))
+    val candidates = prefix.as("p")
+      .join(tok.as("f"),
+        col("p.tid") === col("f.tid") && col("p.lang") === col("f.lang") &&
+          col("p.doc_id") =!= col("f.doc_id"))
+      .select(col("p.doc_id").as("d1"), col("f.doc_id").as("d2"))
+      .distinct()
+    candidates
+      .join(docTokens.select(col("doc_id").as("d1"), col("toks").as("toks1"),
+        col("n").as("n1")), "d1")
+      .join(docTokens.select(col("doc_id").as("d2"), col("toks").as("toks2")), "d2")
+      .withColumn("inter", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("toks1"), col("toks2")))
+      .filter(col("inter") * 10 >= col("n1") * t)
+      .select(col("d1"), col("d2"), col("inter"), col("n1"),
+        (col("inter").cast("double") / col("n1")).as("containment"))
+  }
+
   /** MinHash signatures: K independent hash functions simulated as
     * xxhash64(k, token); signature element k = min over the doc's tokens.
     * One explode + one groupBy — the sketch costs O(tokens·1) with K

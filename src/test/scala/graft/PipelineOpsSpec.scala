@@ -43,6 +43,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
   }
 
+  test("containment pairs are directed: quoted doc pairs, container does not") {
+    import spark.implicits._
+    // doc 1's 3 tokens all appear in doc 2 (10 distinct tokens):
+    // C(1→2) = 3/3 = 1 but C(2→1) = 3/10 — only the directed row
+    // survives t = 0.9. Jaccard would score the pair 0.3 and miss it.
+    // doc 3 shares nothing; doc 4 repeats doc 1 in another LANG (block
+    // boundary — never pairs).
+    val d = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (3L, "one two three", "en"),
+      (4L, "alpha beta gamma", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val rows = Dedup.containmentPairs(d, thresholdTenths = 9).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.toSeq === Seq((1L, 2L, 3L, 3L, 1.0)))
+    // at a loose threshold the reverse direction appears too
+    val loose = Dedup.containmentPairs(d, thresholdTenths = 3)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(loose.contains((1L, 2L)) && loose.contains((2L, 1L)))
+    assert(!loose.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("concat-and-chunk packing assigns by start offset and counts straddlers") {
     import spark.implicits._
     // three 3-token docs, budget 5: doc2 starts at offset 3 (chunk 0)

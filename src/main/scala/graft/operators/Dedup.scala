@@ -427,18 +427,68 @@ object Dedup {
     * directions evaluated independently (mutual near-equality yields
     * both rows — that is the true relation, not a duplicate).
     *
-    * Scale shape — one-sided prefix filter: the Bayardo prefix bound
-    * still applies to the contained side (if |A∩B| ≥ t·|A|, then B
-    * shares one of A's `n − ⌈t·n⌉ + 1` rarest tokens), but no prefix,
-    * size-ratio, or positional bound exists for the CONTAINER side (a
-    * container may be arbitrarily large and match none of its own rare
-    * tokens) — so probe prefixes join the FULL postings relation.
-    * Rare-first ordering keeps those buckets small: candidates =
-    * Σ_a Σ_{rare tokens of a} df(token), and rare tokens have tiny df
-    * by definition. Verification is the same sorted-merge native
-    * kernel; the only IEEE step is the final inter/n1 division, written
-    * identically in the oracle. */
+    * Scale shape — two layers:
+    *
+    * 1. BAG QUOTIENT (the [[jaccardComponents]] exact-before-near
+    *    collapse): C(a→b) depends only on (lang, token set, token
+    *    set), so docs with an identical (lang, distinct-token-bag)
+    *    share every containment verdict. Candidate generation and
+    *    verification run on class REPRESENTATIVES; results expand back
+    *    member-wise (cross-class rows inherit the rep pair's inter/n1
+    *    verbatim; a multi-doc class emits its ordered intra-class
+    *    pairs at C = 1 directly). Most corpus duplication is
+    *    exact/near-exact, so the expensive layers below see a
+    *    dup-mass-free relation; the expansion is output-bound, which
+    *    a pair-emission operator pays by definition.
+    * 2. ONE-SIDED prefix filter: the Bayardo prefix bound still
+    *    applies to the contained side (if |A∩B| ≥ t·|A|, then B
+    *    shares one of A's `n − ⌈t·n⌉ + 1` rarest tokens), but no
+    *    prefix, size-ratio, or positional bound exists for the
+    *    CONTAINER side (a container may be arbitrarily large and match
+    *    none of its own rare tokens) — so probe prefixes join the FULL
+    *    postings relation. Rare-first ordering keeps those buckets
+    *    small: candidates = Σ_a Σ_{rare tokens of a} df(token), and
+    *    rare tokens have tiny df by definition.
+    *
+    * Verification is the same sorted-merge native kernel; the only
+    * IEEE step is the final inter/n1 division, written identically in
+    * the oracle. */
   def containmentPairs(docs: DataFrame, thresholdTenths: Int): DataFrame = {
+    val bagFp = md5(concat_ws("\u0000", col("lang"),
+      concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))))
+    val bagged = docs.select(col("doc_id"), col("lang"), col("text"),
+      bagFp.as("bag_fp"))
+    val classes = bagged.groupBy("bag_fp").agg(min("doc_id").as("rep"))
+    val members = bagged.select("doc_id", "bag_fp").join(classes, "bag_fp")
+    val repDocs = members.filter(col("doc_id") === col("rep"))
+      .select("doc_id").join(docs, "doc_id")
+    val repPairs = containmentPairsOf(repDocs, thresholdTenths)
+    val cross = repPairs
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("a1")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("a2")), "d2")
+      .select(col("a1").as("d1"), col("a2").as("d2"), col("inter"),
+        col("n1"), col("containment"))
+    // intra-class ordered pairs: identical bags ⇒ inter = n1 = |bag|,
+    // containment exactly 1.0 — no verification needed
+    val bagN = repDocs.select(col("doc_id").as("rep"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("nbag"))
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x.bag_fp") === col("y.bag_fp") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        col("x.rep").as("rep"))
+      .join(bagN, "rep")
+      .select(col("d1"), col("d2"), col("nbag").as("inter"),
+        col("nbag").as("n1"), lit(1.0).as("containment"))
+    cross.unionByName(intra)
+  }
+
+  /** The representative-level containment computation (see
+    * [[containmentPairs]], which quotients by bag class before calling
+    * this and expands afterwards). */
+  private def containmentPairsOf(docs: DataFrame,
+                                 thresholdTenths: Int): DataFrame = {
     val t = thresholdTenths
     val tok = tokenPostings(docs)
       .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid"))

@@ -54,12 +54,18 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, "alpha beta gamma", "en"),
       (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
       (3L, "one two three", "en"),
-      (4L, "alpha beta gamma", "fr"))
+      (4L, "alpha beta gamma", "fr"),
+      // token-reordered bag-duplicate of doc 1: exercises the quotient —
+      // intra-class pairs (1,5)/(5,1) at C=1 plus the cross-class row
+      // (5,2) inherited from its rep's (1,2) verdict
+      (5L, "gamma beta alpha", "en"))
       .toDF("doc_id", "text", "lang")
     val rows = Dedup.containmentPairs(d, thresholdTenths = 9).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDouble(4)))
-    assert(rows.toSeq === Seq((1L, 2L, 3L, 3L, 1.0)))
+        r.getLong(3), r.getDouble(4))).sortBy(t => (t._1, t._2))
+    assert(rows.toSeq === Seq(
+      (1L, 2L, 3L, 3L, 1.0), (1L, 5L, 3L, 3L, 1.0),
+      (5L, 1L, 3L, 3L, 1.0), (5L, 2L, 3L, 3L, 1.0)))
     // at a loose threshold the reverse direction appears too
     val loose = Dedup.containmentPairs(d, thresholdTenths = 3)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

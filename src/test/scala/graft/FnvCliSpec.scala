@@ -164,6 +164,15 @@ class FnvCliSpec extends SparkSpec {
       BenchHarness.writeNamedCsv(
         res.filter(col("algo") === "basic").withColumn("threads", lit(p)),
         resultsDir, s"results_spark_parallel_${p}threads.csv")
+    // drop reference-dialect fixtures into the same lake: the composed
+    // verb must union the engine's rows with the 9-schema drift scan
+    // (real deployments mix both) — these exercise the non-padding
+    // branch of the dialect resolution and the per-lang memory coalesce
+    for (f <- Seq("results_python_opt_20251111_161334.csv",
+      "results_java_parallel_8threads.csv"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"src/test/resources/results_csv/$f"),
+        java.nio.file.Paths.get(s"$resultsDir/$f"))
     val figs = Cli.renderReport(spark, resultsDir, s"$out/figures")
     val names = figs.map(_.getFileName.toString).toSet
     // Stage 1: comparison time + memory charts

@@ -89,55 +89,7 @@ object ScaleSmoke {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-    // materialize both tiers as parquet so 1× and N× run the same
-    // scan-shaped plans (a cached in-memory union would flatter the N×)
-    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
-    val docs1 = Tables.documents(spark, sfDir)
-    val emb1 = Tables.embeddings(spark, sfDir)
-    val docStride = docs1.agg(max("doc_id")).first().getLong(0) + 1
-    val embStride = emb1.agg(max("vec_id")).first().getLong(0) + 1
-    scaledDocs(docs1, factor, docStride).write.mode("overwrite")
-      .parquet(s"$base/documents")
-    scaledEmb(emb1, factor, embStride).write.mode("overwrite")
-      .parquet(s"$base/embeddings")
-    val docsN = spark.read.parquet(s"$base/documents")
-    val embN = spark.read.parquet(s"$base/embeddings")
-
-    // events: materialize the 1× too — Tables.events wraps the scan in
-    // a nanos→micros projection, so a raw-parquet replica would run a
-    // cheaper scan shape than the original and understate the ratio
-    val ev0 = Tables.events(spark, sfDir)
-    val userStride = ev0.agg(max("user_id")).first().getLong(0) + 1
-    ev0.write.mode("overwrite").parquet(s"$base/events1")
-    scaledEvents(ev0, factor, userStride).write.mode("overwrite")
-      .parquet(s"$base/eventsN")
-    val ev1 = spark.read.parquet(s"$base/events1")
-    val evN = spark.read.parquet(s"$base/eventsN")
-
-    // graph: hub id = GraphNodes, so ids < GraphNodes + 1
-    val GraphNodes = 50000L
-    val e0 = edgeBase(Tables.lineitem(spark, sfDir), GraphNodes)
-    e0.write.mode("overwrite").parquet(s"$base/edges1")
-    scaledEdges(e0, factor, GraphNodes + 1).write.mode("overwrite")
-      .parquet(s"$base/edgesN")
-    val edges1 = spark.read.parquet(s"$base/edges1")
-    val edgesN = spark.read.parquet(s"$base/edgesN")
-
-    def time(f: => DataFrame): Double = {
-      val t0 = System.nanoTime()
-      f.count()
-      (System.nanoTime() - t0) / 1e9
-    }
-
-    // The testdata corpus is adversarially self-similar (tiny
-    // vocabulary — a large fraction of ALL doc pairs are genuine
-    // near-dup candidates), so pair-EMISSION operators' output grows
-    // ~quadratically in the replication factor by construction. Those
-    // ops run at a capped factor (copies 0..2 of the replica, output
-    // ~9×) — their ratio measures whether cost TRACKS the genuine
-    // candidate volume; the linear-shaped ops run at the full factor.
-    val pairFactor = math.min(factor, 3)
-    val docsP = docsN.filter(col("doc_id") < pairFactor * docStride)
+    // Op table: name (= SparkEntry.queries key), constructor, tier.
     val ops: Seq[(String, DataFrame => DataFrame, String)] = Seq(
       ("pack_chunks", d => TextOps.packChunks(d, 4096L, 64L), "doc"),
       ("dedup_exact_groups", Dedup.exactGroups, "doc"),
@@ -165,20 +117,94 @@ object ScaleSmoke {
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not smoked: " +
         unknown.toSeq.sorted.mkString(", "))
     }
+    val OpTiers = ops.map { case (n, _, t) => (n, t) }
+    val GraphNodes = 50000L
+    var docStrideSeen = 0L
 
-    // warm-up: JVM + codegen + all scans
-    docs1.count(); docsN.count(); emb1.count(); embN.count()
-    ev1.count(); evN.count(); edges1.count(); edgesN.count()
+    // Materialize replica tables as parquet so 1× and N× run the same
+    // scan-shaped plans (a cached in-memory union would flatter the
+    // N×) — but only the TIERS the selected ops touch: under
+    // SPARK_GRAFT_ONLY a single-op dev iteration shouldn't pay four
+    // replica writes for one. Tier membership comes from the op table
+    // below ("pair" rides the doc replica).
+    val tiersWanted: Set[String] = only match {
+      case None => Set("doc", "emb", "evt", "graph")
+      case Some(names) => OpTiers.collect {
+        case (n, t) if names(n) => if (t == "pair") "doc" else t
+      }.toSet
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    def tier(name: String)(make: => (DataFrame, DataFrame)): Option[(DataFrame, DataFrame)] =
+      if (tiersWanted(name)) Some(make) else None
+
+    val docTier = tier("doc") {
+      val docs1 = Tables.documents(spark, sfDir)
+      val docStride = docs1.agg(max("doc_id")).first().getLong(0) + 1
+      scaledDocs(docs1, factor, docStride).write.mode("overwrite")
+        .parquet(s"$base/documents")
+      docStrideSeen = docStride
+      (docs1, spark.read.parquet(s"$base/documents"))
+    }
+    val embTier = tier("emb") {
+      val emb1 = Tables.embeddings(spark, sfDir)
+      val embStride = emb1.agg(max("vec_id")).first().getLong(0) + 1
+      scaledEmb(emb1, factor, embStride).write.mode("overwrite")
+        .parquet(s"$base/embeddings")
+      (emb1, spark.read.parquet(s"$base/embeddings"))
+    }
+    // events: materialize the 1× too — Tables.events wraps the scan in
+    // a nanos→micros projection, so a raw-parquet replica would run a
+    // cheaper scan shape than the original and understate the ratio
+    val evtTier = tier("evt") {
+      val ev0 = Tables.events(spark, sfDir)
+      val userStride = ev0.agg(max("user_id")).first().getLong(0) + 1
+      ev0.write.mode("overwrite").parquet(s"$base/events1")
+      scaledEvents(ev0, factor, userStride).write.mode("overwrite")
+        .parquet(s"$base/eventsN")
+      (spark.read.parquet(s"$base/events1"),
+        spark.read.parquet(s"$base/eventsN"))
+    }
+    // graph: hub id = GraphNodes, so ids < GraphNodes + 1
+    val graphTier = tier("graph") {
+      val e0 = edgeBase(Tables.lineitem(spark, sfDir), GraphNodes)
+      e0.write.mode("overwrite").parquet(s"$base/edges1")
+      scaledEdges(e0, factor, GraphNodes + 1).write.mode("overwrite")
+        .parquet(s"$base/edgesN")
+      (spark.read.parquet(s"$base/edges1"),
+        spark.read.parquet(s"$base/edgesN"))
+    }
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.count()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // The testdata corpus is adversarially self-similar (tiny
+    // vocabulary — a large fraction of ALL doc pairs are genuine
+    // near-dup candidates), so pair-EMISSION operators' output grows
+    // ~quadratically in the replication factor by construction. Those
+    // ops run at a capped factor (copies 0..2 of the replica, output
+    // ~9×) — their ratio measures whether cost TRACKS the genuine
+    // candidate volume; the linear-shaped ops run at the full factor.
+    val pairFactor = math.min(factor, 3)
+    lazy val docsP = docTier.get._2
+      .filter(col("doc_id") < pairFactor * docStrideSeen)
+
+    // warm-up: JVM + codegen + the scans of every materialized tier
+    Seq(docTier, embTier, evtTier, graphTier).flatten
+      .foreach { case (a, b) => a.count(); b.count() }
 
     val rows = ops
       .filter { case (name, _, _) => only.forall(_.contains(name)) }
       .map { case (name, f, tier) =>
         val (small, big, fac) = tier match {
-          case "doc" => (docs1, docsN, factor)
-          case "emb" => (emb1, embN, factor)
-          case "evt" => (ev1, evN, factor)
-          case "graph" => (edges1, edgesN, factor)
-          case _ => (docs1, docsP, pairFactor)
+          case "doc" => (docTier.get._1, docTier.get._2, factor)
+          case "emb" => (embTier.get._1, embTier.get._2, factor)
+          case "evt" => (evtTier.get._1, evtTier.get._2, factor)
+          case "graph" => (graphTier.get._1, graphTier.get._2, factor)
+          case _ => (docTier.get._1, docsP, pairFactor)
         }
         println(s"[scale] running $name (factor $fac) ..."); Console.flush()
         f(small).count() // per-op codegen warm-up at the small tier

@@ -110,6 +110,12 @@ object ScaleSmoke {
         d => TextOps.tfidfCosinePairs(d, 10, 60, buildShards = 4), "pair"),
       ("dedup_components", d => Dedup.jaccardComponents(d, 9), "pair"),
       ("dedup_containment", d => Dedup.containmentPairs(d, 9), "pair"),
+      ("dedup_incremental_containment", d => {
+        val half = d.agg(max("doc_id")).first().getLong(0) / 2
+        Dedup.dedupAgainstCorpusContainment(
+          d.filter(col("doc_id") > half),
+          d.filter(col("doc_id") <= half), 10)
+      }, "pair"),
       ("dedup_simhash", d => Dedup.simhashPairs(d, 4), "pair"))
 
     only.foreach { names =>

@@ -348,6 +348,22 @@ object SparkEntry {
         docs.filter(col("doc_id") <= half), maxDistance = 4)
         .orderBy("doc_id")
     }),
+    // containment incremental: batch docs whose EVERY token appears in
+    // one corpus doc drop (t = 1.0, strict subset — quote-only
+    // snippets, boilerplate-wrapped re-serves); one-sided id-order
+    // prefix probe into corpus postings. t = 1.0 is the discriminating
+    // setting on this adversarially self-similar corpus: at 0.9 zero
+    // batch docs survive (31-token vocabulary), at 1.0 the gate
+    // separates 27 genuinely novel docs from 223 subsets at sf0.01.
+    "dedup_incremental_containment" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val maxRow = docs.agg(max("doc_id")).first()
+      val half = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) / 2
+      Dedup.dedupAgainstCorpusContainment(
+        docs.filter(col("doc_id") > half),
+        docs.filter(col("doc_id") <= half), thresholdTenths = 10)
+        .orderBy("doc_id")
+    }),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     // Rolling-hash fingerprint on the native fnv64 Expression; the SQL
@@ -1448,6 +1464,24 @@ object SparkEntry {
         |    SELECT 1 FROM documents c, half
         |    WHERE c.doc_id <= half.h AND md5(c.text) = md5(d.text))
         |ORDER BY d.doc_id""".stripMargin,
+    "dedup_incremental_containment" ->
+      """WITH half AS (SELECT MAX(doc_id) // 2 AS h FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |n AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok a JOIN tok b ON a.token = b.token AND a.lang = b.lang, half
+        |  WHERE a.doc_id > half.h AND b.doc_id <= half.h
+        |  GROUP BY 1, 2)
+        |SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars
+        |FROM documents d, half
+        |WHERE d.doc_id > half.h
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM inter i JOIN n ON i.d1 = n.doc_id
+        |    WHERE i.d1 = d.doc_id AND i.inter * 10 >= n.n * 10)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_incremental_simhash" -> {
       // same md5-vote fingerprint CTE as dedup_simhash; the engine's
       // two-sided band probe has pigeonhole-exact recall, so the oracle

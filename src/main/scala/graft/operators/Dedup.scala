@@ -520,6 +520,49 @@ object Dedup {
         (col("inter").cast("double") / col("n1")).as("containment"))
   }
 
+  /** Containment INCREMENTAL dedup — the ingestion twin of
+    * [[containmentPairs]]: drop new documents whose token set is ≥ t
+    * contained in ANY single same-lang corpus document (a crawl
+    * re-serving a page the lake already holds inside a boilerplate
+    * wrapper; a quote-only snippet of an archived doc). Directed batch
+    * → corpus: the batch doc is always the contained side, so the
+    * Bayardo prefix bound applies to the BATCH side only — and here
+    * the prefix is a row-local SLICE of each batch doc's sorted id
+    * array (the `rankByFrequency = false` idiom: the bound holds under
+    * ANY fixed token order, and the id-order prefix costs zero ranking
+    * shuffles — the right trade for an ingestion batch, which is small
+    * next to the corpus and re-runs per delivery). Corpus side: full
+    * postings, as [[containmentPairs]] explains no container-side
+    * bound exists; at 100 TB those postings persist bucketed by
+    * (lang, tid) like [[saveCorpusDigests]] and each batch probes the
+    * buckets in place. Survivors come from one left_anti on the
+    * matched batch ids. */
+  def dedupAgainstCorpusContainment(newDocs: DataFrame, corpus: DataFrame,
+                                    thresholdTenths: Int): DataFrame = {
+    val t = thresholdTenths
+    require(t >= 1 && t <= 10, s"thresholdTenths must be in [1, 10]: $t")
+    val ids = sort_array(array_distinct(
+      transform(split(col("text"), " "), x => xxhash64(x))))
+    val bt = newDocs.select(col("doc_id"), col("lang"), ids.as("toks"))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+    val prefLen = (col("n") - ((col("n") * t + 9) / 10).cast("long") + 1)
+      .cast("int")
+    val probe = bt.select(col("doc_id").as("d1"), col("lang"),
+      col("toks").as("toks1"), col("n").as("n1"),
+      explode(slice(col("toks"), lit(1), prefLen)).as("tid"))
+    val corpusPost = corpus.select(col("doc_id").as("d2"), col("lang"),
+      explode(ids).as("tid"))
+    val cand = probe.join(corpusPost, Seq("lang", "tid"))
+      .select(col("d1"), col("d2"), col("toks1"), col("n1")).distinct()
+    val corpusTokens = corpus.select(col("doc_id").as("d2"), ids.as("toks2"))
+    val matched = cand.join(corpusTokens, "d2")
+      .filter(graft.functions.VectorFunctions
+        .sortedIntersectCount(col("toks1"), col("toks2")) * 10 >= col("n1") * t)
+      .select(col("d1").as("doc_id")).distinct()
+    newDocs.join(matched, Seq("doc_id"), "left_anti")
+  }
+
   /** MinHash signatures: K independent hash functions simulated as
     * xxhash64(k, token); signature element k = min over the doc's tokens.
     * One explode + one groupBy — the sketch costs O(tokens·1) with K

@@ -88,6 +88,26 @@ class PipelineOpsSpec extends SparkSpec {
       ("en", 1L, 1L, 3L, 0L)))
   }
 
+  test("containment incremental dedup drops quote-snippets of the corpus") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"))
+      .toDF("doc_id", "text", "lang")
+    val batch = Seq(
+      (10L, "gamma beta alpha", "en"),        // subset of corpus doc: dropped
+      (11L, "alpha beta nu xi omicron", "en"), // only 2/5 contained: kept
+      (12L, "one two three", "en"),            // fresh: kept
+      (13L, "gamma beta alpha", "fr"))         // lang block boundary: kept
+      .toDF("doc_id", "text", "lang")
+    val kept = Dedup.dedupAgainstCorpusContainment(batch, corpus, 9)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(11L, 12L, 13L))
+    // at t=0.4 the 2/5-contained doc drops too
+    val strict = Dedup.dedupAgainstCorpusContainment(batch, corpus, 4)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(strict.toSeq === Seq(12L, 13L))
+  }
+
   test("simhash incremental dedup drops near-dups of the corpus, keeps fresh docs") {
     import spark.implicits._
     val base = "the quick brown fox jumps over the lazy dog near the riverbank today"

@@ -51,7 +51,7 @@ object Bench {
         unknown.toSeq.sorted.mkString(", "))
     }
     // capture the query map ONCE: `queries` is a def that rebuilds the
-    // full 108-entry Map per lookup — inside the timed region that
+    // full 100+-entry Map per lookup — inside the timed region that
     // construction cost would fold into every sample
     val qmap = SparkEntry.queries
     val suite = qmap.toSeq.sortBy(_._1)
@@ -107,7 +107,7 @@ object Bench {
         case _ =>
       }
     }
-    // ms precision keeps the 108-entry line short enough that a
+    // ms precision keeps the 100+-entry line short enough that a
     // tail-truncating log capture still holds the whole map (r3's
     // artifact lost 45 entries); total goes LAST for the same reason.
     def fmt(v: Double): String =

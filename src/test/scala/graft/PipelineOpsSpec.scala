@@ -142,6 +142,38 @@ class PipelineOpsSpec extends SparkSpec {
       "identical vectors must have cosine 1")
   }
 
+  test("tfidf auto-sharding: shard choice pinned, forced-small budget engages shards and preserves pairs") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // the pure sizing rule: one shard per maxBroadcastDocs, never < 1
+    assert(TextOps.autoBuildShards(1L, 10000000L) === 1)
+    assert(TextOps.autoBuildShards(10000000L, 10000000L) === 1)
+    assert(TextOps.autoBuildShards(10000001L, 10000000L) === 2)
+    assert(TextOps.autoBuildShards(95000001L, 10000000L) === 10)
+    assert(TextOps.autoBuildShards(0L, 10000000L) === 1)
+    val d = Seq(
+      (1L, "zebra quagga okapi tapir zebra quagga rare wildlife spotting"),
+      (2L, "zebra quagga okapi tapir zebra quagga rare wildlife spotting"),
+      (3L, "zebra quagga okapi tapir extra words appended here today"),
+      (4L, "syntax parser compiler token lexer grammar ast codegen emit"),
+      (5L, "completely other subject matter entirely different domain words")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val single = rows(TextOps.tfidfCosinePairs(d, k = 10,
+      thresholdHundredths = 60, buildShards = 1))
+    // budget 2 docs over a 5-doc corpus → auto picks 3 build shards
+    val autoDf = TextOps.tfidfCosinePairs(d, k = 10,
+      thresholdHundredths = 60, buildShards = 0, maxBroadcastDocs = 2)
+    // the sharded build is a union of per-shard dot relations — its
+    // presence proves the auto path ENGAGED shards, not just sized them
+    assert(autoDf.queryExecution.analyzed.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.nonEmpty, "forced-small budget must engage the sharded build")
+    assert(rows(autoDf) === single,
+      "auto-sharded pairs must equal the single-broadcast tier")
+  }
+
   test("minhash LSH candidates include true near-dups, estimates bounded") {
     val pairs = Dedup.minhashLshPairs(docs, numHashes = 32, bands = 8)
     val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -3,8 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, MatrixOps, Similarity, TextOps}
-import graft.streaming.EventStream
+import graft.operators.{Dedup, Graph, MatrixOps, Multimodal, Similarity,
+  Sketches, Temporal, TextOps}
+import graft.streaming.{DocStream, EventStream}
 
 /** Scale-regression smoke (dev/judge tooling, not a driver surface):
   * times the heavy LLM-pipeline operators at sf0.1 AND at a `factor`×
@@ -89,41 +90,78 @@ object ScaleSmoke {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
-    // Op table: name (= SparkEntry.queries key), constructor, tier.
-    val ops: Seq[(String, DataFrame => DataFrame, String)] = Seq(
-      ("pack_chunks", d => TextOps.packChunks(d, 4096L, 64L), "doc"),
-      ("dedup_exact_groups", Dedup.exactGroups, "doc"),
-      ("doc_repetition", TextOps.repetitionSignals, "doc"),
-      ("corpus_ngrams", d => TextOps.corpusNgrams(d, 3, 50), "doc"),
-      ("bpe_merges", d => TextOps.bpeMerges(d, 3), "doc"),
-      ("contamination_hits", d => TextOps.contaminationHits(d, 5), "doc"),
-      ("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
-      ("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
-      ("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),
-      ("sessionize", e => EventStream.sessionize(e), "evt"),
-      ("pagerank3", e => Graph.pagerankInt(e, iters = 3), "graph"),
-      ("triangle_count", e => Graph.triangleCount(e), "graph"),
-      ("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pair"),
-      ("dedup_winnow_pairs", d => TextOps.winnowPairs(d, 12, 8, 2, 50), "pair"),
-      ("tfidf_cosine_pairs", d => TextOps.tfidfCosinePairs(d, 10, 60), "pair"),
-      ("tfidf_cosine_sharded",
+    // Op table: name (= SparkEntry.queries key), constructor, tier, and
+    // — for pair-emission ops whose output is NOT its candidate set —
+    // the pre-verify candidate relation, counted alongside the timed
+    // runs so ratio-vs-candidate-volume is measured, not argued.
+    // (For dedup_minhash_lsh the output IS the candidate set — every
+    // banded pair is emitted with its estimate, no threshold filter —
+    // so its rows1/rowsN columns already carry the candidate counts.)
+    final case class Op(name: String, f: DataFrame => DataFrame,
+                        tier: String,
+                        cand: Option[DataFrame => DataFrame] = None)
+    val ops: Seq[Op] = Seq(
+      Op("pack_chunks", d => TextOps.packChunks(d, 4096L, 64L), "doc"),
+      Op("dedup_exact_groups", Dedup.exactGroups, "doc"),
+      Op("doc_repetition", TextOps.repetitionSignals, "doc"),
+      Op("corpus_ngrams", d => TextOps.corpusNgrams(d, 3, 50), "doc"),
+      Op("bpe_merges", d => TextOps.bpeMerges(d, 3), "doc"),
+      Op("contamination_hits", d => TextOps.contaminationHits(d, 5), "doc"),
+      // multimodal plumbing rides the doc replica like the text ops:
+      // payloads derive from text bytes (stubbed codec), never shuffle
+      Op("media_features", d => Multimodal.decodeAndFeaturize(spark,
+        Multimodal.fromDocuments(d)).toDF(), "doc"),
+      Op("media_resized", d => Multimodal.resizeStub(
+        Multimodal.fromDocuments(d), targetBytes = 96, targetW = 64,
+        targetH = 48), "doc"),
+      Op("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
+      Op("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
+      Op("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),
+      Op("sessionize", e => EventStream.sessionize(e), "evt"),
+      // as-of join: replicas add user populations, purchases/clicks per
+      // user constant — the window join should scale with event volume
+      Op("asof_purchase_click", e => {
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+        val clicks = e.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        Temporal.asOfJoin(purchases, clicks, "user_id", "ts",
+          leftCols = Seq("purchase_id"), rightCols = Seq("click_id"))
+      }, "evt"),
+      Op("approx_distinct_merged", e => Sketches.kmvMergedEstimate(e,
+        "event_type", "user_id", k = 32,
+        include = Seq("click", "purchase")), "evt"),
+      Op("pagerank3", e => Graph.pagerankInt(e, iters = 3), "graph"),
+      Op("triangle_count", e => Graph.triangleCount(e), "graph"),
+      Op("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pair"),
+      Op("dedup_winnow_pairs", d => TextOps.winnowPairs(d, 12, 8, 2, 50), "pair"),
+      Op("tfidf_cosine_pairs", d => TextOps.tfidfCosinePairs(d, 10, 60), "pair",
+        // threshold 0 keeps every candidate: tf·idf weights are
+        // non-negative, so cos ≥ 0 admits the whole dot relation
+        cand = Some(d => TextOps.tfidfCosinePairs(d, 10, 0))),
+      Op("tfidf_cosine_sharded",
         d => TextOps.tfidfCosinePairs(d, 10, 60, buildShards = 4), "pair"),
-      ("dedup_components", d => Dedup.jaccardComponents(d, 9), "pair"),
-      ("dedup_containment", d => Dedup.containmentPairs(d, 9), "pair"),
-      ("dedup_incremental_containment", d => {
+      Op("dedup_components", d => Dedup.jaccardComponents(d, 9), "pair"),
+      Op("dedup_containment", d => Dedup.containmentPairs(d, 9), "pair",
+        cand = Some(d => Dedup.containmentCandidates(d, 9))),
+      Op("dedup_incremental_containment", d => {
         val half = d.agg(max("doc_id")).first().getLong(0) / 2
         Dedup.dedupAgainstCorpusContainment(
           d.filter(col("doc_id") > half),
           d.filter(col("doc_id") <= half), 10)
       }, "pair"),
-      ("dedup_simhash", d => Dedup.simhashPairs(d, 4), "pair"))
+      Op("dedup_simhash", d => Dedup.simhashPairs(d, 4), "pair",
+        cand = Some(d => Dedup.simhashCandidates(d, 4))))
 
+    // the streaming doc twin has no batch queries key by construction
+    // (it needs a streaming source); named after DocStream.dedupDocStream
+    val StreamDocOp = "stream_dedup_docs"
     only.foreach { names =>
-      val unknown = names -- ops.map(_._1).toSet
+      val unknown = names -- ops.map(_.name).toSet - StreamDocOp
       require(unknown.isEmpty, s"SPARK_GRAFT_ONLY names not smoked: " +
         unknown.toSeq.sorted.mkString(", "))
     }
-    val OpTiers = ops.map { case (n, _, t) => (n, t) }
+    val OpTiers = ops.map(o => (o.name, o.tier))
     val GraphNodes = 50000L
     var docStrideSeen = 0L
 
@@ -137,7 +175,7 @@ object ScaleSmoke {
       case None => Set("doc", "emb", "evt", "graph")
       case Some(names) => OpTiers.collect {
         case (n, t) if names(n) => if (t == "pair") "doc" else t
-      }.toSet
+      }.toSet ++ (if (names(StreamDocOp)) Set("doc") else Set.empty)
     }
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
 
@@ -181,10 +219,10 @@ object ScaleSmoke {
         spark.read.parquet(s"$base/edgesN"))
     }
 
-    def time(f: => DataFrame): Double = {
+    def time(f: => DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()
-      f.count()
-      (System.nanoTime() - t0) / 1e9
+      val n = f.count()
+      ((System.nanoTime() - t0) / 1e9, n)
     }
 
     // The testdata corpus is adversarially self-similar (tiny
@@ -203,33 +241,40 @@ object ScaleSmoke {
       .foreach { case (a, b) => a.count(); b.count() }
 
     val rows = ops
-      .filter { case (name, _, _) => only.forall(_.contains(name)) }
-      .map { case (name, f, tier) =>
-        val (small, big, fac) = tier match {
+      .filter(o => only.forall(_.contains(o.name)))
+      .map { o =>
+        val (small, big, fac) = o.tier match {
           case "doc" => (docTier.get._1, docTier.get._2, factor)
           case "emb" => (embTier.get._1, embTier.get._2, factor)
           case "evt" => (evtTier.get._1, evtTier.get._2, factor)
           case "graph" => (graphTier.get._1, graphTier.get._2, factor)
           case _ => (docTier.get._1, docsP, pairFactor)
         }
-        println(s"[scale] running $name (factor $fac) ..."); Console.flush()
-        f(small).count() // per-op codegen warm-up at the small tier
+        println(s"[scale] running ${o.name} (factor $fac) ..."); Console.flush()
+        o.f(small).count() // per-op codegen warm-up at the small tier
         // min-of-2 per tier: a transient load spike on a shared container
         // otherwise records a phantom blow-up (observed 52 s vs a true
         // 4-7 s on one run of doc_repetition)
-        val t1 = math.min(time(f(small)), time(f(small)))
-        val tN = math.min(time(f(big)), time(f(big)))
+        val (ta1, rows1) = time(o.f(small))
+        val t1 = math.min(ta1, time(o.f(small))._1)
+        val (taN, rowsN) = time(o.f(big))
+        val tN = math.min(taN, time(o.f(big))._1)
         val ratio = if (t1 > 0) tN / t1 else -1.0
-        println(f"[scale] $name%-22s t1=$t1%7.2fs tN=$tN%7.2fs factor=$fac ratio=$ratio%6.2f")
+        // candidate volume (pre-verify pair relation), one count per
+        // scale — the denominator the time ratio is judged against
+        val cands = o.cand.map(c => (c(small).count(), c(big).count()))
+        val candTxt = cands.map { case (c1, cN) =>
+          f" cand=$c1%d→$cN%d" }.getOrElse("")
+        println(f"[scale] ${o.name}%-22s t1=$t1%7.2fs tN=$tN%7.2fs factor=$fac ratio=$ratio%6.2f rows=$rows1%d→$rowsN%d$candTxt%s")
         Console.flush()
-        (name, t1, tN, fac, ratio)
+        (o.name, t1, tN, fac, ratio, rows1, rowsN, cands)
       }
 
     // matmul: FLOP scaling instead of corpus scaling (8× work per 2×n)
     def mm(n: Long): Double = {
       val a = MatrixOps.genDense(spark, n, seed = 7)
       val b = MatrixOps.genDense(spark, n, seed = 11)
-      time(MatrixOps.multiplyBlocked(spark, a, b, n))
+      time(MatrixOps.multiplyBlocked(spark, a, b, n))._1
     }
     val matmulJson = if (only.isEmpty) {
       mm(256) // warm the blocked-kernel codegen
@@ -240,11 +285,50 @@ object ScaleSmoke {
       s""","matmul":{"t1024":${fmt(t1024)},"t2048":${fmt(t2048)},"ratio":${fmt(t2048 / t1024)}}"""
     } else ""
 
+    // Streaming doc twin: readStream over the same materialized parquet
+    // replicas (1× = the driver's own documents file), AvailableNow
+    // micro-batching, memory sink on the skinny id projection. Timed
+    // region = start → awaitTermination, so state-store maintenance is
+    // inside the clock like any real ingestion run.
+    val streamJson =
+      if (tiersWanted("doc") && only.forall(_.contains(StreamDocOp))) {
+        def runStream(path: String, tag: String): (Double, Long) = {
+          val schema = spark.read.parquet(path).schema
+          val src = spark.readStream.schema(schema).parquet(path)
+            .withColumn("ts", timestamp_micros(col("doc_id")))
+          val out = DocStream.dedupDocStream(src).select("doc_id")
+          val ckpt = java.nio.file.Files
+            .createTempDirectory(s"graft_ckpt_$tag").toString
+          val t0 = System.nanoTime()
+          val q = out.writeStream
+            .format("memory").queryName(s"stream_dedup_$tag")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          ((System.nanoTime() - t0) / 1e9,
+            spark.table(s"stream_dedup_$tag").count())
+        }
+        val small = s"$sfDir/documents.parquet"
+        val (t1, rows1) = runStream(small, "s1")
+        val (tN, rowsN) = runStream(s"$base/documents", "sN")
+        val ratio = if (t1 > 0) tN / t1 else -1.0
+        println(f"[scale] $StreamDocOp%-22s t1=$t1%7.2fs tN=$tN%7.2fs factor=$factor ratio=$ratio%6.2f rows=$rows1%d→$rowsN%d")
+        def fmt3(v: Double) = f"$v%.3f"
+        s""","$StreamDocOp":{"t1":${fmt3(t1)},"tN":${fmt3(tN)},"factor":$factor,"ratio":${fmt3(ratio)},"rows1":$rows1,"rowsN":$rowsN}"""
+      } else ""
+
     def fmt(v: Double) = f"$v%.3f"
-    val qs = rows.map { case (n, t1, tN, fac, r) =>
-      s""""$n":{"t1":${fmt(t1)},"tN":${fmt(tN)},"factor":$fac,"ratio":${fmt(r)}}"""
+    val qs = rows.map { case (n, t1, tN, fac, r, r1, rN, cands) =>
+      val candJson = cands.map { case (c1, cN) =>
+        s""","cand1":$c1,"candN":$cN""" }.getOrElse("")
+      s""""$n":{"t1":${fmt(t1)},"tN":${fmt(tN)},"factor":$fac,"ratio":${fmt(r)},"rows1":$r1,"rowsN":$rN$candJson}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_smoke","factor":$factor,"sf":"$sfDir","ops":$qs$matmulJson}""")
+    val qsWithStream =
+      if (streamJson.isEmpty) qs
+      else if (qs == "{}") "{" + streamJson.drop(1) + "}"
+      else qs.dropRight(1) + streamJson + "}"
+    println(s"""{"metric":"scale_smoke","factor":$factor,"sf":"$sfDir","ops":$qsWithStream$matmulJson}""")
     spark.stop()
   }
 }

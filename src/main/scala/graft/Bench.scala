@@ -123,12 +123,21 @@ object Bench {
     println(line)
     // committed-file twin of the stdout line: the driver's tail capture
     // has dropped 29-45 head entries two rounds running; the full
-    // artifact must survive regardless of how the log is clipped
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
-    }
+    // artifact must survive regardless of how the log is clipped.
+    // SPARK_GRAFT_ONLY dev runs skip the write — a partial suite
+    // claiming metric=total must never clobber the committed artifact.
+    // SPARK_GRAFT_BENCH_OUT names the file (per-round artifacts, e.g.
+    // BENCH_FULL_r06.json, so the file of record says which round).
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    if (only.nonEmpty)
+      System.err.println("[bench] SPARK_GRAFT_ONLY active — skipping " +
+        s"$benchOut write (partial run is not the full suite)")
+    else
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(benchOut), line + "\n")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $benchOut write failed: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

@@ -139,8 +139,11 @@ object BenchHarness {
     writeCsv(df, tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(dir), spark.sparkContext.hadoopConfiguration)
-    val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.csv"))
-      .head.getPath
+    val parts = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.csv"))
+    require(parts != null && parts.nonEmpty,
+      s"no part-*.csv under $tmp — the CSV write aborted or a " +
+        "non-default committer changed the part naming")
+    val part = parts.head.getPath
     val dest = new org.apache.hadoop.fs.Path(s"$dir/$fileName")
     fs.delete(dest, false)
     fs.rename(part, dest)

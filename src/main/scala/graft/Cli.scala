@@ -127,7 +127,14 @@ object Cli {
       Set("time_ms", "avg_time_ms", "threads"))
     val cellAggs = (sum("t_ms") / count(lit(1))).as("avg_time_ms") +:
       memCols.map(c => max(col(c)).as(c))
+    // Stage-1/2 cells exclude the Stage-3 thread-sweep files: the
+    // reference's visualizers are stage-scoped (per-stage impl dirs,
+    // `results_*opt_*.csv` glob) and never average across thread
+    // counts — without this filter the 1/2/4-thread parallel runs of
+    // the basic kernel would fold into the same (lang, algo, size)
+    // cell as the full-width opt-grid run
     val perCell = clean
+      .filter(!coalesce(col("source_file"), lit("")).rlike("parallel"))
       .groupBy("lang", "algo", "size")
       .agg(cellAggs.head, cellAggs.tail: _*)
     val stage1 = Seq(

@@ -13,7 +13,10 @@ import graft.operators.Dedup
 
 object HybridProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // no default: a baked-in absolute path defeats the tool's purpose
+    // (reproducing the conclusion against arbitrary future corpora)
+    require(args.nonEmpty, "usage: graft.HybridProbe <sfDir>")
+    val sfDir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

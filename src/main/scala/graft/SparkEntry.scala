@@ -38,6 +38,14 @@ object SparkEntry {
     * sf0.01 instead of 4k). */
   private val NLarge = 512L
 
+  /** Containment threshold (tenths) of `dedup_incremental_containment`
+    * — ONE constant feeding both the query declaration and the
+    * generated oracle SQL, so changing the threshold can never silently
+    * diverge the two. t = 10 (strict subset) is the discriminating
+    * setting on this adversarially self-similar corpus (see the query's
+    * comment). */
+  private val IncContainTenths = 10
+
   private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
@@ -361,7 +369,8 @@ object SparkEntry {
       val half = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) / 2
       Dedup.dedupAgainstCorpusContainment(
         docs.filter(col("doc_id") > half),
-        docs.filter(col("doc_id") <= half), thresholdTenths = 10)
+        docs.filter(col("doc_id") <= half),
+        thresholdTenths = IncContainTenths)
         .orderBy("doc_id")
     }),
     "doc_fingerprint" -> ((s, dir) =>
@@ -1465,7 +1474,7 @@ object SparkEntry {
         |    WHERE c.doc_id <= half.h AND md5(c.text) = md5(d.text))
         |ORDER BY d.doc_id""".stripMargin,
     "dedup_incremental_containment" ->
-      """WITH half AS (SELECT MAX(doc_id) // 2 AS h FROM documents),
+      s"""WITH half AS (SELECT MAX(doc_id) // 2 AS h FROM documents),
         |tok AS (
         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
         |  FROM documents),
@@ -1480,7 +1489,7 @@ object SparkEntry {
         |WHERE d.doc_id > half.h
         |  AND NOT EXISTS (
         |    SELECT 1 FROM inter i JOIN n ON i.d1 = n.doc_id
-        |    WHERE i.d1 = d.doc_id AND i.inter * 10 >= n.n * 10)
+        |    WHERE i.d1 = d.doc_id AND i.inter * 10 >= n.n * $IncContainTenths)
         |ORDER BY doc_id""".stripMargin,
     "dedup_incremental_simhash" -> {
       // same md5-vote fingerprint CTE as dedup_simhash; the engine's

@@ -286,10 +286,13 @@ object ScaleSmoke {
     } else ""
 
     // Streaming doc twin: readStream over the same materialized parquet
-    // replicas (1× = the driver's own documents file), AvailableNow
-    // micro-batching, memory sink on the skinny id projection. Timed
-    // region = start → awaitTermination, so state-store maintenance is
-    // inside the clock like any real ingestion run.
+    // replicas, AvailableNow micro-batching, memory sink on the skinny
+    // id projection. Timed region = start → awaitTermination, so
+    // state-store maintenance is inside the clock like any real
+    // ingestion run. The 1× side is re-materialized as a DIRECTORY
+    // (the driver testdata is a single parquet file, which
+    // FileStreamSource rejects — "Option 'basePath' must be a
+    // directory"); the write sits outside the timed region.
     val streamJson =
       if (tiersWanted("doc") && only.forall(_.contains(StreamDocOp))) {
         def runStream(path: String, tag: String): (Double, Long) = {
@@ -309,9 +312,15 @@ object ScaleSmoke {
           ((System.nanoTime() - t0) / 1e9,
             spark.table(s"stream_dedup_$tag").count())
         }
-        val small = s"$sfDir/documents.parquet"
-        val (t1, rows1) = runStream(small, "s1")
-        val (tN, rowsN) = runStream(s"$base/documents", "sN")
+        val small = s"$base/documents1"
+        docTier.get._1.write.mode("overwrite").parquet(small)
+        // min-of-2 with fresh checkpoints, like the batch ops: the
+        // first streaming query in a session carries one-time state
+        // store + sink init that otherwise lands entirely on t1
+        val (ta1, rows1) = runStream(small, "s1a")
+        val t1 = math.min(ta1, runStream(small, "s1b")._1)
+        val (taN, rowsN) = runStream(s"$base/documents", "sNa")
+        val tN = math.min(taN, runStream(s"$base/documents", "sNb")._1)
         val ratio = if (t1 > 0) tN / t1 else -1.0
         println(f"[scale] $StreamDocOp%-22s t1=$t1%7.2fs tN=$tN%7.2fs factor=$factor ratio=$ratio%6.2f rows=$rows1%d→$rowsN%d")
         def fmt3(v: Double) = f"$v%.3f"

@@ -454,17 +454,20 @@ object Dedup {
     * IEEE step is the final inter/n1 division, written identically in
     * the oracle.
     *
-    * PROFILE (round 6, `graft.ContainmentProbe`, sf0.1, t = 0.9 —
-    * cumulative stage counts): quotient 0.7 s → 4,266 reps; + prefix
-    * candidates + distinct → 4.2 M candidate pairs; + sorted-merge
-    * verify → 983 k rep pairs; + member expansion → 2.1 M output rows,
-    * ~7 s total. Candidates dominate the wall time; isolated staging
-    * (eager checkpoints, same session) prices the raw fan-out at
-    * 0.8 s / 8.6 M hits and the distinct at ~1 s once the probe side
-    * is spread — and the scale smoke measures time ratio 7.3× against
-    * candidate ratio 8.8× at 3× replicas (SCALESMOKE_r06). The
-    * remaining cost rides the 4.2 M-candidate / 2.1 M-output volume:
-    * inherent pair-emission work, not a plan defect. */
+    * PROFILE (round 6, `graft.ContainmentProbe`, sf0.1, t = 0.9,
+    * committed as CONTAINMENT_PROBE_r06.json — cumulative stage
+    * counts): quotient 0.64 s → 4,266 reps; + prefix candidates +
+    * distinct 5.64 s → 4.2 M candidate pairs; + sorted-merge verify
+    * 6.31 s → 983 k rep pairs; + member expansion 6.51 s → 2.1 M
+    * output rows. Candidate generation IS the cost (5.0 s of 6.5);
+    * verify adds 0.7 s, expansion 0.2 s. Isolated staging (eager
+    * checkpoints, same session) prices the raw fan-out at 0.8 s /
+    * 8.6 M hits and the distinct at ~1 s once the probe side is
+    * spread — and the scale smoke measures time ratio 6.61× against
+    * candidate ratio 8.78× at 3× replicas (SCALESMOKE_r06): time
+    * grows SLOWER than measured candidate volume. The cost rides the
+    * 4.2 M-candidate / 2.1 M-output volume: inherent pair-emission
+    * work, not a plan defect. */
   /** The (lang, distinct-token-bag) class quotient shared by
     * [[containmentPairs]] and [[containmentCandidates]]: returns
     * `(members, repDocs)` — every doc with its class key + rep, and the

@@ -133,7 +133,13 @@ object ScaleSmoke {
         include = Seq("click", "purchase")), "evt"),
       Op("pagerank3", e => Graph.pagerankInt(e, iters = 3), "graph"),
       Op("triangle_count", e => Graph.triangleCount(e), "graph"),
+      Op("bm25_topk", d => TextOps.bm25TopK(d, Seq(
+        "q_stream" -> Seq("spark", "stream", "window"),
+        "q_join" -> Seq("join", "merge", "hash")), 20), "doc"),
       Op("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pair"),
+      // the linear-candidate tier: candidates = window*N by construction
+      Op("dedup_snm", d => Dedup.snmPairs(d, 4, 9), "pair",
+        cand = Some(d => Dedup.snmCandidates(d, 4))),
       Op("dedup_winnow_pairs", d => TextOps.winnowPairs(d, 12, 8, 2, 50), "pair"),
       Op("tfidf_cosine_pairs", d => TextOps.tfidfCosinePairs(d, 10, 60), "pair",
         // threshold 0 keeps every candidate: tf·idf weights are

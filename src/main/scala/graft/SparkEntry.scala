@@ -46,6 +46,21 @@ object SparkEntry {
     * comment). */
   private val IncContainTenths = 10
 
+  /** `bm25_topk`'s fixed query set and cutoff — ONE definition feeding
+    * both the Spark declaration and the generated oracle SQL (the
+    * [[IncContainTenths]] rule: shared constants cannot silently
+    * diverge). Two 3-term queries over the corpus vocabulary with
+    * distinct df profiles. */
+  private val Bm25Queries = Seq(
+    "q_stream" -> Seq("spark", "stream", "window"),
+    "q_join" -> Seq("join", "merge", "hash"))
+  private val Bm25K = 20
+
+  /** `dedup_snm`'s neighborhood width and Jaccard threshold (tenths) —
+    * shared query/oracle constants, same rule as [[Bm25Queries]]. */
+  private val SnmWindow = 4
+  private val SnmTenths = 9
+
   private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
@@ -455,6 +470,11 @@ object SparkEntry {
     "inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(Tables.documents(s, dir), maxPostings = 20)
         .orderBy("token")),
+    // Ranked retrieval: BM25 top-20 per fixed query, integer-quantized
+    // idf×saturation contributions so the score is an exact bigint.
+    "bm25_topk" -> ((s, dir) =>
+      TextOps.bm25TopK(Tables.documents(s, dir), Bm25Queries, Bm25K)
+        .orderBy("query_id", "rnk")),
     // Bigram familiarity vs the corpus top-100 table — the
     // integer-exact LM-perplexity filtering proxy.
     "doc_familiarity" -> ((s, dir) =>
@@ -594,6 +614,12 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), n = 12,
         thresholdTenths = 9).orderBy("d1", "d2")),
+    // Sorted-neighborhood (merge/purge) tier: each doc vs its 4
+    // successors in per-lang (text, doc_id) order, Jaccard >= 0.9 —
+    // the LINEAR-candidate (window*N) first pass of a dedup cascade.
+    "dedup_snm" -> ((s, dir) =>
+      Dedup.snmPairs(Tables.documents(s, dir), window = SnmWindow,
+        thresholdTenths = SnmTenths).orderBy("d1", "d2")),
     // Semantic tier: embedding-cosine near-dups (label-blocked). The
     // synthetic embedding space tops out near cos 0.48, so 0.35 is the
     // "anomalously close" tail (13-400 pairs across SFs), not noise.
@@ -1743,6 +1769,39 @@ object SparkEntry {
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
         |  array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings
         |FROM tok GROUP BY 1 ORDER BY token""".stripMargin,
+    "bm25_topk" -> {
+      val values = Bm25Queries.flatMap { case (qid, ts) =>
+        ts.map(t => s"('$qid', '$t')") }.mkString(", ")
+      s"""WITH q(query_id, token) AS (VALUES $values),
+        |base AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM base GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM base GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |scored AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    CAST(SUM(CAST(floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * 10000) AS BIGINT)
+        |      * CAST(floor((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) * 10000) AS BIGINT)) AS BIGINT) AS score
+        |  FROM tf JOIN q ON tf.token = q.token
+        |    JOIN dfreq d ON tf.token = d.token
+        |    JOIN dl l ON tf.doc_id = l.doc_id
+        |    CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, doc_id, score, rnk FROM (
+        |  SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM scored) r
+        |WHERE rnk <= $Bm25K
+        |ORDER BY query_id, rnk""".stripMargin
+    },
 
     "media_features" ->
       // the stub codec's scalar surface is pure arithmetic over the
@@ -1810,6 +1869,32 @@ object SparkEntry {
         |                   JOIN cnt c2 ON i.d2 = c2.doc_id) j
         |WHERE inter * 10 >= (n1 + n2 - inter) * 9
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_snm" -> {
+      s"""WITH ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY text, doc_id) AS rnk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM ranked a JOIN ranked b
+        |    ON a.lang = b.lang AND b.rnk > a.rnk AND b.rnk <= a.rnk + $SnmWindow),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT p.da, p.db, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM pairs p JOIN tok t1 ON t1.doc_id = p.da
+        |    JOIN tok t2 ON t2.doc_id = p.db AND t2.token = t1.token
+        |  GROUP BY 1, 2)
+        |SELECT least(i.da, i.db) AS d1, greatest(i.da, i.db) AS d2, i.inter,
+        |  c1.n + c2.n - i.inter AS uni,
+        |  CAST(i.inter AS DOUBLE) / (c1.n + c2.n - i.inter) AS jaccard
+        |FROM inter i JOIN cnt c1 ON i.da = c1.doc_id
+        |  JOIN cnt c2 ON i.db = c2.doc_id
+        |WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * $SnmTenths
+        |ORDER BY d1, d2""".stripMargin
+    },
     "dedup_containment" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token

@@ -1004,4 +1004,91 @@ object Dedup {
     simhashCandidates(docs, maxDistance)
       .filter(col("hamming") <= maxDistance)
       .groupBy("d1", "d2").agg(min("hamming").as("hamming"))
+
+  /** Global per-lang rank in (text, doc_id) order — the sorted-
+    * neighborhood method's sort step, built as a TWO-LEVEL PREFIX SUM
+    * (the [[graft.operators.TextOps.packChunks]] idiom) instead of one
+    * `row_number` window per language, which would put each language's
+    * ENTIRE corpus on a single task. The shard key is the text's first
+    * `prefixChars` characters: a PREFIX of the sort key, so shard order
+    * is monotone in (text, doc_id) order and per-shard local ranks plus
+    * the exclusive per-lang shard-count running sum reproduce the
+    * global rank exactly. Parallelism = #(lang, shard); `prefixChars`
+    * is the deployment knob that sizes shards (longer prefix → more,
+    * smaller shards). */
+  private def snmRanks(docs: DataFrame, prefixChars: Int): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("lang"), col("text"),
+      substring(col("text"), 1, prefixChars).as("shard"))
+    // level 1: per-(lang, shard) doc counts → exclusive running offsets
+    // (metadata-scale: one row per shard)
+    val wOff = Window.partitionBy("lang").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy("lang", "shard")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("lang"), col("shard"),
+        coalesce(sum("cnt").over(wOff), lit(0L)).as("offset"))
+    // level 2: shard-LOCAL row_number + broadcast offset = global rank
+    val wLoc = Window.partitionBy("lang", "shard")
+      .orderBy("text", "doc_id")
+    keyed.join(broadcast(offsets), Seq("lang", "shard"))
+      .withColumn("rnk", col("offset") + row_number().over(wLoc))
+      .select(col("lang"), col("doc_id"), col("rnk"))
+  }
+
+  /** Sorted-neighborhood candidate pairs: each doc against the `window`
+    * docs that FOLLOW it in its language's (text, doc_id) sort order —
+    * emitted as one equi-join of rank probes (rank + 1 … rank + window)
+    * against the rank relation, so the candidate count is EXACTLY
+    * bounded by window·N: the only pair tier whose candidate volume is
+    * linear in the corpus by construction. */
+  def snmCandidates(docs: DataFrame, window: Int,
+                    prefixChars: Int = 4): DataFrame = {
+    val ranked = snmRanks(docs, prefixChars)
+    val probes = ranked
+      .select(col("lang"), col("doc_id").as("da"), col("rnk"),
+        explode(sequence(lit(1), lit(window))).as("off"))
+      .select(col("lang"), col("da"), (col("rnk") + col("off")).as("rnk"))
+    probes.join(ranked, Seq("lang", "rnk"))
+      .select(col("da"), col("doc_id").as("db"))
+  }
+
+  /** Sorted-neighborhood (SNM) near-dup pairs — Hernández & Stolfo's
+    * merge/purge blocking (SIGMOD'95) as the LINEAR-candidate dedup
+    * tier: sort each language by text, compare each doc only to its
+    * `window` successors, verify token-set Jaccard ≥ t. Complements
+    * the exact-recall tiers ([[jaccardPairs]]' prefix filter, LSH
+    * banding): recall is limited to sorted-adjacent near-dups — shared
+    * prefixes, boilerplate headers, append-only edits — but candidate
+    * volume is window·N rows at ANY corpus size, no similarity-skew
+    * term at all, which makes it the cheap first pass of a tiered
+    * 100 TB dedup cascade.
+    *
+    * Plan shape: one range-ordered rank (two-level prefix sum,
+    * parallel in #(lang, shard)), one equi-join on (lang, rank), one
+    * sorted-array merge verify ([[graft.functions.VectorFunctions
+    * .sortedIntersectCount]]). The threshold compare stays integral
+    * (inter·10 ≥ uni·t) and the only float is the final division,
+    * written identically in the oracle. */
+  def snmPairs(docs: DataFrame, window: Int, thresholdTenths: Int,
+               prefixChars: Int = 4): DataFrame = {
+    val t = thresholdTenths
+    val tok = tokenPostings(docs)
+      .select(col("doc_id"), xxhash64(col("token")).as("tid"))
+    val docToks = tok.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("tid"))).as("toks"),
+        count(lit(1)).as("n"))
+    snmCandidates(docs, window, prefixChars)
+      .join(docToks.select(col("doc_id").as("da"), col("toks").as("toks1"),
+        col("n").as("n1")), "da")
+      .join(docToks.select(col("doc_id").as("db"), col("toks").as("toks2"),
+        col("n").as("n2")), "db")
+      .withColumn("inter", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("toks1"), col("toks2")))
+      .withColumn("uni", col("n1") + col("n2") - col("inter"))
+      .filter(col("inter") * 10 >= col("uni") * t)
+      .select(least(col("da"), col("db")).as("d1"),
+        greatest(col("da"), col("db")).as("d2"),
+        col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
 }

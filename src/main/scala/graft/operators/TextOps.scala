@@ -691,6 +691,66 @@ object TextOps {
           slice(sort_array(collect_list(col("doc_id"))), 1, maxPostings))
           .as("postings"))
 
+  /** BM25 top-k retrieval (Robertson/Lucene variant) over a small fixed
+    * query set — the ranked-retrieval consumer of the
+    * [[invertedIndex]]/[[salientVectors]] IR tier. For query q and doc
+    * d: score = Σ_t∈q idf(t)·satu(t,d), idf = ln(1 + (N−df+½)/(df+½)),
+    * satu = tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)), k1 = 1.2, b = 0.75.
+    *
+    * Engine-exact scoring: idf and the saturation term are each
+    * quantized to 10⁻⁴ via `floor` and the per-term contribution is
+    * their INTEGER product, so the per-doc score is an exact bigint sum
+    * — no float summation-order hazard between Spark and the oracle
+    * (ln / * / ÷ are computed in one identical expression order on
+    * both engines before the floor).
+    *
+    * Plan shape: the term-frequency scan filters to the query's terms
+    * BEFORE aggregating (the only corpus-wide work is one pushed-down
+    * token scan); query terms, per-term df, and the one-row corpus
+    * stats all broadcast. Top-k per query is a row_number window that
+    * Spark executes as WindowGroupLimit — each partition prunes to k
+    * rows map-side, so the final per-query sort sees k·partitions
+    * rows, not the corpus. */
+  def bm25TopK(docs: DataFrame, queries: Seq[(String, Seq[String])],
+               k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val terms = queries.flatMap { case (qid, ts) => ts.map((qid, _)) }
+      .toDF("query_id", "token")
+    val wanted = queries.flatMap(_._2).distinct
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = toks.filter(col("token").isin(wanted: _*))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.filter(col("token").isin(wanted: _*))
+      .select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val idfq = floor(log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) * 10000)
+      .cast("long")
+    val satq = floor((col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) * 10000)
+      .cast("long")
+    val scored = tf
+      .join(broadcast(terms), "token")
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idfq * satq)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("contrib").as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("query_id", "doc_id", "score", "rnk")
+  }
+
   /** Cross-split leakage: duplicate-content classes whose members land
     * in DIFFERENT [[hashSplit]] splits — the train/test contamination
     * every deduplicate-then-split pipeline must audit (dedup by

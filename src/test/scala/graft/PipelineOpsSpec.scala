@@ -174,6 +174,57 @@ class PipelineOpsSpec extends SparkSpec {
       "auto-sharded pairs must equal the single-broadcast tier")
   }
 
+  test("SNM pairs catch sorted-adjacent near-dups; ranks invariant to shard width") {
+    // en sort order by (text, doc_id): 4, 2, 0, 1, 3 — every near-dup
+    // pair sits within window 4; doc 4 is dissimilar, de has one doc
+    val pairs = Dedup.snmPairs(docs, window = 4, thresholdTenths = 7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((0L, 1L), (0L, 2L), (1L, 2L), (0L, 3L), (1L, 3L), (2L, 3L)))
+    // the two-level rank must not depend on how the prefix shards cut:
+    // 1-char shards (several per lang) and 8-char shards (fewer) agree
+    val wide = Dedup.snmPairs(docs, window = 4, thresholdTenths = 7,
+      prefixChars = 1).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val narrow = Dedup.snmPairs(docs, window = 4, thresholdTenths = 7,
+      prefixChars = 8).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wide === pairs && narrow === pairs)
+    // candidate volume is linear by construction: <= window * N
+    assert(Dedup.snmCandidates(docs, window = 4).count() <= 4L * docs.count())
+    // window 1 sees only consecutive docs: (2,0),(0,1),(1,3) survive t=7
+    val w1 = Dedup.snmPairs(docs, window = 1, thresholdTenths = 7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w1 === Set((0L, 2L), (0L, 1L), (1L, 3L)))
+  }
+
+  test("BM25 ranks higher-tf docs first, prunes top-k map-side") {
+    val corpus = Seq(
+      (1L, "apple apple apple banana", "en", "s0", 24L),
+      (2L, "apple banana cherry date", "en", "s0", 24L),
+      (3L, "banana cherry date egg", "en", "s0", 22L),
+      (4L, "fig grape kiwi lemon", "en", "s0", 20L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.bm25TopK(corpus, Seq("q" -> Seq("apple")), k = 10)
+      .orderBy("rnk").collect()
+    // only the two apple docs score; tf=3 beats tf=1 at equal length
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getLong(3)).toSeq === Seq(1L, 2L))
+    assert(out(0).getLong(2) > out(1).getLong(2) && out(1).getLong(2) > 0L)
+    // k cutoff applies per query
+    assert(TextOps.bm25TopK(corpus, Seq("q" -> Seq("apple")), k = 1).count() === 1)
+    // multi-term query unions matches; rarer terms contribute higher idf
+    val two = TextOps.bm25TopK(corpus,
+      Seq("q2" -> Seq("banana", "egg")), k = 10).orderBy("rnk").collect()
+    assert(two.map(_.getLong(1)).toSet === Set(1L, 2L, 3L))
+    assert(two.head.getLong(1) === 3L, "the only egg doc must rank first")
+    // the per-query top-k must prune map-side (WindowGroupLimit), not
+    // sort the whole scored relation
+    val p = TextOps.bm25TopK(corpus, Seq("q" -> Seq("apple")), k = 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"),
+      s"bm25 top-k must prune map-side, plan:\n$p")
+  }
+
   test("minhash LSH candidates include true near-dups, estimates bounded") {
     val pairs = Dedup.minhashLshPairs(docs, numHashes = 32, bands = 8)
     val m = pairs.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap

@@ -140,6 +140,8 @@ object ScaleSmoke {
       // the linear-candidate tier: candidates = window*N by construction
       Op("dedup_snm", d => Dedup.snmPairs(d, 4, 9), "pair",
         cand = Some(d => Dedup.snmCandidates(d, 4))),
+      Op("dedup_snm_multipass", d => Dedup.snmPairsMultiPass(d, 4, 9), "pair",
+        cand = Some(d => Dedup.snmMultiPassCandidates(d, 4))),
       Op("dedup_winnow_pairs", d => TextOps.winnowPairs(d, 12, 8, 2, 50), "pair"),
       Op("tfidf_cosine_pairs", d => TextOps.tfidfCosinePairs(d, 10, 60), "pair",
         // threshold 0 keeps every candidate: tf·idf weights are

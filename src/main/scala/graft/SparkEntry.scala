@@ -620,6 +620,12 @@ object SparkEntry {
     "dedup_snm" -> ((s, dir) =>
       Dedup.snmPairs(Tables.documents(s, dir), window = SnmWindow,
         thresholdTenths = SnmTenths).orderBy("d1", "d2")),
+    // Multi-pass SNM (the deployed merge/purge form): text-order pass
+    // UNION reversed-text pass — suffix-sharing near-dups that diverge
+    // in their opening tokens become adjacent in pass 2.
+    "dedup_snm_multipass" -> ((s, dir) =>
+      Dedup.snmPairsMultiPass(Tables.documents(s, dir), window = SnmWindow,
+        thresholdTenths = SnmTenths).orderBy("d1", "d2")),
     // Semantic tier: embedding-cosine near-dups (label-blocked). The
     // synthetic embedding space tops out near cos 0.48, so 0.35 is the
     // "anomalously close" tail (13-400 pairs across SFs), not noise.
@@ -1888,6 +1894,40 @@ object SparkEntry {
         |    JOIN tok t2 ON t2.doc_id = p.db AND t2.token = t1.token
         |  GROUP BY 1, 2)
         |SELECT least(i.da, i.db) AS d1, greatest(i.da, i.db) AS d2, i.inter,
+        |  c1.n + c2.n - i.inter AS uni,
+        |  CAST(i.inter AS DOUBLE) / (c1.n + c2.n - i.inter) AS jaccard
+        |FROM inter i JOIN cnt c1 ON i.da = c1.doc_id
+        |  JOIN cnt c2 ON i.db = c2.doc_id
+        |WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * $SnmTenths
+        |ORDER BY d1, d2""".stripMargin
+    },
+    "dedup_snm_multipass" -> {
+      s"""WITH r1 AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY text, doc_id) AS rnk
+        |  FROM documents),
+        |r2 AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY reverse(text), doc_id) AS rnk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
+        |  FROM r1 a JOIN r1 b
+        |    ON a.lang = b.lang AND b.rnk > a.rnk AND b.rnk <= a.rnk + $SnmWindow
+        |  UNION
+        |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+        |  FROM r2 a JOIN r2 b
+        |    ON a.lang = b.lang AND b.rnk > a.rnk AND b.rnk <= a.rnk + $SnmWindow),
+        |tok AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT p.da, p.db, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM pairs p JOIN tok t1 ON t1.doc_id = p.da
+        |    JOIN tok t2 ON t2.doc_id = p.db AND t2.token = t1.token
+        |  GROUP BY 1, 2)
+        |SELECT i.da AS d1, i.db AS d2, i.inter,
         |  c1.n + c2.n - i.inter AS uni,
         |  CAST(i.inter AS DOUBLE) / (c1.n + c2.n - i.inter) AS jaccard
         |FROM inter i JOIN cnt c1 ON i.da = c1.doc_id

@@ -1016,9 +1016,11 @@ object Dedup {
     * global rank exactly. Parallelism = #(lang, shard); `prefixChars`
     * is the deployment knob that sizes shards (longer prefix → more,
     * smaller shards). */
-  private def snmRanks(docs: DataFrame, prefixChars: Int): DataFrame = {
-    val keyed = docs.select(col("doc_id"), col("lang"), col("text"),
-      substring(col("text"), 1, prefixChars).as("shard"))
+  private def snmRanks(docs: DataFrame, sortKey: Column,
+                       prefixChars: Int): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("lang"),
+      sortKey.as("skey"),
+      substring(sortKey, 1, prefixChars).as("shard"))
     // level 1: per-(lang, shard) doc counts → exclusive running offsets
     // (metadata-scale: one row per shard)
     val wOff = Window.partitionBy("lang").orderBy("shard")
@@ -1029,7 +1031,7 @@ object Dedup {
         coalesce(sum("cnt").over(wOff), lit(0L)).as("offset"))
     // level 2: shard-LOCAL row_number + broadcast offset = global rank
     val wLoc = Window.partitionBy("lang", "shard")
-      .orderBy("text", "doc_id")
+      .orderBy("skey", "doc_id")
     keyed.join(broadcast(offsets), Seq("lang", "shard"))
       .withColumn("rnk", col("offset") + row_number().over(wLoc))
       .select(col("lang"), col("doc_id"), col("rnk"))
@@ -1042,8 +1044,15 @@ object Dedup {
     * bounded by window·N: the only pair tier whose candidate volume is
     * linear in the corpus by construction. */
   def snmCandidates(docs: DataFrame, window: Int,
-                    prefixChars: Int = 4): DataFrame = {
-    val ranked = snmRanks(docs, prefixChars)
+                    prefixChars: Int = 4): DataFrame =
+    snmCandidatesBy(docs, col("text"), window, prefixChars)
+
+  /** [[snmCandidates]] under an arbitrary sort key — the multi-pass
+    * hook: each pass sorts by a different key (raw text, reversed
+    * text, …) and contributes its own window·N candidate set. */
+  def snmCandidatesBy(docs: DataFrame, sortKey: Column, window: Int,
+                      prefixChars: Int = 4): DataFrame = {
+    val ranked = snmRanks(docs, sortKey, prefixChars)
     val probes = ranked
       .select(col("lang"), col("doc_id").as("da"), col("rnk"),
         explode(sequence(lit(1), lit(window))).as("off"))
@@ -1070,14 +1079,49 @@ object Dedup {
     * (inter·10 ≥ uni·t) and the only float is the final division,
     * written identically in the oracle. */
   def snmPairs(docs: DataFrame, window: Int, thresholdTenths: Int,
-               prefixChars: Int = 4): DataFrame = {
+               prefixChars: Int = 4): DataFrame =
+    snmVerify(docs, snmCandidates(docs, window, prefixChars),
+      thresholdTenths)
+
+  /** Multi-pass SNM — the form merge/purge is actually deployed in
+    * (Hernández & Stolfo run several passes with independent sort
+    * keys and union the matches, because any single key misses dups
+    * that differ early in that key): pass 1 sorts by the text, pass 2
+    * by the REVERSED text, so near-dups that share a suffix but
+    * diverge in their opening tokens become sorted-adjacent in the
+    * second pass. Candidates = union of the per-pass window·N sets,
+    * normalized to (min, max) and deduplicated before ONE shared
+    * verify — still linear: ≤ passes·window·N rows. */
+  def snmPairsMultiPass(docs: DataFrame, window: Int,
+                        thresholdTenths: Int,
+                        prefixChars: Int = 4): DataFrame =
+    snmVerify(docs, snmMultiPassCandidates(docs, window, prefixChars),
+      thresholdTenths)
+
+  /** The multi-pass candidate relation (normalized, deduplicated) —
+    * public so scale smokes measure candidate volume directly. */
+  def snmMultiPassCandidates(docs: DataFrame, window: Int,
+                             prefixChars: Int = 4): DataFrame = {
+    val passes = Seq(col("text"), reverse(col("text")))
+    passes.map { key =>
+      snmCandidatesBy(docs, key, window, prefixChars)
+        .select(least(col("da"), col("db")).as("da"),
+          greatest(col("da"), col("db")).as("db"))
+    }.reduce(_.unionByName(_)).distinct()
+  }
+
+  /** Shared SNM verify: exact token-set Jaccard ≥ t over a candidate
+    * (da, db) relation — sorted-array native merge, integral threshold
+    * compare, the one float being the final division. */
+  private def snmVerify(docs: DataFrame, cands: DataFrame,
+                        thresholdTenths: Int): DataFrame = {
     val t = thresholdTenths
     val tok = tokenPostings(docs)
       .select(col("doc_id"), xxhash64(col("token")).as("tid"))
     val docToks = tok.groupBy("doc_id")
       .agg(sort_array(collect_list(col("tid"))).as("toks"),
         count(lit(1)).as("n"))
-    snmCandidates(docs, window, prefixChars)
+    cands
       .join(docToks.select(col("doc_id").as("da"), col("toks").as("toks1"),
         col("n").as("n1")), "da")
       .join(docToks.select(col("doc_id").as("db"), col("toks").as("toks2"),

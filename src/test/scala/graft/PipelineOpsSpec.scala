@@ -197,6 +197,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(w1 === Set((0L, 2L), (0L, 1L), (1L, 3L)))
   }
 
+  test("multi-pass SNM: the reversed-text pass catches suffix-sharing dups pass 1 misses") {
+    import org.apache.spark.sql.DataFrame
+    // 10 and 11 share their whole tail but OPEN differently ("alpha"
+    // vs "zulu"): a full lexicographic sort strands them at opposite
+    // ends behind the 8 mid-alphabet spacers, while reversed-text
+    // order makes them adjacent. Spacers share no tokens (no false
+    // pairs), each is one token so the threshold can't pick them up.
+    val spacers = Seq("dd", "ee", "ff", "gg", "hh", "ii", "jj", "kk")
+      .zipWithIndex.map { case (w, i) => (20L + i, w, "en", "s0", 2L) }
+    val d = (Seq(
+      (10L, "alpha common shared tail tokens here now", "en", "s0", 40L),
+      (11L, "zulu common shared tail tokens here now", "en", "s0", 39L)
+    ) ++ spacers).toDF("doc_id", "text", "lang", "source", "n_chars")
+    def pairSet(df: DataFrame) =
+      df.select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // jaccard(10,11) = 6/8 = 0.75: above 0.7, found only when adjacent
+    val single = pairSet(Dedup.snmPairs(d, window = 1, thresholdTenths = 7))
+    assert(!single.contains((10L, 11L)),
+      "a window-1 single pass must strand the suffix-sharing pair")
+    val multi = pairSet(Dedup.snmPairsMultiPass(d, window = 1, thresholdTenths = 7))
+    assert(multi.contains((10L, 11L)),
+      "the reversed-text pass must make the pair adjacent")
+    // multipass is a superset of pass 1 and emits each pair once
+    assert(single.subsetOf(multi))
+    val rows = Dedup.snmPairsMultiPass(d, window = 1, thresholdTenths = 7)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === rows.toSet.size, "no duplicate pairs across passes")
+  }
+
   test("BM25 ranks higher-tf docs first, prunes top-k map-side") {
     val corpus = Seq(
       (1L, "apple apple apple banana", "en", "s0", 24L),

@@ -8,12 +8,15 @@ import org.apache.spark.sql.functions._
   * training-data-pipeline extension; the reference has no dedup —
   * SURVEY.md §2.5).
   *
-  * Four tiers, cheap→thorough, all shuffle-frugal:
+  * Five tiers, cheap→thorough, all shuffle-frugal:
   *   1. exact        — one hash-groupBy on a content digest.
   *   2. bag-of-words — same groupBy on an order-insensitive digest.
-  *   3. n-gram Jaccard — token-postings self-join inside a blocking key
+  *   3. sorted-neighborhood — per-lang sort + window·N candidate pairs
+  *                       (LINEAR by construction; the cascade's first
+  *                       near-dup pass).
+  *   4. n-gram Jaccard — token-postings self-join inside a blocking key
   *                       (never all-pairs across the corpus).
-  *   4. MinHash+LSH / SimHash — signature sketches whose band/fingerprint
+  *   5. MinHash+LSH / SimHash — signature sketches whose band/fingerprint
   *                       buckets bound candidate pairs at 100 TB scale.
   */
 object Dedup {

@@ -142,6 +142,11 @@ object ScaleSmoke {
         cand = Some(d => Dedup.snmCandidates(d, 4))),
       Op("dedup_snm_multipass", d => Dedup.snmPairsMultiPass(d, 4, 9), "pair",
         cand = Some(d => Dedup.snmMultiPassCandidates(d, 4))),
+      // the composed funnel: replica copy-tags make replicated docs
+      // UNIQUE, so the exact tier passes them through and the pair
+      // tiers see the full replicated corpus — the smoke prices the
+      // cascade's worst case, not its exact-collapse best case
+      Op("dedup_cascade", d => Dedup.dedupCascade(d, 4, 9, 9), "pair"),
       Op("dedup_winnow_pairs", d => TextOps.winnowPairs(d, 12, 8, 2, 50), "pair"),
       Op("tfidf_cosine_pairs", d => TextOps.tfidfCosinePairs(d, 10, 60), "pair",
         // threshold 0 keeps every candidate: tf·idf weights are

@@ -61,6 +61,9 @@ object SparkEntry {
   private val SnmWindow = 4
   private val SnmTenths = 9
 
+  /** `dedup_cascade`'s final-tier Jaccard threshold (tenths). */
+  private val CascadeJacTenths = 9
+
   private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
@@ -620,6 +623,13 @@ object SparkEntry {
     "dedup_snm" -> ((s, dir) =>
       Dedup.snmPairs(Tables.documents(s, dir), window = SnmWindow,
         thresholdTenths = SnmTenths).orderBy("d1", "d2")),
+    // Tiered dedup cascade capstone: exact -> SNM -> prefix-Jaccard,
+    // cheap-first so the expensive tier sees the smallest relation;
+    // output = the per-language funnel after each stage.
+    "dedup_cascade" -> ((s, dir) =>
+      Dedup.dedupCascade(Tables.documents(s, dir), window = SnmWindow,
+        snmTenths = SnmTenths, jacTenths = CascadeJacTenths)
+        .orderBy("lang")),
     // Multi-pass SNM (the deployed merge/purge form): text-order pass
     // UNION reversed-text pass — suffix-sharing near-dups that diverge
     // in their opening tokens become adjacent in pass 2.
@@ -1900,6 +1910,64 @@ object SparkEntry {
         |  JOIN cnt c2 ON i.db = c2.doc_id
         |WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * $SnmTenths
         |ORDER BY d1, d2""".stripMargin
+    },
+    "dedup_cascade" -> {
+      s"""WITH s1 AS (
+        |  SELECT d.* FROM documents d
+        |  JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep
+        |        FROM documents GROUP BY 1) k
+        |    ON md5(d.text) = k.h AND d.doc_id = k.keep),
+        |snr AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY text, doc_id) AS rnk
+        |  FROM s1),
+        |snc AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS da, greatest(a.doc_id, b.doc_id) AS db
+        |  FROM snr a JOIN snr b
+        |    ON a.lang = b.lang AND b.rnk > a.rnk AND b.rnk <= a.rnk + $SnmWindow),
+        |tok1 AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM s1),
+        |cnt1 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok1 GROUP BY 1),
+        |sni AS (
+        |  SELECT p.da, p.db, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM snc p JOIN tok1 t1 ON t1.doc_id = p.da
+        |    JOIN tok1 t2 ON t2.doc_id = p.db AND t2.token = t1.token
+        |  GROUP BY 1, 2),
+        |sndrop AS (
+        |  SELECT DISTINCT i.db AS doc_id FROM sni i
+        |  JOIN cnt1 c1 ON i.da = c1.doc_id JOIN cnt1 c2 ON i.db = c2.doc_id
+        |  WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * $SnmTenths),
+        |s2 AS (SELECT * FROM s1
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM sndrop)),
+        |tok2 AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM s2),
+        |cnt2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok2 GROUP BY 1),
+        |ji AS (
+        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok2 t1 JOIN tok2 t2
+        |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+        |  GROUP BY 1, 2),
+        |jdrop AS (
+        |  SELECT DISTINCT i.d2 AS doc_id FROM ji i
+        |  JOIN cnt2 c1 ON i.d1 = c1.doc_id JOIN cnt2 c2 ON i.d2 = c2.doc_id
+        |  WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * $CascadeJacTenths),
+        |s3 AS (SELECT * FROM s2
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM jdrop))
+        |SELECT a.lang, a.n_docs,
+        |  CAST(COALESCE(b.n_exact, 0) AS BIGINT) AS n_exact,
+        |  CAST(COALESCE(c.n_snm, 0) AS BIGINT) AS n_snm,
+        |  CAST(COALESCE(e.n_jaccard, 0) AS BIGINT) AS n_jaccard
+        |FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM documents GROUP BY 1) a
+        |LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |           FROM s1 GROUP BY 1) b ON a.lang = b.lang
+        |LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_snm
+        |           FROM s2 GROUP BY 1) c ON a.lang = c.lang
+        |LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_jaccard
+        |           FROM s3 GROUP BY 1) e ON a.lang = e.lang
+        |ORDER BY a.lang""".stripMargin
     },
     "dedup_snm_multipass" -> {
       s"""WITH r1 AS (

@@ -1113,6 +1113,46 @@ object Dedup {
     }.reduce(_.unionByName(_)).distinct()
   }
 
+  /** Tiered dedup CASCADE — the 100 TB composition the tier list at
+    * the top of this object describes, as one declared operator:
+    *
+    *   1. exact   — hash-groupBy survivors ([[exactKept]]): one
+    *                shuffle, collapses the duplicate mass that
+    *                dominates crawl corpora;
+    *   2. SNM     — [[snmPairs]] on the exact survivors: window·N
+    *                LINEAR candidates catch sorted-adjacent near-dups;
+    *   3. Jaccard — [[jaccardPairs]] (Bayardo prefix filter) on what
+    *                remains: the thorough, most expensive tier runs on
+    *                the SMALLEST relation.
+    *
+    * Cheap-first ordering is the point: each stage shrinks the next
+    * stage's input, so the quadratic-prone tier never sees the dup
+    * mass the earlier tiers already removed. Removal rule per pair
+    * tier: every doc appearing as the LARGER id (d2) of a surviving
+    * pair drops — deterministic and order-free, so the oracle can
+    * replay it. Returns the per-language funnel (docs remaining after
+    * each stage), the audit artifact a curation run reports. */
+  def dedupCascade(docs: DataFrame, window: Int = 4,
+                   snmTenths: Int = 9, jacTenths: Int = 9): DataFrame = {
+    val s1 = exactKept(docs)
+    val snmDrop = snmPairs(s1, window, snmTenths)
+      .select(col("d2").as("doc_id")).distinct()
+    val s2 = s1.join(snmDrop, Seq("doc_id"), "left_anti")
+    val jacDrop = jaccardPairs(s2, jacTenths)
+      .select(col("d2").as("doc_id")).distinct()
+    val s3 = s2.join(jacDrop, Seq("doc_id"), "left_anti")
+    def cnt(df: DataFrame, name: String) =
+      df.groupBy("lang").agg(count(lit(1)).as(name))
+    cnt(docs, "n_docs")
+      .join(cnt(s1, "n_exact"), Seq("lang"), "left")
+      .join(cnt(s2, "n_snm"), Seq("lang"), "left")
+      .join(cnt(s3, "n_jaccard"), Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_snm"), lit(0L)).as("n_snm"),
+        coalesce(col("n_jaccard"), lit(0L)).as("n_jaccard"))
+  }
+
   /** Shared SNM verify: exact token-set Jaccard ≥ t over a candidate
     * (da, db) relation — sorted-array native merge, integral threshold
     * compare, the one float being the final division. */

@@ -197,6 +197,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(w1 === Set((0L, 2L), (0L, 1L), (1L, 3L)))
   }
 
+  test("dedup cascade: each tier shrinks the funnel, monotone per lang") {
+    // docs fixture: en has 0,1 exact dups; 2 a bag-dup of 0; 3 a near
+    // dup; 4 unrelated. exact drops 1; SNM (adjacent sort order)
+    // catches 0-2 and 0-3 at t=7 → drops 2,3; jaccard has nothing new.
+    val out = Dedup.dedupCascade(docs, window = 4, snmTenths = 7,
+      jacTenths = 7).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out("en") === ((5L, 4L, 2L, 2L)))
+    assert(out("de") === ((1L, 1L, 1L, 1L)))
+    // funnel is monotone non-increasing for every lang
+    out.values.foreach { case (a, b, c, d) =>
+      assert(a >= b && b >= c && c >= d) }
+  }
+
   test("multi-pass SNM: the reversed-text pass catches suffix-sharing dups pass 1 misses") {
     import org.apache.spark.sql.DataFrame
     // 10 and 11 share their whole tail but OPEN differently ("alpha"

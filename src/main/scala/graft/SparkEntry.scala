@@ -64,6 +64,12 @@ object SparkEntry {
   /** `dedup_cascade`'s final-tier Jaccard threshold (tenths). */
   private val CascadeJacTenths = 9
 
+  /** `mix_rebalance`'s target language shares (percent) and token
+    * budget (percent of corpus tokens) — shared query/oracle constants. */
+  private val MixTargets = Seq("en" -> 40, "de" -> 15, "fr" -> 15,
+    "es" -> 15, "zh" -> 15)
+  private val MixBudgetPct = 50
+
   private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
@@ -336,6 +342,12 @@ object SparkEntry {
       TextOps.stratifiedSample(Tables.documents(s, dir),
         Map("en" -> 128, "de" -> 64, "fr" -> 64), default256 = 32)
         .orderBy("doc_id")),
+    // Data-mixing step: rebalance the corpus toward target language
+    // shares under a 50%-of-corpus token budget; output = per-lang
+    // funnel (tokens, share, integer keep rate, sampled docs/tokens).
+    "mix_rebalance" -> ((s, dir) =>
+      TextOps.mixRebalance(Tables.documents(s, dir), MixTargets.toMap,
+        budgetPct = MixBudgetPct).orderBy("lang")),
     // Keep docs at/above their language's median quality (quantized).
     "doc_quality_gate" -> ((s, dir) =>
       TextOps.qualityGate(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1493,6 +1505,39 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, bucket, rate_256 FROM b
         |WHERE bucket < rate_256 ORDER BY doc_id""".stripMargin,
+    "mix_rebalance" -> {
+      val cases = MixTargets.map { case (l, p) =>
+        s"WHEN '$l' THEN $p" }.mkString(" ")
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST((strpos('0123456789abcdef',
+        |            substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef',
+        |            substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket,
+        |    CAST(CASE lang $cases ELSE 0 END AS BIGINT) AS target_pct
+        |  FROM documents),
+        |budget AS (
+        |  SELECT CAST((SUM(toks) * $MixBudgetPct) // 100 AS BIGINT) AS budget_toks
+        |  FROM t),
+        |rated AS (
+        |  SELECT g.lang, g.toks_lang, g.target_pct,
+        |    CAST(least(256, (256 * b.budget_toks * g.target_pct)
+        |      // (100 * g.toks_lang)) AS BIGINT) AS rate_256
+        |  FROM (SELECT lang, CAST(SUM(toks) AS BIGINT) AS toks_lang,
+        |          MAX(target_pct) AS target_pct
+        |        FROM t GROUP BY 1) g CROSS JOIN budget b),
+        |s AS (
+        |  SELECT t.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |    CAST(SUM(t.toks) AS BIGINT) AS toks_sampled
+        |  FROM t JOIN rated r ON t.lang = r.lang
+        |  WHERE t.bucket < r.rate_256 GROUP BY 1)
+        |SELECT r.lang, r.toks_lang, r.target_pct, r.rate_256,
+        |  CAST(COALESCE(s.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(s.toks_sampled, 0) AS BIGINT) AS toks_sampled
+        |FROM rated r LEFT JOIN s ON r.lang = s.lang
+        |ORDER BY r.lang""".stripMargin
+    },
     "doc_quality_gate" ->
       s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),
          |q AS (

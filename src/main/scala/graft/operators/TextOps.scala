@@ -185,6 +185,53 @@ object TextOps {
       .filter(col("bucket") < col("rate_256"))
   }
 
+  /** Target-mixture rebalancing — the data-MIXING step of a training
+    * run (decide how much of each language/domain stream feeds the
+    * model, then sample to hit it): given target percentage shares and
+    * a token budget expressed as a fraction of the corpus, compute each
+    * language's deterministic keep rate and the funnel it produces.
+    *
+    * rate_256 = min(256, (256·budget·share) div (100·toks_lang)) — all
+    * INTEGER arithmetic (budget itself is corpus_tokens·budgetPct div
+    * 100), so the rate table is engine-exact; sampling reuses the
+    * salted-md5 256-bucket idiom of [[stratifiedSample]] (pure
+    * projection + filter, no RNG, replayable). Languages absent from
+    * the target map get share 0 and sample to zero rather than
+    * silently keeping their mass.
+    *
+    * Scale shape: one token-count aggregation per lang (tiny), the
+    * 1-row corpus total cross-joined broadcast, and one filtered pass
+    * over the corpus — no shuffle beyond the two lang aggregations. */
+  def mixRebalance(docs: DataFrame, targetPct: Map[String, Int],
+                   budgetPct: Int = 50): DataFrame = {
+    require(targetPct.values.forall(p => p >= 0 && p <= 100),
+      "target shares are percentages")
+    require(budgetPct >= 0 && budgetPct <= 100, s"budgetPct: $budgetPct")
+    val bucket = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 2), 16, 10).cast("long")
+    val pct = targetPct.foldLeft(lit(0L)) { case (acc, (k, p)) =>
+      when(col("lang") === k, lit(p.toLong)).otherwise(acc) }
+    val t = docs.select(col("doc_id"), col("lang"),
+      tokenCount(col("text")).as("toks"), bucket.as("bucket"),
+      pct.as("target_pct"))
+    val budget = t.agg(
+      expr(s"(sum(toks) * $budgetPct) div 100").as("budget_toks"))
+    val rated = t.groupBy("lang")
+      .agg(sum("toks").as("toks_lang"), max("target_pct").as("target_pct"))
+      .crossJoin(broadcast(budget))
+      .withColumn("rate_256", expr(
+        "least(256L, (256 * budget_toks * target_pct) div (100 * toks_lang))"))
+    val sampled = t.join(broadcast(rated.select("lang", "rate_256")), "lang")
+      .filter(col("bucket") < col("rate_256"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum("toks").as("toks_sampled"))
+    rated.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("toks_lang"), col("target_pct"),
+        col("rate_256"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled"))
+  }
+
   /** Relative quality gate: keep documents at or above their language's
     * MEDIAN quality — the per-stratum threshold form every curation
     * pipeline prefers over a global cutoff (an absolute threshold

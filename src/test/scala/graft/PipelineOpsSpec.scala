@@ -197,6 +197,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(w1 === Set((0L, 2L), (0L, 1L), (1L, 3L)))
   }
 
+  test("mix rebalance: integer rates honor the target shares and budget") {
+    // two langs, 100 tokens each; target 75/25 at a 50% budget ->
+    // budget 100 toks: en rate = min(256, 256*100*75/(100*100)) = 192,
+    // de rate = min(256, 256*100*25/(100*100)) = 64
+    val d = (0L until 20L).map { i =>
+      val lang = if (i < 10) "en" else "de"
+      (i, Seq.fill(10)("w").mkString(" "), lang, "s0", 19L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.mixRebalance(d, Map("en" -> 75, "de" -> 25),
+      budgetPct = 50).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toMap
+    assert(out("en")._1 === 100L && out("en")._2 === 75L && out("en")._3 === 192L)
+    assert(out("de")._1 === 100L && out("de")._2 === 25L && out("de")._3 === 64L)
+    // sampling is the salted-bucket filter: n_sampled <= 10 docs and
+    // toks_sampled = 10 * n_sampled on this uniform corpus
+    out.values.foreach { case (_, _, _, n, toks) =>
+      assert(n <= 10L && toks === n * 10L) }
+    // a lang missing from the target map drops to rate 0
+    val zero = TextOps.mixRebalance(d, Map("en" -> 100), budgetPct = 50)
+      .filter(col("lang") === "de").collect()(0)
+    assert(zero.getLong(3) === 0L && zero.getLong(4) === 0L)
+    // full budget + single 100% target saturates that lang's rate
+    val sat = TextOps.mixRebalance(d, Map("en" -> 100), budgetPct = 100)
+      .filter(col("lang") === "en").collect()(0)
+    assert(sat.getLong(3) === 256L && sat.getLong(4) === 10L)
+  }
+
   test("dedup cascade: each tier shrinks the funnel, monotone per lang") {
     // docs fixture: en has 0,1 exact dups; 2 a bag-dup of 0; 3 a near
     // dup; 4 unrelated. exact drops 1; SNM (adjacent sort order)

@@ -70,6 +70,12 @@ object SparkEntry {
     "es" -> 15, "zh" -> 15)
   private val MixBudgetPct = 50
 
+  /** `source_cap`'s per-source keep budget (query + oracle). */
+  private val SourceCapN = 20
+
+  /** `dedup_substring_spans` window length in tokens (query + oracle). */
+  private val SpanTokens = 8
+
   private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
@@ -348,6 +354,20 @@ object SparkEntry {
     "mix_rebalance" -> ((s, dir) =>
       TextOps.mixRebalance(Tables.documents(s, dir), MixTargets.toMap,
         budgetPct = MixBudgetPct).orderBy("lang")),
+    // Domain balancing: keep <= 20 docs per source by salted-md5 rank
+    // (WindowGroupLimit prunes map-side); row carries the pre-cap size.
+    "source_cap" -> ((s, dir) =>
+      TextOps.sourceCap(Tables.documents(s, dir), cap = SourceCapN)
+        .orderBy("source", "rn")),
+    // Self-trained bigram LM score — integer conditional-probability
+    // milli units (mean + worst transition), the perplexity filter.
+    "doc_lm_score" -> ((s, dir) =>
+      TextOps.lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    // ExactSubstr-style duplicated-span report: 8-token windows shared
+    // across >= 2 docs, merged into maximal runs per doc.
+    "dedup_substring_spans" -> ((s, dir) =>
+      TextOps.substringSpans(Tables.documents(s, dir), n = SpanTokens)
+        .orderBy("doc_id")),
     // Keep docs at/above their language's median quality (quantized).
     "doc_quality_gate" -> ((s, dir) =>
       TextOps.qualityGate(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -1537,6 +1557,67 @@ object SparkEntry {
         |  CAST(COALESCE(s.toks_sampled, 0) AS BIGINT) AS toks_sampled
         |FROM rated r LEFT JOIN s ON r.lang = s.lang
         |ORDER BY r.lang""".stripMargin
+    },
+    "source_cap" ->
+      s"""WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+        |  FROM documents),
+        |n AS (SELECT doc_id, source, rk,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS BIGINT) AS rn
+        |  FROM r),
+        |s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+        |      FROM documents GROUP BY 1)
+        |SELECT n.doc_id, n.source, n.rk, n.rn, s.n_source
+        |FROM n JOIN s USING (source)
+        |WHERE n.rn <= $SourceCapN ORDER BY n.source, n.rn""".stripMargin,
+    "doc_lm_score" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(len(toks), 1)),
+        |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+        |  FROM t),
+        |bb AS (SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |cb AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+        |       FROM bb GROUP BY 1, 2, 3),
+        |cp AS (SELECT lang, w1, CAST(COUNT(*) AS BIGINT) AS c_pre
+        |       FROM bb GROUP BY 1, 2),
+        |p AS (SELECT bb.doc_id, (1000 * cb.c_big) // cp.c_pre AS pmilli
+        |  FROM bb
+        |  JOIN cb ON bb.lang = cb.lang AND bb.w1 = cb.w1 AND bb.w2 = cb.w2
+        |  JOIN cp ON bb.lang = cp.lang AND bb.w1 = cp.w1)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(pmilli) // COUNT(*) AS BIGINT) AS avg_pmilli,
+        |  CAST(MIN(pmilli) AS BIGINT) AS min_pmilli
+        |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "dedup_substring_spans" -> {
+      val n = SpanTokens
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |win AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS sz,
+        |    unnest(range(1, greatest(len(toks) - $n + 1, 0) + 1)) AS i, toks
+        |  FROM t),
+        |g AS (SELECT doc_id, sz, CAST(i - 1 AS BIGINT) AS pos,
+        |    array_to_string(toks[i:i+${n - 1}], ' ') AS gram FROM win),
+        |d AS (SELECT gram FROM g GROUP BY gram
+        |      HAVING COUNT(DISTINCT doc_id) >= 2),
+        |f AS (SELECT g.doc_id, g.sz, g.pos FROM g JOIN d USING (gram)),
+        |i1 AS (SELECT doc_id, sz, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+        |      OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $n
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM f),
+        |i2 AS (SELECT doc_id, sz, pos,
+        |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM i1),
+        |isl AS (SELECT doc_id, island, MAX(sz) AS sz, MIN(pos) AS lo,
+        |    MAX(pos) AS hi
+        |  FROM i2 GROUP BY 1, 2)
+        |SELECT doc_id, CAST(MAX(sz) AS BIGINT) AS tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS dup_spans,
+        |  CAST(SUM(hi - lo + $n) AS BIGINT) AS dup_tokens,
+        |  CAST(SUM(hi - lo + $n) AS DOUBLE) / MAX(sz) AS dup_frac
+        |FROM isl GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
     "doc_quality_gate" ->
       s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),

@@ -1027,4 +1027,131 @@ object TextOps {
       .groupBy("d1", "d2").agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
   }
+
+  /** Per-source frequency cap — the domain-balancing step every crawl
+    * pipeline runs before training (a handful of boilerplate-heavy
+    * domains otherwise dominate the token mix): keep at most `cap`
+    * documents per source, chosen by salted-md5 rank so the kept set is
+    * deterministic and replayable (the [[reservoirSample]] idiom with
+    * `source` as the stratum). Output carries the pre-cap source size so
+    * the row doubles as the capping report.
+    *
+    * Scale shape: the rank filter carries the literal `cap`, so Spark's
+    * rank-limit pushdown (WindowGroupLimit) prunes each source to `cap`
+    * rows map-side before the exchange — the corpus never fully sorts.
+    * The per-source size relation is #sources rows (metadata-scale next
+    * to the corpus even at millions of domains) and broadcasts. */
+  def sourceCap(docs: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1: $cap")
+    val rk = conv(substring(md5(concat(lit("cap:"),
+      col("doc_id").cast("string")).cast("binary")), 1, 15), 16, 10).cast("long")
+    val sizes = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+    val w = Window.partitionBy("source").orderBy(col("rk"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), rk.as("rk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .join(broadcast(sizes), "source")
+      .select(col("doc_id"), col("source"), col("rk"),
+        col("rn").cast("long").as("rn"), col("n_source"))
+  }
+
+  /** Self-trained bigram language-model score — the perplexity-filter
+    * analogue ([[bigramFamiliarity]] checks membership in a top-k table;
+    * this computes the actual conditional probability P(w2 | w1) from
+    * full per-language corpus counts and scores each document by its
+    * mean and worst transition). All INTEGER arithmetic so the score is
+    * engine-exact: per bigram, pmilli = (1000·c(w1,w2)) div c(w1·);
+    * per doc, avg = Σ pmilli div n_bigrams — the monotone stand-in for
+    * mean log-prob that needs no libm (`ln` varies by ULP across
+    * engines and a ULP can flip a floor).
+    *
+    * Scale shape: bigram identity rides 64-bit hashes end to end (the
+    * corpus_ngrams idiom) — the model aggregations and the two model
+    * joins move only (doc_id, bh, ph) longs, never token strings. The
+    * model relations are distinct-bigram-sized (sparse, corpus-bounded)
+    * and join by SHUFFLE on the hash key, not broadcast: a 100 TB
+    * corpus's bigram table is itself large. The exploded bigram
+    * relation feeds three consumers (both models + the scoring join),
+    * so it materializes once (lazy localCheckpoint; `checkpoint` to
+    * reliable storage on a cluster). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = split(col("text"), " ")
+    // explicit partition count: parallelism must be sized for the
+    // exploded bigram fan-out, not the input bytes (the gramRows trap)
+    val base = docs.repartition(parts, col("doc_id"))
+      .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("pos", "w1")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val rows = base
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"),
+        xxhash64(col("lang"), col("w1"), col("w2")).as("bh"),
+        xxhash64(col("lang"), col("w1")).as("ph"))
+      .localCheckpoint(eager = false)
+    val cBig = rows.groupBy("bh").agg(count(lit(1)).as("c_big"))
+    val cPre = rows.groupBy("ph").agg(count(lit(1)).as("c_pre"))
+    rows.join(cBig, "bh").join(cPre, "ph")
+      .select(col("doc_id"), expr("(1000 * c_big) div c_pre").as("pmilli"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("pmilli").as("sum_pmilli"),
+        min("pmilli").as("min_pmilli"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_pmilli div n_bigrams").as("avg_pmilli"),
+        col("min_pmilli"))
+  }
+
+  /** Exact substring-span dedup report — the "Deduplicating Training
+    * Data Makes Language Models Better" ExactSubstr analogue at token
+    * granularity: every `n`-token window whose exact text occurs in ≥ 2
+    * distinct documents is a duplicated span; overlapping/adjacent
+    * spans within a document merge into maximal runs, and the report
+    * gives each affected document its duplicated-token mass (the
+    * quantity ExactSubstr would cut). Differs from [[winnowPairs]]
+    * (sampled fingerprints → pairs) and [[contaminationHits]]
+    * (cross-split membership): this is position-exact per-doc coverage.
+    *
+    * Scale shape: one explode to (doc_id, pos, window-hash) longs —
+    * window identity rides xxhash64, strings never shuffle; one
+    * hash aggregation for cross-doc document frequency; a semi-join
+    * back (duplicated windows are the rare minority on a healthy
+    * corpus); then the island merge runs inside the doc_id partition
+    * (two window functions over one exchange). Fixed window length
+    * makes interval merging order-one per row: spans sorted by start
+    * merge exactly when the gap to the previous start exceeds `n`. */
+  def substringSpans(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens: $n")
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = split(col("text"), " ")
+    val base = docs.repartition(parts, col("doc_id"))
+      .select(col("doc_id"), size(toks).cast("long").as("sz"),
+        posexplode(toks).as(Seq("pos", "t0")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val withLeads = (1 until n).foldLeft(base)((df, i) =>
+      df.withColumn(s"t$i", lead(col("t0"), i).over(w)))
+    val wins = withLeads
+      .filter(col("pos") <= col("sz") - n)
+      .select(col("doc_id"), col("sz"), col("pos"),
+        xxhash64(concat_ws(" ", (0 until n).map(i => col(s"t$i")): _*))
+          .as("gh"))
+      .localCheckpoint(eager = false)
+    val dupGhs = wins.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("gh")
+    val flagged = wins.join(dupGhs, Seq("gh"), "left_semi")
+      .withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pos") - col("prev") > n, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy("doc_id", "island")
+      .agg(max("sz").as("sz"), min("pos").as("lo"), max("pos").as("hi"))
+      .groupBy("doc_id")
+      .agg(max("sz").as("tokens"), count(lit(1)).as("dup_spans"),
+        sum(col("hi") - col("lo") + n).as("dup_tokens"))
+      .select(col("doc_id"), col("tokens"), col("dup_spans"),
+        col("dup_tokens"),
+        (col("dup_tokens").cast("double") / col("tokens")).as("dup_frac"))
+  }
 }

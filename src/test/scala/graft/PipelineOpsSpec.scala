@@ -225,6 +225,67 @@ class PipelineOpsSpec extends SparkSpec {
     assert(sat.getLong(3) === 256L && sat.getLong(4) === 10L)
   }
 
+  test("source cap keeps at most cap docs per source with pre-cap sizes") {
+    val d = (0L until 10L).map { i =>
+      (i, "w x y z", if (i < 5) "en" else "de",
+        if (i < 5) "sA" else "sB", 7L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.sourceCap(d, cap = 3).collect()
+    assert(out.length === 6) // 3 kept from each of the 2 sources
+    val bySrc = out.groupBy(_.getAs[String]("source"))
+    bySrc.values.foreach { rows =>
+      assert(rows.length === 3)
+      assert(rows.map(_.getAs[Long]("rn")).sorted.toSeq === Seq(1L, 2L, 3L))
+      assert(rows.forall(_.getAs[Long]("n_source") === 5L))
+    }
+    // determinism: the same call keeps the same doc ids
+    val again = TextOps.sourceCap(d, cap = 3).collect()
+      .map(_.getAs[Long]("doc_id")).sorted
+    assert(again.toSeq === out.map(_.getAs[Long]("doc_id")).sorted.toSeq)
+  }
+
+  test("bigram lm score: integer conditional-probability milli units") {
+    val d = Seq(
+      (0L, "a b a b", "en", "s0", 7L),
+      (1L, "a b c", "en", "s0", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // model over both docs: c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a.)=3 c(b.)=2
+    // doc0 pmillis: ab=1000, ba=500, ab=1000 -> n=3 avg=833 min=500
+    // doc1 pmillis: ab=1000, bc=500        -> n=2 avg=750 min=500
+    val out = TextOps.lmScore(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(0L) === ((3L, 833L, 500L)))
+    assert(out(1L) === ((2L, 750L, 500L)))
+  }
+
+  test("substring spans: shared windows merge into maximal runs") {
+    val d = Seq(
+      // d0/d1 share exactly the 3-token window "a b c"
+      (0L, "x a b c y", "en", "s0", 9L),
+      (1L, "q a b c z", "en", "s0", 9L),
+      // d2/d3 share a 5-token run covered by 3 overlapping windows
+      (2L, "a a b b c c d d e e f1 f2", "en", "s0", 1L),
+      (3L, "a a b b c c d d e e g1 g2", "en", "s0", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.substringSpans(d, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L) === ((5L, 1L, 3L))) // 5 tokens, 1 span, 3 dup tokens
+    assert(out(1L) === ((5L, 1L, 3L)))
+    // d2/d3: windows at pos 0..7 all shared -> one island, 10 tokens
+    assert(out(2L) === ((12L, 1L, 10L)))
+    assert(out(3L) === ((12L, 1L, 10L)))
+    // far-apart shared spans stay separate islands
+    val far = Seq(
+      (10L, "a b c m1 m2 m3 m4 m5 x y z", "en", "s0", 1L),
+      (11L, "a b c k1 k2 k3 k4 k5 x y z", "en", "s0", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = TextOps.substringSpans(far, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(f(10L) === ((2L, 6L)) && f(11L) === ((2L, 6L)))
+  }
+
   test("dedup cascade: each tier shrinks the funnel, monotone per lang") {
     // docs fixture: en has 0,1 exact dups; 2 a bag-dup of 0; 3 a near
     // dup; 4 unrelated. exact drops 1; SNM (adjacent sort order)

@@ -136,6 +136,15 @@ object ScaleSmoke {
       Op("bm25_topk", d => TextOps.bm25TopK(d, Seq(
         "q_stream" -> Seq("spark", "stream", "window"),
         "q_join" -> Seq("join", "merge", "hash")), 20), "doc"),
+      Op("mix_rebalance", d => TextOps.mixRebalance(d,
+        Map("en" -> 40, "de" -> 15, "fr" -> 15, "es" -> 15, "zh" -> 15),
+        budgetPct = 50), "doc"),
+      Op("source_cap", d => TextOps.sourceCap(d, 20), "doc"),
+      Op("doc_lm_score", d => TextOps.lmScore(d), "doc"),
+      // replica copy-tags change only each copy's TAIL windows, so
+      // cross-copy duplicated spans grow with the corpus — the smoke
+      // prices the worst (dup-heavy) case like the pair tiers
+      Op("dedup_substring_spans", d => TextOps.substringSpans(d, 8), "doc"),
       Op("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pair"),
       // the linear-candidate tier: candidates = window*N by construction
       Op("dedup_snm", d => Dedup.snmPairs(d, 4, 9), "pair",

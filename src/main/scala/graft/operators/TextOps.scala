@@ -1066,14 +1066,16 @@ object TextOps {
     * engines and a ULP can flip a floor).
     *
     * Scale shape: bigram identity rides 64-bit hashes end to end (the
-    * corpus_ngrams idiom) — the model aggregations and the two model
-    * joins move only (doc_id, bh, ph) longs, never token strings. The
-    * model relations are distinct-bigram-sized (sparse, corpus-bounded)
-    * and join by SHUFFLE on the hash key, not broadcast: a 100 TB
-    * corpus's bigram table is itself large. The exploded bigram
-    * relation feeds three consumers (both models + the scoring join),
-    * so it materializes once (lazy localCheckpoint; `checkpoint` to
-    * reliable storage on a cluster). */
+    * corpus_ngrams idiom) — the model aggregation and the two model
+    * joins move only (doc_id, bh, ph) longs, never token strings. ONE
+    * corpus-wide aggregation builds both models (prefix counts derive
+    * from bigram counts). The model relations are distinct-bigram-sized
+    * (sparse, corpus-bounded) and join by SHUFFLE on the hash key, not
+    * broadcast: a 100 TB corpus's bigram table is itself large. The
+    * exploded bigram relation feeds two consumers (model + scoring
+    * join) and the bigram model two (its own join + the prefix
+    * roll-up), so each materializes once (lazy localCheckpoint;
+    * `checkpoint` to reliable storage on a cluster). */
   def lmScore(docs: DataFrame): DataFrame = {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val toks = split(col("text"), " ")
@@ -1089,9 +1091,16 @@ object TextOps {
         xxhash64(col("lang"), col("w1"), col("w2")).as("bh"),
         xxhash64(col("lang"), col("w1")).as("ph"))
       .localCheckpoint(eager = false)
-    val cBig = rows.groupBy("bh").agg(count(lit(1)).as("c_big"))
-    val cPre = rows.groupBy("ph").agg(count(lit(1)).as("c_pre"))
-    rows.join(cBig, "bh").join(cPre, "ph")
+    // ONE corpus-wide aggregation builds both models: ph is functionally
+    // dependent on bh (same prefix hash for every occurrence of a
+    // bigram), so the prefix counts derive from the bigram counts —
+    // c(w1·) = Σ_w2 c(w1,w2) — with a second aggregation over the
+    // distinct-bigram relation (model-sized, not corpus-sized)
+    val cBig = rows.groupBy("bh")
+      .agg(count(lit(1)).as("c_big"), max("ph").as("ph"))
+      .localCheckpoint(eager = false)
+    val cPre = cBig.groupBy("ph").agg(sum("c_big").as("c_pre"))
+    rows.join(cBig.select("bh", "c_big"), "bh").join(cPre, "ph")
       .select(col("doc_id"), expr("(1000 * c_big) div c_pre").as("pmilli"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("pmilli").as("sum_pmilli"),

@@ -558,6 +558,36 @@ object SparkEntry {
     // eval-overlap decontamination → bag-fingerprint dedup (first id
     // wins) → exact-quota reservoir → per-language corpus stats. Every
     // stage is a declared operator; this proves the new tiers compose.
+    // Capstone v3 — the round-6 tiers composed as one curation run:
+    // per-source frequency cap → bigram-LM gate (keep docs at/above
+    // their language's median model score; model trained on the FULL
+    // corpus, applied to the capped survivors) → target-mixture
+    // rebalance under a 50% token budget. Output = per-lang funnel
+    // with the stage counts alongside the mixing rate table.
+    "pipeline_curate_v3" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val capped = docs.join(
+        TextOps.sourceCap(docs, cap = SourceCapN).select("doc_id"), "doc_id")
+      val lm = TextOps.lmScore(docs).select("doc_id", "avg_pmilli")
+      val scored = capped.join(lm, "doc_id")
+      val med = scored.groupBy("lang")
+        .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY avg_pmilli)")
+          .cast("long").as("med"))
+      val gated = scored.join(broadcast(med), "lang")
+        .filter(col("avg_pmilli") >= col("med"))
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val cappedCnt = capped.groupBy("lang")
+        .agg(count(lit(1)).as("capped_docs"))
+      val gatedCnt = gated.groupBy("lang")
+        .agg(count(lit(1)).as("gated_docs"))
+      TextOps.mixRebalance(gated, MixTargets.toMap, budgetPct = MixBudgetPct)
+        .join(cappedCnt, "lang").join(gatedCnt, "lang")
+        .select(col("lang"), col("capped_docs"), col("gated_docs"),
+          col("toks_lang"), col("target_pct"), col("rate_256"),
+          col("n_sampled"), col("toks_sampled"))
+        .orderBy("lang")
+    }),
+
     "pipeline_curate_v2" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val gated = TextOps.qualityGate(docs).select("doc_id")
@@ -2483,6 +2513,78 @@ object SparkEntry {
         |FROM asg2 a JOIN q v ON a.vec_id = v.vec_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "pipeline_curate_v3" -> {
+      val cases = MixTargets.map { case (l, p) =>
+        s"WHEN '$l' THEN $p" }.mkString(" ")
+      s"""WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS rk
+        |  FROM documents),
+        |rn1 AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) AS rn
+        |  FROM r),
+        |capped AS (SELECT d.* FROM documents d JOIN rn1 USING (doc_id)
+        |           WHERE rn1.rn <= $SourceCapN),
+        |t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, greatest(len(toks), 1)),
+        |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+        |  FROM t),
+        |bb AS (SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |cb AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+        |       FROM bb GROUP BY 1, 2, 3),
+        |cp AS (SELECT lang, w1, CAST(COUNT(*) AS BIGINT) AS c_pre
+        |       FROM bb GROUP BY 1, 2),
+        |p AS (SELECT bb.doc_id, (1000 * cb.c_big) // cp.c_pre AS pmilli
+        |  FROM bb
+        |  JOIN cb ON bb.lang = cb.lang AND bb.w1 = cb.w1 AND bb.w2 = cb.w2
+        |  JOIN cp ON bb.lang = cp.lang AND bb.w1 = cp.w1),
+        |lm AS (SELECT doc_id, CAST(SUM(pmilli) // COUNT(*) AS BIGINT) AS avg_pmilli
+        |       FROM p GROUP BY 1),
+        |sc AS (SELECT c.doc_id, c.lang, c.text, lm.avg_pmilli
+        |       FROM capped c JOIN lm USING (doc_id)),
+        |m AS (SELECT lang, CAST(quantile_disc(avg_pmilli, 0.5) AS BIGINT) AS med
+        |      FROM sc GROUP BY 1),
+        |gated AS (SELECT sc.doc_id, sc.lang, sc.text FROM sc
+        |          JOIN m USING (lang) WHERE sc.avg_pmilli >= m.med),
+        |g1 AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    CAST((strpos('0123456789abcdef',
+        |            substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef',
+        |            substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS bucket,
+        |    CAST(CASE lang $cases ELSE 0 END AS BIGINT) AS target_pct
+        |  FROM gated),
+        |budget AS (
+        |  SELECT CAST((SUM(toks) * $MixBudgetPct) // 100 AS BIGINT) AS budget_toks
+        |  FROM g1),
+        |rated AS (
+        |  SELECT g.lang, g.toks_lang, g.target_pct,
+        |    CAST(least(256, (256 * bu.budget_toks * g.target_pct)
+        |      // (100 * g.toks_lang)) AS BIGINT) AS rate_256
+        |  FROM (SELECT lang, CAST(SUM(toks) AS BIGINT) AS toks_lang,
+        |          MAX(target_pct) AS target_pct
+        |        FROM g1 GROUP BY 1) g CROSS JOIN budget bu),
+        |smp AS (
+        |  SELECT g1.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |    CAST(SUM(g1.toks) AS BIGINT) AS toks_sampled
+        |  FROM g1 JOIN rated ra ON g1.lang = ra.lang
+        |  WHERE g1.bucket < ra.rate_256 GROUP BY 1),
+        |capcnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS capped_docs
+        |           FROM capped GROUP BY 1),
+        |gatecnt AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS gated_docs
+        |            FROM gated GROUP BY 1)
+        |SELECT ra.lang, cc.capped_docs, gc.gated_docs, ra.toks_lang,
+        |  ra.target_pct, ra.rate_256,
+        |  CAST(COALESCE(smp.n_sampled, 0) AS BIGINT) AS n_sampled,
+        |  CAST(COALESCE(smp.toks_sampled, 0) AS BIGINT) AS toks_sampled
+        |FROM rated ra
+        |JOIN capcnt cc ON ra.lang = cc.lang
+        |JOIN gatecnt gc ON ra.lang = gc.lang
+        |LEFT JOIN smp ON ra.lang = smp.lang
+        |ORDER BY ra.lang""".stripMargin
+    },
     "pipeline_curate_v2" ->
       s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),
          |q AS (

@@ -1078,18 +1078,22 @@ object TextOps {
     * `checkpoint` to reliable storage on a cluster). */
   def lmScore(docs: DataFrame): DataFrame = {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
-    val toks = split(col("text"), " ")
+    // bigram hashes are ROW-LOCAL: adjacent-token pairs come from a
+    // transform over the token array, not a lead() window — the
+    // window form pays a full-corpus per-doc sort (exactly what spills
+    // first at scale) to recover adjacency the row already has
+    val bigs = expr(
+      """CASE WHEN size(ts) < 2 THEN array() ELSE
+        |  transform(sequence(0, size(ts) - 2), i -> named_struct(
+        |    'bh', xxhash64(lang, ts[i], ts[i + 1]),
+        |    'ph', xxhash64(lang, ts[i])))
+        |END""".stripMargin)
     // explicit partition count: parallelism must be sized for the
     // exploded bigram fan-out, not the input bytes (the gramRows trap)
-    val base = docs.repartition(parts, col("doc_id"))
-      .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("pos", "w1")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val rows = base
-      .withColumn("w2", lead(col("w1"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(col("lang"), col("w1"), col("w2")).as("bh"),
-        xxhash64(col("lang"), col("w1")).as("ph"))
+    val rows = docs.repartition(parts, col("doc_id"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), explode(bigs).as("bg"))
+      .select(col("doc_id"), col("bg.bh").as("bh"), col("bg.ph").as("ph"))
       .localCheckpoint(eager = false)
     // ONE corpus-wide aggregation builds both models: ph is functionally
     // dependent on bh (same prefix hash for every occurrence of a
@@ -1132,18 +1136,23 @@ object TextOps {
     require(n >= 2, s"span length must be >= 2 tokens: $n")
     val parts = docs.sparkSession.sparkContext.defaultParallelism
     val toks = split(col("text"), " ")
-    val base = docs.repartition(parts, col("doc_id"))
+    // window hashes are ROW-LOCAL (transform over the token array, the
+    // lmScore idiom): the lead()-chain form sorted the whole exploded
+    // corpus per doc just to recover adjacency. The only remaining
+    // per-doc sorts (island lag/sum below) run on the FILTERED dup
+    // relation — the rare minority on a healthy corpus
+    val winHashes = expr(
+      s"""CASE WHEN size(ts) < $n THEN array() ELSE
+         |  transform(sequence(0, size(ts) - $n),
+         |    i -> xxhash64(array_join(slice(ts, i + 1, $n), ' ')))
+         |END""".stripMargin)
+    val wins = docs.repartition(parts, col("doc_id"))
       .select(col("doc_id"), size(toks).cast("long").as("sz"),
-        posexplode(toks).as(Seq("pos", "t0")))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    val withLeads = (1 until n).foldLeft(base)((df, i) =>
-      df.withColumn(s"t$i", lead(col("t0"), i).over(w)))
-    val wins = withLeads
-      .filter(col("pos") <= col("sz") - n)
-      .select(col("doc_id"), col("sz"), col("pos"),
-        xxhash64(concat_ws(" ", (0 until n).map(i => col(s"t$i")): _*))
-          .as("gh"))
+        toks.as("ts"))
+      .select(col("doc_id"), col("sz"),
+        posexplode(winHashes).as(Seq("pos", "gh")))
       .localCheckpoint(eager = false)
+    val w = Window.partitionBy("doc_id").orderBy("pos")
     val dupGhs = wins.groupBy("gh")
       .agg(count_distinct(col("doc_id")).as("df"))
       .filter(col("df") >= 2).select("gh")

@@ -247,7 +247,8 @@ class PipelineOpsSpec extends SparkSpec {
   test("bigram lm score: integer conditional-probability milli units") {
     val d = Seq(
       (0L, "a b a b", "en", "s0", 7L),
-      (1L, "a b c", "en", "s0", 5L)
+      (1L, "a b c", "en", "s0", 5L),
+      (2L, "solo", "en", "s0", 4L) // no bigrams -> absent from output
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
     // model over both docs: c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a.)=3 c(b.)=2
     // doc0 pmillis: ab=1000, ba=500, ab=1000 -> n=3 avg=833 min=500
@@ -257,6 +258,7 @@ class PipelineOpsSpec extends SparkSpec {
       .toMap
     assert(out(0L) === ((3L, 833L, 500L)))
     assert(out(1L) === ((2L, 750L, 500L)))
+    assert(!out.contains(2L))
   }
 
   test("substring spans: shared windows merge into maximal runs") {

@@ -1076,35 +1076,57 @@ object TextOps {
     * join) and the bigram model two (its own join + the prefix
     * roll-up), so each materializes once (lazy localCheckpoint;
     * `checkpoint` to reliable storage on a cluster). */
-  def lmScore(docs: DataFrame): DataFrame = {
+  /** Row-local (bh, ph) bigram hash pairs of a token-array column —
+    * adjacent-token pairs via a transform over the array, not a lead()
+    * window (the window form pays a full-corpus per-doc sort — exactly
+    * what spills first at scale — to recover adjacency the row already
+    * has). Stateless, so legal inside a STREAMING projection. */
+  private[graft] def bigramHashPairs(toksCol: String,
+                                     langCol: String): Column = expr(
+    s"""CASE WHEN size($toksCol) < 2 THEN array() ELSE
+       |  transform(sequence(0, size($toksCol) - 2), i -> named_struct(
+       |    'bh', xxhash64($langCol, $toksCol[i], $toksCol[i + 1]),
+       |    'ph', xxhash64($langCol, $toksCol[i])))
+       |END""".stripMargin)
+
+  /** The exploded (doc_id, bh, ph) bigram relation of [[lmScore]] —
+    * materialized once (lazy localCheckpoint) because the model build
+    * and the scoring join both consume it. */
+  private def lmBigramRows(docs: DataFrame): DataFrame = {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
-    // bigram hashes are ROW-LOCAL: adjacent-token pairs come from a
-    // transform over the token array, not a lead() window — the
-    // window form pays a full-corpus per-doc sort (exactly what spills
-    // first at scale) to recover adjacency the row already has
-    val bigs = expr(
-      """CASE WHEN size(ts) < 2 THEN array() ELSE
-        |  transform(sequence(0, size(ts) - 2), i -> named_struct(
-        |    'bh', xxhash64(lang, ts[i], ts[i + 1]),
-        |    'ph', xxhash64(lang, ts[i])))
-        |END""".stripMargin)
     // explicit partition count: parallelism must be sized for the
     // exploded bigram fan-out, not the input bytes (the gramRows trap)
-    val rows = docs.repartition(parts, col("doc_id"))
+    docs.repartition(parts, col("doc_id"))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ts"))
-      .select(col("doc_id"), explode(bigs).as("bg"))
+      .select(col("doc_id"), explode(bigramHashPairs("ts", "lang")).as("bg"))
       .select(col("doc_id"), col("bg.bh").as("bh"), col("bg.ph").as("ph"))
       .localCheckpoint(eager = false)
-    // ONE corpus-wide aggregation builds both models: ph is functionally
-    // dependent on bh (same prefix hash for every occurrence of a
-    // bigram), so the prefix counts derive from the bigram counts —
-    // c(w1·) = Σ_w2 c(w1,w2) — with a second aggregation over the
-    // distinct-bigram relation (model-sized, not corpus-sized)
+  }
+
+  /** The trained bigram model as a standalone relation (bh, c_big,
+    * c_pre) — the offline artifact a STREAMING scorer joins against
+    * ([[graft.streaming.DocStream.lmScoreStream]]); at 100 TB it
+    * persists bucketed by bh like the corpus digests. ONE corpus-wide
+    * aggregation builds both counts: ph is functionally dependent on bh
+    * (same prefix hash for every occurrence of a bigram), so prefix
+    * counts roll up from bigram counts — c(w1·) = Σ_w2 c(w1,w2) — over
+    * the distinct-bigram relation (model-sized, not corpus-sized). */
+  def lmModel(docs: DataFrame): DataFrame = lmModelOfRows(lmBigramRows(docs))
+
+  private def lmModelOfRows(rows: DataFrame): DataFrame = {
     val cBig = rows.groupBy("bh")
       .agg(count(lit(1)).as("c_big"), max("ph").as("ph"))
       .localCheckpoint(eager = false)
     val cPre = cBig.groupBy("ph").agg(sum("c_big").as("c_pre"))
-    rows.join(cBig.select("bh", "c_big"), "bh").join(cPre, "ph")
+    cBig.join(cPre, "ph").select("bh", "c_big", "c_pre")
+  }
+
+  def lmScore(docs: DataFrame): DataFrame = {
+    val rows = lmBigramRows(docs)
+    // folding c_pre into the model relation makes scoring ONE join on
+    // the corpus-sized relation (the model-sized c_pre attach happens
+    // inside lmModelOfRows, off the hot path)
+    rows.join(lmModelOfRows(rows), "bh")
       .select(col("doc_id"), expr("(1000 * c_big) div c_pre").as("pmilli"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("pmilli").as("sum_pmilli"),

@@ -89,4 +89,41 @@ object DocStream {
       .groupBy(col("doc_id"), col("ts"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
+
+  /** Streaming LM quality scoring — the ingest-time twin of
+    * [[graft.operators.TextOps.lmScore]] against a STATIC model
+    * relation trained offline with
+    * [[graft.operators.TextOps.lmModel]]: arriving documents explode
+    * their bigram hashes row-locally (the
+    * [[graft.operators.TextOps.bigramHashPairs]] projection — stateless,
+    * no window over the unbounded stream), join the model (stream-static,
+    * no state; Spark broadcasts when the model fits, shuffles when a
+    * 100 TB-corpus model doesn't), and the per-doc score is the single
+    * watermark-bounded stateful aggregation, emitted once final in
+    * append mode. Bigrams unseen in the model drop at the join — scored
+    * mass is model-covered mass, identical to the batch scorer run on
+    * corpus documents.
+    *
+    * Output: (doc_id, ts, n_bigrams, avg_pmilli, min_pmilli) — the
+    * routing signal an ingestion pipeline gates on before a document
+    * reaches the lake. */
+  def lmScoreStream(docs: DataFrame, model: DataFrame,
+                    watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("lang"),
+        split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.TextOps.bigramHashPairs("toks", "lang"))
+          .as("bg"))
+      .select(col("doc_id"), col("ts"), col("bg.bh").as("bh"))
+      .join(model.select("bh", "c_big", "c_pre"), "bh")
+      .select(col("doc_id"), col("ts"),
+        expr("(1000 * c_big) div c_pre").as("pmilli"))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_bigrams"), sum("pmilli").as("sum_pmilli"),
+        min("pmilli").as("min_pmilli"))
+      .select(col("doc_id"), col("ts"), col("n_bigrams"),
+        expr("sum_pmilli div n_bigrams").as("avg_pmilli"),
+        col("min_pmilli"))
 }

@@ -13,6 +13,10 @@ final case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 /** Document row shape for the streaming dedup spec. */
 final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
+/** Document row shape with language, for the streaming LM scorer. */
+final case class LDoc(doc_id: Long, ts: Timestamp, text: String,
+                      lang: String)
+
 /** Structured Streaming surface driven through MemoryStream micro-batches. */
 class StreamingSpec extends SparkSpec {
 
@@ -403,6 +407,40 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(streamed === batch)
       assert(streamed.contains(1L) && !streamed.contains(2L))
+    } finally q.stop()
+  }
+
+  test("streaming LM scorer equals the batch scorer on model-covered docs") {
+    val corpus = Seq(
+      (0L, "a b a b", "en", "s0", 7L),
+      (1L, "a b c", "en", "s0", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val model = graft.operators.TextOps.lmModel(corpus)
+    val input = MemoryStream[LDoc](spark)
+    // append mode: each per-doc score emits exactly once, final, when
+    // the watermark passes its event time (the winnow-spec contract)
+    val q = graft.streaming.DocStream
+      .lmScoreStream(input.toDF(), model)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        LDoc(10, ts("10:00"), "a b a b", "en"), // = corpus doc 0
+        LDoc(11, ts("10:01"), "x y z", "en"))   // fully OOV: never emits
+      q.processAllAvailable()
+      input.addData(LDoc(99, ts("12:00"), "a b", "en")) // watermark advancer
+      q.processAllAvailable()
+      val streamed = spark.table("lm_stream")
+        .select("doc_id", "n_bigrams", "avg_pmilli", "min_pmilli")
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      // doc 10 carries corpus doc 0's text: identical score to the
+      // batch scorer (model-covered mass is the same relation)
+      val batch = graft.operators.TextOps.lmScore(corpus).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(streamed === Map(10L -> batch(0L)))
     } finally q.stop()
   }
 

@@ -117,6 +117,8 @@ object ScaleSmoke {
       Op("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
       Op("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
       Op("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),
+      Op("pq_codes", e => Similarity.pqCodes(spark, e, 8), "emb"),
+      Op("ann_pq", e => Similarity.annPq(spark, e, 25, 5, 8), "emb"),
       Op("sessionize", e => EventStream.sessionize(e), "evt"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume

@@ -710,6 +710,19 @@ object SparkEntry {
       Similarity.knnBruteForce(Tables.embeddings(s, dir), numQueries = 5, k = 10)
         .select(col("qid"), col("vec_id"), col("score"), col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+    // Product-quantization codes: 8 subspaces over the 64-dim space,
+    // codeword = centroid slice, exact integer argmin per subspace.
+    "pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(s, Tables.embeddings(s, dir), m = 8)
+        .orderBy("vec_id", "subspace")),
+    // ADC search over the codes: query-to-codeword distance table,
+    // approximate distance = sum of m table lookups, top-10 per query.
+    "ann_pq" -> ((s, dir) =>
+      Similarity.annPq(s, Tables.embeddings(s, dir), numQueries = 5, k = 10,
+          m = 8)
+        .select(col("qid"), col("vec_id"), col("adist"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
     "embedding_nearest_pairs" -> ((s, dir) =>
       Similarity.nearestPairsPerLabel(Tables.embeddings(s, dir), pairsPerLabel = 3)
         .select(col("label"), col("id_a"), col("id_b"), col("cos"),
@@ -2454,6 +2467,59 @@ object SparkEntry {
         |m3 AS (SELECT MAX(ABS(u)) AS m FROM u3),
         |v3 AS (SELECT d, (u * 1000) // m AS val FROM u3 CROSS JOIN m3)
         |SELECT d, CAST(val AS BIGINT) AS val FROM v3 ORDER BY d""".stripMargin,
+    "pq_codes" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
+        |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
+        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
+        |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
+        |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
+        |    COUNT(*) AS n
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
+        |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
+        |dist AS (
+        |  SELECT v.vec_id, v.sub, c.cluster,
+        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
+        |  FROM q v JOIN cq c ON v.d = c.d GROUP BY 1, 2, 3),
+        |r AS (SELECT vec_id, sub, cluster, dist,
+        |    row_number() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY dist, cluster) AS rn
+        |  FROM dist)
+        |SELECT vec_id, sub AS subspace, CAST(cluster AS BIGINT) AS code,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+    "ann_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
+        |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
+        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
+        |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
+        |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
+        |    COUNT(*) AS n
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
+        |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
+        |dist AS (
+        |  SELECT v.vec_id, v.sub, c.cluster,
+        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
+        |  FROM q v JOIN cq c ON v.d = c.d GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cluster AS code FROM (
+        |    SELECT vec_id, sub, cluster,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY dist, cluster) AS rn
+        |    FROM dist) x WHERE rn = 1),
+        |qd AS (SELECT vec_id AS qid, sub, cluster, dist AS qdist
+        |       FROM dist WHERE vec_id < 5),
+        |ad AS (
+        |  SELECT qd.qid, codes.vec_id, SUM(qd.qdist) AS adist
+        |  FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.cluster
+        |  WHERE codes.vec_id <> qd.qid GROUP BY 1, 2),
+        |rr AS (SELECT qid, vec_id, CAST(adist AS BIGINT) AS adist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+        |  FROM ad)
+        |SELECT qid, vec_id, adist, CAST(rn AS BIGINT) AS rn
+        |FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
     "kmeans_round" ->
       """WITH q AS (
         |  SELECT vec_id, label, CAST(s.k AS BIGINT) AS d,

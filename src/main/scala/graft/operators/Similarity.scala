@@ -252,6 +252,111 @@ object Similarity {
       .agg(sum("qd").as("sum_q"), count(lit(1)).as("n"))
   }
 
+  /** Quantized per-subspace slices of every vector: (vec_id, subspace,
+    * vs) with `vs` the subspace's `dim / m` quantized dims — built
+    * row-locally (transform + slice over the quantized array; no
+    * shuffle, no window). */
+  private def quantizedSubvectors(emb: DataFrame, m: Int, dim: Int,
+                                  scale: Int): DataFrame = {
+    require(dim % m == 0, s"m ($m) must divide dim ($dim)")
+    val sub = dim / m
+    emb.select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * scale).cast("long")).as("q"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(q, s * $sub + 1, $sub))"))
+        .as(Seq("subspace", "vs")))
+  }
+
+  /** The PQ codebook: per (label, subspace), the label centroid's
+    * truncated-integer slice — [[labelCentroids]]' coarse codebook cut
+    * into `m` disjoint subspaces (k·m codewords of dim/m longs:
+    * broadcast-trivial even at production k). */
+  private def pqCodebook(spark: SparkSession, emb: DataFrame, m: Int,
+                         dim: Int, scale: Int): DataFrame = {
+    val sub = dim / m
+    labelCentroids(spark, emb, dim, scale)
+      .select(col("label"), expr("transform(sum_q, s -> s div n)").as("cq"))
+      .select(col("label"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(cq, s * $sub + 1, $sub))"))
+        .as(Seq("subspace", "cs")))
+  }
+
+  /** Exact integer squared-L2 of every (vector-subspace, codeword)
+    * pair — the assignment relation both PQ entry points share. */
+  private def subspaceDists(vsub: DataFrame, book: DataFrame): DataFrame =
+    vsub.join(broadcast(book), "subspace")
+      .select(col("vec_id"), col("subspace"), col("label"),
+        aggregate(zip_with(col("vs"), col("cs"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+
+  private def pqCodesOf(vsub: DataFrame, book: DataFrame): DataFrame =
+    subspaceDists(vsub, book)
+      // argmin as a min-struct hash aggregation, not a rank window: the
+      // broadcast join leaves every (vec, subspace) group complete
+      // within its partition, so the partial agg collapses k codeword
+      // rows to one map-side — the exchange moves N·m rows and nothing
+      // sorts. Lexicographic struct min = (dist asc, label asc), the
+      // engine-exact tie-break
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("dist"), col("label"))).as("best"))
+      .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        col("best.label").cast("long").as("code"), col("best.dist").as("dist"))
+
+  /** Product-quantization codes — the compression step of an IVF-PQ
+    * index (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search"): each vector splits into `m` subvectors and each subvector
+    * is assigned its nearest codeword by exact integer squared-L2.
+    * Codebook = the label centroids cut per subspace (deterministic and
+    * engine-reproducible, standing in for the per-subspace k-means a
+    * production trainer would run — the assignment machinery is
+    * identical). Output: (vec_id, subspace, code, dist) — m small ints
+    * per vector in place of dim floats, the representation a 100 TB
+    * embedding store actually keeps in memory.
+    *
+    * Plan shape: quantize + slice row-locally, broadcast the codebook,
+    * one map-side-complete hash aggregation for the argmin. The corpus
+    * never shuffles wider than (vec_id, subspace) rows. */
+  def pqCodes(spark: SparkSession, emb: DataFrame, m: Int = 8,
+              dim: Int = 64, scale: Int = 1000): DataFrame =
+    pqCodesOf(quantizedSubvectors(emb, m, dim, scale),
+      pqCodebook(spark, emb, m, dim, scale))
+
+  /** ANN search over PQ codes by asymmetric distance computation (ADC):
+    * each query precomputes its exact squared-L2 to every codeword per
+    * subspace (the m·k distance table — tiny, broadcast), and a database
+    * vector's approximate distance is the SUM of table lookups selected
+    * by its stored codes — the query never touches raw database vectors.
+    * Top-k per query by (adist asc, vec_id asc), engine-exact integers
+    * end to end.
+    *
+    * Plan shape: the codes relation (N·m skinny rows) joins the
+    * broadcast distance table on (subspace, code) and one hash
+    * aggregation sums the m lookups per (query, vec) — map-side partials
+    * apply; the only sort is the final per-query top-k window,
+    * WindowGroupLimit-pruned. */
+  def annPq(spark: SparkSession, emb: DataFrame, numQueries: Int = 5,
+            k: Int = 10, m: Int = 8, dim: Int = 64,
+            scale: Int = 1000): DataFrame = {
+    // the codebook subtree (a corpus-wide centroid aggregation) feeds
+    // both the corpus coding and the query table; materialize once
+    val book = pqCodebook(spark, emb, m, dim, scale)
+      .localCheckpoint(eager = false)
+    val codes = pqCodesOf(quantizedSubvectors(emb, m, dim, scale), book)
+      .select("vec_id", "subspace", "code")
+    val qtab = subspaceDists(
+        quantizedSubvectors(emb.filter(col("vec_id") < numQueries), m, dim, scale),
+        book)
+      .select(col("vec_id").as("qid"), col("subspace").cast("long").as("subspace"),
+        col("label").cast("long").as("code"), col("dist").as("qdist"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    codes.join(broadcast(qtab), Seq("subspace", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum("qdist").as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** IVF-style ANN: rank coarse clusters (labels) by query·centroid,
     * probe only the best cluster, exact-cosine rerank inside it. The
     * scale path complementary to [[annLshBucketed]]: candidate count is

@@ -582,6 +582,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r2.toSeq === out.toSeq)
   }
 
+  test("pq codes pick the nearest codeword slice per subspace") {
+    import spark.implicits._
+    // centroids (scale 1000, truncated): label 0 over {v0,v1,v4} =
+    // (1000,1000,333,333); label 1 over {v2,v3} = (0,0,1000,1000).
+    // m=2 subspaces of 2 dims each.
+    val emb = Seq(
+      (0L, Seq(1.0f, 1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(1.0f, 1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f, 1.0f, 1.0f), 1),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 1.0f), 1),
+      (4L, Seq(1.0f, 1.0f, 1.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val codes = Similarity.pqCodes(spark, emb, m = 2, dim = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // v4: subspace 0 exactly on codeword 0; subspace 1 exactly on 1
+    assert(codes((4L, 0L)) === ((0L, 0L)))
+    assert(codes((4L, 1L)) === ((1L, 0L)))
+    // v0 subspace 1 = (0,0): codeword 0 slice is (333,333) -> dist
+    // 2*333^2 = 221778, closer than codeword 1's (1000,1000)
+    assert(codes((0L, 1L)) === ((0L, 221778L)))
+
+    // ADC search from q0: adist(v) sums the query's codeword-table
+    // entries selected by v's codes — v1 (same codes as q0) closest at
+    // 221778 (q0's own subspace-1 self-distance), then v4, then v2/v3
+    val ranked = Similarity.annPq(spark, emb, numQueries = 1, k = 3,
+        m = 2, dim = 4)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adist")))
+    assert(ranked.toSeq === Seq((1L, 221778L), (4L, 2000000L),
+      (2L, 4000000L)))
+  }
+
   test("gram power iteration converges to the dominant eigenvector") {
     import spark.implicits._
     // vecs (1,0) and (1,1) at scale 10 → G = [[200,100],[100,100]];

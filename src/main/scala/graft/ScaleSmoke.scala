@@ -119,6 +119,7 @@ object ScaleSmoke {
       Op("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),
       Op("pq_codes", e => Similarity.pqCodes(spark, e, 8), "emb"),
       Op("ann_pq", e => Similarity.annPq(spark, e, 25, 5, 8), "emb"),
+      Op("ann_ivf_pq", e => Similarity.annIvfPq(spark, e, 25, 5, 8), "emb"),
       Op("sessionize", e => EventStream.sessionize(e), "evt"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume

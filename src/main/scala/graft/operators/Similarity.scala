@@ -357,6 +357,55 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** IVF-PQ search — the composed 100 TB serving path (coarse prune,
+    * then code-based rank): each query picks its best coarse cluster by
+    * query·centroid exactly as [[annIvf]], but reranks the cluster's
+    * members by ADC over their stored PQ codes ([[annPq]]'s distance
+    * table) instead of touching raw vectors — the index serves the
+    * whole search from centroids + codes, which is what fits in memory
+    * when the vectors themselves are 100 TB.
+    *
+    * Plan shape: centroids and the per-query code-distance table
+    * broadcast; candidates are one cluster per query; the ADC join and
+    * sum are candidate-sized. Raw embeddings are read ONLY by the
+    * offline coding/codebook passes, never at query time. */
+  def annIvfPq(spark: SparkSession, emb: DataFrame, numQueries: Int,
+               k: Int, m: Int = 8, dim: Int = 64,
+               scale: Int = 1000): DataFrame = {
+    val book = pqCodebook(spark, emb, m, dim, scale)
+      .localCheckpoint(eager = false)
+    val codes = pqCodesOf(quantizedSubvectors(emb, m, dim, scale), book)
+      .select("vec_id", "subspace", "code")
+    val qtab = subspaceDists(
+        quantizedSubvectors(emb.filter(col("vec_id") < numQueries), m, dim, scale),
+        book)
+      .select(col("vec_id").as("qid"), col("subspace").cast("long").as("subspace"),
+        col("label").cast("long").as("code"), col("dist").as("qdist"))
+    val cents = broadcast(labelCentroids(spark, emb, dim, scale))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scoredC = queries.crossJoin(cents)
+      .select(col("qid"), col("label"),
+        (aggregate(zip_with(col("qe"), col("sum_q"),
+          (x, y) => floor(x.cast("double") * scale).cast("long") * y),
+          lit(0L), (acc, x) => acc + x).cast("double") / col("n")).as("cscore"))
+    val wBest = Window.partitionBy("qid")
+      .orderBy(col("cscore").desc, col("label"))
+    val probed = scoredC.withColumn("crn", row_number().over(wBest))
+      .filter(col("crn") === 1)
+      .select(col("qid"), col("label"))
+    val cand = broadcast(probed).join(emb.select("vec_id", "label"), "label")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("label"), col("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    cand.join(codes, "vec_id")
+      .join(broadcast(qtab), Seq("qid", "subspace", "code"))
+      .groupBy("qid", "label", "vec_id").agg(sum("qdist").as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** IVF-style ANN: rank coarse clusters (labels) by query·centroid,
     * probe only the best cluster, exact-cosine rerank inside it. The
     * scale path complementary to [[annLshBucketed]]: candidate count is

@@ -613,6 +613,15 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adist")))
     assert(ranked.toSeq === Seq((1L, 221778L), (4L, 2000000L),
       (2L, 4000000L)))
+
+    // composed IVF-PQ: q0's best coarse cluster is label 0 (cscore
+    // 2e6 vs 0), so only {v1, v4} are candidates — v2/v3 never rank
+    val ivfpq = Similarity.annIvfPq(spark, emb, numQueries = 1, k = 2,
+        m = 2, dim = 4)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("adist")))
+    assert(ivfpq.toSeq === Seq((0, 1L, 221778L), (0, 4L, 2000000L)))
   }
 
   test("gram power iteration converges to the dominant eigenvector") {

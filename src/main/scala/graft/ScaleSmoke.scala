@@ -134,6 +134,8 @@ object ScaleSmoke {
       Op("approx_distinct_merged", e => Sketches.kmvMergedEstimate(e,
         "event_type", "user_id", k = 32,
         include = Seq("click", "purchase")), "evt"),
+      Op("quantile_sketch", e => Sketches.kmvQuantileSketch(e,
+        "event_type", "event_id", "value", k = 256), "evt"),
       Op("pagerank3", e => Graph.pagerankInt(e, iters = 3), "graph"),
       Op("triangle_count", e => Graph.triangleCount(e), "graph"),
       Op("bm25_topk", d => TextOps.bm25TopK(d, Seq(

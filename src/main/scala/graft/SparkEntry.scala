@@ -494,6 +494,11 @@ object SparkEntry {
     "approx_distinct_merged" -> ((s, dir) =>
       Sketches.kmvMergedEstimate(Tables.events(s, dir), "event_type",
         "user_id", k = 32, include = Seq("click", "purchase"))),
+    // Mergeable quantile sketch: k-min-hash sample per event type,
+    // discrete p50/p90/p99 estimates beside the exact quantiles.
+    "quantile_sketch" -> ((s, dir) =>
+      Sketches.kmvQuantileSketch(Tables.events(s, dir), "event_type",
+        "event_id", "value", k = 256).orderBy("event_type")),
     // Exact-quota reservoir: first-n-by-salted-md5 per language
     // (en 60, de/fr 25 each, others 10) — WindowGroupLimit prunes
     // map-side, the corpus never fully sorts.
@@ -2992,6 +2997,27 @@ object SparkEntry {
         |  CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS cnt_p
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "quantile_sketch" ->
+      """WITH h AS (SELECT event_type, event_id, value,
+        |    CAST(concat('0x', substr(md5('qs:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM events),
+        |r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h, event_id) AS rn
+        |  FROM h),
+        |e AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        |    CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50_est,
+        |    CAST(quantile_disc(value, 0.9) AS DOUBLE) AS p90_est,
+        |    CAST(quantile_disc(value, 0.99) AS DOUBLE) AS p99_est
+        |  FROM r WHERE rn <= 256 GROUP BY 1),
+        |x AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50_exact,
+        |    CAST(quantile_disc(value, 0.9) AS DOUBLE) AS p90_exact,
+        |    CAST(quantile_disc(value, 0.99) AS DOUBLE) AS p99_exact
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, x.n, e.n_sampled,
+        |  e.p50_est, x.p50_exact, e.p90_est, x.p90_exact,
+        |  e.p99_est, x.p99_exact
+        |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
     "user_event_quantiles" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1, 2)

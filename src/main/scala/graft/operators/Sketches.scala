@@ -117,4 +117,48 @@ object Sketches {
     val d = Math.scalb((k - 1).toDouble, 60)
     s"CAST(${java.math.BigDecimal.valueOf(d).toPlainString} AS DOUBLE)"
   }
+
+  /** Mergeable QUANTILE sketch by k-min-hash sampling — the distributed
+    * p50/p90/p99 that doesn't sort the corpus: hash each row's id
+    * uniformly, keep the k smallest per group (a deterministic uniform
+    * sample — the same k-min set algebra as [[kmvDistinct]], so
+    * per-partition/per-day sketches merge losslessly into any rollup),
+    * and read discrete quantiles off the sample. Estimates sit beside
+    * the exact quantiles so the row itself reports sketch error.
+    * Deterministic end to end: the sample is hash-chosen (no RNG) and
+    * `percentile_disc` PICKS an element (both engines use the
+    * ceil(p·n) index — no interpolation arithmetic to diverge).
+    *
+    * Plan shape: the rank filter carries the literal k, so
+    * WindowGroupLimit prunes each group to k rows map-side — the
+    * full-population sort happens ONLY in the exact-quantile validation
+    * aggregation, which a production deployment drops exactly like
+    * [[kmvDistinctSketch]] drops `n_exact`. */
+  def kmvQuantileSketch(df: DataFrame, group: String, idCol: String,
+                        valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2, got $k")
+    val h = hash60(concat(lit("qs:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(group).orderBy(col("h"), col(idCol))
+    val est = df
+      .select(col(group), col(idCol), col(valueCol).as("v"), h.as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy(group)
+      .agg(count(lit(1)).as("n_sampled"),
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("p50_est"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY v)").as("p90_est"),
+        expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY v)").as("p99_est"))
+    val exact = df.groupBy(group)
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)")
+          .as("p50_exact"),
+        expr(s"percentile_disc(0.9) WITHIN GROUP (ORDER BY $valueCol)")
+          .as("p90_exact"),
+        expr(s"percentile_disc(0.99) WITHIN GROUP (ORDER BY $valueCol)")
+          .as("p99_exact"))
+    est.join(exact, group)
+      .select(col(group), col("n"), col("n_sampled"),
+        col("p50_est"), col("p50_exact"), col("p90_est"), col("p90_exact"),
+        col("p99_est"), col("p99_exact"))
+  }
 }

@@ -102,4 +102,39 @@ class SketchesSpec extends SparkSpec {
     assert(rows("a") === kthA)
     assert(rows("b") === kthB)
   }
+
+  test("quantile sketch reads quantiles off the hash-chosen sample") {
+    // values 0..99 in group g; the k=16 sample is the 16 ids with the
+    // smallest salted hashes — replicate it in plain JVM and take the
+    // same ceil(p*n) discrete quantiles
+    val df = (0L until 100L).map(i => ("g", i, i.toDouble))
+      .toDF("grp", "id", "v")
+    val out = Sketches.kmvQuantileSketch(df, "grp", "id", "v", k = 16)
+      .collect().head
+    val sampleVals = (0L until 100L)
+      .sortBy(i => (h60(s"qs:$i"), i)).take(16).map(_.toDouble).sorted
+    def disc(p: Double) = sampleVals(math.ceil(p * 16).toInt - 1)
+    assert(out.getAs[Long]("n") === 100L)
+    assert(out.getAs[Long]("n_sampled") === 16L)
+    assert(out.getAs[Double]("p50_est") === disc(0.5))
+    assert(out.getAs[Double]("p90_est") === disc(0.9))
+    assert(out.getAs[Double]("p99_est") === disc(0.99))
+    // exact side: ceil convention over the full 0..99 population
+    assert(out.getAs[Double]("p50_exact") === 49.0)
+    assert(out.getAs[Double]("p90_exact") === 89.0)
+    assert(out.getAs[Double]("p99_exact") === 98.0)
+    // mergeability: the k-min sample of a union is recoverable from the
+    // two sides' k-min samples — same sketch whether built whole or
+    // from halves
+    val halves = (0L until 100L).map { i =>
+      (if (i % 2 == 0) "h0" else "h1", i, i.toDouble)
+    }.toDF("grp", "id", "v")
+    val perHalf = Sketches.kmvQuantileSketch(halves, "grp", "id", "v", k = 16)
+    val unionSample = (0L until 100L)
+      .groupBy(_ % 2).values.flatMap(
+        _.sortBy(i => (h60(s"qs:$i"), i)).take(16))
+      .toSeq.sortBy(i => (h60(s"qs:$i"), i)).take(16).map(_.toDouble).sorted
+    assert(perHalf.count() === 2L)
+    assert(unionSample === sampleVals) // absorption: union of k-mins ⊇ k-min of union
+  }
 }

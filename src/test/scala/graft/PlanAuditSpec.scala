@@ -222,4 +222,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("EqualTo(p_brand,Brand#1)"),
       s"brand filter must reach the part scan, plan:\n$p")
   }
+
+  test("source capping prunes each source to cap rows map-side") {
+    val p = plan("source_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=cap must push a rank limit under the window, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-source size report must broadcast, plan:\n$p")
+  }
+
+  test("pq code assignment is a hash-agg argmin, not a rank window") {
+    val p = plan("pq_codes")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
+      s"the argmin must be the min-struct aggregation, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the codebook must broadcast into the assignment join, plan:\n$p")
+  }
+
+  test("the streaming-shaped LM scorer never windows the bigram explode") {
+    // the row-local transform replaced the lead() chain: no Window
+    // operator may appear anywhere in the batch scorer's plan
+    val p = plan("doc_lm_score")
+    assert(!p.contains("Window"),
+      s"bigram adjacency must be row-local, not a window lead, plan:\n$p")
+  }
 }

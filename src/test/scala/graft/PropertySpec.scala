@@ -225,4 +225,50 @@ class PropertySpec extends SparkSpec {
           s"shardDocs=$sd diverged on corpus ${rows.sortBy(_._1)}")
     }
   }
+
+  test("substring spans equal a plain-Scala interval-merge oracle") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // 3-symbol vocabulary makes shared 3-token windows (and same-doc
+    // repeats, which must NOT count) dense; lengths below the window
+    // size exercise the empty branch
+    val nSpan = 3
+    val corpusGen: Gen[Seq[(Long, String)]] = for {
+      n <- Gen.choose(2, 10)
+      rows <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 14)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield toks.mkString(" "))
+    } yield rows.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    (1 to 15).flatMap(s =>
+      corpusGen(Gen.Parameters.default, Seed(s.toLong))).foreach { rows =>
+      val wins = rows.map { case (id, text) =>
+        val t = text.split(" ")
+        id -> (0 to t.length - nSpan)
+          .map(p => p -> t.slice(p, p + nSpan).mkString(" "))
+      }.toMap
+      val dupGrams = wins.toSeq
+        .flatMap { case (id, ws) => ws.map { case (_, g) => (g, id) } }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      val expected = wins.flatMap { case (id, ws) =>
+        val ps = ws.collect { case (p, g) if dupGrams(g) => p }.sorted
+        if (ps.isEmpty) None
+        else {
+          val islands = ps.foldLeft(List.empty[(Int, Int)]) {
+            case (Nil, p) => List((p, p))
+            case ((lo, hi) :: rest, p) =>
+              if (p - hi > nSpan) (p, p) :: (lo, hi) :: rest
+              else (lo, p) :: rest
+          }
+          val dupTokens = islands.map { case (lo, hi) => hi - lo + nSpan }.sum
+          Some(id -> ((islands.size.toLong, dupTokens.toLong)))
+        }
+      }
+      val df = rows.map { case (id, t) => (id, t, "en", "s0", 0L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = TextOps.substringSpans(df, nSpan).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got === expected, s"corpus=$rows")
+    }
+  }
 }

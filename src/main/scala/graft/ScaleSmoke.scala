@@ -150,6 +150,7 @@ object ScaleSmoke {
       // cross-copy duplicated spans grow with the corpus — the smoke
       // prices the worst (dup-heavy) case like the pair tiers
       Op("dedup_substring_spans", d => TextOps.substringSpans(d, 8), "doc"),
+      Op("cdc_chunks", d => TextOps.cdcChunks(d, 16, 6), "doc"),
       Op("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pair"),
       // the linear-candidate tier: candidates = window*N by construction
       Op("dedup_snm", d => Dedup.snmPairs(d, 4, 9), "pair",

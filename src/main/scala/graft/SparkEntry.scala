@@ -76,6 +76,11 @@ object SparkEntry {
   /** `dedup_substring_spans` window length in tokens (query + oracle). */
   private val SpanTokens = 8
 
+  /** `cdc_chunks` rolling-window width (chars) and boundary mask bits
+    * (expected chunk length 2^bits chars) — shared query/oracle. */
+  private val CdcWindow = 16
+  private val CdcMaskBits = 6
+
   private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
@@ -368,6 +373,10 @@ object SparkEntry {
     "dedup_substring_spans" -> ((s, dir) =>
       TextOps.substringSpans(Tables.documents(s, dir), n = SpanTokens)
         .orderBy("doc_id")),
+    // Rabin-style content-defined chunking + chunk-level dedup mass.
+    "cdc_chunks" -> ((s, dir) =>
+      TextOps.cdcChunks(Tables.documents(s, dir), window = CdcWindow,
+        maskBits = CdcMaskBits).orderBy("doc_id")),
     // Keep docs at/above their language's median quality (quantized).
     "doc_quality_gate" -> ((s, dir) =>
       TextOps.qualityGate(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -2710,6 +2719,40 @@ object SparkEntry {
         |JOIN gatecnt gc ON ra.lang = gc.lang
         |LEFT JOIN smp ON ra.lang = smp.lang
         |ORDER BY ra.lang""".stripMargin
+    },
+    "cdc_chunks" -> {
+      val w = CdcWindow
+      val modulus = 1L << CdcMaskBits
+      val winFnv = sqlFnvUnsigned(
+        s"(CASE WHEN len < $w THEN text ELSE substr(text, i + 1, $w) END)")
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |pos AS (SELECT doc_id, text, len,
+        |    unnest(range(0, greatest(len - $w + 1, 1))) AS i FROM t),
+        |hh AS (SELECT doc_id, len, i, $winFnv AS hu FROM pos),
+        |cuts AS (
+        |  SELECT doc_id, i + $w AS cut FROM hh
+        |  WHERE ((hu // 281474976710656::HUGEINT) % $modulus) = 0
+        |    AND i + $w <= len
+        |  UNION
+        |  SELECT doc_id, len FROM t),
+        |ord AS (SELECT doc_id, cut,
+        |    lag(cut, 1, 0) OVER (PARTITION BY doc_id ORDER BY cut) AS prev
+        |  FROM cuts),
+        |chunk AS (SELECT o.doc_id,
+        |    substr(t.text, o.prev + 1, o.cut - o.prev) AS chunk
+        |  FROM ord o JOIN t USING (doc_id)),
+        |d AS (SELECT chunk FROM chunk GROUP BY chunk
+        |      HAVING COUNT(DISTINCT doc_id) >= 2),
+        |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |    CAST(SUM(length(chunk)) AS BIGINT) AS chars
+        |  FROM chunk GROUP BY 1),
+        |dup AS (SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS dup_chunks,
+        |    CAST(SUM(length(c.chunk)) AS BIGINT) AS dup_chars
+        |  FROM chunk c JOIN d USING (chunk) GROUP BY 1)
+        |SELECT tot.doc_id, tot.n_chunks, tot.chars,
+        |  CAST(COALESCE(dup.dup_chunks, 0) AS BIGINT) AS dup_chunks,
+        |  CAST(COALESCE(dup.dup_chars, 0) AS BIGINT) AS dup_chars
+        |FROM tot LEFT JOIN dup USING (doc_id) ORDER BY tot.doc_id""".stripMargin
     },
     "pipeline_curate_v2" ->
       s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),

@@ -1028,6 +1028,75 @@ object TextOps {
       .filter(col("shared_fps") >= minShared)
   }
 
+  /** Content-defined chunking + chunk-level dedup report — the
+    * storage-dedup tier (Rabin-style CDC, the rsync/LBFS idea): chunk
+    * boundaries fall where the rolling `window`-char FNV hash's low
+    * `maskBits` bits are zero, so an insertion early in a document
+    * shifts only ONE chunk's boundary and every later chunk re-aligns —
+    * unlike fixed-size blocks, where one byte shifts every block.
+    * Expected chunk length is 2^maskBits chars. A chunk occurrence is a
+    * duplicate when its exact content appears in ≥ 2 distinct
+    * documents. Per doc: chunk count, chars, duplicated-chunk count and
+    * mass.
+    *
+    * Scale shape: boundaries and chunk slices are ROW-LOCAL (the native
+    * [[graft.functions.NgramFnv]] window hasher + a transform over the
+    * cut array); chunk identity rides xxhash64 through the df
+    * aggregation and semi-join (counts preserved under no-collision,
+    * the standard budget); one explode, two hash aggregations, one
+    * semi-join — no window functions, no per-doc sorts. */
+  def cdcChunks(docs: DataFrame, window: Int = 16,
+                maskBits: Int = 6): DataFrame = {
+    require(window >= 2 && maskBits >= 1 && maskBits < 30,
+      s"window/maskBits: $window/$maskBits")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val mask = (1L << maskBits) - 1
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val hs = Bridge.column(graft.functions.NgramFnv(
+      Bridge.expression(col("text")), window))
+    // cut offsets (1-based char positions where a chunk ENDS): after
+    // each zero-masked window, plus always the end of the document.
+    // A short document (< window chars) has one whole-text hash whose
+    // cut would land past the end — the i + window bound drops it.
+    // The mask tests the TOP 16 bits (shiftrightunsigned 48): FNV-1a's
+    // low bits never disperse on ASCII (odd basis × odd prime keeps the
+    // low bit constant — measured: low nibble always odd), while the
+    // high bits pass the boundary-rate check.
+    val cuts = expr(
+      s"""array_distinct(concat(
+         |  transform(filter(sequence(0, size(hs) - 1),
+         |    i -> (shiftrightunsigned(hs[i], 48) & $mask) = 0
+         |         AND (i + $window) <= length(text)),
+         |    i -> i + $window),
+         |  array(length(text))))""".stripMargin)
+    val chunks = expr(
+      """transform(sequence(0, size(cuts) - 1), j -> named_struct(
+        |  'idx', j,
+        |  'chunk', substring(text,
+        |    CASE WHEN j = 0 THEN 1 ELSE cuts[j - 1] + 1 END,
+        |    cuts[j] - CASE WHEN j = 0 THEN 0 ELSE cuts[j - 1] END)))"""
+        .stripMargin)
+    val occ = docs.repartition(parts, col("doc_id"))
+      .select(col("doc_id"), col("text"), hs.as("hs"))
+      .select(col("doc_id"), col("text"), cuts.as("cuts"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), xxhash64(col("c.chunk")).as("ch"),
+        length(col("c.chunk")).cast("long").as("clen"))
+      .localCheckpoint(eager = false)
+    val dupCh = occ.groupBy("ch")
+      .agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 2).select("ch")
+    val totals = occ.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("clen").as("chars"))
+    val dups = occ.join(dupCh, Seq("ch"), "left_semi")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_chunks"), sum("clen").as("dup_chars"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"), col("chars"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
   /** Per-source frequency cap — the domain-balancing step every crawl
     * pipeline runs before training (a handful of boilerplate-heavy
     * domains otherwise dominate the token mix): keep at most `cap`

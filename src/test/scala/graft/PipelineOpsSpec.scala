@@ -288,6 +288,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(f(10L) === ((2L, 6L)) && f(11L) === ((2L, 6L)))
   }
 
+  test("cdc chunks conserve mass and re-align after an insertion") {
+    val s = (1 to 400).map(i => ('a' + (i * 7 + 3) % 26).toChar).mkString
+    val d = Seq(
+      (0L, s, "en", "s0", 400L),
+      (1L, s, "en", "s0", 400L),          // exact dup: every chunk shared
+      (2L, "zzzzz " + s, "en", "s0", 406L), // prefix insertion
+      (3L, "tiny", "en", "s0", 4L)        // shorter than the window
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.cdcChunks(d, window = 16, maskBits = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // conservation: chunk chars partition the document exactly
+    assert(out(0L)._2 === 400L && out(2L)._2 === 406L && out(3L)._2 === 4L)
+    assert(out(3L)._1 === 1L) // sub-window doc = one whole chunk
+    // identical docs share every chunk
+    assert(out(0L)._3 === out(0L)._1 && out(0L)._4 === 400L)
+    // the CDC property: after the first boundary past the insertion,
+    // doc 2's chunks re-align with doc 0's — most of its mass is dup
+    assert(out(2L)._4 > 300L,
+      s"insertion must shift only the head chunk, got ${out(2L)}")
+    // determinism
+    val again = TextOps.cdcChunks(d, window = 16, maskBits = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(again === out)
+  }
+
   test("dedup cascade: each tier shrinks the funnel, monotone per lang") {
     // docs fixture: en has 0,1 exact dups; 2 a bag-dup of 0; 3 a near
     // dup; 4 unrelated. exact drops 1; SNM (adjacent sort order)

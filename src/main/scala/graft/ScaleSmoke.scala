@@ -120,6 +120,13 @@ object ScaleSmoke {
       Op("pq_codes", e => Similarity.pqCodes(spark, e, 8), "emb"),
       Op("ann_pq", e => Similarity.annPq(spark, e, 25, 5, 8), "emb"),
       Op("ann_ivf_pq", e => Similarity.annIvfPq(spark, e, 25, 5, 8), "emb"),
+      // SemDeDup: replica copies are EXACT embedding dups (only ids
+      // shift), so every copy lands in its original's cluster and
+      // intra-cluster pair work grows factor² by construction — the
+      // embedding-space twin of the doc pair tier, capped + candidate-
+      // counted the same way
+      Op("semdedup", e => Similarity.semDedup(spark, e, 35), "embpair",
+        cand = Some(e => Similarity.semDedupCandidates(spark, e))),
       Op("sessionize", e => EventStream.sessionize(e), "evt"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume
@@ -146,6 +153,8 @@ object ScaleSmoke {
         budgetPct = 50), "doc"),
       Op("source_cap", d => TextOps.sourceCap(d, 20), "doc"),
       Op("doc_lm_score", d => TextOps.lmScore(d), "doc"),
+      Op("dsir_weights", d => TextOps.dsirWeights(d,
+        Seq("src0", "src1", "src2", "src3")), "doc"),
       // replica copy-tags change only each copy's TAIL windows, so
       // cross-copy duplicated spans grow with the corpus — the smoke
       // prices the worst (dup-heavy) case like the pair tiers
@@ -192,6 +201,7 @@ object ScaleSmoke {
     val OpTiers = ops.map(o => (o.name, o.tier))
     val GraphNodes = 50000L
     var docStrideSeen = 0L
+    var embStrideSeen = 0L
 
     // Materialize replica tables as parquet so 1× and N× run the same
     // scan-shaped plans (a cached in-memory union would flatter the
@@ -202,7 +212,8 @@ object ScaleSmoke {
     val tiersWanted: Set[String] = only match {
       case None => Set("doc", "emb", "evt", "graph")
       case Some(names) => OpTiers.collect {
-        case (n, t) if names(n) => if (t == "pair") "doc" else t
+        case (n, t) if names(n) =>
+          if (t == "pair") "doc" else if (t == "embpair") "emb" else t
       }.toSet ++ (if (names(StreamDocOp)) Set("doc") else Set.empty)
     }
     val base = java.nio.file.Files.createTempDirectory("graft_scale").toString
@@ -223,6 +234,7 @@ object ScaleSmoke {
       val embStride = emb1.agg(max("vec_id")).first().getLong(0) + 1
       scaledEmb(emb1, factor, embStride).write.mode("overwrite")
         .parquet(s"$base/embeddings")
+      embStrideSeen = embStride
       (emb1, spark.read.parquet(s"$base/embeddings"))
     }
     // events: materialize the 1× too — Tables.events wraps the scan in
@@ -263,6 +275,8 @@ object ScaleSmoke {
     val pairFactor = math.min(factor, 3)
     lazy val docsP = docTier.get._2
       .filter(col("doc_id") < pairFactor * docStrideSeen)
+    lazy val embP = embTier.get._2
+      .filter(col("vec_id") < pairFactor * embStrideSeen)
 
     // warm-up: JVM + codegen + the scans of every materialized tier
     Seq(docTier, embTier, evtTier, graphTier).flatten
@@ -276,6 +290,7 @@ object ScaleSmoke {
           case "emb" => (embTier.get._1, embTier.get._2, factor)
           case "evt" => (evtTier.get._1, evtTier.get._2, factor)
           case "graph" => (graphTier.get._1, graphTier.get._2, factor)
+          case "embpair" => (embTier.get._1, embP, pairFactor)
           case _ => (docTier.get._1, docsP, pairFactor)
         }
         println(s"[scale] running ${o.name} (factor $fac) ..."); Console.flush()

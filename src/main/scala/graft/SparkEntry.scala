@@ -81,6 +81,16 @@ object SparkEntry {
   private val CdcWindow = 16
   private val CdcMaskBits = 6
 
+  /** `dsir_weights` target distribution: the curated source list whose
+    * bigram statistics define the importance-sampling target (query +
+    * oracle — the [[IncContainTenths]] shared-constant rule). */
+  private val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
+
+  /** `semdedup` cosine threshold in hundredths (query + oracle). Same
+    * 0.35 as `dedup_embedding`: the synthetic embedding space tops out
+    * near cos 0.48, so 0.35 is the anomalously-close tail. */
+  private val SemDedupHundredths = 35
+
   private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
@@ -368,6 +378,12 @@ object SparkEntry {
     // milli units (mean + worst transition), the perplexity filter.
     "doc_lm_score" -> ((s, dir) =>
       TextOps.lmScore(Tables.documents(s, dir)).orderBy("doc_id")),
+    // DSIR importance weights: smoothed bigram probability ratio of the
+    // curated-source target distribution vs the full corpus (integer
+    // milli units, mean + strongest transition per doc).
+    "dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(Tables.documents(s, dir), DsirTargetSources)
+        .orderBy("doc_id")),
     // ExactSubstr-style duplicated-span report: 8-token windows shared
     // across >= 2 docs, merged into maximal runs per doc.
     "dedup_substring_spans" -> ((s, dir) =>
@@ -718,6 +734,11 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir),
         thresholdHundredths = 35).orderBy("d1", "d2")),
+    // SemDeDup: k-means-cluster the corpus, then keep/drop inside each
+    // cluster by integer-exact squared-cosine against lower-id twins.
+    "semdedup" -> ((s, dir) =>
+      Similarity.semDedup(s, Tables.embeddings(s, dir),
+        thresholdHundredths = SemDedupHundredths).orderBy("vec_id")),
 
     // ---- similarity search (north star; Similarity) ----
     "knn_brute_force" -> ((s, dir) =>
@@ -1655,6 +1676,31 @@ object SparkEntry {
         |  CAST(SUM(pmilli) // COUNT(*) AS BIGINT) AS avg_pmilli,
         |  CAST(MIN(pmilli) AS BIGINT) AS min_pmilli
         |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "dsir_weights" -> {
+      val tgt = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |    CASE WHEN source IN ($tgt) THEN 1 ELSE 0 END AS tgt,
+         |    string_split(text, ' ') AS toks FROM documents),
+         |b AS (SELECT doc_id, tgt,
+         |    unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+         |  FROM t),
+         |bb AS (SELECT doc_id, tgt, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+         |m AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_b,
+         |    CAST(SUM(tgt) AS BIGINT) AS c_t FROM bb GROUP BY 1, 2),
+         |tot AS (SELECT CAST(SUM(c_b) AS BIGINT) AS n_b,
+         |    CAST(SUM(c_t) AS BIGINT) AS n_t,
+         |    CAST(COUNT(*) AS BIGINT) AS v FROM m),
+         |p AS (SELECT bb.doc_id, bb.tgt,
+         |    (1000 * (m.c_t + 1) * (tot.n_b + tot.v))
+         |      // ((m.c_b + 1) * (tot.n_t + tot.v)) AS wmilli
+         |  FROM bb JOIN m ON bb.w1 = m.w1 AND bb.w2 = m.w2 CROSS JOIN tot)
+         |SELECT doc_id, CAST(MAX(tgt) AS BIGINT) AS is_target,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(wmilli) // COUNT(*) AS BIGINT) AS avg_wmilli,
+         |  CAST(MAX(wmilli) AS BIGINT) AS max_wmilli
+         |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
     "dedup_substring_spans" -> {
       val n = SpanTokens
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2297,6 +2343,46 @@ object SparkEntry {
         |FROM prod
         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= 0.35
         |ORDER BY d1, d2""".stripMargin,
+    "semdedup" -> {
+      val t2 = SemDedupHundredths.toLong * SemDedupHundredths
+      val q1000 = "CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+      val ed = "CAST(FLOOR(CAST(e.embedding[c.dim] AS DOUBLE) * 1000) AS BIGINT)"
+      val pa = "CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
+      val pb = "CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
+      s"""WITH cq AS (
+         |  SELECT label AS cluster, g.k AS dim,
+         |    CAST(SUM($q1000) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cqd
+         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k)
+         |  GROUP BY 1, 2),
+         |dist AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    CAST(SUM(($ed - c.cqd) * ($ed - c.cqd)) AS BIGINT) AS dist
+         |  FROM embeddings e CROSS JOIN cq c GROUP BY 1, 2),
+         |asg AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cluster) AS rn
+         |    FROM dist) t WHERE rn = 1),
+         |pair AS (
+         |  SELECT va.cluster, va.vec_id AS id_a, vb.vec_id AS id_b,
+         |    CAST(SUM($pa * $pb) AS BIGINT) AS dot,
+         |    CAST(SUM($pa * $pa) AS BIGINT) AS na,
+         |    CAST(SUM($pb * $pb) AS BIGINT) AS nb
+         |  FROM asg va JOIN embeddings a ON a.vec_id = va.vec_id
+         |  JOIN asg vb ON vb.cluster = va.cluster AND va.vec_id < vb.vec_id
+         |  JOIN embeddings b ON b.vec_id = vb.vec_id
+         |  CROSS JOIN generate_series(1, 64) g(k)
+         |  GROUP BY 1, 2, 3),
+         |dup AS (SELECT id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of
+         |  FROM pair
+         |  WHERE dot > 0 AND 10000 * dot * dot >= $t2 * na * nb
+         |  GROUP BY 1)
+         |SELECT asg.vec_id, asg.cluster,
+         |  CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+         |  CAST(COALESCE(dup.dup_of, -1) AS BIGINT) AS dup_of
+         |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
+         |ORDER BY asg.vec_id""".stripMargin
+    },
     "ann_ivf" -> sqlAnnIvf(probes = 1),
     "ann_ivf_probe2" -> sqlAnnIvf(probes = 2),
     "ann_lsh" -> {

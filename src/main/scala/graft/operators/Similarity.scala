@@ -231,6 +231,87 @@ object Similarity {
           s => s.getField("cqd")).as("cq")),
       scale)
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding corpus with the coarse
+    * k-means codebook, then inside each cluster drop every vector that
+    * has a lower-id near-twin at/above the cosine threshold. The
+    * clustering is the paper's core scale trick — the pair stage costs
+    * O(Σ|cluster|²) instead of O(N²) — the same blocking idea as the
+    * LSH/label tiers, but with learned blocks in embedding space.
+    *
+    * Determinism: assignment reuses [[kmeansRound]]'s exact integer
+    * quantizer (squared distance to the TRUNCATED integer centroid,
+    * tie-break cluster asc); the near-twin verdict compares SQUARED
+    * quantized cosine in integers — dot > 0 ∧ 10⁴·dot² ≥ t²·|a|²·|b|²
+    * ⟺ cos ≥ t/100 — so no IEEE step (sqrt/divide) anywhere in a
+    * keep/drop decision. Magnitudes: scale 100 on unit-ish embeddings
+    * keeps 10⁴·dot² under 2⁵⁵ at dim 64.
+    *
+    * Scale shape: the codebook is k·dim longs, broadcast; assignment is
+    * a broadcast cross-probe + rank-1 window; the pair join shuffles
+    * ONCE on cluster id and never crosses clusters; the verdict joins
+    * back vec_id-wise (hash join). Output one row per vector —
+    * kept = 1, or kept = 0 with the lowest-id twin that evicts it
+    * (dup_of = -1 sentinel when kept, so the relation stays null-free
+    * for downstream anti-joins). */
+  def semDedup(spark: SparkSession, emb: DataFrame,
+               thresholdHundredths: Int, dim: Int = 64): DataFrame = {
+    require(thresholdHundredths >= 1 && thresholdHundredths <= 100,
+      s"cosine threshold must be in (0, 1] hundredths: $thresholdHundredths")
+    val t2 = thresholdHundredths.toLong * thresholdHundredths
+    val assigned = semDedupAssignments(spark, emb, dim)
+    // pair tier at the dedup_embedding quantization (scale 100); each
+    // vector's squared norm precomputed once → ONE dot per pair
+    val v = assigned.join(
+      emb.select(col("vec_id"), col("embedding"),
+        normSqQuantized(col("embedding"), 100).as("nsq")), "vec_id")
+    val a = v.select(col("cluster"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("nsq").as("na"))
+    val b = v.select(col("cluster"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("nsq").as("nb"))
+    val dup = a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+      .withColumn("dot", dotQuantized(col("ea"), col("eb"), 100))
+      .filter(col("dot") > 0 &&
+        lit(10000L) * col("dot") * col("dot") >= lit(t2) * col("na") * col("nb"))
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("dup_of"))
+    v.select("vec_id", "cluster").join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  /** [[semDedup]]'s coarse assignment: every vector to its nearest
+    * integer centroid (squared distance to the truncated per-label
+    * centroid, tie-break cluster asc — the [[kmeansRound]] quantizer). */
+  def semDedupAssignments(spark: SparkSession, emb: DataFrame,
+                          dim: Int = 64): DataFrame = {
+    val book = broadcast(labelCentroids(spark, emb, dim, scale = 1000)
+      .select(col("label").as("cluster"),
+        expr("transform(sum_q, s -> s div n)").as("cq")))
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")).as("q"))
+    val dists = q.crossJoin(book)
+      .select(col("vec_id"), col("cluster"),
+        aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
+    dists.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).select("vec_id", "cluster")
+  }
+
+  /** [[semDedup]]'s pre-verdict candidate relation — every intra-cluster
+    * (id_a < id_b) pair the verdict dot must score. The denominator a
+    * scale smoke judges the pair stage's time ratio against. */
+  def semDedupCandidates(spark: SparkSession, emb: DataFrame,
+                         dim: Int = 64): DataFrame = {
+    val assigned = semDedupAssignments(spark, emb, dim)
+    val a = assigned.select(col("cluster"), col("vec_id").as("id_a"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("id_b"))
+    a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+  }
+
   /** Assignment + update against a `(cluster, cq: array<long>)`
     * codebook (shared body of the Lloyd rounds). */
   private def lloydStep(emb: DataFrame, cq: DataFrame,

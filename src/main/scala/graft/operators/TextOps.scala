@@ -1205,6 +1205,62 @@ object TextOps {
         col("min_pmilli"))
   }
 
+  /** DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    * every document by how much its hashed-bigram distribution looks
+    * like a TARGET corpus — here a curated source list, the paper's own
+    * deployment shape (target = Wikipedia+books, raw web as
+    * background) — versus the full corpus as background. Per bigram,
+    * the add-one-smoothed probability ratio in exact integer
+    * milli-units:
+    *   wmilli = (1000·(c_t+1)·(N_b+V)) div ((c_b+1)·(N_t+V))
+    * and per document the mean over its transitions — the monotone
+    * stand-in for the paper's mean log-ratio (libm-free, so the score
+    * is engine-exact; the resampling step downstream only needs the
+    * ordering, which the ratio preserves).
+    *
+    * Scale shape: the [[lmScore]] skeleton — bigram identity rides
+    * xxhash64 (tokens only, no lang conditioning: ONE global feature
+    * space, as in the paper); a single corpus-wide aggregation builds
+    * both counts (background = count(*), target = sum of the row-local
+    * target flag); the model totals are a 1-row broadcast; scoring is
+    * one shuffle join on the hash key (the model is corpus-vocabulary-
+    * sized — never broadcast). The exploded relation feeds the model
+    * build and the scoring join, so it materializes once.
+    *
+    * Overflow bound: (c_t+1)·(N_b+V)·1000 must stay inside signed-64 —
+    * true through ~10⁹-bigram-occurrence corpora; past that,
+    * right-shift BOTH totals by a common k (the ratio is
+    * shift-invariant) before the multiply. */
+  def dsirWeights(docs: DataFrame, targetSources: Seq[String]): DataFrame = {
+    require(targetSources.nonEmpty, "target source list must be non-empty")
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val bigrams = expr(
+      """CASE WHEN size(ts) < 2 THEN array() ELSE
+        |  transform(sequence(0, size(ts) - 2), i -> xxhash64(ts[i], ts[i + 1]))
+        |END""".stripMargin)
+    val rows = docs.repartition(parts, col("doc_id"))
+      .select(col("doc_id"),
+        col("source").isInCollection(targetSources).cast("long").as("tgt"),
+        split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), col("tgt"), explode(bigrams).as("bh"))
+      .localCheckpoint(eager = false)
+    val model = rows.groupBy("bh")
+      .agg(count(lit(1)).as("c_b"), sum("tgt").as("c_t"))
+      .localCheckpoint(eager = false)
+    val totals = broadcast(model.agg(
+      sum("c_b").as("n_b"), sum("c_t").as("n_t"), count(lit(1)).as("v")))
+    rows.join(model, "bh").crossJoin(totals)
+      .select(col("doc_id"), col("tgt"),
+        expr("(1000 * (c_t + 1) * (n_b + v)) div ((c_b + 1) * (n_t + v))")
+          .as("wmilli"))
+      .groupBy("doc_id")
+      .agg(max("tgt").as("is_target"), count(lit(1)).as("n_bigrams"),
+        sum("wmilli").as("sum_wmilli"), max("wmilli").as("max_wmilli"))
+      .select(col("doc_id"), col("is_target"), col("n_bigrams"),
+        expr("sum_wmilli div n_bigrams").as("avg_wmilli"),
+        col("max_wmilli"))
+  }
+
   /** Exact substring-span dedup report — the "Deduplicating Training
     * Data Makes Language Models Better" ExactSubstr analogue at token
     * granularity: every `n`-token window whose exact text occurs in ≥ 2

@@ -866,4 +866,56 @@ class PipelineOpsSpec extends SparkSpec {
       Seq(("x y z", 2L), ("y z x", 1L), ("z x y", 1L)))
     assert(top.forall(_.getAs[Long]("docs") === 1L))
   }
+
+  test("semdedup drops the lower-priority twin inside each cluster only") {
+    // exact-in-binary components so quantization is trivially exact:
+    // v1 is colinear with v0 (cos = 1), v4 colinear with v3; v2 is
+    // orthogonal to everything (dot = 0 fails the dot > 0 guard even
+    // though 0 >= 0·na·nb would hold)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.75f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (4L, Array(-0.75f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedup(spark, emb, thresholdHundredths = 90,
+        dim = 4)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("kept"),
+        r.getAs[Long]("dup_of")))
+    assert(out.toSeq === Seq(
+      (0L, 1L, -1L), (1L, 0L, 0L), (2L, 1L, -1L),
+      (3L, 1L, -1L), (4L, 0L, 3L)))
+    // opposite-direction vectors (v0 vs v3) never pair: different
+    // clusters AND negative dot — relaxing the threshold to the floor
+    // must not create cross-cluster drops
+    val loose = Similarity.semDedup(spark, emb, thresholdHundredths = 1,
+        dim = 4)
+      .filter(col("kept") === 0).collect().map(_.getLong(0)).sorted
+    assert(loose.toSeq === Seq(1L, 4L))
+  }
+
+  test("dsir weights rank target-like docs above background-only docs") {
+    val c = Seq(
+      (0L, "a b a b", "en", "s0", 7L), // pure target bigrams
+      (1L, "a b c", "en", "s1", 5L),   // shares ab with the target
+      (2L, "x y x y", "en", "s1", 7L), // background-only bigrams
+      (3L, "z", "en", "s0", 1L)        // < 2 tokens: no transitions
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.dsirWeights(c, targetSources = Seq("s0"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("is_target"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Long]("avg_wmilli"),
+        r.getAs[Long]("max_wmilli")))
+    // hand-computed: N_b=8, N_t=3, V=5; wmilli(ab)=39000//32=1218,
+    // wmilli(ba)=26000//16=1625, wmilli(bc)=13000//16=812,
+    // wmilli(xy)=13000//24=541, wmilli(yx)=812
+    assert(out.toSeq === Seq(
+      (0L, 1L, 3L, (1218L + 1625 + 1218) / 3, 1625L),
+      (1L, 0L, 2L, (1218L + 812) / 2, 1218L),
+      (2L, 0L, 3L, (541L + 812 + 541) / 3, 812L)))
+    // the ordering DSIR resampling consumes: target-like > mixed > alien
+    assert(out(0)._4 > out(1)._4 && out(1)._4 > out(2)._4)
+  }
 }

@@ -246,4 +246,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"bigram adjacency must be row-local, not a window lead, plan:\n$p")
   }
+
+  test("semdedup assigns via a pruned rank-1 window and never cartesians") {
+    val p = plan("semdedup")
+    // the nearest-centroid argmin (rn = 1) must prune map-side under
+    // the window, not sort whole clusters
+    assert(p.contains("WindowGroupLimit"),
+      s"assignment rank-1 must push a window group limit, plan:\n$p")
+    // the only non-equi join allowed is the BROADCAST codebook probe;
+    // an unbroadcast cartesian would be the O(N·k) scale killer
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cartesian anywhere, plan:\n$p")
+  }
+
+  test("dsir scoring is windowless with broadcast totals only") {
+    val p = plan("dsir_weights")
+    // per-doc aggregation is a hash agg over the scored rows — a rank
+    // window here would serialize per-doc groups for no reason
+    assert(!p.contains("Window"),
+      s"dsir per-doc stats must be hash aggregation, plan:\n$p")
+    // the 1-row totals relation rides a broadcast nested-loop cross
+    // join; a CartesianProduct would mean the broadcast hint was lost
+    assert(!p.contains("CartesianProduct"),
+      s"model totals must broadcast, plan:\n$p")
+  }
 }

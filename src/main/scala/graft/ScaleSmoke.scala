@@ -127,6 +127,8 @@ object ScaleSmoke {
       // counted the same way
       Op("semdedup", e => Similarity.semDedup(spark, e, 35), "embpair",
         cand = Some(e => Similarity.semDedupCandidates(spark, e))),
+      // prototype pruning has no pair join — the linear emb tier
+      Op("proto_prune", e => Similarity.protoPrune(spark, e, 25), "emb"),
       Op("sessionize", e => EventStream.sessionize(e), "evt"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume

@@ -91,6 +91,10 @@ object SparkEntry {
     * near cos 0.48, so 0.35 is the anomalously-close tail. */
   private val SemDedupHundredths = 35
 
+  /** `proto_prune` drop percentage — the D4 paper's prototype-pruning
+    * fraction (query + oracle). */
+  private val ProtoPrunePct = 25
+
   private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
@@ -739,6 +743,11 @@ object SparkEntry {
     "semdedup" -> ((s, dir) =>
       Similarity.semDedup(s, Tables.embeddings(s, dir),
         thresholdHundredths = SemDedupHundredths).orderBy("vec_id")),
+    // D4's second stage: drop the 25% most prototypical (closest to
+    // centroid) vectors per cluster, keeping the diverse tail.
+    "proto_prune" -> ((s, dir) =>
+      Similarity.protoPrune(s, Tables.embeddings(s, dir),
+        pct = ProtoPrunePct).orderBy("vec_id")),
 
     // ---- similarity search (north star; Similarity) ----
     "knn_brute_force" -> ((s, dir) =>
@@ -1413,6 +1422,29 @@ object SparkEntry {
   /** IVF ANN oracle, parameterized by probe count (mirrors
     * [[Similarity.annIvf]]: centroid scores in exact integer space, the
     * `probes` best clusters reranked by quantized cosine). */
+  /** Shared by `semdedup` and `proto_prune`: the coarse-cluster CTE
+    * prefix — truncated integer centroids, every vector's exact squared
+    * distance to each, and the rank-1 assignment (keeping the winning
+    * distance, which proto_prune ranks on). */
+  private def SqlSemClusterCtes: String = {
+    val q1000 = "CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    val ed = "CAST(FLOOR(CAST(e.embedding[c.dim] AS DOUBLE) * 1000) AS BIGINT)"
+    s"""cq AS (
+       |  SELECT label AS cluster, g.k AS dim,
+       |    CAST(SUM($q1000) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cqd
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k)
+       |  GROUP BY 1, 2),
+       |dist AS (
+       |  SELECT e.vec_id, c.cluster,
+       |    CAST(SUM(($ed - c.cqd) * ($ed - c.cqd)) AS BIGINT) AS dist
+       |  FROM embeddings e CROSS JOIN cq c GROUP BY 1, 2),
+       |asg AS (SELECT vec_id, cluster, dist FROM (
+       |    SELECT vec_id, cluster, dist,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM dist) t WHERE rn = 1)""".stripMargin
+  }
+
   private def sqlAnnIvf(probes: Int): String = {
     val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
     val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
@@ -2345,24 +2377,9 @@ object SparkEntry {
         |ORDER BY d1, d2""".stripMargin,
     "semdedup" -> {
       val t2 = SemDedupHundredths.toLong * SemDedupHundredths
-      val q1000 = "CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
-      val ed = "CAST(FLOOR(CAST(e.embedding[c.dim] AS DOUBLE) * 1000) AS BIGINT)"
       val pa = "CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
       val pb = "CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
-      s"""WITH cq AS (
-         |  SELECT label AS cluster, g.k AS dim,
-         |    CAST(SUM($q1000) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cqd
-         |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k)
-         |  GROUP BY 1, 2),
-         |dist AS (
-         |  SELECT e.vec_id, c.cluster,
-         |    CAST(SUM(($ed - c.cqd) * ($ed - c.cqd)) AS BIGINT) AS dist
-         |  FROM embeddings e CROSS JOIN cq c GROUP BY 1, 2),
-         |asg AS (SELECT vec_id, cluster FROM (
-         |    SELECT vec_id, cluster,
-         |      row_number() OVER (PARTITION BY vec_id
-         |        ORDER BY dist, cluster) AS rn
-         |    FROM dist) t WHERE rn = 1),
+      s"""WITH $SqlSemClusterCtes,
          |pair AS (
          |  SELECT va.cluster, va.vec_id AS id_a, vb.vec_id AS id_b,
          |    CAST(SUM($pa * $pb) AS BIGINT) AS dot,
@@ -2383,6 +2400,19 @@ object SparkEntry {
          |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
          |ORDER BY asg.vec_id""".stripMargin
     },
+    "proto_prune" ->
+      s"""WITH $SqlSemClusterCtes,
+         |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_c
+         |       FROM asg GROUP BY 1),
+         |r AS (SELECT vec_id, cluster, dist,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY dist, vec_id) AS BIGINT) AS rnk
+         |  FROM asg)
+         |SELECT r.vec_id, r.cluster, r.dist, r.rnk,
+         |  CAST(CASE WHEN r.rnk > (sz.n_c * $ProtoPrunePct) // 100
+         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM r JOIN sz ON r.cluster = sz.cluster
+         |ORDER BY r.vec_id""".stripMargin,
     "ann_ivf" -> sqlAnnIvf(probes = 1),
     "ann_ivf_probe2" -> sqlAnnIvf(probes = 2),
     "ann_lsh" -> {

@@ -283,7 +283,8 @@ object Similarity {
 
   /** [[semDedup]]'s coarse assignment: every vector to its nearest
     * integer centroid (squared distance to the truncated per-label
-    * centroid, tie-break cluster asc — the [[kmeansRound]] quantizer). */
+    * centroid, tie-break cluster asc — the [[kmeansRound]] quantizer).
+    * Keeps the winning distance: [[protoPrune]] ranks on it. */
   def semDedupAssignments(spark: SparkSession, emb: DataFrame,
                           dim: Int = 64): DataFrame = {
     val book = broadcast(labelCentroids(spark, emb, dim, scale = 1000)
@@ -298,7 +299,36 @@ object Similarity {
           lit(0L), (acc, x) => acc + x).as("dist"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
     dists.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select("vec_id", "cluster")
+      .filter(col("rn") === 1).select("vec_id", "cluster", "dist")
+  }
+
+  /** SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural
+    * scaling laws"; the stage D4 — Tirumala et al. 2023 — runs AFTER
+    * [[semDedup]]): inside each cluster drop the most PROTOTYPICAL
+    * vectors — the (n·pct) div 100 closest to the centroid — keeping
+    * the diverse tail that carries the most marginal information per
+    * the pruning scaling law. Distances are the assignment's exact
+    * integer squared distances, rank ties break on vec_id, and the
+    * drop count is an integer floor — engine-exact end to end.
+    *
+    * Scale shape: assignment as in [[semDedup]] (broadcast codebook +
+    * rank-1 window); the prototype rank is ONE window over the cluster
+    * partition (dist asc, vec_id) — a distributed within-cluster sort,
+    * the unavoidable cost of an exact per-cluster quantile cut;
+    * cluster sizes ride back on a broadcast join. No pair join at all,
+    * so this tier stays LINEAR where [[semDedup]]'s is
+    * cluster-quadratic. */
+  def protoPrune(spark: SparkSession, emb: DataFrame, pct: Int,
+                 dim: Int = 64): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"prune percentage out of range: $pct")
+    val asg = semDedupAssignments(spark, emb, dim)
+    val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n_c"))
+    val w = Window.partitionBy("cluster").orderBy(col("dist"), col("vec_id"))
+    asg.withColumn("rnk", row_number().over(w).cast("long"))
+      .join(broadcast(sizes), "cluster")
+      .select(col("vec_id"), col("cluster"), col("dist"), col("rnk"),
+        when(col("rnk") > expr(s"(n_c * $pct) div 100"), 1L)
+          .otherwise(0L).as("kept"))
   }
 
   /** [[semDedup]]'s pre-verdict candidate relation — every intra-cluster

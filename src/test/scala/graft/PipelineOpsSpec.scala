@@ -896,6 +896,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(loose.toSeq === Seq(1L, 4L))
   }
 
+  test("proto prune drops the closest-to-centroid fraction per cluster") {
+    // same fixture as the semdedup test; centroids (scale 1000,
+    // truncated): c0 = (583, 333, 0, 0) over {v0,v1,v2},
+    // c1 = (-875, 0, 0, 0) over {v3,v4}. Hand-computed squared dists:
+    // v0 417²+333²=284778, v1 167²+333²=138778, v2 583²+667²=784778,
+    // v3 = v4 = 125²=15625 (exact tie → vec_id breaks it).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.75f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (4L, Array(-0.75f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    // pct=50: cluster 0 (n=3) drops (3·50) div 100 = 1 — its most
+    // prototypical v1; cluster 1 (n=2) drops 1 — tie goes to v3
+    val out = Similarity.protoPrune(spark, emb, pct = 50, dim = 4)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("dist"),
+        r.getAs[Long]("rnk"), r.getAs[Long]("kept")))
+    assert(out.toSeq === Seq(
+      (0L, 284778L, 2L, 1L), (1L, 138778L, 1L, 0L),
+      (2L, 784778L, 3L, 1L), (3L, 15625L, 1L, 0L),
+      (4L, 15625L, 2L, 1L)))
+    // pct=0 keeps everything — the floor never rounds a drop into being
+    val all = Similarity.protoPrune(spark, emb, pct = 0, dim = 4)
+      .filter(col("kept") === 0).count()
+    assert(all === 0L)
+  }
+
   test("dsir weights rank target-like docs above background-only docs") {
     val c = Seq(
       (0L, "a b a b", "en", "s0", 7L), // pure target bigrams

@@ -129,6 +129,10 @@ object ScaleSmoke {
         cand = Some(e => Similarity.semDedupCandidates(spark, e))),
       // prototype pruning has no pair join — the linear emb tier
       Op("proto_prune", e => Similarity.protoPrune(spark, e, 25), "emb"),
+      // the composed pipeline carries semdedup's pair join → capped
+      Op("pipeline_d4", e => Similarity.d4Funnel(spark, e, 35, 25),
+        "embpair",
+        cand = Some(e => Similarity.semDedupCandidates(spark, e))),
       Op("sessionize", e => EventStream.sessionize(e), "evt"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume

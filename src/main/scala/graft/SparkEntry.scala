@@ -748,6 +748,12 @@ object SparkEntry {
     "proto_prune" -> ((s, dir) =>
       Similarity.protoPrune(s, Tables.embeddings(s, dir),
         pct = ProtoPrunePct).orderBy("vec_id")),
+    // The composed D4 pipeline: semantic dedup, then prototype pruning
+    // among the SURVIVORS — per-cluster funnel counts.
+    "pipeline_d4" -> ((s, dir) =>
+      Similarity.d4Funnel(s, Tables.embeddings(s, dir),
+        thresholdHundredths = SemDedupHundredths, pct = ProtoPrunePct)
+        .orderBy("cluster")),
 
     // ---- similarity search (north star; Similarity) ----
     "knn_brute_force" -> ((s, dir) =>
@@ -1443,6 +1449,29 @@ object SparkEntry {
        |      row_number() OVER (PARTITION BY vec_id
        |        ORDER BY dist, cluster) AS rn
        |    FROM dist) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** Shared by `semdedup` and `pipeline_d4`: the intra-cluster pair
+    * relation and the lowest-id-twin dup verdict (integer squared-cosine
+    * test at [[SemDedupHundredths]]). */
+  private def SqlSemDedupPairDupCtes: String = {
+    val t2 = SemDedupHundredths.toLong * SemDedupHundredths
+    val pa = "CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
+    val pb = "CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
+    s"""pair AS (
+       |  SELECT va.cluster, va.vec_id AS id_a, vb.vec_id AS id_b,
+       |    CAST(SUM($pa * $pb) AS BIGINT) AS dot,
+       |    CAST(SUM($pa * $pa) AS BIGINT) AS na,
+       |    CAST(SUM($pb * $pb) AS BIGINT) AS nb
+       |  FROM asg va JOIN embeddings a ON a.vec_id = va.vec_id
+       |  JOIN asg vb ON vb.cluster = va.cluster AND va.vec_id < vb.vec_id
+       |  JOIN embeddings b ON b.vec_id = vb.vec_id
+       |  CROSS JOIN generate_series(1, 64) g(k)
+       |  GROUP BY 1, 2, 3),
+       |dup AS (SELECT id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of
+       |  FROM pair
+       |  WHERE dot > 0 AND 10000 * dot * dot >= $t2 * na * nb
+       |  GROUP BY 1)""".stripMargin
   }
 
   private def sqlAnnIvf(probes: Int): String = {
@@ -2375,31 +2404,36 @@ object SparkEntry {
         |FROM prod
         |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= 0.35
         |ORDER BY d1, d2""".stripMargin,
-    "semdedup" -> {
-      val t2 = SemDedupHundredths.toLong * SemDedupHundredths
-      val pa = "CAST(FLOOR(CAST(a.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
-      val pb = "CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
+    "semdedup" ->
       s"""WITH $SqlSemClusterCtes,
-         |pair AS (
-         |  SELECT va.cluster, va.vec_id AS id_a, vb.vec_id AS id_b,
-         |    CAST(SUM($pa * $pb) AS BIGINT) AS dot,
-         |    CAST(SUM($pa * $pa) AS BIGINT) AS na,
-         |    CAST(SUM($pb * $pb) AS BIGINT) AS nb
-         |  FROM asg va JOIN embeddings a ON a.vec_id = va.vec_id
-         |  JOIN asg vb ON vb.cluster = va.cluster AND va.vec_id < vb.vec_id
-         |  JOIN embeddings b ON b.vec_id = vb.vec_id
-         |  CROSS JOIN generate_series(1, 64) g(k)
-         |  GROUP BY 1, 2, 3),
-         |dup AS (SELECT id_b AS vec_id, CAST(MIN(id_a) AS BIGINT) AS dup_of
-         |  FROM pair
-         |  WHERE dot > 0 AND 10000 * dot * dot >= $t2 * na * nb
-         |  GROUP BY 1)
+         |$SqlSemDedupPairDupCtes
          |SELECT asg.vec_id, asg.cluster,
          |  CAST(CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
          |  CAST(COALESCE(dup.dup_of, -1) AS BIGINT) AS dup_of
          |FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id
-         |ORDER BY asg.vec_id""".stripMargin
-    },
+         |ORDER BY asg.vec_id""".stripMargin,
+    "pipeline_d4" ->
+      s"""WITH $SqlSemClusterCtes,
+         |$SqlSemDedupPairDupCtes,
+         |verdict AS (SELECT asg.vec_id, asg.cluster, asg.dist,
+         |    CASE WHEN dup.dup_of IS NULL THEN 1 ELSE 0 END AS kept
+         |  FROM asg LEFT JOIN dup ON asg.vec_id = dup.vec_id),
+         |surv AS (SELECT * FROM verdict WHERE kept = 1),
+         |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_s
+         |       FROM surv GROUP BY 1),
+         |r AS (SELECT vec_id, cluster,
+         |    CAST(row_number() OVER (PARTITION BY cluster
+         |      ORDER BY dist, vec_id) AS BIGINT) AS rnk
+         |  FROM surv),
+         |ap AS (SELECT r.cluster, CAST(COUNT(*) AS BIGINT) AS after_proto
+         |  FROM r JOIN sz ON r.cluster = sz.cluster
+         |  WHERE r.rnk > (sz.n_s * $ProtoPrunePct) // 100
+         |  GROUP BY 1)
+         |SELECT v.cluster, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(v.kept) AS BIGINT) AS after_semdedup,
+         |  CAST(COALESCE(MAX(ap.after_proto), 0) AS BIGINT) AS after_proto
+         |FROM verdict v LEFT JOIN ap ON v.cluster = ap.cluster
+         |GROUP BY 1 ORDER BY v.cluster""".stripMargin,
     "proto_prune" ->
       s"""WITH $SqlSemClusterCtes,
          |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_c

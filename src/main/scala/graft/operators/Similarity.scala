@@ -255,7 +255,15 @@ object Similarity {
     * (dup_of = -1 sentinel when kept, so the relation stays null-free
     * for downstream anti-joins). */
   def semDedup(spark: SparkSession, emb: DataFrame,
-               thresholdHundredths: Int, dim: Int = 64): DataFrame = {
+               thresholdHundredths: Int, dim: Int = 64): DataFrame =
+    semDedupVerdicts(spark, emb, thresholdHundredths, dim)
+      .select("vec_id", "cluster", "kept", "dup_of")
+
+  /** [[semDedup]] plus the assignment's centroid distance on every row
+    * — the relation [[d4Funnel]] ranks survivors on. */
+  private def semDedupVerdicts(spark: SparkSession, emb: DataFrame,
+                               thresholdHundredths: Int,
+                               dim: Int): DataFrame = {
     require(thresholdHundredths >= 1 && thresholdHundredths <= 100,
       s"cosine threshold must be in (0, 1] hundredths: $thresholdHundredths")
     val t2 = thresholdHundredths.toLong * thresholdHundredths
@@ -275,10 +283,42 @@ object Similarity {
         lit(10000L) * col("dot") * col("dot") >= lit(t2) * col("na") * col("nb"))
       .groupBy(col("id_b").as("vec_id"))
       .agg(min("id_a").as("dup_of"))
-    v.select("vec_id", "cluster").join(dup, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"),
+    v.select("vec_id", "cluster", "dist").join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist"),
         when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
         coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  /** The composed D4 pipeline (Tirumala et al. 2023): [[semDedup]]
+    * first, then [[protoPrune]]-style prototype pruning among the
+    * SURVIVORS — the paper's order (dedup before diversification, so a
+    * dropped near-twin can't also occupy a prototype slot). Output is
+    * the per-cluster funnel: vectors in, after semantic dedup, after
+    * prototype pruning — the stage-count report a curation run logs.
+    *
+    * Scale shape: the semdedup verdict relation is computed ONCE and
+    * feeds both the survivor rank and the funnel counts; the survivor
+    * rank is one within-cluster window; every aggregate is
+    * cluster-keyed (k rows). Nothing new shuffles beyond the two tiers
+    * it composes. */
+  def d4Funnel(spark: SparkSession, emb: DataFrame,
+               thresholdHundredths: Int, pct: Int,
+               dim: Int = 64): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"prune percentage out of range: $pct")
+    val v = semDedupVerdicts(spark, emb, thresholdHundredths, dim)
+      .localCheckpoint(eager = false)
+    val surv = v.filter(col("kept") === 1L)
+    val sizes = surv.groupBy("cluster").agg(count(lit(1)).as("n_s"))
+    val w = Window.partitionBy("cluster").orderBy(col("dist"), col("vec_id"))
+    val afterProto = surv.withColumn("rnk", row_number().over(w))
+      .join(broadcast(sizes), "cluster")
+      .filter(col("rnk") > expr(s"(n_s * $pct) div 100"))
+      .groupBy("cluster").agg(count(lit(1)).as("after_proto"))
+    v.groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), sum("kept").as("after_semdedup"))
+      .join(afterProto, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_vecs"), col("after_semdedup"),
+        coalesce(col("after_proto"), lit(0L)).as("after_proto"))
   }
 
   /** [[semDedup]]'s coarse assignment: every vector to its nearest

@@ -925,6 +925,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(all === 0L)
   }
 
+  test("d4 funnel prunes prototypes among semdedup survivors only") {
+    // same fixture: semdedup drops v1 (twin of v0) and v4 (twin of v3);
+    // survivors c0 = {v0 d=284778, v2 d=784778}, c1 = {v3 d=15625}.
+    // pct=50: c0 (n_s=2) drops its most prototypical survivor v0 —
+    // NOT v1, which a pre-dedup rank would have hit; c1 (n_s=1) drops
+    // (1·50) div 100 = 0
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.75f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (4L, Array(-0.75f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.d4Funnel(spark, emb, thresholdHundredths = 90,
+        pct = 50, dim = 4)
+      .orderBy("cluster").collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_vecs"),
+        r.getAs[Long]("after_semdedup"), r.getAs[Long]("after_proto")))
+    assert(out.toSeq === Seq((0, 3L, 2L, 1L), (1, 2L, 1L, 1L)))
+    // pct=100 empties every cluster — the coalesce keeps the funnel row
+    val gone = Similarity.d4Funnel(spark, emb, thresholdHundredths = 90,
+        pct = 100, dim = 4)
+      .orderBy("cluster").collect().map(_.getAs[Long]("after_proto"))
+    assert(gone.toSeq === Seq(0L, 0L))
+  }
+
   test("dsir weights rank target-like docs above background-only docs") {
     val c = Seq(
       (0L, "a b a b", "en", "s0", 7L), // pure target bigrams

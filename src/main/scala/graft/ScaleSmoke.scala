@@ -133,6 +133,12 @@ object ScaleSmoke {
       Op("pipeline_d4", e => Similarity.d4Funnel(spark, e, 35, 25),
         "embpair",
         cand = Some(e => Similarity.semDedupCandidates(spark, e))),
+      Op("dedup_incremental_embedding", e => {
+        val half = e.agg(max("vec_id")).first().getLong(0) / 2
+        Similarity.semDedupAgainstCorpus(spark,
+          e.filter(col("vec_id") > half),
+          e.filter(col("vec_id") <= half), 35)
+      }, "embpair"),
       Op("sessionize", e => EventStream.sessionize(e), "evt"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume

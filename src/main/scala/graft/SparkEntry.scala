@@ -754,6 +754,20 @@ object SparkEntry {
       Similarity.d4Funnel(s, Tables.embeddings(s, dir),
         thresholdHundredths = SemDedupHundredths, pct = ProtoPrunePct)
         .orderBy("cluster")),
+    // Incremental SEMANTIC dedup: the id-upper batch half against the
+    // id-lower corpus half, blocked by the CORPUS codebook — batch
+    // vectors with a corpus near-twin drop, batch-batch twins both
+    // survive (ingestion dedup never judges the batch against itself).
+    "dedup_incremental_embedding" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val maxRow = emb.agg(max("vec_id")).first()
+      val half = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) / 2
+      Similarity.semDedupAgainstCorpus(s,
+        emb.filter(col("vec_id") > half),
+        emb.filter(col("vec_id") <= half),
+        thresholdHundredths = SemDedupHundredths)
+        .orderBy("vec_id")
+    }),
 
     // ---- similarity search (north star; Similarity) ----
     "knn_brute_force" -> ((s, dir) =>
@@ -2434,6 +2448,54 @@ object SparkEntry {
          |  CAST(COALESCE(MAX(ap.after_proto), 0) AS BIGINT) AS after_proto
          |FROM verdict v LEFT JOIN ap ON v.cluster = ap.cluster
          |GROUP BY 1 ORDER BY v.cluster""".stripMargin,
+    "dedup_incremental_embedding" -> {
+      val t2 = SemDedupHundredths.toLong * SemDedupHundredths
+      val cb = "CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+      val ed = "CAST(FLOOR(CAST(e.embedding[c.dim] AS DOUBLE) * 1000) AS BIGINT)"
+      val pb = "CAST(FLOOR(CAST(b.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
+      val pc = "CAST(FLOOR(CAST(c.embedding[g.k] AS DOUBLE) * 100) AS BIGINT)"
+      s"""WITH half AS (SELECT MAX(vec_id) // 2 AS h FROM embeddings),
+         |corp AS (SELECT e.* FROM embeddings e, half WHERE e.vec_id <= half.h),
+         |bat AS (SELECT e.* FROM embeddings e, half WHERE e.vec_id > half.h),
+         |cq AS (
+         |  SELECT label AS cluster, g.k AS dim,
+         |    CAST(SUM($cb) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cqd
+         |  FROM corp CROSS JOIN generate_series(1, 64) g(k)
+         |  GROUP BY 1, 2),
+         |distb AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    CAST(SUM(($ed - c.cqd) * ($ed - c.cqd)) AS BIGINT) AS dist
+         |  FROM bat e CROSS JOIN cq c GROUP BY 1, 2),
+         |asgb AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cluster) AS rn
+         |    FROM distb) t WHERE rn = 1),
+         |distc AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    CAST(SUM(($ed - c.cqd) * ($ed - c.cqd)) AS BIGINT) AS dist
+         |  FROM corp e CROSS JOIN cq c GROUP BY 1, 2),
+         |asgc AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cluster) AS rn
+         |    FROM distc) t WHERE rn = 1),
+         |pair AS (
+         |  SELECT ab.vec_id AS id_b,
+         |    CAST(SUM($pb * $pc) AS BIGINT) AS dot,
+         |    CAST(SUM($pb * $pb) AS BIGINT) AS nb,
+         |    CAST(SUM($pc * $pc) AS BIGINT) AS nc
+         |  FROM asgb ab JOIN bat b ON b.vec_id = ab.vec_id
+         |  JOIN asgc ac ON ac.cluster = ab.cluster
+         |  JOIN corp c ON c.vec_id = ac.vec_id
+         |  CROSS JOIN generate_series(1, 64) g(k)
+         |  GROUP BY ab.vec_id, ac.vec_id),
+         |m AS (SELECT DISTINCT id_b FROM pair
+         |  WHERE dot > 0 AND 10000 * dot * dot >= $t2 * nb * nc)
+         |SELECT ab.vec_id, ab.cluster FROM asgb ab
+         |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.id_b = ab.vec_id)
+         |ORDER BY ab.vec_id""".stripMargin
+    },
     "proto_prune" ->
       s"""WITH $SqlSemClusterCtes,
          |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_c

@@ -326,20 +326,70 @@ object Similarity {
     * centroid, tie-break cluster asc — the [[kmeansRound]] quantizer).
     * Keeps the winning distance: [[protoPrune]] ranks on it. */
   def semDedupAssignments(spark: SparkSession, emb: DataFrame,
-                          dim: Int = 64): DataFrame = {
-    val book = broadcast(labelCentroids(spark, emb, dim, scale = 1000)
+                          dim: Int = 64): DataFrame =
+    assignToBook(emb, coarseBook(spark, emb, dim))
+
+  /** The coarse codebook: truncated integer per-label centroids,
+    * broadcast-ready `(cluster, cq: array<long>)`. */
+  private def coarseBook(spark: SparkSession, emb: DataFrame,
+                         dim: Int): DataFrame =
+    labelCentroids(spark, emb, dim, scale = 1000)
       .select(col("label").as("cluster"),
-        expr("transform(sum_q, s -> s div n)").as("cq")))
+        expr("transform(sum_q, s -> s div n)").as("cq"))
+
+  /** Nearest-centroid assignment of `emb` against an EXPLICIT codebook
+    * — [[semDedupAgainstCorpus]] assigns a fresh batch to the lake's
+    * offline codebook without re-clustering the lake. */
+  private def assignToBook(emb: DataFrame, book: DataFrame): DataFrame = {
     val q = emb.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000).cast("long")).as("q"))
-    val dists = q.crossJoin(book)
+    val dists = q.crossJoin(broadcast(book))
       .select(col("vec_id"), col("cluster"),
         aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("dist"))
     val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
     dists.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select("vec_id", "cluster", "dist")
+  }
+
+  /** Incremental SEMANTIC dedup — the batch-vs-corpus twin of
+    * [[semDedup]] completing the incremental family (exact digest,
+    * simhash, containment → embedding space): drop every batch vector
+    * with a corpus near-twin at/above the cosine threshold, keep the
+    * genuinely novel ones. Blocking uses the CORPUS codebook for both
+    * sides — the codebook is the lake's offline artifact; a fresh crawl
+    * is assigned to it, never re-clusters it — so batch-corpus pairs
+    * only form inside a shared cluster, and the verdict is the same
+    * integer squared-cosine test as [[semDedup]].
+    *
+    * Scale shape: codebook broadcast; ONE hash shuffle on cluster for
+    * the batch×corpus pair join (never batch×batch — ingestion dedup
+    * doesn't judge the batch against itself); matched ids aggregate to
+    * the batch's size; survivors via left_anti. At 100 TB the corpus
+    * side persists bucketed by cluster like the digest lakes. */
+  def semDedupAgainstCorpus(spark: SparkSession, batch: DataFrame,
+                            corpus: DataFrame, thresholdHundredths: Int,
+                            dim: Int = 64): DataFrame = {
+    require(thresholdHundredths >= 1 && thresholdHundredths <= 100,
+      s"cosine threshold must be in (0, 1] hundredths: $thresholdHundredths")
+    val t2 = thresholdHundredths.toLong * thresholdHundredths
+    val book = coarseBook(spark, corpus, dim)
+    val b = assignToBook(batch, book).select(col("vec_id"), col("cluster"))
+      .join(batch.select(col("vec_id"), col("embedding").as("eb"),
+        normSqQuantized(col("embedding"), 100).as("nb")), "vec_id")
+    val c = assignToBook(corpus, book)
+      .select(col("vec_id").as("id_c"), col("cluster"))
+      .join(corpus.select(col("vec_id").as("id_c"),
+        col("embedding").as("ec"),
+        normSqQuantized(col("embedding"), 100).as("nc")), "id_c")
+    val matched = b.join(c, "cluster")
+      .withColumn("dot", dotQuantized(col("eb"), col("ec"), 100))
+      .filter(col("dot") > 0 &&
+        lit(10000L) * col("dot") * col("dot") >= lit(t2) * col("nb") * col("nc"))
+      .select("vec_id").distinct()
+    b.select("vec_id", "cluster")
+      .join(matched, Seq("vec_id"), "left_anti")
   }
 
   /** SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural

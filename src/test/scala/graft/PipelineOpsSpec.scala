@@ -951,6 +951,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gone.toSeq === Seq(0L, 0L))
   }
 
+  test("incremental semantic dedup drops corpus twins, never batch twins") {
+    // corpus codebook: c0 = centroid{v0,v1} = (500,500,0,0),
+    // c1 = {v2} = (-1000,0,0,0). Batch v10 is colinear with corpus v0
+    // (cos = 1 → dropped); v11 is orthogonal to every corpus vector
+    // (novel → survives); v12 is colinear with BATCH v11 — both must
+    // survive, ingestion dedup never judges the batch against itself
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val batch = Seq(
+      (10L, Array(0.75f, 0.0f, 0.0f, 0.0f), 0),
+      (11L, Array(0.0f, 0.0f, 1.0f, 0.0f), 0),
+      (12L, Array(0.0f, 0.0f, 0.75f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedupAgainstCorpus(spark, batch, corpus,
+        thresholdHundredths = 90, dim = 4)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq === Seq((11L, 0), (12L, 0)))
+  }
+
   test("dsir weights rank target-like docs above background-only docs") {
     val c = Seq(
       (0L, "a b a b", "en", "s0", 7L), // pure target bigrams

@@ -331,7 +331,7 @@ object Similarity {
 
   /** The coarse codebook: truncated integer per-label centroids,
     * broadcast-ready `(cluster, cq: array<long>)`. */
-  private def coarseBook(spark: SparkSession, emb: DataFrame,
+  private[graft] def coarseBook(spark: SparkSession, emb: DataFrame,
                          dim: Int): DataFrame =
     labelCentroids(spark, emb, dim, scale = 1000)
       .select(col("label").as("cluster"),
@@ -340,7 +340,7 @@ object Similarity {
   /** Nearest-centroid assignment of `emb` against an EXPLICIT codebook
     * — [[semDedupAgainstCorpus]] assigns a fresh batch to the lake's
     * offline codebook without re-clustering the lake. */
-  private def assignToBook(emb: DataFrame, book: DataFrame): DataFrame = {
+  private[graft] def assignToBook(emb: DataFrame, book: DataFrame): DataFrame = {
     val q = emb.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000).cast("long")).as("q"))

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+
+/** Streaming surface of the SEMANTIC dedup tier — ingest-time embedding
+  * dedup against a static corpus ([[Similarity.semDedupAgainstCorpus]]'s
+  * stream twin). Unusually for this engine's streaming twins it is
+  * fully STATELESS: no watermark, no state store — projections plus one
+  * stream-static anti join, the shape that ingests at line rate.
+  */
+object VecStream {
+
+  /** Stateless ingest-time semantic dedup: arriving vectors assign to
+    * the corpus codebook ROW-LOCALLY — the k-centroid book packs into
+    * ONE static row that equi-joins in on a constant key (broadcast),
+    * and the argmin is an `array_sort` over (dist, cluster) structs,
+    * whose lexicographic struct order reproduces the batch tier's
+    * (dist asc, cluster asc) tie-break with no rank window (illegal on
+    * an unbounded stream). A stream-static LEFT ANTI join against the
+    * corpus then drops every vector with a same-cluster near-twin —
+    * the identical integer squared-cosine verdict as the batch tier,
+    * evaluated inside the join condition.
+    *
+    * The corpus relations are the lake's offline artifacts (codebook +
+    * cluster-assigned vectors with norms); at 100 TB the corpus side
+    * persists bucketed by cluster and Spark broadcasts it per cluster
+    * shard. Output: surviving (vec_id, ts, cluster) rows, append mode,
+    * exactly-once without any state to checkpoint beyond source
+    * offsets. */
+  def semDedupStream(vecs: DataFrame, corpus: DataFrame,
+                     thresholdHundredths: Int, dim: Int = 64): DataFrame = {
+    require(thresholdHundredths >= 1 && thresholdHundredths <= 100,
+      s"cosine threshold must be in (0, 1] hundredths: $thresholdHundredths")
+    val spark = corpus.sparkSession
+    val t2 = thresholdHundredths.toLong * thresholdHundredths
+    val book = Similarity.coarseBook(spark, corpus, dim)
+    // the packed 1-row codebook: a constant-key equi join keeps the
+    // stream-static join in the officially supported class (a cross
+    // join shape would be rejected by the streaming planner)
+    val packed = book
+      .agg(collect_list(struct(col("cluster"), col("cq"))).as("book"))
+      .withColumn("one", lit(1))
+    val corpusSide = Similarity.assignToBook(corpus, book)
+      .select(col("vec_id").as("id_c"), col("cluster").as("c_cluster"))
+      .join(corpus.select(col("vec_id").as("id_c"),
+        col("embedding").as("ec"),
+        normSqQuantized(col("embedding"), 100).as("nc")), "id_c")
+    val assigned = vecs
+      .withColumn("one", lit(1))
+      .join(broadcast(packed), "one")
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")))
+      .withColumn("cluster", element_at(array_sort(expr(
+        """transform(book, b -> named_struct(
+          |  'd', aggregate(zip_with(q, b.cq, (x, y) -> (x - y) * (x - y)),
+          |         CAST(0 AS BIGINT), (a, x) -> a + x),
+          |  'c', b.cluster))""".stripMargin)), 1).getField("c"))
+      .withColumn("nb", normSqQuantized(col("embedding"), 100))
+    // the dot appears twice in the verdict — same deterministic
+    // expression tree; codegen subexpression elimination shares it
+    val d = dotQuantized(col("embedding"), col("ec"), 100)
+    assigned.join(corpusSide,
+        col("cluster") === col("c_cluster") && d > lit(0L) &&
+          lit(10000L) * d * d >= lit(t2) * col("nb") * col("nc"),
+        "left_anti")
+      .select("vec_id", "ts", "cluster")
+  }
+}

@@ -17,6 +17,10 @@ final case class Doc(doc_id: Long, ts: Timestamp, text: String)
 final case class LDoc(doc_id: Long, ts: Timestamp, text: String,
                       lang: String)
 
+/** Embedding row shape for the streaming semantic dedup spec. */
+final case class VDoc(vec_id: Long, ts: Timestamp,
+                      embedding: Array[Float])
+
 /** Structured Streaming surface driven through MemoryStream micro-batches. */
 class StreamingSpec extends SparkSpec {
 
@@ -473,6 +477,49 @@ class StreamingSpec extends SparkSpec {
       assert(finalRow.getAs[Double]("kmv_estimate") ===
         batch.getAs[Double]("kmv_estimate"))
       assert(finalRow.getAs[Int]("n_kept") === k)
+    } finally q.stop()
+  }
+
+  test("streaming semantic dedup equals the batch-vs-corpus twin, statelessly") {
+    // the semDedupAgainstCorpus spec fixture: v10 is colinear with
+    // corpus v0 (dropped at ingest), v11 is novel, v12 is colinear
+    // with STREAMED v11 — both survive (the stream never judges
+    // in-flight vectors against each other, same contract as batch)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val input = MemoryStream[VDoc](spark)
+    val q = graft.streaming.VecStream
+      .semDedupStream(input.toDF(), corpus, thresholdHundredths = 90,
+        dim = 4)
+      .writeStream.format("memory").queryName("sem_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        VDoc(10, ts("10:00"), Array(0.75f, 0.0f, 0.0f, 0.0f)),
+        VDoc(11, ts("10:01"), Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      q.processAllAvailable()
+      input.addData(
+        VDoc(12, ts("10:02"), Array(0.0f, 0.0f, 0.75f, 0.0f)))
+      q.processAllAvailable()
+      val streamed = spark.table("sem_stream")
+        .select("vec_id", "cluster").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      // batch twin on the same relations
+      val batch = graft.operators.Similarity.semDedupAgainstCorpus(spark,
+          Seq((10L, Array(0.75f, 0.0f, 0.0f, 0.0f), 0),
+            (11L, Array(0.0f, 0.0f, 1.0f, 0.0f), 0),
+            (12L, Array(0.0f, 0.0f, 0.75f, 0.0f), 1))
+            .toDF("vec_id", "embedding", "label"),
+          corpus, thresholdHundredths = 90, dim = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(streamed === batch)
+      assert(streamed === Set((11L, 0), (12L, 0)))
+      // stateless contract: no state store rows were ever written
+      val progress = q.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty)
     } finally q.stop()
   }
 }

@@ -138,7 +138,13 @@ object ScaleSmoke {
         Similarity.semDedupAgainstCorpus(spark,
           e.filter(col("vec_id") > half),
           e.filter(col("vec_id") <= half), 35)
-      }, "embpair"),
+      }, "embpair",
+        cand = Some(e => {
+          val half = e.agg(max("vec_id")).first().getLong(0) / 2
+          Similarity.semDedupIncrementalCandidates(spark,
+            e.filter(col("vec_id") > half),
+            e.filter(col("vec_id") <= half))
+        })),
       Op("sessionize", e => EventStream.sessionize(e), "evt"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume

@@ -259,6 +259,15 @@ class PlanAuditSpec extends SparkSpec {
       s"no unbroadcast cartesian anywhere, plan:\n$p")
   }
 
+  test("incremental semantic dedup never cartesians, prunes both ranks") {
+    val p = plan("dedup_incremental_embedding")
+    // both assignment argmins (batch + corpus) prune map-side
+    assert(p.contains("WindowGroupLimit"),
+      s"assignment rank-1 must push window group limits, plan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast codebook probes may cross-join, plan:\n$p")
+  }
+
   test("dsir scoring is windowless with broadcast totals only") {
     val p = plan("dsir_weights")
     // per-doc aggregation is a hash agg over the scored rows — a rank

@@ -106,6 +106,7 @@ object ScaleSmoke {
       Op("doc_repetition", TextOps.repetitionSignals, "doc"),
       Op("corpus_ngrams", d => TextOps.corpusNgrams(d, 3, 50), "doc"),
       Op("bpe_merges", d => TextOps.bpeMerges(d, 3), "doc"),
+      Op("bpe_encode", d => TextOps.bpeEncode(d, 3), "doc"),
       Op("contamination_hits", d => TextOps.contaminationHits(d, 5), "doc"),
       // multimodal plumbing rides the doc replica like the text ops:
       // payloads derive from text bytes (stubbed codec), never shuffle

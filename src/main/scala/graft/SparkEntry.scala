@@ -177,7 +177,10 @@ object SparkEntry {
   /** Unrolled BPE merge-round oracle — same greedy top-pair + literal
     * space-delimited replacement as [[graft.operators.TextOps.bpeMerges]],
     * one (count, top-1, rewrite) CTE triple per round. */
-  private def bpeSql(rounds: Int): String = {
+  /** The unrolled BPE TRAINING chain (shared by `bpe_merges` and
+    * `bpe_encode`): weighted word table w0, per-round pair counts g$r,
+    * winning merge t$r, and the intermediate merged tables w$r. */
+  private def bpeTrainCtes(rounds: Int): Seq[String] = {
     // weighted-word-table BPE: one corpus aggregation to (sym, cnt),
     // then every unrolled round runs over |vocab| rows
     val ctes = scala.collection.mutable.ListBuffer(
@@ -204,9 +207,43 @@ object SparkEntry {
           |    cnt
           |  FROM w$p)""".stripMargin
     }
+    ctes.toSeq
+  }
+
+  private def bpeSql(rounds: Int): String = {
     val union = (1 to rounds).map(r => s"SELECT * FROM t$r")
       .mkString("\nUNION ALL ")
-    s"WITH ${ctes.mkString(",\n")}\n$union ORDER BY round"
+    s"WITH ${bpeTrainCtes(rounds).mkString(",\n")}\n$union ORDER BY round"
+  }
+
+  /** `bpe_encode`: the training chain, then the merges applied in order
+    * to the DISTINCT vocabulary (v0..v$rounds), then per-doc encoded
+    * token counts via the word join. */
+  private def bpeEncodeSql(rounds: Int): String = {
+    val ctes = scala.collection.mutable.ListBuffer(bpeTrainCtes(rounds): _*)
+    ctes += """v0 AS (SELECT word, array_to_string(list_transform(
+      |    range(1, len(word)+1), i -> substr(word, i, 1)), ' ') AS sym
+      |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+      |        FROM documents)
+      |  WHERE word <> '')""".stripMargin
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      ctes += s"""v$r AS (SELECT word,
+        |    trim(replace(' ' || sym || ' ',
+        |      ' ' || (SELECT pair FROM t$r) || ' ',
+        |      ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ')) AS sym
+        |  FROM v$p)""".stripMargin
+    }
+    ctes += s"""enc AS (SELECT word,
+      |    CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub
+      |  FROM v$rounds)""".stripMargin
+    ctes += """d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents)""".stripMargin
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS words,
+       |  CAST(SUM(e.n_sub) AS BIGINT) AS bpe_tokens
+       |FROM d JOIN enc e ON d.word = e.word
+       |WHERE d.word <> '' GROUP BY 1 ORDER BY d.doc_id""".stripMargin
   }
 
   /** Shared CTE computing the portable per-document stats. */
@@ -553,6 +590,11 @@ object SparkEntry {
     "bpe_merges" -> ((s, dir) =>
       TextOps.bpeMerges(Tables.documents(s, dir), rounds = 3)
         .orderBy("round")),
+    // Tokenizer APPLICATION: the induced merges applied to the vocab,
+    // per-doc encoded token counts (the token-budget planner's signal).
+    "bpe_encode" -> ((s, dir) =>
+      TextOps.bpeEncode(Tables.documents(s, dir), rounds = 3)
+        .orderBy("doc_id")),
     // Train/test leakage audit: duplicate content spanning splits.
     "split_leakage" -> ((s, dir) =>
       TextOps.splitLeakage(Tables.documents(s, dir)).orderBy("content_hash")),
@@ -2055,6 +2097,7 @@ object SparkEntry {
          |  END AS kmv_estimate
          |FROM r WHERE rn <= 32""".stripMargin,
     "bpe_merges" -> bpeSql(rounds = 3),
+    "bpe_encode" -> bpeEncodeSql(rounds = 3),
     "split_leakage" ->
       """WITH s AS (
         |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_hash,

@@ -929,6 +929,45 @@ object TextOps {
     merges.get
   }
 
+  /** BPE tokenizer APPLICATION — the encode step completing the
+    * [[bpeMerges]] induce→apply tokenizer story: re-learn the merge
+    * table, apply the merges IN ORDER to the corpus VOCABULARY (each
+    * round is one broadcast 1-row replace over |vocab| rows — words,
+    * not occurrences, pay the merge cost, the same weighted-word-table
+    * trick the induction uses), then give every document its encoded
+    * token count via one word-keyed hash join + per-doc aggregation.
+    * words/bpe_tokens is the compression signal a token-budget planner
+    * consumes (pre-tokenizer word counts overestimate budget spend).
+    *
+    * Scale shape: merge application is vocabulary-sized; the corpus
+    * side is one explode + hash join on the word key (the encoded
+    * vocab is model-sized — AQE broadcasts it when it fits, shuffles
+    * when a 100 TB corpus's vocabulary doesn't) + one aggregation. */
+  def bpeEncode(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need at least one merge round, got $rounds")
+    val merges = bpeMerges(docs, rounds).localCheckpoint(eager = false)
+    var vocab = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .select(col("word"),
+        expr("array_join(transform(sequence(1, length(word)), " +
+          "i -> substring(word, i, 1)), ' ')").as("sym"))
+    for (r <- 1 to rounds)
+      vocab = vocab
+        .crossJoin(broadcast(
+          merges.filter(col("round") === r).select(col("pair"))))
+        .select(col("word"),
+          expr("trim(replace(' ' || sym || ' ', ' ' || pair || ' ', " +
+            "' ' || replace(pair, ' ', '') || ' '))").as("sym"))
+    val enc = vocab.select(col("word"),
+      size(split(col("sym"), " ")).cast("long").as("n_sub"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(enc, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("words"), sum("n_sub").as("bpe_tokens"))
+  }
+
   /** Winnowing-style rolling-hash fingerprint on the engine's native
     * fnv64 expression (codegen'd — graft.GraftExtensions must be on the
     * session): hash every k-token shingle, keep the minimum plus the

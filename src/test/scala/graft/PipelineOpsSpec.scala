@@ -760,6 +760,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(m.toSeq === Seq((1, "a b", 3L), (2, "c d", 2L)))
   }
 
+  test("bpe encode counts merged tokens per doc with the induced merges") {
+    val c = Seq(
+      (0L, "ab ab cd", "en", "s0", 8L),
+      (1L, "ab cd", "en", "s0", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // rounds=1 learns only ("a b"): ab encodes to 1 token, cd stays
+    // "c d" = 2 ⇒ doc0 = 1+1+2 = 4 over 3 words, doc1 = 1+2 = 3 over 2
+    val one = TextOps.bpeEncode(c, rounds = 1).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("words"),
+        r.getAs[Long]("bpe_tokens")))
+    assert(one.toSeq === Seq((0L, 3L, 4L), (1L, 2L, 3L)))
+    // rounds=2 also merges ("c d") ⇒ every word is one token
+    val two = TextOps.bpeEncode(c, rounds = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("words"),
+        r.getAs[Long]("bpe_tokens")))
+    assert(two.toSeq === Seq((0L, 3L, 3L), (1L, 2L, 2L)))
+  }
+
   test("bpe merge is left-to-right non-overlapping within a word") {
     // word "xxxx" → " x x x x ": one replace pass consumes the shared
     // separator, leaving "xx x x" — round 2's pairs are "xx x" and

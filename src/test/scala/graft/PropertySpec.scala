@@ -271,4 +271,64 @@ class PropertySpec extends SparkSpec {
       assert(got === expected, s"corpus=$rows")
     }
   }
+
+  test("semdedup equals a plain-Scala cluster/verdict oracle") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // components from the exact-in-binary quarter grid so float→double
+    // widening and both quantizations (1000 for assignment, 100 for the
+    // verdict) are trivially exact; 2 labels keep clusters adversarially
+    // small and collision-prone (exact distance ties exercise the
+    // cluster-asc and vec_id tie-breaks)
+    val dim = 4
+    val t = 80
+    val grid = Seq(-1.0f, -0.75f, -0.5f, -0.25f, 0.0f, 0.25f, 0.5f,
+      0.75f, 1.0f)
+    val embGen: Gen[Seq[(Long, Array[Float], Int)]] = for {
+      n <- Gen.choose(2, 10)
+      rows <- Gen.listOfN(n, for {
+        vec <- Gen.listOfN(dim, Gen.oneOf(grid))
+        label <- Gen.choose(0, 1)
+      } yield (vec.toArray, label))
+    } yield rows.zipWithIndex.map { case ((v, l), i) => (i.toLong, v, l) }
+    def q(x: Float, s: Int): Long = math.floor(x.toDouble * s).toLong
+    (1 to 12).flatMap(s =>
+      embGen(Gen.Parameters.default, Seed(s.toLong))).foreach { rows =>
+      // JVM oracle: truncated integer centroids per label, argmin
+      // assignment (dist, cluster) asc, then the integer squared-cosine
+      // verdict against every lower-id same-cluster vector
+      val book = rows.groupBy(_._3).map { case (l, vs) =>
+        l -> (0 until dim).map(d =>
+          vs.map(v => q(v._2(d), 1000)).sum / vs.size).toArray
+      }
+      val asg = rows.map { case (id, v, _) =>
+        val best = book.toSeq.map { case (c, cq) =>
+          val dist = (0 until dim)
+            .map { d => val e = q(v(d), 1000) - cq(d); e * e }.sum
+          (dist, c)
+        }.min
+        id -> best._2
+      }.toMap
+      val expected = rows.map { case (id, v, _) =>
+        val twins = rows.filter { case (oid, ov, _) =>
+          oid < id && asg(oid) == asg(id) && {
+            val dot = (0 until dim).map(d => q(v(d), 100) * q(ov(d), 100)).sum
+            val na = (0 until dim).map(d => q(v(d), 100) * q(v(d), 100)).sum
+            val nb = (0 until dim).map(d => q(ov(d), 100) * q(ov(d), 100)).sum
+            dot > 0 && 10000L * dot * dot >= t.toLong * t * na * nb
+          }
+        }.map(_._1)
+        id -> ((asg(id), if (twins.isEmpty) 1L else 0L,
+          if (twins.isEmpty) -1L else twins.min))
+      }.toMap
+      val got = Similarity.semDedup(spark,
+          rows.toDF("vec_id", "embedding", "label"), t, dim)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getAs[Long]("kept"), r.getAs[Long]("dup_of"))))
+        .toMap
+      assert(got === expected, s"rows=${rows.map(r =>
+        (r._1, r._2.toSeq, r._3))}")
+    }
+  }
 }

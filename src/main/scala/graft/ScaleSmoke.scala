@@ -130,6 +130,9 @@ object ScaleSmoke {
         cand = Some(e => Similarity.semDedupCandidates(spark, e))),
       // prototype pruning has no pair join — the linear emb tier
       Op("proto_prune", e => Similarity.protoPrune(spark, e, 25), "emb"),
+      Op("semdedup_components", e =>
+        Similarity.semDedupComponents(spark, e, 35), "embpair",
+        cand = Some(e => Similarity.semDedupCandidates(spark, e))),
       // the composed pipeline carries semdedup's pair join → capped
       Op("pipeline_d4", e => Similarity.d4Funnel(spark, e, 35, 25),
         "embpair",

@@ -796,6 +796,11 @@ object SparkEntry {
       Similarity.d4Funnel(s, Tables.embeddings(s, dir),
         thresholdHundredths = SemDedupHundredths, pct = ProtoPrunePct)
         .orderBy("cluster")),
+    // Transitive semantic duplicate clusters: components over the
+    // qualifying semdedup pair graph (min-label + pointer jumping).
+    "semdedup_components" -> ((s, dir) =>
+      Similarity.semDedupComponents(s, Tables.embeddings(s, dir),
+        thresholdHundredths = SemDedupHundredths).orderBy("vec_id")),
     // Incremental SEMANTIC dedup: the id-upper batch half against the
     // id-lower corpus half, blocked by the CORPUS codebook — batch
     // vectors with a corpus near-twin drop, batch-batch twins both
@@ -2538,6 +2543,22 @@ object SparkEntry {
          |SELECT ab.vec_id, ab.cluster FROM asgb ab
          |WHERE NOT EXISTS (SELECT 1 FROM m WHERE m.id_b = ab.vec_id)
          |ORDER BY ab.vec_id""".stripMargin
+    },
+    "semdedup_components" -> {
+      val t2 = SemDedupHundredths.toLong * SemDedupHundredths
+      s"""WITH RECURSIVE $SqlSemClusterCtes,
+         |$SqlSemDedupPairDupCtes,
+         |qp AS (SELECT id_a, id_b FROM pair
+         |  WHERE dot > 0 AND 10000 * dot * dot >= $t2 * na * nb),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM qp
+         |  UNION SELECT id_b, id_a FROM qp),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+         |SELECT src AS vec_id, CAST(MIN(dst) AS BIGINT) AS component
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "proto_prune" ->
       s"""WITH $SqlSemClusterCtes,

@@ -264,12 +264,28 @@ object Similarity {
   private def semDedupVerdicts(spark: SparkSession, emb: DataFrame,
                                thresholdHundredths: Int,
                                dim: Int): DataFrame = {
+    val assigned = semDedupAssignments(spark, emb, dim)
+    val dup = semDedupQualifyingPairs(assigned, emb, thresholdHundredths)
+      .groupBy(col("id_b").as("vec_id"))
+      .agg(min("id_a").as("dup_of"))
+    assigned.select("vec_id", "cluster", "dist")
+      .join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"), col("dist"),
+        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+  }
+
+  /** Every qualifying near-twin pair `(cluster, id_a < id_b)` of the
+    * assigned corpus — the shared pair stage of [[semDedup]] (which
+    * min-aggregates it per id_b) and [[semDedupComponents]] (which
+    * closes it transitively). Pair tier at the dedup_embedding
+    * quantization (scale 100); each vector's squared norm precomputed
+    * once → ONE dot per pair. */
+  private def semDedupQualifyingPairs(assigned: DataFrame, emb: DataFrame,
+                                      thresholdHundredths: Int): DataFrame = {
     require(thresholdHundredths >= 1 && thresholdHundredths <= 100,
       s"cosine threshold must be in (0, 1] hundredths: $thresholdHundredths")
     val t2 = thresholdHundredths.toLong * thresholdHundredths
-    val assigned = semDedupAssignments(spark, emb, dim)
-    // pair tier at the dedup_embedding quantization (scale 100); each
-    // vector's squared norm precomputed once → ONE dot per pair
     val v = assigned.join(
       emb.select(col("vec_id"), col("embedding"),
         normSqQuantized(col("embedding"), 100).as("nsq")), "vec_id")
@@ -277,16 +293,31 @@ object Similarity {
       col("embedding").as("ea"), col("nsq").as("na"))
     val b = v.select(col("cluster"), col("vec_id").as("id_b"),
       col("embedding").as("eb"), col("nsq").as("nb"))
-    val dup = a.join(b, "cluster").filter(col("id_a") < col("id_b"))
+    a.join(b, "cluster").filter(col("id_a") < col("id_b"))
       .withColumn("dot", dotQuantized(col("ea"), col("eb"), 100))
       .filter(col("dot") > 0 &&
         lit(10000L) * col("dot") * col("dot") >= lit(t2) * col("na") * col("nb"))
-      .groupBy(col("id_b").as("vec_id"))
-      .agg(min("id_a").as("dup_of"))
-    v.select("vec_id", "cluster", "dist").join(dup, Seq("vec_id"), "left")
-      .select(col("vec_id"), col("cluster"), col("dist"),
-        when(col("dup_of").isNull, 1L).otherwise(0L).as("kept"),
-        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .select("cluster", "id_a", "id_b")
+  }
+
+  /** Transitive SEMANTIC duplicate clusters — [[semDedup]]'s pairs are
+    * only evidence; the unit of removal is the transitive component
+    * (A≈B, B≈C ⇒ one of {A,B,C} even when A and C never qualify as a
+    * pair). Exactly [[graft.operators.Dedup.jaccardComponents]]'s
+    * pairs→components step lifted to embedding space: the qualifying
+    * pair relation feeds the shared min-label + pointer-jumping
+    * machinery ([[graft.operators.Dedup.connectedComponents]] —
+    * O(log diameter) rounds, graph-sized partitioning). Returns
+    * `(vec_id, component)` for every vector in at least one pair;
+    * blocking guarantees components never span clusters. */
+  def semDedupComponents(spark: SparkSession, emb: DataFrame,
+                         thresholdHundredths: Int,
+                         dim: Int = 64): DataFrame = {
+    val pairs = semDedupQualifyingPairs(
+      semDedupAssignments(spark, emb, dim), emb, thresholdHundredths)
+      .select(col("id_a").as("d1"), col("id_b").as("d2"))
+    Dedup.connectedComponents(pairs)
+      .select(col("doc_id").as("vec_id"), col("component"))
   }
 
   /** The composed D4 pipeline (Tirumala et al. 2023): [[semDedup]]

@@ -969,6 +969,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(gone.toSeq === Seq(0L, 0L))
   }
 
+  test("semdedup components close the near-twin chain transitively") {
+    // hand-computed integer verdicts at t=90 (scale 100):
+    //   A=(100,0) B=(75,25): 10⁴·7500² = 5.625e11 ≥ 8100·10⁴·6250 = 5.0625e11 ✓
+    //   B=(75,25) C=(50,25): 10⁴·4375² ≈ 1.914e11 ≥ 8100·6250·3125 ≈ 1.582e11 ✓
+    //   A=(100,0) C=(50,25): 10⁴·5000² = 2.5e11 < 8100·10⁴·3125 ≈ 2.53e11 ✗
+    // so A≈B≈C chains into ONE component even though A≉C; isolated D
+    // (other cluster, no pairs) is absent from the output
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.75f, 0.25f, 0.0f, 0.0f), 0),
+      (2L, Array(0.5f, 0.25f, 0.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.semDedupComponents(spark, emb,
+        thresholdHundredths = 90, dim = 4)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("component")))
+    assert(out.toSeq === Seq((0L, 0L), (1L, 0L), (2L, 0L)))
+    // while the non-transitive keep rule would keep C (its only
+    // qualifying lower twin is B, but dup_of pins it): one component
+    // means ONE survivor — the stricter clustering semantics
+    val kept = Similarity.semDedup(spark, emb, 90, dim = 4)
+      .filter(col("kept") === 1).count()
+    assert(kept === 2L) // semdedup keeps A and D only (B, C evicted)
+  }
+
   test("incremental semantic dedup drops corpus twins, never batch twins") {
     // corpus codebook: c0 = centroid{v0,v1} = (500,500,0,0),
     // c1 = {v2} = (-1000,0,0,0). Batch v10 is colinear with corpus v0

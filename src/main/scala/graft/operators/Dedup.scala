@@ -140,10 +140,13 @@ object Dedup {
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
       .localCheckpoint()
-    // decimal(38,0) sum: billions of 64-bit ids would overflow a long
+    // decimal(38,0) sum: billions of 64-bit ids would overflow a long.
+    // coalesce: sum over ZERO labels is null (an empty pair relation —
+    // a clean corpus — must converge instantly, not NPE)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(org.apache.spark.sql.functions.sum(col("comp")
-        .cast("decimal(38,0)"))).first().getDecimal(0)
+      df.agg(coalesce(
+        org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
     var sum = labelSum(labels)
     var converged = false
     var i = 0

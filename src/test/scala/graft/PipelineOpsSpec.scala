@@ -423,6 +423,11 @@ class PipelineOpsSpec extends SparkSpec {
     val got = Dedup.connectedComponents(edges.toDF("d1", "d2"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === expected)
+    // a CLEAN corpus produces zero pairs — the loop must converge on
+    // the empty graph (null label sum), not NPE
+    val empty = Dedup.connectedComponents(
+      edges.toDF("d1", "d2").filter(col("d1") < lit(-1L)))
+    assert(empty.count() === 0L)
   }
 
   test("quotient-graph components equal full-graph components") {

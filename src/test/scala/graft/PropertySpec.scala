@@ -329,6 +329,33 @@ class PropertySpec extends SparkSpec {
         .toMap
       assert(got === expected, s"rows=${rows.map(r =>
         (r._1, r._2.toSeq, r._3))}")
+
+      // companion: semDedupComponents equals union-find over the SAME
+      // qualifying pair relation (symmetric closure of the verdicts the
+      // keep-rule oracle just computed) — min id labels the component,
+      // vectors in no pair are absent
+      val parent = scala.collection.mutable.Map(
+        rows.map(r => r._1 -> r._1): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      for {
+        (ia, va, _) <- rows; (ib, vb, _) <- rows
+        if ia < ib && asg(ia) == asg(ib)
+        dot = (0 until dim).map(d => q(va(d), 100) * q(vb(d), 100)).sum
+        na = (0 until dim).map(d => q(va(d), 100) * q(va(d), 100)).sum
+        nb = (0 until dim).map(d => q(vb(d), 100) * q(vb(d), 100)).sum
+        if dot > 0 && 10000L * dot * dot >= t.toLong * t * na * nb
+      } parent(find(ia)) = find(ib)
+      val comps = rows.map(_._1).groupBy(find).filter(_._2.size > 1)
+      val expComps = (for ((_, ms) <- comps; m <- ms)
+        yield m -> ms.min).toMap
+      val gotComps = Similarity.semDedupComponents(spark,
+          rows.toDF("vec_id", "embedding", "label"), t, dim)
+        .collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("component")).toMap
+      assert(gotComps === expComps, s"rows=${rows.map(r =>
+        (r._1, r._2.toSeq, r._3))}")
     }
   }
 }

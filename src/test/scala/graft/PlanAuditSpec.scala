@@ -268,6 +268,20 @@ class PlanAuditSpec extends SparkSpec {
       s"only broadcast codebook probes may cross-join, plan:\n$p")
   }
 
+  test("components queries end checkpoint-fed with bounded lineage") {
+    // the pointer-jumping loop localCheckpoints every round, so the
+    // DECLARED plan must read the final labels from a materialized RDD
+    // scan — an exponentially nested join lineage here would mean a
+    // checkpoint was dropped and round r replans rounds 1..r-1
+    for (q <- Seq("dedup_components", "semdedup_components")) {
+      val p = plan(q)
+      assert(p.contains("ExistingRDD"),
+        s"$q labels must scan the checkpointed loop output, plan:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q must stay cartesian-free, plan:\n$p")
+    }
+  }
+
   test("dsir scoring is windowless with broadcast totals only") {
     val p = plan("dsir_weights")
     // per-doc aggregation is a hash agg over the scored rows — a rank

@@ -90,6 +90,12 @@ object ScaleSmoke {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
 
+    // Replica id strides, set by the tier builds below; op lambdas read
+    // them at run time (declared before the op table so closures may
+    // capture them — a metadata constant, never an action).
+    var docStrideSeen = 0L
+    var embStrideSeen = 0L
+
     // Op table: name (= SparkEntry.queries key), constructor, tier, and
     // — for pair-emission ops whose output is NOT its candidate set —
     // the pre-verify candidate relation, counted alongside the timed
@@ -125,26 +131,42 @@ object ScaleSmoke {
       // shift), so every copy lands in its original's cluster and
       // intra-cluster pair work grows factor² by construction — the
       // embedding-space twin of the doc pair tier, capped + candidate-
-      // counted the same way
-      Op("semdedup", e => Similarity.semDedup(spark, e, 35), "embpair",
-        cand = Some(e => Similarity.semDedupCandidates(spark, e))),
+      // counted the same way. k-knob Lloyd codebook, the declared
+      // queries' constants (k=16, rounds=2).
+      Op("semdedup", e => Similarity.semDedup(spark, e, 35,
+        k = 16, rounds = 2), "embpair",
+        cand = Some(e => Similarity.semDedupCandidates(spark, e,
+          k = 16, rounds = 2))),
       // prototype pruning has no pair join — the linear emb tier
-      Op("proto_prune", e => Similarity.protoPrune(spark, e, 25), "emb"),
+      Op("proto_prune", e => Similarity.protoPrune(spark, e, 25,
+        k = 16, rounds = 2), "emb"),
       Op("semdedup_components", e =>
-        Similarity.semDedupComponents(spark, e, 35), "embpair",
-        cand = Some(e => Similarity.semDedupCandidates(spark, e))),
+        Similarity.semDedupComponents(spark, e, 35,
+          k = 16, rounds = 2), "embpair",
+        cand = Some(e => Similarity.semDedupCandidates(spark, e,
+          k = 16, rounds = 2))),
       // the composed pipeline carries semdedup's pair join → capped
-      Op("pipeline_d4", e => Similarity.d4Funnel(spark, e, 35, 25),
-        "embpair",
-        cand = Some(e => Similarity.semDedupCandidates(spark, e))),
+      Op("pipeline_d4", e => Similarity.d4Funnel(spark, e, 35, 25,
+        k = 16, rounds = 2), "embpair",
+        cand = Some(e => Similarity.semDedupCandidates(spark, e,
+          k = 16, rounds = 2))),
+      // Split at the ORIGINAL corpus's half (embStrideSeen is set by
+      // the tier build, read — not computed — inside the lambda: no
+      // action in the timed region, no NPE on an empty tier). The lake
+      // (lower-half originals) stays fixed while the batch grows with
+      // the factor, and upper-half originals' copies have their twin in
+      // the BATCH, not the lake — so a stable fraction of the batch
+      // SURVIVES at N and the survivor path is actually measured
+      // (max/2 splitting left rowsN = 0: every batch vector found a
+      // lake twin and the smoke timed a keep-nothing pipeline).
       Op("dedup_incremental_embedding", e => {
-        val half = e.agg(max("vec_id")).first().getLong(0) / 2
+        val half = embStrideSeen / 2
         Similarity.semDedupAgainstCorpus(spark,
           e.filter(col("vec_id") > half),
           e.filter(col("vec_id") <= half), 35)
       }, "embpair",
         cand = Some(e => {
-          val half = e.agg(max("vec_id")).first().getLong(0) / 2
+          val half = embStrideSeen / 2
           Similarity.semDedupIncrementalCandidates(spark,
             e.filter(col("vec_id") > half),
             e.filter(col("vec_id") <= half))
@@ -222,8 +244,6 @@ object ScaleSmoke {
     }
     val OpTiers = ops.map(o => (o.name, o.tier))
     val GraphNodes = 50000L
-    var docStrideSeen = 0L
-    var embStrideSeen = 0L
 
     // Materialize replica tables as parquet so 1× and N× run the same
     // scan-shaped plans (a cached in-memory union would flatter the

@@ -95,6 +95,17 @@ object SparkEntry {
     * fraction (query + oracle). */
   private val ProtoPrunePct = 25
 
+  /** The semantic tier's coarse-codebook size (query + oracle) — the
+    * k-KNOB path ([[graft.operators.Similarity.lloydBook]]): candidate
+    * mass is O(N²/k), so k scales with N instead of being pinned to
+    * label cardinality (~10). 16 at test SF; a 100 TB run turns this
+    * dial to 10⁴-10⁵ per the SemDeDup paper. */
+  private val SemK = 16
+
+  /** Lloyd rounds of the semantic-tier codebook build (query +
+    * oracle): seeds → 2 exact-integer refinement rounds. */
+  private val SemLloydRounds = 2
+
   private def matAof(s: SparkSession, dir: String, n: Long): DataFrame =
     MatrixOps.fromTable(Tables.lineitem(s, dir),
       col("l_orderkey") % n, col("l_partkey") % n, col("l_quantity"))
@@ -780,27 +791,31 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingNearDupPairs(Tables.embeddings(s, dir),
         thresholdHundredths = 35).orderBy("d1", "d2")),
-    // SemDeDup: k-means-cluster the corpus, then keep/drop inside each
-    // cluster by integer-exact squared-cosine against lower-id twins.
+    // SemDeDup: k-means-cluster the corpus (k-knob Lloyd codebook, the
+    // O(N²/k) dial), then keep/drop inside each cluster by
+    // integer-exact squared-cosine against lower-id twins.
     "semdedup" -> ((s, dir) =>
       Similarity.semDedup(s, Tables.embeddings(s, dir),
-        thresholdHundredths = SemDedupHundredths).orderBy("vec_id")),
+        thresholdHundredths = SemDedupHundredths,
+        k = SemK, rounds = SemLloydRounds).orderBy("vec_id")),
     // D4's second stage: drop the 25% most prototypical (closest to
     // centroid) vectors per cluster, keeping the diverse tail.
     "proto_prune" -> ((s, dir) =>
       Similarity.protoPrune(s, Tables.embeddings(s, dir),
-        pct = ProtoPrunePct).orderBy("vec_id")),
+        pct = ProtoPrunePct, k = SemK, rounds = SemLloydRounds)
+        .orderBy("vec_id")),
     // The composed D4 pipeline: semantic dedup, then prototype pruning
     // among the SURVIVORS — per-cluster funnel counts.
     "pipeline_d4" -> ((s, dir) =>
       Similarity.d4Funnel(s, Tables.embeddings(s, dir),
-        thresholdHundredths = SemDedupHundredths, pct = ProtoPrunePct)
-        .orderBy("cluster")),
+        thresholdHundredths = SemDedupHundredths, pct = ProtoPrunePct,
+        k = SemK, rounds = SemLloydRounds).orderBy("cluster")),
     // Transitive semantic duplicate clusters: components over the
     // qualifying semdedup pair graph (min-label + pointer jumping).
     "semdedup_components" -> ((s, dir) =>
       Similarity.semDedupComponents(s, Tables.embeddings(s, dir),
-        thresholdHundredths = SemDedupHundredths).orderBy("vec_id")),
+        thresholdHundredths = SemDedupHundredths,
+        k = SemK, rounds = SemLloydRounds).orderBy("vec_id")),
     // Incremental SEMANTIC dedup: the id-upper batch half against the
     // id-lower corpus half, blocked by the CORPUS codebook — batch
     // vectors with a corpus near-twin drop, batch-batch twins both
@@ -1489,21 +1504,48 @@ object SparkEntry {
   /** IVF ANN oracle, parameterized by probe count (mirrors
     * [[Similarity.annIvf]]: centroid scores in exact integer space, the
     * `probes` best clusters reranked by quantized cosine). */
-  /** Shared by `semdedup` and `proto_prune`: the coarse-cluster CTE
-    * prefix — truncated integer centroids, every vector's exact squared
-    * distance to each, and the rank-1 assignment (keeping the winning
-    * distance, which proto_prune ranks on). */
+  /** Shared by `semdedup` / `pipeline_d4` / `semdedup_components` /
+    * `proto_prune`: the coarse-cluster CTE prefix, now the k-KNOB
+    * Lloyd build ([[graft.operators.Similarity.lloydBook]] replayed in
+    * SQL) — seeds = the [[SemK]] lowest-vec_id vectors quantized at
+    * 1000 (cluster id = seed vec_id), then [[SemLloydRounds]]
+    * exact-integer Lloyd rounds (assign by squared L2 to the truncated
+    * centroid, tie-break cluster asc; update = per-dim SUM // COUNT),
+    * ending in the final `cq` codebook, every vector's distance to
+    * each centroid (`dist`), and the rank-1 assignment (`asg`, keeping
+    * the winning distance, which proto_prune ranks on). */
   private def SqlSemClusterCtes: String = {
     val q1000 = "CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
-    val ed = "CAST(FLOOR(CAST(e.embedding[c.dim] AS DOUBLE) * 1000) AS BIGINT)"
-    s"""cq AS (
-       |  SELECT label AS cluster, g.k AS dim,
-       |    CAST(SUM($q1000) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cqd
-       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k)
-       |  GROUP BY 1, 2),
+    val eq = "CAST(FLOOR(CAST(e.embedding[c.dim] AS DOUBLE) * 1000) AS BIGINT)"
+    val seed =
+      s"""seed AS (SELECT vec_id AS cluster, embedding FROM embeddings
+         |  ORDER BY vec_id LIMIT $SemK),
+         |cq0 AS (
+         |  SELECT cluster, g.k AS dim, $q1000 AS cqd
+         |  FROM seed CROSS JOIN generate_series(1, 64) g(k))""".stripMargin
+    val roundCtes = (0 until SemLloydRounds).map { r =>
+      s"""d$r AS (
+         |  SELECT e.vec_id, c.cluster,
+         |    CAST(SUM(($eq - c.cqd) * ($eq - c.cqd)) AS BIGINT) AS dist
+         |  FROM embeddings e CROSS JOIN cq$r c GROUP BY 1, 2),
+         |a$r AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY dist, cluster) AS rn
+         |    FROM d$r) t WHERE rn = 1),
+         |cq${r + 1} AS (
+         |  SELECT a.cluster, g.k AS dim,
+         |    CAST(SUM($q1000) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cqd
+         |  FROM a$r a JOIN embeddings ON embeddings.vec_id = a.vec_id
+         |  CROSS JOIN generate_series(1, 64) g(k)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$seed,
+       |$roundCtes,
+       |cq AS (SELECT * FROM cq$SemLloydRounds),
        |dist AS (
        |  SELECT e.vec_id, c.cluster,
-       |    CAST(SUM(($ed - c.cqd) * ($ed - c.cqd)) AS BIGINT) AS dist
+       |    CAST(SUM(($eq - c.cqd) * ($eq - c.cqd)) AS BIGINT) AS dist
        |  FROM embeddings e CROSS JOIN cq c GROUP BY 1, 2),
        |asg AS (SELECT vec_id, cluster, dist FROM (
        |    SELECT vec_id, cluster, dist,

@@ -49,6 +49,18 @@ object VectorFunctions {
   /** Quantized squared L2 norm. */
   def normSqQuantized(a: Column, scale: Int): Column = dotQuantized(a, a, scale)
 
+  /** Σ (floor(aᵢ·s) − cᵢ)² as BIGINT between a float vector and an
+    * already-quantized bigint centroid — native codegen'd
+    * ([[SqDistQuantized]]); the nearest-centroid assignment kernel
+    * without interpreted transform/zip_with lambdas on the N·k
+    * cross-probe. */
+  def sqDistQuantized(a: Column, c: Column, scale: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SqDistQuantized(
+      Bridge.expression(a.cast("array<float>")),
+      Bridge.expression(c), scale))
+  }
+
   /** Narrows an array column's static type to `containsNull = false`
     * with per-row validation ([[KnownNoNullElements]]) — required on
     * lambda-built (`transform`) arrays before any native long-array

@@ -223,13 +223,58 @@ object Similarity {
     * both engines agree by construction. */
   def kmeansRoundFrom(emb: DataFrame, prev: DataFrame,
                       scale: Int = 1000): DataFrame =
-    lloydStep(emb,
-      prev.select(col("cluster"), col("d"), expr("sum_q div n").as("cqd"))
-        .groupBy("cluster")
-        .agg(transform(
-          array_sort(collect_list(struct(col("d"), col("cqd")))),
-          s => s.getField("cqd")).as("cq")),
-      scale)
+    lloydStep(emb, bookOfRound(prev), scale)
+
+  /** A Lloyd round's `(cluster, d, sum_q, n)` output re-packed as a
+    * broadcast-ready `(cluster, cq: array<long>)` codebook — truncated
+    * integer centroids, dims ordered by `d`. The round→book conversion
+    * [[kmeansRoundFrom]] and [[lloydBook]] share. */
+  private def bookOfRound(round: DataFrame): DataFrame =
+    round.select(col("cluster"), col("d"), expr("sum_q div n").as("cqd"))
+      .groupBy("cluster")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), col("cqd")))),
+        s => s.getField("cqd")).as("cq"))
+
+  /** The k-KNOB coarse codebook — `k` Lloyd-trained integer centroids,
+    * decoupled from label cardinality. This is the knob that keeps the
+    * semantic tier ([[semDedup]] / [[d4Funnel]] / [[protoPrune]])
+    * viable at 100 TB: intra-cluster candidate mass is O(N²/k), so k
+    * must scale with N — the SemDeDup paper runs 10⁴-10⁵ clusters —
+    * while the label-derived book ([[coarseBook]]) pins k = #labels.
+    *
+    * Deterministic end to end, so an external engine can replay the
+    * whole build: seeds are the `k` LOWEST-vec_id vectors quantized at
+    * the codebook scale (cluster id = the seed's vec_id — no rank
+    * relabeling), then `rounds` exact-integer Lloyd rounds
+    * ([[lloydStep]]'s quantizer: squared L2 against the truncated
+    * centroid, tie-break cluster asc; update = per-cluster `sum div n`).
+    * A cluster left empty by a reassignment vanishes (standard
+    * empty-cluster drop) — both engines agree by construction.
+    *
+    * Scale shape: seeding is a top-k by vec_id (partition-local top-k +
+    * merge — no global sort), each round broadcasts the k·dim-long book
+    * and shuffles only the k·dim-row update aggregate; the corpus never
+    * shuffles. Returns `(cluster, cq: array<long>)`, the
+    * [[assignToBook]] codebook contract. */
+  def lloydBook(spark: SparkSession, emb: DataFrame, k: Int,
+                rounds: Int = 1): DataFrame = {
+    require(k >= 1, s"codebook size must be positive: $k")
+    require(rounds >= 1, s"lloyd rounds must be positive: $rounds")
+    val seeds = emb.orderBy("vec_id").limit(k)
+      .select(col("vec_id").as("cluster"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 1000).cast("long")).as("cq"))
+    // the finished book is consumed by several subtrees of every
+    // semantic query (assignment, pair stage, funnel counts); a lazy
+    // local checkpoint pins the k·dim-long result so consumers don't
+    // each re-run the `rounds`-deep build chain. On a cluster:
+    // `checkpoint` to reliable storage, or persist the book as the
+    // lake's offline artifact.
+    (1 to rounds).foldLeft(seeds: DataFrame)((book, _) =>
+      bookOfRound(lloydStep(emb, book, 1000)))
+      .localCheckpoint(eager = false)
+  }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding corpus with the coarse
@@ -255,16 +300,17 @@ object Similarity {
     * (dup_of = -1 sentinel when kept, so the relation stays null-free
     * for downstream anti-joins). */
   def semDedup(spark: SparkSession, emb: DataFrame,
-               thresholdHundredths: Int, dim: Int = 64): DataFrame =
-    semDedupVerdicts(spark, emb, thresholdHundredths, dim)
+               thresholdHundredths: Int, dim: Int = 64,
+               k: Int = 0, rounds: Int = 1): DataFrame =
+    semDedupVerdicts(spark, emb, thresholdHundredths, dim, k, rounds)
       .select("vec_id", "cluster", "kept", "dup_of")
 
   /** [[semDedup]] plus the assignment's centroid distance on every row
     * — the relation [[d4Funnel]] ranks survivors on. */
   private def semDedupVerdicts(spark: SparkSession, emb: DataFrame,
-                               thresholdHundredths: Int,
-                               dim: Int): DataFrame = {
-    val assigned = semDedupAssignments(spark, emb, dim)
+                               thresholdHundredths: Int, dim: Int,
+                               k: Int, rounds: Int): DataFrame = {
+    val assigned = semDedupAssignments(spark, emb, dim, k, rounds)
     val dup = semDedupQualifyingPairs(assigned, emb, thresholdHundredths)
       .groupBy(col("id_b").as("vec_id"))
       .agg(min("id_a").as("dup_of"))
@@ -311,10 +357,11 @@ object Similarity {
     * `(vec_id, component)` for every vector in at least one pair;
     * blocking guarantees components never span clusters. */
   def semDedupComponents(spark: SparkSession, emb: DataFrame,
-                         thresholdHundredths: Int,
-                         dim: Int = 64): DataFrame = {
+                         thresholdHundredths: Int, dim: Int = 64,
+                         k: Int = 0, rounds: Int = 1): DataFrame = {
     val pairs = semDedupQualifyingPairs(
-      semDedupAssignments(spark, emb, dim), emb, thresholdHundredths)
+      semDedupAssignments(spark, emb, dim, k, rounds), emb,
+      thresholdHundredths)
       .select(col("id_a").as("d1"), col("id_b").as("d2"))
     Dedup.connectedComponents(pairs)
       .select(col("doc_id").as("vec_id"), col("component"))
@@ -333,10 +380,10 @@ object Similarity {
     * cluster-keyed (k rows). Nothing new shuffles beyond the two tiers
     * it composes. */
   def d4Funnel(spark: SparkSession, emb: DataFrame,
-               thresholdHundredths: Int, pct: Int,
-               dim: Int = 64): DataFrame = {
+               thresholdHundredths: Int, pct: Int, dim: Int = 64,
+               k: Int = 0, rounds: Int = 1): DataFrame = {
     require(pct >= 0 && pct <= 100, s"prune percentage out of range: $pct")
-    val v = semDedupVerdicts(spark, emb, thresholdHundredths, dim)
+    val v = semDedupVerdicts(spark, emb, thresholdHundredths, dim, k, rounds)
       .localCheckpoint(eager = false)
     val surv = v.filter(col("kept") === 1L)
     val sizes = surv.groupBy("cluster").agg(count(lit(1)).as("n_s"))
@@ -357,8 +404,11 @@ object Similarity {
     * centroid, tie-break cluster asc — the [[kmeansRound]] quantizer).
     * Keeps the winning distance: [[protoPrune]] ranks on it. */
   def semDedupAssignments(spark: SparkSession, emb: DataFrame,
-                          dim: Int = 64): DataFrame =
-    assignToBook(emb, coarseBook(spark, emb, dim))
+                          dim: Int = 64, k: Int = 0,
+                          rounds: Int = 1): DataFrame =
+    assignToBook(emb,
+      if (k > 0) lloydBook(spark, emb, k, rounds)
+      else coarseBook(spark, emb, dim))
 
   /** The coarse codebook: truncated integer per-label centroids,
     * broadcast-ready `(cluster, cq: array<long>)`. */
@@ -372,16 +422,24 @@ object Similarity {
     * — [[semDedupAgainstCorpus]] assigns a fresh batch to the lake's
     * offline codebook without re-clustering the lake. */
   private[graft] def assignToBook(emb: DataFrame, book: DataFrame): DataFrame = {
-    val q = emb.select(col("vec_id"),
-      transform(col("embedding"),
-        x => floor(x.cast("double") * 1000).cast("long")).as("q"))
-    val dists = q.crossJoin(broadcast(book))
+    // distance via the native sqdist_q kernel (quantize + diff + square
+    // + sum in one codegen loop): the interpreted transform/zip_with
+    // formulation paid ~10 µs per (vector, centroid) row — the whole
+    // build's cost at real k
+    val dists = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(book))
       .select(col("vec_id"), col("cluster"),
-        aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
-    dists.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1).select("vec_id", "cluster", "dist")
+        sqDistQuantized(col("embedding"), col("cq"), 1000).as("dist"))
+    // argmin as a min-struct hash aggregation, not a rank window (the
+    // pqCodesOf idiom): the broadcast cross-probe leaves every vec_id's
+    // k rows complete within one partition, so the partial agg
+    // collapses them map-side and the exchange moves N rows — a rank
+    // window would sort-shuffle all N·k. Lexicographic struct min =
+    // (dist asc, cluster asc), the engine-exact tie-break.
+    dists.groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"),
+        col("best.dist").as("dist"))
   }
 
   /** Incremental SEMANTIC dedup — the batch-vs-corpus twin of
@@ -440,9 +498,9 @@ object Similarity {
     * so this tier stays LINEAR where [[semDedup]]'s is
     * cluster-quadratic. */
   def protoPrune(spark: SparkSession, emb: DataFrame, pct: Int,
-                 dim: Int = 64): DataFrame = {
+                 dim: Int = 64, k: Int = 0, rounds: Int = 1): DataFrame = {
     require(pct >= 0 && pct <= 100, s"prune percentage out of range: $pct")
-    val asg = semDedupAssignments(spark, emb, dim)
+    val asg = semDedupAssignments(spark, emb, dim, k, rounds)
     val sizes = asg.groupBy("cluster").agg(count(lit(1)).as("n_c"))
     val w = Window.partitionBy("cluster").orderBy(col("dist"), col("vec_id"))
     asg.withColumn("rnk", row_number().over(w).cast("long"))
@@ -456,8 +514,9 @@ object Similarity {
     * (id_a < id_b) pair the verdict dot must score. The denominator a
     * scale smoke judges the pair stage's time ratio against. */
   def semDedupCandidates(spark: SparkSession, emb: DataFrame,
-                         dim: Int = 64): DataFrame = {
-    val assigned = semDedupAssignments(spark, emb, dim)
+                         dim: Int = 64, k: Int = 0,
+                         rounds: Int = 1): DataFrame = {
+    val assigned = semDedupAssignments(spark, emb, dim, k, rounds)
     val a = assigned.select(col("cluster"), col("vec_id").as("id_a"))
     val b = assigned.select(col("cluster"), col("vec_id").as("id_b"))
     a.join(b, "cluster").filter(col("id_a") < col("id_b"))
@@ -481,15 +540,22 @@ object Similarity {
     val q = emb.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * scale).cast("long")).as("q"))
-    val dists = q.crossJoin(broadcast(cq))
-      .select(col("vec_id"), col("q"), col("cluster"),
-        aggregate(zip_with(col("q"), col("cq"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist"), col("cluster"))
-    val assigned = dists.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("q"), col("cluster"))
-    assigned
+    // the cross-probe and the argmin stay SKINNY — (vec_id, cluster,
+    // dist) only. Carrying the quantized vector through the N·k-row
+    // argmin was measured ~5× slower: the array field pushes the
+    // min-struct off the fixed-width codegen fast path and every
+    // buffer update copies ~520 B. The update re-acquires q by one
+    // vec_id join instead (per round, that moves the quantized corpus
+    // once — the standard distributed-Lloyd shuffle budget).
+    val dists = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cq))
+      .select(col("vec_id"), col("cluster"),
+        sqDistQuantized(col("embedding"), col("cq"), scale).as("dist"))
+    // argmin via min-struct aggregation (see [[assignToBook]])
+    val assigned = dists.groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"))
+    assigned.join(q, "vec_id")
       .select(col("cluster"), posexplode(col("q")).as(Seq("d0", "qd")))
       .groupBy(col("cluster"), (col("d0") + 1).cast("long").as("d"))
       .agg(sum("qd").as("sum_q"), count(lit(1)).as("n"))

@@ -919,6 +919,44 @@ class PipelineOpsSpec extends SparkSpec {
     assert(loose.toSeq === Seq(1L, 4L))
   }
 
+  test("lloyd book seeds from the k lowest vec_ids and refines to a fixpoint") {
+    // k = 2 seeds = v1 (0,0), v2 (1,0) quantized at 1000 (cluster id =
+    // seed vec_id). Round 1 assigns {v1,v3,v6} to cluster 1 and
+    // {v2,v4,v5} to cluster 2; the truncated-integer update gives
+    // (6 div 3, 0) = (2,0) and ((1000+998+1000) div 3, 2 div 3) =
+    // (999,0). The toy clustering is Lloyd-stable, so round 2 through
+    // the same book representation is a fixpoint.
+    val emb = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.002f, 0.0f)), (4L, Array(0.998f, 0.0f)),
+      (5L, Array(1.0f, 0.002f)), (6L, Array(0.004f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    def bookOf(rounds: Int): Seq[(Long, List[Long])] =
+      Similarity.lloydBook(spark, emb, k = 2, rounds = rounds)
+        .orderBy("cluster").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    assert(bookOf(1) === Seq((1L, List(2L, 0L)), (2L, List(999L, 0L))))
+    assert(bookOf(2) === bookOf(1))
+  }
+
+  test("semdedup candidate mass falls as the codebook k rises") {
+    // 120 deterministic vectors on a ring: a finer Lloyd codebook cuts
+    // the corpus into more, smaller clusters, so the intra-cluster pair
+    // mass Σ C(n_i, 2) must fall as k rises — THE 100 TB knob (candidate
+    // mass is O(N²/k); the label-derived book pins k to ~10 labels).
+    val emb = (0L until 120L).map { i =>
+      val a = 2 * math.Pi * (i % 40).toDouble / 40
+      (i, Array(math.cos(a).toFloat, math.sin(a).toFloat,
+        ((i % 7).toFloat - 3f) / 7f, ((i % 11).toFloat - 5f) / 11f))
+    }.toDF("vec_id", "embedding")
+    def cands(k: Int): Long =
+      Similarity.semDedupCandidates(spark, emb, k = k, rounds = 2).count()
+    val (c1, c4, c16) = (cands(1), cands(4), cands(16))
+    assert(c1 === 120L * 119 / 2) // k = 1: every pair is a candidate
+    assert(c4 < c1)
+    assert(c16 < c4)
+  }
+
   test("proto prune drops the closest-to-centroid fraction per cluster") {
     // same fixture as the semdedup test; centroids (scale 1000,
     // truncated): c0 = (583, 333, 0, 0) over {v0,v1,v2},

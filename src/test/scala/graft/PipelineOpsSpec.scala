@@ -399,6 +399,28 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("lsh quotient engages on dup mass, short-circuits on thin corpora") {
+    import graft.operators.RelationStats
+    RelationStats.reset()
+    // the shared fixture: 6 docs, 4 bag classes (docs 0/1/2 share a
+    // bag) — mean class size 1.5, under the ≥2 crossover → the auto
+    // path must band RAW (no quotient machinery in the plan)
+    val thin = Dedup.minhashLshPairs(docs)
+    assert(!thin.queryExecution.analyzed.toString.contains("class_fp"),
+      "thin-dup corpus must skip the quotient wrap")
+    // doubling the corpus with exact copies pushes every class to
+    // size ≥ 2 → the quotient must engage
+    val dupy = docs.unionByName(
+      docs.withColumn("doc_id", col("doc_id") + lit(100L)))
+    val auto = Dedup.minhashLshPairs(dupy)
+    assert(auto.queryExecution.analyzed.toString.contains("class_fp"),
+      "dup-heavy corpus must engage the quotient")
+    // the switch is purely physical: both paths emit the same rows
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows(auto) === rows(Dedup.minhashLshPairsRaw(dupy)))
+  }
+
   test("connected components equal a union-find oracle on a seeded graph") {
     import spark.implicits._
     import graft.operators.Dedup

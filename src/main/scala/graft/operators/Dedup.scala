@@ -479,25 +479,35 @@ object Dedup {
     * `(members, repDocs)` — every doc with its class key + rep, and the
     * representative docs rejoined to the input relation. */
   private def bagQuotient(docs: DataFrame): (DataFrame, DataFrame) = {
+    val (members0, repDocs0) = bagQuotientPlans(docs)
+    // members feeds both expansion joins + the intra self-join (and
+    // repDocs below); without materialization each consumer re-runs
+    // the corpus-wide class groupBy. Lazy: declaration stays jobless.
+    (members0.localCheckpoint(eager = false),
+      repDocs0.localCheckpoint(eager = false))
+  }
+
+  /** [[bagQuotient]]'s relations WITHOUT the checkpoints — a stable
+    * canonical plan per input, which is what makes the containment
+    * auto-switch's sizing stats memoizable across invocations
+    * ([[RelationStats]]; a checkpointed relation canonicalizes to a
+    * fresh RDD scan every call, so memo keys on it never hit). */
+  private[graft] def bagQuotientPlans(docs: DataFrame): (DataFrame, DataFrame) = {
     val bagFp = md5(concat_ws("\u0000", col("lang"),
       concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))))
     val bagged = docs.select(col("doc_id"), col("lang"), col("text"),
       bagFp.as("bag_fp"))
     val classes = bagged.groupBy("bag_fp").agg(min("doc_id").as("rep"))
     val members = bagged.select("doc_id", "bag_fp").join(classes, "bag_fp")
-      // members feeds both expansion joins + the intra self-join (and
-      // repDocs below); without materialization each consumer re-runs
-      // the corpus-wide class groupBy. Lazy: declaration stays jobless.
-      .localCheckpoint(eager = false)
     val repDocs = members.filter(col("doc_id") === col("rep"))
       .select("doc_id").join(docs, "doc_id")
-      .localCheckpoint(eager = false)
     (members, repDocs)
   }
 
   def containmentPairs(docs: DataFrame, thresholdTenths: Int): DataFrame = {
     val (members, repDocs) = bagQuotient(docs)
-    val repPairs = containmentPairsOf(repDocs, thresholdTenths)
+    val repPairs = containmentPairsOf(repDocs, thresholdTenths,
+      bruteVerify = containmentBruteWins(docs, thresholdTenths))
     val cross = repPairs
       .join(members.select(col("rep").as("d1"), col("doc_id").as("a1")), "d1")
       .join(members.select(col("rep").as("d2"), col("doc_id").as("a2")), "d2")
@@ -519,21 +529,19 @@ object Dedup {
     cross.unionByName(intra)
   }
 
-  /** Token relation + candidate generation of the representative-level
-    * containment computation: returns `(docTokens, candidates)` so the
-    * verify stage and the candidate-volume measurement share one
-    * definition. */
-  private def containmentCandidatesOf(docs: DataFrame,
-                                      thresholdTenths: Int): (DataFrame, DataFrame) = {
-    val t = thresholdTenths
-    // The postings relation embeds the full bag-quotient subtree (a
-    // corpus-wide groupBy + two joins) and is consumed by FOUR
-    // downstream subtrees (docTokens, tf aggregation, rank join, the
-    // candidate join's container side); without materialization each
-    // consumer re-runs the quotient. Lazy
-    // (eager = false) so declaring the query runs no jobs; it is
-    // rep-level and skinny (3 longs/row, dup mass already collapsed).
-    // On a cluster: `checkpoint` to reliable storage instead.
+  /** The containment tiers' shared token relations over a rep corpus:
+    * skinny postings `(doc_id, lang, tid)` and per-doc sorted id
+    * arrays `(doc_id, lang, toks, n)`.
+    *
+    * The postings relation embeds the full bag-quotient subtree (a
+    * corpus-wide groupBy + two joins) and is consumed by several
+    * downstream subtrees (docTokens, tf aggregation, rank join, the
+    * candidate join's container side); without materialization each
+    * consumer re-runs the quotient. Lazy (eager = false) so declaring
+    * the query runs no jobs; it is rep-level and skinny (3 longs/row,
+    * dup mass already collapsed). On a cluster: `checkpoint` to
+    * reliable storage instead. */
+  private def containmentTokenRels(docs: DataFrame): (DataFrame, DataFrame) = {
     val tok = tokenPostings(docs)
       .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid"))
       .localCheckpoint(eager = false)
@@ -543,6 +551,17 @@ object Dedup {
       .agg(sort_array(collect_list(col("tid"))).as("toks"),
         count(lit(1)).as("n"))
       .localCheckpoint(eager = false)
+    (tok, docTokens)
+  }
+
+  /** Token relation + candidate generation of the representative-level
+    * containment computation: returns `(docTokens, candidates)` so the
+    * verify stage and the candidate-volume measurement share one
+    * definition. */
+  private def containmentCandidatesOf(docs: DataFrame,
+                                      thresholdTenths: Int): (DataFrame, DataFrame) = {
+    val t = thresholdTenths
+    val (tok, docTokens) = containmentTokenRels(docs)
     val prefixLen = col("n") - ((col("n") * t + 9) / 10).cast("long") + 1
     val freq = tok.groupBy("lang", "tid").agg(count(lit(1)).as("tf"))
     val ranked = tok.join(freq, Seq("lang", "tid"))
@@ -585,34 +604,123 @@ object Dedup {
   private[graft] def containmentRepPairs(docs: DataFrame,
                                          thresholdTenths: Int): DataFrame = {
     val (_, repDocs) = bagQuotient(docs)
-    containmentPairsOf(repDocs, thresholdTenths)
+    containmentPairsOf(repDocs, thresholdTenths,
+      bruteVerify = containmentBruteWins(docs, thresholdTenths))
   }
 
   /** Representative-level candidate (d1, d2) relation of
-    * [[containmentPairs]] — post-quotient, prefix-filtered, pre-verify —
-    * exposed so scale smokes MEASURE candidate volume against wall time
-    * instead of arguing the ratio from the output bound. */
+    * [[containmentPairs]] — post-quotient, pre-verify — exposed so
+    * scale smokes MEASURE candidate volume against wall time instead
+    * of arguing the ratio from the output bound. Follows the
+    * auto-switch: the prefix-filtered relation when the prefix path is
+    * selected, all ordered same-lang rep pairs when the brute verify
+    * is (that IS the pre-verify candidate set the query scores). */
   def containmentCandidates(docs: DataFrame, thresholdTenths: Int): DataFrame = {
     val (_, repDocs) = bagQuotient(docs)
-    containmentCandidatesOf(repDocs, thresholdTenths)._2
+    if (containmentBruteWins(docs, thresholdTenths)) {
+      val (_, docTokens) = containmentTokenRels(repDocs)
+      docTokens.select(col("lang"), col("doc_id").as("d1"))
+        .join(broadcast(docTokens.select(col("lang"),
+          col("doc_id").as("d2"))), "lang")
+        .filter(col("d1") =!= col("d2"))
+        .select("d1", "d2")
+    } else containmentCandidatesOf(repDocs, thresholdTenths)._2
+  }
+
+  /** Broadcast-safety bound for [[containmentBruteWins]]: the brute
+    * verify broadcasts the rep corpus's token arrays, ≈ 8 bytes per
+    * posting — 8 M postings ≈ 64 MB, the upper end of a sane broadcast.
+    * Above it the prefix path engages unconditionally (its container
+    * side has the documented d2-shard continuation instead). */
+  private val BruteVerifyTokenBound = 8000000L
+
+  /** The containment auto-switch (purely physical — both paths emit
+    * identical rows): prefix filtering pays its machinery (tf ranking
+    * window, candidate fan-out join, distinct) only when the prefix
+    * actually PRUNES; on a self-similar corpus nearly every lang pair
+    * survives the prefix and the machinery is overhead wrapping a
+    * no-op. CONTAINMENT_PROBE_r06 proved candidates were 87% of the
+    * query's cost, and the r7 decomposition (MINHASH_PROBE pattern,
+    * eager-staged) prices it: raw fan-out 8.6 M hits 0.48 s + distinct
+    * 1.71 s + verify-on-4.2 M 1.69 s, while the brute lang-blocked
+    * verify of ALL 9.1 M ordered rep pairs costs the same 1.67 s as
+    * the verify stage alone — the native sorted-merge intersect is as
+    * cheap per pair as candidate generation. (The other verdict-named
+    * reduction — capping probe-token df — is measured REJECTED: 99.8%
+    * of hits come from df>200 prefix tokens, and capping keeps only
+    * 3,897 of 983,037 verified pairs.)
+    *
+    * Rule: brute when the prefix promises < 4× pair reduction
+    * (rawHits·4 ≥ allPairs, both exact integer stats) AND the rep
+    * token arrays fit one broadcast ([[BruteVerifyTokenBound]] — at
+    * 100 TB postings dwarf the bound, so the scale path is always the
+    * prefix one). Stats are memoized per session
+    * ([[RelationStats]]) on checkpoint-free plans, so bench
+    * repetitions pay them once. */
+  private def containmentBruteWins(rawDocs: DataFrame,
+                                   thresholdTenths: Int): Boolean = {
+    val t = thresholdTenths
+    val rep = bagQuotientPlans(rawDocs)._2
+    val tok = tokenPostings(rep)
+      .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid"))
+    val tokCount = RelationStats.memoCount(tok)
+    tokCount <= BruteVerifyTokenBound && {
+      val allPairs = RelationStats.memoScalar(
+        rep.groupBy("lang").agg(count(lit(1)).as("m"))
+          .agg(coalesce(sum(col("m") * (col("m") - 1)), lit(0L))
+            .cast("long").as("v")))
+      val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val prefixLen = col("n") - ((col("n") * t + 9) / 10).cast("long") + 1
+      val freq = tok.groupBy("lang", "tid").agg(count(lit(1)).as("tf"))
+      val rawHits = RelationStats.memoScalar(
+        tok.join(freq, Seq("lang", "tid"))
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("doc_id").orderBy(col("tf"), col("tid"))))
+          .join(n, "doc_id")
+          .filter(col("pos") <= prefixLen)
+          .agg(coalesce(sum(col("tf") - 1), lit(0L)).cast("long").as("v")))
+      rawHits * 4 >= allPairs
+    }
   }
 
   /** The representative-level containment computation (see
     * [[containmentPairs]], which quotients by bag class before calling
-    * this and expands afterwards). */
-  private def containmentPairsOf(docs: DataFrame,
-                                 thresholdTenths: Int): DataFrame = {
+    * this and expands afterwards). `bruteVerify` selects the verify
+    * shape ([[containmentBruteWins]] decides it from the RAW corpus —
+    * the decision needs memo-stable plans, which the checkpointed rep
+    * relation this method receives cannot key). */
+  private[graft] def containmentPairsOf(docs: DataFrame, thresholdTenths: Int,
+                                 bruteVerify: Boolean = false): DataFrame = {
     val t = thresholdTenths
-    val (docTokens, candidates) = containmentCandidatesOf(docs, t)
-    candidates
-      .join(docTokens.select(col("doc_id").as("d1"), col("toks").as("toks1"),
-        col("n").as("n1")), "d1")
-      .join(docTokens.select(col("doc_id").as("d2"), col("toks").as("toks2")), "d2")
-      .withColumn("inter", graft.functions.VectorFunctions
-        .sortedIntersectCount(col("toks1"), col("toks2")))
-      .filter(col("inter") * 10 >= col("n1") * t)
-      .select(col("d1"), col("d2"), col("inter"), col("n1"),
-        (col("inter").cast("double") / col("n1")).as("containment"))
+    if (bruteVerify) {
+      // all ordered same-lang rep pairs, arrays INLINE in the join (a
+      // re-join of 9 M skinny pairs against the arrays would double
+      // the work the switch just saved); build side broadcast — bound
+      // enforced by the switch — so pair emission parallelizes across
+      // the probe side's partitions, never |langs| tasks
+      val (_, docTokens) = containmentTokenRels(docs)
+      docTokens.select(col("lang"), col("doc_id").as("d1"),
+          col("toks").as("toks1"), col("n").as("n1"))
+        .join(broadcast(docTokens.select(col("lang"),
+          col("doc_id").as("d2"), col("toks").as("toks2"))), "lang")
+        .filter(col("d1") =!= col("d2"))
+        .withColumn("inter", graft.functions.VectorFunctions
+          .sortedIntersectCount(col("toks1"), col("toks2")))
+        .filter(col("inter") * 10 >= col("n1") * t)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"),
+          (col("inter").cast("double") / col("n1")).as("containment"))
+    } else {
+      val (docTokens, candidates) = containmentCandidatesOf(docs, t)
+      candidates
+        .join(docTokens.select(col("doc_id").as("d1"), col("toks").as("toks1"),
+          col("n").as("n1")), "d1")
+        .join(docTokens.select(col("doc_id").as("d2"), col("toks").as("toks2")), "d2")
+        .withColumn("inter", graft.functions.VectorFunctions
+          .sortedIntersectCount(col("toks1"), col("toks2")))
+        .filter(col("inter") * 10 >= col("n1") * t)
+        .select(col("d1"), col("d2"), col("inter"), col("n1"),
+          (col("inter").cast("double") / col("n1")).as("containment"))
+    }
   }
 
   /** Containment INCREMENTAL dedup — the ingestion twin of

@@ -30,6 +30,14 @@ object RelationStats {
       (df.sparkSession, df.queryExecution.analyzed.canonicalized),
       _ => df.count())
 
+  /** First row's first column as a long (a one-row sizing aggregate —
+    * guard nullable aggregates with `coalesce(..., 0)` at the call
+    * site), computed once per (session, canonical plan). */
+  def memoScalar(df: DataFrame): Long =
+    memo.computeIfAbsent(
+      (df.sparkSession, df.queryExecution.analyzed.canonicalized),
+      _ => df.first().getLong(0))
+
   /** Test hook: forget everything (a fresh session in the same JVM
     * re-counts; distinct sessions never collide — the session is part
     * of the key). */

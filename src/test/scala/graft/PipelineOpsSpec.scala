@@ -73,6 +73,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!loose.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment verify paths agree: brute lang-blocked equals prefix") {
+    import spark.implicits._
+    // the auto-switch (containmentBruteWins) is purely physical — both
+    // verify shapes must emit the SAME rep-level rows on any corpus.
+    // Fixture mixes full containment, partial overlap, a lang block
+    // boundary, and a no-overlap doc.
+    val d = Seq(
+      (1L, "alpha beta gamma", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en"),
+      (3L, "one two three", "en"),
+      (4L, "alpha beta gamma", "fr"),
+      (6L, "alpha beta delta epsilon", "en"))
+      .toDF("doc_id", "text", "lang")
+    def rows(brute: Boolean, t: Int) =
+      Dedup.containmentPairsOf(d, t, bruteVerify = brute).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+    for (t <- Seq(3, 5, 9))
+      assert(rows(brute = true, t) === rows(brute = false, t),
+        s"verify paths diverge at t=$t")
+  }
+
   test("concat-and-chunk packing assigns by start offset and counts straddlers") {
     import spark.implicits._
     // three 3-token docs, budget 5: doc2 starts at offset 3 (chunk 0)

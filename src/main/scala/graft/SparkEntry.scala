@@ -857,6 +857,15 @@ object SparkEntry {
         .select(col("qid"), col("label"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+    // Multi-probe IVF-PQ: ADC rank across the TWO nearest coarse
+    // cells - nprobe, THE serving recall knob (single-probe is the
+    // recall-broken configuration every production paper warns about).
+    "ann_ivf_pq_probe2" -> ((s, dir) =>
+      Similarity.annIvfPq(s, Tables.embeddings(s, dir), numQueries = 5,
+          k = 5, m = 8, probes = 2)
+        .select(col("qid"), col("label"), col("vec_id"), col("adist"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
     "embedding_nearest_pairs" -> ((s, dir) =>
       Similarity.nearestPairsPerLabel(Tables.embeddings(s, dir), pairsPerLabel = 3)
         .select(col("label"), col("id_a"), col("id_b"), col("cos"),
@@ -1576,6 +1585,57 @@ object SparkEntry {
        |  WHERE dot > 0 AND 10000 * dot * dot >= $t2 * na * nb
        |  GROUP BY 1)""".stripMargin
   }
+
+  /** IVF-PQ oracle, parameterized by probe count (mirrors
+    * [[Similarity.annIvfPq]]: coarse scores in exact integer space, the
+    * `probes` best clusters ADC-ranked over stored codes). */
+  private def sqlAnnIvfPq(probes: Int): String =
+  s"""WITH qv AS (
+        |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
+        |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
+        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
+        |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
+        |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
+        |    COUNT(*) AS n
+        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
+        |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
+        |dist AS (
+        |  SELECT v.vec_id, v.sub, c.cluster,
+        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
+        |  FROM qv v JOIN cq c ON v.d = c.d GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, cluster AS code FROM (
+        |    SELECT vec_id, sub, cluster,
+        |      row_number() OVER (PARTITION BY vec_id, sub
+        |        ORDER BY dist, cluster) AS rn
+        |    FROM dist) x WHERE rn = 1),
+        |qd AS (SELECT vec_id AS qid, sub, cluster, dist AS qdist
+        |       FROM dist WHERE vec_id < 5),
+        |score AS (
+        |  SELECT v.vec_id AS qid, c.cluster,
+        |    CAST(CAST(SUM(v.q * c.sq) AS BIGINT) AS DOUBLE) / MAX(c.n) AS cscore
+        |  FROM qv v JOIN cent c ON v.d = c.d WHERE v.vec_id < 5
+        |  GROUP BY 1, 2),
+        |best AS (SELECT qid, cluster AS label FROM (
+        |    SELECT qid, cluster,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY cscore DESC, cluster) AS crn
+        |    FROM score) t WHERE crn <= $probes),
+        |cand AS (SELECT b.qid, b.label, e.vec_id
+        |         FROM best b JOIN embeddings e
+        |           ON e.label = b.label AND e.vec_id <> b.qid),
+        |ad AS (
+        |  SELECT cand.qid, cand.label, cand.vec_id, SUM(qd.qdist) AS adist
+        |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+        |  JOIN qd ON qd.qid = cand.qid AND qd.sub = codes.sub
+        |    AND qd.cluster = codes.code
+        |  GROUP BY 1, 2, 3),
+        |rr AS (SELECT qid, label, vec_id, CAST(adist AS BIGINT) AS adist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+        |  FROM ad)
+        |SELECT qid, CAST(label AS INTEGER) AS label, vec_id, adist,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   private def sqlAnnIvf(probes: Int): String = {
     val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
@@ -2860,53 +2920,8 @@ object SparkEntry {
         |  FROM ad)
         |SELECT qid, vec_id, adist, CAST(rn AS BIGINT) AS rn
         |FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
-    "ann_ivf_pq" ->
-      """WITH qv AS (
-        |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
-        |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
-        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
-        |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
-        |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
-        |    COUNT(*) AS n
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
-        |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
-        |dist AS (
-        |  SELECT v.vec_id, v.sub, c.cluster,
-        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
-        |  FROM qv v JOIN cq c ON v.d = c.d GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, sub, cluster AS code FROM (
-        |    SELECT vec_id, sub, cluster,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY dist, cluster) AS rn
-        |    FROM dist) x WHERE rn = 1),
-        |qd AS (SELECT vec_id AS qid, sub, cluster, dist AS qdist
-        |       FROM dist WHERE vec_id < 5),
-        |score AS (
-        |  SELECT v.vec_id AS qid, c.cluster,
-        |    CAST(CAST(SUM(v.q * c.sq) AS BIGINT) AS DOUBLE) / MAX(c.n) AS cscore
-        |  FROM qv v JOIN cent c ON v.d = c.d WHERE v.vec_id < 5
-        |  GROUP BY 1, 2),
-        |best AS (SELECT qid, cluster AS label FROM (
-        |    SELECT qid, cluster,
-        |      row_number() OVER (PARTITION BY qid
-        |        ORDER BY cscore DESC, cluster) AS crn
-        |    FROM score) t WHERE crn = 1),
-        |cand AS (SELECT b.qid, b.label, e.vec_id
-        |         FROM best b JOIN embeddings e
-        |           ON e.label = b.label AND e.vec_id <> b.qid),
-        |ad AS (
-        |  SELECT cand.qid, cand.label, cand.vec_id, SUM(qd.qdist) AS adist
-        |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
-        |  JOIN qd ON qd.qid = cand.qid AND qd.sub = codes.sub
-        |    AND qd.cluster = codes.code
-        |  GROUP BY 1, 2, 3),
-        |rr AS (SELECT qid, label, vec_id, CAST(adist AS BIGINT) AS adist,
-        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
-        |  FROM ad)
-        |SELECT qid, CAST(label AS INTEGER) AS label, vec_id, adist,
-        |  CAST(rn AS BIGINT) AS rn
-        |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin,
+    "ann_ivf_pq" -> sqlAnnIvfPq(probes = 1),
+    "ann_ivf_pq_probe2" -> sqlAnnIvfPq(probes = 2),
     "kmeans_round" ->
       """WITH q AS (
         |  SELECT vec_id, label, CAST(s.k AS BIGINT) AS d,

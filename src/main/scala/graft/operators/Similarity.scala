@@ -675,12 +675,18 @@ object Similarity {
     * when the vectors themselves are 100 TB.
     *
     * Plan shape: centroids and the per-query code-distance table
-    * broadcast; candidates are one cluster per query; the ADC join and
-    * sum are candidate-sized. Raw embeddings are read ONLY by the
-    * offline coding/codebook passes, never at query time. */
+    * broadcast; candidates are `probes` clusters per query; the ADC
+    * join and sum are candidate-sized. Raw embeddings are read ONLY by
+    * the offline coding/codebook passes, never at query time.
+    *
+    * `probes` is THE serving recall knob (nprobe in every production
+    * IVF-PQ deployment): a query near a cell boundary finds its true
+    * neighbors in an adjacent cell, and probing P cells trades P×
+    * candidates for that recall — single-probe is the
+    * recall-broken configuration. */
   def annIvfPq(spark: SparkSession, emb: DataFrame, numQueries: Int,
                k: Int, m: Int = 8, dim: Int = 64,
-               scale: Int = 1000): DataFrame = {
+               scale: Int = 1000, probes: Int = 1): DataFrame = {
     val book = pqCodebook(spark, emb, m, dim, scale)
       .localCheckpoint(eager = false)
     val codes = pqCodesOf(quantizedSubvectors(emb, m, dim, scale), book)
@@ -702,7 +708,7 @@ object Similarity {
     val wBest = Window.partitionBy("qid")
       .orderBy(col("cscore").desc, col("label"))
     val probed = scoredC.withColumn("crn", row_number().over(wBest))
-      .filter(col("crn") === 1)
+      .filter(col("crn") <= probes)
       .select(col("qid"), col("label"))
     val cand = broadcast(probed).join(emb.select("vec_id", "label"), "label")
       .filter(col("vec_id") =!= col("qid"))

@@ -698,6 +698,18 @@ class PipelineOpsSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("adist")))
     assert(ivfpq.toSeq === Seq((0, 1L, 221778L), (0, 4L, 2000000L)))
+
+    // nprobe: probe-2 ranks across BOTH coarse cells, so v2/v3 (cell 1)
+    // enter the candidate set; its top-k prefix must contain probe-1's
+    // rows (recall ⊇ — a candidate superset can only improve a rank)
+    val p2 = Similarity.annIvfPq(spark, emb, numQueries = 1, k = 4,
+        m = 2, dim = 4, probes = 2)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("adist")))
+    assert(p2.toSeq === Seq((0, 1L, 221778L), (0, 4L, 2000000L),
+      (1, 2L, 4000000L), (1, 3L, 4000000L)))
+    assert(p2.take(2).toSeq === ivfpq.toSeq)
   }
 
   test("gram power iteration converges to the dominant eigenvector") {

@@ -237,12 +237,17 @@ object SparkEntry {
       |  FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
       |        FROM documents)
       |  WHERE word <> '')""".stripMargin
+    // exhausted-round guard mirroring bpeEncode: an empty t$r makes the
+    // scalar subquery NULL — the round must be a no-op, not a
+    // NULL-poisoning of every sym
     for (r <- 1 to rounds) {
       val p = r - 1
       ctes += s"""v$r AS (SELECT word,
-        |    trim(replace(' ' || sym || ' ',
+        |    CASE WHEN (SELECT pair FROM t$r) IS NULL THEN sym
+        |    ELSE trim(replace(' ' || sym || ' ',
         |      ' ' || (SELECT pair FROM t$r) || ' ',
-        |      ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' ')) AS sym
+        |      ' ' || replace((SELECT pair FROM t$r), ' ', '') || ' '))
+        |    END AS sym
         |  FROM v$p)""".stripMargin
     }
     ctes += s"""enc AS (SELECT word,

@@ -954,13 +954,22 @@ object TextOps {
       .select(col("word"),
         expr("array_join(transform(sequence(1, length(word)), " +
           "i -> substring(word, i, 1)), ' ')").as("sym"))
+    // each round's pair rides a GLOBAL-AGG one-row relation (min over
+    // the ≤1-row round slice), never the slice itself: a degenerate
+    // corpus can exhaust merges early, and a crossJoin with an EMPTY
+    // round would silently empty the whole vocabulary (and with it
+    // every output row, where the SQL oracle's scalar subquery yields
+    // NULL instead). The agg always emits one row — pair NULL on an
+    // exhausted round — and the null guard makes that round a no-op,
+    // mirrored in bpeEncodeSql's CASE.
     for (r <- 1 to rounds)
       vocab = vocab
         .crossJoin(broadcast(
-          merges.filter(col("round") === r).select(col("pair"))))
+          merges.filter(col("round") === r).agg(min("pair").as("pair"))))
         .select(col("word"),
-          expr("trim(replace(' ' || sym || ' ', ' ' || pair || ' ', " +
-            "' ' || replace(pair, ' ', '') || ' '))").as("sym"))
+          when(col("pair").isNull, col("sym")).otherwise(
+            expr("trim(replace(' ' || sym || ' ', ' ' || pair || ' ', " +
+              "' ' || replace(pair, ' ', '') || ' '))")).as("sym"))
     val enc = vocab.select(col("word"),
       size(split(col("sym"), " ")).cast("long").as("n_sub"))
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

@@ -839,6 +839,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(two.toSeq === Seq((0L, 3L, 3L), (1L, 2L, 2L)))
   }
 
+  test("bpe encode survives an exhausted merge round") {
+    import spark.implicits._
+    // single-char words: no adjacent symbol pairs exist, so EVERY merge
+    // round is exhausted — the encode must treat each round as a no-op
+    // (one output row per doc, bpe_tokens = word count), not crossJoin
+    // the vocabulary against an empty round and silently emit nothing
+    val c = Seq((1L, "a b a", "en"), (2L, "b b", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextOps.bpeEncode(c, rounds = 2).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("words"),
+        r.getAs[Long]("bpe_tokens")))
+    assert(out.toSeq === Seq((1L, 3L, 3L), (2L, 2L, 2L)))
+  }
+
   test("bpe merge is left-to-right non-overlapping within a word") {
     // word "xxxx" → " x x x x ": one replace pass consumes the shared
     // separator, leaving "xx x x" — round 2's pairs are "xx x" and

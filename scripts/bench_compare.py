@@ -76,9 +76,17 @@ def main():
     only_a = sorted(set(qa) - set(qb))
     only_b = sorted(set(qb) - set(qa))
 
-    print(f"A: {a_path}  anchor={ca:.3f}s (band {band_a:.2f}x), "
+    def loadavg(d):
+        pre, post = d.get("loadavg_pre"), d.get("loadavg_post")
+        if not isinstance(pre, (int, float)) or pre < 0:
+            return " load=n/a"
+        return f" load={pre:.2f}->{post:.2f}"
+
+    print(f"A: {a_path}  anchor={ca:.3f}s (band {band_a:.2f}x),"
+          f"{loadavg(a)} "
           f"{len(qa)} queries, total {sum(v for v in qa.values() if v >= 0):.1f}s")
-    print(f"B: {b_path}  anchor={cb:.3f}s (band {band_b:.2f}x), "
+    print(f"B: {b_path}  anchor={cb:.3f}s (band {band_b:.2f}x),"
+          f"{loadavg(b)} "
           f"{len(qb)} queries, total {sum(v for v in qb.values() if v >= 0):.1f}s")
     print(f"normalized drift flagged beyond combined anchor band: {band:.2f}x\n")
 

@@ -89,6 +89,17 @@ object Bench {
       one() // codegen warm-up, untimed
       Seq.fill(3)(one()).min
     }
+    // HOST LOAD, recorded: the r6 artifacts diverged 143.8 s (driver)
+    // vs 102.4 s (builder) purely on ambient shared-host load the
+    // calibration anchors only partially expose — /proc/loadavg at
+    // start and end makes external load a recorded fact instead of a
+    // post-hoc argument (bench_compare prints both).
+    def loadavg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+
+    val loadPre = loadavg()
     val calibPre = calibrate()
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     suite.foreach { case (name, _) => best(name) = once(name) }
@@ -119,7 +130,8 @@ object Bench {
     // sentinels would make a broken run look faster than a clean one
     val total = best.values.filter(_ >= 0).sum
     val calibPost = calibrate()
-    val line = s"""{"metric":"total","sf":"$sfDir","calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"queries":$qs,"unit":"sec","value":${fmt(total)}}"""
+    val loadPost = loadavg()
+    val line = s"""{"metric":"total","sf":"$sfDir","calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},"queries":$qs,"unit":"sec","value":${fmt(total)}}"""
     println(line)
     // committed-file twin of the stdout line: the driver's tail capture
     // has dropped 29-45 head entries two rounds running; the full

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Analytics, Dedup, EventOps, Graph, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, Curation, Dedup, EventOps, Graph, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
 import graft.sources.ResultsCsv
 import graft.streaming.EventStream
 
@@ -85,6 +85,26 @@ object SparkEntry {
     * bigram statistics define the importance-sampling target (query +
     * oracle — the [[IncContainTenths]] shared-constant rule). */
   private val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
+
+  /** `gopher_rules` thresholds (query + oracle — integer milli-units,
+    * picked so every rule both passes and fails on the sf corpus). */
+  private val Gopher = graft.operators.Curation.GopherThresholds()
+
+  /** `ppl_buckets` bucket count (query + oracle). */
+  private val PplBucketsN = 4
+
+  /** `source_overlap` minhash components + shingle width (query +
+    * oracle). */
+  private val OverlapM = 64
+  private val OverlapShingle = 3
+
+  /** `ann_srp` sign-sketch width in bits (query + oracle). */
+  private val SrpBits = 32
+
+  /** `qclf_*` perceptron shape: hashed feature buckets + full-batch
+    * rounds (query + oracle — the oracle replays every round). */
+  private val QclfCfg = graft.operators.Curation.PerceptronConfig(
+    buckets = 64, rounds = 3)
 
   /** `semdedup` cosine threshold in hundredths (query + oracle). Same
     * 0.35 as `dedup_embedding`: the synthetic embedding space tops out
@@ -287,6 +307,59 @@ object SparkEntry {
   private def occSql(word: String): String =
     s"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' $word ', ''))) // ${word.length + 2}"
 
+  /** Generated oracle for the batch-perceptron queries: round r's
+    * weights are a CTE chain (margins under w_{r-1} → misclassified
+    * set → Σ y·x delta → w_r), the same all-integer recurrence the
+    * Spark loop runs — `which` selects the final-weights or the
+    * per-doc score projection. */
+  private def qclfSql(which: String): String = {
+    val f = QclfCfg.buckets
+    val rounds = QclfCfg.rounds
+    val minStop = Gopher.minStopHits
+    val stop = graft.operators.Curation.GopherStopWords
+      .map(w => s"'$w'").mkString(", ")
+    val base =
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |fx AS (SELECT doc_id,
+         |    CAST(concat('0x', substr(md5(token), 1, 15)) AS BIGINT) % $f AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM tok GROUP BY 1, 2),
+         |f AS (SELECT * FROM fx
+         |  UNION ALL
+         |  SELECT doc_id, CAST($f AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+         |l AS (SELECT doc_id,
+         |    CASE WHEN len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($stop))) >= $minStop
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM documents),
+         |w1 AS (SELECT f.b, CAST(SUM(l.y * f.x) AS BIGINT) AS w
+         |  FROM f JOIN l USING (doc_id) GROUP BY 1)""".stripMargin
+    val roundCtes = (2 to rounds).map { r =>
+      s"""m$r AS (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS BIGINT) AS margin
+         |  FROM f JOIN w${r - 1} w ON f.b = w.b GROUP BY 1),
+         |mis$r AS (SELECT m.doc_id, l.y FROM m$r m JOIN l USING (doc_id)
+         |  WHERE l.y * m.margin <= 0),
+         |d$r AS (SELECT f.b, CAST(SUM(mis.y * f.x) AS BIGINT) AS dw
+         |  FROM f JOIN mis$r mis USING (doc_id) GROUP BY 1),
+         |w$r AS (SELECT w.b, CAST(w.w + COALESCE(d.dw, 0) AS BIGINT) AS w
+         |  FROM w${r - 1} w LEFT JOIN d$r d ON w.b = d.b)""".stripMargin
+    }
+    val ctes = (base +: roundCtes).mkString(",\n")
+    val tail = which match {
+      case "weights" => s"SELECT b, w FROM w$rounds ORDER BY b"
+      case "score" =>
+        s"""fm AS (SELECT f.doc_id, CAST(SUM(w.w * f.x) AS BIGINT) AS margin
+           |  FROM f JOIN w$rounds w ON f.b = w.b GROUP BY 1)
+           |SELECT fm.doc_id, l.y, fm.margin,
+           |  CASE WHEN fm.margin >= 0 THEN CAST(1 AS BIGINT)
+           |       ELSE CAST(-1 AS BIGINT) END AS pred,
+           |  (CASE WHEN fm.margin >= 0 THEN 1 ELSE -1 END) = l.y AS correct
+           |FROM fm JOIN l USING (doc_id) ORDER BY fm.doc_id""".stripMargin
+    }
+    if (which == "score") s"$ctes,\n$tail" else s"$ctes\n$tail"
+  }
+
   // ============== bench-results analytics (SURVEY §2.3) ================
 
   /** Reference-shaped benchmark-results table derived deterministically
@@ -441,6 +514,21 @@ object SparkEntry {
     "dsir_weights" -> ((s, dir) =>
       TextOps.dsirWeights(Tables.documents(s, dir), DsirTargetSources)
         .orderBy("doc_id")),
+    // Gopher-style rule filter: four structural signals (integer
+    // milli-units) each gated by a threshold, keep = conjunction.
+    "gopher_rules" -> ((s, dir) =>
+      Curation.gopherRules(Tables.documents(s, dir), Gopher)
+        .orderBy("doc_id")),
+    // CCNet-style perplexity buckets: equal-frequency LM-score buckets
+    // per language (bucket 1 = head), two-level prefix-sum rank.
+    "ppl_buckets" -> ((s, dir) =>
+      Curation.pplBuckets(Tables.documents(s, dir), nb = PplBucketsN)
+        .orderBy("doc_id")),
+    // Cross-source overlap audit: per-source-pair minhash-estimated
+    // shingle Jaccard + the exact validation columns.
+    "source_overlap" -> ((s, dir) =>
+      Curation.sourceOverlap(Tables.documents(s, dir), m = OverlapM,
+        n = OverlapShingle).orderBy("src_a", "src_b")),
     // ExactSubstr-style duplicated-span report: 8-token windows shared
     // across >= 2 docs, merged into maximal runs per doc.
     "dedup_substring_spans" -> ((s, dir) =>
@@ -903,6 +991,22 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("bucket"), col("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+    // SRP Hamming search: whole-corpus top-k served from 1-long-per-
+    // vector sign sketches (the bit-code complement of ann_pq's ADC).
+    "ann_srp" -> ((s, dir) =>
+      Similarity.annSrpHamming(Tables.embeddings(s, dir),
+        numQueries = 5, k = 5, bits = SrpBits)
+        .select(col("qid"), col("vec_id"), col("hamming"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
+    // In-engine trainable quality classifier: full-batch integer
+    // perceptron over hashed bag-of-words features.
+    "qclf_weights" -> ((s, dir) =>
+      Curation.perceptronWeights(Tables.documents(s, dir), QclfCfg)
+        .orderBy("b")),
+    "qclf_score" -> ((s, dir) =>
+      Curation.perceptronScore(Tables.documents(s, dir), QclfCfg)
+        .orderBy("doc_id")),
 
     // ---- bench-results analytics (A1/A4/A7-A16 on real drift) ----
     "bench_avg_time" -> ((s, dir) =>
@@ -1930,6 +2034,95 @@ object SparkEntry {
          |  CAST(MAX(wmilli) AS BIGINT) AS max_wmilli
          |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin
     },
+    "gopher_rules" -> {
+      val t = Gopher
+      val stop = Curation.GopherStopWords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |    CAST(len(ts) AS BIGINT) AS n_words,
+         |    CAST((1000 * list_aggregate(list_transform(ts, w -> len(w)), 'sum')) // len(ts) AS BIGINT) AS mwl_milli,
+         |    CAST(len(list_filter(ts, w -> w IN ($stop))) AS BIGINT) AS stop_hits,
+         |    CAST((1000 * len(list_distinct(ts))) // len(ts) AS BIGINT) AS distinct_milli
+         |  FROM t)
+         |SELECT doc_id, lang, n_words, mwl_milli, stop_hits, distinct_milli,
+         |  n_words BETWEEN ${t.minWords} AND ${t.maxWords} AS r_words,
+         |  mwl_milli BETWEEN ${t.minMwlMilli} AND ${t.maxMwlMilli} AS r_mwl,
+         |  stop_hits >= ${t.minStopHits} AS r_stop,
+         |  distinct_milli >= ${t.minDistinctMilli} AS r_distinct,
+         |  (n_words BETWEEN ${t.minWords} AND ${t.maxWords})
+         |    AND (mwl_milli BETWEEN ${t.minMwlMilli} AND ${t.maxMwlMilli})
+         |    AND stop_hits >= ${t.minStopHits}
+         |    AND distinct_milli >= ${t.minDistinctMilli} AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+    "ppl_buckets" -> {
+      val nb = PplBucketsN
+      s"""WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |b AS (SELECT doc_id, lang,
+         |    unnest(list_transform(range(1, greatest(len(toks), 1)),
+         |      i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS bg
+         |  FROM t),
+         |bb AS (SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+         |cb AS (SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS c_big
+         |       FROM bb GROUP BY 1, 2, 3),
+         |cp AS (SELECT lang, w1, CAST(COUNT(*) AS BIGINT) AS c_pre
+         |       FROM bb GROUP BY 1, 2),
+         |p AS (SELECT bb.doc_id, (1000 * cb.c_big) // cp.c_pre AS pmilli
+         |  FROM bb
+         |  JOIN cb ON bb.lang = cb.lang AND bb.w1 = cb.w1 AND bb.w2 = cb.w2
+         |  JOIN cp ON bb.lang = cp.lang AND bb.w1 = cp.w1),
+         |score AS (SELECT doc_id,
+         |    CAST(SUM(pmilli) // COUNT(*) AS BIGINT) AS avg_pmilli
+         |  FROM p GROUP BY 1),
+         |j AS (SELECT s.doc_id, d.lang, s.avg_pmilli
+         |  FROM score s JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id, lang, avg_pmilli,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY avg_pmilli, doc_id) AS BIGINT) AS rnk,
+         |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n_lang
+         |  FROM j)
+         |SELECT doc_id, lang, avg_pmilli, rnk, n_lang,
+         |  CAST($nb - ((rnk - 1) * $nb) // n_lang AS BIGINT) AS bucket
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+    "source_overlap" -> {
+      val (m, n) = (OverlapM, OverlapShingle)
+      s"""WITH t AS (SELECT source, string_split(text, ' ') AS ts FROM documents),
+         |g0 AS (SELECT source,
+         |    CASE WHEN len(ts) < $n THEN [array_to_string(ts, ' ')]
+         |    ELSE list_transform(range(0, len(ts) - ${n - 1}),
+         |      i -> array_to_string(ts[i+1:i+$n], ' ')) END AS gs
+         |  FROM t),
+         |g AS (SELECT DISTINCT source, unnest(gs) AS gram FROM g0),
+         |gh AS (SELECT source,
+         |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gv
+         |  FROM g),
+         |comp AS (SELECT source, i,
+         |    CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' ||
+         |      CAST(gv AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM gh CROSS JOIN (SELECT unnest(range(0, $m)) AS i)),
+         |sk AS (SELECT source, i, MIN(h) AS minh FROM comp GROUP BY 1, 2),
+         |pe AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS BIGINT) AS matches
+         |  FROM sk a JOIN sk b ON a.i = b.i AND a.source < b.source
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+         |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT pe.src_a, pe.src_b, sa.n AS n_a, sb.n AS n_b,
+         |  COALESCE(iv.inter, 0) AS inter,
+         |  sa.n + sb.n - COALESCE(iv.inter, 0) AS union_n,
+         |  CAST((1000 * COALESCE(iv.inter, 0))
+         |    // (sa.n + sb.n - COALESCE(iv.inter, 0)) AS BIGINT) AS jaccard_milli,
+         |  pe.matches,
+         |  CAST((1000 * pe.matches) // $m AS BIGINT) AS est_milli
+         |FROM pe JOIN sz sa ON pe.src_a = sa.source
+         |JOIN sz sb ON pe.src_b = sb.source
+         |LEFT JOIN iv ON pe.src_a = iv.src_a AND pe.src_b = iv.src_b
+         |ORDER BY pe.src_a, pe.src_b""".stripMargin
+    },
     "dedup_substring_spans" -> {
       val n = SpanTokens
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -2717,6 +2910,33 @@ object SparkEntry {
          |       FROM r)
          |SELECT qid, vec_id, bucket, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
     },
+    "ann_srp" -> {
+      // same seeded plane constants as the Spark query; the code is
+      // the 32-bit sign word, ranking is pure Hamming on that word
+      val planes = graft.operators.Similarity.lshPlanesQuantized(SrpBits, 64)
+      val planeRows = planes.zipWithIndex.flatMap { case (row, p) =>
+        row.zipWithIndex.map { case (w, d) => s"($p, ${d + 1}, $w)" }
+      }.mkString(", ")
+      s"""WITH planes(p, k, w) AS (VALUES $planeRows),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |    CAST(SUM(pl.w * CAST(FLOOR(CAST(e.embedding[pl.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+         |code AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS code
+         |  FROM dots GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, code AS qcode FROM code WHERE vec_id < 5),
+         |h AS (SELECT q.qid, c.vec_id,
+         |    CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS hamming
+         |  FROM q JOIN code c ON c.vec_id <> q.qid),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY hamming, vec_id) AS BIGINT) AS rn FROM h)
+         |SELECT qid, vec_id, hamming, rn FROM r WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin
+    },
+    "qclf_weights" -> qclfSql("weights"),
+    "qclf_score" -> qclfSql("score"),
     "dedup_minhash_lsh" -> {
       // generated with the same seeded affine-family constants as
       // Dedup.minhashSignatures; candidates = any of the `bands`

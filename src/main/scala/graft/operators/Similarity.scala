@@ -790,4 +790,41 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
+
+  /** SRP Hamming search — signed-random-projection sketches (Charikar
+    * 2002, STOC: sign(r·v) bits preserve angular similarity) served
+    * ENTIRELY from the bit codes: every vector compresses to one
+    * 64-bit word (`bits` sign bits of the quantized hyperplane dots,
+    * the same deterministic planes [[annLshBucketed]] buckets with),
+    * and queries rank the whole corpus by Hamming distance on that
+    * word. The sketch-serving complement to [[annPq]]'s ADC: PQ
+    * approximates L2 from byte codes, SRP approximates ANGLE from
+    * bits — 8 bytes/vector means a trillion-vector corpus is a
+    * few-TB code relation, scannable without ever touching the raw
+    * embeddings at query time.
+    *
+    * Plan shape: one shuffle-free projection to (vec_id, code)
+    * longs; query codes broadcast; the rank filter sits directly
+    * under its window so WindowGroupLimit keeps k rows per query
+    * per partition map-side. No raw-vector rerank here by design —
+    * the declared operator measures what the codes alone retrieve
+    * (compose with [[knnBruteForce]] over the survivors for the
+    * reranked variant). */
+  def annSrpHamming(emb: DataFrame, numQueries: Int, k: Int,
+                    bits: Int = 32, dim: Int = 64, seed: Long = 42L,
+                    scale: Int = 1000): DataFrame = {
+    require(bits <= 62, s"code must fit one long, got $bits bits")
+    val planes = lshPlanesQuantized(bits, dim, seed)
+    val codes = emb.select(col("vec_id"),
+      hyperplaneBucketQuantized(col("embedding"), planes, scale).as("code"))
+    val queries = broadcast(codes.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"), col("code").as("qcode")))
+    val w = Window.partitionBy("qid").orderBy(col("hamming"), col("vec_id"))
+    codes.join(queries, col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long")
+          .as("hamming"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
 }

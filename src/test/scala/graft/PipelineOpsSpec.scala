@@ -739,6 +739,27 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 2L) -> 1250000L, (2L, 3L) -> -500000L, (3L, 3L) -> 250000L))
   }
 
+  test("srp hamming ann: a duplicate vector codes identically and ranks first") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.2f, -0.3f, 0.4f)),
+      (1L, Seq(1.0f, 0.2f, -0.3f, 0.4f)),   // exact dup of the query
+      (2L, Seq(-1.0f, -0.2f, 0.3f, -0.4f)), // antipode: all bits flip
+      (3L, Seq(0.9f, 0.1f, -0.2f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.annSrpHamming(e, numQueries = 1, k = 3,
+      bits = 16, dim = 4)
+    val rows = out.collect().sortBy(_.getAs[Int]("rn"))
+    assert(rows.map(_.getAs[Long]("qid")).forall(_ == 0L))
+    assert(rows.head.getAs[Long]("vec_id") === 1L)
+    assert(rows.head.getAs[Long]("hamming") === 0L)
+    // the antipode flips the sign of every plane dot → hamming = bits
+    // (no plane dot is exactly 0 on this fixture)
+    val anti = rows.find(_.getAs[Long]("vec_id") == 2L).get
+    assert(anti.getAs[Long]("hamming") === 16L)
+    assert(rows.map(_.getAs[Int]("rn")).toSeq === (1 to rows.length).toSeq)
+  }
+
   test("lsh-bucketed ann returns self-bucket neighbors ranked by cosine") {
     val out = Similarity.annLshBucketed(spark, vecs, numQueries = 1, k = 3,
       numPlanes = 2, dim = 4)

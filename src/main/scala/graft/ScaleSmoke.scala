@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Graph, MatrixOps, Multimodal, Similarity,
-  Sketches, Temporal, TextOps}
+import graft.operators.{Curation, Dedup, Graph, MatrixOps, Multimodal,
+  Similarity, Sketches, Temporal, TextOps}
 import graft.streaming.{DocStream, EventStream}
 
 /** Scale-regression smoke (dev/judge tooling, not a driver surface):
@@ -199,6 +199,16 @@ object ScaleSmoke {
       Op("doc_lm_score", d => TextOps.lmScore(d), "doc"),
       Op("dsir_weights", d => TextOps.dsirWeights(d,
         Seq("src0", "src1", "src2", "src3")), "doc"),
+      // curation tier: rule filter + bucketing are map-shaped, the
+      // classifier is R broadcast-weight rounds, the overlap audit is
+      // m×distinct-gram explosion + a #sources²-row sketch join — all
+      // expected ~linear in corpus volume
+      Op("gopher_rules", d => Curation.gopherRules(d), "doc"),
+      Op("ppl_buckets", d => Curation.pplBuckets(d, 4), "doc"),
+      Op("qclf_score", d => Curation.perceptronScore(d,
+        Curation.PerceptronConfig(64, 3)), "doc"),
+      Op("source_overlap", d => Curation.sourceOverlap(d, 64, 3), "doc"),
+      Op("ann_srp", e => Similarity.annSrpHamming(e, 25, 5), "emb"),
       // replica copy-tags change only each copy's TAIL windows, so
       // cross-copy duplicated spans grow with the corpus — the smoke
       // prices the worst (dup-heavy) case like the pair tiers

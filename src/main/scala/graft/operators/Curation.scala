@@ -94,12 +94,16 @@ object Curation {
     * through one task (the same shape [[Dedup]] pins for SNM). */
   def pplBuckets(docs: DataFrame, nb: Int = 4): DataFrame = {
     require(nb >= 2, s"need >= 2 buckets, got $nb")
+    // materialized once: both the offset aggregation and the rank join
+    // consume it, and it embeds the full LM scoring (two hash aggs +
+    // a corpus-sized join) that must not execute twice
     val scored = TextOps.lmScore(docs)
       .join(docs.select("doc_id", "lang"), "doc_id")
       .select(col("doc_id"), col("lang"), col("avg_pmilli"),
         // coarse ordered shard of the sort key (non-negative, so
         // truncating and flooring division agree across engines)
         expr("avg_pmilli div 64").as("shard"))
+      .localCheckpoint(eager = false)
     val wOff = Window.partitionBy("lang").orderBy("shard")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = scored.groupBy("lang", "shard")

@@ -40,8 +40,9 @@ object Curation {
     * are omitted rather than stubbed.
     *
     * Scale shape: one shuffle-free projection — every signal is a
-    * row-local fold over the split-token array (whole-stage codegen,
-    * no explode, strings never shuffle). Signals are integer
+    * row-local fold over the split-token array (no explode, strings
+    * never shuffle; the HOF folds are CodegenFallback but stay
+    * map-side and row-local). Signals are integer
     * milli-units (floor division), so the oracle replays them
     * exactly. At 100 TB this is the map-only first pass that runs
     * ahead of every pair-generating dedup tier. */

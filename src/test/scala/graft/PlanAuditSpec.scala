@@ -300,4 +300,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"),
       s"model totals must broadcast, plan:\n$p")
   }
+
+  test("gopher rules plan as one shuffle-free codegen projection") {
+    // audit the operator itself (the declared query only adds an
+    // output orderBy): no exchange anywhere, all inside codegen
+    val p = graft.operators.Curation
+      .gopherRules(Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"rule signals must not shuffle, plan:\n$p")
+    // codegen stages print as *(n) in the executed plan; the HOF
+    // signal projection itself is interpreted (Spark's higher-order
+    // functions are CodegenFallback) but the scan and flag logic stay
+    // in codegen stages around it
+    assert(p.contains("*("),
+      s"scan/flag projections must stay in codegen stages, plan:\n$p")
+  }
+
+  test("ppl bucket ranks ride broadcast offsets, never a per-lang global sort") {
+    val p = plan("ppl_buckets")
+    // the offsets relation must attach via broadcast — a shuffled join
+    // here would mean the metadata-scale offset table got exchanged
+    assert(p.contains("BroadcastHashJoin"),
+      s"offset attach must broadcast, plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"rank path must stay equi-join, plan:\n$p")
+  }
+
+  test("srp hamming top-k prunes k rows per query map-side") {
+    val p = plan("ann_srp")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push into WindowGroupLimit, plan:\n$p")
+  }
+
+  test("perceptron rounds attach weights via broadcast hash joins only") {
+    val p = plan("qclf_score")
+    // every weight attach (R rounds + final scoring) is a broadcast of
+    // the buckets+1-row relation; a sort-merge join here would shuffle
+    // the corpus-sized feature relation once per round
+    assert(p.contains("BroadcastHashJoin"),
+      s"weight attach must broadcast, plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"training must stay equi-join shaped, plan:\n$p")
+    assert(!p.contains("Window"),
+      s"margins are hash aggregations, no rank window, plan:\n$p")
+  }
 }

@@ -126,4 +126,41 @@ object DocStream {
       .select(col("doc_id"), col("ts"), col("n_bigrams"),
         expr("sum_pmilli div n_bigrams").as("avg_pmilli"),
         col("min_pmilli"))
+
+  /** Streaming perceptron quality gate — the train-offline/serve-online
+    * split of [[graft.operators.Curation.perceptronScore]]: the weight
+    * relation comes from a batch training run over the lake
+    * ([[graft.operators.Curation.perceptronWeights]], buckets+1 rows)
+    * and the stream scores each arriving document against it.
+    *
+    * Statelessness argument (same shape as [[lmScoreStream]]): feature
+    * hashing is a row-local projection — each token contributes
+    * weight[hash(token) mod buckets] once per OCCURRENCE, so no
+    * per-doc count aggregation is needed before the join (Σ_b x_b·w_b
+    * = Σ_tokens w_bucket(token)); the bias bucket rides as one extra
+    * array element. The stream-static weight join carries no state,
+    * and the per-doc margin sum is the single watermark-bounded
+    * stateful aggregation. Tokens hashing to buckets absent from the
+    * training relation drop at the join — exactly weight-0 features,
+    * identical to the batch scorer.
+    *
+    * Output: (doc_id, ts, margin, pred) — the admit/reject signal an
+    * ingestion pipeline gates on. */
+  def qclfScoreStream(docs: DataFrame, weights: DataFrame,
+                      buckets: Int = 64,
+                      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.Sketches
+    val bias = array(lit(buckets.toLong))
+    val featBuckets = concat(
+      transform(split(col("text"), " "),
+        t => Sketches.hash60(t) % buckets), bias)
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode(featBuckets).as("b"))
+      .join(weights.select("b", "w"), "b")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(sum("w").as("margin"))
+      .select(col("doc_id"), col("ts"), col("margin"),
+        when(col("margin") >= 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
+  }
 }

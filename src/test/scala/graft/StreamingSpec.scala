@@ -448,6 +448,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming perceptron scorer equals the batch margins") {
+    val corpus = Seq(
+      (0L, "the the cat sat", "en", "s0", 7L),
+      (1L, "cat dog fox run", "en", "s0", 7L),
+      (2L, "the a big dog", "en", "s0", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val cfg = graft.operators.Curation.PerceptronConfig(buckets = 16,
+      rounds = 2)
+    val weights = graft.operators.Curation.perceptronWeights(corpus, cfg)
+    val input = MemoryStream[LDoc](spark)
+    val q = graft.streaming.DocStream
+      .qclfScoreStream(input.toDF(), weights, buckets = 16)
+      .writeStream.format("memory").queryName("qclf_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        LDoc(10, ts("10:00"), "the the cat sat", "en"), // = corpus doc 0
+        LDoc(11, ts("10:01"), "cat dog fox run", "en")) // = corpus doc 1
+      q.processAllAvailable()
+      input.addData(LDoc(99, ts("12:00"), "the a", "en")) // watermark advancer
+      q.processAllAvailable()
+      val streamed = spark.table("qclf_stream")
+        .select("doc_id", "margin", "pred").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.operators.Curation.perceptronScore(corpus, cfg)
+        .select("doc_id", "margin", "pred").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streamed(10L) === batch(0L))
+      assert(streamed(11L) === batch(1L))
+    } finally q.stop()
+  }
+
   test("streaming KMV sketch is bit-identical to the batch sketch " +
     "under out-of-order, duplicated delivery") {
     val users = (0L until 40L)

@@ -58,13 +58,21 @@ object MinhashProbe {
       timed("word_raw") { Dedup.minhashLshPairsRaw(docs).count() },
       timed("word_quotient") { Dedup.minhashLshPairsForceQuotient(docs).count() },
       timed("word_auto") { Dedup.minhashLshPairs(docs).count() },
+      // the auto-rule's decision signal: estimated bucket-join pair
+      // mass on the raw corpus (calibrates QuotientGainPerDoc)
+      timed("word_candmass") {
+        Dedup.wordCandMassRelation(docs).first().getLong(0)
+      },
       timed("shingle_classes") {
         docs.select(md5(col("text").cast("binary")).as("class_fp"))
           .distinct().count()
       },
       timed("shingle_raw") { Dedup.minhashShinglePairsRaw(docs).count() },
       timed("shingle_quotient") { Dedup.minhashShinglePairsForceQuotient(docs).count() },
-      timed("shingle_auto") { Dedup.minhashShingleLshPairs(docs).count() })
+      timed("shingle_auto") { Dedup.minhashShingleLshPairs(docs).count() },
+      timed("shingle_candmass") {
+        Dedup.shingleCandMassRelation(docs).first().getLong(0)
+      })
 
     def fmt(v: Double) = f"$v%.3f"
     val js = stages.map { case (n, s, r) =>

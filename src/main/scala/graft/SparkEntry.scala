@@ -101,6 +101,9 @@ object SparkEntry {
   /** `ann_srp` sign-sketch width in bits (query + oracle). */
   private val SrpBits = 32
 
+  /** `shard_balance` output shard count (query + oracle). */
+  private val ShardBalanceN = 8
+
   /** `qclf_*` perceptron shape: hashed feature buckets + full-batch
     * rounds (query + oracle — the oracle replays every round). */
   private val QclfCfg = graft.operators.Curation.PerceptronConfig(
@@ -249,8 +252,25 @@ object SparkEntry {
 
   /** `bpe_encode`: the training chain, then the merges applied in order
     * to the DISTINCT vocabulary (v0..v$rounds), then per-doc encoded
-    * token counts via the word join. */
-  private def bpeEncodeSql(rounds: Int): String = {
+    * token counts via the word join. The CTE chain (through a final
+    * `perdoc` relation) is shared with the `bpe_fertility` oracle. */
+  private def bpeEncodeSql(rounds: Int): String =
+    s"""WITH ${bpeEncodeCtes(rounds).mkString(",\n")}
+       |SELECT doc_id, words, bpe_tokens FROM perdoc
+       |ORDER BY doc_id""".stripMargin
+
+  /** `bpe_fertility`: the same encode chain aggregated per language —
+    * (1000·Σ bpe_tokens) div (Σ words), exact integer milli-units. */
+  private def bpeFertilitySql(rounds: Int): String =
+    s"""WITH ${bpeEncodeCtes(rounds).mkString(",\n")}
+       |SELECT doc.lang, CAST(SUM(p.words) AS BIGINT) AS words,
+       |  CAST(SUM(p.bpe_tokens) AS BIGINT) AS bpe_tokens,
+       |  CAST((1000 * SUM(p.bpe_tokens)) // SUM(p.words) AS BIGINT)
+       |    AS fertility_milli
+       |FROM perdoc p JOIN documents doc USING (doc_id)
+       |GROUP BY 1 ORDER BY doc.lang""".stripMargin
+
+  private def bpeEncodeCtes(rounds: Int): Seq[String] = {
     val ctes = scala.collection.mutable.ListBuffer(bpeTrainCtes(rounds): _*)
     ctes += """v0 AS (SELECT word, array_to_string(list_transform(
       |    range(1, len(word)+1), i -> substr(word, i, 1)), ' ') AS sym
@@ -275,11 +295,11 @@ object SparkEntry {
       |  FROM v$rounds)""".stripMargin
     ctes += """d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |  FROM documents)""".stripMargin
-    s"""WITH ${ctes.mkString(",\n")}
-       |SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS words,
-       |  CAST(SUM(e.n_sub) AS BIGINT) AS bpe_tokens
-       |FROM d JOIN enc e ON d.word = e.word
-       |WHERE d.word <> '' GROUP BY 1 ORDER BY d.doc_id""".stripMargin
+    ctes += """perdoc AS (SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS words,
+      |  CAST(SUM(e.n_sub) AS BIGINT) AS bpe_tokens
+      |  FROM d JOIN enc e ON d.word = e.word
+      |  WHERE d.word <> '' GROUP BY 1)""".stripMargin
+    ctes.toSeq
   }
 
   /** Shared CTE computing the portable per-document stats. */
@@ -698,6 +718,16 @@ object SparkEntry {
     // per-doc encoded token counts (the token-budget planner's signal).
     "bpe_encode" -> ((s, dir) =>
       TextOps.bpeEncode(Tables.documents(s, dir), rounds = 3)
+        .orderBy("doc_id")),
+    // Tokenizer fertility: subword tokens per word, per language
+    // (integer milli-units over the bpe_encode chain).
+    "bpe_fertility" -> ((s, dir) =>
+      TextOps.bpeFertility(Tables.documents(s, dir), rounds = 3)
+        .orderBy("lang")),
+    // Token-balanced shard assignment: serpentine deal over the
+    // token-count rank (two-level prefix-sum, no global sort task).
+    "shard_balance" -> ((s, dir) =>
+      Curation.shardBalance(Tables.documents(s, dir), ShardBalanceN)
         .orderBy("doc_id")),
     // Train/test leakage audit: duplicate content spanning splits.
     "split_leakage" -> ((s, dir) =>
@@ -2403,6 +2433,22 @@ object SparkEntry {
          |FROM r WHERE rn <= 32""".stripMargin,
     "bpe_merges" -> bpeSql(rounds = 3),
     "bpe_encode" -> bpeEncodeSql(rounds = 3),
+    "bpe_fertility" -> bpeFertilitySql(rounds = 3),
+    "shard_balance" -> {
+      val s2 = 2 * ShardBalanceN
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, tokens,
+         |    CAST(row_number() OVER (ORDER BY tokens DESC, doc_id)
+         |      AS BIGINT) AS rnk
+         |  FROM t)
+         |SELECT doc_id, tokens, rnk,
+         |  CAST(CASE WHEN ((rnk - 1) % $s2) < $ShardBalanceN
+         |    THEN (rnk - 1) % $s2
+         |    ELSE $s2 - 1 - ((rnk - 1) % $s2) END AS BIGINT) AS shard
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
     "split_leakage" ->
       """WITH s AS (
         |  SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_hash,

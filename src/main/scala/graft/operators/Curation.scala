@@ -196,6 +196,52 @@ object Curation {
   }
 
   // ---------------------------------------------------------------
+  // Token-balanced shard assignment
+  // ---------------------------------------------------------------
+
+  /** Token-balanced training-shard assignment: rank documents by token
+    * count (descending, doc_id tiebreak) and deal them out in
+    * SERPENTINE (boustrophedon) order — rank r lands in shard
+    * `pos` if `pos < S` else `2S−1−pos`, where `pos = (r−1) mod 2S`.
+    * Plain `rank mod S` systematically hands shard 0 the largest
+    * document of every block; the serpentine reversal alternates the
+    * direction each pass, the classic one-pass balancing rule whose
+    * per-shard token-mass spread stays bounded by the largest single
+    * document (vs. LPT bin packing, which is inherently sequential —
+    * a 100 TB writer cannot greedily consult a global heap).
+    *
+    * This is the step that decides WHICH output file each document
+    * lands in when the curated corpus is written as training shards —
+    * balanced shards mean balanced data-loader workers downstream.
+    *
+    * Scale shape: token counts are a shuffle-free projection; the
+    * global rank is the two-level prefix sum (per-(coarse token
+    * bucket) counts → broadcast exclusive offsets + bucket-local
+    * row_number), so no single task ever sorts the corpus — the
+    * offset window runs over the metadata-scale bucket relation
+    * only. */
+  def shardBalance(docs: DataFrame, shards: Int): DataFrame = {
+    require(shards >= 2, s"need >= 2 shards, got $shards")
+    val toks = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tokens"))
+      .withColumn("sk", expr("tokens div 8"))
+    val wOff = Window.orderBy(col("sk").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("sk").agg(count(lit(1)).as("cnt"))
+      .select(col("sk"),
+        coalesce(sum("cnt").over(wOff), lit(0L)).as("offset"))
+    val wLoc = Window.partitionBy("sk")
+      .orderBy(col("tokens").desc, col("doc_id"))
+    val s2 = 2 * shards
+    toks.join(broadcast(offsets), "sk")
+      .withColumn("rnk", col("offset") + row_number().over(wLoc))
+      .withColumn("pos", expr(s"(rnk - 1) % $s2"))
+      .select(col("doc_id"), col("tokens"), col("rnk"),
+        when(col("pos") < shards, col("pos"))
+          .otherwise(lit(s2 - 1) - col("pos")).as("shard"))
+  }
+
+  // ---------------------------------------------------------------
   // In-engine trainable quality classifier (batch perceptron)
   // ---------------------------------------------------------------
 

@@ -867,9 +867,13 @@ object Dedup {
   private def bagClassFp: Column = md5(concat_ws(" ",
     sort_array(array_distinct(split(col("text"), " ")))))
 
-  /** Probe hooks ([[graft.MinhashProbe]]): force the RAW banding path /
-    * the engaged quotient path for the word tier, regardless of what
-    * the corpus's dup mass would auto-select. */
+  /** Probe hooks ([[graft.MinhashProbe]]): the auto-rule's candidate-
+    * mass estimator per tier, and the forced RAW / forced-quotient
+    * paths, regardless of what the corpus would auto-select. */
+  private[graft] def wordCandMassRelation(docs: DataFrame): DataFrame =
+    bandCandMass(minhashSignatures(docs, 32), 32, 8)
+  private[graft] def shingleCandMassRelation(docs: DataFrame): DataFrame =
+    bandCandMass(shingleSigsOf(12, 32)(docs), 32, 4)
   private[graft] def minhashLshPairsRaw(docs: DataFrame, numHashes: Int = 32,
                                         bands: Int = 8): DataFrame =
     lshPairsOfSigs(minhashSignatures(docs, numHashes), numHashes, bands)
@@ -959,27 +963,78 @@ object Dedup {
     * SHORT-CIRCUIT (purely physical — the two paths are row-identical
     * by the rewrite above, so this is a plan choice, not a semantics
     * one): the quotient trades a fixed wrap (class aggregation, a
-    * rep-subset join, two member-wise expand joins) for banding-work
-    * savings that scale with the dup mass Σ(|class|² − |class|). On a
-    * thin-dup corpus the wrap loses: measured at sf0.1 (mean bag-class
-    * size 1.27) the quotiented word tier costs 2.23 s vs 1.84 s raw —
-    * the r6 bench's 1.97×/2.14× regression — while at mean class size
-    * 3 (the ×3-replica smoke) it wins 4.12× vs 12.84×
-    * (MINHASH_PROBE_r07.json / SCALESMOKE_r06.json). Rule: engage the
-    * quotient when the mean class size reaches 2 — the crossover's
-    * order of magnitude, and the scale regime the quotient exists for
-    * (a 100 TB crawl's dup mass) sits far above it. The two sizing
-    * counts are memoized per session ([[RelationStats.memoCount]]), so
-    * bench repetitions don't re-pay the fingerprint pass. */
+    * rep-subset join, two member-wise expand joins) for savings in the
+    * band bucket-join, whose work scales with the BUCKET CANDIDATE
+    * MASS Σ_buckets c(c−1)/2, of which the class collapse removes a
+    * ≈(1 − (nClasses/nDocs)²) fraction (every bucket shrinks by the
+    * collapse factor; the join term is quadratic in bucket size).
+    * Mean class size alone does NOT predict the crossover — the r7
+    * probes hold the collapse FIXED at 1.27 (sf0.1 word classes
+    * 3935/5000; ×3 replica 11805/15000) and flip the winner: sf0.1
+    * word tier (candMass 23.8M ≈ 4.8k/doc) raw and quotient are
+    * within noise of each other (1.6-2.5 s vs 1.4-3.3 s across runs),
+    * while the ×3-replica corpus (candMass 189M ≈ 12.6k/doc — near-dup
+    * copies collide in band buckets, no extra exact collapse) has the
+    * quotient clearly winning, 4.6 s vs 8.6 s (2× on a quiet host;
+    * same direction under load). What decides is how much quadratic
+    * join work there IS to save, so the rule measures it: estimated
+    * savings candMass·(1 − (nC/nD)²) per doc ≥ [[QuotientGainPerDoc]]
+    * engages the quotient — calibrated at the geometric midpoint of
+    * the two measured corpora (sf0.1 savings ≈ 1.8k/doc stays raw,
+    * replica ≈ 4.8k/doc engages; MINHASH_CANDMASS_r07.json carries
+    * both probe lines). All three sizing scalars are memoized
+    * per session ([[RelationStats]]), so bench repetitions pay only
+    * the selected path; the first invocation pays one extra
+    * signature projection for the bucket-count aggregation (row-local
+    * build, metadata-scale agg — never the pair join itself). */
   private def lshPairsQuotiented(docs: DataFrame, classFp: Column,
                                  sigsOf: DataFrame => DataFrame,
                                  numHashes: Int, bands: Int): DataFrame = {
     val keyed = docs.select(col("doc_id"), classFp.as("class_fp"))
     val nDocs = RelationStats.memoCount(docs)
     val nClasses = RelationStats.memoCount(keyed.select("class_fp").distinct())
-    if (nDocs >= 2 * nClasses)
+    if (nClasses >= nDocs) // no exact dups: zero collapse, zero savings
+      return lshPairsOfSigs(sigsOf(docs), numHashes, bands)
+    val candMass = RelationStats.memoScalar(
+      bandCandMass(sigsOf(docs), numHashes, bands))
+    if (quotientEngages(nDocs, nClasses, candMass))
       lshPairsQuotientedCore(docs, keyed, sigsOf, numHashes, bands)
     else lshPairsOfSigs(sigsOf(docs), numHashes, bands)
+  }
+
+  /** The auto-rule's pure decision function (spec-pinnable without
+    * running a corpus): engage the class quotient when the estimated
+    * saved bucket-join rows per document clear the calibrated
+    * threshold. */
+  private[graft] def quotientEngages(nDocs: Long, nClasses: Long,
+                                     candMass: Long): Boolean = {
+    if (nClasses >= nDocs) return false
+    val r = nClasses.toDouble / nDocs
+    candMass * (1.0 - r * r) >= QuotientGainPerDoc.toDouble * nDocs
+  }
+
+  /** Quotient crossover threshold: estimated saved bucket-join rows
+    * per document. Calibrated from MINHASH_CANDMASS_r07.json — the
+    * geometric midpoint √(1814 · 4802) ≈ 2950 of the two measured
+    * corpora (see [[lshPairsQuotiented]]'s Scaladoc). */
+  private[graft] val QuotientGainPerDoc = 2950L
+
+  /** Band-bucket candidate mass of a signature relation: Σ over band
+    * buckets of c(c−1)/2 — the number of same-bucket ordered pairs the
+    * banding self-join must touch (an upper bound on emitted
+    * candidates, counting multi-band duplicates). One row-local band
+    * explode + one hash aggregation over bucket keys: metadata-scale
+    * next to the join it predicts. Returns a 1-row relation for
+    * [[RelationStats.memoScalar]]. */
+  private def bandCandMass(sigs: DataFrame, numHashes: Int,
+                           bands: Int): DataFrame = {
+    val r = numHashes / bands
+    sigs.select(posexplode(array((0 until bands).map(b =>
+        slice(col("sig"), b * r + 1, r)): _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      .groupBy("band", "band_hash").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L))
+        .as("cand_mass"))
   }
 
   /** The engaged quotient path of [[lshPairsQuotiented]] (also the

@@ -979,6 +979,26 @@ object TextOps {
       .agg(count(lit(1)).as("words"), sum("n_sub").as("bpe_tokens"))
   }
 
+  /** Tokenizer fertility per language — subword tokens emitted per word
+    * (Rust et al. 2021, "How Good is Your Tokenizer?": fertility is THE
+    * cross-language tokenizer-quality metric; a language whose fertility
+    * runs high pays proportionally more sequence length for the same
+    * text, which skews every token-budgeted mixing decision made
+    * downstream). Integer milli-units over [[bpeEncode]]'s per-doc
+    * counts: fertility_milli = (1000·Σ bpe_tokens) div (Σ words).
+    *
+    * Scale shape: [[bpeEncode]]'s word join + one language-keyed
+    * aggregation on its doc-sized output — the language attach rides
+    * the doc relation before the collapse, so nothing wider than the
+    * per-doc counts ever shuffles. */
+  def bpeFertility(docs: DataFrame, rounds: Int): DataFrame =
+    bpeEncode(docs, rounds)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(sum("words").as("words"), sum("bpe_tokens").as("bpe_tokens"))
+      .select(col("lang"), col("words"), col("bpe_tokens"),
+        expr("(1000 * bpe_tokens) div words").as("fertility_milli"))
+
   /** Winnowing-style rolling-hash fingerprint on the engine's native
     * fnv64 expression (codegen'd — graft.GraftExtensions must be on the
     * session): hash every k-token shingle, keep the minimum plus the

@@ -106,6 +106,38 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("est_milli") === 1000L)
   }
 
+  // ---- shardBalance ------------------------------------------------
+
+  test("shard balance: serpentine deal matches the hand rule") {
+    // 8 docs with distinct sizes, 2 shards → ranks 1..8, positions
+    // 0..3 repeating: shards 0,1,1,0, 0,1,1,0
+    val d = (1L to 8L).map(i =>
+      (i, Seq.fill(20 - i.toInt)("w").mkString(" "), "en", "s"))
+    val out = Curation.shardBalance(docs(d: _*), shards = 2).collect()
+      .map(r => r.getAs[Long]("rnk") -> r.getAs[Long]("shard")).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L,
+      5L -> 0L, 6L -> 1L, 7L -> 1L, 8L -> 0L))
+  }
+
+  test("shard balance: token mass spread stays within the largest doc") {
+    val d = (1L to 40L).map(i =>
+      (i, Seq.fill(((i * 7) % 23 + 3).toInt)("w").mkString(" "), "en", "s"))
+    val out = Curation.shardBalance(docs(d: _*), shards = 4).collect()
+    val mass = out.groupBy(_.getAs[Long]("shard")).view
+      .mapValues(_.map(_.getAs[Long]("tokens")).sum).toMap
+    assert(mass.keySet === Set(0L, 1L, 2L, 3L))
+    val maxDoc = out.map(_.getAs[Long]("tokens")).max
+    assert(mass.values.max - mass.values.min <= maxDoc,
+      s"serpentine imbalance ${mass.values.max - mass.values.min} " +
+        s"exceeds the largest document $maxDoc")
+  }
+
+  test("shard balance: ranks are a contiguous global permutation") {
+    val d = (1L to 9L).map(i => (i, "a b c", "en", "s"))
+    val out = Curation.shardBalance(docs(d: _*), shards = 3).collect()
+    assert(out.map(_.getAs[Long]("rnk")).sorted.toSeq === (1L to 9L))
+  }
+
   // ---- perceptron --------------------------------------------------
 
   test("perceptron features: hashed counts plus one bias row per doc") {

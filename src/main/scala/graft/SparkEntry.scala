@@ -104,6 +104,12 @@ object SparkEntry {
   /** `shard_balance` output shard count (query + oracle). */
   private val ShardBalanceN = 8
 
+  /** `heavy_hitters` shape: exact top-k beside a depth×width count-min
+    * table (query + oracle). */
+  private val HeavyK = 20
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+
   /** `qclf_*` perceptron shape: hashed feature buckets + full-batch
     * rounds (query + oracle — the oracle replays every round). */
   private val QclfCfg = graft.operators.Curation.PerceptronConfig(
@@ -554,6 +560,23 @@ object SparkEntry {
     "dedup_substring_spans" -> ((s, dir) =>
       TextOps.substringSpans(Tables.documents(s, dir), n = SpanTokens)
         .orderBy("doc_id")),
+    // ExactSubstr APPLIED: cut every non-canonical occurrence of a
+    // duplicated window and emit the surviving text per doc.
+    "dedup_spans_rewrite" -> ((s, dir) =>
+      TextOps.dedupSpansRewrite(Tables.documents(s, dir), n = SpanTokens)
+        .orderBy("doc_id")),
+    // Leakage-FREE split: content classes take their canonical
+    // member's hash split (fixes what split_leakage audits).
+    "split_leakfree" -> ((s, dir) =>
+      TextOps.leakFreeSplit(Tables.documents(s, dir)).orderBy("doc_id")),
+    // Count-min heavy hitters over token occurrences: exact top-20
+    // beside the never-undercounting CMS point estimate.
+    "heavy_hitters" -> ((s, dir) =>
+      Sketches.heavyHitters(
+        Tables.documents(s, dir)
+          .select(explode(split(col("text"), " ")).as("token")),
+        "token", k = HeavyK, depth = CmsDepth, width = CmsWidth)
+        .orderBy("token")),
     // Rabin-style content-defined chunking + chunk-level dedup mass.
     "cdc_chunks" -> ((s, dir) =>
       TextOps.cdcChunks(Tables.documents(s, dir), window = CdcWindow,
@@ -2152,6 +2175,71 @@ object SparkEntry {
          |JOIN sz sb ON pe.src_b = sb.source
          |LEFT JOIN iv ON pe.src_a = iv.src_a AND pe.src_b = iv.src_b
          |ORDER BY pe.src_a, pe.src_b""".stripMargin
+    },
+    "dedup_spans_rewrite" -> {
+      val n = SpanTokens
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+         |win AS (SELECT doc_id, ts,
+         |    unnest(range(0, greatest(len(ts) - $n + 1, 0))) AS pos
+         |  FROM t),
+         |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(ts[pos+1:pos+$n], ' ') AS gram FROM win),
+         |d2 AS (SELECT gram FROM g GROUP BY gram
+         |       HAVING COUNT(DISTINCT doc_id) >= 2),
+         |occ AS (SELECT g.doc_id, g.pos,
+         |    row_number() OVER (PARTITION BY g.gram
+         |      ORDER BY g.doc_id, g.pos) AS rn
+         |  FROM g JOIN d2 USING (gram)),
+         |rem AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+         |cov AS (SELECT DISTINCT doc_id, pos + u.u AS cpos
+         |  FROM rem CROSS JOIN (SELECT unnest(range(0, $n)) AS u) u),
+         |tokrel AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS token
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM t)),
+         |kept AS (SELECT tk.doc_id, tk.pos, tk.token
+         |  FROM tokrel tk LEFT JOIN cov
+         |    ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos
+         |  WHERE cov.cpos IS NULL),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS removed_tokens
+         |  FROM cov GROUP BY 1),
+         |txt AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text_clean
+         |  FROM kept GROUP BY 1)
+         |SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS tokens,
+         |  COALESCE(cnt.removed_tokens, 0) AS removed_tokens,
+         |  COALESCE(txt.text_clean, '') AS text_clean
+         |FROM t LEFT JOIN cnt USING (doc_id) LEFT JOIN txt USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    },
+    "split_leakfree" ->
+      """WITH a AS (SELECT doc_id,
+        |    CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+        |         WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+        |         ELSE 'train' END AS split,
+        |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS content_hash
+        |  FROM documents),
+        |canon AS (SELECT content_hash, MIN(doc_id) AS canon_id
+        |  FROM a GROUP BY 1),
+        |cs AS (SELECT c.content_hash, c.canon_id, a.split AS split_fixed
+        |  FROM canon c JOIN a ON a.doc_id = c.canon_id)
+        |SELECT a.doc_id, a.content_hash, a.split AS split_orig,
+        |  cs.split_fixed, a.split <> cs.split_fixed AS moved
+        |FROM a JOIN cs USING (content_hash)
+        |ORDER BY a.doc_id""".stripMargin,
+    "heavy_hitters" -> {
+      s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS k FROM documents),
+         |cnt AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS exact
+         |  FROM tok GROUP BY 1),
+         |top AS (SELECT k, exact FROM cnt ORDER BY exact DESC, k LIMIT $HeavyK),
+         |cells AS (SELECT dd.d,
+         |    CAST(concat('0x', substr(md5(CAST(dd.d AS VARCHAR) || ':' || tok.k), 1, 15)) AS BIGINT) % $CmsWidth AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS d) dd
+         |  GROUP BY 1, 2),
+         |pr AS (SELECT top.k, top.exact, dd.d,
+         |    CAST(concat('0x', substr(md5(CAST(dd.d AS VARCHAR) || ':' || top.k), 1, 15)) AS BIGINT) % $CmsWidth AS b
+         |  FROM top CROSS JOIN (SELECT unnest(range(0, $CmsDepth)) AS d) dd)
+         |SELECT pr.k AS token, pr.exact, CAST(MIN(c.c) AS BIGINT) AS cms_est
+         |FROM pr JOIN cells c ON pr.d = c.d AND pr.b = c.b
+         |GROUP BY 1, 2 ORDER BY token""".stripMargin
     },
     "dedup_substring_spans" -> {
       val n = SpanTokens

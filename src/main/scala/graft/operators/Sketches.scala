@@ -161,4 +161,52 @@ object Sketches {
         col("p50_est"), col("p50_exact"), col("p90_est"), col("p90_exact"),
         col("p99_est"), col("p99_exact"))
   }
+
+  /** Count–min sketch cell table (Cormode & Muthukrishnan 2005) over a
+    * key column: depth×width counters, cell (d, b) = number of
+    * occurrences whose d-th hash lands in bucket b. One explode over
+    * the `depth` hash rows + one hash aggregation; the table is
+    * MERGEABLE cell-wise (counts add), which is the 100 TB property —
+    * per-partition/per-day tables sum into any rollup without
+    * rescanning. Hashes ride [[hash60]] (md5-derived), so the oracle
+    * rebuilds the identical table. */
+  def cmsTable(df: DataFrame, key: String, depth: Int,
+               width: Int): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad cms shape $depth x $width")
+    df.select(col(key).cast("string").as("k"))
+      .select(col("k"), explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"),
+        (hash60(concat(col("d").cast("string"), lit(":"), col("k")))
+          % width).as("b"))
+      .groupBy("d", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Heavy hitters with count–min estimates: the exact top-`k` keys by
+    * occurrence (deterministic tie-break) annotated with their CMS
+    * point estimate — min over depth rows of the key's cell. The
+    * estimate NEVER undercounts (every cell holds the key's true count
+    * plus its colliders), so `est ≥ exact` row by row, and the gap IS
+    * the measured collision error — the [[kmvDistinct]] validation
+    * pattern: production keeps the table + point lookups and drops the
+    * exact aggregation.
+    *
+    * Plan shape: the exact top-k is a TakeOrdered over the key counts;
+    * the CMS table aggregates once; the k-row top list joins the
+    * depth-row cells of its keys via a broadcast. */
+  def heavyHitters(df: DataFrame, key: String, k: Int, depth: Int = 4,
+                   width: Int = 1024): DataFrame = {
+    val cms = cmsTable(df, key, depth, width)
+    val top = df.select(col(key).cast("string").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("exact"))
+      .orderBy(col("exact").desc, col("k")).limit(k)
+    val probes = top
+      .select(col("k"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("k"), col("exact"), col("d"),
+        (hash60(concat(col("d").cast("string"), lit(":"), col("k")))
+          % width).as("b"))
+    broadcast(probes).join(cms, Seq("d", "b"))
+      .groupBy("k", "exact").agg(min("c").as("cms_est"))
+      .select(col("k").as("token"), col("exact"), col("cms_est"))
+  }
 }

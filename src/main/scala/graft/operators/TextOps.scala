@@ -826,6 +826,39 @@ object TextOps {
       .filter(col("splits").contains(","))
   }
 
+  /** Leakage-FREE split assignment — the fix [[splitLeakage]] audits
+    * for: same-content documents (bag-fingerprint classes) must never
+    * span train/val/test, or eval metrics silently measure
+    * memorization. Rule: every member of a content class takes the
+    * split of the class's lowest-doc_id member (the canonical member
+    * decides — deterministic, order-free, replayable). Unique-content
+    * documents keep their [[hashSplit]] assignment untouched.
+    *
+    * Output per doc: the original hash split, the leak-free split, and
+    * the moved flag — running [[splitLeakage]] on `split_fixed` yields
+    * zero rows by construction (spec-pinned).
+    *
+    * Scale shape: one fingerprint aggregation to (class → canonical
+    * doc), one metadata-thin join to fetch the canonical member's
+    * split, one member-wise join back — all equi-joins on the
+    * fingerprint; strings never shuffle (the fingerprint is md5). */
+  def leakFreeSplit(docs: DataFrame): DataFrame = {
+    val bagFp = md5(concat_ws(" ",
+      array_sort(array_distinct(split(col("text"), " ")))).cast("binary"))
+    val assigned = hashSplit(docs).select("doc_id", "split")
+    val keyed = docs.select(col("doc_id"), bagFp.as("content_hash"))
+    val canon = keyed.groupBy("content_hash")
+      .agg(min("doc_id").as("canon_id"))
+      .join(assigned.withColumnsRenamed(
+        Map("doc_id" -> "canon_id", "split" -> "split_fixed")), "canon_id")
+      .select("content_hash", "canon_id", "split_fixed")
+    keyed.join(assigned, "doc_id")
+      .join(canon, "content_hash")
+      .select(col("doc_id"), col("content_hash"),
+        col("split").as("split_orig"), col("split_fixed"),
+        (col("split") =!= col("split_fixed")).as("moved"))
+  }
+
   /** Zipf rank-frequency table of the token distribution: rank 1 = most
     * frequent token, ties broken by token text. The corpus-statistics
     * companion to [[corpusNgrams]] (order-1), reported with the
@@ -1388,5 +1421,66 @@ object TextOps {
       .select(col("doc_id"), col("tokens"), col("dup_spans"),
         col("dup_tokens"),
         (col("dup_tokens").cast("double") / col("tokens")).as("dup_frac"))
+  }
+
+  /** ExactSubstr span dedup APPLIED (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better" — the rewrite their
+    * pipeline actually performs, where [[substringSpans]] is only the
+    * report): every duplicated `n`-token window keeps its single
+    * CANONICAL occurrence — the lexicographically smallest
+    * (doc_id, pos) corpus-wide — and every other occurrence's token
+    * range is cut; a document's surviving text is its tokens outside
+    * the union of cut ranges, order preserved. Deterministic and
+    * order-free, so the oracle replays the exact rewrite.
+    *
+    * Scale shape: the window relation is row-local and shared with
+    * [[substringSpans]]'s idiom; the canonical pick is one min-struct
+    * hash aggregation on the window hash (no rank window); cut ranges
+    * expand n× only on the REMOVED occurrences (the dup minority);
+    * the kept-token reassembly is an anti-join plus one per-doc
+    * sorted-array fold — the per-doc collect is bounded by document
+    * length, the same bound [[packChunks]] lives with. */
+  def dedupSpansRewrite(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 2, s"span length must be >= 2 tokens: $n")
+    val parts = docs.sparkSession.sparkContext.defaultParallelism
+    val toks = split(col("text"), " ")
+    val winHashes = expr(
+      s"""CASE WHEN size(ts) < $n THEN array() ELSE
+         |  transform(sequence(0, size(ts) - $n),
+         |    i -> xxhash64(array_join(slice(ts, i + 1, $n), ' ')))
+         |END""".stripMargin)
+    val base = docs.repartition(parts, col("doc_id"))
+      .select(col("doc_id"), toks.as("ts"))
+      .localCheckpoint(eager = false)
+    val wins = base
+      .select(col("doc_id"), posexplode(winHashes).as(Seq("pos", "gh")))
+    val canon = wins.groupBy("gh")
+      .agg(count_distinct(col("doc_id")).as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .filter(col("df") >= 2)
+      .select("gh", "canon")
+    val removed = wins.join(canon, "gh")
+      .filter(struct(col("doc_id"), col("pos")) =!= col("canon"))
+    val covered = removed
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))
+      .distinct()
+    val tokrel = base
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos", "token")))
+    val keptTxt = tokrel.join(covered,
+        tokrel("doc_id") === covered("doc_id") &&
+          tokrel("pos") === covered("cpos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, token))), s -> s.token)"))
+        .as("text_clean"))
+    val cut = covered.groupBy("doc_id")
+      .agg(count(lit(1)).as("removed_tokens"))
+    base.select(col("doc_id"), size(col("ts")).cast("long").as("tokens"))
+      .join(cut, Seq("doc_id"), "left")
+      .join(keptTxt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("tokens"),
+        coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
 }

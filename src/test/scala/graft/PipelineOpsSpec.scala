@@ -942,6 +942,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("first_doc") === math.min(trainId, testId))
   }
 
+  test("leak-free split moves classes to the canonical split; audit drops to zero") {
+    import spark.implicits._
+    val c = (0L until 64L).map { i =>
+      // 4 content classes of 16 docs each → classes certainly span splits
+      (i, s"shared content class ${i % 4}", "en", "s0", 10L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fixed = TextOps.leakFreeSplit(c)
+    val rows = fixed.collect()
+    assert(rows.length === 64)
+    // the moved flag is exactly "assignment changed"
+    assert(rows.forall(r => r.getAs[Boolean]("moved") ===
+      (r.getAs[String]("split_orig") != r.getAs[String]("split_fixed"))))
+    // something actually moved on this fixture (classes span splits)
+    assert(rows.exists(_.getAs[Boolean]("moved")))
+    // one split per content class after the fix
+    val perClass = rows.groupBy(_.getAs[String]("content_hash")).view
+      .mapValues(_.map(_.getAs[String]("split_fixed")).distinct.length)
+    assert(perClass.values.forall(_ === 1))
+    // re-running the audit on the FIXED assignment finds nothing: same
+    // relation shape as splitLeakage but grouped on split_fixed
+    val audit = fixed.groupBy("content_hash")
+      .agg(org.apache.spark.sql.functions.countDistinct("split_fixed").as("s"))
+      .filter(col("s") > 1)
+    assert(audit.count() === 0L)
+  }
+
+  test("span rewrite cuts every non-canonical duplicated window occurrence") {
+    import spark.implicits._
+    val c = Seq(
+      (1L, "a b c d e", "en", "s0", 9L),
+      (2L, "x a b c y", "en", "s0", 9L),   // contains dup window "a b c"
+      (3L, "p q r s t", "en", "s0", 9L)    // untouched
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextOps.dedupSpansRewrite(c, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("tokens"),
+        r.getAs[Long]("removed_tokens"), r.getAs[String]("text_clean"))).toMap
+    // canonical occurrence = (1, pos 0): doc 1 keeps everything
+    assert(out(1L) === ((5L, 0L, "a b c d e")))
+    // doc 2 loses positions 1..3 → "x y"
+    assert(out(2L) === ((5L, 3L, "x y")))
+    assert(out(3L) === ((5L, 0L, "p q r s t")))
+  }
+
   test("token zipf ranks by frequency with shares summing to one") {
     val c = Seq((0L, "a a a b b c", "en", "s0", 11L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")

@@ -137,4 +137,32 @@ class SketchesSpec extends SparkSpec {
     assert(perHalf.count() === 2L)
     assert(unionSample === sampleVals) // absorption: union of k-mins ⊇ k-min of union
   }
+
+  test("count-min estimate never undercounts and is exact without collisions") {
+    import spark.implicits._
+    val keys = Seq.fill(5)("alpha") ++ Seq.fill(3)("beta") ++ Seq("gamma")
+    val df = keys.toDF("k")
+    val hh = Sketches.heavyHitters(df, "k", k = 3, depth = 4, width = 1024)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("exact"), r.getAs[Long]("cms_est"))).toMap
+    assert(hh("alpha")._1 === 5L && hh("beta")._1 === 3L)
+    // est >= exact always; with 3 keys in 1024 buckets x 4 rows, the
+    // min over rows collides with nothing → exact
+    assert(hh.values.forall { case (e, c) => c >= e })
+    assert(hh.values.forall { case (e, c) => c === e })
+  }
+
+  test("count-min tables merge cell-wise: sum of halves equals the whole") {
+    import spark.implicits._
+    val a = Seq("x", "y", "x", "z").toDF("k")
+    val b = Seq("y", "y", "w").toDF("k")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsTable(df, "k", depth = 3, width = 64).collect()
+        .map(r => (r.getAs[Int]("d"), r.getAs[Long]("b")) -> r.getAs[Long]("c"))
+        .toMap
+    val whole = cells(a.unionByName(b))
+    val merged = (cells(a).toSeq ++ cells(b).toSeq)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(whole === merged)
+  }
 }

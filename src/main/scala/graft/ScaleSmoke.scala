@@ -204,6 +204,20 @@ object ScaleSmoke {
       // m×distinct-gram explosion + a #sources²-row sketch join — all
       // expected ~linear in corpus volume
       Op("gopher_rules", d => Curation.gopherRules(d), "doc"),
+      Op("shard_balance", d => Curation.shardBalance(d, 8), "doc"),
+      Op("bpe_fertility", d => TextOps.bpeFertility(d, 3), "doc"),
+      Op("split_leakfree", d => TextOps.leakFreeSplit(d), "doc"),
+      Op("heavy_hitters", d => Sketches.heavyHitters(
+        d.select(explode(split(col("text"), " ")).as("token")),
+        "token", 20, 4, 1024), "doc"),
+      // the rewrite prices the dup-heavy case: replica copies share
+      // every interior window, so cut mass grows with the corpus.
+      // Forced through an aggregate over text_clean — a bare count()
+      // would let Catalyst elide the left joins and the reassembly
+      // fold entirely (row count equals the base relation's)
+      Op("dedup_spans_rewrite", d => TextOps.dedupSpansRewrite(d, 8)
+        .agg(sum(length(col("text_clean"))).as("clean_chars"),
+          sum("removed_tokens").as("cut")), "doc"),
       Op("ppl_buckets", d => Curation.pplBuckets(d, 4), "doc"),
       Op("qclf_score", d => Curation.perceptronScore(d,
         Curation.PerceptronConfig(64, 3)), "doc"),

@@ -127,6 +127,10 @@ object ScaleSmoke {
       Op("pq_codes", e => Similarity.pqCodes(spark, e, 8), "emb"),
       Op("ann_pq", e => Similarity.annPq(spark, e, 25, 5, 8), "emb"),
       Op("ann_ivf_pq", e => Similarity.annIvfPq(spark, e, 25, 5, 8), "emb"),
+      Op("pq_residual_codes", e =>
+        Similarity.pqResidualCodes(spark, e, 8, 16), "emb"),
+      Op("ann_ivf_rpq", e =>
+        Similarity.annIvfRpq(spark, e, 25, 5, 8, 16), "emb"),
       // SemDeDup: replica copies are EXACT embedding dups (only ids
       // shift), so every copy lands in its original's cluster and
       // intra-cluster pair work grows factor² by construction — the

@@ -110,6 +110,10 @@ object SparkEntry {
   private val CmsDepth = 4
   private val CmsWidth = 1024
 
+  /** `pq_residual_codes`/`ann_ivf_rpq`: residual codewords per
+    * subspace (query + oracle). */
+  private val RpqGroups = 16
+
   /** `qclf_*` perceptron shape: hashed feature buckets + full-batch
     * rounds (query + oracle — the oracle replays every round). */
   private val QclfCfg = graft.operators.Curation.PerceptronConfig(
@@ -987,6 +991,20 @@ object SparkEntry {
     "pq_codes" -> ((s, dir) =>
       Similarity.pqCodes(s, Tables.embeddings(s, dir), m = 8)
         .orderBy("vec_id", "subspace")),
+    // RESIDUAL PQ codes (IVFADC's actual encoding): quantize each
+    // vector's offset from its coarse cell, not the vector itself.
+    "pq_residual_codes" -> ((s, dir) =>
+      Similarity.pqResidualCodes(s, Tables.embeddings(s, dir), m = 8,
+          groups = RpqGroups)
+        .orderBy("vec_id", "subspace")),
+    // IVF-ADC over residual codes: query residual taken against the
+    // PROBED cell's centroid — both sides quantize in one frame.
+    "ann_ivf_rpq" -> ((s, dir) =>
+      Similarity.annIvfRpq(s, Tables.embeddings(s, dir), numQueries = 5,
+          k = 5, m = 8, groups = RpqGroups)
+        .select(col("qid"), col("label"), col("vec_id"), col("adist"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
     // ADC search over the codes: query-to-codeword distance table,
     // approximate distance = sum of m table lookups, top-10 per query.
     "ann_pq" -> ((s, dir) =>
@@ -1751,6 +1769,36 @@ object SparkEntry {
   /** IVF-PQ oracle, parameterized by probe count (mirrors
     * [[Similarity.annIvfPq]]: coarse scores in exact integer space, the
     * `probes` best clusters ADC-ranked over stored codes). */
+  /** Shared CTE chain for the residual-PQ oracles: quantized per-dim
+    * values, coarse centroids, per-vector residuals, the vec_id-mod
+    * residual codebook, and the per-(vector, subspace) codeword
+    * assignment — the bit-exact replay of
+    * [[graft.operators.Similarity.pqResidualCodes]]. */
+  private def sqlRpqCtes(): String =
+    s"""qv AS (
+       |  SELECT vec_id, label, CAST(s.k AS BIGINT) AS d,
+       |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
+       |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
+       |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
+       |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
+       |    COUNT(*) AS n
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
+       |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
+       |rv AS (SELECT v.vec_id, v.d, v.sub, v.q - c.cq AS r
+       |  FROM qv v JOIN cq c ON c.cluster = v.label AND c.d = v.d),
+       |rbook AS (SELECT vec_id % $RpqGroups AS g, sub, d,
+       |    CAST(SUM(r) // COUNT(*) AS BIGINT) AS cs
+       |  FROM rv GROUP BY 1, 2, 3),
+       |cdist AS (SELECT rv.vec_id, rv.sub, rb.g,
+       |    CAST(SUM((rv.r - rb.cs) * (rv.r - rb.cs)) AS BIGINT) AS dist
+       |  FROM rv JOIN rbook rb ON rv.sub = rb.sub AND rv.d = rb.d
+       |  GROUP BY 1, 2, 3),
+       |crn AS (SELECT vec_id, sub, g, dist,
+       |    row_number() OVER (PARTITION BY vec_id, sub
+       |      ORDER BY dist, g) AS rn
+       |  FROM cdist)""".stripMargin
+
   private def sqlAnnIvfPq(probes: Int): String =
   s"""WITH qv AS (
         |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
@@ -3248,6 +3296,44 @@ object SparkEntry {
         |SELECT vec_id, sub AS subspace, CAST(cluster AS BIGINT) AS code,
         |  CAST(dist AS BIGINT) AS dist
         |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+    "pq_residual_codes" -> (s"WITH ${sqlRpqCtes()}\n" +
+      """SELECT vec_id, sub AS subspace, CAST(g AS BIGINT) AS code,
+        |  CAST(dist AS BIGINT) AS dist
+        |FROM crn WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin),
+    "ann_ivf_rpq" -> (s"WITH ${sqlRpqCtes()},\n" +
+      s"""score AS (
+         |  SELECT v.vec_id AS qid, c.cluster,
+         |    CAST(CAST(SUM(v.q * c.sq) AS BIGINT) AS DOUBLE) / MAX(c.n) AS cscore
+         |  FROM qv v JOIN cent c ON v.d = c.d WHERE v.vec_id < 5
+         |  GROUP BY 1, 2),
+         |best AS (SELECT qid, cluster AS plabel FROM (
+         |    SELECT qid, cluster,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY cscore DESC, cluster) AS crn
+         |    FROM score) t WHERE crn = 1),
+         |qres AS (SELECT b.qid, b.plabel, v.d, v.sub, v.q - c.cq AS r
+         |  FROM best b JOIN qv v ON v.vec_id = b.qid
+         |  JOIN cq c ON c.cluster = b.plabel AND c.d = v.d),
+         |qd AS (SELECT q.qid, q.sub, rb.g,
+         |    CAST(SUM((q.r - rb.cs) * (q.r - rb.cs)) AS BIGINT) AS qdist
+         |  FROM qres q JOIN rbook rb ON q.sub = rb.sub AND q.d = rb.d
+         |  GROUP BY 1, 2, 3),
+         |codes AS (SELECT vec_id, sub, g AS code FROM crn WHERE rn = 1),
+         |cand AS (SELECT b.qid, b.plabel AS label, e.vec_id
+         |         FROM best b JOIN embeddings e
+         |           ON e.label = b.plabel AND e.vec_id <> b.qid),
+         |ad AS (
+         |  SELECT cand.qid, cand.label, cand.vec_id, SUM(qd.qdist) AS adist
+         |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+         |  JOIN qd ON qd.qid = cand.qid AND qd.sub = codes.sub
+         |    AND qd.g = codes.code
+         |  GROUP BY 1, 2, 3),
+         |rr AS (SELECT qid, label, vec_id, CAST(adist AS BIGINT) AS adist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+         |  FROM ad)
+         |SELECT qid, CAST(label AS INTEGER) AS label, vec_id, adist,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
     "ann_pq" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,

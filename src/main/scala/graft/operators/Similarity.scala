@@ -721,6 +721,136 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Per-label quantized centroid ARRAYS (label, cq: array<long>) —
+    * the coarse codebook reshaped row-per-label for residual math:
+    * cq_d = sum_q div n, dims in order. Metadata-scale (k rows). */
+  private def centroidArrays(spark: SparkSession, emb: DataFrame,
+                             dim: Int, scale: Int): DataFrame =
+    labelCentroids(spark, emb, dim, scale)
+      .select(col("label"), expr("transform(sum_q, s -> s div n)").as("cq"))
+
+  /** Quantized RESIDUAL subvectors: rq = floor(v·scale) − cq(coarse
+    * label), sliced into `m` subspaces — row-local once the k-row
+    * centroid table broadcasts. */
+  private def residualSubvectors(emb: DataFrame, cents: DataFrame,
+                                 m: Int, dim: Int, scale: Int): DataFrame = {
+    val sub = dim / m
+    emb.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        zip_with(
+          transform(col("embedding"),
+            x => floor(x.cast("double") * scale).cast("long")),
+          col("cq"), (a, b) => a - b).as("rq"))
+      .select(col("vec_id"), col("label"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> slice(rq, s * $sub + 1, $sub))"))
+        .as(Seq("subspace", "vs")))
+  }
+
+  /** The RESIDUAL codebook: `groups` codewords per subspace, each the
+    * elementwise mean (integer div) of the residual slices of a
+    * deterministic vec_id-mod group — the random-partition stand-in
+    * for the per-subspace k-means a production trainer runs (same
+    * stand-in rule as [[pqCodebook]]'s label centroids, but over
+    * RESIDUALS, which is what makes it a residual quantizer at all:
+    * label-derived codewords are near-zero on residuals by
+    * construction). Output (label = codeword id, subspace, cs) —
+    * the [[subspaceDists]]/[[pqCodesOf]] shape. */
+  private def residualCodebook(rsub: DataFrame, groups: Int): DataFrame =
+    rsub
+      .select((col("vec_id") % groups).as("g"), col("subspace"),
+        posexplode(col("vs")).as(Seq("d0", "r")))
+      .groupBy("g", "subspace", "d0")
+      .agg(sum("r").as("sr"), count(lit(1)).as("n"))
+      .groupBy(col("g").as("label"), col("subspace"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(d0, sr div n as c))), s -> s.c)")
+        .as("cs"))
+
+  /** Residual PQ codes — the encoding IVFADC actually stores (Jégou
+    * et al. 2011 §III: quantize v − centroid(cell), not v; residual
+    * energy is a fraction of vector energy, so the same code budget
+    * buys far less quantization error). Each vector's residual vs its
+    * OWN coarse cell splits into `m` subspaces, assigned to the
+    * nearest of `groups` residual codewords by exact integer
+    * squared-L2. Output (vec_id, subspace, code, dist).
+    *
+    * Plan shape: centroid arrays broadcast (k rows); residuals are
+    * row-local; codebook build is one metadata-scale aggregation
+    * (groups·m·(dim/m) cells); assignment is [[pqCodesOf]]'s map-side
+    * min-struct hash agg. */
+  def pqResidualCodes(spark: SparkSession, emb: DataFrame, m: Int = 8,
+                      groups: Int = 16, dim: Int = 64,
+                      scale: Int = 1000): DataFrame = {
+    val cents = centroidArrays(spark, emb, dim, scale)
+      .localCheckpoint(eager = false)
+    val rsub = residualSubvectors(emb, cents, m, dim, scale)
+      .localCheckpoint(eager = false)
+    pqCodesOf(rsub.select("vec_id", "subspace", "vs"),
+      residualCodebook(rsub, groups))
+  }
+
+  /** IVF-ADC with RESIDUAL codes — the paper-exact composition: probe
+    * the best coarse cell by query·centroid, compute the QUERY's
+    * residual against the PROBED cell's centroid, table its distances
+    * to the residual codewords, and rank the cell's members by summed
+    * lookups over their stored residual codes. Both sides now quantize
+    * in the same residual frame, which is what [[annIvfPq]]'s
+    * raw-vector codes give up.
+    *
+    * Plan shape: identical to [[annIvfPq]] — centroids, codebook, and
+    * the per-query table broadcast; candidates are one cell per query;
+    * raw vectors are read only by the offline passes. */
+  def annIvfRpq(spark: SparkSession, emb: DataFrame, numQueries: Int,
+                k: Int, m: Int = 8, groups: Int = 16, dim: Int = 64,
+                scale: Int = 1000): DataFrame = {
+    val sub = dim / m
+    val cents = centroidArrays(spark, emb, dim, scale)
+      .localCheckpoint(eager = false)
+    val rsub = residualSubvectors(emb, cents, m, dim, scale)
+      .localCheckpoint(eager = false)
+    val book = residualCodebook(rsub, groups).localCheckpoint(eager = false)
+    val codes = pqCodesOf(rsub.select("vec_id", "subspace", "vs"), book)
+      .select("vec_id", "subspace", "code")
+    // coarse probe: best cluster by query·centroid (the annIvf score)
+    val rawCents = broadcast(labelCentroids(spark, emb, dim, scale))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scoredC = queries.crossJoin(rawCents)
+      .select(col("qid"), col("qe"), col("label"),
+        (aggregate(zip_with(col("qe"), col("sum_q"),
+          (x, y) => floor(x.cast("double") * scale).cast("long") * y),
+          lit(0L), (acc, x) => acc + x).cast("double") / col("n")).as("cscore"))
+    val wBest = Window.partitionBy("qid")
+      .orderBy(col("cscore").desc, col("label"))
+    val probed = scoredC.withColumn("crn", row_number().over(wBest))
+      .filter(col("crn") === 1)
+      .select(col("qid"), col("qe"), col("label"))
+    // query residual vs the PROBED cell's centroid, sliced per subspace
+    val qres = probed.join(broadcast(cents), "label")
+      .select(col("qid"), col("label"),
+        zip_with(
+          transform(col("qe"), x => floor(x.cast("double") * scale).cast("long")),
+          col("cq"), (a, b) => a - b).as("rq"))
+      .select(col("qid").as("vec_id"), col("label").as("plabel"),
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> slice(rq, s * $sub + 1, $sub))"))
+          .as(Seq("subspace", "vs")))
+    val qtab = subspaceDists(qres.select("vec_id", "subspace", "vs"), book)
+      .select(col("vec_id").as("qid"), col("subspace").cast("long").as("subspace"),
+        col("label").cast("long").as("code"), col("dist").as("qdist"))
+    val cand = broadcast(probed.select(col("qid"), col("label")))
+      .join(emb.select("vec_id", "label"), "label")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("label"), col("vec_id"))
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    cand.join(codes, "vec_id")
+      .join(broadcast(qtab), Seq("qid", "subspace", "code"))
+      .groupBy("qid", "label", "vec_id").agg(sum("qdist").as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** IVF-style ANN: rank coarse clusters (labels) by query·centroid,
     * probe only the best cluster, exact-cosine rerank inside it. The
     * scale path complementary to [[annLshBucketed]]: candidate count is

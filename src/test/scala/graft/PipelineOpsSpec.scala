@@ -744,6 +744,62 @@ class PipelineOpsSpec extends SparkSpec {
       (2L, 2L) -> 1250000L, (2L, 3L) -> -500000L, (3L, 3L) -> 250000L))
   }
 
+  test("residual pq codes match a plain-Scala replay of the recipe") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.2f, -0.3f, 0.4f), 0),
+      (1L, Seq(0.8f, 0.1f, -0.1f, 0.5f), 0),
+      (2L, Seq(-0.5f, 0.9f, 0.2f, -0.4f), 0),
+      (3L, Seq(-0.6f, 0.8f, 0.1f, -0.2f), 0)
+    )
+    val e = vecs.toDF("vec_id", "embedding", "label")
+    val m = 2; val groups = 2; val scale = 1000
+    // plain-Scala replay: quantize, coarse centroid, residuals,
+    // mod-group codebook, argmin assignment
+    val q = vecs.map { case (id, v, _) =>
+      id -> v.map(x => math.floor(x.toDouble * scale).toLong).toArray }.toMap
+    val n = vecs.size
+    val cq = (0 until 4).map(d => q.values.map(_(d)).sum / n).toArray
+    val r = q.view.mapValues(a => a.zip(cq).map { case (x, c) => x - c }).toMap
+    def slice(a: Array[Long], s: Int) = a.slice(s * 2, s * 2 + 2)
+    val book = (for { g <- 0 until groups; s <- 0 until m } yield {
+      val members = r.filter(_._1 % groups == g).values.map(slice(_, s)).toSeq
+      (g, s) -> (0 until 2).map(d =>
+        members.map(_(d)).sum / members.size).toArray
+    }).toMap
+    val expected = (for { id <- r.keys; s <- 0 until m } yield {
+      val v = slice(r(id), s)
+      val scored = (0 until groups).map { g =>
+        val cs = book((g, s))
+        (v.zip(cs).map { case (a, b) => (a - b) * (a - b) }.sum, g.toLong)
+      }.min
+      (id, s.toLong) -> ((scored._2, scored._1))
+    }).toMap
+    val got = Similarity.pqResidualCodes(spark, e, m = m, groups = groups,
+        dim = 4, scale = scale)
+      .collect().map(row => (row.getAs[Long]("vec_id"),
+        row.getAs[Long]("subspace")) ->
+        ((row.getAs[Long]("code"), row.getAs[Long]("dist")))).toMap
+    assert(got === expected)
+  }
+
+  test("residual ivf-adc ranks an exact duplicate of the query first") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.2f, -0.3f, 0.4f), 0),
+      (1L, Seq(1.0f, 0.2f, -0.3f, 0.4f), 0),  // exact dup of query 0
+      (2L, Seq(-0.5f, 0.9f, 0.2f, -0.4f), 0),
+      (3L, Seq(0.1f, -0.8f, 0.7f, 0.2f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.annIvfRpq(spark, e, numQueries = 1, k = 3,
+      m = 2, groups = 2, dim = 4)
+    val rows = out.collect().sortBy(_.getAs[Int]("rn"))
+    assert(rows.nonEmpty)
+    // the dup shares the query's residual exactly → identical codes →
+    // minimal ADC distance; tie-break by vec_id puts it first
+    assert(rows.head.getAs[Long]("vec_id") === 1L)
+  }
+
   test("srp hamming ann: a duplicate vector codes identically and ranks first") {
     import spark.implicits._
     val e = Seq(

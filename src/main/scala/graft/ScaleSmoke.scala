@@ -226,6 +226,22 @@ object ScaleSmoke {
       Op("qclf_score", d => Curation.perceptronScore(d,
         Curation.PerceptronConfig(64, 3)), "doc"),
       Op("source_overlap", d => Curation.sourceOverlap(d, 64, 3), "doc"),
+      // the composed curation capstone: gate → rewrite → leak-free
+      // split → balanced shards (aggregated output, nothing elided)
+      Op("pipeline_curate_v4", d => {
+        val kept = Curation.gopherRules(d).filter(col("keep"))
+          .select("doc_id")
+        val gated = d.join(kept, "doc_id")
+        val rewritten = TextOps.dedupSpansRewrite(gated, 8)
+          .filter(col("text_clean") =!= "")
+          .select(col("doc_id"), col("text_clean").as("text"))
+          .join(d.select("doc_id", "lang", "source"), "doc_id")
+        val train = rewritten.join(TextOps.leakFreeSplit(rewritten)
+          .filter(col("split_fixed") === "train").select("doc_id"), "doc_id")
+        Curation.shardBalance(train, 8)
+          .groupBy("shard")
+          .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"))
+      }, "doc"),
       Op("ann_srp", e => Similarity.annSrpHamming(e, 25, 5), "emb"),
       // replica copy-tags change only each copy's TAIL windows, so
       // cross-copy duplicated spans grow with the corpus — the smoke

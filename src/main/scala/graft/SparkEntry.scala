@@ -801,6 +801,30 @@ object SparkEntry {
     // corpus, applied to the capped survivors) → target-mixture
     // rebalance under a 50% token budget. Output = per-lang funnel
     // with the stage counts alongside the mixing rate table.
+    // Capstone v4 — the round-7 tiers composed as one curation run
+    // that ENDS IN TRAINING SHARDS: Gopher rule gate → ExactSubstr
+    // span rewrite (the surviving text is the working text) →
+    // leakage-free split on the REWRITTEN content → token-balanced
+    // serpentine shards over the train split. Output = the per-shard
+    // audit (docs, token mass) a shard writer reports.
+    "pipeline_curate_v4" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = Curation.gopherRules(docs, Gopher)
+        .filter(col("keep")).select("doc_id")
+      val gated = docs.join(kept, "doc_id")
+      val rewritten = TextOps.dedupSpansRewrite(gated, n = SpanTokens)
+        .filter(col("text_clean") =!= "")
+        .select(col("doc_id"), col("text_clean").as("text"))
+        .join(docs.select("doc_id", "lang", "source"), "doc_id")
+      val train = rewritten
+        .join(TextOps.leakFreeSplit(rewritten)
+          .filter(col("split_fixed") === "train").select("doc_id"), "doc_id")
+      Curation.shardBalance(train, ShardBalanceN)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"))
+        .orderBy("shard")
+    }),
+
     "pipeline_curate_v3" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val capped = docs.join(
@@ -3426,6 +3450,66 @@ object SparkEntry {
         |FROM asg2 a JOIN q v ON a.vec_id = v.vec_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "pipeline_curate_v4" -> {
+      val t = Gopher
+      val stop = Curation.GopherStopWords.map(w => s"'$w'").mkString(", ")
+      val n = SpanTokens
+      val s2 = 2 * ShardBalanceN
+      s"""WITH sig AS (SELECT doc_id, lang, source, text,
+         |    string_split(text, ' ') AS ts FROM documents),
+         |g0 AS (SELECT doc_id, lang, source, text, ts FROM sig
+         |  WHERE CAST(len(ts) AS BIGINT) BETWEEN ${t.minWords} AND ${t.maxWords}
+         |    AND (1000 * list_aggregate(list_transform(ts, w -> len(w)), 'sum')) // len(ts)
+         |      BETWEEN ${t.minMwlMilli} AND ${t.maxMwlMilli}
+         |    AND len(list_filter(ts, w -> w IN ($stop))) >= ${t.minStopHits}
+         |    AND (1000 * len(list_distinct(ts))) // len(ts) >= ${t.minDistinctMilli}),
+         |win AS (SELECT doc_id, ts,
+         |    unnest(range(0, greatest(len(ts) - $n + 1, 0))) AS pos FROM g0),
+         |g AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |    array_to_string(ts[pos+1:pos+$n], ' ') AS gram FROM win),
+         |d2 AS (SELECT gram FROM g GROUP BY gram
+         |       HAVING COUNT(DISTINCT doc_id) >= 2),
+         |occ AS (SELECT g.doc_id, g.pos,
+         |    row_number() OVER (PARTITION BY g.gram
+         |      ORDER BY g.doc_id, g.pos) AS rn
+         |  FROM g JOIN d2 USING (gram)),
+         |rem AS (SELECT doc_id, pos FROM occ WHERE rn > 1),
+         |cov AS (SELECT DISTINCT doc_id, pos + u.u AS cpos
+         |  FROM rem CROSS JOIN (SELECT unnest(range(0, $n)) AS u) u),
+         |tokrel AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, ts[i] AS token
+         |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM g0)),
+         |keptt AS (SELECT tk.doc_id, tk.pos, tk.token
+         |  FROM tokrel tk LEFT JOIN cov
+         |    ON tk.doc_id = cov.doc_id AND tk.pos = cov.cpos
+         |  WHERE cov.cpos IS NULL),
+         |rew AS (SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS text
+         |  FROM keptt GROUP BY 1),
+         |lf AS (SELECT r.doc_id, r.text,
+         |    CASE WHEN substring(md5(CAST(r.doc_id AS VARCHAR)), 1, 1) IN ('0','1') THEN 'test'
+         |         WHEN substring(md5(CAST(r.doc_id AS VARCHAR)), 1, 1) IN ('2','3') THEN 'val'
+         |         ELSE 'train' END AS split,
+         |    md5(array_to_string(list_sort(list_distinct(string_split(r.text, ' '))), ' ')) AS content_hash
+         |  FROM rew r WHERE r.text <> ''),
+         |canon AS (SELECT content_hash, MIN(doc_id) AS canon_id
+         |  FROM lf GROUP BY 1),
+         |cs AS (SELECT c.content_hash, lf.split AS split_fixed
+         |  FROM canon c JOIN lf ON lf.doc_id = c.canon_id),
+         |train AS (SELECT lf.doc_id,
+         |    CAST(len(string_split(lf.text, ' ')) AS BIGINT) AS tokens
+         |  FROM lf JOIN cs USING (content_hash)
+         |  WHERE cs.split_fixed = 'train'),
+         |rk AS (SELECT doc_id, tokens,
+         |    CAST(row_number() OVER (ORDER BY tokens DESC, doc_id)
+         |      AS BIGINT) AS rnk FROM train),
+         |sh AS (SELECT doc_id, tokens,
+         |    CAST(CASE WHEN ((rnk - 1) % $s2) < $ShardBalanceN
+         |      THEN (rnk - 1) % $s2
+         |      ELSE $s2 - 1 - ((rnk - 1) % $s2) END AS BIGINT) AS shard
+         |  FROM rk)
+         |SELECT shard, CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(tokens) AS BIGINT) AS tokens
+         |FROM sh GROUP BY 1 ORDER BY shard""".stripMargin
+    },
     "pipeline_curate_v3" -> {
       val cases = MixTargets.map { case (l, p) =>
         s"WHEN '$l' THEN $p" }.mkString(" ")

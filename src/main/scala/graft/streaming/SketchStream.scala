@@ -19,6 +19,15 @@ case class KmvState(mins: List[Long])
 case class KmvOut(grp: String, n_kept: Int, kth_hash: Long,
                   kmv_estimate: Double)
 
+/** Hashed cell row for the streaming count–min sketch. */
+case class CmsIn(d: Int, b: Long)
+
+/** One CMS counter cell. */
+case class CmsCellState(c: Long)
+
+/** Per-trigger cell emission (update mode). */
+case class CmsOut(d: Int, b: Long, c: Long)
+
 /** Streaming distinct-count sketching — the unbounded-stream twin of
   * [[graft.operators.Sketches.kmvDistinct]].
   *
@@ -59,6 +68,35 @@ object SketchStream {
             if (mins.size < k) mins.size.toDouble
             else Math.scalb((k - 1).toDouble, 60) / mins.last.toDouble
           KmvOut(grp, mins.size, if (mins.isEmpty) -1L else mins.last, est)
+      }
+  }
+
+  /** Streaming count–min sketch — the unbounded-stream twin of
+    * [[graft.operators.Sketches.cmsTable]]: state is one counter per
+    * touched (depth-row, bucket) cell, bounded by depth·width
+    * regardless of stream cardinality (the CMS contract). Counters are
+    * pure sums, so the streamed table is BIT-IDENTICAL to the batch
+    * table over the same rows under any arrival order or batching —
+    * and cell-wise ADDITIVE across independent streams, the same merge
+    * law the batch spec pins. Point estimates read off the emitted
+    * table exactly as in [[Sketches.heavyHitters]]. */
+  def cmsStream(rows: DataFrame, keyCol: String, depth: Int,
+                width: Int): Dataset[CmsOut] = {
+    import rows.sparkSession.implicits._
+    require(depth >= 1 && width >= 2, s"bad cms shape $depth x $width")
+    rows
+      .select(col(keyCol).cast("string").as("k"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d").cast("int").as("d"),
+        (Sketches.hash60(concat(col("d").cast("string"), lit(":"),
+          col("k"))) % width).as("b"))
+      .as[CmsIn]
+      .groupByKey(r => (r.d, r.b))
+      .mapGroupsWithState[CmsCellState, CmsOut](GroupStateTimeout.NoTimeout) {
+        case ((d, b), cellRows, state) =>
+          val c = state.getOption.map(_.c).getOrElse(0L) + cellRows.size
+          state.update(CmsCellState(c))
+          CmsOut(d, b, c)
       }
   }
 }

@@ -512,6 +512,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS table is bit-identical to the batch table " +
+    "under split, duplicated delivery") {
+    val words = Seq("alpha", "beta", "alpha", "gamma", "beta", "alpha",
+      "delta", "alpha")
+    val input = MemoryStream[Doc](spark)
+    val q = graft.streaming.SketchStream
+      .cmsStream(input.toDF(), "text", depth = 3, width = 64)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(words.take(5).zipWithIndex.map { case (w, i) =>
+        Doc(i.toLong, ts("10:00"), w) }: _*)
+      q.processAllAvailable()
+      input.addData(words.drop(5).zipWithIndex.map { case (w, i) =>
+        Doc(100L + i, ts("10:05"), w) }: _*)
+      q.processAllAvailable()
+      // counters are monotone: the final value per cell is the max of
+      // its update-mode emissions
+      val streamed = spark.table("cms_stream").collect()
+        .groupBy(r => (r.getAs[Int]("d"), r.getAs[Long]("b"))).view
+        .mapValues(_.map(_.getAs[Long]("c")).max).toMap
+      val batch = graft.operators.Sketches.cmsTable(
+        words.toDF("text"), "text", depth = 3, width = 64).collect()
+        .map(r => (r.getAs[Int]("d"), r.getAs[Long]("b")) ->
+          r.getAs[Long]("c")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup equals the batch-vs-corpus twin, statelessly") {
     // the semDedupAgainstCorpus spec fixture: v10 is colinear with
     // corpus v0 (dropped at ingest), v11 is novel, v12 is colinear

@@ -38,8 +38,27 @@ object RelationStats {
       (df.sparkSession, df.queryExecution.analyzed.canonicalized),
       _ => df.first().getLong(0))
 
+  private val rel = new ConcurrentHashMap[
+    (SparkSession, LogicalPlan, String), DataFrame]()
+
+  /** A deterministic DERIVED RELATION cached per (session, source
+    * plan, tag) — the DataFrame-valued sibling of [[memoCount]], for
+    * small offline artifacts every query of a family re-derives from
+    * the same immutable source (the semantic tier's Lloyd codebook:
+    * k·dim longs behind a rounds-deep build). The cached value should
+    * be checkpoint-pinned by the builder so all consumers share ONE
+    * materialization; correctness is unaffected (the build is
+    * deterministic), only the per-query rebuild cost goes away —
+    * which is also the production story, where the codebook is a
+    * persisted lake artifact, not a per-query computation. */
+  def memoRelation(source: DataFrame, tag: String)
+                  (build: => DataFrame): DataFrame =
+    rel.computeIfAbsent(
+      (source.sparkSession, source.queryExecution.analyzed.canonicalized,
+        tag), _ => build)
+
   /** Test hook: forget everything (a fresh session in the same JVM
     * re-counts; distinct sessions never collide — the session is part
     * of the key). */
-  private[graft] def reset(): Unit = memo.clear()
+  private[graft] def reset(): Unit = { memo.clear(); rel.clear() }
 }

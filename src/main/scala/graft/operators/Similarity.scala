@@ -261,19 +261,25 @@ object Similarity {
                 rounds: Int = 1): DataFrame = {
     require(k >= 1, s"codebook size must be positive: $k")
     require(rounds >= 1, s"lloyd rounds must be positive: $rounds")
-    val seeds = emb.orderBy("vec_id").limit(k)
-      .select(col("vec_id").as("cluster"),
-        transform(col("embedding"),
-          x => floor(x.cast("double") * 1000).cast("long")).as("cq"))
     // the finished book is consumed by several subtrees of every
-    // semantic query (assignment, pair stage, funnel counts); a lazy
-    // local checkpoint pins the k·dim-long result so consumers don't
-    // each re-run the `rounds`-deep build chain. On a cluster:
-    // `checkpoint` to reliable storage, or persist the book as the
-    // lake's offline artifact.
-    (1 to rounds).foldLeft(seeds: DataFrame)((book, _) =>
-      bookOfRound(lloydStep(emb, book, 1000)))
-      .localCheckpoint(eager = false)
+    // semantic query (assignment, pair stage, funnel counts) AND by
+    // every query of the semantic family in a session (semdedup,
+    // components, proto_prune, d4): a lazy local checkpoint pins the
+    // k·dim-long result, and the session memo shares the ONE pinned
+    // build across the family — each bench/verify query paying the
+    // rounds-deep Lloyd chain again was the r7 semantic-family cost
+    // (~2× per query). On a cluster: `checkpoint` to reliable
+    // storage, or persist the book as the lake's offline artifact —
+    // the memo is exactly that artifact's session-local stand-in.
+    RelationStats.memoRelation(emb, s"lloydBook:$k:$rounds:1000") {
+      val seeds = emb.orderBy("vec_id").limit(k)
+        .select(col("vec_id").as("cluster"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000).cast("long")).as("cq"))
+      (1 to rounds).foldLeft(seeds: DataFrame)((book, _) =>
+        bookOfRound(lloydStep(emb, book, 1000)))
+        .localCheckpoint(eager = false)
+    }
   }
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023,

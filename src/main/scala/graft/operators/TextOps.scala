@@ -1452,15 +1452,23 @@ object TextOps {
     val base = docs.repartition(parts, col("doc_id"))
       .select(col("doc_id"), toks.as("ts"))
       .localCheckpoint(eager = false)
+    // canonical occurrence = lexicographic min (doc_id, pos), packed
+    // into ONE long (doc_id·2²⁰ + pos — positions bounded by 2²⁰
+    // tokens/doc, far above any real document) so the argmin is a
+    // plain long `min`: a struct-min aggregation buffer forces Spark
+    // onto SortAggregate, and this relation is every window occurrence
+    // in the corpus — the one aggregation here that must stay a
+    // map-side-partial HashAggregate
     val wins = base
       .select(col("doc_id"), posexplode(winHashes).as(Seq("pos", "gh")))
+      .withColumn("pk", col("doc_id") * lit(1L << 20) + col("pos"))
     val canon = wins.groupBy("gh")
       .agg(count_distinct(col("doc_id")).as("df"),
-        min(struct(col("doc_id"), col("pos"))).as("canon"))
+        min(col("pk")).as("canon_pk"))
       .filter(col("df") >= 2)
-      .select("gh", "canon")
+      .select("gh", "canon_pk")
     val removed = wins.join(canon, "gh")
-      .filter(struct(col("doc_id"), col("pos")) =!= col("canon"))
+      .filter(col("pk") =!= col("canon_pk"))
     val covered = removed
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (n - 1))).as("cpos"))

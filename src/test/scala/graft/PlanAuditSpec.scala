@@ -334,6 +334,15 @@ class PlanAuditSpec extends SparkSpec {
       s"rank filter must push into WindowGroupLimit, plan:\n$p")
   }
 
+  test("span rewrite's canonical argmin stays a hash aggregation") {
+    val p = plan("dedup_spans_rewrite")
+    // the packed-long min keeps the window-occurrence relation (the
+    // query's biggest) on partial+final HashAggregate; a struct-min
+    // buffer would force a SortAggregate chain over all of it
+    assert(!p.contains("SortAggregate"),
+      s"canon pick must hash-aggregate, plan:\n$p")
+  }
+
   test("perceptron rounds attach weights via broadcast hash joins only") {
     val p = plan("qclf_score")
     // every weight attach (R rounds + final scoring) is a broadcast of

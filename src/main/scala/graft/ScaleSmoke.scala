@@ -131,6 +131,10 @@ object ScaleSmoke {
         Similarity.pqResidualCodes(spark, e, 8, 16), "emb"),
       Op("ann_ivf_rpq", e =>
         Similarity.annIvfRpq(spark, e, 25, 5, 8, 16), "emb"),
+      Op("ann_ivf_rpq_probe2", e =>
+        Similarity.annIvfRpq(spark, e, 25, 5, 8, 16, probes = 2), "emb"),
+      Op("ann_srp_rerank", e =>
+        Similarity.annSrpRerank(e, 25, 5, 20), "emb"),
       // SemDeDup: replica copies are EXACT embedding dups (only ids
       // shift), so every copy lands in its original's cluster and
       // intra-cluster pair work grows factor² by construction — the

@@ -98,8 +98,10 @@ object SparkEntry {
   private val OverlapM = 64
   private val OverlapShingle = 3
 
-  /** `ann_srp` sign-sketch width in bits (query + oracle). */
+  /** `ann_srp` sign-sketch width in bits; `ann_srp_rerank`'s Hamming
+    * prefilter depth (query + oracle). */
   private val SrpBits = 32
+  private val SrpPrefilter = 20
 
   /** `shard_balance` output shard count (query + oracle). */
   private val ShardBalanceN = 8
@@ -1029,6 +1031,14 @@ object SparkEntry {
         .select(col("qid"), col("label"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+    // Multi-probe residual IVF-ADC: one residual distance table PER
+    // (query, probed cell) — each cell is its own residual frame.
+    "ann_ivf_rpq_probe2" -> ((s, dir) =>
+      Similarity.annIvfRpq(s, Tables.embeddings(s, dir), numQueries = 5,
+          k = 5, m = 8, groups = RpqGroups, probes = 2)
+        .select(col("qid"), col("label"), col("vec_id"), col("adist"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
     // ADC search over the codes: query-to-codeword distance table,
     // approximate distance = sum of m table lookups, top-10 per query.
     "ann_pq" -> ((s, dir) =>
@@ -1092,6 +1102,14 @@ object SparkEntry {
       Similarity.annSrpHamming(Tables.embeddings(s, dir),
         numQueries = 5, k = 5, bits = SrpBits)
         .select(col("qid"), col("vec_id"), col("hamming"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
+    // SRP prefilter + exact rerank: codes prune to 20 candidates per
+    // query, only those read raw vectors for the cosine top-5.
+    "ann_srp_rerank" -> ((s, dir) =>
+      Similarity.annSrpRerank(Tables.embeddings(s, dir),
+        numQueries = 5, k = 5, prefilter = SrpPrefilter, bits = SrpBits)
+        .select(col("qid"), col("vec_id"), col("hamming"), col("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
     // In-engine trainable quality classifier: full-batch integer
@@ -1822,6 +1840,45 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY vec_id, sub
        |      ORDER BY dist, g) AS rn
        |  FROM cdist)""".stripMargin
+
+  /** Residual IVF-ADC oracle: the rpq CTE chain, then per-(query,
+    * probed cell) residual distance tables — multi-probe in residual
+    * space carries one table per cell, each its own residual frame. */
+  private def sqlAnnIvfRpq(probes: Int): String =
+    s"WITH ${sqlRpqCtes()},\n" +
+      s"""score AS (
+         |  SELECT v.vec_id AS qid, c.cluster,
+         |    CAST(CAST(SUM(v.q * c.sq) AS BIGINT) AS DOUBLE) / MAX(c.n) AS cscore
+         |  FROM qv v JOIN cent c ON v.d = c.d WHERE v.vec_id < 5
+         |  GROUP BY 1, 2),
+         |best AS (SELECT qid, cluster AS plabel FROM (
+         |    SELECT qid, cluster,
+         |      row_number() OVER (PARTITION BY qid
+         |        ORDER BY cscore DESC, cluster) AS crn
+         |    FROM score) t WHERE crn <= $probes),
+         |qres AS (SELECT b.qid, b.plabel, v.d, v.sub, v.q - c.cq AS r
+         |  FROM best b JOIN qv v ON v.vec_id = b.qid
+         |  JOIN cq c ON c.cluster = b.plabel AND c.d = v.d),
+         |qd AS (SELECT q.qid, q.plabel, q.sub, rb.g,
+         |    CAST(SUM((q.r - rb.cs) * (q.r - rb.cs)) AS BIGINT) AS qdist
+         |  FROM qres q JOIN rbook rb ON q.sub = rb.sub AND q.d = rb.d
+         |  GROUP BY 1, 2, 3, 4),
+         |codes AS (SELECT vec_id, sub, g AS code FROM crn WHERE rn = 1),
+         |cand AS (SELECT b.qid, b.plabel AS label, e.vec_id
+         |         FROM best b JOIN embeddings e
+         |           ON e.label = b.plabel AND e.vec_id <> b.qid),
+         |ad AS (
+         |  SELECT cand.qid, cand.label, cand.vec_id, SUM(qd.qdist) AS adist
+         |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
+         |  JOIN qd ON qd.qid = cand.qid AND qd.plabel = cand.label
+         |    AND qd.sub = codes.sub AND qd.g = codes.code
+         |  GROUP BY 1, 2, 3),
+         |rr AS (SELECT qid, label, vec_id, CAST(adist AS BIGINT) AS adist,
+         |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+         |  FROM ad)
+         |SELECT qid, CAST(label AS INTEGER) AS label, vec_id, adist,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   private def sqlAnnIvfPq(probes: Int): String =
   s"""WITH qv AS (
@@ -3141,6 +3198,49 @@ object SparkEntry {
          |SELECT qid, vec_id, hamming, rn FROM r WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin
     },
+    "ann_srp_rerank" -> {
+      val planes = graft.operators.Similarity.lshPlanesQuantized(SrpBits, 64)
+      val planeRows = planes.zipWithIndex.flatMap { case (row, p) =>
+        row.zipWithIndex.map { case (w, d) => s"($p, ${d + 1}, $w)" }
+      }.mkString(", ")
+      val qf = "CAST(FLOOR(CAST(c.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+      val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+      s"""WITH planes(p, k, w) AS (VALUES $planeRows),
+         |dots AS (
+         |  SELECT e.vec_id, pl.p,
+         |    CAST(SUM(pl.w * CAST(FLOOR(CAST(e.embedding[pl.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s
+         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+         |code AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS code
+         |  FROM dots GROUP BY 1),
+         |q AS (SELECT vec_id AS qid, code AS qcode FROM code WHERE vec_id < 5),
+         |h AS (SELECT q.qid, c.vec_id,
+         |    CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS hamming
+         |  FROM q JOIN code c ON c.vec_id <> q.qid),
+         |pre AS (SELECT qid, vec_id, hamming FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY hamming, vec_id) AS prn FROM h) x
+         |  WHERE prn <= $SrpPrefilter),
+         |qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+         |       WHERE vec_id < 5),
+         |pair AS (
+         |  SELECT pre.qid, pre.vec_id, pre.hamming,
+         |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
+         |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
+         |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
+         |  FROM pre JOIN qe c ON c.qid = pre.qid
+         |  JOIN embeddings e ON e.vec_id = pre.vec_id
+         |  CROSS JOIN generate_series(1, 64) g(k)
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT qid, vec_id, hamming,
+         |    CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos
+         |  FROM pair),
+         |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rn FROM r)
+         |SELECT qid, vec_id, hamming, cos, rn FROM rr WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin
+    },
     "qclf_weights" -> qclfSql("weights"),
     "qclf_score" -> qclfSql("score"),
     "dedup_minhash_lsh" -> {
@@ -3324,40 +3424,8 @@ object SparkEntry {
       """SELECT vec_id, sub AS subspace, CAST(g AS BIGINT) AS code,
         |  CAST(dist AS BIGINT) AS dist
         |FROM crn WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin),
-    "ann_ivf_rpq" -> (s"WITH ${sqlRpqCtes()},\n" +
-      s"""score AS (
-         |  SELECT v.vec_id AS qid, c.cluster,
-         |    CAST(CAST(SUM(v.q * c.sq) AS BIGINT) AS DOUBLE) / MAX(c.n) AS cscore
-         |  FROM qv v JOIN cent c ON v.d = c.d WHERE v.vec_id < 5
-         |  GROUP BY 1, 2),
-         |best AS (SELECT qid, cluster AS plabel FROM (
-         |    SELECT qid, cluster,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY cscore DESC, cluster) AS crn
-         |    FROM score) t WHERE crn = 1),
-         |qres AS (SELECT b.qid, b.plabel, v.d, v.sub, v.q - c.cq AS r
-         |  FROM best b JOIN qv v ON v.vec_id = b.qid
-         |  JOIN cq c ON c.cluster = b.plabel AND c.d = v.d),
-         |qd AS (SELECT q.qid, q.sub, rb.g,
-         |    CAST(SUM((q.r - rb.cs) * (q.r - rb.cs)) AS BIGINT) AS qdist
-         |  FROM qres q JOIN rbook rb ON q.sub = rb.sub AND q.d = rb.d
-         |  GROUP BY 1, 2, 3),
-         |codes AS (SELECT vec_id, sub, g AS code FROM crn WHERE rn = 1),
-         |cand AS (SELECT b.qid, b.plabel AS label, e.vec_id
-         |         FROM best b JOIN embeddings e
-         |           ON e.label = b.plabel AND e.vec_id <> b.qid),
-         |ad AS (
-         |  SELECT cand.qid, cand.label, cand.vec_id, SUM(qd.qdist) AS adist
-         |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
-         |  JOIN qd ON qd.qid = cand.qid AND qd.sub = codes.sub
-         |    AND qd.g = codes.code
-         |  GROUP BY 1, 2, 3),
-         |rr AS (SELECT qid, label, vec_id, CAST(adist AS BIGINT) AS adist,
-         |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
-         |  FROM ad)
-         |SELECT qid, CAST(label AS INTEGER) AS label, vec_id, adist,
-         |  CAST(rn AS BIGINT) AS rn
-         |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin),
+    "ann_ivf_rpq" -> sqlAnnIvfRpq(probes = 1),
+    "ann_ivf_rpq_probe2" -> sqlAnnIvfRpq(probes = 2),
     "ann_pq" ->
       """WITH q AS (
         |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,

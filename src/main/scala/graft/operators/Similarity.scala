@@ -796,19 +796,23 @@ object Similarity {
   }
 
   /** IVF-ADC with RESIDUAL codes — the paper-exact composition: probe
-    * the best coarse cell by query·centroid, compute the QUERY's
-    * residual against the PROBED cell's centroid, table its distances
-    * to the residual codewords, and rank the cell's members by summed
-    * lookups over their stored residual codes. Both sides now quantize
-    * in the same residual frame, which is what [[annIvfPq]]'s
-    * raw-vector codes give up.
+    * the `probes` best coarse cells by query·centroid, compute the
+    * QUERY's residual against EACH probed cell's centroid (multi-probe
+    * in residual space means one distance table PER (query, cell) —
+    * each cell is its own residual frame, the detail raw-vector
+    * multi-probe doesn't have), table its distances to the residual
+    * codewords, and rank each cell's members by summed lookups over
+    * their stored residual codes. Both sides quantize in the same
+    * residual frame, which is what [[annIvfPq]]'s raw-vector codes
+    * give up.
     *
     * Plan shape: identical to [[annIvfPq]] — centroids, codebook, and
-    * the per-query table broadcast; candidates are one cell per query;
-    * raw vectors are read only by the offline passes. */
+    * the per-(query, cell) tables broadcast; candidates are `probes`
+    * cells per query; raw vectors are read only by the offline
+    * passes. */
   def annIvfRpq(spark: SparkSession, emb: DataFrame, numQueries: Int,
                 k: Int, m: Int = 8, groups: Int = 16, dim: Int = 64,
-                scale: Int = 1000): DataFrame = {
+                scale: Int = 1000, probes: Int = 1): DataFrame = {
     val sub = dim / m
     val cents = centroidArrays(spark, emb, dim, scale)
       .localCheckpoint(eager = false)
@@ -830,20 +834,27 @@ object Similarity {
     val wBest = Window.partitionBy("qid")
       .orderBy(col("cscore").desc, col("label"))
     val probed = scoredC.withColumn("crn", row_number().over(wBest))
-      .filter(col("crn") === 1)
+      .filter(col("crn") <= probes)
       .select(col("qid"), col("qe"), col("label"))
-    // query residual vs the PROBED cell's centroid, sliced per subspace
+    // query residual vs EACH probed cell's centroid, sliced per
+    // subspace — the table keys on (qid, cell): every probed cell is
+    // its own residual frame
     val qres = probed.join(broadcast(cents), "label")
       .select(col("qid"), col("label"),
         zip_with(
           transform(col("qe"), x => floor(x.cast("double") * scale).cast("long")),
           col("cq"), (a, b) => a - b).as("rq"))
-      .select(col("qid").as("vec_id"), col("label").as("plabel"),
+      .select(
+        // pack (query, cell) as the dist-table probe id so the shared
+        // subspaceDists kernel stays single-keyed; unpacked below
+        (col("qid") * lit(1L << 20) + col("label")).as("vec_id"),
         posexplode(expr(
           s"transform(sequence(0, ${m - 1}), s -> slice(rq, s * $sub + 1, $sub))"))
           .as(Seq("subspace", "vs")))
     val qtab = subspaceDists(qres.select("vec_id", "subspace", "vs"), book)
-      .select(col("vec_id").as("qid"), col("subspace").cast("long").as("subspace"),
+      .select(expr(s"vec_id div ${1L << 20}").as("qid"),
+        expr(s"vec_id % ${1L << 20}").cast("int").as("label"),
+        col("subspace").cast("long").as("subspace"),
         col("label").cast("long").as("code"), col("dist").as("qdist"))
     val cand = broadcast(probed.select(col("qid"), col("label")))
       .join(emb.select("vec_id", "label"), "label")
@@ -851,7 +862,7 @@ object Similarity {
       .select(col("qid"), col("label"), col("vec_id"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     cand.join(codes, "vec_id")
-      .join(broadcast(qtab), Seq("qid", "subspace", "code"))
+      .join(broadcast(qtab), Seq("qid", "label", "subspace", "code"))
       .groupBy("qid", "label", "vec_id").agg(sum("qdist").as("adist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
@@ -960,6 +971,37 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long")
           .as("hamming"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** SRP prefilter + exact rerank — the standard production
+    * composition over [[annSrpHamming]]'s sketches: the bit codes
+    * prune the corpus to the `prefilter` Hamming-nearest candidates
+    * per query (the cheap pass that touches ONLY the 8-byte codes),
+    * and only those candidates' raw vectors are read for the exact
+    * quantized-cosine top-`k`. Candidate volume is `prefilter`·queries
+    * rows regardless of corpus size — the raw-vector read is the
+    * expensive step this shape exists to bound.
+    *
+    * Plan shape: the Hamming pass as in [[annSrpHamming]]
+    * (WindowGroupLimit-pruned); the rerank joins the prefilter
+    * survivors (broadcast — queries·prefilter rows) against the
+    * embedding relation once. */
+  def annSrpRerank(emb: DataFrame, numQueries: Int, k: Int,
+                   prefilter: Int = 20, bits: Int = 32, dim: Int = 64,
+                   seed: Long = 42L, scale: Int = 1000): DataFrame = {
+    require(prefilter >= k, s"prefilter ($prefilter) must cover k ($k)")
+    val cands = annSrpHamming(emb, numQueries, prefilter, bits, dim,
+      seed, scale).select("qid", "vec_id", "hamming")
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(cands).join(emb, "vec_id")
+      .join(queries, "qid")
+      .select(col("qid"), col("vec_id"), col("hamming"),
+        cosineQuantized(col("qe"), col("embedding"), scale).as("cos"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }

@@ -800,6 +800,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(rows.head.getAs[Long]("vec_id") === 1L)
   }
 
+  test("residual ivf-adc probe-2 candidates cover probe-1's") {
+    import spark.implicits._
+    // two coarse cells; the probe-2 search must consider a superset of
+    // the single-cell candidates and keep per-cell residual frames
+    val e = Seq(
+      (0L, Seq(1.0f, 0.1f, -0.2f, 0.3f), 0),
+      (1L, Seq(0.9f, 0.2f, -0.1f, 0.4f), 0),
+      (2L, Seq(-0.8f, 0.7f, 0.2f, -0.3f), 1),
+      (3L, Seq(-0.7f, 0.8f, 0.1f, -0.2f), 1),
+      (4L, Seq(0.5f, -0.5f, 0.5f, -0.5f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def cands(p: Int) = Similarity.annIvfRpq(spark, e, numQueries = 1,
+        k = 10, m = 2, groups = 2, dim = 4, probes = p)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(cands(1).subsetOf(cands(2)))
+    assert(cands(2).size > cands(1).size) // the second cell contributes
+  }
+
+  test("srp rerank: exact cosine reorders the hamming prefilter") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0f, 0.2f, -0.3f, 0.4f)),
+      (1L, Seq(1.0f, 0.2f, -0.3f, 0.4f)),   // exact dup: cos 1, ranks first
+      (2L, Seq(0.9f, 0.3f, -0.2f, 0.5f)),
+      (3L, Seq(-0.5f, 0.9f, 0.2f, -0.4f))
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.annSrpRerank(e, numQueries = 1, k = 3,
+        prefilter = 3, bits = 16, dim = 4)
+      .collect().sortBy(_.getAs[Int]("rn"))
+    assert(rows.head.getAs[Long]("vec_id") === 1L)
+    // output is ordered by exact cosine, descending
+    val cos = rows.map(_.getAs[Double]("cos"))
+    assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+  }
+
   test("srp hamming ann: a duplicate vector codes identically and ranks first") {
     import spark.implicits._
     val e = Seq(

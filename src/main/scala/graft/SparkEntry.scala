@@ -116,6 +116,10 @@ object SparkEntry {
     * subspace (query + oracle). */
   private val RpqGroups = 16
 
+  /** `hll_registers`/`hll_merged` precision: p index bits, m = 2^p
+    * buckets (query + oracle). */
+  private val HllP = 8
+
   /** `qclf_*` perceptron shape: hashed feature buckets + full-batch
     * rounds (query + oracle — the oracle replays every round). */
   private val QclfCfg = graft.operators.Curation.PerceptronConfig(
@@ -718,6 +722,23 @@ object SparkEntry {
     "quantile_sketch" -> ((s, dir) =>
       Sketches.kmvQuantileSketch(Tables.events(s, dir), "event_type",
         "event_id", "value", k = 256).orderBy("event_type")),
+    // HyperLogLog register table (p=8, m=256 buckets): distinct users
+    // per event type as the mergeable max-ρ sketch — deterministic
+    // bit-position arithmetic, so the oracle rebuilds it exactly.
+    "hll_registers" -> ((s, dir) =>
+      Sketches.hllRegisters(Tables.events(s, dir), "event_type",
+        "user_id", p = HllP).orderBy("event_type", "bucket")),
+    // HLL merge proof: per-half register tables (split by event_id
+    // hash parity) max-merged vs the whole-corpus build, row-by-row.
+    "hll_merged" -> ((s, dir) =>
+      Sketches.hllMerged(Tables.events(s, dir), "event_type", "user_id",
+        splitKey = "event_id", p = HllP).orderBy("event_type", "bucket")),
+    // Edit-distance-1 fuzzy self-join on customer names: deletion-
+    // neighborhood blocking + codegen'd levenshtein verify — the
+    // entity-resolution primitive (typo pairs without a cross join).
+    "fuzzy_join_names" -> ((s, dir) =>
+      Dedup.editDistancePairs(Tables.customer(s, dir), "c_name")
+        .orderBy("name_a", "name_b")),
     // Exact-quota reservoir: first-n-by-salted-md5 per language
     // (en 60, de/fr 25 each, others 10) — WindowGroupLimit prunes
     // map-side, the corpus never fully sorts.
@@ -3991,6 +4012,46 @@ object SparkEntry {
         |  e.p50_est, x.p50_exact, e.p90_est, x.p90_exact,
         |  e.p99_est, x.p99_exact
         |FROM e JOIN x USING (event_type) ORDER BY event_type""".stripMargin,
+    "hll_registers" ->
+      s"""WITH h AS (SELECT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+         |  FROM events),
+         |b AS (SELECT event_type, h >> ${60 - HllP} AS bucket,
+         |    h & ((CAST(1 AS BIGINT) << ${60 - HllP}) - 1) AS rest
+         |  FROM h)
+         |SELECT event_type, bucket,
+         |  MAX(CASE WHEN rest = 0 THEN CAST(${61 - HllP} AS BIGINT)
+         |           ELSE CAST(${61 - HllP} - length(bin(rest)) AS BIGINT) END) AS register
+         |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+    "hll_merged" ->
+      s"""WITH h AS (SELECT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h,
+         |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS half
+         |  FROM events),
+         |r AS (SELECT event_type, half, h >> ${60 - HllP} AS bucket,
+         |    CASE WHEN (h & ((CAST(1 AS BIGINT) << ${60 - HllP}) - 1)) = 0
+         |         THEN CAST(${61 - HllP} AS BIGINT)
+         |         ELSE CAST(${61 - HllP} - length(bin(h & ((CAST(1 AS BIGINT) << ${60 - HllP}) - 1))) AS BIGINT)
+         |    END AS rho
+         |  FROM h),
+         |ph AS (SELECT event_type, half, bucket, MAX(rho) AS register
+         |  FROM r GROUP BY 1, 2, 3),
+         |m AS (SELECT event_type, bucket, MAX(register) AS register_merged
+         |  FROM ph GROUP BY 1, 2),
+         |w AS (SELECT event_type, bucket, MAX(rho) AS register
+         |  FROM r GROUP BY 1, 2)
+         |SELECT m.event_type, m.bucket, m.register_merged, w.register,
+         |  m.register_merged = w.register AS agree
+         |FROM m JOIN w USING (event_type, bucket)
+         |ORDER BY event_type, bucket""".stripMargin,
+    "fuzzy_join_names" ->
+      """WITH names AS (SELECT DISTINCT CAST(c_name AS VARCHAR) AS n
+        |  FROM customer WHERE c_name IS NOT NULL AND length(c_name) >= 1)
+        |SELECT a.n AS name_a, b.n AS name_b,
+        |  CAST(levenshtein(a.n, b.n) AS BIGINT) AS dist
+        |FROM names a JOIN names b ON a.n < b.n
+        |WHERE levenshtein(a.n, b.n) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
     "user_event_quantiles" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1, 2)

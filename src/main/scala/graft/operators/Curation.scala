@@ -296,15 +296,24 @@ object Curation {
   def perceptronWeights(docs: DataFrame,
                         cfg: PerceptronConfig = PerceptronConfig())
       : DataFrame = {
-    require(cfg.rounds >= 1, s"need >= 1 round, got ${cfg.rounds}")
     val feats = perceptronFeatures(docs, cfg.buckets)
       .localCheckpoint(eager = false)
     val labels = perceptronLabels(docs).localCheckpoint(eager = false)
+    trainRounds(feats, labels, cfg.rounds)
+  }
+
+  /** Training core over already-materialized feature/label relations —
+    * shared by [[perceptronWeights]] and [[perceptronScore]] so the
+    * scoring path reuses the SAME checkpointed features instead of
+    * re-running the corpus explode a second time. */
+  private def trainRounds(feats: DataFrame, labels: DataFrame,
+                          rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need >= 1 round, got $rounds")
     val fl = feats.join(labels, "doc_id")
     // round 1: all docs misclassified under w = 0
     var w = fl.groupBy("b").agg(sum(col("y") * col("x")).as("w"))
       .localCheckpoint(eager = false)
-    for (_ <- 2 to cfg.rounds) {
+    for (_ <- 2 to rounds) {
       val margins = feats.join(broadcast(w), "b")
         .groupBy("doc_id").agg(sum(col("x") * col("w")).as("margin"))
       val mis = margins.join(labels, "doc_id")
@@ -326,11 +335,14 @@ object Curation {
   def perceptronScore(docs: DataFrame,
                       cfg: PerceptronConfig = PerceptronConfig())
       : DataFrame = {
-    val w = perceptronWeights(docs, cfg)
-    perceptronFeatures(docs, cfg.buckets)
+    val feats = perceptronFeatures(docs, cfg.buckets)
+      .localCheckpoint(eager = false)
+    val labels = perceptronLabels(docs).localCheckpoint(eager = false)
+    val w = trainRounds(feats, labels, cfg.rounds)
+    feats
       .join(broadcast(w), "b")
       .groupBy("doc_id").agg(sum(col("x") * col("w")).as("margin"))
-      .join(perceptronLabels(docs), "doc_id")
+      .join(labels, "doc_id")
       .select(col("doc_id"), col("y"), col("margin"),
         when(col("margin") >= 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
       .withColumn("correct", col("pred") === col("y"))

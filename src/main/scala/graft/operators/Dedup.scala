@@ -1405,4 +1405,39 @@ object Dedup {
         col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
+
+  /** Edit-distance-≤1 fuzzy self-join over a string key — typo-pair
+    * mining / entity-resolution blocking via the deletion neighborhood
+    * (FastSS, Bocek et al. 2007): two strings are within one edit iff
+    * they share a blocking key among {the string itself} ∪ {its
+    * single-character deletions} (equal → self key; substitution at i
+    * → both sides' deletion-at-i; insertion/deletion → the longer's
+    * deletion equals the shorter's self). So candidates come from ONE
+    * equi-join on the deletion-variant relation — |keys|·(len+1) rows,
+    * linear in total key bytes — never an all-pairs cross join, and
+    * the codegen'd `levenshtein` verify runs only on bucket
+    * collisions. At 100 TB the variant join shuffles on the variant
+    * string exactly like any postings join; a skewed variant (shared
+    * by v keys) costs v² candidate rows, bounded by how many keys are
+    * one edit apart — true output, not corpus size.
+    */
+  def editDistancePairs(df: DataFrame, keyCol: String): DataFrame = {
+    val names = df.select(col(keyCol).cast("string").as("n"))
+      .filter(col("n").isNotNull && length(col("n")) >= 1)
+      .distinct()
+    // blocking keys: the string itself + every single-deletion variant
+    // (array_union dedups variants that coincide, e.g. runs of one char)
+    val keyed = names.select(col("n"), explode(expr(
+      "array_union(array(n), transform(sequence(1, length(n)), " +
+        "i -> concat(substring(n, 1, i - 1), " +
+        "substring(n, i + 1, length(n)))))")).as("bk"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.n") < col("b.n"))
+      .select(col("a.n").as("name_a"), col("b.n").as("name_b"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
+        .cast("long"))
+      .filter(col("dist") <= 1)
+  }
 }

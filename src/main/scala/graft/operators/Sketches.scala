@@ -190,15 +190,29 @@ object Sketches {
     * pattern: production keeps the table + point lookups and drops the
     * exact aggregation.
     *
-    * Plan shape: the exact top-k is a TakeOrdered over the key counts;
-    * the CMS table aggregates once; the k-row top list joins the
-    * depth-row cells of its keys via a broadcast. */
+    * Plan shape: the occurrence relation aggregates to (key, count)
+    * exactly ONCE — the only corpus-scale pass — and that
+    * vocabulary-scale relation (reused via lazy localCheckpoint) feeds
+    * everything downstream: the CMS table as a count-WEIGHTED cell sum
+    * (cell = Σ counts of the keys hashing there — identical to
+    * counting raw occurrences, [[cmsTable]]'s unweighted form, but the
+    * depth-way hash explode runs over |vocab| rows instead of |corpus|
+    * rows), the exact top-k as a TakeOrdered, and the k-row probe list
+    * joining the depth-row cells via a broadcast. */
   def heavyHitters(df: DataFrame, key: String, k: Int, depth: Int = 4,
                    width: Int = 1024): DataFrame = {
-    val cms = cmsTable(df, key, depth, width)
-    val top = df.select(col(key).cast("string").as("k"))
+    val counts = df.select(col(key).cast("string").as("k"))
       .groupBy("k").agg(count(lit(1)).as("exact"))
-      .orderBy(col("exact").desc, col("k")).limit(k)
+      .localCheckpoint(eager = false)
+    val cms = counts
+      .select(col("k"), col("exact"),
+        explode(sequence(lit(0), lit(depth - 1))).as("d"))
+      .select(col("d"),
+        (hash60(concat(col("d").cast("string"), lit(":"), col("k")))
+          % width).as("b"),
+        col("exact"))
+      .groupBy("d", "b").agg(sum("exact").as("c"))
+    val top = counts.orderBy(col("exact").desc, col("k")).limit(k)
     val probes = top
       .select(col("k"), col("exact"),
         explode(sequence(lit(0), lit(depth - 1))).as("d"))
@@ -208,5 +222,71 @@ object Sketches {
     broadcast(probes).join(cms, Seq("d", "b"))
       .groupBy("k", "exact").agg(min("c").as("cms_est"))
       .select(col("k").as("token"), col("exact"), col("cms_est"))
+  }
+
+  /** Per-group HyperLogLog register table (Flajolet et al. 2007): the
+    * top `p` bits of the 60-bit hash pick one of m = 2^p buckets, and
+    * the register is the max over the group's keys of ρ = position of
+    * the first set bit in the remaining 60−p bits (counting from the
+    * top, 1-based; ρ = 61−p when they are all zero). Deterministic
+    * given [[hash60]], so the oracle rebuilds the identical table —
+    * the bit-position arithmetic rides `length(bin(x))` (binary string
+    * without leading zeros), which both engines define identically,
+    * rather than a floating log2 whose rounding could differ.
+    *
+    * The register table IS the sketch: max is idempotent and
+    * commutative, so per-partition/per-day tables merge by cell-wise
+    * max into any rollup without rescanning ([[hllMerged]] proves it
+    * against this whole-corpus build). The float estimate
+    * (α·m²/Σ2^−reg) is intentionally NOT a column — harmonic-mean
+    * summation order is engine-dependent — it lives in the spec, which
+    * checks it against the exact count.
+    *
+    * Plan shape: one projection (hash, shift, mask, bin-length) and
+    * one partial+final max aggregation — no distinct, no window. */
+  def hllRegisters(df: DataFrame, group: String, key: String,
+                   p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16, got $p")
+    val lowBits = 60 - p
+    val mask = (1L << lowBits) - 1
+    df.select(col(group), hash60(col(key)).as("h"))
+      .select(col(group), shiftright(col("h"), lowBits).as("bucket"),
+        col("h").bitwiseAND(lit(mask)).as("rest"))
+      .select(col(group), col("bucket"),
+        when(col("rest") === 0, lit(lowBits + 1))
+          .otherwise(lit(lowBits + 1) - length(bin(col("rest"))))
+          .cast("long").as("rho"))
+      .groupBy(group, "bucket").agg(max("rho").as("register"))
+  }
+
+  /** HLL register-table MERGE proof: split the input into two halves by
+    * a hash of `splitKey`, build each half's register table, merge them
+    * by cell-wise max, and join the whole-corpus table — `agree` is
+    * true on every row iff the merge is lossless (it always is; the
+    * oracle recomputing both sides from scratch makes the claim a
+    * hash-checked fact rather than an assertion). The 100 TB shape:
+    * per-source sketches union + one metadata-scale max aggregation —
+    * the corpus is scanned once per half, never for the rollup. */
+  def hllMerged(df: DataFrame, group: String, key: String,
+                splitKey: String, p: Int = 8): DataFrame = {
+    val lowBits = 60 - p
+    val mask = (1L << lowBits) - 1
+    val perHalf = df
+      .select(col(group), pmod(hash60(col(splitKey)), lit(2)).as("half"),
+        hash60(col(key)).as("h"))
+      .select(col(group), col("half"),
+        shiftright(col("h"), lowBits).as("bucket"),
+        col("h").bitwiseAND(lit(mask)).as("rest"))
+      .select(col(group), col("half"), col("bucket"),
+        when(col("rest") === 0, lit(lowBits + 1))
+          .otherwise(lit(lowBits + 1) - length(bin(col("rest"))))
+          .cast("long").as("rho"))
+      .groupBy(group, "half", "bucket").agg(max("rho").as("register"))
+    val merged = perHalf.groupBy(group, "bucket")
+      .agg(max("register").as("register_merged"))
+    merged.join(hllRegisters(df, group, key, p), Seq(group, "bucket"))
+      .select(col(group), col("bucket"), col("register_merged"),
+        col("register"),
+        (col("register_merged") === col("register")).as("agree"))
   }
 }

@@ -1313,4 +1313,34 @@ class PipelineOpsSpec extends SparkSpec {
     // the ordering DSIR resampling consumes: target-like > mixed > alien
     assert(out(0)._4 > out(1)._4 && out(1)._4 > out(2)._4)
   }
+
+  test("edit-distance pairs find exactly the brute-force ED<=1 set") {
+    import spark.implicits._
+    // substitution (cat~bat), deletion/insertion (cat~cart is 1 insert?
+    // no: cat->cart inserts 'r'), equal-after-distinct, ED=2 decoys
+    val names = Seq("cat", "bat", "cart", "ca", "dog", "dig", "dug",
+      "kitten", "sitten", "mitten", "smitten", "xyz", "cat")
+    val df = names.toDF("name")
+    val got = Dedup.editDistancePairs(df, "name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val distinct = names.distinct
+    val want = (for {
+      a <- distinct; b <- distinct if a < b
+      d = lev(a, b) if d <= 1
+    } yield (a, b, d.toLong)).toSet
+    assert(got === want)
+    // the fixture exercises all three edit kinds
+    assert(want.contains(("bat", "cat", 1L)))   // substitution
+    assert(want.contains(("ca", "cat", 1L)))    // insertion/deletion
+    assert(want.exists(_._3 == 1L))
+    assert(!want.exists { case (a, b, _) => a == "kitten" && b == "smitten" })
+  }
 }

@@ -165,4 +165,45 @@ class SketchesSpec extends SparkSpec {
       .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     assert(whole === merged)
   }
+
+  test("hll registers match a plain-Scala rebuild and estimate within 5%") {
+    import spark.implicits._
+    val n = 3000
+    val df = (0 until n).map(i => ("g", s"u$i")).toDF("grp", "k")
+    val p = 8
+    val lowBits = 60 - p
+    val regs = Sketches.hllRegisters(df, "grp", "k", p).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+    // plain-Scala oracle over the same md5 hash
+    val expect = (0 until n).map { i =>
+      val h = h60(s"u$i")
+      val rest = h & ((1L << lowBits) - 1)
+      val rho = if (rest == 0) lowBits + 1
+        else lowBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      (h >>> lowBits) -> rho.toLong
+    }.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    assert(regs === expect)
+    // the float estimate (spec-only — engine output stays integral):
+    // alpha_m * m^2 / sum(2^-reg), with the empty-bucket registers at 0
+    val m = 1 << p
+    val alpha = 0.7213 / (1 + 1.079 / m)
+    val harm = (0 until m).map(b => math.pow(2.0, -regs.getOrElse(b.toLong, 0L).toDouble)).sum
+    val est = alpha * m * m / harm
+    assert(math.abs(est - n) < 0.05 * n, s"estimate $est vs exact $n")
+  }
+
+  test("hll merge by cell-wise max is lossless vs the whole-corpus build") {
+    import spark.implicits._
+    val df = (0 until 500)
+      .map(i => ("g", i.toString, i.toLong)).toDF("grp", "k", "id")
+    val merged = Sketches.hllMerged(df, "grp", "k", "id", p = 8)
+    assert(merged.count() > 0)
+    assert(merged.filter(!col("agree")).count() === 0L)
+    // merged register table == direct register table, cell for cell
+    val direct = Sketches.hllRegisters(df, "grp", "k", p = 8).collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+    val viaMerge = merged.collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register_merged")).toMap
+    assert(viaMerge === direct)
+  }
 }

@@ -195,6 +195,15 @@ object ScaleSmoke {
         include = Seq("click", "purchase")), "evt"),
       Op("quantile_sketch", e => Sketches.kmvQuantileSketch(e,
         "event_type", "event_id", "value", k = 256), "evt"),
+      Op("hll_registers", e => Sketches.hllRegisters(e,
+        "event_type", "user_id", p = 8), "evt"),
+      // the declared query runs on customer names; the smoke prices the
+      // same operator on the replica-growing key population (zero-padded
+      // user ids — digit-dense like the names, ED-1 neighbors per key
+      // bounded by digits×alphabet, so pair mass grows ~linearly)
+      Op("fuzzy_join_names", e => Dedup.editDistancePairs(
+        e.select(lpad(col("user_id").cast("string"), 9, "0").as("uid")),
+        "uid"), "evt"),
       Op("pagerank3", e => Graph.pagerankInt(e, iters = 3), "graph"),
       Op("triangle_count", e => Graph.triangleCount(e), "graph"),
       Op("bm25_topk", d => TextOps.bm25TopK(d, Seq(

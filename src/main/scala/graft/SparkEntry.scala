@@ -813,6 +813,11 @@ object SparkEntry {
     "retention_cohorts" -> ((s, dir) =>
       EventOps.retentionCohorts(Tables.events(s, dir))
         .orderBy("cohort_week", "week_k")),
+    // Robust outlier audit: Hampel |x-med| > 3*MAD per event type —
+    // medians are percentile_disc PICKS, so the audit is engine-exact.
+    "mad_outliers" -> ((s, dir) =>
+      EventOps.madOutliers(Tables.events(s, dir), "event_type", "value")
+        .orderBy("event_type")),
 
     // Round-3 capstone composition: per-lang-median quality gate →
     // eval-overlap decontamination → bag-fingerprint dedup (first id
@@ -1111,6 +1116,15 @@ object SparkEntry {
         probes = 2)
         .select(col("qid"), col("label"), col("vec_id"), col("cos"),
           col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
+    // Hard-negative mining (contrastive training): top-k most-similar
+    // DIFFERENT-label vectors per anchor, via foreign-cell IVF probing.
+    "hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(s, Tables.embeddings(s, dir),
+        numQueries = 5, k = 5, probes = 2)
+        .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+          col("neg_label").cast("long").as("neg_label"), col("vec_id"),
+          col("cos"), col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
     "ann_lsh" -> ((s, dir) =>
       Similarity.annLshBucketed(s, Tables.embeddings(s, dir), numQueries = 5, k = 5)
@@ -1981,6 +1995,46 @@ object SparkEntry {
        |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
        |       FROM r)
        |SELECT qid, label, vec_id, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
+
+  /** `hard_negatives` oracle: [[sqlAnnIvf]]'s CTE chain with the
+    * centroid scoring and member join restricted to FOREIGN cells
+    * (label ≠ the anchor's own). */
+  private def sqlHardNegatives(probes: Int): String = {
+    val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    s"""WITH cent AS (
+       |  SELECT label, g.k AS dim,
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k) GROUP BY 1, 2),
+       |q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+       |      FROM embeddings WHERE vec_id < 5),
+       |score AS (
+       |  SELECT q.qid, MAX(q.qlabel) AS qlabel, c.label,
+       |    CAST(CAST(SUM(CAST(FLOOR(CAST(q.qe[c.dim] AS DOUBLE) * 1000) AS BIGINT) * c.sum_q) AS BIGINT) AS DOUBLE)
+       |      / MAX(c.n) AS cscore
+       |  FROM q CROSS JOIN cent c WHERE c.label <> q.qlabel GROUP BY 1, 3),
+       |best AS (SELECT qid, qlabel, label FROM (
+       |    SELECT qid, qlabel, label,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS crn
+       |    FROM score) t WHERE crn <= $probes),
+       |pair AS (
+       |  SELECT b.qid, MAX(b.qlabel) AS qlabel, e.label, e.vec_id,
+       |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
+       |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
+       |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
+       |  FROM best b JOIN q ON q.qid = b.qid
+       |  JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid
+       |  CROSS JOIN generate_series(1, 64) g(k)
+       |  GROUP BY 1, 3, 4),
+       |r AS (SELECT qid, qlabel, label, vec_id,
+       |        CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos FROM pair),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+       |       FROM r)
+       |SELECT qid, CAST(qlabel AS BIGINT) AS qlabel,
+       |  CAST(label AS BIGINT) AS neg_label, vec_id, cos, rn
+       |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3158,6 +3212,7 @@ object SparkEntry {
          |FROM r JOIN sz ON r.cluster = sz.cluster
          |ORDER BY r.vec_id""".stripMargin,
     "ann_ivf" -> sqlAnnIvf(probes = 1),
+    "hard_negatives" -> sqlHardNegatives(probes = 2),
     "ann_ivf_probe2" -> sqlAnnIvf(probes = 2),
     "ann_lsh" -> {
       // plane constants generated from the same seed as the Spark query
@@ -3769,6 +3824,21 @@ object SparkEntry {
         |      FROM events e JOIN f ON e.user_id = f.user_id)
         |SELECT cohort_week, week_k, CAST(COUNT(*) AS BIGINT) AS users
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "mad_outliers" ->
+      """WITH med AS (SELECT event_type,
+        |    CAST(quantile_disc(value, 0.5) AS DOUBLE) AS med
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_type, abs(e.value - med.med) AS adev, med.med
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type,
+        |    CAST(quantile_disc(adev, 0.5) AS DOUBLE) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MAX(d.med) AS med, MAX(mad.mad) AS mad,
+        |  CAST(SUM(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  CAST(SUM(CASE WHEN d.adev > 3.0 * mad.mad THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT) AS outlier_ppm
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

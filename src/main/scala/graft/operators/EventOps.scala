@@ -66,4 +66,41 @@ object EventOps {
       .groupBy("cohort_week", "week_k")
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Robust per-group outlier audit via median absolute deviation
+    * (Hampel's rule): flag x where |x − median| > k·MAD — the
+    * heavy-tail-safe filter a mean/stddev z-score is not (one extreme
+    * value drags the mean AND inflates sigma; the median and MAD
+    * ignore it). Engine-exact despite doubles: both medians are
+    * `percentile_disc` PICKS of existing values (no interpolation),
+    * the deviation is one subtraction of exactly-representable
+    * doubles, and the k·MAD compare is one correctly-rounded multiply
+    * — no summation order anywhere.
+    *
+    * Plan shape: two group-sorted median aggregations over the corpus
+    * plus two broadcast joins of the per-group scalar tables; the
+    * output is one row per group. At 100 TB the exact medians are the
+    * audit path — the serving path reads the same quantiles off
+    * [[Sketches.kmvQuantileSketch]]'s mergeable sample. */
+  def madOutliers(events: DataFrame, group: String, valueCol: String,
+                  k: Int = 3): DataFrame = {
+    val med = events.groupBy(group)
+      .agg(expr(s"percentile_disc(0.5) WITHIN GROUP (ORDER BY $valueCol)")
+        .as("med"))
+    val dev = events.join(broadcast(med), group)
+      .withColumn("adev", abs(col(valueCol) - col("med")))
+    val mad = dev.groupBy(group)
+      .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)")
+        .as("mad"))
+    dev.join(broadcast(mad), group)
+      .groupBy(group)
+      .agg(count(lit(1)).as("n"), max("med").as("med"),
+        max("mad").as("mad"),
+        sum(when(col("adev") > lit(k.toDouble) * col("mad"), lit(1L))
+          .otherwise(lit(0L))).as("n_outliers"))
+      .withColumn("outlier_ppm",
+        expr("CAST(n_outliers * 1000000 div n AS BIGINT)"))
+      .select(col(group), col("n"), col("med"), col("mad"),
+        col("n_outliers"), col("outlier_ppm"))
+  }
 }

@@ -905,6 +905,46 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * ANN-mined negatives of DPR, Karpukhin et al. 2020): for each
+    * anchor, the top-k most-similar vectors carrying a DIFFERENT label
+    * — near misses, the examples a contrastive loss learns most from.
+    * Rides the IVF machinery rather than a brute scan: the anchor
+    * scores the broadcast centroid table restricted to FOREIGN cells
+    * (label ≠ anchor's), probes the `probes` best, and reranks only
+    * those cells' members by quantized cosine. At 100 TB that is the
+    * serving shape — candidates per anchor are bounded by probed-cell
+    * population, never corpus size, and the corpus-side join is a
+    * plain equi-join on the cell key. */
+  def hardNegatives(spark: SparkSession, emb: DataFrame, numQueries: Int,
+                    k: Int, dim: Int = 64, scale: Int = 1000,
+                    probes: Int = 2): DataFrame = {
+    val cents = broadcast(labelCentroids(spark, emb, dim, scale))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          col("label").as("qlabel")))
+    val scored = queries.crossJoin(cents)
+      .filter(col("label") =!= col("qlabel")) // foreign cells only
+      .select(col("qid"), col("qe"), col("qlabel"), col("label"),
+        (aggregate(zip_with(col("qe"), col("sum_q"),
+          (x, y) => floor(x.cast("double") * scale).cast("long") * y),
+          lit(0L), (acc, x) => acc + x).cast("double") / col("n")).as("cscore"))
+    val wBest = Window.partitionBy("qid")
+      .orderBy(col("cscore").desc, col("label"))
+    val probed = scored.withColumn("crn", row_number().over(wBest))
+      .filter(col("crn") <= probes)
+      .select(col("qid"), col("qe"), col("qlabel"), col("label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    probed.join(emb, "label")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlabel"), col("label").as("neg_label"),
+        col("vec_id"),
+        cosineQuantized(col("qe"), col("embedding"), scale).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** LSH-bucketed ANN: random-hyperplane signature → candidates share a
     * bucket → exact cosine re-rank inside the bucket. Planes are a tiny
     * deterministic driver-side matrix (seeded), broadcast as literals.

@@ -22,6 +22,15 @@ case class KmvOut(grp: String, n_kept: Int, kth_hash: Long,
 /** Hashed cell row for the streaming count–min sketch. */
 case class CmsIn(d: Int, b: Long)
 
+/** Bucketed ρ row for the streaming HyperLogLog sketch. */
+case class HllIn(grp: String, bucket: Long, rho: Long)
+
+/** One HLL register. */
+case class HllRegState(register: Long)
+
+/** Per-trigger register emission (update mode). */
+case class HllOut(grp: String, bucket: Long, register: Long)
+
 /** One CMS counter cell. */
 case class CmsCellState(c: Long)
 
@@ -97,6 +106,41 @@ object SketchStream {
           val c = state.getOption.map(_.c).getOrElse(0L) + cellRows.size
           state.update(CmsCellState(c))
           CmsOut(d, b, c)
+      }
+  }
+
+  /** Streaming HyperLogLog — the unbounded-stream twin of
+    * [[graft.operators.Sketches.hllRegisters]]: state is ONE long per
+    * touched (group, bucket) register, bounded by groups·2^p
+    * regardless of stream cardinality. The register update is max —
+    * idempotent, commutative, associative — so the streamed table is
+    * BIT-IDENTICAL to the batch table over the same rows under any
+    * arrival order, batching, or duplicated delivery, and max-mergeable
+    * across independent streams exactly like the batch merge proof
+    * ([[graft.operators.Sketches.hllMerged]]). The ρ computation is the
+    * same deterministic bin-length projection the batch side plans. */
+  def hllStream(rows: DataFrame, grpCol: String, keyCol: String,
+                p: Int = 8): Dataset[HllOut] = {
+    import rows.sparkSession.implicits._
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16, got $p")
+    val lowBits = 60 - p
+    val mask = (1L << lowBits) - 1
+    rows
+      .select(col(grpCol).as("grp"), Sketches.hash60(col(keyCol)).as("h"))
+      .select(col("grp"), shiftright(col("h"), lowBits).as("bucket"),
+        col("h").bitwiseAND(lit(mask)).as("rest"))
+      .select(col("grp"), col("bucket"),
+        when(col("rest") === 0, lit(lowBits + 1))
+          .otherwise(lit(lowBits + 1) - length(bin(col("rest"))))
+          .cast("long").as("rho"))
+      .as[HllIn]
+      .groupByKey(r => (r.grp, r.bucket))
+      .mapGroupsWithState[HllRegState, HllOut](GroupStateTimeout.NoTimeout) {
+        case ((grp, bucket), regRows, state) =>
+          val reg = math.max(state.getOption.map(_.register).getOrElse(0L),
+            regRows.map(_.rho).max)
+          state.update(HllRegState(reg))
+          HllOut(grp, bucket, reg)
       }
   }
 }

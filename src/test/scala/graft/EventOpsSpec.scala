@@ -57,4 +57,21 @@ class EventOpsSpec extends SparkSpec {
       ("2024-01-01", 0L, 1L), ("2024-01-01", 1L, 1L),
       ("2024-01-08", 0L, 1L)))
   }
+
+  test("mad outliers apply Hampel's rule with exact picked medians") {
+    import spark.implicits._
+    // group g: median of (1..7, 100) picks 4 (disc, lower-of-middle);
+    // adevs |x-4| = 3,2,1,0,1,2,3,96 -> MAD picks 2; 3*MAD = 6 ->
+    // only 100 (adev 96) is an outlier. Group h: constant values,
+    // MAD 0, nothing beats 0 by >0... except any deviation; all equal
+    // so zero outliers.
+    val df = (Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 100.0).map(("g", _)) ++
+      Seq(5.0, 5.0, 5.0).map(("h", _))).toDF("grp", "v")
+    val out = EventOps.madOutliers(df, "grp", "v").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("med"),
+        r.getAs[Double]("mad"), r.getAs[Long]("n_outliers"),
+        r.getAs[Long]("outlier_ppm"))).toMap
+    assert(out("g") === ((8L, 4.0, 2.0, 1L, 125000L)))
+    assert(out("h") === ((3L, 5.0, 0.0, 0L, 0L)))
+  }
 }

@@ -1343,4 +1343,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(want.exists(_._3 == 1L))
     assert(!want.exists { case (a, b, _) => a == "kitten" && b == "smitten" })
   }
+
+  test("hard negatives return only foreign-label near misses, nearest first") {
+    import spark.implicits._
+    // anchor 0 (label 0) points at +x; label 1 holds a near miss at
+    // 30deg and a far vector at -x; label 2 holds an orthogonal vector.
+    // dim-64 vectors, mostly zero.
+    def v(parts: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f)
+      parts.foreach { case (i, x) => a(i) = x.toFloat }
+      a
+    }
+    val emb = Seq(
+      (0L, v(0 -> 1.0), 0),
+      (1L, v(0 -> 0.9, 1 -> 0.5), 1),   // near miss, label 1
+      (2L, v(0 -> -1.0), 1),            // antipode, label 1
+      (3L, v(1 -> 1.0), 2),             // orthogonal, label 2
+      (4L, v(0 -> 0.95), 0)             // same label: must NEVER appear
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(spark, emb, numQueries = 1, k = 3,
+      probes = 2).collect()
+    assert(out.nonEmpty)
+    // no same-label vector ever mined as a negative
+    assert(out.forall(r => r.getAs[Int]("neg_label") != r.getAs[Int]("qlabel")))
+    assert(!out.exists(_.getAs[Long]("vec_id") == 4L))
+    // the near miss outranks everything else for anchor 0
+    val first = out.filter(_.getAs[Int]("rn") == 1).head
+    assert(first.getAs[Long]("vec_id") === 1L)
+  }
 }

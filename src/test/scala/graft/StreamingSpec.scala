@@ -541,6 +541,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming HLL registers are bit-identical to the batch table " +
+    "under split, duplicated delivery") {
+    val words = (0 until 40).map(i => s"k${i % 25}") // dups + 25 distinct
+    val input = MemoryStream[Doc](spark)
+    val q = graft.streaming.SketchStream
+      .hllStream(input.toDF(), "text", "text", p = 8)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("update").start()
+    try {
+      input.addData(words.take(30).zipWithIndex.map { case (w, i) =>
+        Doc(i.toLong, ts("10:00"), w) }: _*)
+      q.processAllAvailable()
+      // second batch re-delivers some of the first (duplicated delivery)
+      input.addData(words.drop(20).zipWithIndex.map { case (w, i) =>
+        Doc(100L + i, ts("10:05"), w) }: _*)
+      q.processAllAvailable()
+      // registers are monotone: final value per cell = max of emissions
+      val streamed = spark.table("hll_stream").collect()
+        .groupBy(r => r.getAs[Long]("bucket")).view
+        .mapValues(_.map(_.getAs[Long]("register")).max).toMap
+      val batch = graft.operators.Sketches.hllRegisters(
+        words.toDF("text").withColumn("g", org.apache.spark.sql.functions.lit("text")),
+        "g", "text", p = 8).collect()
+        .map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("register")).toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming semantic dedup equals the batch-vs-corpus twin, statelessly") {
     // the semDedupAgainstCorpus spec fixture: v10 is colinear with
     // corpus v0 (dropped at ingest), v11 is novel, v12 is colinear

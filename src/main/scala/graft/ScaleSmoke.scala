@@ -249,6 +249,7 @@ object ScaleSmoke {
           .filter(col("text_clean") =!= "")
           .select(col("doc_id"), col("text_clean").as("text"))
           .join(d.select("doc_id", "lang", "source"), "doc_id")
+          .localCheckpoint(eager = false)
         val train = rewritten.join(TextOps.leakFreeSplit(rewritten)
           .filter(col("split_fixed") === "train").select("doc_id"), "doc_id")
         Curation.shardBalance(train, 8)

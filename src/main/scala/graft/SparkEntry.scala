@@ -840,10 +840,13 @@ object SparkEntry {
       val kept = Curation.gopherRules(docs, Gopher)
         .filter(col("keep")).select("doc_id")
       val gated = docs.join(kept, "doc_id")
+      // the rewrite is consumed twice (split input + train join):
+      // materialize once, don't pay the span cascade again
       val rewritten = TextOps.dedupSpansRewrite(gated, n = SpanTokens)
         .filter(col("text_clean") =!= "")
         .select(col("doc_id"), col("text_clean").as("text"))
         .join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .localCheckpoint(eager = false)
       val train = rewritten
         .join(TextOps.leakFreeSplit(rewritten)
           .filter(col("split_fixed") === "train").select("doc_id"), "doc_id")
@@ -858,13 +861,17 @@ object SparkEntry {
       val capped = docs.join(
         TextOps.sourceCap(docs, cap = SourceCapN).select("doc_id"), "doc_id")
       val lm = TextOps.lmScore(docs).select("doc_id", "avg_pmilli")
-      val scored = capped.join(lm, "doc_id")
+      // scored embeds the LM-score corpus explode and is consumed by
+      // the median, the gate, and (via gated) two more sinks —
+      // materialize each tier once instead of replaying the chain
+      val scored = capped.join(lm, "doc_id").localCheckpoint(eager = false)
       val med = scored.groupBy("lang")
         .agg(expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY avg_pmilli)")
           .cast("long").as("med"))
       val gated = scored.join(broadcast(med), "lang")
         .filter(col("avg_pmilli") >= col("med"))
         .select("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(eager = false)
       val cappedCnt = capped.groupBy("lang")
         .agg(count(lit(1)).as("capped_docs"))
       val gatedCnt = gated.groupBy("lang")

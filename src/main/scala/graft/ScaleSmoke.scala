@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup, Graph, MatrixOps, Multimodal,
+import graft.operators.{Curation, Dedup, EventOps, Graph, MatrixOps, Multimodal,
   Similarity, Sketches, Temporal, TextOps}
 import graft.streaming.{DocStream, EventStream}
 
@@ -135,6 +135,8 @@ object ScaleSmoke {
         Similarity.annIvfRpq(spark, e, 25, 5, 8, 16, probes = 2), "emb"),
       Op("ann_srp_rerank", e =>
         Similarity.annSrpRerank(e, 25, 5, 20), "emb"),
+      Op("hard_negatives", e =>
+        Similarity.hardNegatives(spark, e, 25, 5, probes = 2), "emb"),
       // SemDeDup: replica copies are EXACT embedding dups (only ids
       // shift), so every copy lands in its original's cluster and
       // intra-cluster pair work grows factor² by construction — the
@@ -197,6 +199,8 @@ object ScaleSmoke {
         "event_type", "event_id", "value", k = 256), "evt"),
       Op("hll_registers", e => Sketches.hllRegisters(e,
         "event_type", "user_id", p = 8), "evt"),
+      Op("mad_outliers", e => EventOps.madOutliers(e,
+        "event_type", "value"), "evt"),
       // the declared query runs on customer names; the smoke prices the
       // same operator on the replica-growing key population (zero-padded
       // user ids — digit-dense like the names, ED-1 neighbors per key

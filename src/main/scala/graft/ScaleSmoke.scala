@@ -111,6 +111,8 @@ object ScaleSmoke {
       Op("dedup_exact_groups", Dedup.exactGroups, "doc"),
       Op("doc_repetition", TextOps.repetitionSignals, "doc"),
       Op("corpus_ngrams", d => TextOps.corpusNgrams(d, 3, 50), "doc"),
+      Op("doc_novelty", d => TextOps.docNovelty(d, 3), "doc"),
+      Op("ctfidf_keywords", d => TextOps.ctfidfKeywords(d, 5), "doc"),
       Op("bpe_merges", d => TextOps.bpeMerges(d, 3), "doc"),
       Op("bpe_encode", d => TextOps.bpeEncode(d, 3), "doc"),
       Op("contamination_hits", d => TextOps.contaminationHits(d, 5), "doc"),

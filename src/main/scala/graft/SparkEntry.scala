@@ -701,6 +701,16 @@ object SparkEntry {
     // TakeOrderedAndProject, total order so the cut is deterministic.
     "corpus_ngrams" -> ((s, dir) =>
       TextOps.corpusNgrams(Tables.documents(s, dir), n = 3, k = 50)),
+    // Per-doc trigram novelty: ppm of gram occurrences no other doc
+    // carries — low marks boilerplate/template mass.
+    "doc_novelty" -> ((s, dir) =>
+      TextOps.docNovelty(Tables.documents(s, dir), n = 3)
+        .orderBy("doc_id")),
+    // c-TF-IDF keywords: the top-5 tokens distinguishing each source
+    // (integer idf ratio, so both engines score identically).
+    "ctfidf_keywords" -> ((s, dir) =>
+      TextOps.ctfidfKeywords(Tables.documents(s, dir), k = 5)
+        .orderBy("source", "rnk")),
     // KMV distinct-count sketch (deterministic, so still hash-checkable):
     // distinct users per event type, k=32, alongside the exact count.
     "approx_distinct_users" -> ((s, dir) =>
@@ -2674,6 +2684,37 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS docs
         |FROM g GROUP BY 1
         |ORDER BY occurrences DESC, gram LIMIT 50""".stripMargin,
+    "doc_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, greatest(len(toks)-2, 1)+1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS gram FROM t),
+        |pd AS (SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM g GROUP BY 1, 2),
+        |d AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM pd GROUP BY 1)
+        |SELECT pd.doc_id, CAST(SUM(pd.c) AS BIGINT) AS grams,
+        |  CAST(SUM(CASE WHEN d.df = 1 THEN pd.c ELSE 0 END) AS BIGINT) AS unique_grams,
+        |  CAST(SUM(CASE WHEN d.df = 1 THEN pd.c ELSE 0 END) * 1000000
+        |    // SUM(pd.c) AS BIGINT) AS novelty_ppm
+        |FROM pd JOIN d USING (gram) GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    "ctfidf_keywords" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |tf AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df_sources
+        |      FROM tf GROUP BY 1),
+        |s AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS s_total
+        |      FROM documents),
+        |v AS (SELECT tf.source, tf.token, tf.tf,
+        |    CAST(s.s_total * 1000000 // d.df_sources AS BIGINT) AS idf_ppm
+        |  FROM tf JOIN d USING (token) CROSS JOIN s),
+        |r AS (SELECT *, tf * idf_ppm AS score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY tf * idf_ppm DESC, token) AS rnk
+        |  FROM v)
+        |SELECT source, token, tf, idf_ppm, score, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "approx_distinct_users" ->
       s"""WITH dh AS (SELECT DISTINCT event_type,
          |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h

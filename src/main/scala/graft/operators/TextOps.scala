@@ -1491,4 +1491,64 @@ object TextOps {
         coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
   }
+
+  /** Per-document n-gram novelty: what fraction of a doc's n-gram
+    * occurrences appear in NO other document (corpus df = 1). High
+    * novelty marks genuinely unique content; low novelty marks
+    * boilerplate / template mass — the inverse signal
+    * [[repetitionSignals]] measures within a single doc. Integer
+    * parts-per-million, so the score is engine-exact.
+    *
+    * Plan shape: the gram relation aggregates twice — per-(gram, doc)
+    * counts (exchange-free first level, the [[corpusNgrams]] idiom),
+    * then gram-level df — and the df table joins back on the gram
+    * hash; everything is equi-join + hash aggregation, linear in gram
+    * volume. */
+  def docNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
+    val perDoc = gramRows(docs, Seq(n))
+      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
+      .groupBy("gh", "doc_id").agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val dfTab = perDoc.groupBy("gh").agg(count(lit(1)).as("df"))
+    perDoc.join(dfTab, "gh")
+      .groupBy("doc_id")
+      .agg(sum("c").as("grams"),
+        sum(when(col("df") === 1, col("c")).otherwise(lit(0L)))
+          .as("unique_grams"))
+      .withColumn("novelty_ppm",
+        expr("CAST(unique_grams * 1000000 div grams AS BIGINT)"))
+  }
+
+  /** Class-based TF-IDF keywords per source (the c-TF-IDF of BERTopic,
+    * Grootendorst 2022, with the log curve replaced by an integer
+    * ratio so both engines compute the identical score): treat each
+    * source's concatenated documents as ONE class document, weight a
+    * token's class frequency by how few classes carry it —
+    * idf_ppm = S·10⁶ div df_sources — and keep each source's top-k
+    * tokens. The corpus-labeling primitive: what vocabulary
+    * distinguishes this feed from the others.
+    *
+    * Plan shape: one token aggregation to (source, token, tf) —
+    * class-document scale, the only corpus pass — a source-count
+    * aggregation off it, one broadcast of the S scalar, and a top-k
+    * rank window pruned map-side by WindowGroupLimit. */
+  def ctfidfKeywords(docs: DataFrame, k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false)
+    val dfSrc = tf.groupBy("token").agg(count(lit(1)).as("df_sources"))
+    val s = docs.select(countDistinct("source").as("s_total"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(dfSrc, "token").crossJoin(broadcast(s))
+      .select(col("source"), col("token"), col("tf"), col("df_sources"),
+        expr("CAST(s_total * 1000000 div df_sources AS BIGINT)")
+          .as("idf_ppm"))
+      .withColumn("score", col("tf") * col("idf_ppm"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("token"), col("tf"), col("idf_ppm"),
+        col("score"), col("rnk").cast("long").as("rnk"))
+  }
 }

@@ -1371,4 +1371,42 @@ class PipelineOpsSpec extends SparkSpec {
     val first = out.filter(_.getAs[Int]("rn") == 1).head
     assert(first.getAs[Long]("vec_id") === 1L)
   }
+
+  test("doc novelty counts df-1 gram occurrences in ppm") {
+    import spark.implicits._
+    // docs 1 and 2 share their only trigram; doc 3 is fully novel;
+    // doc 4 repeats a shared gram (occurrences, not distinct grams)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b c"), (3L, "x y z"),
+      (4L, "a b c a b c")   // grams: abc, bca, cab, abc -> abc df>1
+    ).toDF("doc_id", "text")
+    val out = TextOps.docNovelty(docs, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("grams"),
+        r.getAs[Long]("unique_grams"), r.getAs[Long]("novelty_ppm"))).toMap
+    assert(out(1L) === ((1L, 0L, 0L)))          // shared with 2 and 4
+    assert(out(3L) === ((1L, 1L, 1000000L)))    // fully novel
+    // doc 4: 4 gram occurrences; "a b c" x2 shared; "b c a"/"c a b"
+    // unique to doc 4 -> 2/4 = 500000 ppm
+    assert(out(4L) === ((4L, 2L, 500000L)))
+  }
+
+  test("ctfidf keywords rank source-distinguishing tokens first") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common alpha alpha", "s1"),
+      (2L, "common beta", "s2"),
+      (3L, "common beta gamma", "s2")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.ctfidfKeywords(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("rnk")) ->
+        (r.getString(1), r.getAs[Long]("idf_ppm"), r.getAs[Long]("score")))
+      .toMap
+    // s_total = 2; df(common)=2 -> idf 1000000; df(alpha)=1 -> 2000000
+    // s1: alpha tf=2 score 4e6 beats common tf=1 score 1e6
+    assert(out(("s1", 1L))._1 === "alpha")
+    assert(out(("s1", 1L))._2 === 2000000L)
+    assert(out(("s1", 2L)) === (("common", 1000000L, 1000000L)))
+    // s2: beta tf=2 idf 2000000 score 4e6 first
+    assert(out(("s2", 1L)) === (("beta", 2000000L, 4000000L)))
+  }
 }

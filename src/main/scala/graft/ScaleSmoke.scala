@@ -210,6 +210,9 @@ object ScaleSmoke {
       Op("fuzzy_join_names", e => Dedup.editDistancePairs(
         e.select(lpad(col("user_id").cast("string"), 9, "0").as("uid")),
         "uid"), "evt"),
+      Op("fuzzy_components", e => Dedup.editDistanceComponents(
+        e.select(lpad(col("user_id").cast("string"), 9, "0").as("uid"),
+          col("user_id")), "uid", "user_id"), "evt"),
       Op("pagerank3", e => Graph.pagerankInt(e, iters = 3), "graph"),
       Op("triangle_count", e => Graph.triangleCount(e), "graph"),
       Op("bm25_topk", d => TextOps.bm25TopK(d, Seq(

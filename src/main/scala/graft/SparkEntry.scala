@@ -749,6 +749,11 @@ object SparkEntry {
     "fuzzy_join_names" -> ((s, dir) =>
       Dedup.editDistancePairs(Tables.customer(s, dir), "c_name")
         .orderBy("name_a", "name_b")),
+    // Typo clusters: transitive components over the ED-1 name graph —
+    // the entity-resolution canonicalization step.
+    "fuzzy_components" -> ((s, dir) =>
+      Dedup.editDistanceComponents(Tables.customer(s, dir), "c_name",
+        "c_custkey").orderBy("name")),
     // Exact-quota reservoir: first-n-by-salted-md5 per language
     // (en 60, de/fr 25 each, others 10) — WindowGroupLimit prunes
     // map-side, the corpus never fully sorts.
@@ -4170,6 +4175,25 @@ object SparkEntry {
         |FROM names a JOIN names b ON a.n < b.n
         |WHERE levenshtein(a.n, b.n) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
+    "fuzzy_components" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT CAST(c_name AS VARCHAR) AS n,
+        |    CAST(MIN(c_custkey) AS BIGINT) AS kid
+        |  FROM customer WHERE c_name IS NOT NULL AND length(c_name) >= 1
+        |  GROUP BY 1),
+        |p AS (SELECT a.kid AS k1, b.kid AS k2
+        |  FROM names a JOIN names b ON a.n < b.n
+        |  WHERE levenshtein(a.n, b.n) <= 1),
+        |edges AS (SELECT k1 AS src, k2 AS dst FROM p
+        |          UNION SELECT k2, k1 FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (SELECT src AS kid, MIN(dst) AS component
+        |         FROM reach GROUP BY 1)
+        |SELECT n.n AS name, n.kid, c.component
+        |FROM names n JOIN comp c USING (kid) ORDER BY name""".stripMargin,
     "user_event_quantiles" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1, 2)

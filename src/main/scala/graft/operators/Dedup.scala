@@ -1460,4 +1460,33 @@ object Dedup {
         .cast("long"))
       .filter(col("dist") <= 1)
   }
+
+  /** Typo/entity CLUSTERS: connected components over the
+    * [[editDistancePairs]] graph — the canonicalization step an
+    * entity-resolution pipeline runs after fuzzy matching (A≈B, B≈C ⇒
+    * one canonical id for {A,B,C} even if A,C never paired; pairs are
+    * only evidence, the unit of merge is the transitive cluster).
+    * Keys map to a canonical long id (min `idCol` per distinct key) so
+    * the shared pointer-jump [[connectedComponents]] machinery runs
+    * unchanged; `component` is the minimum reachable id. Only keys
+    * that paired appear — singletons need no canonicalization. */
+  def editDistanceComponents(df: DataFrame, keyCol: String,
+                             idCol: String): DataFrame = {
+    val keyed = df
+      .select(col(keyCol).cast("string").as("n"),
+        col(idCol).cast("long").as("id"))
+      .filter(col("n").isNotNull && length(col("n")) >= 1)
+      .groupBy("n").agg(min("id").as("kid"))
+      .localCheckpoint(eager = false)
+    val pairs = editDistancePairs(keyed, "n")
+      .join(keyed.select(col("n").as("name_a"), col("kid").as("d1")),
+        "name_a")
+      .join(keyed.select(col("n").as("name_b"), col("kid").as("d2")),
+        "name_b")
+      .select("d1", "d2")
+    connectedComponents(pairs)
+      .select(col("doc_id").as("kid"), col("component"))
+      .join(keyed, "kid")
+      .select(col("n").as("name"), col("kid"), col("component"))
+  }
 }

@@ -1409,4 +1409,16 @@ class PipelineOpsSpec extends SparkSpec {
     // s2: beta tf=2 idf 2000000 score 4e6 first
     assert(out(("s2", 1L)) === (("beta", 2000000L, 4000000L)))
   }
+
+  test("edit-distance components close typo chains transitively") {
+    import spark.implicits._
+    // aa~ab~bb chain: aa and bb are ED 2 apart but share the cluster;
+    // xx~xy is a separate cluster; zz pairs with nothing
+    val df = Seq((10L, "aa"), (11L, "ab"), (12L, "bb"),
+      (20L, "xx"), (21L, "xy"), (30L, "zz")).toDF("id", "name")
+    val out = Dedup.editDistanceComponents(df, "name", "id").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("component")).toMap
+    assert(out === Map("aa" -> 10L, "ab" -> 10L, "bb" -> 10L,
+      "xx" -> 20L, "xy" -> 20L))   // zz absent: never paired
+  }
 }

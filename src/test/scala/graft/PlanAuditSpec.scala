@@ -356,4 +356,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"margins are hash aggregations, no rank window, plan:\n$p")
   }
+
+  test("fuzzy join and components contract via equi-joins only") {
+    for (q <- Seq("fuzzy_join_names", "fuzzy_components")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        s"$q must block via the deletion-variant equi-join, plan:\n$p")
+    }
+  }
+
+  test("hll registers plan as one projection + one max aggregation") {
+    val p = plan("hll_registers")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"the register table needs no window or join, plan:\n$p")
+    // partial+final max pair, nothing else aggregates the corpus
+    assert("HashAggregate".r.findAllIn(p).size == 2,
+      s"expected exactly the partial+final max pair, plan:\n$p")
+  }
+
+  test("heavy hitters derive every branch from the checkpointed counts") {
+    val p = plan("heavy_hitters")
+    // the corpus token explode lives behind the lazy checkpoint of the
+    // (key, count) relation — the plan's only explodes are the tiny
+    // depth-sequence fan-outs over that vocabulary-scale relation, and
+    // the raw split-explode never replays per branch
+    assert(!p.contains("explode(split("),
+      s"corpus token explode must sit behind the counts checkpoint, plan:\n$p")
+    assert(p.contains("Scan ExistingRDD"),
+      s"branches must read the checkpointed counts relation, plan:\n$p")
+  }
 }

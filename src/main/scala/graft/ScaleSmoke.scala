@@ -213,6 +213,13 @@ object ScaleSmoke {
       Op("fuzzy_components", e => Dedup.editDistanceComponents(
         e.select(lpad(col("user_id").cast("string"), 9, "0").as("uid"),
           col("user_id")), "uid", "user_id"), "evt"),
+      Op("dedup_incremental_fuzzy", e => {
+        val ids = e.select(col("user_id"),
+          lpad(col("user_id").cast("string"), 9, "0").as("uid"))
+        Dedup.fuzzyMatchAgainstCorpus(
+          ids.filter(col("user_id") % 3 =!= 0),
+          ids.filter(col("user_id") % 3 === 0), "uid")
+      }, "evt"),
       Op("pagerank3", e => Graph.pagerankInt(e, iters = 3), "graph"),
       Op("triangle_count", e => Graph.triangleCount(e), "graph"),
       Op("bm25_topk", d => TextOps.bm25TopK(d, Seq(

@@ -754,6 +754,16 @@ object SparkEntry {
     "fuzzy_components" -> ((s, dir) =>
       Dedup.editDistanceComponents(Tables.customer(s, dir), "c_name",
         "c_custkey").orderBy("name")),
+    // Incremental fuzzy match: the every-third-customer corpus vs the
+    // rest as the incoming batch — per new name, the ED<=1 corpus
+    // match count, nearest match, and the ingest keep verdict.
+    "dedup_incremental_fuzzy" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      Dedup.fuzzyMatchAgainstCorpus(
+        c.filter(col("c_custkey") % 3 =!= 0),
+        c.filter(col("c_custkey") % 3 === 0), "c_name")
+        .orderBy("name")
+    }),
     // Exact-quota reservoir: first-n-by-salted-md5 per language
     // (en 60, de/fr 25 each, others 10) — WindowGroupLimit prunes
     // map-side, the corpus never fully sorts.
@@ -4194,6 +4204,19 @@ object SparkEntry {
         |         FROM reach GROUP BY 1)
         |SELECT n.n AS name, n.kid, c.component
         |FROM names n JOIN comp c USING (kid) ORDER BY name""".stripMargin,
+    "dedup_incremental_fuzzy" ->
+      """WITH nw AS (SELECT DISTINCT CAST(c_name AS VARCHAR) AS n
+        |  FROM customer WHERE c_custkey % 3 <> 0
+        |    AND c_name IS NOT NULL AND length(c_name) >= 1),
+        |cp AS (SELECT DISTINCT CAST(c_name AS VARCHAR) AS n
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |    AND c_name IS NOT NULL AND length(c_name) >= 1),
+        |m AS (SELECT nw.n AS name, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |    MIN(cp.n) AS nearest
+        |  FROM nw JOIN cp ON levenshtein(nw.n, cp.n) <= 1 GROUP BY 1)
+        |SELECT nw.n AS name, COALESCE(m.n_matches, 0) AS n_matches,
+        |  m.nearest, m.name IS NULL AS keep
+        |FROM nw LEFT JOIN m ON nw.n = m.name ORDER BY name""".stripMargin,
     "user_event_quantiles" ->
       """WITH c AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n
         |           FROM events GROUP BY 1, 2)

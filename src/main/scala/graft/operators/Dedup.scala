@@ -1434,11 +1434,7 @@ object Dedup {
     // buckets every name one INSERTION around it (≈ alphabet × length
     // members — measured 3× the total runtime on customer keys, all of
     // it ED-2 candidate mass the verify then threw away).
-    val dels = names.select(col("n"),
-      posexplode(expr("transform(sequence(1, length(n)), " +
-        "i -> concat(substring(n, 1, i - 1), " +
-        "substring(n, i + 1, length(n))))")))
-      .withColumnRenamed("col", "bk")
+    val dels = deletionVariants(names)
     // substitutions: same-position variant match ⇒ equal everywhere
     // else BY CONSTRUCTION — every candidate is a true pair, exactly
     // once (the one differing position), so no distinct, no verify.
@@ -1488,5 +1484,55 @@ object Dedup {
       .select(col("doc_id").as("kid"), col("component"))
       .join(keyed, "kid")
       .select(col("n").as("name"), col("kid"), col("component"))
+  }
+
+  private def deletionVariants(names: DataFrame): DataFrame =
+    names.select(col("n"),
+      posexplode(expr("transform(sequence(1, length(n)), " +
+        "i -> concat(substring(n, 1, i - 1), " +
+        "substring(n, i + 1, length(n))))")))
+      .withColumnRenamed("col", "bk")
+
+  /** Incremental fuzzy match — the ingestion-time twin of
+    * [[editDistancePairs]], completing the incremental family
+    * (exact → simhash → containment → embedding → FUZZY KEY): for each
+    * NEW key, how many corpus keys sit within one edit (ED 0 = exact
+    * re-occurrence included), the nearest such key, and the keep
+    * verdict an entity-resolution ingest applies. Same
+    * deletion-neighborhood blocking, asymmetric: same-length
+    * candidates share (variant, pos); ±1-length candidates match one
+    * side's deletion to the other's self key. At scale the corpus
+    * variant relation is the precomputed lake-side index — the batch
+    * only hashes its own variants into it, the
+    * [[saveCorpusDigests]] shape. */
+  def fuzzyMatchAgainstCorpus(newKeys: DataFrame, corpus: DataFrame,
+                              keyCol: String): DataFrame = {
+    def prep(df: DataFrame) = df
+      .select(col(keyCol).cast("string").as("n"))
+      .filter(col("n").isNotNull && length(col("n")) >= 1)
+      .distinct()
+      .localCheckpoint(eager = false)
+    val nw = prep(newKeys)
+    val cp = prep(corpus)
+    val subs = deletionVariants(nw).as("a")
+      .join(deletionVariants(cp).as("b"),
+        col("a.bk") === col("b.bk") && col("a.pos") === col("b.pos"))
+      .select(col("a.n").as("name"), col("b.n").as("match_name"))
+    val ins = deletionVariants(nw).as("d")
+      .join(cp.as("s"), col("d.bk") === col("s.n"))
+      .select(col("d.n").as("name"), col("s.n").as("match_name"))
+    val del = deletionVariants(cp).as("d")
+      .join(nw.as("s"), col("d.bk") === col("s.n"))
+      .select(col("s.n").as("name"), col("d.n").as("match_name"))
+    val matches = subs.unionByName(ins).unionByName(del)
+      .filter(levenshtein(col("name"), col("match_name")) <= 1)
+      .distinct() // an EQUAL pair shares (variant, pos) at every position
+      .groupBy("name")
+      .agg(count(lit(1)).as("n_matches"), min("match_name").as("nearest"))
+    nw.withColumnRenamed("n", "name")
+      .join(matches, Seq("name"), "left")
+      .select(col("name"),
+        coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+        col("nearest"), col("n_matches").isNull.as("keep"))
   }
 }

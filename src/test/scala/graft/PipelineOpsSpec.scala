@@ -1421,4 +1421,17 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out === Map("aa" -> 10L, "ab" -> 10L, "bb" -> 10L,
       "xx" -> 20L, "xy" -> 20L))   // zz absent: never paired
   }
+
+  test("incremental fuzzy match counts corpus near-twins per new key") {
+    import spark.implicits._
+    val corpus = Seq("cat", "dog", "dog").toDF("k")
+    val batch = Seq("cat", "bat", "zebra", "do").toDF("k")
+    val out = Dedup.fuzzyMatchAgainstCorpus(batch, corpus, "k").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_matches"),
+        Option(r.getString(2)), r.getAs[Boolean]("keep"))).toMap
+    assert(out("cat") === ((1L, Some("cat"), false)))   // exact re-occurrence
+    assert(out("bat") === ((1L, Some("cat"), false)))   // substitution
+    assert(out("do") === ((1L, Some("dog"), false)))    // deletion
+    assert(out("zebra") === ((0L, None, true)))         // novel -> kept
+  }
 }

@@ -206,16 +206,21 @@ object ScaleSmoke {
       // the declared query runs on customer names; the smoke prices the
       // same operator on the replica-growing key population (zero-padded
       // user ids — digit-dense like the names, ED-1 neighbors per key
-      // bounded by digits×alphabet, so pair mass grows ~linearly)
+      // bounded by digits×alphabet, so pair mass grows ~linearly).
+      // Pad to 12 digits: replication grows user_id by k·stride, and a
+      // 9-wide lpad would silently TRUNCATE 10+-digit ids, colliding
+      // distinct users into one fuzzy key and distorting the measured
+      // pair-mass scaling; 12 covers any factor this smoke runs at
+      // (stride ≈ 10⁵-10⁷, factor ≤ 100 → ids < 10⁹ ≪ 10¹²).
       Op("fuzzy_join_names", e => Dedup.editDistancePairs(
-        e.select(lpad(col("user_id").cast("string"), 9, "0").as("uid")),
+        e.select(lpad(col("user_id").cast("string"), 12, "0").as("uid")),
         "uid"), "evt"),
       Op("fuzzy_components", e => Dedup.editDistanceComponents(
-        e.select(lpad(col("user_id").cast("string"), 9, "0").as("uid"),
+        e.select(lpad(col("user_id").cast("string"), 12, "0").as("uid"),
           col("user_id")), "uid", "user_id"), "evt"),
       Op("dedup_incremental_fuzzy", e => {
         val ids = e.select(col("user_id"),
-          lpad(col("user_id").cast("string"), 9, "0").as("uid"))
+          lpad(col("user_id").cast("string"), 12, "0").as("uid"))
         Dedup.fuzzyMatchAgainstCorpus(
           ids.filter(col("user_id") % 3 =!= 0),
           ids.filter(col("user_id") % 3 === 0), "uid")
@@ -299,8 +304,12 @@ object ScaleSmoke {
       Op("dedup_components", d => Dedup.jaccardComponents(d, 9), "pair"),
       Op("dedup_containment", d => Dedup.containmentPairs(d, 9), "pair",
         cand = Some(d => Dedup.containmentCandidates(d, 9))),
+      // Same hoist as dedup_incremental_embedding: docStrideSeen is set
+      // by the doc-tier build and only READ here — no action (and no
+      // extra scan) inside the timed region, and the lake stays the
+      // original lower half while the batch grows with the factor.
       Op("dedup_incremental_containment", d => {
-        val half = d.agg(max("doc_id")).first().getLong(0) / 2
+        val half = docStrideSeen / 2
         Dedup.dedupAgainstCorpusContainment(
           d.filter(col("doc_id") > half),
           d.filter(col("doc_id") <= half), 10)

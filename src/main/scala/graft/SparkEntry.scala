@@ -448,6 +448,20 @@ object SparkEntry {
     * on both engines (SURVEY §7 R2). */
   private def money(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Single-plan threshold split: (upper, lower) halves of `df` around
+    * `max(idCol) div 2`, with the threshold folded into the plan as a
+    * broadcast 1-row aggregate (the q22_idle_customers scalar-subquery
+    * idiom) instead of a driver-side `.first()` — so every incremental
+    * query stays ONE submitted plan; at 100 TB the old form paid an
+    * extra full-column scan job per invocation just to learn the split
+    * point. */
+  private def halvesByMaxId(df: DataFrame, idCol: String): (DataFrame, DataFrame) = {
+    val half = df.agg(expr(s"max($idCol) div 2").as("__half"))
+    val withH = df.crossJoin(broadcast(half))
+    (withH.filter(col(idCol) > col("__half")).drop("__half"),
+      withH.filter(col(idCol) <= col("__half")).drop("__half"))
+  }
+
   // =====================================================================
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -608,25 +622,16 @@ object SparkEntry {
       TextOps.dupRateBySource(Tables.documents(s, dir)).orderBy("source")),
     // Incremental dedup: the id-upper half of the corpus ingested
     // against the lower half (anti-join on content digest). The split
-    // point is a one-scalar driver lookup (metadata-scale).
+    // point rides the plan as a broadcast scalar subquery (single job).
     "dedup_incremental" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val maxRow = docs.agg(max("doc_id")).first()
-      val half = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) / 2
-      Dedup.dedupAgainstCorpus(
-        docs.filter(col("doc_id") > half),
-        docs.filter(col("doc_id") <= half))
-        .orderBy("doc_id")
+      val (batch, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      Dedup.dedupAgainstCorpus(batch, corpus).orderBy("doc_id")
     }),
     // near-dup incremental: batch docs within simhash Hamming ≤ 4 of
     // any corpus doc drop (two-sided pigeonhole band probe).
     "dedup_incremental_simhash" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val maxRow = docs.agg(max("doc_id")).first()
-      val half = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) / 2
-      Dedup.dedupAgainstCorpusSimhash(
-        docs.filter(col("doc_id") > half),
-        docs.filter(col("doc_id") <= half), maxDistance = 4)
+      val (batch, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      Dedup.dedupAgainstCorpusSimhash(batch, corpus, maxDistance = 4)
         .orderBy("doc_id")
     }),
     // containment incremental: batch docs whose EVERY token appears in
@@ -637,12 +642,8 @@ object SparkEntry {
     // batch docs survive (31-token vocabulary), at 1.0 the gate
     // separates 27 genuinely novel docs from 223 subsets at sf0.01.
     "dedup_incremental_containment" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val maxRow = docs.agg(max("doc_id")).first()
-      val half = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) / 2
-      Dedup.dedupAgainstCorpusContainment(
-        docs.filter(col("doc_id") > half),
-        docs.filter(col("doc_id") <= half),
+      val (batch, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      Dedup.dedupAgainstCorpusContainment(batch, corpus,
         thresholdTenths = IncContainTenths)
         .orderBy("doc_id")
     }),
@@ -1055,12 +1056,8 @@ object SparkEntry {
     // vectors with a corpus near-twin drop, batch-batch twins both
     // survive (ingestion dedup never judges the batch against itself).
     "dedup_incremental_embedding" -> ((s, dir) => {
-      val emb = Tables.embeddings(s, dir)
-      val maxRow = emb.agg(max("vec_id")).first()
-      val half = (if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)) / 2
-      Similarity.semDedupAgainstCorpus(s,
-        emb.filter(col("vec_id") > half),
-        emb.filter(col("vec_id") <= half),
+      val (batch, corpus) = halvesByMaxId(Tables.embeddings(s, dir), "vec_id")
+      Similarity.semDedupAgainstCorpus(s, batch, corpus,
         thresholdHundredths = SemDedupHundredths)
         .orderBy("vec_id")
     }),

@@ -375,6 +375,46 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the partial+final max pair, plan:\n$p")
   }
 
+  test("incremental threshold splits build one plan — no driver action in the lambda") {
+    // the r7 verdict's last everything-is-one-plan deviation: the
+    // corpus/batch split point must ride the plan as a broadcast 1-row
+    // aggregate (the q22_idle_customers scalar-subquery idiom), not a
+    // driver-side .first() that costs an extra full-column scan job per
+    // invocation at 100 TB
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val descs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        // spark.read.parquet itself submits a footer/schema-inference
+        // job per call ("parquet at Tables.scala") — every declared
+        // query pays that at construction; this audit is about EXTRA
+        // actions (the old threshold .first() scan), so reads are
+        // excluded from the count
+        if (!js.stageInfos.forall(_.name.startsWith("parquet at Tables"))) {
+          jobs.incrementAndGet()
+          descs.add(js.stageInfos.map(si => si.name + " @ " +
+            si.details.linesIterator.take(8).mkString(" | ")).mkString("\n"))
+        }
+        ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      for (q <- Seq("dedup_incremental", "dedup_incremental_simhash",
+          "dedup_incremental_containment", "dedup_incremental_embedding")) {
+        val p = plan(q)
+        assert(p.contains("max(doc_id") || p.contains("max(vec_id"),
+          s"$q split threshold must be an in-plan scalar agg, plan:\n$p")
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(sc, 10000L)
+        assert(jobs.get() == 0,
+          s"constructing $q must submit no jobs, got ${jobs.get()}:\n" +
+            descs.toArray.mkString("\n---\n"))
+      }
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("heavy hitters derive every branch from the checkpointed counts") {
     val p = plan("heavy_hitters")
     // the corpus token explode lives behind the lazy checkpoint of the

@@ -115,12 +115,33 @@ object Dedup {
     * round, the legitimate driver-side use). `localCheckpoint` truncates
     * the growing lineage each round so round N's plan doesn't replay
     * rounds 1..N-1 (on a cluster: `checkpoint` to reliable storage). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of propagation rounds it
+    * ran — the probe surface (FUZZY_PROBE) that prices the loop. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    import org.apache.spark.sql.Observation
+    // Every per-round scalar the loop needs (edge count for partition
+    // sizing, the label-sum convergence check) rides the SAME job that
+    // materializes the round's checkpoint, as an `observe` side-metric
+    // — the r7 loop paid a second driver action per round (plus two at
+    // setup) just to re-read a relation it had just materialized.
+    // decimal(38,0) sum: billions of 64-bit ids would overflow a long.
+    // coalesce: sum/count over ZERO rows is null (an empty pair
+    // relation — a clean corpus — must converge instantly, not NPE).
+    def sumMetric = coalesce(
+      org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)")).as("lsum")
     // undirected: propagate along both directions of every edge
+    val obsEdges = new Observation()
     val edges0 = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
+      .observe(obsEdges, count(lit(1)).as("n"))
       .localCheckpoint()
+    val nEdges = obsEdges.get("n").asInstanceOf[Long]
     // A dedup graph is orders of magnitude smaller than its corpus
     // (only docs that PAIRED appear), so the loop sizes its own
     // partitioning from the materialized edge count instead of
@@ -129,34 +150,34 @@ object Dedup {
     // ~100k (long,long) rows per task; grows with the graph at 100 TB.
     val parts = math.max(1, math.min(
       edges0.sparkSession.sparkContext.defaultParallelism,
-      (edges0.count() / 100000L).toInt + 1))
+      (nEdges / 100000L).toInt + 1))
     // keyed by dst once: each round's join then shuffles only the
     // (tiny, shrinking-entropy) label relation, never the edges
     val edges = edges0.repartition(parts, col("dst")).localCheckpoint()
     // initial label = min(self, direct neighbors): the first
     // propagation round as ONE aggregation over the (bidirectional)
     // edge list — no join, and cliques converge here immediately
+    val obs0 = new Observation()
     var labels = edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("min_nbr"))
       .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
+      .observe(obs0, sumMetric)
       .localCheckpoint()
-    // decimal(38,0) sum: billions of 64-bit ids would overflow a long.
-    // coalesce: sum over ZERO labels is null (an empty pair relation —
-    // a clean corpus — must converge instantly, not NPE)
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(coalesce(
-        org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
-    var sum = labelSum(labels)
+    var sum = obs0.get("lsum").asInstanceOf[java.math.BigDecimal]
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges
+      // neighbor-min INCLUDING self, as one union + aggregation: the
+      // r7 form computed neighbor-min then LEFT-joined it back onto
+      // labels to take the least — a third shuffle join per round; the
+      // union feeds the same min aggregation with the node's own label,
+      // so the join disappears (every node is its own src in the
+      // bidirectional edge list, so key coverage is identical)
+      val stepped = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id")).agg(min("comp").as("ncomp"))
-      val stepped = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .select(col("src").as("id"), col("comp"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
       // pointer jumping: follow one's label to ITS label (every comp is
       // a node id, so the lookup is a self-join). Neighbor-min alone
       // walks a borderline chain one hop per round (O(diameter));
@@ -165,18 +186,20 @@ object Dedup {
       // CC algorithms rely on. Measured: 8 rounds → 4 on the sf0.1
       // near-dup graph.
       val jump = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
+      val obsR = new Observation()
       labels = stepped.join(jump, col("comp") === col("jid"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+        .observe(obsR, sumMetric)
         .localCheckpoint()
-      val next = labelSum(labels)
+      val next = obsR.get("lsum").asInstanceOf[java.math.BigDecimal]
       converged = next.compareTo(sum) == 0
       sum = next
       i += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter " +
       "rounds — raise maxIter (cluster diameter exceeds the bound)")
-    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    (labels.select(col("id").as("doc_id"), col("comp").as("component")), i)
   }
 
   /** Incremental dedup: drop new documents whose content already exists
@@ -1474,17 +1497,46 @@ object Dedup {
       .filter(col("n").isNotNull && length(col("n")) >= 1)
       .groupBy("n").agg(min("id").as("kid"))
       .localCheckpoint(eager = false)
-    val pairs = editDistancePairs(keyed, "n")
-      .join(keyed.select(col("n").as("name_a"), col("kid").as("d1")),
-        "name_a")
-      .join(keyed.select(col("n").as("name_b"), col("kid").as("d2")),
-        "name_b")
-      .select("d1", "d2")
-    connectedComponents(pairs)
+    connectedComponents(editDistanceIdPairs(keyed))
       .select(col("doc_id").as("kid"), col("component"))
       .join(keyed, "kid")
       .select(col("n").as("name"), col("kid"), col("component"))
   }
+
+  /** ED-1 edge list over a `(n, kid)` keyed relation, ids in place of
+    * names: the canonical id rides THROUGH the deletion-variant
+    * self-join (same (variant, pos) blocking as
+    * [[editDistancePairs]]). The r7 form generated name pairs then
+    * re-joined keyed twice on the name strings to attach ids — two
+    * string-keyed shuffles of the whole pair relation, ~1 s of
+    * fuzzy_components' FUZZY_PROBE delta. Both families are true pairs
+    * by construction (same-(variant, pos) ⇒ substitution; deletion =
+    * self ⇒ insert/delete), so no levenshtein verify is needed
+    * either. */
+  private[graft] def editDistanceIdPairs(keyed: DataFrame): DataFrame = {
+    val dels = deletionVariantsKeyed(keyed.select(col("n"), col("kid")))
+    val subs = dels.as("a")
+      .join(dels.as("b"),
+        col("a.bk") === col("b.bk") && col("a.pos") === col("b.pos") &&
+          col("a.n") < col("b.n"))
+      .select(col("a.kid").as("d1"), col("b.kid").as("d2"))
+    val insdel = dels.as("d")
+      .join(keyed.as("s"), col("d.bk") === col("s.n"))
+      .select(least(col("d.kid"), col("s.kid")).as("d1"),
+        greatest(col("d.kid"), col("s.kid")).as("d2"))
+      .distinct()
+    subs.unionByName(insdel)
+  }
+
+  /** [[deletionVariants]] with pass-through of any extra columns —
+    * the id-carrying blocking relation [[editDistanceComponents]]
+    * builds its edge list from. */
+  private def deletionVariantsKeyed(names: DataFrame): DataFrame =
+    names.select(col("*"),
+      posexplode(expr("transform(sequence(1, length(n)), " +
+        "i -> concat(substring(n, 1, i - 1), " +
+        "substring(n, i + 1, length(n))))")))
+      .withColumnRenamed("col", "bk")
 
   private def deletionVariants(names: DataFrame): DataFrame =
     names.select(col("n"),

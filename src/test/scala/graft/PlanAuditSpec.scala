@@ -375,6 +375,13 @@ class PlanAuditSpec extends SparkSpec {
       s"expected exactly the partial+final max pair, plan:\n$p")
   }
 
+  test("media near-dup contracts via the phash band equi-join only") {
+    val p = plan("media_near_dup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"media pairs must block on (kind, band, band_val), plan:\n$p")
+  }
+
   test("incremental threshold splits build one plan — no driver action in the lambda") {
     // the r7 verdict's last everything-is-one-plan deviation: the
     // corpus/batch split point must ride the plan as a broadcast 1-row

@@ -146,7 +146,8 @@ object Curation {
     * validation columns add one (shingle-keyed) self-join that
     * production drops. Hashes are [[Sketches.hash60]] (md5-derived)
     * so the oracle replays every component. */
-  def sourceOverlap(docs: DataFrame, m: Int = 64, n: Int = 3): DataFrame = {
+  def sourceOverlap(docs: DataFrame, m: Int = 64, n: Int = 3,
+                    validate: Boolean = true): DataFrame = {
     require(m >= 8, s"need >= 8 minhash components, got $m")
     val grams = docs
       .select(col("source"), split(col("text"), " ").as("ts"))
@@ -175,24 +176,37 @@ object Curation {
       .select(col("src_a"), col("src_b"), col("matches"),
         expr(s"(1000 * matches) div $m").as("est_milli"))
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
-    val inter = grams.as("a")
-      .join(grams.as("b"),
-        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairsEst
+    val withSizes = pairsEst
       .join(sizes.withColumnRenamed("source", "src_a")
         .withColumnRenamed("n_grams", "n_a"), "src_a")
       .join(sizes.withColumnRenamed("source", "src_b")
         .withColumnRenamed("n_grams", "n_b"), "src_b")
-      .join(inter, Seq("src_a", "src_b"), "left")
-      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
-        coalesce(col("inter"), lit(0L)).as("inter"),
-        (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L)))
-          .as("union_n"),
-        expr("(1000 * coalesce(inter, 0)) div (n_a + n_b - coalesce(inter, 0))")
-          .as("jaccard_milli"),
+    // validate = false is the PRODUCTION path: sketch columns only. The
+    // exact-intersection validation join below is gram-keyed and
+    // corpus-scale — it skews on hot grams (every source shares the
+    // head of the gram distribution, so a handful of keys carry most of
+    // the join) and exists to audit the estimator at test SF, not to
+    // run at 100 TB. The knob makes that drop enforceable in code
+    // instead of narrative.
+    if (!validate)
+      withSizes.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("matches"), col("est_milli"))
+    else {
+      val inter = grams.as("a")
+        .join(grams.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("inter"))
+      withSizes
+        .join(inter, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          coalesce(col("inter"), lit(0L)).as("inter"),
+          (col("n_a") + col("n_b") - coalesce(col("inter"), lit(0L)))
+            .as("union_n"),
+          expr("(1000 * coalesce(inter, 0)) div (n_a + n_b - coalesce(inter, 0))")
+            .as("jaccard_milli"),
+          col("matches"), col("est_milli"))
+    }
   }
 
   // ---------------------------------------------------------------

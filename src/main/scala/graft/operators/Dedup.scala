@@ -1538,7 +1538,7 @@ object Dedup {
         "substring(n, i + 1, length(n))))")))
       .withColumnRenamed("col", "bk")
 
-  private def deletionVariants(names: DataFrame): DataFrame =
+  private[graft] def deletionVariants(names: DataFrame): DataFrame =
     names.select(col("n"),
       posexplode(expr("transform(sequence(1, length(n)), " +
         "i -> concat(substring(n, 1, i - 1), " +

@@ -1502,15 +1502,18 @@ object TextOps {
     * Plan shape: the gram relation aggregates twice — per-(gram, doc)
     * counts (exchange-free first level, the [[corpusNgrams]] idiom),
     * then gram-level df — and the df table joins back on the gram
-    * hash; everything is equi-join + hash aggregation, linear in gram
+    * STRING, not the engine's usual 64-bit gram hash: df = 1 is
+    * uniquely collision-sensitive (one colliding pair silently flips a
+    * "unique" occurrence to "shared", where the count-based gram ops
+    * only smear counts), so this op pays string keys for exactness.
+    * Everything is equi-join + hash aggregation, linear in gram
     * volume. */
   def docNovelty(docs: DataFrame, n: Int = 3): DataFrame = {
     val perDoc = gramRows(docs, Seq(n))
-      .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
-      .groupBy("gh", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false)
-    val dfTab = perDoc.groupBy("gh").agg(count(lit(1)).as("df"))
-    perDoc.join(dfTab, "gh")
+    val dfTab = perDoc.groupBy("gram").agg(count(lit(1)).as("df"))
+    perDoc.join(dfTab, "gram")
       .groupBy("doc_id")
       .agg(sum("c").as("grams"),
         sum(when(col("df") === 1, col("c")).otherwise(lit(0L)))
@@ -1545,7 +1548,17 @@ object TextOps {
       .select(col("source"), col("token"), col("tf"), col("df_sources"),
         expr("CAST(s_total * 1000000 div df_sources AS BIGINT)")
           .as("idf_ppm"))
-      .withColumn("score", col("tf") * col("idf_ppm"))
+      // try_multiply + raise: idf_ppm tops out at S·10⁶ and tf is
+      // class-level, so on a large-enough corpus the product CAN pass
+      // 2⁶³ — plain * would wrap silently where the DuckDB oracle
+      // raises, diverging the engines exactly when it matters. This
+      // makes Spark raise too (loud, engine-aligned); a deployment
+      // hitting it rescales idf (score is rank-only) or widens to
+      // decimal on both sides.
+      .withColumn("score",
+        coalesce(expr("try_multiply(tf, idf_ppm)"),
+          raise_error(lit("ctfidf_keywords: tf * idf_ppm overflowed " +
+            "BIGINT — rescale idf or widen both engines to decimal"))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("source"), col("token"), col("tf"), col("idf_ppm"),

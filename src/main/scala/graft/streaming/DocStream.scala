@@ -163,4 +163,66 @@ object DocStream {
       .select(col("doc_id"), col("ts"), col("margin"),
         when(col("margin") >= 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
   }
+
+  /** Streaming fuzzy-key ingest — the ingest-time twin of
+    * [[Dedup.fuzzyMatchAgainstCorpus]], completing the streaming
+    * incremental family (exact → minhash → decontam → winnow → LM →
+    * perceptron → FUZZY KEY): arriving keys probe a STATIC corpus
+    * deletion-variant index within one edit. The stream side's
+    * deletion variants are a ROW-LOCAL projection (stateless — the
+    * FastSS blocking needs no window), all three match families are
+    * stream-static equi-joins (substitution on the shared
+    * (variant, pos), insert on stream-variant = corpus key, delete on
+    * stream key = corpus-variant), and the per-key match set is the
+    * single watermark-bounded stateful aggregation (collect_set — a
+    * streaming-legal DISTINCT whose state is bounded by a key's ED-1
+    * neighborhood), emitted once final in append mode.
+    *
+    * Both corpus relations PERSIST (the [[VecStream]] rule): a
+    * stream-static join re-evaluates the static side per micro-batch,
+    * and in the lake story the variant index is the precomputed
+    * offline artifact ([[Dedup.saveCorpusDigests]] shape, bucketed by
+    * variant) — persisting is the in-session stand-in.
+    *
+    * Output: (name, ts, n_matches, nearest) for MATCHED keys only —
+    * the merge/review feed an entity-resolution ingest routes; keys
+    * absent from the output are fresh (the batch operator's
+    * keep = true verdict). */
+  def fuzzyIngestStream(keys: DataFrame, corpus: DataFrame,
+                        keyCol: String,
+                        watermark: String = "1 hour"): DataFrame = {
+    val cp = corpus
+      .select(col(keyCol).cast("string").as("n"))
+      .filter(col("n").isNotNull && length(col("n")) >= 1)
+      .distinct()
+      .persist()
+    val cpVars = Dedup.deletionVariants(cp)
+      .select(col("n").as("match_name"), col("bk"), col("pos"))
+      .persist()
+    val s = keys
+      .withWatermark("ts", watermark)
+      .select(col("ts"), col(keyCol).cast("string").as("n"))
+      .filter(col("n").isNotNull && length(col("n")) >= 1)
+    val sVars = s.select(col("ts"), col("n"),
+      posexplode(expr("transform(sequence(1, length(n)), " +
+        "i -> concat(substring(n, 1, i - 1), " +
+        "substring(n, i + 1, length(n))))")))
+      .withColumnRenamed("col", "bk")
+    val subs = sVars.join(cpVars, Seq("bk", "pos"))
+      .select(col("ts"), col("n"), col("match_name"))
+    val ins = sVars
+      .join(cp.select(col("n").as("match_name")),
+        sVars("bk") === col("match_name"))
+      .select(col("ts"), col("n"), col("match_name"))
+    val del = s
+      .join(cpVars.drop("pos"), s("n") === cpVars("bk"))
+      .select(col("ts"), col("n"), col("match_name"))
+    subs.unionByName(ins).unionByName(del)
+      .filter(levenshtein(col("n"), col("match_name")) <= 1)
+      .groupBy(col("n").as("name"), col("ts"))
+      .agg(collect_set(col("match_name")).as("ms"))
+      .select(col("name"), col("ts"),
+        size(col("ms")).cast("long").as("n_matches"),
+        array_min(col("ms")).as("nearest"))
+  }
 }

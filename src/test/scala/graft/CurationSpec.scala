@@ -106,6 +106,33 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Long]("est_milli") === 1000L)
   }
 
+  test("source overlap production path drops the gram-keyed exact join") {
+    val d = docs(
+      (1L, "a b c d e f g h", "en", "sA"),
+      (2L, "a b c d e f g h", "en", "sB"),
+      (3L, "q r s t u v w x", "en", "sC"))
+    val prod = Curation.sourceOverlap(d, m = 16, validate = false)
+    // sketch columns only — no exact intersection/jaccard in the schema
+    assert(prod.columns.toSeq ===
+      Seq("src_a", "src_b", "n_a", "n_b", "matches", "est_milli"))
+    // and no corpus-scale join: no physical join node may key on the
+    // gram column (the validation join is the only gram-keyed one)
+    val joinLines = prod.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Join")).toSeq
+    assert(joinLines.nonEmpty && joinLines.forall(!_.contains("gram#")),
+      s"production path must not join on grams:\n${joinLines.mkString("\n")}")
+    // sketch columns agree with the validating run
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+    val sketchOf = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("matches"), r.getAs[Long]("est_milli"))
+    val p = prod.collect().map(r => key(r) -> sketchOf(r)).toMap
+    val v = Curation.sourceOverlap(d, m = 16).collect()
+      .map(r => key(r) -> sketchOf(r)).toMap
+    assert(p === v)
+  }
+
   // ---- shardBalance ------------------------------------------------
 
   test("shard balance: serpentine deal matches the hand rule") {

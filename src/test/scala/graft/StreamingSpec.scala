@@ -414,6 +414,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming fuzzy ingest equals the batch corpus match on matched keys") {
+    val corpus = Seq("alice", "bob", "carol").toDF("name")
+    val input = MemoryStream[Doc](spark)
+    val q = graft.streaming.DocStream
+      .fuzzyIngestStream(input.toDF(), corpus.select(col("name").as("text")),
+        keyCol = "text")
+      .writeStream.format("memory").queryName("fuzzy_ingest_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Doc(1, ts("10:00"), "alice"), // exact re-occurrence (ED 0)
+        Doc(2, ts("10:01"), "alicx"), // one substitution from alice
+        Doc(3, ts("10:02"), "bo"),    // one deletion from bob
+        Doc(4, ts("10:03"), "zzzzz")) // fresh key
+      q.processAllAvailable()
+      // advance the watermark past all four keys so groups finalize
+      input.addData(Doc(99, ts("12:30"), "advancer-key-matches-nothing"))
+      q.processAllAvailable()
+      val streamed = spark.table("fuzzy_ingest_stream")
+        .select("name", "n_matches", "nearest").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      // batch twin: the matched subset must agree exactly (the stream
+      // emits matches only; keep=true keys are the absent ones)
+      val batch = graft.operators.Dedup.fuzzyMatchAgainstCorpus(
+          Seq("alice", "alicx", "bo", "zzzzz").toDF("text"),
+          corpus.select(col("name").as("text")), "text")
+        .filter(col("n_matches") > 0)
+        .select("name", "n_matches", "nearest").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+      assert(streamed === batch)
+      assert(streamed.map(_._1) === Set("alice", "alicx", "bo"))
+      assert(streamed.forall(_._3.nonEmpty)) // nearest always present
+    } finally q.stop()
+  }
+
   test("streaming LM scorer equals the batch scorer on model-covered docs") {
     val corpus = Seq(
       (0L, "a b a b", "en", "s0", 7L),

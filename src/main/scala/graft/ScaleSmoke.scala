@@ -130,6 +130,9 @@ object ScaleSmoke {
         cand = Some(d => Multimodal.mediaNearDupCandidates(
           Multimodal.mediaFingerprints(spark, Multimodal.fromDocuments(d)),
           maxDistance = 4))),
+      // media ANN: broadcast query set × kind-blocked scan — linear
+      Op("media_knn", d => Multimodal.mediaKnn(spark,
+        Multimodal.fromDocuments(d), numQueries = 6, k = 5), "doc"),
       Op("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
       Op("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
       Op("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),

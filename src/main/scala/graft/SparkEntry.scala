@@ -134,6 +134,11 @@ object SparkEntry {
   private val MediaHam = 4
   private val MediaCosHundredths = 99
 
+  /** `media_knn` query-set size and cutoff (query + oracle): ids < 6
+    * cover all three kinds twice. */
+  private val MediaKnnQ = 6
+  private val MediaKnnK = 5
+
   /** `semdedup` cosine threshold in hundredths (query + oracle). Same
     * 0.35 as `dedup_embedding`: the synthetic embedding space tops out
     * near cos 0.48, so 0.35 is the anomalously-close tail. */
@@ -1763,6 +1768,14 @@ object SparkEntry {
         Multimodal.fromDocuments(Tables.documents(s, dir)),
         maxDistance = MediaHam, thresholdHundredths = MediaCosHundredths)
         .orderBy("m1", "m2")),
+    // Media similarity search: per-query top-k by histogram cosine,
+    // kind-blocked — media's entry into the ANN tier (brute baseline;
+    // the scale path is IVF over the same integer feature relation).
+    "media_knn" -> ((s, dir) =>
+      Multimodal.mediaKnn(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        numQueries = MediaKnnQ, k = MediaKnnK)
+        .orderBy("qid", "rn")),
     // Incremental media dedup: id-upper batch ingested against the
     // id-lower corpus (two-sided band probe; single-plan split).
     "dedup_incremental_media" -> ((s, dir) => {
@@ -3000,6 +3013,35 @@ object SparkEntry {
          |WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(n1.nsq * n2.nsq AS DOUBLE))
          |  >= ${MediaCosHundredths / 100.0}
          |ORDER BY m1, m2""".stripMargin,
+
+    "media_knn" ->
+      // every candidate pair shares at least one histogram bucket on
+      // this corpus (spaces alone populate a bucket), so the
+      // bucket-intersection dot covers the full candidate set
+      s"""WITH $SqlMediaPhashCtes, $SqlMediaHistCtes,
+         |q AS (SELECT media_id AS qid, kind FROM med
+         |      WHERE media_id < $MediaKnnQ),
+         |cand AS (
+         |  SELECT q.qid, m.media_id, m.kind FROM q
+         |  JOIN med m ON q.kind = m.kind AND m.media_id <> q.qid),
+         |dots AS (
+         |  SELECT c.qid, c.media_id, c.kind, SUM(h1.c * h2.c) AS dot
+         |  FROM cand c
+         |  JOIN hist h1 ON c.qid = h1.media_id
+         |  JOIN hist h2 ON c.media_id = h2.media_id AND h1.hb = h2.hb
+         |  GROUP BY 1, 2, 3),
+         |scored AS (
+         |  SELECT d.qid, d.media_id, d.kind,
+         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nsq * nm.nsq AS DOUBLE)) AS cos
+         |  FROM dots d JOIN hnorm nq ON d.qid = nq.media_id
+         |  JOIN hnorm nm ON d.media_id = nm.media_id)
+         |SELECT qid, media_id, kind, cos, rn FROM (
+         |  SELECT qid, media_id, kind, cos,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos DESC, media_id) AS BIGINT) AS rn
+         |  FROM scored) r
+         |WHERE rn <= $MediaKnnK
+         |ORDER BY qid, rn""".stripMargin,
 
     "dedup_incremental_media" ->
       s"""WITH $SqlMediaPhashCtes,

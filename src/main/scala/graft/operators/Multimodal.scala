@@ -173,7 +173,7 @@ object Multimodal {
     * the 60-bit perceptual hash — same EXACT-recall blocking as the
     * simhash tier: a pair within Hamming ≤ maxDistance agrees
     * bit-for-bit on at least one band. */
-  private def bandedPhash(fps: DataFrame, maxDistance: Int): DataFrame = {
+  private[graft] def phashBandVals(maxDistance: Int): org.apache.spark.sql.Column = {
     require(maxDistance >= 0 && maxDistance < PhashBits,
       s"maxDistance must be in [0, $PhashBits), got $maxDistance")
     val bands = maxDistance + 1
@@ -184,10 +184,13 @@ object Multimodal {
     val bandCols = shifts.lazyZip(widths).map { (s, w) =>
       shiftright(col("phash"), s).bitwiseAND(lit((1L << w) - 1L))
     }
-    fps.select(col("media_id"), col("kind"), col("phash"),
-        posexplode(array(bandCols.toSeq: _*)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
+    array(bandCols.toSeq: _*)
   }
+
+  private[graft] def bandedPhash(fps: DataFrame, maxDistance: Int): DataFrame =
+    fps.select(col("media_id"), col("kind"), col("phash"),
+        posexplode(phashBandVals(maxDistance)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_val"))
 
   /** Media near-duplicates — the north-star bridge from the multimodal
     * tier into the dedup machinery: perceptual-hash pigeonhole bands
@@ -235,6 +238,41 @@ object Multimodal {
         bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
           .cast("long").as("hamming"))
       .distinct() // a pair may agree on several bands
+  }
+
+  /** Brute-force top-k media similarity search over the integer
+    * byte-histogram features — media's entry into the ANN tier,
+    * completing the modality matrix (pairs → incremental → streaming →
+    * SEARCH). The [[graft.operators.Similarity.knnBruteForce]] shape:
+    * the query set is broadcast-tiny (media_id < numQueries), the
+    * search is kind-blocked (broadcast equi-join, an image never
+    * scores against audio), score = integer dot over integer norms →
+    * IEEE-exact cosine, and the per-query top-k prunes map-side
+    * (WindowGroupLimit). The scale path reuses this engine's existing
+    * machinery: cluster the histograms with
+    * [[graft.operators.Similarity.lloydBook]] and probe IVF cells
+    * exactly as the embedding tier does — the feature relation here
+    * has the same (id, block-key, int-vector) shape. */
+  def mediaKnn(spark: SparkSession, media: DataFrame,
+               numQueries: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fps = mediaFingerprints(spark, media)
+      .select("media_id", "kind", "hist", "nsq")
+      .localCheckpoint(eager = false)
+    val queries = broadcast(fps.filter(col("media_id") < numQueries)
+      .select(col("media_id").as("qid"), col("kind"),
+        col("hist").as("qh"), col("nsq").as("qn")))
+    val scored = queries.join(fps, "kind")
+      .filter(col("media_id") =!= col("qid"))
+      .withColumn("dot",
+        aggregate(zip_with(col("qh"), col("hist"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("qn") * col("nsq")).cast("double")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("media_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "media_id", "kind", "cos", "rn")
   }
 
   /** Incremental media dedup — ingest-time twin of

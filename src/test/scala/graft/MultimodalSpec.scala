@@ -114,6 +114,21 @@ class MultimodalSpec extends SparkSpec {
     assert(p.getAs[Double]("cos") >= 0.99)
   }
 
+  test("media knn ranks same-kind neighbors by exact histogram cosine") {
+    val out = Multimodal.mediaKnn(spark,
+      Multimodal.fromDocuments(nearDupDocs), numQueries = 2, k = 3)
+      .collect()
+    // kind-blocked: query 0 (image) only scores image candidates {3, 6}
+    val q0 = out.filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(_.getAs[Long]("rn"))
+    assert(q0.map(_.getAs[Long]("media_id")).toSeq === Seq(3L, 6L))
+    assert(q0.forall(_.getAs[String]("kind") === "image"))
+    // the near-twin outranks the unrelated doc, scores descend
+    assert(q0(0).getAs[Double]("cos") > q0(1).getAs[Double]("cos"))
+    // query 1 (audio) has no other audio media → no rows
+    assert(!out.exists(_.getAs[Long]("qid") == 1L))
+  }
+
   test("incremental media dedup drops batch media with a corpus twin") {
     val media = Multimodal.fromDocuments(nearDupDocs)
     val survivors = Multimodal.dedupAgainstCorpusMedia(spark,

@@ -382,6 +382,14 @@ class PlanAuditSpec extends SparkSpec {
       s"media pairs must block on (kind, band, band_val), plan:\n$p")
   }
 
+  test("media knn prunes its top-k map-side and broadcasts the query set") {
+    val p = plan("media_knn")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must use WindowGroupLimit, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the tiny query set must broadcast into the kind join, plan:\n$p")
+  }
+
   test("incremental threshold splits build one plan — no driver action in the lambda") {
     // the r7 verdict's last everything-is-one-plan deviation: the
     // corpus/batch split point must ride the plan as a broadcast 1-row

@@ -449,6 +449,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media ingest equals the batch band probe on matched media") {
+    // corpus kinds by id % 3: 0 → image, 1 → audio, 2 → video
+    val corpusDocs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta " * 6, "en", "s0"),
+      (1L, "un deux trois quatre cinq six sept huit neuf " * 6, "en", "s0"),
+      (2L, "video payload content stream frame sample data " * 6, "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    val corpus = graft.operators.Multimodal.fromDocuments(corpusDocs)
+    val input = MemoryStream[Doc](spark)
+    val q = graft.streaming.MediaStream.mediaIngestStream(spark,
+      graft.streaming.MediaStream.mediaFromDocStream(input.toDF()), corpus)
+      .writeStream.format("memory").queryName("media_ingest_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // 30 % 3 = 0 → image, exact payload of corpus 0 → Hamming 0
+        Doc(30, ts("10:00"), "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        // 33 → image, one-token edit of corpus 0 → perceptual near-dup
+        Doc(33, ts("10:01"), ("alpha beta gamma delta epsilon zeta eta theta " * 6)
+          .replace("zeta", "zetA")),
+        // 34 → audio, fresh payload → no match
+        Doc(34, ts("10:02"), "totally novel audio-ish bytes nothing shared here " * 6))
+      q.processAllAvailable()
+      input.addData(Doc(99, ts("12:30"), "watermark advancer nothing")) // advance
+      q.processAllAvailable()
+      val streamed = spark.table("media_ingest_stream")
+        .select("media_id", "n_matches", "nearest_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed === Set((30L, 1L, 0L), (33L, 1L, 0L)))
+      // batch twin: matched stream ids = batch media MINUS survivors
+      val batchDocs = Seq(
+        (30L, "alpha beta gamma delta epsilon zeta eta theta " * 6, "en", "s2"),
+        (33L, ("alpha beta gamma delta epsilon zeta eta theta " * 6)
+          .replace("zeta", "zetA"), "en", "s2"),
+        (34L, "totally novel audio-ish bytes nothing shared here " * 6, "en", "s2"))
+        .toDF("doc_id", "text", "lang", "source")
+      val batchMedia = graft.operators.Multimodal.fromDocuments(batchDocs)
+      val survivors = graft.operators.Multimodal.dedupAgainstCorpusMedia(
+          spark, batchMedia, corpus)
+        .collect().map(_.getAs[Long]("media_id")).toSet
+      assert(survivors === Set(34L))
+      assert(streamed.map(_._1) === Set(30L, 33L) -- survivors)
+    } finally q.stop()
+  }
+
   test("streaming LM scorer equals the batch scorer on model-covered docs") {
     val corpus = Seq(
       (0L, "a b a b", "en", "s0", 7L),

@@ -1438,8 +1438,8 @@ object Dedup {
     * deletion equals the shorter's self). So candidates come from ONE
     * equi-join on the deletion-variant relation — |keys|·(len+1) rows,
     * linear in total key bytes — never an all-pairs cross join, and
-    * the codegen'd `levenshtein` verify runs only on bucket
-    * collisions. At 100 TB the variant join shuffles on the variant
+    * (variant, pos) refinement makes every candidate a TRUE pair, so
+    * no verify runs at all. At 100 TB the variant join shuffles on the variant
     * string exactly like any postings join; a skewed variant (shared
     * by v keys) costs v² candidate rows, bounded by how many keys are
     * one edit apart — true output, not corpus size.
@@ -1474,10 +1474,15 @@ object Dedup {
       .select(least(col("d.n"), col("s.n")).as("name_a"),
         greatest(col("d.n"), col("s.n")).as("name_b"))
       .distinct()
-    subs.unionByName(insdel)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b"))
-        .cast("long"))
-      .filter(col("dist") <= 1)
+    // dist ≡ 1 BY CONSTRUCTION, so no levenshtein and no verify filter:
+    // substitution pairs are distinct same-length keys equal everywhere
+    // but the shared deletion position (exactly one substitution);
+    // insert/delete pairs differ in length by one with the longer's
+    // deletion equal to the shorter (exactly one edit); keys are
+    // distinct so ED 0 is impossible. The r7 form verified 262 k
+    // true pairs with a codegen'd levenshtein — measured as the bulk
+    // of the pair stage's 4.8 s → 1.7 s FUZZY_PROBE delta.
+    subs.unionByName(insdel).withColumn("dist", lit(1L))
   }
 
   /** Typo/entity CLUSTERS: connected components over the
@@ -1576,8 +1581,10 @@ object Dedup {
     val del = deletionVariants(cp).as("d")
       .join(nw.as("s"), col("d.bk") === col("s.n"))
       .select(col("s.n").as("name"), col("d.n").as("match_name"))
+    // no levenshtein verify: every candidate is a true ED ≤ 1 match by
+    // construction (same-(variant, pos) ⇒ substitution or the equal
+    // key itself; deletion = self key ⇒ one insert/delete)
     val matches = subs.unionByName(ins).unionByName(del)
-      .filter(levenshtein(col("name"), col("match_name")) <= 1)
       .distinct() // an EQUAL pair shares (variant, pos) at every position
       .groupBy("name")
       .agg(count(lit(1)).as("n_matches"), min("match_name").as("nearest"))

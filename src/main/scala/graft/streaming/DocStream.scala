@@ -217,8 +217,9 @@ object DocStream {
     val del = s
       .join(cpVars.drop("pos"), s("n") === cpVars("bk"))
       .select(col("ts"), col("n"), col("match_name"))
+    // no levenshtein verify — every candidate is a true ED ≤ 1 match
+    // by construction (the batch operator's argument)
     subs.unionByName(ins).unionByName(del)
-      .filter(levenshtein(col("n"), col("match_name")) <= 1)
       .groupBy(col("n").as("name"), col("ts"))
       .agg(collect_set(col("match_name")).as("ms"))
       .select(col("name"), col("ts"),

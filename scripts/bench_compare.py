@@ -82,12 +82,27 @@ def main():
             return " load=n/a"
         return f" load={pre:.2f}->{post:.2f}"
 
+    def str_anchor(d):
+        vals = [v for v in (d.get("calib_str_pre"), d.get("calib_str_post"))
+                if isinstance(v, (int, float)) and v > 0]
+        return sum(vals) / len(vals) if vals else None
+
+    sa, sb = str_anchor(a), str_anchor(b)
+
+    def str_note(v):
+        return f" str_anchor={v:.3f}s" if v else ""
+
     print(f"A: {a_path}  anchor={ca:.3f}s (band {band_a:.2f}x),"
-          f"{loadavg(a)} "
+          f"{str_note(sa)}{loadavg(a)} "
           f"{len(qa)} queries, total {sum(v for v in qa.values() if v >= 0):.1f}s")
     print(f"B: {b_path}  anchor={cb:.3f}s (band {band_b:.2f}x),"
-          f"{loadavg(b)} "
+          f"{str_note(sb)}{loadavg(b)} "
           f"{len(qb)} queries, total {sum(v for v in qb.values() if v >= 0):.1f}s")
+    if sa and sb:
+        print(f"string-host drift (str_anchor B/A): {sb / sa:.2f}x — "
+              "divide string-family normalized ratios by this before "
+              "calling them plan regressions (r8 note: the integer "
+              "anchor is blind to string/memory-throughput host moves)")
     print(f"normalized drift flagged beyond combined anchor band: {band:.2f}x\n")
 
     rows = []

@@ -89,6 +89,27 @@ object Bench {
       one() // codegen warm-up, untimed
       Seq.fill(3)(one()).min
     }
+    // STRING anchor (r8): the integer anchor above was FLAT across a
+    // measured ~1.2-1.5× host drift on every string-split-explode
+    // query (r6 vs r8 quiet captures, identical code) — container
+    // moves change string/memory throughput independently of integer
+    // ALU throughput, and most of this suite is string-shaped. A
+    // second anchor exercising split+explode+string-groupBy makes that
+    // axis measurable, so bench_compare can tell string-host drift
+    // from a plan regression.
+    def calibrateStr(): Double = {
+      def one(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0, 400000L, 1, 32)
+          .selectExpr("concat_ws(' ', 'alpha', 'beta', 'gamma', 'delta', " +
+            "'epsilon', CAST(id % 9973 AS STRING)) AS s")
+          .selectExpr("explode(split(s, ' ')) AS t")
+          .groupBy("t").count().count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      one() // codegen warm-up, untimed
+      Seq.fill(3)(one()).min
+    }
     // HOST LOAD, recorded: the r6 artifacts diverged 143.8 s (driver)
     // vs 102.4 s (builder) purely on ambient shared-host load the
     // calibration anchors only partially expose — /proc/loadavg at
@@ -122,6 +143,7 @@ object Bench {
     }
     val loadPre = loadavg()
     val calibPre = calibrate()
+    val calibStrPre = calibrateStr()
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     suite.foreach { case (name, _) => best(name) = once(name) }
     // pass 2: every non-failed query (don't re-run failures — a slow
@@ -151,8 +173,9 @@ object Bench {
     // sentinels would make a broken run look faster than a clean one
     val total = best.values.filter(_ >= 0).sum
     val calibPost = calibrate()
+    val calibStrPost = calibrateStr()
     val loadPost = loadavg()
-    val line = s"""{"metric":"total","sf":"$sfDir","calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},"queries":$qs,"unit":"sec","value":${fmt(total)}}"""
+    val line = s"""{"metric":"total","sf":"$sfDir","calib_pre":${fmt(calibPre)},"calib_post":${fmt(calibPost)},"calib_str_pre":${fmt(calibStrPre)},"calib_str_post":${fmt(calibStrPost)},"loadavg_pre":${fmt(loadPre)},"loadavg_post":${fmt(loadPost)},"queries":$qs,"unit":"sec","value":${fmt(total)}}"""
     println(line)
     // committed-file twin of the stdout line: the driver's tail capture
     // has dropped 29-45 head entries two rounds running; the full

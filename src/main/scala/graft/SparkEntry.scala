@@ -1160,6 +1160,13 @@ object SparkEntry {
         .select(col("qid"), col("label"), col("vec_id"), col("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+    // Measured recall@5 of the IVF tier vs exact-cosine ground truth,
+    // per query and probe count — the retrieval self-audit (the probe
+    // knob's recall gain as an in-engine number, not a narrative).
+    "ann_recall_ivf" -> ((s, dir) =>
+      Similarity.annRecallAudit(s, Tables.embeddings(s, dir),
+        numQueries = 5, k = 5, probesList = Seq(1, 2))
+        .orderBy("qid", "probes")),
     // Hard-negative mining (contrastive training): top-k most-similar
     // DIFFERENT-label vectors per anchor, via foreign-cell IVF probing.
     "hard_negatives" -> ((s, dir) =>
@@ -2079,6 +2086,70 @@ object SparkEntry {
         |SELECT qid, CAST(label AS INTEGER) AS label, vec_id, adist,
         |  CAST(rn AS BIGINT) AS rn
         |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** `ann_recall_ivf` oracle: exact-cosine top-5 ground truth beside
+    * the [[sqlAnnIvf]] chain instantiated at probes = 1 and 2, hit
+    * counts per query per setting. */
+  private def sqlAnnRecall: String = {
+    val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    def chain(p: Int) =
+      s"""best$p AS (SELECT qid, label FROM (
+         |    SELECT qid, label,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS crn
+         |    FROM score) t WHERE crn <= $p),
+         |pair$p AS (
+         |  SELECT b.qid, e.vec_id,
+         |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
+         |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
+         |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
+         |  FROM best$p b JOIN q ON q.qid = b.qid
+         |  JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid
+         |  CROSS JOIN generate_series(1, 64) g(k)
+         |  GROUP BY 1, 2),
+         |ivf$p AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) DESC, vec_id) AS rn
+         |    FROM pair$p) t WHERE rn <= 5),
+         |hit$p AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM truth t JOIN ivf$p i ON t.qid = i.qid AND t.vec_id = i.vec_id
+         |  GROUP BY 1)"""
+    s"""WITH cent AS (
+       |  SELECT label, g.k AS dim,
+       |    CAST(SUM(CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k) GROUP BY 1, 2),
+       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+       |score AS (
+       |  SELECT q.qid, c.label,
+       |    CAST(CAST(SUM(CAST(FLOOR(CAST(q.qe[c.dim] AS DOUBLE) * 1000) AS BIGINT) * c.sum_q) AS BIGINT) AS DOUBLE)
+       |      / MAX(c.n) AS cscore
+       |  FROM q CROSS JOIN cent c GROUP BY 1, 2),
+       |tp AS (
+       |  SELECT q.qid, e.vec_id,
+       |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
+       |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
+       |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
+       |  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+       |  CROSS JOIN generate_series(1, 64) g(k)
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) DESC, vec_id) AS rn
+       |    FROM tp) t WHERE rn <= 5),
+       |${chain(1)},
+       |${chain(2)}
+       |SELECT q.qid, CAST(1 AS BIGINT) AS probes,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(1000 * COALESCE(h.hits, 0) // 5 AS BIGINT) AS recall_milli
+       |FROM q LEFT JOIN hit1 h ON q.qid = h.qid
+       |UNION ALL
+       |SELECT q.qid, CAST(2 AS BIGINT) AS probes,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(1000 * COALESCE(h.hits, 0) // 5 AS BIGINT) AS recall_milli
+       |FROM q LEFT JOIN hit2 h ON q.qid = h.qid
+       |ORDER BY qid, probes""".stripMargin
+  }
 
   private def sqlAnnIvf(probes: Int): String = {
     val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
@@ -3438,6 +3509,7 @@ object SparkEntry {
          |FROM r JOIN sz ON r.cluster = sz.cluster
          |ORDER BY r.vec_id""".stripMargin,
     "ann_ivf" -> sqlAnnIvf(probes = 1),
+    "ann_recall_ivf" -> sqlAnnRecall,
     "hard_negatives" -> sqlHardNegatives(probes = 2),
     "ann_ivf_probe2" -> sqlAnnIvf(probes = 2),
     "ann_lsh" -> {

@@ -35,6 +35,53 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }
 
+  /** Exact COSINE-ranked top-k (the ground-truth relation for recall
+    * audits of the approximate tier — [[annIvf]] reranks by the same
+    * quantized cosine, so truth and candidate rankings share one
+    * metric; [[knnBruteForce]]'s raw dot is a different ranking). */
+  private[graft] def knnExactCosine(emb: DataFrame, numQueries: Int,
+                                    k: Int, scale: Int = 1000): DataFrame = {
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = queries.crossJoin(emb.select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineQuantized(
+          col("qe"), col("embedding"), scale).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Measured recall@k of the IVF tier against exact-cosine ground
+    * truth, per query and probe count — the self-audit that turns
+    * "probing more cells trades candidates for recall" from narrative
+    * into a number the engine itself computes (the sketch tier's
+    * merge-proof pattern applied to retrieval). Ground truth is ONE
+    * exact top-k pass shared by all probe settings; each setting's
+    * top-k inner-joins it and counts hits; queries whose probed cells
+    * miss the whole truth set still emit (left join, hits = 0). All
+    * relations are query-count-scale after their top-k windows. */
+  def annRecallAudit(spark: SparkSession, emb: DataFrame, numQueries: Int,
+                     k: Int, probesList: Seq[Int] = Seq(1, 2)): DataFrame = {
+    val truth = knnExactCosine(emb, numQueries, k)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(eager = false)
+    val qids = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"))
+    probesList.map { p =>
+      val hits = annIvf(spark, emb, numQueries, k, probes = p)
+        .select(col("qid"), col("vec_id"))
+        .join(truth, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      qids.join(hits, Seq("qid"), "left")
+        .select(col("qid"), lit(p.toLong).as("probes"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (lit(1000L) * coalesce(col("h"), lit(0L)) / lit(k))
+            .cast("long").as("recall_milli"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Closest pairs within each label partition by quantized cosine —
     * embedding-space near-duplicate detection shaped like an IVF probe:
     * label = coarse cluster, pairs only form inside a cluster, so the

@@ -623,6 +623,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L))
   }
 
+  test("ann recall audit: perfect recall on clustered data, more probes never hurt") {
+    val clustered = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.8f, 0.0f, 0.2f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (4L, Array(-0.9f, -0.1f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.annRecallAudit(spark, clustered, numQueries = 1,
+      k = 2, probesList = Seq(1, 2))
+      .collect().map(r => r.getAs[Long]("probes") ->
+        ((r.getAs[Long]("hits"), r.getAs[Long]("recall_milli")))).toMap
+    // query 0's exact top-2 (vecs 1, 2) live in its own cluster:
+    // probe-1 already finds both → recall 1000; probe-2 can't regress
+    assert(out(1L) === ((2L, 1000L)))
+    assert(out(2L) === ((2L, 1000L)))
+    assert(out(2L)._1 >= out(1L)._1)
+  }
+
   test("label centroids match a Scala-side quantized oracle") {
     val cents = Similarity.labelCentroids(spark, vecs, dim = 4)
       .collect().map(r => r.getAs[Int]("label") ->

@@ -1783,6 +1783,12 @@ object SparkEntry {
         Multimodal.fromDocuments(Tables.documents(s, dir)),
         numQueries = MediaKnnQ, k = MediaKnnK)
         .orderBy("qid", "rn")),
+    // Segment-granular exact dedup: frames shared across >= 2 videos,
+    // with the canonical occurrence a rewrite would keep.
+    "media_frame_dup" -> ((s, dir) =>
+      Multimodal.frameDupReport(
+        Multimodal.fromDocuments(Tables.documents(s, dir)), frameBytes = 64)
+        .orderBy("canon_media", "canon_idx")),
     // Incremental media dedup: id-upper batch ingested against the
     // id-lower corpus (two-sided band probe; single-plan split).
     "dedup_incremental_media" -> ((s, dir) => {
@@ -3113,6 +3119,27 @@ object SparkEntry {
          |  FROM scored) r
          |WHERE rn <= $MediaKnnK
          |ORDER BY qid, rn""".stripMargin,
+
+    "media_frame_dup" ->
+      s"""WITH v AS (
+         |  SELECT doc_id AS media_id, text, CAST(length(text) AS BIGINT) AS len
+         |  FROM documents WHERE CAST(doc_id % 3 AS INT) = 2),
+         |f AS (
+         |  SELECT media_id, CAST(j AS BIGINT) AS frame_idx,
+         |    substr(text, CAST(j * 64 + 1 AS INT), 64) AS frame
+         |  FROM v CROSS JOIN LATERAL unnest(range(0,
+         |    CAST(ceil(len / 64.0) AS BIGINT))) t(j)),
+         |g AS (
+         |  SELECT frame, CAST(COUNT(*) AS BIGINT) AS occurrences,
+         |    CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
+         |    MIN(media_id * 1048576 + frame_idx) AS packed
+         |  FROM f GROUP BY 1)
+         |SELECT ${sqlToSigned(sqlFnvUnsigned("frame"))} AS frame_fnv,
+         |  occurrences, n_media,
+         |  CAST(packed // 1048576 AS BIGINT) AS canon_media,
+         |  CAST(packed % 1048576 AS BIGINT) AS canon_idx
+         |FROM g WHERE n_media >= 2
+         |ORDER BY canon_media, canon_idx""".stripMargin,
 
     "dedup_incremental_media" ->
       s"""WITH $SqlMediaPhashCtes,

@@ -329,6 +329,36 @@ object Multimodal {
       .withColumn("resized_bytes", length(col("resized")).cast("long"))
   }
 
+  /** Cross-video duplicated-FRAME report — segment-granular exact
+    * dedup (the ExactSubstr shape at frame granularity): every
+    * fixed-size frame shared by ≥ 2 distinct videos, with its
+    * occurrence count, carrier count, and the canonical (lowest
+    * media_id, then lowest frame_idx there) occurrence a rewrite
+    * would keep. Grouping keys on the frame CONTENT (the docNovelty
+    * rule: the ≥ 2-distinct-carriers gate is collision-sensitive, so
+    * no 64-bit shortcut); the canonical occurrence is one packed-long
+    * min aggregation (media_id·2²⁰ + frame_idx — the
+    * dedup_spans_rewrite idiom, partial+final HashAggregate, no
+    * struct-min SortAggregate). Scale: one narrow frame explode, two
+    * hash aggregations on the frame relation, output is
+    * duplicated-frame-vocabulary-scale. */
+  def frameDupReport(media: DataFrame, frameBytes: Int = 64): DataFrame = {
+    val frames = frameSample(media.filter(col("kind") === "video"),
+        frameBytes, everyN = 1)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("frame").cast("string").as("frame"))
+    frames.groupBy("frame")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("media_id")).as("n_media"),
+        min(col("media_id") * lit(1048576L) + col("frame_idx")).as("packed"))
+      .filter(col("n_media") >= 2)
+      .select(
+        call_function("fnv64", col("frame").cast("binary")).as("frame_fnv"),
+        col("occurrences"), col("n_media"),
+        expr("packed div 1048576").as("canon_media"),
+        expr("packed % 1048576").as("canon_idx"))
+  }
+
   /** Frame sampling plumbing: slice the payload into fixed-size chunks
     * ("frames"), keep every `everyN`-th — pure column expressions, no
     * UDF; the chunking pattern a real video pipeline applies before

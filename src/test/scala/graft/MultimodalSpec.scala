@@ -140,6 +140,24 @@ class MultimodalSpec extends SparkSpec {
     assert(survivors === Set(6L))
   }
 
+  test("frame dup report finds cross-video shared frames with canonical pick") {
+    // ids ≡ 2 (mod 3) → video kind; 8-byte frames
+    val d = Seq(
+      (2L, "AAAAAAAABBBBBBBBCCCCCCCC", "en", "s0"), // frames A,B,C
+      (5L, "BBBBBBBBDDDDDDDD", "en", "s0"),         // B shared, D unique
+      (8L, "AAAAAAAA", "en", "s1"),                 // A shared
+      (0L, "AAAAAAAA", "en", "s1")                  // image — never counted
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Multimodal.frameDupReport(
+        Multimodal.fromDocuments(d), frameBytes = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("canon_media"), r.getAs[Long]("canon_idx")) ->
+        ((r.getAs[Long]("occurrences"), r.getAs[Long]("n_media")))).toMap
+    // frame A: media 2 idx 0 canonical; carried by 2 and 8 (NOT image 0)
+    // frame B: media 2 idx 1 canonical; carried by 2 and 5
+    assert(out === Map((2L, 0L) -> ((2L, 2L)), (2L, 1L) -> ((2L, 2L))))
+  }
+
   test("frame sampling slices payload into strided fixed-size chunks") {
     val frames = Multimodal.frameSample(media, frameBytes = 4, everyN = 2)
     val doc0 = frames.filter(col("media_id") === 0)

@@ -133,6 +133,9 @@ object ScaleSmoke {
       // media ANN: broadcast query set × kind-blocked scan — linear
       Op("media_knn", d => Multimodal.mediaKnn(spark,
         Multimodal.fromDocuments(d), numQueries = 6, k = 5), "doc"),
+      // frame explode + two hash aggs — linear in frame volume
+      Op("media_frame_dup", d => Multimodal.frameDupReport(
+        Multimodal.fromDocuments(d), frameBytes = 64), "doc"),
       Op("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
       Op("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
       Op("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),
@@ -288,6 +291,10 @@ object ScaleSmoke {
           .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"))
       }, "doc"),
       Op("ann_srp", e => Similarity.annSrpHamming(e, 25, 5), "emb"),
+      // recall audit: one exact pass + two probe chains, query-count
+      // output — prices the ground-truth scan's growth
+      Op("ann_recall_ivf", e => Similarity.annRecallAudit(spark, e,
+        numQueries = 5, k = 5, probesList = Seq(1, 2)), "emb"),
       // replica copy-tags change only each copy's TAIL windows, so
       // cross-copy duplicated spans grow with the corpus — the smoke
       // prices the worst (dup-heavy) case like the pair tiers

@@ -382,6 +382,14 @@ class PlanAuditSpec extends SparkSpec {
       s"media pairs must block on (kind, band, band_val), plan:\n$p")
   }
 
+  test("frame dup report is explode + hash aggregations — no join at all") {
+    val p = plan("media_frame_dup")
+    assert(!p.contains("Join"),
+      s"the frame report needs no join (packed-long canon), plan:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"canonical pick must stay a hash aggregation, plan:\n$p")
+  }
+
   test("media knn prunes its top-k map-side and broadcasts the query set") {
     val p = plan("media_knn")
     assert(p.contains("WindowGroupLimit"),

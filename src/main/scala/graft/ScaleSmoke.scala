@@ -136,6 +136,9 @@ object ScaleSmoke {
       // frame explode + two hash aggs — linear in frame volume
       Op("media_frame_dup", d => Multimodal.frameDupReport(
         Multimodal.fromDocuments(d), frameBytes = 64), "doc"),
+      // the composed funnel carries the banded pair join → pair tier
+      Op("pipeline_media", d => Multimodal.mediaPipeline(spark,
+        Multimodal.fromDocuments(d), maxDistance = 4), "pair"),
       Op("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
       Op("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
       Op("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),

@@ -1783,6 +1783,13 @@ object SparkEntry {
         Multimodal.fromDocuments(Tables.documents(s, dir)),
         numQueries = MediaKnnQ, k = MediaKnnK)
         .orderBy("qid", "rn")),
+    // Media capstone: per-kind funnel total → exact (md5, kind-blocked)
+    // → perceptual (banded phash, Hamming ≤ 4), + surviving bytes.
+    "pipeline_media" -> ((s, dir) =>
+      Multimodal.mediaPipeline(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        maxDistance = MediaHam)
+        .orderBy("kind")),
     // Segment-granular exact dedup: frames shared across >= 2 videos,
     // with the canonical occurrence a rewrite would keep.
     "media_frame_dup" -> ((s, dir) =>
@@ -3119,6 +3126,33 @@ object SparkEntry {
          |  FROM scored) r
          |WHERE rn <= $MediaKnnK
          |ORDER BY qid, rn""".stripMargin,
+
+    "pipeline_media" ->
+      s"""WITH $SqlMediaPhashCtes,
+         |keep1 AS (SELECT kind, md5(text) AS h, MIN(media_id) AS keep
+         |          FROM med GROUP BY 1, 2),
+         |s1 AS (SELECT m.media_id, m.kind, m.len FROM med m
+         |  JOIN keep1 g ON m.kind = g.kind AND md5(m.text) = g.h
+         |    AND m.media_id = g.keep),
+         |drop2 AS (
+         |  SELECT DISTINCT b.media_id FROM s1 b
+         |  JOIN s1 a ON a.kind = b.kind AND a.media_id < b.media_id
+         |  JOIN ph pa ON pa.media_id = a.media_id
+         |  JOIN ph pb ON pb.media_id = b.media_id
+         |  WHERE bit_count(xor(pa.phash, pb.phash)) <= $MediaHam),
+         |s2 AS (SELECT * FROM s1
+         |       WHERE media_id NOT IN (SELECT media_id FROM drop2))
+         |SELECT t.kind, CAST(t.n_media AS BIGINT) AS n_media,
+         |  CAST(COALESCE(e.after_exact, 0) AS BIGINT) AS after_exact,
+         |  CAST(COALESCE(p.after_phash, 0) AS BIGINT) AS after_phash,
+         |  CAST(COALESCE(p.bytes_kept, 0) AS BIGINT) AS bytes_kept
+         |FROM (SELECT kind, COUNT(*) AS n_media FROM med GROUP BY 1) t
+         |LEFT JOIN (SELECT kind, COUNT(*) AS after_exact FROM s1 GROUP BY 1) e
+         |  ON t.kind = e.kind
+         |LEFT JOIN (SELECT kind, COUNT(*) AS after_phash, SUM(len) AS bytes_kept
+         |           FROM s2 GROUP BY 1) p
+         |  ON t.kind = p.kind
+         |ORDER BY t.kind""".stripMargin,
 
     "media_frame_dup" ->
       s"""WITH v AS (

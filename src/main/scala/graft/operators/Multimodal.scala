@@ -329,6 +329,55 @@ object Multimodal {
       .withColumn("resized_bytes", length(col("resized")).cast("long"))
   }
 
+  /** Composed media curation pipeline — the media capstone (the
+    * pipeline_curate_v4 shape for the binary modality): per kind,
+    * the dedup funnel counts
+    * `total → after exact dedup → after perceptual near-dup dedup`
+    * plus the payload bytes the final survivors carry. Exact tier
+    * keys on md5(payload) within kind (the engine's content-hash
+    * idiom — 128 bits, collision-immune at any scale, canonical keep
+    * = lowest media_id); the perceptual tier drops survivors with a
+    * lower-id banded twin at Hamming ≤ maxDistance (the semdedup drop
+    * rule at the phash tier, candidates from the same exact-recall
+    * pigeonhole bands as [[mediaNearDupPairs]]). Payloads touch only
+    * the first narrow projection (md5 + length); everything downstream
+    * is fingerprint-width. */
+  def mediaPipeline(spark: SparkSession, media: DataFrame,
+                    maxDistance: Int = 4): DataFrame = {
+    val base = media.select(col("media_id"), col("kind"),
+        md5(col("payload")).as("h"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .localCheckpoint(eager = false)
+    val keep1 = base.groupBy("kind", "h")
+      .agg(min("media_id").as("media_id")).select("media_id")
+    val s1 = base.join(keep1, "media_id")
+    val s1f = s1
+      .join(mediaFingerprints(spark, media).select("media_id", "phash"),
+        "media_id")
+      .localCheckpoint(eager = false)
+    val banded = bandedPhash(s1f, maxDistance)
+    val drops = banded.as("a")
+      .join(banded.as("b"),
+        col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.media_id") < col("b.media_id"))
+      .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
+        <= maxDistance)
+      .select(col("b.media_id").as("media_id")).distinct()
+    val s2 = s1f.join(drops, Seq("media_id"), "left_anti")
+    base.groupBy("kind").agg(count(lit(1)).as("n_media"))
+      .join(s1.groupBy("kind").agg(count(lit(1)).as("after_exact")),
+        Seq("kind"), "left")
+      .join(s2.groupBy("kind")
+          .agg(count(lit(1)).as("after_phash"),
+            sum("n_bytes").as("bytes_kept")),
+        Seq("kind"), "left")
+      .select(col("kind"), col("n_media"),
+        coalesce(col("after_exact"), lit(0L)).as("after_exact"),
+        coalesce(col("after_phash"), lit(0L)).as("after_phash"),
+        coalesce(col("bytes_kept"), lit(0L)).as("bytes_kept"))
+  }
+
   /** Cross-video duplicated-FRAME report — segment-granular exact
     * dedup (the ExactSubstr shape at frame granularity): every
     * fixed-size frame shared by ≥ 2 distinct videos, with its

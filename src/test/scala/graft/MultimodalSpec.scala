@@ -140,6 +140,31 @@ class MultimodalSpec extends SparkSpec {
     assert(survivors === Set(6L))
   }
 
+  test("media pipeline funnels exact then perceptual dedup per kind") {
+    // image kind (ids ≡ 0 mod 3): 0 and 3 near-dup (one edit), 6 exact
+    // copy of 0, 9 unrelated; audio 1 untouched singleton
+    val big = "alpha beta gamma delta epsilon zeta eta theta " * 6
+    val d = Seq(
+      (0L, big, "en", "s0"),
+      (3L, big.replace("zeta", "zetA"), "en", "s0"),
+      (6L, big, "en", "s1"),                                  // exact dup of 0
+      (9L, "totally different payload 123 456 789 xyz qrs " * 6, "en", "s1"),
+      (1L, "lone audio payload nothing else like it here " * 6, "en", "s2")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Multimodal.mediaPipeline(spark,
+        Multimodal.fromDocuments(d), maxDistance = 4)
+      .collect().map(r => r.getAs[String]("kind") ->
+        ((r.getAs[Long]("n_media"), r.getAs[Long]("after_exact"),
+          r.getAs[Long]("after_phash"), r.getAs[Long]("bytes_kept")))).toMap
+    // image: 4 total → exact drops 6 → phash drops 3 (twin 0) → {0, 9}
+    val img = out("image")
+    assert((img._1, img._2, img._3) === ((4L, 3L, 2L)))
+    assert(img._4 === big.length.toLong +
+      ("totally different payload 123 456 789 xyz qrs " * 6).length)
+    assert(out("audio") === ((1L, 1L, 1L,
+      ("lone audio payload nothing else like it here " * 6).length.toLong)))
+  }
+
   test("frame dup report finds cross-video shared frames with canonical pick") {
     // ids ≡ 2 (mod 3) → video kind; 8-byte frames
     val d = Seq(

@@ -77,4 +77,59 @@ object VecStream {
         "left_anti")
       .select("vec_id", "ts", "cluster")
   }
+
+  /** Streaming nearest-neighbor SERVE — arriving query vectors get
+    * their single nearest corpus neighbor from the probed IVF cell,
+    * completing retrieval's streaming story at the one k where state
+    * stays BOUNDED: per query the aggregation holds exactly one
+    * (cos, id) struct (a rank window, and a collect-list top-k, would
+    * be respectively illegal and cell-sized on an unbounded stream).
+    * Cell assignment is the [[semDedupStream]] row-local packed-book
+    * argmin (batch tie-break reproduced by lexicographic struct
+    * order); scoring joins the persisted cluster-assigned corpus
+    * stream-static on the cell; the nearest pick is one
+    * watermark-bounded `max(struct(cos, -id))` — highest cosine,
+    * lowest id on ties, exactly [[Similarity.annIvf]]'s (cos desc,
+    * vec_id asc) order at k = 1. Output: (qid, ts, vec_id, cos,
+    * n_scored), append mode; n_scored records the probed cell's
+    * candidate count (the serving-cost audit column). */
+  def nnServeStream(queries: DataFrame, corpus: DataFrame,
+                    dim: Int = 64,
+                    watermark: String = "1 hour"): DataFrame = {
+    val spark = corpus.sparkSession
+    val book = Similarity.coarseBook(spark, corpus, dim)
+    val packed = book
+      .agg(collect_list(struct(col("cluster"), col("cq"))).as("book"))
+      .withColumn("one", lit(1))
+      .persist()
+    val corpusSide = Similarity.assignToBook(corpus, book)
+      .select(col("vec_id").as("id_c"), col("cluster").as("c_cluster"))
+      .join(corpus.select(col("vec_id").as("id_c"),
+        col("embedding").as("ec"),
+        normSqQuantized(col("embedding"), 1000).as("nc")), "id_c")
+      .persist()
+    val assigned = queries
+      .withWatermark("ts", watermark)
+      .withColumn("one", lit(1))
+      .join(broadcast(packed), "one")
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * 1000).cast("long")))
+      .withColumn("cluster", element_at(array_sort(expr(
+        """transform(book, b -> named_struct(
+          |  'd', aggregate(zip_with(q, b.cq, (x, y) -> (x - y) * (x - y)),
+          |         CAST(0 AS BIGINT), (a, x) -> a + x),
+          |  'c', b.cluster))""".stripMargin)), 1).getField("c"))
+      .withColumn("nq", normSqQuantized(col("embedding"), 1000))
+    assigned
+      .join(corpusSide, col("cluster") === col("c_cluster"))
+      .withColumn("cos",
+        dotQuantized(col("embedding"), col("ec"), 1000).cast("double") /
+          sqrt((col("nq") * col("nc")).cast("double")))
+      .groupBy(col("vec_id").as("qid"), col("ts"))
+      .agg(max(struct(col("cos"), (-col("id_c")).as("nid"))).as("best"),
+        count(lit(1)).as("n_scored"))
+      .select(col("qid"), col("ts"),
+        (-col("best.nid")).as("vec_id"), col("best.cos").as("cos"),
+        col("n_scored"))
+  }
 }

@@ -691,4 +691,39 @@ class StreamingSpec extends SparkSpec {
       assert(progress == null || progress.stateOperators.isEmpty)
     } finally q.stop()
   }
+
+  test("streaming nn serve returns the cell's exact-cosine nearest neighbor") {
+    // two clean cells: positive-x cluster 0 (vecs 0, 1), negative-x
+    // cluster 1 (vecs 2, 3)
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+      (3L, Array(-0.9f, -0.1f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val input = MemoryStream[VDoc](spark)
+    val q = graft.streaming.VecStream.nnServeStream(input.toDF(), corpus, dim = 4)
+      .writeStream.format("memory").queryName("nn_serve_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        // lands in cell 0; cosine-nearest is vec 1 (direction matters,
+        // not magnitude)
+        VDoc(100, ts("10:00"), Array(0.8f, 0.09f, 0.0f, 0.0f)),
+        // lands in cell 1; nearest is vec 2 exactly (colinear)
+        VDoc(101, ts("10:01"), Array(-0.5f, 0.0f, 0.0f, 0.0f)))
+      q.processAllAvailable()
+      input.addData(VDoc(999, ts("12:30"), Array(0.0f, 0.0f, 0.0f, 1.0f)))
+      q.processAllAvailable() // advance the watermark; 999 stays pending
+      val streamed = spark.table("nn_serve_stream")
+        .select("qid", "vec_id", "cos", "n_scored").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+      assert(streamed.keySet === Set(100L, 101L))
+      assert(streamed(100L)._1 === 1L)
+      assert(streamed(101L)._1 === 2L)
+      assert(streamed(101L)._2 > 0.999) // colinear → cosine ≈ 1
+      assert(streamed.values.forall(_._3 === 2L)) // both cells hold 2
+    } finally q.stop()
+  }
 }

@@ -193,6 +193,20 @@ object Bench {
         s" after ${loadWaitS}s wait — refusing $benchOut write (a loaded" +
         " capture must not become the artifact of record; stdout line above" +
         " still reports this run)")
+    // MID-RUN load detector: loadavg_post cannot gate (the 32-thread
+    // suite itself drives it past any threshold on every run); the
+    // calibration anchors are the instrument built for this — if the
+    // pre/post anchors moved more than the band AND by a non-noise
+    // margin, load arrived (or left) mid-run and per-query numbers are
+    // contaminated (r7's committed artifact had anchors 0.61 → 0.32:
+    // exactly this signature).
+    else if (math.max(calibPre, calibPost) >
+        1.6 * math.min(calibPre, calibPost) &&
+        math.abs(calibPre - calibPost) > 0.1)
+      System.err.println(f"[bench] calibration anchors moved " +
+        f"$calibPre%.3f -> $calibPost%.3f (> 1.6x band) — load shifted " +
+        s"mid-run; refusing $benchOut write (stdout line above still " +
+        "reports this run)")
     else
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(benchOut), line + "\n")

@@ -1843,7 +1843,8 @@ object SparkEntry {
       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |         ELSE 'video' END AS kind,
       |    text, CAST(length(text) AS BIGINT) AS len
-      |  FROM documents),
+      |  FROM documents
+      |  WHERE length(text) >= 1),
       |samp AS (
       |  SELECT media_id, j % 60 AS b,
       |    unicode(substr(text,
@@ -3099,9 +3100,11 @@ object SparkEntry {
          |ORDER BY m1, m2""".stripMargin,
 
     "media_knn" ->
-      // every candidate pair shares at least one histogram bucket on
-      // this corpus (spaces alone populate a bucket), so the
-      // bucket-intersection dot covers the full candidate set
+      // the query-side hist join is INNER (every non-empty payload has
+      // hist rows) but the candidate-side bucket match is LEFT +
+      // COALESCE so disjoint-bucket candidates score dot = 0 exactly
+      // like the engine's zip_with dot, instead of vanishing from the
+      // ranking
       s"""WITH $SqlMediaPhashCtes, $SqlMediaHistCtes,
          |q AS (SELECT media_id AS qid, kind FROM med
          |      WHERE media_id < $MediaKnnQ),
@@ -3109,10 +3112,11 @@ object SparkEntry {
          |  SELECT q.qid, m.media_id, m.kind FROM q
          |  JOIN med m ON q.kind = m.kind AND m.media_id <> q.qid),
          |dots AS (
-         |  SELECT c.qid, c.media_id, c.kind, SUM(h1.c * h2.c) AS dot
+         |  SELECT c.qid, c.media_id, c.kind,
+         |    COALESCE(SUM(h1.c * h2.c), 0) AS dot
          |  FROM cand c
          |  JOIN hist h1 ON c.qid = h1.media_id
-         |  JOIN hist h2 ON c.media_id = h2.media_id AND h1.hb = h2.hb
+         |  LEFT JOIN hist h2 ON c.media_id = h2.media_id AND h1.hb = h2.hb
          |  GROUP BY 1, 2, 3),
          |scored AS (
          |  SELECT d.qid, d.media_id, d.kind,
@@ -3166,12 +3170,12 @@ object SparkEntry {
          |g AS (
          |  SELECT frame, CAST(COUNT(*) AS BIGINT) AS occurrences,
          |    CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_media,
-         |    MIN(media_id * 1048576 + frame_idx) AS packed
+         |    MIN(media_id * 4294967296 + frame_idx) AS packed
          |  FROM f GROUP BY 1)
          |SELECT ${sqlToSigned(sqlFnvUnsigned("frame"))} AS frame_fnv,
          |  occurrences, n_media,
-         |  CAST(packed // 1048576 AS BIGINT) AS canon_media,
-         |  CAST(packed % 1048576 AS BIGINT) AS canon_idx
+         |  CAST(packed // 4294967296 AS BIGINT) AS canon_media,
+         |  CAST(packed % 4294967296 AS BIGINT) AS canon_idx
          |FROM g WHERE n_media >= 2
          |ORDER BY canon_media, canon_idx""".stripMargin,
 

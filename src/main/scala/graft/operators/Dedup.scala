@@ -1536,7 +1536,7 @@ object Dedup {
   /** [[deletionVariants]] with pass-through of any extra columns —
     * the id-carrying blocking relation [[editDistanceComponents]]
     * builds its edge list from. */
-  private def deletionVariantsKeyed(names: DataFrame): DataFrame =
+  private[graft] def deletionVariantsKeyed(names: DataFrame): DataFrame =
     names.select(col("*"),
       posexplode(expr("transform(sequence(1, length(n)), " +
         "i -> concat(substring(n, 1, i - 1), " +

@@ -159,15 +159,44 @@ object Multimodal {
   /** Byte-histogram feature dimension for the verification cosine. */
   val HistDim = 16
 
+  final case class MediaFingerprint(media_id: Long, kind: String,
+                                    n_bytes: Long, checksum: Long,
+                                    content_hash: String, phash: Long,
+                                    hist: Array[Long])
+
   /** Per-media fingerprint relation — perceptual hash + integer
-    * histogram feature + its squared norm, the media analog of
-    * [[Dedup.simhashFingerprints]]. One narrow decode pass; only
-    * fixed-size scalars/small arrays leave it. */
-  def mediaFingerprints(spark: SparkSession, media: DataFrame): DataFrame =
-    decodeAndFeaturize(spark, media)
-      .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"),
-        col("phash"), col("hist"),
-        aggregate(col("hist"), lit(0L), (acc, x) => acc + x * x).as("nsq"))
+    * histogram feature (+ squared norm) + content digests, the media
+    * analog of [[Dedup.simhashFingerprints]]. One narrow decode pass
+    * computing ONLY the dedup surface (no float feature extraction —
+    * the model-forward-pass stand-in is [[decodeAndFeaturize]]'s cost
+    * and none of the dedup tiers read it); only fixed-size scalars /
+    * small arrays leave the pass. Empty payloads are DEFINED OUT
+    * (filtered), the same rule as [[frameSample]]/[[resizeStub]]: an
+    * empty payload carries no content to fingerprint, and admitting it
+    * would make every downstream cosine 0/0. The md5 content hash
+    * (exact-dedup tier key — 128 bits, the engine's collision-immune
+    * content-hash idiom) rides the same pass so
+    * [[mediaPipeline]] touches payload bytes exactly once. */
+  def mediaFingerprints(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(length(col("payload")) >= 1)
+      .select("media_id", "kind", "payload", "source").as[MediaRow]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { m =>
+          md.reset()
+          val hex = md.digest(m.payload)
+            .map(b => f"${b & 0xff}%02x").mkString
+          MediaFingerprint(m.media_id, m.kind, m.payload.length.toLong,
+            StubCodec.checksum(m.payload), hex,
+            StubCodec.blockHash(m.payload, PhashBits),
+            StubCodec.byteHistogram(m.payload, HistDim))
+        }
+      }
+      .toDF()
+      .withColumn("nsq",
+        aggregate(col("hist"), lit(0L), (acc, x) => acc + x * x))
+  }
 
   /** Fingerprints exploded into `maxDistance + 1` pigeonhole bands over
     * the 60-bit perceptual hash — same EXACT-recall blocking as the
@@ -339,23 +368,25 @@ object Multimodal {
     * = lowest media_id); the perceptual tier drops survivors with a
     * lower-id banded twin at Hamming ≤ maxDistance (the semdedup drop
     * rule at the phash tier, candidates from the same exact-recall
-    * pigeonhole bands as [[mediaNearDupPairs]]). Payloads touch only
-    * the first narrow projection (md5 + length); everything downstream
+    * pigeonhole bands as [[mediaNearDupPairs]]). Payloads are read by
+    * exactly ONE pass — [[mediaFingerprints]], which carries the md5
+    * beside the perceptual hash; everything downstream
     * is fingerprint-width. */
   def mediaPipeline(spark: SparkSession, media: DataFrame,
                     maxDistance: Int = 4): DataFrame = {
-    val base = media.select(col("media_id"), col("kind"),
-        md5(col("payload")).as("h"),
-        length(col("payload")).cast("long").as("n_bytes"))
+    // ONE payload pass: the fingerprint relation carries the exact
+    // tier's md5 beside the perceptual hash, so neither tier re-reads
+    // payload bytes (and exact-dropped media are never re-decoded —
+    // the funnel runs entirely on fingerprint-width rows)
+    val base = mediaFingerprints(spark, media)
+      .select(col("media_id"), col("kind"), col("content_hash").as("h"),
+        col("n_bytes"), col("phash"))
       .localCheckpoint(eager = false)
     val keep1 = base.groupBy("kind", "h")
       .agg(min("media_id").as("media_id")).select("media_id")
     val s1 = base.join(keep1, "media_id")
-    val s1f = s1
-      .join(mediaFingerprints(spark, media).select("media_id", "phash"),
-        "media_id")
       .localCheckpoint(eager = false)
-    val banded = bandedPhash(s1f, maxDistance)
+    val banded = bandedPhash(s1, maxDistance)
     val drops = banded.as("a")
       .join(banded.as("b"),
         col("a.kind") === col("b.kind") && col("a.band") === col("b.band") &&
@@ -364,7 +395,7 @@ object Multimodal {
       .filter(bit_count(col("a.phash").bitwiseXOR(col("b.phash")))
         <= maxDistance)
       .select(col("b.media_id").as("media_id")).distinct()
-    val s2 = s1f.join(drops, Seq("media_id"), "left_anti")
+    val s2 = s1.join(drops, Seq("media_id"), "left_anti")
     base.groupBy("kind").agg(count(lit(1)).as("n_media"))
       .join(s1.groupBy("kind").agg(count(lit(1)).as("after_exact")),
         Seq("kind"), "left")
@@ -396,16 +427,21 @@ object Multimodal {
         frameBytes, everyN = 1)
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
         col("frame").cast("string").as("frame"))
+    // packing bounds: frame_idx < 2³² (a 256 GiB payload at 64-byte
+    // frames) and media_id < 2³¹ keep media_id·2³² + frame_idx inside
+    // a signed long; a deployment past either bound switches the
+    // canonical pick to the two-step (min media, then min idx there)
+    // aggregation at the cost of one extra join
     frames.groupBy("frame")
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col("media_id")).as("n_media"),
-        min(col("media_id") * lit(1048576L) + col("frame_idx")).as("packed"))
+        min(col("media_id") * lit(4294967296L) + col("frame_idx")).as("packed"))
       .filter(col("n_media") >= 2)
       .select(
         call_function("fnv64", col("frame").cast("binary")).as("frame_fnv"),
         col("occurrences"), col("n_media"),
-        expr("packed div 1048576").as("canon_media"),
-        expr("packed % 1048576").as("canon_idx"))
+        expr("packed div 4294967296").as("canon_media"),
+        expr("packed % 4294967296").as("canon_idx"))
   }
 
   /** Frame sampling plumbing: slice the payload into fixed-size chunks

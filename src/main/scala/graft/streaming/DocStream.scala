@@ -203,11 +203,9 @@ object DocStream {
       .withWatermark("ts", watermark)
       .select(col("ts"), col(keyCol).cast("string").as("n"))
       .filter(col("n").isNotNull && length(col("n")) >= 1)
-    val sVars = s.select(col("ts"), col("n"),
-      posexplode(expr("transform(sequence(1, length(n)), " +
-        "i -> concat(substring(n, 1, i - 1), " +
-        "substring(n, i + 1, length(n))))")))
-      .withColumnRenamed("col", "bk")
+    // the SAME blocking relation as the batch tier (pass-through form
+    // keeps ts) — one definition of the FastSS neighborhood, not three
+    val sVars = Dedup.deletionVariantsKeyed(s)
     val subs = sVars.join(cpVars, Seq("bk", "pos"))
       .select(col("ts"), col("n"), col("match_name"))
     val ins = sVars

@@ -109,6 +109,7 @@ object ScaleSmoke {
     val ops: Seq[Op] = Seq(
       Op("pack_chunks", d => TextOps.packChunks(d, 4096L, 64L), "doc"),
       Op("dedup_exact_groups", Dedup.exactGroups, "doc"),
+      Op("dedup_exact_normalized", TextOps.dedupExactNormalized, "doc"),
       Op("doc_repetition", TextOps.repetitionSignals, "doc"),
       Op("corpus_ngrams", d => TextOps.corpusNgrams(d, 3, 50), "doc"),
       Op("doc_novelty", d => TextOps.docNovelty(d, 3), "doc"),

@@ -661,6 +661,14 @@ object SparkEntry {
         thresholdTenths = IncContainTenths)
         .orderBy("doc_id")
     }),
+    // Canonical normalization (the pre-hash step of CCNet-style dedup)
+    // and exact dedup over the normalized content, with the
+    // raw-variants audit column showing what normalization merged.
+    "doc_normalized" -> ((s, dir) =>
+      TextOps.normalizedDocs(Tables.documents(s, dir)).orderBy("doc_id")),
+    "dedup_exact_normalized" -> ((s, dir) =>
+      TextOps.dedupExactNormalized(Tables.documents(s, dir))
+        .orderBy("norm_hash")),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     // Rolling-hash fingerprint on the native fnv64 Expression; the SQL
@@ -1873,6 +1881,14 @@ object SparkEntry {
       |  FROM med CROSS JOIN LATERAL unnest(range(1, len + 1)) AS t(j)
       |  GROUP BY 1, 2),
       |hnorm AS (SELECT media_id, SUM(c * c) AS nsq FROM hist GROUP BY 1)""".stripMargin
+
+  /** The canonical normalization chain in DuckDB form — plain
+    * character classes only, identical under Java regex and RE2 (the
+    * [[graft.operators.TextOps.normalizedText]] contract); DuckDB's
+    * regexp_replace needs the explicit 'g' flag Spark implies. */
+  private val SqlNormText: String =
+    "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), " +
+      "'[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
 
   /** Reinterpret a [0, 2^64) HUGEINT expression as the signed BIGINT
     * Spark's wrapping Long arithmetic produces. */
@@ -3223,6 +3239,17 @@ object SparkEntry {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS group_size
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_normalized" ->
+      s"""SELECT doc_id, $SqlNormText AS text_norm,
+         |  md5($SqlNormText) AS norm_hash,
+         |  CAST(length($SqlNormText) AS BIGINT) AS n_chars_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "dedup_exact_normalized" ->
+      s"""SELECT md5($SqlNormText) AS norm_hash,
+         |  MIN(doc_id) AS keep_id,
+         |  CAST(COUNT(*) AS BIGINT) AS group_size,
+         |  CAST(COUNT(DISTINCT text) AS BIGINT) AS raw_variants
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact_kept" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn

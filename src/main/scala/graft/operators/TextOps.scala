@@ -150,6 +150,40 @@ object TextOps {
       md5(concat_ws(" ", array_sort(array_distinct(split(col("text"), " ")))).cast("binary"))
         .as("bag_fp"))
 
+  /** Canonical text normalization — the step CCNet-style pipelines run
+    * BEFORE content hashing, so case/punctuation/numeral variants of
+    * the same content dedup together: lowercase → digit runs collapse
+    * to `0` → non-alphanumerics become spaces → space runs collapse →
+    * trim. Plain character classes only (`[0-9]`, `[^a-z0-9 ]`,
+    * ` +`), which Java regex and RE2 interpret identically — richer
+    * syntax (lookaround, \\p classes) would quietly diverge engines.
+    * Row-local, shuffle-free. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      "[0-9]+", "0"), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Per-doc normalized text + its md5 — the canonical content key the
+    * normalized exact-dedup tier groups on. */
+  def normalizedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), normalizedText(col("text")).as("text_norm"))
+      .withColumn("norm_hash", md5(col("text_norm").cast("binary")))
+      .withColumn("n_chars_norm", length(col("text_norm")).cast("long"))
+
+  /** Exact dedup over NORMALIZED content: groups keyed on
+    * md5(normalize(text)), with `raw_variants` counting how many
+    * DISTINCT raw texts the normalization merged — the audit column
+    * that shows what this tier catches beyond [[Dedup.exactGroups]]
+    * (raw_variants > 1 ⇔ case/punct/numeral variants collapsed). Same
+    * plan shape as the raw tier: one hash aggregation on the content
+    * key. */
+  def dedupExactNormalized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        md5(normalizedText(col("text")).cast("binary")).as("norm_hash"))
+      .groupBy("norm_hash")
+      .agg(min("doc_id").as("keep_id"),
+        count(lit(1)).as("group_size"),
+        countDistinct(col("text")).as("raw_variants"))
+
   /** Deterministic hash split: assign every document to train/val/test
     * by a hex digit of md5(doc_id) — the reproducible-at-scale sampling
     * primitive (no RNG state, stable under reruns, engine-independent,

@@ -31,6 +31,19 @@ case class HllRegState(register: Long)
 /** Per-trigger register emission (update mode). */
 case class HllOut(grp: String, bucket: Long, register: Long)
 
+/** Keyed sample row for the streaming KMV quantile sketch. */
+case class KqIn(grp: String, h: Long, id: Long, v: Double)
+
+/** Quantile-sketch state: the k (hash, id, value) triples with the
+  * smallest (hash, id) — a uniform-without-replacement sample whose
+  * membership is arrival-order- and duplication-insensitive, so the
+  * streamed sample is bit-identical to the batch sketch's. */
+case class KqState(mins: List[(Long, Long, Double)])
+
+/** Per-trigger quantile emission (update mode). */
+case class KqOut(grp: String, n_sampled: Int, p50_est: Double,
+                 p90_est: Double, p99_est: Double)
+
 /** One CMS counter cell. */
 case class CmsCellState(c: Long)
 
@@ -77,6 +90,43 @@ object SketchStream {
             if (mins.size < k) mins.size.toDouble
             else Math.scalb((k - 1).toDouble, 60) / mins.last.toDouble
           KmvOut(grp, mins.size, if (mins.isEmpty) -1L else mins.last, est)
+      }
+  }
+
+  /** Streaming KMV quantile sketch — the unbounded-stream twin of
+    * [[graft.operators.Sketches.kmvQuantileSketch]]'s estimate side
+    * (the exact validation columns are the batch luxury a stream
+    * cannot hold), completing the sketch streaming matrix
+    * (distinct / CMS / HLL / QUANTILE). State per group is the k
+    * (hash, id, value) triples with the smallest (hash, id) — a
+    * k-min-hash uniform sample, so membership is independent of
+    * arrival order and re-delivery and the streamed sample (hence
+    * every percentile read off it) is BIT-IDENTICAL to the batch
+    * sketch's over the same rows. The percentile pick replays
+    * `percentile_disc` exactly: smallest value whose cumulative rank
+    * reaches p. */
+  def kmvQuantileStream(rows: DataFrame, grpCol: String, idCol: String,
+                        valueCol: String, k: Int): Dataset[KqOut] = {
+    import rows.sparkSession.implicits._
+    require(k >= 2, s"need k >= 2, got $k")
+    rows
+      .select(col(grpCol).as("grp"),
+        Sketches.hash60(concat(lit("qs:"), col(idCol).cast("string")))
+          .as("h"),
+        col(idCol).cast("long").as("id"),
+        col(valueCol).cast("double").as("v"))
+      .as[KqIn]
+      .groupByKey(_.grp)
+      .mapGroupsWithState[KqState, KqOut](GroupStateTimeout.NoTimeout) {
+        (grp, it, state) =>
+          val prev = state.getOption.map(_.mins).getOrElse(Nil)
+          val mins = (prev ++ it.map(r => (r.h, r.id, r.v)))
+            .distinct.sortBy(t => (t._1, t._2)).take(k)
+          state.update(KqState(mins))
+          val vs = mins.map(_._3).sorted
+          def disc(p: Double): Double =
+            vs(math.max(0, math.ceil(p * vs.size).toInt - 1))
+          KqOut(grp, mins.size, disc(0.5), disc(0.9), disc(0.99))
       }
   }
 

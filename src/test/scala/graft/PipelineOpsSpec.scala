@@ -27,6 +27,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(groups.length === 1 && groups.head.getAs[Long]("keep_id") === 0L)
   }
 
+  test("normalized exact dedup merges case/punct/numeral variants") {
+    val d = Seq(
+      (1L, "Hello, World! 42", "en", "s0"),
+      (2L, "hello world 7", "en", "s0"),   // digit runs collapse to 0
+      (3L, "hello  world  0", "en", "s1"), // whitespace collapses
+      (4L, "different entirely", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    // the transform itself
+    val norms = TextOps.normalizedDocs(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text_norm")).toMap
+    assert(norms(1L) === "hello world 0")
+    assert(norms(2L) === "hello world 0")
+    assert(norms(3L) === "hello world 0")
+    // the dedup tier: three RAW-distinct variants collapse into one
+    // group — exactly what raw md5 dedup cannot see
+    val g = TextOps.dedupExactNormalized(d)
+      .filter(col("group_size") > 1).collect()
+    assert(g.length === 1)
+    assert(g.head.getAs[Long]("keep_id") === 1L)
+    assert(g.head.getAs[Long]("group_size") === 3L)
+    assert(g.head.getAs[Long]("raw_variants") === 3L)
+    assert(Dedup.exactGroups(d.withColumn("n_chars", length(col("text")).cast("long")))
+      .filter(col("group_size") > 1).count() === 0L)
+  }
+
   test("bag fingerprint catches token reordering; exact fp does not") {
     val fp = TextOps.fingerprints(docs)
     val bag = fp.groupBy("bag_fp").count().filter(col("count") >= 3).count()

@@ -592,6 +592,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quantile sketch matches the batch estimates " +
+    "under split, duplicated delivery") {
+    val n = 50
+    val k = 16
+    val input = MemoryStream[Ev](spark)
+    val q = graft.streaming.SketchStream
+      .kmvQuantileStream(input.toDF(), "event_type", "event_id", "value", k)
+      .writeStream.format("memory").queryName("kq_stream")
+      .outputMode("update").start()
+    try {
+      def ev(i: Long) = Ev(i, ts("10:00"), i % 7, "click", i * 1.5, "")
+      // out-of-order halves with re-delivered overlap
+      input.addData((n / 2 until n).reverse.map(i => ev(i.toLong)): _*)
+      q.processAllAvailable()
+      input.addData((0 until n / 2).map(i => ev(i.toLong)) ++
+        (n - 5 until n).map(i => ev(i.toLong)): _*)
+      q.processAllAvailable()
+      val last = spark.table("kq_stream").collect()
+        .filter(_.getAs[String]("grp") == "click").last
+      val batch = graft.operators.Sketches.kmvQuantileSketch(
+        (0 until n).map(i => ("click", i.toLong, i * 1.5))
+          .toDF("event_type", "event_id", "value"),
+        "event_type", "event_id", "value", k).collect().head
+      assert(last.getAs[Int]("n_sampled") === k)
+      assert(last.getAs[Double]("p50_est") === batch.getAs[Double]("p50_est"))
+      assert(last.getAs[Double]("p90_est") === batch.getAs[Double]("p90_est"))
+      assert(last.getAs[Double]("p99_est") === batch.getAs[Double]("p99_est"))
+    } finally q.stop()
+  }
+
   test("streaming CMS table is bit-identical to the batch table " +
     "under split, duplicated delivery") {
     val words = Seq("alpha", "beta", "alpha", "gamma", "beta", "alpha",

@@ -29,6 +29,32 @@ class PropertySpec extends SparkSpec {
     (1 to n).flatMap(s =>
       matrixGen.apply(Gen.Parameters.default, Seed(s.toLong)))
 
+  test("block hash ignores non-sampled bytes and is deterministic (property)") {
+    // the structural claim behind the perceptual hash's robustness: the
+    // stride downsample means only positions ≡ 0 (mod stride) exist for
+    // the fingerprint — mutating any OTHER byte cannot move a single
+    // bit, while mutating a sampled byte changes at most its block sum
+    // and the global mean
+    val byteGen = for {
+      len <- Gen.choose(300, 2000) // forces stride > 1 (4·60 = 240 cap)
+      bytes <- Gen.listOfN(len, Gen.choose(32, 126))
+    } yield bytes.map(_.toByte).toArray
+    for (s <- 1 to 40; bytes <- byteGen(Gen.Parameters.default, Seed(s.toLong))) {
+      val bits = graft.operators.Multimodal.PhashBits
+      val h0 = graft.operators.Multimodal.StubCodec.blockHash(bytes, bits)
+      // deterministic
+      assert(graft.operators.Multimodal.StubCodec.blockHash(bytes.clone(), bits) === h0)
+      val stride = (bytes.length + 4 * bits - 1) / (4 * bits)
+      assert(stride > 1)
+      // first non-sampled index; mutate it → hash identical
+      val idx = 1 // 1 % stride != 0 because stride > 1
+      val mutated = bytes.clone()
+      mutated(idx) = (mutated(idx) ^ 0x55).toByte
+      assert(graft.operators.Multimodal.StubCodec.blockHash(mutated, bits) === h0,
+        s"seed=$s len=${bytes.length} stride=$stride")
+    }
+  }
+
   private def toDF(entries: Seq[(Long, Long, Double)]): DataFrame = {
     import spark.implicits._
     // pre-sum duplicate coordinates (fromTable contract, SURVEY Q3)

@@ -207,6 +207,17 @@ object Bench {
         f"$calibPre%.3f -> $calibPost%.3f (> 1.6x band) — load shifted " +
         s"mid-run; refusing $benchOut write (stdout line above still " +
         "reports this run)")
+    // the STRING anchor gets the same mid-run gate: the integer anchor
+    // is blind to string/memory-throughput drift (the r8 artifact of
+    // record showed calib_str 0.396 -> 0.292 mid-run, ungated), and
+    // most of the suite is string-shaped
+    else if (math.max(calibStrPre, calibStrPost) >
+        1.6 * math.min(calibStrPre, calibStrPost) &&
+        math.abs(calibStrPre - calibStrPost) > 0.1)
+      System.err.println(f"[bench] STRING calibration anchors moved " +
+        f"$calibStrPre%.3f -> $calibStrPost%.3f (> 1.6x band) — string-" +
+        s"throughput drift mid-run; refusing $benchOut write (stdout " +
+        "line above still reports this run)")
     else
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(benchOut), line + "\n")

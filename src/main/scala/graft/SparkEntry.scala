@@ -1806,9 +1806,15 @@ object SparkEntry {
         .orderBy("canon_media", "canon_idx")),
     // Incremental media dedup: id-upper batch ingested against the
     // id-lower corpus (two-sided band probe; single-plan split).
+    // Empty payloads are defined out BEFORE the split so both engines
+    // take max(media_id) over the SAME relation the oracle's med CTE
+    // filters — with the filter inside mediaFingerprints only, an
+    // empty-text max-id document would move the split point on one
+    // side but not the other.
     "dedup_incremental_media" -> ((s, dir) => {
       val (batch, corpus) = halvesByMaxId(
-        Multimodal.fromDocuments(Tables.documents(s, dir)), "media_id")
+        Multimodal.fromDocuments(Tables.documents(s, dir))
+          .filter(length(col("payload")) >= 1), "media_id")
       Multimodal.dedupAgainstCorpusMedia(s, batch, corpus,
         maxDistance = MediaHam)
         .orderBy("media_id")

@@ -416,8 +416,13 @@ object Multimodal {
     * media_id, then lowest frame_idx there) occurrence a rewrite
     * would keep. Grouping keys on the frame CONTENT (the docNovelty
     * rule: the ≥ 2-distinct-carriers gate is collision-sensitive, so
-    * no 64-bit shortcut); the canonical occurrence is one packed-long
-    * min aggregation (media_id·2²⁰ + frame_idx — the
+    * no 64-bit shortcut) — and on the RAW BINARY frame, not a string
+    * view of it: a UTF-8 round-trip decodes invalid byte sequences
+    * (any real non-ASCII media, or a multi-byte char split at the
+    * frame boundary) to replacement chars, which would collide
+    * distinct frames into one group and falsely trip the ≥ 2-carriers
+    * gate. The canonical occurrence is one packed-long
+    * min aggregation (media_id·2³² + frame_idx — the
     * dedup_spans_rewrite idiom, partial+final HashAggregate, no
     * struct-min SortAggregate). Scale: one narrow frame explode, two
     * hash aggregations on the frame relation, output is
@@ -426,7 +431,7 @@ object Multimodal {
     val frames = frameSample(media.filter(col("kind") === "video"),
         frameBytes, everyN = 1)
       .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
-        col("frame").cast("string").as("frame"))
+        col("frame"))
     // packing bounds: frame_idx < 2³² (a 256 GiB payload at 64-byte
     // frames) and media_id < 2³¹ keep media_id·2³² + frame_idx inside
     // a signed long; a deployment past either bound switches the
@@ -438,7 +443,7 @@ object Multimodal {
         min(col("media_id") * lit(4294967296L) + col("frame_idx")).as("packed"))
       .filter(col("n_media") >= 2)
       .select(
-        call_function("fnv64", col("frame").cast("binary")).as("frame_fnv"),
+        call_function("fnv64", col("frame")).as("frame_fnv"),
         col("occurrences"), col("n_media"),
         expr("packed div 4294967296").as("canon_media"),
         expr("packed % 4294967296").as("canon_idx"))

@@ -182,7 +182,12 @@ object DocStream {
     * stream-static join re-evaluates the static side per micro-batch,
     * and in the lake story the variant index is the precomputed
     * offline artifact ([[Dedup.saveCorpusDigests]] shape, bucketed by
-    * variant) — persisting is the in-session stand-in.
+    * variant) — persisting is the in-session stand-in. Lifecycle is
+    * CALLER-OWNED, one cached index per served corpus: the blocks live
+    * until the session ends; a caller that re-CONSTRUCTS the stream
+    * against a new corpus snapshot should `spark.catalog.clearCache()`
+    * (or unpersist the prior instance) when the old stream stops, or
+    * superseded indexes accumulate until storage eviction.
     *
     * Output: (name, ts, n_matches, nearest) for MATCHED keys only —
     * the merge/review feed an entity-resolution ingest routes; keys

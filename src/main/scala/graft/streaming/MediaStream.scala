@@ -38,7 +38,10 @@ object MediaStream {
     * same kind. The corpus band index PERSISTS (the [[VecStream]]
     * rule — in the lake story it is the offline artifact bucketed by
     * (kind, band, band_val), the [[graft.operators.Dedup.saveCorpusDigests]]
-    * shape); recall is exact by the pigeonhole argument.
+    * shape); recall is exact by the pigeonhole argument. Lifecycle is
+    * CALLER-OWNED ([[DocStream.fuzzyIngestStream]]'s rule): re-building
+    * the stream against a new corpus snapshot should unpersist the
+    * superseded index when the old stream stops.
     *
     * Output: (media_id, ts, kind, n_matches, nearest_id) for MATCHED
     * media only — the drop/review feed; media absent from the output

@@ -120,8 +120,13 @@ object SketchStream {
       .mapGroupsWithState[KqState, KqOut](GroupStateTimeout.NoTimeout) {
         (grp, it, state) =>
           val prev = state.getOption.map(_.mins).getOrElse(Nil)
+          // full-triple sort key: if an id is ever re-delivered with a
+          // DIFFERENT value, two triples tie on (hash, id) and take(k)
+          // boundary membership would depend on arrival order — the
+          // value tie-break keeps state a pure function of the
+          // delivered set, the documented bit-identical guarantee
           val mins = (prev ++ it.map(r => (r.h, r.id, r.v)))
-            .distinct.sortBy(t => (t._1, t._2)).take(k)
+            .distinct.sortBy(t => (t._1, t._2, t._3)).take(k)
           state.update(KqState(mins))
           val vs = mins.map(_._3).sorted
           def disc(p: Double): Double =

@@ -92,7 +92,10 @@ object VecStream {
     * lowest id on ties, exactly [[Similarity.annIvf]]'s (cos desc,
     * vec_id asc) order at k = 1. Output: (qid, ts, vec_id, cos,
     * n_scored), append mode; n_scored records the probed cell's
-    * candidate count (the serving-cost audit column). */
+    * candidate count (the serving-cost audit column). The persisted
+    * book + assigned corpus have CALLER-OWNED lifecycle
+    * ([[DocStream.fuzzyIngestStream]]'s rule): unpersist the
+    * superseded pair when re-serving a new corpus snapshot. */
   def nnServeStream(queries: DataFrame, corpus: DataFrame,
                     dim: Int = 64,
                     watermark: String = "1 hour"): DataFrame = {

@@ -899,17 +899,45 @@ object TextOps {
     * cumulative share denominator so a reader gets the coverage curve
     * ("top K tokens cover X% of the corpus") from one relation. */
   def tokenZipf(docs: DataFrame): DataFrame = {
+    // the vocabulary relation feeds THREE consumers (total, bucket
+    // offsets, the ranked output) — pin it so the corpus-scale explode
+    // + aggregation runs ONCE; without the checkpoint the branches'
+    // pushed filters diverge (the pfx join key infers an extra
+    // isnotnull(substring) into one branch) and exchange reuse fails,
+    // measured as THREE full corpus passes. Under AQE the checkpoint
+    // materializes its stages at declaration (not fully lazy — the
+    // tfidf/mediaFingerprints precedent), which is still the one-pass
+    // total; on a cluster this is the offline vocabulary artifact.
     val freq = gramRows(docs, Seq(1))
       .groupBy("gram").agg(count(lit(1)).as("freq"))
-    // one driver scalar (metadata-scale); the single-partition rank
-    // window runs over the aggregated VOCABULARY relation, which Heaps'
-    // law keeps orders of magnitude smaller than the corpus
-    val total = freq.agg(sum("freq")).first().getLong(0)
-    freq
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("freq").desc, col("gram"))).cast("long"))
-      .select(col("rank"), col("gram").as("token"), col("freq"),
-        (col("freq").cast("double") / total).as("share"))
+      .localCheckpoint(eager = false)
+    // the share denominator folded in as a broadcast 1-row aggregate
+    // (the halvesByMaxId idiom) — the old .first() paid an extra full
+    // vocabulary-aggregation JOB per invocation just to learn a scalar
+    val total = freq.agg(sum("freq").as("__total"))
+    // global (freq desc, gram asc) rank as the two-level prefix sum
+    // (the shardBalance idiom): exclusive bucket offsets over the
+    // metadata-scale (freq, 1-char gram prefix) relation + bucket-local
+    // row_number — no single task ever sorts the vocabulary, which at
+    // 100 TB is still billions of grams even after Heaps' law. The
+    // prefix participates because ordering by it IS ordering by gram
+    // across buckets (leading-substring monotonicity), so the composite
+    // bucket both shrinks the offset relation's skew (freq = 1 holds
+    // half the vocab — hapax mass) and keeps the local sort per
+    // (freq, prefix) cell.
+    val bucketed = freq.withColumn("pfx", substring(col("gram"), 1, 1))
+    val wOff = Window.orderBy(col("freq").desc, col("pfx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("freq", "pfx")
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("freq"), col("pfx"),
+        coalesce(sum("cnt").over(wOff), lit(0L)).as("offset"))
+    val wLoc = Window.partitionBy("freq", "pfx").orderBy("gram")
+    bucketed.join(broadcast(offsets), Seq("freq", "pfx"))
+      .crossJoin(broadcast(total))
+      .select((col("offset") + row_number().over(wLoc)).as("rank"),
+        col("gram").as("token"), col("freq"),
+        (col("freq").cast("double") / col("__total")).as("share"))
   }
 
   /** Bigram familiarity score — the integer-exact stand-in for n-gram

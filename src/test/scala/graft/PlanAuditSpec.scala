@@ -438,6 +438,31 @@ class PlanAuditSpec extends SparkSpec {
     } finally sc.removeSparkListener(listener)
   }
 
+  test("token zipf ranks through partitioned windows with an in-plan total") {
+    // the r8 verdict's one `weak`: the global rank must be the
+    // two-level prefix sum (bucket offsets over the metadata-scale
+    // (freq, prefix) relation + bucket-local row_number), never a
+    // single-partition sort of the whole vocabulary, and the share
+    // denominator must ride the plan as a broadcast 1-row aggregate —
+    // a reintroduced driver .first() would inline the total as a
+    // LITERAL and drop the __total attribute from the plan
+    import org.apache.spark.sql.execution.window.WindowExec
+    // sparkPlan, not executedPlan: the AQE wrapper is a leaf node, so
+    // collect() would not traverse into the window operators
+    val exec = SparkEntry.queries("token_zipf")(spark, dir)
+      .queryExecution.sparkPlan
+    assert(exec.toString.contains("__total"),
+      s"share denominator must be an in-plan scalar agg, plan:\n$exec")
+    val winds = exec.collect { case w: WindowExec => w }
+    assert(winds.nonEmpty, s"expected window ranks, plan:\n$exec")
+    // any unpartitioned window may only order the aggregated bucket
+    // relation (freq/pfx columns) — never the vocabulary itself
+    winds.filter(_.partitionSpec.isEmpty).foreach { w =>
+      assert(!w.orderSpec.exists(_.child.references.exists(_.name == "gram")),
+        s"vocabulary-scale rank must be partitioned, plan:\n$exec")
+    }
+  }
+
   test("heavy hitters derive every branch from the checkpointed counts") {
     val p = plan("heavy_hitters")
     // the corpus token explode lives behind the lazy checkpoint of the

@@ -134,6 +134,12 @@ object ScaleSmoke {
       // media ANN: broadcast query set × kind-blocked scan — linear
       Op("media_knn", d => Multimodal.mediaKnn(spark,
         Multimodal.fromDocuments(d), numQueries = 6, k = 5), "doc"),
+      // the IVF scale path: rerank work is probed-CELL-sized, so the
+      // query-side cost grows sublinearly vs the brute kind scan (the
+      // corpus-side assignment stays linear — that is the index build)
+      Op("media_ann_ivf", d => Multimodal.mediaAnnIvf(spark,
+        Multimodal.fromDocuments(d), numQueries = 6, k = 5,
+        kPerKind = 4, rounds = 1, probes = 1), "doc"),
       // frame explode + two hash aggs — linear in frame volume
       Op("media_frame_dup", d => Multimodal.frameDupReport(
         Multimodal.fromDocuments(d), frameBytes = 64), "doc"),

@@ -138,6 +138,10 @@ object SparkEntry {
     * cover all three kinds twice. */
   private val MediaKnnQ = 6
   private val MediaKnnK = 5
+  /** Media IVF codebook size per kind (the k knob; ~√(N/kinds) in
+    * production — 4 keeps sf0.01's ~167-media kinds at ~40-member
+    * cells, large enough that probe-1 recall is a real measurement). */
+  private val MediaIvfK = 4
 
   /** `semdedup` cosine threshold in hundredths (query + oracle). Same
     * 0.35 as `dedup_embedding`: the synthetic embedding space tops out
@@ -1791,6 +1795,33 @@ object SparkEntry {
         Multimodal.fromDocuments(Tables.documents(s, dir)),
         numQueries = MediaKnnQ, k = MediaKnnK)
         .orderBy("qid", "rn")),
+    // Media ANN — the IVF scale path over the same integer feature
+    // relation: kind-blocked Lloyd codebook (integer centroids,
+    // cluster = seed media_id), probe the best cell, exact-cosine
+    // rerank inside it. Both engines replay the identical integer
+    // build, so the oracle adjudicates the whole chain.
+    "media_ann_ivf" -> ((s, dir) =>
+      Multimodal.mediaAnnIvf(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        numQueries = MediaKnnQ, k = MediaKnnK, kPerKind = MediaIvfK,
+        rounds = 1, probes = 1)
+        .orderBy("qid", "rn")),
+    // Multi-probe twin — the recall knob for boundary media.
+    "media_ann_ivf_probe2" -> ((s, dir) =>
+      Multimodal.mediaAnnIvf(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        numQueries = MediaKnnQ, k = MediaKnnK, kPerKind = MediaIvfK,
+        rounds = 1, probes = 2)
+        .orderBy("qid", "rn")),
+    // Measured recall@k of the media IVF tier vs the brute kind-blocked
+    // exact-cosine truth — the retrieval self-audit on the media
+    // modality (the ann_recall_ivf shape).
+    "media_recall_ivf" -> ((s, dir) =>
+      Multimodal.mediaRecallAudit(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        numQueries = MediaKnnQ, k = MediaKnnK, kPerKind = MediaIvfK,
+        rounds = 1, probesList = Seq(1, 2))
+        .orderBy("qid", "probes")),
     // Media capstone: per-kind funnel total → exact (md5, kind-blocked)
     // → perceptual (banded phash, Hamming ≤ 4), + surviving bytes.
     "pipeline_media" -> ((s, dir) =>
@@ -1887,6 +1918,147 @@ object SparkEntry {
       |  FROM med CROSS JOIN LATERAL unnest(range(1, len + 1)) AS t(j)
       |  GROUP BY 1, 2),
       |hnorm AS (SELECT media_id, SUM(c * c) AS nsq FROM hist GROUP BY 1)""".stripMargin
+
+  /** Shared media-IVF oracle CTEs: the kind-blocked integer Lloyd
+    * build of [[graft.operators.Multimodal.mediaIvfBook]] replayed in
+    * SQL — dense 16-dim histograms (absent buckets = 0), each kind's
+    * `MediaIvfK` lowest media_ids seed clusters with their raw
+    * histogram as centroid, one round of exact-integer squared-L2
+    * reassignment (tie-break cluster asc) + per-dim `sum // n` update,
+    * then the final assignment `a1` and the query set `q`. */
+  private val SqlMediaIvfCtes: String =
+    s"""med AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+       |         ELSE 'video' END AS kind,
+       |    text, CAST(length(text) AS BIGINT) AS len
+       |  FROM documents
+       |  WHERE length(text) >= 1),
+       |hist AS (
+       |  SELECT media_id, unicode(substr(text, CAST(j AS INT), 1)) % 16 AS hb,
+       |    CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM med CROSS JOIN LATERAL unnest(range(1, len + 1)) AS t(j)
+       |  GROUP BY 1, 2),
+       |hnorm AS (SELECT media_id, SUM(c * c) AS nsq FROM hist GROUP BY 1),
+       |dims AS (SELECT unnest(range(0, 16)) AS hb),
+       |histf AS (
+       |  SELECT m.media_id, m.kind, dims.hb, COALESCE(h.c, 0) AS c
+       |  FROM med m CROSS JOIN dims
+       |  LEFT JOIN hist h ON h.media_id = m.media_id AND h.hb = dims.hb),
+       |seeds AS (
+       |  SELECT kind, media_id AS cluster FROM (
+       |    SELECT kind, media_id,
+       |      row_number() OVER (PARTITION BY kind ORDER BY media_id) AS srn
+       |    FROM med) s WHERE srn <= $MediaIvfK),
+       |cq0 AS (
+       |  SELECT s.kind, s.cluster, f.hb, f.c AS v
+       |  FROM seeds s JOIN histf f ON f.media_id = s.cluster),
+       |a0 AS (
+       |  SELECT media_id, cluster FROM (
+       |    SELECT f.media_id, c0.cluster,
+       |      row_number() OVER (PARTITION BY f.media_id
+       |        ORDER BY SUM((f.c - c0.v) * (f.c - c0.v)), c0.cluster) AS arn
+       |    FROM histf f JOIN cq0 c0 ON f.kind = c0.kind AND f.hb = c0.hb
+       |    GROUP BY f.media_id, c0.cluster) x WHERE arn = 1),
+       |cq1 AS (
+       |  SELECT f.kind, a.cluster, f.hb, SUM(f.c) // COUNT(*) AS v
+       |  FROM a0 a JOIN histf f ON f.media_id = a.media_id
+       |  GROUP BY 1, 2, 3),
+       |a1 AS (
+       |  SELECT media_id, kind, cluster FROM (
+       |    SELECT f.media_id, f.kind, c1.cluster,
+       |      row_number() OVER (PARTITION BY f.media_id
+       |        ORDER BY SUM((f.c - c1.v) * (f.c - c1.v)), c1.cluster) AS arn
+       |    FROM histf f JOIN cq1 c1 ON f.kind = c1.kind AND f.hb = c1.hb
+       |    GROUP BY f.media_id, f.kind, c1.cluster) x WHERE arn = 1),
+       |q AS (SELECT media_id AS qid, kind FROM med
+       |      WHERE media_id < $MediaKnnQ)""".stripMargin
+
+  /** The per-probe-count tail of the media-IVF oracle: probe the
+    * `p` best cells per query (exact integer centroid distance,
+    * tie-break cluster asc), exact-cosine rerank their members —
+    * candidate-side bucket match LEFT + COALESCE exactly as the
+    * media_knn oracle, so disjoint-bucket members score dot = 0. */
+  private def sqlMediaIvfTopK(p: Int): String =
+    s"""probed$p AS (
+       |  SELECT qid, cluster FROM (
+       |    SELECT t.qid, c1.cluster,
+       |      row_number() OVER (PARTITION BY t.qid
+       |        ORDER BY SUM((fq.c - c1.v) * (fq.c - c1.v)), c1.cluster) AS crn
+       |    FROM q t JOIN histf fq ON fq.media_id = t.qid
+       |    JOIN cq1 c1 ON c1.kind = t.kind AND c1.hb = fq.hb
+       |    GROUP BY t.qid, c1.cluster) x WHERE crn <= $p),
+       |cand$p AS (
+       |  SELECT pr.qid, pr.cluster, a.media_id, a.kind
+       |  FROM probed$p pr JOIN a1 a ON a.cluster = pr.cluster
+       |  WHERE a.media_id <> pr.qid),
+       |dots$p AS (
+       |  SELECT c.qid, c.cluster, c.media_id, c.kind,
+       |    COALESCE(SUM(h1.c * h2.c), 0) AS dot
+       |  FROM cand$p c
+       |  JOIN hist h1 ON c.qid = h1.media_id
+       |  LEFT JOIN hist h2 ON c.media_id = h2.media_id AND h1.hb = h2.hb
+       |  GROUP BY 1, 2, 3, 4),
+       |ivf$p AS (
+       |  SELECT qid, cluster, media_id, kind, cos,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY cos DESC, media_id) AS BIGINT) AS rn
+       |  FROM (
+       |    SELECT d.qid, d.cluster, d.media_id, d.kind,
+       |      CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nsq * nm.nsq AS DOUBLE)) AS cos
+       |    FROM dots$p d JOIN hnorm nq ON d.qid = nq.media_id
+       |    JOIN hnorm nm ON d.media_id = nm.media_id) s)""".stripMargin
+
+  private def sqlMediaAnnIvf(p: Int): String =
+    s"""WITH $SqlMediaIvfCtes,
+       |${sqlMediaIvfTopK(p)}
+       |SELECT qid, cluster, media_id, kind, cos, rn
+       |FROM ivf$p WHERE rn <= $MediaKnnK
+       |ORDER BY qid, rn""".stripMargin
+
+  /** `media_recall_ivf` oracle: the brute kind-blocked exact-cosine
+    * truth (the media_knn chain) beside the IVF chain at probes 1 and
+    * 2, hit counts per query per setting. */
+  private def sqlMediaRecallIvf: String = {
+    def hits(p: Int) =
+      s"""hit$p AS (
+         |  SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS hits
+         |  FROM truth t JOIN ivf$p i
+         |    ON t.qid = i.qid AND t.media_id = i.media_id
+         |  WHERE i.rn <= $MediaKnnK
+         |  GROUP BY 1)"""
+    def leg(p: Int) =
+      s"""SELECT q.qid, CAST($p AS BIGINT) AS probes,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(1000 * COALESCE(h.hits, 0) // $MediaKnnK AS BIGINT) AS recall_milli
+         |FROM q LEFT JOIN hit$p h ON q.qid = h.qid"""
+    s"""WITH $SqlMediaIvfCtes,
+       |bcand AS (
+       |  SELECT t.qid, m.media_id FROM q t
+       |  JOIN med m ON t.kind = m.kind AND m.media_id <> t.qid),
+       |bdots AS (
+       |  SELECT c.qid, c.media_id, COALESCE(SUM(h1.c * h2.c), 0) AS dot
+       |  FROM bcand c
+       |  JOIN hist h1 ON c.qid = h1.media_id
+       |  LEFT JOIN hist h2 ON c.media_id = h2.media_id AND h1.hb = h2.hb
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT qid, media_id FROM (
+       |    SELECT d.qid, d.media_id,
+       |      row_number() OVER (PARTITION BY d.qid ORDER BY
+       |        CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nsq * nm.nsq AS DOUBLE)) DESC,
+       |        d.media_id) AS rn
+       |    FROM bdots d JOIN hnorm nq ON d.qid = nq.media_id
+       |    JOIN hnorm nm ON d.media_id = nm.media_id) s WHERE rn <= $MediaKnnK),
+       |${sqlMediaIvfTopK(1)},
+       |${sqlMediaIvfTopK(2)},
+       |${hits(1)},
+       |${hits(2)}
+       |${leg(1)}
+       |UNION ALL
+       |${leg(2)}
+       |ORDER BY qid, probes""".stripMargin
+  }
 
   /** The canonical normalization chain in DuckDB form — plain
     * character classes only, identical under Java regex and RE2 (the
@@ -3152,6 +3324,10 @@ object SparkEntry {
          |  FROM scored) r
          |WHERE rn <= $MediaKnnK
          |ORDER BY qid, rn""".stripMargin,
+
+    "media_ann_ivf" -> sqlMediaAnnIvf(p = 1),
+    "media_ann_ivf_probe2" -> sqlMediaAnnIvf(p = 2),
+    "media_recall_ivf" -> sqlMediaRecallIvf,
 
     "pipeline_media" ->
       s"""WITH $SqlMediaPhashCtes,

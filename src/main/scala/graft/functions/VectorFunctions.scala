@@ -61,6 +61,15 @@ object VectorFunctions {
       Bridge.expression(c), scale))
   }
 
+  /** Σ (aᵢ − bᵢ)² as BIGINT between two already-integer bigint arrays
+    * — native codegen'd ([[SqDistLong]]); the assignment/scoring
+    * kernel for integer-feature relations (media byte histograms),
+    * where a float quantization detour would be lossy above 2²⁴. */
+  def sqDistLong(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(SqDistLong(Bridge.expression(a), Bridge.expression(b)))
+  }
+
   /** Narrows an array column's static type to `containsNull = false`
     * with per-row validation ([[KnownNoNullElements]]) — required on
     * lambda-built (`transform`) arrays before any native long-array

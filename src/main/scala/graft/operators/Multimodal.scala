@@ -277,11 +277,11 @@ object Multimodal {
     * search is kind-blocked (broadcast equi-join, an image never
     * scores against audio), score = integer dot over integer norms →
     * IEEE-exact cosine, and the per-query top-k prunes map-side
-    * (WindowGroupLimit). The scale path reuses this engine's existing
-    * machinery: cluster the histograms with
-    * [[graft.operators.Similarity.lloydBook]] and probe IVF cells
-    * exactly as the embedding tier does — the feature relation here
-    * has the same (id, block-key, int-vector) shape. */
+    * (WindowGroupLimit). The scale path is [[mediaAnnIvf]]: the same
+    * integer feature relation clustered by the kind-blocked Lloyd
+    * codebook ([[mediaIvfBook]]) and probed IVF-style, with a measured
+    * recall@k self-audit ([[mediaRecallAudit]]) adjudicating the
+    * probe knob against this brute ground truth. */
   def mediaKnn(spark: SparkSession, media: DataFrame,
                numQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -302,6 +302,148 @@ object Multimodal {
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("qid", "media_id", "kind", "cos", "rn")
+  }
+
+  /** KIND-BLOCKED integer Lloyd codebook over the byte-histogram
+    * feature relation — the media twin of
+    * [[graft.operators.Similarity.lloydBook]], and the index build of
+    * [[mediaAnnIvf]] (the 100 TB path [[mediaKnn]]'s docstring
+    * promises). Deterministic end to end so DuckDB can replay the
+    * whole build: seeds are each kind's `kPerKind` LOWEST-media_id
+    * fingerprints with the raw integer histogram as centroid (cluster
+    * id = the seed's media_id — globally unique, since ids are);
+    * each round reassigns by EXACT integer squared L2
+    * ([[graft.functions.SqDistLong]], tie-break cluster asc) and
+    * updates centroids as per-dim `sum div n`. A cluster left empty
+    * vanishes (standard drop; both engines agree by construction).
+    *
+    * Scale shape: the book is (kinds · kPerKind) rows, broadcast; each
+    * round shuffles only the assignment argmin (map-side min-struct
+    * partial agg, N skinny rows) and the k·dim centroid update — the
+    * histogram relation never shuffles whole. */
+  def mediaIvfBook(spark: SparkSession, fps: DataFrame, kPerKind: Int,
+                   rounds: Int = 1): DataFrame = {
+    require(kPerKind >= 1, s"codebook size per kind must be positive: $kPerKind")
+    require(rounds >= 1, s"lloyd rounds must be positive: $rounds")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("kind").orderBy("media_id")
+    val seeds = fps.select("media_id", "kind", "hist")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= kPerKind)
+      .select(col("kind"), col("media_id").as("cluster"), col("hist").as("cq"))
+    (1 to rounds).foldLeft(seeds)((book, _) => mediaLloydRound(fps, book))
+  }
+
+  private def mediaLloydRound(fps: DataFrame, book: DataFrame): DataFrame =
+    assignMediaToBook(fps, book)
+      .join(fps.select("media_id", "hist"), "media_id")
+      .select(col("kind"), col("cluster"), posexplode(col("hist")).as(Seq("d", "c")))
+      .groupBy("kind", "cluster", "d")
+      .agg(sum("c").as("s"), count(lit(1)).as("n"))
+      .groupBy("kind", "cluster")
+      .agg(transform(
+        array_sort(collect_list(struct(col("d"), expr("s div n").as("v")))),
+        s => s.getField("v")).as("cq"))
+
+  /** Nearest-centroid assignment against an explicit media codebook —
+    * the [[graft.operators.Similarity.assignToBook]] idiom: broadcast
+    * kind-equi cross-probe, argmin as a min-struct HASH aggregation
+    * (map-side collapse; a rank window would sort-shuffle all N·k
+    * rows), lexicographic (dist, cluster) = the engine-exact
+    * tie-break. Kept SKINNY — (media_id, kind, cluster) out; carrying
+    * the histogram through the argmin pushes the min-struct off the
+    * fixed-width codegen fast path (the lloydStep measurement). */
+  private[graft] def assignMediaToBook(fps: DataFrame,
+                                       book: DataFrame): DataFrame =
+    fps.select("media_id", "kind", "hist")
+      .join(broadcast(book), "kind")
+      .select(col("media_id"), col("kind"), col("cluster"),
+        graft.functions.VectorFunctions.sqDistLong(col("hist"), col("cq"))
+          .as("dist"))
+      .groupBy("media_id", "kind")
+      .agg(min(struct(col("dist"), col("cluster"))).as("best"))
+      .select(col("media_id"), col("kind"), col("best.cluster").as("cluster"))
+
+  /** IVF media similarity search — the measured scale path over the
+    * brute [[mediaKnn]] baseline: rank each query's same-kind
+    * centroids by exact integer squared L2, probe the `probes` best
+    * cells (the standard IVF recall knob), and exact-cosine rerank
+    * ONLY those cells' members. Candidates per query are bounded by
+    * probed-cell population, never corpus size; the corpus-side join
+    * is a plain equi-join on the cell key (no cartesian anywhere —
+    * plan-audited). The rerank dot product rides the SAME
+    * [[graft.functions.SqDistLong]] kernel through the polarization
+    * identity dot = (‖q‖² + ‖m‖² − ‖q−m‖²) div 2 — exact integers,
+    * so the cosine (one IEEE division against the norm product) is
+    * bit-identical to [[mediaKnn]]'s zip_with formulation and to the
+    * SQL oracle's bucket-intersection SUM. */
+  def mediaAnnIvf(spark: SparkSession, media: DataFrame,
+                  numQueries: Int, k: Int, kPerKind: Int = 4,
+                  rounds: Int = 1, probes: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.sqDistLong
+    val fps = mediaFingerprints(spark, media)
+      .select("media_id", "kind", "hist", "nsq")
+      .localCheckpoint(eager = false)
+    val book = mediaIvfBook(spark, fps, kPerKind, rounds)
+    val assigned = assignMediaToBook(fps, book)
+    val queries = fps.filter(col("media_id") < numQueries)
+      .select(col("media_id").as("qid"), col("kind"),
+        col("hist").as("qh"), col("nsq").as("qn"))
+    val wBest = Window.partitionBy("qid").orderBy(col("qdist"), col("cluster"))
+    val probed = broadcast(queries).join(broadcast(book), "kind")
+      .select(col("qid"), col("cluster"), col("qh"), col("qn"),
+        sqDistLong(col("qh"), col("cq")).as("qdist"))
+      .withColumn("crn", row_number().over(wBest))
+      .filter(col("crn") <= probes)
+      .select("qid", "cluster", "qh", "qn")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("media_id"))
+    broadcast(probed).join(assigned, "cluster")
+      .filter(col("media_id") =!= col("qid"))
+      .join(fps.select("media_id", "hist", "nsq"), "media_id")
+      // ‖q‖²+‖m‖²−‖q−m‖² = 2·dot is even and non-negative, so the
+      // shift IS exact integer halving (a `/ 2` would detour through
+      // double and lose exactness above 2⁵³)
+      .withColumn("dot", shiftright(
+        col("qn") + col("nsq") - sqDistLong(col("qh"), col("hist")), 1))
+      .withColumn("cos", col("dot").cast("double") /
+        sqrt((col("qn") * col("nsq")).cast("double")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "cluster", "media_id", "kind", "cos", "rn")
+  }
+
+  /** Measured recall@k of the media IVF tier against the brute
+    * kind-blocked exact-cosine ground truth — the
+    * [[graft.operators.Similarity.annRecallAudit]] shape on the media
+    * modality, turning "probing more cells trades candidates for
+    * recall" into a number the engine computes for its OWN media
+    * index. Ground truth is ONE exact top-k pass ([[mediaKnn]] ranks
+    * by the identical cosine) shared by every probe setting; queries
+    * whose probed cells miss the whole truth set still emit (left
+    * join, hits = 0). All relations are query-count-scale after their
+    * top-k windows. */
+  def mediaRecallAudit(spark: SparkSession, media: DataFrame,
+                       numQueries: Int, k: Int, kPerKind: Int = 4,
+                       rounds: Int = 1,
+                       probesList: Seq[Int] = Seq(1, 2)): DataFrame = {
+    val truth = mediaKnn(spark, media, numQueries, k)
+      .select(col("qid"), col("media_id"))
+      .localCheckpoint(eager = false)
+    val qids = mediaFingerprints(spark, media)
+      .filter(col("media_id") < numQueries)
+      .select(col("media_id").as("qid"))
+    probesList.map { p =>
+      val hits = mediaAnnIvf(spark, media, numQueries, k, kPerKind, rounds,
+          probes = p)
+        .select(col("qid"), col("media_id"))
+        .join(truth, Seq("qid", "media_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      qids.join(hits, Seq("qid"), "left")
+        .select(col("qid"), lit(p.toLong).as("probes"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (lit(1000L) * coalesce(col("h"), lit(0L)) / lit(k))
+            .cast("long").as("recall_milli"))
+    }.reduce(_ unionByName _)
   }
 
   /** Incremental media dedup — ingest-time twin of

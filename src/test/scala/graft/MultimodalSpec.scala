@@ -183,6 +183,73 @@ class MultimodalSpec extends SparkSpec {
     assert(out === Map((2L, 0L) -> ((2L, 2L)), (2L, 1L) -> ((2L, 2L))))
   }
 
+  private lazy val ivfDocs = {
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    (0L until 30L).map { i =>
+      val body = (0 until 40).map(j =>
+        words(((i * 7 + j * j + 3) % words.length).toInt)).mkString(" ")
+      (i, body, "en", s"s${i % 4}")
+    }.toDF("doc_id", "text", "lang", "source")
+  }
+
+  test("media ivf book is kind-blocked with seed-id clusters and 16-dim integer centroids") {
+    val fps = Multimodal.mediaFingerprints(spark,
+      Multimodal.fromDocuments(ivfDocs))
+    val book = Multimodal.mediaIvfBook(spark, fps, kPerKind = 3, rounds = 2)
+      .collect()
+    val byKind = book.groupBy(_.getAs[String]("kind"))
+    assert(byKind.keySet === Set("image", "audio", "video"))
+    byKind.foreach { case (kind, rows) =>
+      assert(rows.length <= 3, s"$kind must have <= kPerKind clusters")
+      // cluster ids are seed media ids, so they carry the seed's kind
+      rows.foreach { r =>
+        val c = r.getAs[Long]("cluster")
+        val expectKind = Seq("image", "audio", "video")((c % 3).toInt)
+        assert(expectKind === kind, s"cluster $c must stay in its kind")
+        assert(r.getAs[scala.collection.Seq[Long]]("cq").length === 16)
+      }
+    }
+    // deterministic: a rebuild is bit-identical
+    val again = Multimodal.mediaIvfBook(spark, fps, kPerKind = 3, rounds = 2)
+      .collect()
+    assert(book.map(_.toString).sorted.toSeq ===
+      again.map(_.toString).sorted.toSeq)
+  }
+
+  test("media ivf probing every cell reproduces the brute knn exactly") {
+    // probes = kPerKind scans every same-kind cell, so the IVF path
+    // must return the brute ranking bit-for-bit — this also pins the
+    // polarization-identity dot (qn + nsq − sqdist) div 2 against
+    // mediaKnn's zip_with formulation
+    val media = Multimodal.fromDocuments(ivfDocs)
+    val ivf = Multimodal.mediaAnnIvf(spark, media, numQueries = 6, k = 3,
+        kPerKind = 3, rounds = 1, probes = 3)
+      .select("qid", "media_id", "cos", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    val brute = Multimodal.mediaKnn(spark, media, numQueries = 6, k = 3)
+      .select("qid", "media_id", "cos", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4))
+    assert(ivf.toSeq === brute.toSeq)
+  }
+
+  test("media recall audit reports full recall at full probing, bounded below it") {
+    val media = Multimodal.fromDocuments(ivfDocs)
+    val rows = Multimodal.mediaRecallAudit(spark, media, numQueries = 6,
+        k = 3, kPerKind = 3, rounds = 1, probesList = Seq(1, 3))
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("probes")) ->
+        r.getAs[Long]("recall_milli")).toMap
+    assert(rows.keys.map(_._1).toSet === (0L until 6L).toSet.filter(_ => true))
+    // probing every cell = brute force = recall 1000 for every query
+    (0L until 6L).foreach { q =>
+      assert(rows((q, 3L)) === 1000L, s"query $q full probe must hit all")
+      assert(rows((q, 1L)) >= 0L && rows((q, 1L)) <= 1000L)
+    }
+  }
+
   test("frame sampling slices payload into strided fixed-size chunks") {
     val frames = Multimodal.frameSample(media, frameBytes = 4, everyN = 2)
     val doc0 = frames.filter(col("media_id") === 0)

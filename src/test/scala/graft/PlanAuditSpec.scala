@@ -398,6 +398,17 @@ class PlanAuditSpec extends SparkSpec {
       s"the tiny query set must broadcast into the kind join, plan:\n$p")
   }
 
+  test("media ivf contracts via cell equi-joins — no cartesian anywhere") {
+    for (q <- Seq("media_ann_ivf", "media_ann_ivf_probe2")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q candidates must come from (kind)/(cluster) equi-joins, plan:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q codebook/probe sides must broadcast, plan:\n$p")
+    }
+  }
+
   test("incremental threshold splits build one plan — no driver action in the lambda") {
     // the r7 verdict's last everything-is-one-plan deviation: the
     // corpus/batch split point must ride the plan as a broadcast 1-row

@@ -120,17 +120,20 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
 
-    // LOAD GUARD (r7 verdict): the artifact of record must never be a
-    // loaded capture (r7's committed 131.8 s vs 127.7 s quiet). Before
-    // timing anything, wait for the 1-minute loadavg to decay under
-    // SPARK_GRAFT_MAX_LOAD (default 2.0, the level where calibration
-    // showed ~zero inflation), up to SPARK_GRAFT_LOAD_WAIT seconds
-    // (default 600). Dev subset runs skip the wait — they never write
-    // the artifact. If the host never quiets, the run proceeds (the
-    // stdout line still reports) but the artifact write is refused
-    // below, so a loaded capture can't become the file of record.
+    // LOAD GUARD (r7 verdict; tightened r10): the artifact of record
+    // must never be a loaded capture (r7's committed 131.8 s vs
+    // 127.7 s quiet; r9's accepted loadavg_pre 1.86 carried ~1.34×
+    // anchor drift and two unadjudicable 30% per-query swings — the
+    // old < 2 gate held the letter, not the spirit). Before timing
+    // anything, wait for the 1-minute loadavg to decay under
+    // SPARK_GRAFT_MAX_LOAD (default 1.0: genuinely quiet, not merely
+    // half-loaded), up to SPARK_GRAFT_LOAD_WAIT seconds (default 600).
+    // Dev subset runs skip the wait — they never write the artifact.
+    // If the host never quiets, the run proceeds (the stdout line
+    // still reports) but the artifact write is refused below, so a
+    // loaded capture can't become the file of record.
     val maxLoad = sys.env.get("SPARK_GRAFT_MAX_LOAD").map(_.toDouble)
-      .getOrElse(2.0)
+      .getOrElse(1.0)
     val loadWaitS = sys.env.get("SPARK_GRAFT_LOAD_WAIT").map(_.toLong)
       .getOrElse(600L)
     if (only.isEmpty) {
@@ -199,12 +202,15 @@ object Bench {
     // pre/post anchors moved more than the band AND by a non-noise
     // margin, load arrived (or left) mid-run and per-query numbers are
     // contaminated (r7's committed artifact had anchors 0.61 → 0.32:
-    // exactly this signature).
+    // exactly this signature). Band tightened 1.6× → 1.25× in r10: the
+    // r9 artifact of record drifted ~1.34× inside the old band and its
+    // two >30% per-query swings in untouched files could not be
+    // adjudicated under it.
     else if (math.max(calibPre, calibPost) >
-        1.6 * math.min(calibPre, calibPost) &&
+        1.25 * math.min(calibPre, calibPost) &&
         math.abs(calibPre - calibPost) > 0.1)
       System.err.println(f"[bench] calibration anchors moved " +
-        f"$calibPre%.3f -> $calibPost%.3f (> 1.6x band) — load shifted " +
+        f"$calibPre%.3f -> $calibPost%.3f (> 1.25x band) — load shifted " +
         s"mid-run; refusing $benchOut write (stdout line above still " +
         "reports this run)")
     // the STRING anchor gets the same mid-run gate: the integer anchor
@@ -212,10 +218,10 @@ object Bench {
     // record showed calib_str 0.396 -> 0.292 mid-run, ungated), and
     // most of the suite is string-shaped
     else if (math.max(calibStrPre, calibStrPost) >
-        1.6 * math.min(calibStrPre, calibStrPost) &&
+        1.25 * math.min(calibStrPre, calibStrPost) &&
         math.abs(calibStrPre - calibStrPost) > 0.1)
       System.err.println(f"[bench] STRING calibration anchors moved " +
-        f"$calibStrPre%.3f -> $calibStrPost%.3f (> 1.6x band) — string-" +
+        f"$calibStrPre%.3f -> $calibStrPost%.3f (> 1.25x band) — string-" +
         s"throughput drift mid-run; refusing $benchOut write (stdout " +
         "line above still reports this run)")
     else

@@ -30,18 +30,25 @@ object FuzzyProbe {
     val cust = Tables.customer(spark, sfDir)
     cust.count() // scan warm-up
 
+    // UNIFORM per-stage warm-up + min-of-2 (the r8 artifact's stage
+    // times were internally inconsistent — cc 4.31 s > full 3.39 s —
+    // because only `full` was warmed, so each earlier stage carried
+    // its own first-run codegen/shuffle-init inside the clock and a
+    // single sample had no noise floor; stages must sum sensibly for
+    // the artifact to adjudicate the next fuzzy regression)
     def timed(name: String)(f: => Long): (String, Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = f
-      val secs = (System.nanoTime() - t0) / 1e9
+      f // stage-specific codegen + shuffle-file warm-up, untimed
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = f
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (s1, n) = once()
+      val secs = math.min(s1, once()._1)
       println(f"[fuzzy] $name%-8s ${secs}%7.2fs rows=$n%d")
       Console.flush()
       (name, secs, n)
     }
-
-    // warm codegen on the full query once so stage deltas are not
-    // dominated by first-run compilation
-    Dedup.editDistanceComponents(cust, "c_name", "c_custkey").count()
 
     // the keyed relation exactly as editDistanceComponents builds it
     def keyed = cust

@@ -1179,6 +1179,16 @@ object SparkEntry {
       Similarity.annRecallAudit(s, Tables.embeddings(s, dir),
         numQueries = 5, k = 5, probesList = Seq(1, 2))
         .orderBy("qid", "probes")),
+    // Measured recall@5 of every QUANTIZED tier (SRP rerank, PQ/ADC,
+    // IVF-PQ, residual IVF-ADC) against the exact brute top-5 in the
+    // metric each tier serves — the tiers where quantization loss
+    // actually bites, each shipping its loss as an oracle-checked
+    // number (the r8/r9 verdict ask).
+    "ann_recall_quantized" -> ((s, dir) =>
+      Similarity.annRecallQuantized(s, Tables.embeddings(s, dir),
+        numQueries = 5, k = 5, m = 8, groups = RpqGroups,
+        prefilter = SrpPrefilter, bits = SrpBits, probes = 2)
+        .orderBy("tier", "qid")),
     // Hard-negative mining (contrastive training): top-k most-similar
     // DIFFERENT-label vectors per anchor, via foreign-cell IVF probing.
     "hard_negatives" -> ((s, dir) =>
@@ -1921,11 +1931,15 @@ object SparkEntry {
 
   /** Shared media-IVF oracle CTEs: the kind-blocked integer Lloyd
     * build of [[graft.operators.Multimodal.mediaIvfBook]] replayed in
-    * SQL — dense 16-dim histograms (absent buckets = 0), each kind's
-    * `MediaIvfK` lowest media_ids seed clusters with their raw
-    * histogram as centroid, one round of exact-integer squared-L2
-    * reassignment (tie-break cluster asc) + per-dim `sum // n` update,
-    * then the final assignment `a1` and the query set `q`. */
+    * SQL — dense 16-dim L1-NORMALIZED histograms ((c · 10⁶) // len,
+    * the spherical-k-means projection of
+    * [[graft.operators.Multimodal.withHistN]]; absent buckets = 0),
+    * each kind's `MediaIvfK` lowest media_ids seed clusters with their
+    * normalized histogram as centroid, one round of exact-integer
+    * squared-L2 reassignment (tie-break cluster asc) + per-dim
+    * `sum // n` update, then the final assignment `a1` and the query
+    * set `q`. The rerank CTEs score the RAW sparse histograms —
+    * normalization decides only which cell a media lives in. */
   private val SqlMediaIvfCtes: String =
     s"""med AS (
        |  SELECT doc_id AS media_id,
@@ -1942,7 +1956,8 @@ object SparkEntry {
        |hnorm AS (SELECT media_id, SUM(c * c) AS nsq FROM hist GROUP BY 1),
        |dims AS (SELECT unnest(range(0, 16)) AS hb),
        |histf AS (
-       |  SELECT m.media_id, m.kind, dims.hb, COALESCE(h.c, 0) AS c
+       |  SELECT m.media_id, m.kind, dims.hb,
+       |    (COALESCE(h.c, 0) * 1000000) // m.len AS c
        |  FROM med m CROSS JOIN dims
        |  LEFT JOIN hist h ON h.media_id = m.media_id AND h.hb = dims.hb),
        |seeds AS (
@@ -2294,6 +2309,147 @@ object SparkEntry {
         |SELECT qid, CAST(label AS INTEGER) AS label, vec_id, adist,
         |  CAST(rn AS BIGINT) AS rn
         |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** PQ/ADC oracle, parameterized by k (mirrors [[Similarity.annPq]]:
+    * codebook = label centroids cut per subspace, codes by exact
+    * integer squared-L2 argmin, approximate distance = sum of m
+    * query-table lookups). */
+  private def sqlAnnPq(k: Int): String =
+    s"""WITH q AS (
+       |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
+       |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
+       |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
+       |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
+       |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
+       |    COUNT(*) AS n
+       |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
+       |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
+       |dist AS (
+       |  SELECT v.vec_id, v.sub, c.cluster,
+       |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
+       |  FROM q v JOIN cq c ON v.d = c.d GROUP BY 1, 2, 3),
+       |codes AS (SELECT vec_id, sub, cluster AS code FROM (
+       |    SELECT vec_id, sub, cluster,
+       |      row_number() OVER (PARTITION BY vec_id, sub
+       |        ORDER BY dist, cluster) AS rn
+       |    FROM dist) x WHERE rn = 1),
+       |qd AS (SELECT vec_id AS qid, sub, cluster, dist AS qdist
+       |       FROM dist WHERE vec_id < 5),
+       |ad AS (
+       |  SELECT qd.qid, codes.vec_id, SUM(qd.qdist) AS adist
+       |  FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.cluster
+       |  WHERE codes.vec_id <> qd.qid GROUP BY 1, 2),
+       |rr AS (SELECT qid, vec_id, CAST(adist AS BIGINT) AS adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM ad)
+       |SELECT qid, vec_id, adist, CAST(rn AS BIGINT) AS rn
+       |FROM rr WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
+  /** SRP prefilter + exact-cosine rerank oracle (mirrors
+    * [[Similarity.annSrpRerank]]: seeded plane constants, Hamming
+    * prefilter to [[SrpPrefilter]] candidates, quantized-cosine
+    * top-5). A helper because the quantized recall audit reuses the
+    * chain as its SRP candidate arm. */
+  private def sqlAnnSrpRerank: String = {
+    val planes = graft.operators.Similarity.lshPlanesQuantized(SrpBits, 64)
+    val planeRows = planes.zipWithIndex.flatMap { case (row, p) =>
+      row.zipWithIndex.map { case (w, d) => s"($p, ${d + 1}, $w)" }
+    }.mkString(", ")
+    val qf = "CAST(FLOOR(CAST(c.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    s"""WITH planes(p, k, w) AS (VALUES $planeRows),
+       |dots AS (
+       |  SELECT e.vec_id, pl.p,
+       |    CAST(SUM(pl.w * CAST(FLOOR(CAST(e.embedding[pl.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s
+       |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
+       |code AS (
+       |  SELECT vec_id,
+       |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS code
+       |  FROM dots GROUP BY 1),
+       |q AS (SELECT vec_id AS qid, code AS qcode FROM code WHERE vec_id < 5),
+       |h AS (SELECT q.qid, c.vec_id,
+       |    CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS hamming
+       |  FROM q JOIN code c ON c.vec_id <> q.qid),
+       |pre AS (SELECT qid, vec_id, hamming FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY hamming, vec_id) AS prn FROM h) x
+       |  WHERE prn <= $SrpPrefilter),
+       |qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |       WHERE vec_id < 5),
+       |pair AS (
+       |  SELECT pre.qid, pre.vec_id, pre.hamming,
+       |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
+       |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
+       |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
+       |  FROM pre JOIN qe c ON c.qid = pre.qid
+       |  JOIN embeddings e ON e.vec_id = pre.vec_id
+       |  CROSS JOIN generate_series(1, 64) g(k)
+       |  GROUP BY 1, 2, 3),
+       |r AS (SELECT qid, vec_id, hamming,
+       |    CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos
+       |  FROM pair),
+       |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rn FROM r)
+       |SELECT qid, vec_id, hamming, cos, rn FROM rr WHERE rn <= 5
+       |ORDER BY qid, rn""".stripMargin
+  }
+
+  /** `ann_recall_quantized` oracle: one fully self-contained subquery
+    * per quantized tier (each tier's existing top-k oracle chain reused
+    * verbatim as a derived table — nested WITHs stay scoped, so CTE
+    * names never collide across tiers), joined against the exact brute
+    * top-5 in the metric that tier serves: integer squared-L2 for the
+    * ADC family, quantized cosine for SRP. */
+  private def sqlAnnRecallQuantized: String = {
+    val k = 5
+    val qf = "CAST(FLOOR(CAST(q.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    // exact brute top-k, no WITH (usable as a plain derived table)
+    val truthL2 =
+      s"""SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist, vec_id) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id,
+         |      CAST(SUM(($qf - $ef) * ($qf - $ef)) AS BIGINT) AS dist
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    CROSS JOIN generate_series(1, 64) g(k)
+         |    WHERE q.vec_id < 5 GROUP BY 1, 2) p) t
+         |WHERE rn <= $k""".stripMargin
+    val truthCos =
+      s"""SELECT qid, vec_id FROM (
+         |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) DESC,
+         |        vec_id) AS rn
+         |  FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id,
+         |      CAST(SUM($qf * $ef) AS BIGINT) AS dot,
+         |      CAST(SUM($qf * $qf) AS BIGINT) AS nq,
+         |      CAST(SUM($ef * $ef) AS BIGINT) AS ne
+         |    FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+         |    CROSS JOIN generate_series(1, 64) g(k)
+         |    WHERE q.vec_id < 5 GROUP BY 1, 2) p) t
+         |WHERE rn <= $k""".stripMargin
+    def leg(tier: String, truthSql: String, tierSql: String): String =
+      s"""SELECT '$tier' AS tier, qs.vec_id AS qid,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  CAST(1000 * COALESCE(h.hits, 0) // $k AS BIGINT) AS recall_milli
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) qs
+         |LEFT JOIN (
+         |  SELECT t.qid, COUNT(*) AS hits
+         |  FROM ($truthSql) t
+         |  JOIN (SELECT qid, vec_id FROM ($tierSql) zz) i
+         |    ON t.qid = i.qid AND t.vec_id = i.vec_id
+         |  GROUP BY 1) h ON qs.vec_id = h.qid""".stripMargin
+    Seq(
+      leg("ivfpq", truthL2, sqlAnnIvfPq(probes = 2)),
+      leg("pq", truthL2, sqlAnnPq(k = 5)),
+      leg("rpq", truthL2, sqlAnnIvfRpq(probes = 2)),
+      leg("srp", truthCos, sqlAnnSrpRerank)
+    ).mkString("SELECT * FROM (\n", ")\nUNION ALL\nSELECT * FROM (\n",
+      ")\nORDER BY tier, qid")
+  }
 
   /** `ann_recall_ivf` oracle: exact-cosine top-5 ground truth beside
     * the [[sqlAnnIvf]] chain instantiated at probes = 1 and 2, hit
@@ -3784,6 +3940,7 @@ object SparkEntry {
          |ORDER BY r.vec_id""".stripMargin,
     "ann_ivf" -> sqlAnnIvf(probes = 1),
     "ann_recall_ivf" -> sqlAnnRecall,
+    "ann_recall_quantized" -> sqlAnnRecallQuantized,
     "hard_negatives" -> sqlHardNegatives(probes = 2),
     "ann_ivf_probe2" -> sqlAnnIvf(probes = 2),
     "ann_lsh" -> {
@@ -3846,49 +4003,7 @@ object SparkEntry {
          |SELECT qid, vec_id, hamming, rn FROM r WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin
     },
-    "ann_srp_rerank" -> {
-      val planes = graft.operators.Similarity.lshPlanesQuantized(SrpBits, 64)
-      val planeRows = planes.zipWithIndex.flatMap { case (row, p) =>
-        row.zipWithIndex.map { case (w, d) => s"($p, ${d + 1}, $w)" }
-      }.mkString(", ")
-      val qf = "CAST(FLOOR(CAST(c.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
-      val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
-      s"""WITH planes(p, k, w) AS (VALUES $planeRows),
-         |dots AS (
-         |  SELECT e.vec_id, pl.p,
-         |    CAST(SUM(pl.w * CAST(FLOOR(CAST(e.embedding[pl.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s
-         |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
-         |code AS (
-         |  SELECT vec_id,
-         |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS code
-         |  FROM dots GROUP BY 1),
-         |q AS (SELECT vec_id AS qid, code AS qcode FROM code WHERE vec_id < 5),
-         |h AS (SELECT q.qid, c.vec_id,
-         |    CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS hamming
-         |  FROM q JOIN code c ON c.vec_id <> q.qid),
-         |pre AS (SELECT qid, vec_id, hamming FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY qid
-         |      ORDER BY hamming, vec_id) AS prn FROM h) x
-         |  WHERE prn <= $SrpPrefilter),
-         |qe AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-         |       WHERE vec_id < 5),
-         |pair AS (
-         |  SELECT pre.qid, pre.vec_id, pre.hamming,
-         |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
-         |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
-         |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
-         |  FROM pre JOIN qe c ON c.qid = pre.qid
-         |  JOIN embeddings e ON e.vec_id = pre.vec_id
-         |  CROSS JOIN generate_series(1, 64) g(k)
-         |  GROUP BY 1, 2, 3),
-         |r AS (SELECT qid, vec_id, hamming,
-         |    CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos
-         |  FROM pair),
-         |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
-         |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rn FROM r)
-         |SELECT qid, vec_id, hamming, cos, rn FROM rr WHERE rn <= 5
-         |ORDER BY qid, rn""".stripMargin
-    },
+    "ann_srp_rerank" -> sqlAnnSrpRerank,
     "qclf_weights" -> qclfSql("weights"),
     "qclf_score" -> qclfSql("score"),
     "dedup_minhash_lsh" -> {
@@ -4074,37 +4189,7 @@ object SparkEntry {
         |FROM crn WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin),
     "ann_ivf_rpq" -> sqlAnnIvfRpq(probes = 1),
     "ann_ivf_rpq_probe2" -> sqlAnnIvfRpq(probes = 2),
-    "ann_pq" ->
-      """WITH q AS (
-        |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
-        |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
-        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
-        |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
-        |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
-        |    COUNT(*) AS n
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
-        |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
-        |dist AS (
-        |  SELECT v.vec_id, v.sub, c.cluster,
-        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
-        |  FROM q v JOIN cq c ON v.d = c.d GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, sub, cluster AS code FROM (
-        |    SELECT vec_id, sub, cluster,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY dist, cluster) AS rn
-        |    FROM dist) x WHERE rn = 1),
-        |qd AS (SELECT vec_id AS qid, sub, cluster, dist AS qdist
-        |       FROM dist WHERE vec_id < 5),
-        |ad AS (
-        |  SELECT qd.qid, codes.vec_id, SUM(qd.qdist) AS adist
-        |  FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.cluster
-        |  WHERE codes.vec_id <> qd.qid GROUP BY 1, 2),
-        |rr AS (SELECT qid, vec_id, CAST(adist AS BIGINT) AS adist,
-        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
-        |  FROM ad)
-        |SELECT qid, vec_id, adist, CAST(rn AS BIGINT) AS rn
-        |FROM rr WHERE rn <= 10 ORDER BY qid, rn""".stripMargin,
+    "ann_pq" -> sqlAnnPq(k = 10),
     "ann_ivf_pq" -> sqlAnnIvfPq(probes = 1),
     "ann_ivf_pq_probe2" -> sqlAnnIvfPq(probes = 2),
     "kmeans_round" ->

@@ -283,11 +283,19 @@ object Multimodal {
     * recall@k self-audit ([[mediaRecallAudit]]) adjudicating the
     * probe knob against this brute ground truth. */
   def mediaKnn(spark: SparkSession, media: DataFrame,
-               numQueries: Int, k: Int): DataFrame = {
+               numQueries: Int, k: Int): DataFrame =
+    mediaKnnFromFps(
+      mediaFingerprints(spark, media)
+        .select("media_id", "kind", "hist", "nsq")
+        .localCheckpoint(eager = false),
+      numQueries, k)
+
+  /** [[mediaKnn]] against a prebuilt fingerprint relation — shared by
+    * the recall audit so truth and candidate legs read ONE
+    * materialization. */
+  private[graft] def mediaKnnFromFps(fps: DataFrame,
+                                     numQueries: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val fps = mediaFingerprints(spark, media)
-      .select("media_id", "kind", "hist", "nsq")
-      .localCheckpoint(eager = false)
     val queries = broadcast(fps.filter(col("media_id") < numQueries)
       .select(col("media_id").as("qid"), col("kind"),
         col("hist").as("qh"), col("nsq").as("qn")))
@@ -304,15 +312,55 @@ object Multimodal {
       .select("qid", "media_id", "kind", "cos", "rn")
   }
 
-  /** KIND-BLOCKED integer Lloyd codebook over the byte-histogram
-    * feature relation — the media twin of
+  /** The L1-NORMALIZED integer histogram the IVF tier clusters on:
+    * histn_d = (hist_d · 10⁶) div n_bytes (Σ hist = n_bytes, so this
+    * projects every media onto the per-mille simplex in exact integer
+    * arithmetic). Clustering the RAW histogram was the r9 tier's
+    * measured recall hole: raw L2 cells split mostly by payload
+    * LENGTH, while the search metric (cosine) is length-invariant —
+    * so a query's true neighbors scattered across cells and recall@5
+    * sat at ~1/3. Normalizing first is the spherical-k-means move
+    * every cosine-serving IVF deployment makes; the rerank still
+    * scores the RAW histogram (exact cosine, bit-identical to
+    * [[mediaKnn]]). */
+  private[graft] def withHistN(fps: DataFrame): DataFrame =
+    fps.withColumn("histn",
+      expr("transform(hist, x -> (x * 1000000) div n_bytes)"))
+
+  /** Prebuilt media IVF index — the fingerprint relation (raw + L1-
+    * normalized histograms), the Lloyd codebook, and the corpus→cell
+    * assignment, each lazily pinned so the FIRST action materializes
+    * every subtree exactly once and every search/audit leg reuses them
+    * (the r9-advice hoist: the audit used to rebuild the whole index
+    * once per probe setting). On a cluster these three relations are
+    * the persisted offline index artifacts; `localCheckpoint` is the
+    * single-JVM stand-in. */
+  final case class MediaIvfIndex(fps: DataFrame, book: DataFrame,
+                                 assigned: DataFrame)
+
+  def mediaIvfIndex(spark: SparkSession, media: DataFrame, kPerKind: Int,
+                    rounds: Int = 1): MediaIvfIndex = {
+    val fps = withHistN(mediaFingerprints(spark, media)
+        .select("media_id", "kind", "n_bytes", "hist", "nsq"))
+      .select("media_id", "kind", "hist", "nsq", "histn")
+      .localCheckpoint(eager = false)
+    val book = mediaIvfBook(spark, fps, kPerKind, rounds)
+      .localCheckpoint(eager = false)
+    val assigned = assignMediaToBook(fps, book)
+      .localCheckpoint(eager = false)
+    MediaIvfIndex(fps, book, assigned)
+  }
+
+  /** KIND-BLOCKED integer Lloyd codebook over the L1-NORMALIZED
+    * byte-histogram relation ([[withHistN]] — spherical k-means, the
+    * cosine-serving shape) — the media twin of
     * [[graft.operators.Similarity.lloydBook]], and the index build of
     * [[mediaAnnIvf]] (the 100 TB path [[mediaKnn]]'s docstring
     * promises). Deterministic end to end so DuckDB can replay the
     * whole build: seeds are each kind's `kPerKind` LOWEST-media_id
-    * fingerprints with the raw integer histogram as centroid (cluster
-    * id = the seed's media_id — globally unique, since ids are);
-    * each round reassigns by EXACT integer squared L2
+    * fingerprints with the normalized integer histogram as centroid
+    * (cluster id = the seed's media_id — globally unique, since ids
+    * are); each round reassigns by EXACT integer squared L2
     * ([[graft.functions.SqDistLong]], tie-break cluster asc) and
     * updates centroids as per-dim `sum div n`. A cluster left empty
     * vanishes (standard drop; both engines agree by construction).
@@ -326,17 +374,22 @@ object Multimodal {
     require(kPerKind >= 1, s"codebook size per kind must be positive: $kPerKind")
     require(rounds >= 1, s"lloyd rounds must be positive: $rounds")
     import org.apache.spark.sql.expressions.Window
+    // accept either a prepared index relation (histn present) or the
+    // raw fingerprint relation (derive histn from hist/n_bytes here)
+    val f =
+      if (fps.columns.contains("histn")) fps
+      else withHistN(fps)
     val w = Window.partitionBy("kind").orderBy("media_id")
-    val seeds = fps.select("media_id", "kind", "hist")
+    val seeds = f.select("media_id", "kind", "histn")
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= kPerKind)
-      .select(col("kind"), col("media_id").as("cluster"), col("hist").as("cq"))
-    (1 to rounds).foldLeft(seeds)((book, _) => mediaLloydRound(fps, book))
+      .select(col("kind"), col("media_id").as("cluster"), col("histn").as("cq"))
+    (1 to rounds).foldLeft(seeds)((book, _) => mediaLloydRound(f, book))
   }
 
   private def mediaLloydRound(fps: DataFrame, book: DataFrame): DataFrame =
     assignMediaToBook(fps, book)
-      .join(fps.select("media_id", "hist"), "media_id")
-      .select(col("kind"), col("cluster"), posexplode(col("hist")).as(Seq("d", "c")))
+      .join(fps.select("media_id", "histn"), "media_id")
+      .select(col("kind"), col("cluster"), posexplode(col("histn")).as(Seq("d", "c")))
       .groupBy("kind", "cluster", "d")
       .agg(sum("c").as("s"), count(lit(1)).as("n"))
       .groupBy("kind", "cluster")
@@ -354,10 +407,10 @@ object Multimodal {
     * fixed-width codegen fast path (the lloydStep measurement). */
   private[graft] def assignMediaToBook(fps: DataFrame,
                                        book: DataFrame): DataFrame =
-    fps.select("media_id", "kind", "hist")
+    fps.select("media_id", "kind", "histn")
       .join(broadcast(book), "kind")
       .select(col("media_id"), col("kind"), col("cluster"),
-        graft.functions.VectorFunctions.sqDistLong(col("hist"), col("cq"))
+        graft.functions.VectorFunctions.sqDistLong(col("histn"), col("cq"))
           .as("dist"))
       .groupBy("media_id", "kind")
       .agg(min(struct(col("dist"), col("cluster"))).as("best"))
@@ -378,28 +431,36 @@ object Multimodal {
     * SQL oracle's bucket-intersection SUM. */
   def mediaAnnIvf(spark: SparkSession, media: DataFrame,
                   numQueries: Int, k: Int, kPerKind: Int = 4,
-                  rounds: Int = 1, probes: Int = 1): DataFrame = {
+                  rounds: Int = 1, probes: Int = 1): DataFrame =
+    mediaAnnIvfSearch(mediaIvfIndex(spark, media, kPerKind, rounds),
+      numQueries, k, probes)
+
+  /** The QUERY side of [[mediaAnnIvf]] against a prebuilt
+    * [[MediaIvfIndex]] — cell probing (exact integer squared L2 on the
+    * normalized histograms, the codebook's own metric) + exact-cosine
+    * rerank of the probed cells' members on the RAW histograms. Split
+    * out so the audit sweeps probe settings over ONE index build and
+    * so the scale probe can price query cost with the build off the
+    * clock (the production shape: the index is a persisted artifact,
+    * queries pay only this function). */
+  def mediaAnnIvfSearch(idx: MediaIvfIndex, numQueries: Int, k: Int,
+                        probes: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.VectorFunctions.sqDistLong
-    val fps = mediaFingerprints(spark, media)
-      .select("media_id", "kind", "hist", "nsq")
-      .localCheckpoint(eager = false)
-    val book = mediaIvfBook(spark, fps, kPerKind, rounds)
-    val assigned = assignMediaToBook(fps, book)
-    val queries = fps.filter(col("media_id") < numQueries)
+    val queries = idx.fps.filter(col("media_id") < numQueries)
       .select(col("media_id").as("qid"), col("kind"),
-        col("hist").as("qh"), col("nsq").as("qn"))
+        col("hist").as("qh"), col("nsq").as("qn"), col("histn").as("qhn"))
     val wBest = Window.partitionBy("qid").orderBy(col("qdist"), col("cluster"))
-    val probed = broadcast(queries).join(broadcast(book), "kind")
+    val probed = broadcast(queries).join(broadcast(idx.book), "kind")
       .select(col("qid"), col("cluster"), col("qh"), col("qn"),
-        sqDistLong(col("qh"), col("cq")).as("qdist"))
+        sqDistLong(col("qhn"), col("cq")).as("qdist"))
       .withColumn("crn", row_number().over(wBest))
       .filter(col("crn") <= probes)
       .select("qid", "cluster", "qh", "qn")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("media_id"))
-    broadcast(probed).join(assigned, "cluster")
+    broadcast(probed).join(idx.assigned, "cluster")
       .filter(col("media_id") =!= col("qid"))
-      .join(fps.select("media_id", "hist", "nsq"), "media_id")
+      .join(idx.fps.select("media_id", "hist", "nsq"), "media_id")
       // ‖q‖²+‖m‖²−‖q−m‖² = 2·dot is even and non-negative, so the
       // shift IS exact integer halving (a `/ 2` would detour through
       // double and lose exactness above 2⁵³)
@@ -426,15 +487,19 @@ object Multimodal {
                        numQueries: Int, k: Int, kPerKind: Int = 4,
                        rounds: Int = 1,
                        probesList: Seq[Int] = Seq(1, 2)): DataFrame = {
-    val truth = mediaKnn(spark, media, numQueries, k)
+    // ONE index build (fps + book + assignment, each lazily pinned)
+    // shared by every probe leg AND by the ground-truth pass — the
+    // audit's cost is |probesList| query-side passes over one index,
+    // not |probesList| index rebuilds (the r9-advice hoist)
+    val idx = mediaIvfIndex(spark, media, kPerKind, rounds)
+    val truth = mediaKnnFromFps(idx.fps, numQueries, k)
       .select(col("qid"), col("media_id"))
       .localCheckpoint(eager = false)
-    val qids = mediaFingerprints(spark, media)
+    val qids = idx.fps
       .filter(col("media_id") < numQueries)
       .select(col("media_id").as("qid"))
     probesList.map { p =>
-      val hits = mediaAnnIvf(spark, media, numQueries, k, kPerKind, rounds,
-          probes = p)
+      val hits = mediaAnnIvfSearch(idx, numQueries, k, probes = p)
         .select(col("qid"), col("media_id"))
         .join(truth, Seq("qid", "media_id"))
         .groupBy("qid").agg(count(lit(1)).as("h"))

@@ -82,6 +82,72 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Exact integer squared-L2 brute top-k over the floor-quantized
+    * vectors — the ground truth the L2-metric quantized tiers (PQ/ADC
+    * and both IVF-ADC variants) are audited against: ADC approximates
+    * exactly this distance from stored codes, so its recall is
+    * measured in the metric it serves (the SRP tier, which serves
+    * ANGLE, audits against [[knnExactCosine]] instead). */
+  private[graft] def knnExactL2(emb: DataFrame, numQueries: Int,
+                                k: Int, scale: Int = 1000): DataFrame = {
+    val fq = (x: org.apache.spark.sql.Column) =>
+      floor(x.cast("double") * scale).cast("long")
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = queries.crossJoin(emb.select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(zip_with(col("qe"), col("embedding"),
+          (x, y) => (fq(x) - fq(y)) * (fq(x) - fq(y))),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+  }
+
+  /** Measured recall@k of every QUANTIZED serving tier — SRP
+    * prefilter+rerank, PQ/ADC, IVF-PQ, residual IVF-ADC — against the
+    * exact brute top-k in the metric each tier serves (cosine for SRP,
+    * integer squared-L2 for the ADC family). The [[annRecallAudit]]
+    * shape generalized over the candidate arm (the r8/r9 verdict ask):
+    * these are exactly the tiers where quantization loss bites, and
+    * each now ships with its loss as an oracle-checked number. One
+    * truth pass per metric, shared by all tiers of that metric;
+    * queries whose candidates miss the whole truth set still emit
+    * (left join, hits = 0). Output: (tier, qid, hits, recall_milli).
+    */
+  def annRecallQuantized(spark: SparkSession, emb: DataFrame,
+                         numQueries: Int, k: Int, m: Int = 8,
+                         groups: Int = 16, prefilter: Int = 20,
+                         bits: Int = 32, probes: Int = 2): DataFrame = {
+    val truthCos = knnExactCosine(emb, numQueries, k)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(eager = false)
+    val truthL2 = knnExactL2(emb, numQueries, k)
+      .select(col("qid"), col("vec_id"))
+      .localCheckpoint(eager = false)
+    val qids = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"))
+    def leg(tier: String, retrieved: DataFrame, truth: DataFrame): DataFrame = {
+      val hits = retrieved.select(col("qid"), col("vec_id"))
+        .join(truth, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      qids.join(hits, Seq("qid"), "left")
+        .select(lit(tier).as("tier"), col("qid"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (lit(1000L) * coalesce(col("h"), lit(0L)) / lit(k))
+            .cast("long").as("recall_milli"))
+    }
+    Seq(
+      leg("ivfpq", annIvfPq(spark, emb, numQueries, k, m, probes = probes),
+        truthL2),
+      leg("pq", annPq(spark, emb, numQueries, k, m), truthL2),
+      leg("rpq", annIvfRpq(spark, emb, numQueries, k, m, groups,
+        probes = probes), truthL2),
+      leg("srp", annSrpRerank(emb, numQueries, k, prefilter, bits), truthCos)
+    ).reduce(_ unionByName _)
+  }
+
   /** Closest pairs within each label partition by quantized cosine —
     * embedding-space near-duplicate detection shaped like an IVF probe:
     * label = coarse cluster, pairs only form inside a cluster, so the

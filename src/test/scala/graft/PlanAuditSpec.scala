@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
 
 /** Physical-plan assertions for declared queries whose SCALE story
   * depends on a specific plan shape — the "is this the plan you'd want
@@ -472,6 +473,44 @@ class PlanAuditSpec extends SparkSpec {
       assert(!w.orderSpec.exists(_.child.references.exists(_.name == "gram")),
         s"vocabulary-scale rank must be partitioned, plan:\n$exec")
     }
+  }
+
+  test("token zipf hapax band spreads across 2-char-prefix cells") {
+    // the r9 verdict's named skew cap: freq = 1 holds ~half a real
+    // vocabulary, so the hapax band's bucket key must be wide enough
+    // that no single (freq, pfx) sort cell holds a dominating share of
+    // the hapax mass. Adversarial corpus: every hapax token leads with
+    // 't' — the exact distribution where the old 1-char prefix put
+    // 100% of the hapax mass in ONE sort cell; the 2-char prefix must
+    // spread it ≥ 8-way (26 distinct second chars here). The driver
+    // corpora cannot exercise this (their tiny synthetic vocabulary
+    // carries no hapax at any test SF).
+    import spark.implicits._
+    val docs = (0L until 260L).map { i =>
+      val uniq = s"t${('a' + (i % 26)).toChar}x$i" // hapax: all lead 't'
+      (i, s"filler common words $uniq", "en", "s0")
+    }.toDF("doc_id", "text", "lang", "source")
+    // data-level: the widened bucket key (the tokenZipf expression)
+    // must cap every hapax cell under 1/8 of the hapax mass
+    val cells = docs
+      .select(explode(split(col("text"), " ")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .filter(col("freq") === 1)
+      .select(expr("substring(gram, 1, IF(freq = 1, 2, 1))").as("pfx"))
+      .groupBy("pfx").count()
+      .collect().map(_.getLong(1))
+    assert(cells.nonEmpty, "adversarial corpus must carry hapax grams")
+    assert(cells.max * 8 <= cells.sum,
+      s"largest hapax cell holds ${cells.max} of ${cells.sum} — too narrow")
+    // plan-level: the declared query's bucket must be the freq-
+    // conditional prefix, not the old fixed 1-char substring (a
+    // reversion renders `substring(gram#N, 1, 1)` in the plan)
+    val exec = SparkEntry.queries("token_zipf")(spark, dir)
+      .queryExecution.sparkPlan.toString
+    assert(!raw"substring\(gram#\d+, 1, 1\)".r.findFirstIn(exec).isDefined,
+      s"hapax bucket reverted to the fixed 1-char prefix, plan:\n$exec")
+    assert(exec.contains("substring(gram"),
+      s"rank must bucket on a gram prefix, plan:\n$exec")
   }
 
   test("heavy hitters derive every branch from the checkpointed counts") {

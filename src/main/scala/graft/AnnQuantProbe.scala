@@ -1,0 +1,166 @@
+package graft
+
+// Measurement tooling (dev/judge, not a driver surface): the
+// quantized-ANN knob sweep the r10 verdict asked for (the one `weak`:
+// PQ/IVF-PQ/RPQ/SRP measured 80-160 milli mean recall@5 at the r10
+// knobs). One JSON line, five legs, all at the verify SF so the table
+// is the same measurement CORRECTNESS checks:
+//
+//   ivf_exact — recall of exact-rerank IVF over (cells, cellRounds) ×
+//     probes, vs exact-cosine truth. This is the COARSE CEILING: no
+//     ADC tier can beat its own cell partition. The r10 label cells
+//     measure 160/360 milli at probes 1/2 — the root cause shared by
+//     every IVF tier — vs 880/960 for Lloyd-trained cells.
+//   pq — full-corpus ADC recall vs exact-L2 truth over (m, cw, rounds).
+//   ivfpq — Lloyd-cell coarse prune + ADC over (m, cw) × probes.
+//   rpq — residual IVF-ADC over (m, cw) × probes.
+//   srp — sign-sketch prefilter + exact rerank vs exact-cosine truth
+//     over (bits, prefilter).
+//
+// The declared knobs (SparkEntry: IvfCells/IvfCellRounds, PqM/PqCw/
+// PqRounds, RpqM/RpqGroups, SrpBits/SrpPrefilter) are chosen FROM this
+// table.
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+object AnnQuantProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = Tables.embeddings(spark, dir)
+    val numQueries = 5
+    val k = 5
+    val qids = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("qid"))
+      .localCheckpoint()
+    val truthCos = Similarity.knnExactCosine(emb, numQueries, k)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+    val truthL2 = Similarity.knnExactL2(emb, numQueries, k)
+      .select(col("qid"), col("vec_id")).localCheckpoint()
+
+    /** (mean, min) recall@k in milli against the given truth. */
+    def recall(retrieved: DataFrame, truth: DataFrame): (Double, Long) = {
+      val hits = retrieved.select(col("qid"), col("vec_id"))
+        .join(truth, Seq("qid", "vec_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      val row = qids.join(hits, Seq("qid"), "left")
+        .select((lit(1000L) * coalesce(col("h"), lit(0L)) / k)
+          .cast("long").as("r"))
+        .agg(avg("r").as("mean"), min("r").as("mn"))
+        .collect().head
+      (row.getAs[Double]("mean"), row.getAs[Long]("mn"))
+    }
+    def cell(tag: String, mean: Double, mn: Long): String = {
+      println(f"[annquant] $tag mean=$mean%.0f min=$mn")
+      Console.flush()
+      f""""$tag":{"mean":$mean%.0f,"min":$mn}"""
+    }
+
+    // ---- leg 1: exact-rerank IVF — the coarse-cell ceiling ----
+    // cells=0 encodes the r10 LABEL partition for the root-cause row
+    val ivfExact = (for {
+      (cells, rounds) <- Seq((0, 0), (10, 1), (10, 2), (16, 2))
+      probes <- Seq(1, 2, 3)
+    } yield {
+      val retrieved =
+        if (cells == 0) labelIvfExact(spark, emb, numQueries, k, probes)
+        else Similarity.annIvf(spark, emb, numQueries, k, probes = probes,
+          cells = cells, cellRounds = rounds)
+      val (mean, mn) = recall(retrieved, truthCos)
+      cell(s"ivf_exact_c${cells}_r${rounds}_p$probes", mean, mn)
+    })
+
+    // ---- leg 2: full-corpus ADC (ann_pq) vs exact-L2 truth ----
+    val pq = (for {
+      (m, cw) <- Seq((8, 64), (16, 64), (16, 128), (16, 256), (32, 64),
+        (32, 128))
+      rounds <- Seq(1, 2)
+    } yield {
+      val (mean, mn) = recall(
+        Similarity.annPq(spark, emb, numQueries, k, m, cw = cw,
+          rounds = rounds), truthL2)
+      cell(s"pq_m${m}_cw${cw}_r$rounds", mean, mn)
+    })
+
+    // ---- leg 3: IVF-PQ (Lloyd cells 10/2) ----
+    val ivfpq = (for {
+      (m, cw) <- Seq((16, 64), (16, 256), (32, 64))
+      probes <- Seq(1, 2, 3)
+    } yield {
+      val (mean, mn) = recall(
+        Similarity.annIvfPq(spark, emb, numQueries, k, m, probes = probes,
+          cw = cw, rounds = 2), truthL2)
+      cell(s"ivfpq_m${m}_cw${cw}_p$probes", mean, mn)
+    })
+
+    // ---- leg 4: residual IVF-ADC (Lloyd cells 10/2) ----
+    val rpq = (for {
+      (m, cw) <- Seq((16, 64), (32, 64), (32, 128))
+      probes <- Seq(1, 2, 3)
+    } yield {
+      val (mean, mn) = recall(
+        Similarity.annIvfRpq(spark, emb, numQueries, k, m, cw,
+          probes = probes, rounds = 2), truthL2)
+      cell(s"rpq_m${m}_cw${cw}_p$probes", mean, mn)
+    })
+
+    // ---- leg 5: SRP prefilter + exact rerank ----
+    val srp = (for {
+      bits <- Seq(32, 62, 128, 256)
+      prefilter <- Seq(20, 50, 100)
+    } yield {
+      val (mean, mn) = recall(
+        Similarity.annSrpRerank(emb, numQueries, k, prefilter, bits),
+        truthCos)
+      cell(s"srp_b${bits}_pre$prefilter", mean, mn)
+    })
+
+    println(s"""{"metric":"ann_quant_probe","sf":"$dir","k":$k,""" +
+      s""""queries":$numQueries,""" +
+      s""""ivf_exact":{${ivfExact.mkString(",")}},""" +
+      s""""pq":{${pq.mkString(",")}},"ivfpq":{${ivfpq.mkString(",")}},""" +
+      s""""rpq":{${rpq.mkString(",")}},"srp":{${srp.mkString(",")}}}""")
+    spark.stop()
+  }
+
+  /** The r10 configuration preserved for the root-cause row: exact
+    * cosine rerank inside the probed DATA-LABEL cells, cells ranked by
+    * query·centroid — what `ann_ivf` shipped before r11. */
+  private def labelIvfExact(spark: SparkSession, emb: DataFrame,
+                            numQueries: Int, k: Int, probes: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.cosineQuantized
+    val scale = 1000
+    val cents = broadcast(Similarity.labelCentroids(spark, emb))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = queries.crossJoin(cents)
+      .select(col("qid"), col("qe"), col("label"),
+        (aggregate(zip_with(col("qe"), col("sum_q"),
+          (x, y) => floor(x.cast("double") * scale).cast("long") * y),
+          lit(0L), (acc, x) => acc + x).cast("double") / col("n")).as("cscore"))
+    val wBest = Window.partitionBy("qid")
+      .orderBy(col("cscore").desc, col("label"))
+    val probed = scored.withColumn("crn", row_number().over(wBest))
+      .filter(col("crn") <= probes)
+      .select(col("qid"), col("qe"), col("label"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    probed.join(emb, "label")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosineQuantized(col("qe"), col("embedding"), scale).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+}

@@ -98,10 +98,14 @@ object SparkEntry {
   private val OverlapM = 64
   private val OverlapShingle = 3
 
-  /** `ann_srp` sign-sketch width in bits; `ann_srp_rerank`'s Hamming
-    * prefilter depth (query + oracle). */
-  private val SrpBits = 32
-  private val SrpPrefilter = 20
+  /** `ann_srp` sign-sketch width in bits (⌈bits/62⌉ long words);
+    * `ann_srp_rerank`'s Hamming prefilter depth (query + oracle).
+    * r11, chosen from ANN_QUANT_PROBE_r11.json: 32 bits / prefilter 20
+    * measured 120 milli mean recall@5 — this corpus's cosine spectrum
+    * (rank-5 ≈ 0.30 vs rank-50 ≈ 0.16) needs production-width
+    * sketches; 256/50 is the knee of the sweep. */
+  private val SrpBits = 256
+  private val SrpPrefilter = 50
 
   /** `shard_balance` output shard count (query + oracle). */
   private val ShardBalanceN = 8
@@ -112,9 +116,30 @@ object SparkEntry {
   private val CmsDepth = 4
   private val CmsWidth = 1024
 
-  /** `pq_residual_codes`/`ann_ivf_rpq`: residual codewords per
-    * subspace (query + oracle). */
-  private val RpqGroups = 16
+  /** The ADC family's coarse quantizer (query + oracle): Lloyd-trained
+    * cells ([[graft.operators.Similarity.lloydBook]]) — r11, replacing
+    * the data-label partition whose measured recall CEILING (exact
+    * rerank inside probed cells) was 360 milli at probes 2; the Lloyd
+    * cells measure 880/960 at probes 1/3 (ANN_QUANT_PROBE_r11.json
+    * `ivf_exact` legs). ~√N cells in production; 10 keeps sf0.01's
+    * 500-vector corpus at ~50-member cells. */
+  private val IvfCells = 10
+  private val IvfCellRounds = 2
+
+  /** `pq_codes`/`ann_pq`/`ann_ivf_pq*` product-quantizer shape (query +
+    * oracle), chosen from ANN_QUANT_PROBE_r11.json: m subspaces of
+    * dim/m dims, cw Lloyd-trained codewords per subspace
+    * ([[graft.operators.Similarity.pqCodebookTrained]] — 256 is the
+    * production 8-bit-code standard), `PqRounds` training rounds. */
+  private val PqM = 16
+  private val PqCw = 256
+  private val PqRounds = 2
+
+  /** `pq_residual_codes`/`ann_ivf_rpq`: residual subspace count and
+    * Lloyd-trained residual codewords per subspace (query + oracle,
+    * chosen from ANN_QUANT_PROBE_r11.json). */
+  private val RpqM = 32
+  private val RpqGroups = 128
 
   /** `hll_registers`/`hll_merged` precision: p index bits, m = 2^p
     * buckets (query + oracle). */
@@ -1093,47 +1118,52 @@ object SparkEntry {
       Similarity.knnBruteForce(Tables.embeddings(s, dir), numQueries = 5, k = 10)
         .select(col("qid"), col("vec_id"), col("score"), col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
-    // Product-quantization codes: 8 subspaces over the 64-dim space,
-    // codeword = centroid slice, exact integer argmin per subspace.
+    // Product-quantization codes: PqM subspaces over the 64-dim space,
+    // PqCw Lloyd-trained codewords each, exact integer argmin.
     "pq_codes" -> ((s, dir) =>
-      Similarity.pqCodes(s, Tables.embeddings(s, dir), m = 8)
+      Similarity.pqCodes(s, Tables.embeddings(s, dir), m = PqM, cw = PqCw,
+          rounds = PqRounds)
         .orderBy("vec_id", "subspace")),
     // RESIDUAL PQ codes (IVFADC's actual encoding): quantize each
-    // vector's offset from its coarse cell, not the vector itself.
+    // vector's offset from its assigned Lloyd cell, not the vector.
     "pq_residual_codes" -> ((s, dir) =>
-      Similarity.pqResidualCodes(s, Tables.embeddings(s, dir), m = 8,
-          groups = RpqGroups)
+      Similarity.pqResidualCodes(s, Tables.embeddings(s, dir), m = RpqM,
+          groups = RpqGroups, rounds = PqRounds, cells = IvfCells,
+          cellRounds = IvfCellRounds)
         .orderBy("vec_id", "subspace")),
     // IVF-ADC over residual codes: query residual taken against the
     // PROBED cell's centroid — both sides quantize in one frame.
     "ann_ivf_rpq" -> ((s, dir) =>
       Similarity.annIvfRpq(s, Tables.embeddings(s, dir), numQueries = 5,
-          k = 5, m = 8, groups = RpqGroups)
-        .select(col("qid"), col("label"), col("vec_id"), col("adist"),
+          k = 5, m = RpqM, groups = RpqGroups, rounds = PqRounds,
+          cells = IvfCells, cellRounds = IvfCellRounds)
+        .select(col("qid"), col("cell"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
     // Multi-probe residual IVF-ADC: one residual distance table PER
     // (query, probed cell) — each cell is its own residual frame.
     "ann_ivf_rpq_probe2" -> ((s, dir) =>
       Similarity.annIvfRpq(s, Tables.embeddings(s, dir), numQueries = 5,
-          k = 5, m = 8, groups = RpqGroups, probes = 2)
-        .select(col("qid"), col("label"), col("vec_id"), col("adist"),
+          k = 5, m = RpqM, groups = RpqGroups, probes = 2,
+          rounds = PqRounds, cells = IvfCells, cellRounds = IvfCellRounds)
+        .select(col("qid"), col("cell"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
     // ADC search over the codes: query-to-codeword distance table,
     // approximate distance = sum of m table lookups, top-10 per query.
     "ann_pq" -> ((s, dir) =>
       Similarity.annPq(s, Tables.embeddings(s, dir), numQueries = 5, k = 10,
-          m = 8)
+          m = PqM, cw = PqCw, rounds = PqRounds)
         .select(col("qid"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
-    // The composed IVF-PQ serving path: coarse prune to the best
-    // cluster, ADC rank inside it over stored codes only.
+    // The composed IVF-PQ serving path: coarse prune to the nearest
+    // Lloyd cells, ADC rank inside them over stored codes only.
     "ann_ivf_pq" -> ((s, dir) =>
       Similarity.annIvfPq(s, Tables.embeddings(s, dir), numQueries = 5,
-          k = 5, m = 8)
-        .select(col("qid"), col("label"), col("vec_id"), col("adist"),
+          k = 5, m = PqM, cw = PqCw, rounds = PqRounds, cells = IvfCells,
+          cellRounds = IvfCellRounds)
+        .select(col("qid"), col("cell"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
     // Multi-probe IVF-PQ: ADC rank across the TWO nearest coarse
@@ -1141,8 +1171,9 @@ object SparkEntry {
     // recall-broken configuration every production paper warns about).
     "ann_ivf_pq_probe2" -> ((s, dir) =>
       Similarity.annIvfPq(s, Tables.embeddings(s, dir), numQueries = 5,
-          k = 5, m = 8, probes = 2)
-        .select(col("qid"), col("label"), col("vec_id"), col("adist"),
+          k = 5, m = PqM, probes = 2, cw = PqCw, rounds = PqRounds,
+          cells = IvfCells, cellRounds = IvfCellRounds)
+        .select(col("qid"), col("cell"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
     "embedding_nearest_pairs" -> ((s, dir) =>
@@ -1158,18 +1189,19 @@ object SparkEntry {
         .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
           col("col").as("sum_q"), col("n"))
         .orderBy("label", "dim")),
-    // IVF probe: nearest centroid -> exact rerank inside that cluster.
+    // IVF probe: nearest Lloyd cells -> exact rerank inside them.
     "ann_ivf" -> ((s, dir) =>
-      Similarity.annIvf(s, Tables.embeddings(s, dir), numQueries = 5, k = 5)
-        .select(col("qid"), col("label"), col("vec_id"), col("cos"),
+      Similarity.annIvf(s, Tables.embeddings(s, dir), numQueries = 5, k = 5,
+          cells = IvfCells, cellRounds = IvfCellRounds)
+        .select(col("qid"), col("cell"), col("vec_id"), col("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
-    // Multi-probe IVF: rerank across the TWO nearest clusters — the
+    // Multi-probe IVF: rerank across the TWO nearest cells — the
     // recall knob for boundary queries.
     "ann_ivf_probe2" -> ((s, dir) =>
       Similarity.annIvf(s, Tables.embeddings(s, dir), numQueries = 5, k = 5,
-        probes = 2)
-        .select(col("qid"), col("label"), col("vec_id"), col("cos"),
+        probes = 2, cells = IvfCells, cellRounds = IvfCellRounds)
+        .select(col("qid"), col("cell"), col("vec_id"), col("cos"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
     // Measured recall@5 of the IVF tier vs exact-cosine ground truth,
@@ -1177,17 +1209,22 @@ object SparkEntry {
     // knob's recall gain as an in-engine number, not a narrative).
     "ann_recall_ivf" -> ((s, dir) =>
       Similarity.annRecallAudit(s, Tables.embeddings(s, dir),
-        numQueries = 5, k = 5, probesList = Seq(1, 2))
+        numQueries = 5, k = 5, probesList = Seq(1, 2), cells = IvfCells,
+        cellRounds = IvfCellRounds)
         .orderBy("qid", "probes")),
     // Measured recall@5 of every QUANTIZED tier (SRP rerank, PQ/ADC,
     // IVF-PQ, residual IVF-ADC) against the exact brute top-5 in the
     // metric each tier serves — the tiers where quantization loss
     // actually bites, each shipping its loss as an oracle-checked
-    // number (the r8/r9 verdict ask).
+    // number (the r8/r9 verdict ask; knobs re-declared r11 from
+    // ANN_QUANT_PROBE_r11.json after the audit measured 80-160 milli
+    // at the r10 settings).
     "ann_recall_quantized" -> ((s, dir) =>
       Similarity.annRecallQuantized(s, Tables.embeddings(s, dir),
-        numQueries = 5, k = 5, m = 8, groups = RpqGroups,
-        prefilter = SrpPrefilter, bits = SrpBits, probes = 2)
+        numQueries = 5, k = 5, pqM = PqM, pqCw = PqCw, rpqM = RpqM,
+        rpqCw = RpqGroups, rounds = PqRounds, prefilter = SrpPrefilter,
+        bits = SrpBits, probes = 2, cells = IvfCells,
+        cellRounds = IvfCellRounds)
         .orderBy("tier", "qid")),
     // Hard-negative mining (contrastive training): top-k most-similar
     // DIFFERENT-label vectors per anchor, via foreign-cell IVF probing.
@@ -2190,156 +2227,179 @@ object SparkEntry {
        |  GROUP BY 1)""".stripMargin
   }
 
-  /** IVF-PQ oracle, parameterized by probe count (mirrors
-    * [[Similarity.annIvfPq]]: coarse scores in exact integer space, the
-    * `probes` best clusters ADC-ranked over stored codes). */
-  /** Shared CTE chain for the residual-PQ oracles: quantized per-dim
-    * values, coarse centroids, per-vector residuals, the vec_id-mod
-    * residual codebook, and the per-(vector, subspace) codeword
-    * assignment — the bit-exact replay of
-    * [[graft.operators.Similarity.pqResidualCodes]]. */
-  private def sqlRpqCtes(): String =
-    s"""qv AS (
-       |  SELECT vec_id, label, CAST(s.k AS BIGINT) AS d,
-       |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
-       |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
-       |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
-       |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
-       |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
-       |    COUNT(*) AS n
-       |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
-       |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
-       |rv AS (SELECT v.vec_id, v.d, v.sub, v.q - c.cq AS r
-       |  FROM qv v JOIN cq c ON c.cluster = v.label AND c.d = v.d),
-       |rbook AS (SELECT vec_id % $RpqGroups AS g, sub, d,
-       |    CAST(SUM(r) // COUNT(*) AS BIGINT) AS cs
-       |  FROM rv GROUP BY 1, 2, 3),
-       |cdist AS (SELECT rv.vec_id, rv.sub, rb.g,
-       |    CAST(SUM((rv.r - rb.cs) * (rv.r - rb.cs)) AS BIGINT) AS dist
-       |  FROM rv JOIN rbook rb ON rv.sub = rb.sub AND rv.d = rb.d
-       |  GROUP BY 1, 2, 3),
-       |crn AS (SELECT vec_id, sub, g, dist,
-       |    row_number() OVER (PARTITION BY vec_id, sub
-       |      ORDER BY dist, g) AS rn
-       |  FROM cdist)""".stripMargin
+  /** Per-dim quantized corpus relation (vec_id, d, q) at the engine
+    * scale — the shared prefix of every ADC-family oracle. */
+  private val SqlQv: String =
+    """qv AS (
+      |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
+      |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k))""".stripMargin
 
-  /** Residual IVF-ADC oracle: the rpq CTE chain, then per-(query,
-    * probed cell) residual distance tables — multi-probe in residual
-    * space carries one table per cell, each its own residual frame. */
-  private def sqlAnnIvfRpq(probes: Int): String =
-    s"WITH ${sqlRpqCtes()},\n" +
-      s"""score AS (
-         |  SELECT v.vec_id AS qid, c.cluster,
-         |    CAST(CAST(SUM(v.q * c.sq) AS BIGINT) AS DOUBLE) / MAX(c.n) AS cscore
-         |  FROM qv v JOIN cent c ON v.d = c.d WHERE v.vec_id < 5
-         |  GROUP BY 1, 2),
-         |best AS (SELECT qid, cluster AS plabel FROM (
-         |    SELECT qid, cluster,
-         |      row_number() OVER (PARTITION BY qid
-         |        ORDER BY cscore DESC, cluster) AS crn
-         |    FROM score) t WHERE crn <= $probes),
-         |qres AS (SELECT b.qid, b.plabel, v.d, v.sub, v.q - c.cq AS r
-         |  FROM best b JOIN qv v ON v.vec_id = b.qid
-         |  JOIN cq c ON c.cluster = b.plabel AND c.d = v.d),
-         |qd AS (SELECT q.qid, q.plabel, q.sub, rb.g,
-         |    CAST(SUM((q.r - rb.cs) * (q.r - rb.cs)) AS BIGINT) AS qdist
-         |  FROM qres q JOIN rbook rb ON q.sub = rb.sub AND q.d = rb.d
-         |  GROUP BY 1, 2, 3, 4),
-         |codes AS (SELECT vec_id, sub, g AS code FROM crn WHERE rn = 1),
-         |cand AS (SELECT b.qid, b.plabel AS label, e.vec_id
-         |         FROM best b JOIN embeddings e
-         |           ON e.label = b.plabel AND e.vec_id <> b.qid),
-         |ad AS (
-         |  SELECT cand.qid, cand.label, cand.vec_id, SUM(qd.qdist) AS adist
-         |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
-         |  JOIN qd ON qd.qid = cand.qid AND qd.plabel = cand.label
-         |    AND qd.sub = codes.sub AND qd.g = codes.code
+  /** The ADC family's Lloyd coarse-cell chain (the
+    * [[graft.operators.Similarity.lloydBook]] replay at
+    * ([[IvfCells]], [[IvfCellRounds]]) — the [[SqlSemClusterCtes]]
+    * recipe over `qv`): seeds = the k lowest vec_ids' quantized rows,
+    * `rounds` exact-integer Lloyd rounds, ending in the final codebook
+    * `ccq` (cluster, d, cqd), every vector's distance to every cell
+    * (`cdist`) and the rank-1 cell assignment (`casg`). */
+  private def sqlCellCtes(k: Int, rounds: Int): String = {
+    val seed =
+      s"cb0 AS (SELECT vec_id AS cluster, d, q AS cqd FROM qv WHERE vec_id < $k)"
+    val roundCtes = (0 until rounds).map { r =>
+      s"""cd$r AS (SELECT v.vec_id, b.cluster,
+         |    CAST(SUM((v.q - b.cqd) * (v.q - b.cqd)) AS BIGINT) AS dist
+         |  FROM qv v JOIN cb$r b ON v.d = b.d GROUP BY 1, 2),
+         |ca$r AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cluster) AS rn FROM cd$r) t WHERE rn = 1),
+         |cb${r + 1} AS (SELECT a.cluster, v.d,
+         |    CAST(SUM(v.q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cqd
+         |  FROM ca$r a JOIN qv v ON v.vec_id = a.vec_id GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""$seed,
+       |$roundCtes,
+       |ccq AS (SELECT * FROM cb$rounds),
+       |cdist AS (SELECT v.vec_id, b.cluster,
+       |    CAST(SUM((v.q - b.cqd) * (v.q - b.cqd)) AS BIGINT) AS dist
+       |  FROM qv v JOIN ccq b ON v.d = b.d GROUP BY 1, 2),
+       |casg AS (SELECT vec_id, cluster FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cluster) AS rn FROM cdist) t WHERE rn = 1)""".stripMargin
+  }
+
+  /** Raw per-subspace slices: `sv` (vec_id, sub, d, q) for `m`
+    * subspaces of 64/m dims. */
+  private def sqlSvRaw(m: Int): String =
+    s"""sv AS (SELECT vec_id, CAST((d - 1) // ${64 / m} AS BIGINT) AS sub,
+       |  d, q FROM qv)""".stripMargin
+
+  /** RESIDUAL per-subspace slices: `sv` carries q = quantized value
+    * minus the vector's assigned Lloyd-cell centroid dim (requires
+    * [[sqlCellCtes]] in scope). */
+  private def sqlSvResidual(m: Int): String =
+    s"""sv AS (SELECT v.vec_id, CAST((v.d - 1) // ${64 / m} AS BIGINT) AS sub,
+       |  v.d, v.q - c.cqd AS q
+       |  FROM qv v JOIN casg a ON a.vec_id = v.vec_id
+       |  JOIN ccq c ON c.cluster = a.cluster AND c.d = v.d)""".stripMargin
+
+  /** The per-subspace Lloyd-TRAINED codebook chain over `sv` — the
+    * bit-exact replay of
+    * [[graft.operators.Similarity.pqCodebookTrained]]: seeds = the
+    * `cw` lowest vec_ids' slices (code id = seed vec_id), `rounds`
+    * exact-integer rounds (assign by squared L2, tie-break code asc;
+    * update per-dim `SUM // COUNT`), ending in `pbook`
+    * (code, sub, d, cs), the full distance relation `pdist` and the
+    * argmin code assignment `pcodes` (vec_id, sub, code, dist). */
+  private def sqlPqTrainCtes(cw: Int, rounds: Int): String = {
+    val seed =
+      s"pb0 AS (SELECT vec_id AS code, sub, d, q AS cs FROM sv WHERE vec_id < $cw)"
+    val roundCtes = (0 until rounds).map { r =>
+      s"""pd$r AS (SELECT v.vec_id, v.sub, b.code,
+         |    CAST(SUM((v.q - b.cs) * (v.q - b.cs)) AS BIGINT) AS dist
+         |  FROM sv v JOIN pb$r b ON v.sub = b.sub AND v.d = b.d
          |  GROUP BY 1, 2, 3),
-         |rr AS (SELECT qid, label, vec_id, CAST(adist AS BIGINT) AS adist,
-         |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
-         |  FROM ad)
-         |SELECT qid, CAST(label AS INTEGER) AS label, vec_id, adist,
-         |  CAST(rn AS BIGINT) AS rn
-         |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+         |pa$r AS (SELECT vec_id, sub, code FROM (
+         |    SELECT vec_id, sub, code, row_number() OVER (
+         |      PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |    FROM pd$r) t WHERE rn = 1),
+         |pb${r + 1} AS (SELECT a.code, v.sub, v.d,
+         |    CAST(SUM(v.q) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cs
+         |  FROM pa$r a JOIN sv v ON v.vec_id = a.vec_id AND v.sub = a.sub
+         |  GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    s"""$seed,
+       |$roundCtes,
+       |pbook AS (SELECT * FROM pb$rounds),
+       |pdist AS (SELECT v.vec_id, v.sub, b.code,
+       |    CAST(SUM((v.q - b.cs) * (v.q - b.cs)) AS BIGINT) AS dist
+       |  FROM sv v JOIN pbook b ON v.sub = b.sub AND v.d = b.d
+       |  GROUP BY 1, 2, 3),
+       |pcodes AS (SELECT vec_id, sub, code, dist FROM (
+       |    SELECT vec_id, sub, code, dist, row_number() OVER (
+       |      PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+       |    FROM pdist) t WHERE rn = 1)""".stripMargin
+  }
 
+  /** Residual IVF-ADC oracle: Lloyd cells + residual slices + trained
+    * residual book, then per-(query, probed cell) residual distance
+    * tables — multi-probe in residual space carries one table per
+    * cell, each its own residual frame. */
+  private def sqlAnnIvfRpq(probes: Int): String =
+    s"""WITH $SqlQv,
+       |${sqlCellCtes(IvfCells, IvfCellRounds)},
+       |${sqlSvResidual(RpqM)},
+       |${sqlPqTrainCtes(RpqGroups, PqRounds)},
+       |best AS (SELECT vec_id AS qid, cluster AS cell FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cluster) AS crn
+       |    FROM cdist WHERE vec_id < 5) t WHERE crn <= $probes),
+       |qres AS (SELECT b.qid, b.cell, v.d,
+       |    CAST((v.d - 1) // ${64 / RpqM} AS BIGINT) AS sub,
+       |    v.q - c.cqd AS r
+       |  FROM best b JOIN qv v ON v.vec_id = b.qid
+       |  JOIN ccq c ON c.cluster = b.cell AND c.d = v.d),
+       |qd AS (SELECT q.qid, q.cell, q.sub, b.code,
+       |    CAST(SUM((q.r - b.cs) * (q.r - b.cs)) AS BIGINT) AS qdist
+       |  FROM qres q JOIN pbook b ON q.sub = b.sub AND q.d = b.d
+       |  GROUP BY 1, 2, 3, 4),
+       |cand AS (SELECT b.qid, b.cell, a.vec_id
+       |         FROM best b JOIN casg a
+       |           ON a.cluster = b.cell AND a.vec_id <> b.qid),
+       |ad AS (
+       |  SELECT cand.qid, cand.cell, cand.vec_id, SUM(qd.qdist) AS adist
+       |  FROM cand JOIN pcodes c ON c.vec_id = cand.vec_id
+       |  JOIN qd ON qd.qid = cand.qid AND qd.cell = cand.cell
+       |    AND qd.sub = c.sub AND qd.code = c.code
+       |  GROUP BY 1, 2, 3),
+       |rr AS (SELECT qid, cell, vec_id, CAST(adist AS BIGINT) AS adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM ad)
+       |SELECT qid, cell, vec_id, adist, CAST(rn AS BIGINT) AS rn
+       |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+
+  /** IVF-PQ oracle, parameterized by probe count (mirrors
+    * [[Similarity.annIvfPq]]: Lloyd cells probed by exact
+    * query-to-centroid squared-L2, trained-book ADC rank inside). */
   private def sqlAnnIvfPq(probes: Int): String =
-  s"""WITH qv AS (
-        |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
-        |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
-        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
-        |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
-        |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
-        |    COUNT(*) AS n
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
-        |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
-        |dist AS (
-        |  SELECT v.vec_id, v.sub, c.cluster,
-        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
-        |  FROM qv v JOIN cq c ON v.d = c.d GROUP BY 1, 2, 3),
-        |codes AS (SELECT vec_id, sub, cluster AS code FROM (
-        |    SELECT vec_id, sub, cluster,
-        |      row_number() OVER (PARTITION BY vec_id, sub
-        |        ORDER BY dist, cluster) AS rn
-        |    FROM dist) x WHERE rn = 1),
-        |qd AS (SELECT vec_id AS qid, sub, cluster, dist AS qdist
-        |       FROM dist WHERE vec_id < 5),
-        |score AS (
-        |  SELECT v.vec_id AS qid, c.cluster,
-        |    CAST(CAST(SUM(v.q * c.sq) AS BIGINT) AS DOUBLE) / MAX(c.n) AS cscore
-        |  FROM qv v JOIN cent c ON v.d = c.d WHERE v.vec_id < 5
-        |  GROUP BY 1, 2),
-        |best AS (SELECT qid, cluster AS label FROM (
-        |    SELECT qid, cluster,
-        |      row_number() OVER (PARTITION BY qid
-        |        ORDER BY cscore DESC, cluster) AS crn
-        |    FROM score) t WHERE crn <= $probes),
-        |cand AS (SELECT b.qid, b.label, e.vec_id
-        |         FROM best b JOIN embeddings e
-        |           ON e.label = b.label AND e.vec_id <> b.qid),
-        |ad AS (
-        |  SELECT cand.qid, cand.label, cand.vec_id, SUM(qd.qdist) AS adist
-        |  FROM cand JOIN codes ON codes.vec_id = cand.vec_id
-        |  JOIN qd ON qd.qid = cand.qid AND qd.sub = codes.sub
-        |    AND qd.cluster = codes.code
-        |  GROUP BY 1, 2, 3),
-        |rr AS (SELECT qid, label, vec_id, CAST(adist AS BIGINT) AS adist,
-        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
-        |  FROM ad)
-        |SELECT qid, CAST(label AS INTEGER) AS label, vec_id, adist,
-        |  CAST(rn AS BIGINT) AS rn
-        |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+    s"""WITH $SqlQv,
+       |${sqlCellCtes(IvfCells, IvfCellRounds)},
+       |${sqlSvRaw(PqM)},
+       |${sqlPqTrainCtes(PqCw, PqRounds)},
+       |qd AS (SELECT vec_id AS qid, sub, code, dist AS qdist
+       |       FROM pdist WHERE vec_id < 5),
+       |best AS (SELECT vec_id AS qid, cluster AS cell FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cluster) AS crn
+       |    FROM cdist WHERE vec_id < 5) t WHERE crn <= $probes),
+       |cand AS (SELECT b.qid, b.cell, a.vec_id
+       |         FROM best b JOIN casg a
+       |           ON a.cluster = b.cell AND a.vec_id <> b.qid),
+       |ad AS (
+       |  SELECT cand.qid, cand.cell, cand.vec_id, SUM(qd.qdist) AS adist
+       |  FROM cand JOIN pcodes c ON c.vec_id = cand.vec_id
+       |  JOIN qd ON qd.qid = cand.qid AND qd.sub = c.sub
+       |    AND qd.code = c.code
+       |  GROUP BY 1, 2, 3),
+       |rr AS (SELECT qid, cell, vec_id, CAST(adist AS BIGINT) AS adist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
+       |  FROM ad)
+       |SELECT qid, cell, vec_id, adist, CAST(rn AS BIGINT) AS rn
+       |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   /** PQ/ADC oracle, parameterized by k (mirrors [[Similarity.annPq]]:
-    * codebook = label centroids cut per subspace, codes by exact
-    * integer squared-L2 argmin, approximate distance = sum of m
-    * query-table lookups). */
+    * per-subspace Lloyd-trained codebook, codes by exact integer
+    * squared-L2 argmin, approximate distance = sum of m query-table
+    * lookups). */
   private def sqlAnnPq(k: Int): String =
-    s"""WITH q AS (
-       |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
-       |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
-       |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
-       |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
-       |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
-       |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
-       |    COUNT(*) AS n
-       |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
-       |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
-       |dist AS (
-       |  SELECT v.vec_id, v.sub, c.cluster,
-       |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
-       |  FROM q v JOIN cq c ON v.d = c.d GROUP BY 1, 2, 3),
-       |codes AS (SELECT vec_id, sub, cluster AS code FROM (
-       |    SELECT vec_id, sub, cluster,
-       |      row_number() OVER (PARTITION BY vec_id, sub
-       |        ORDER BY dist, cluster) AS rn
-       |    FROM dist) x WHERE rn = 1),
-       |qd AS (SELECT vec_id AS qid, sub, cluster, dist AS qdist
-       |       FROM dist WHERE vec_id < 5),
+    s"""WITH $SqlQv,
+       |${sqlSvRaw(PqM)},
+       |${sqlPqTrainCtes(PqCw, PqRounds)},
+       |qd AS (SELECT vec_id AS qid, sub, code, dist AS qdist
+       |       FROM pdist WHERE vec_id < 5),
        |ad AS (
-       |  SELECT qd.qid, codes.vec_id, SUM(qd.qdist) AS adist
-       |  FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.cluster
-       |  WHERE codes.vec_id <> qd.qid GROUP BY 1, 2),
+       |  SELECT qd.qid, c.vec_id, SUM(qd.qdist) AS adist
+       |  FROM pcodes c JOIN qd ON c.sub = qd.sub AND c.code = qd.code
+       |  WHERE c.vec_id <> qd.qid GROUP BY 1, 2),
        |rr AS (SELECT qid, vec_id, CAST(adist AS BIGINT) AS adist,
        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
        |  FROM ad)
@@ -2364,13 +2424,14 @@ object SparkEntry {
        |    CAST(SUM(pl.w * CAST(FLOOR(CAST(e.embedding[pl.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s
        |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
        |code AS (
-       |  SELECT vec_id,
-       |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS code
-       |  FROM dots GROUP BY 1),
-       |q AS (SELECT vec_id AS qid, code AS qcode FROM code WHERE vec_id < 5),
+       |  SELECT vec_id, p // 62 AS word,
+       |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << (p % 62)) ELSE 0 END) AS BIGINT) AS code
+       |  FROM dots GROUP BY 1, 2),
+       |q AS (SELECT vec_id AS qid, word, code AS qcode FROM code WHERE vec_id < 5),
        |h AS (SELECT q.qid, c.vec_id,
-       |    CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS hamming
-       |  FROM q JOIN code c ON c.vec_id <> q.qid),
+       |    CAST(SUM(bit_count(xor(c.code, q.qcode))) AS BIGINT) AS hamming
+       |  FROM q JOIN code c ON c.vec_id <> q.qid AND c.word = q.word
+       |  GROUP BY 1, 2),
        |pre AS (SELECT qid, vec_id, hamming FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
        |      ORDER BY hamming, vec_id) AS prn FROM h) x
@@ -2452,24 +2513,22 @@ object SparkEntry {
   }
 
   /** `ann_recall_ivf` oracle: exact-cosine top-5 ground truth beside
-    * the [[sqlAnnIvf]] chain instantiated at probes = 1 and 2, hit
-    * counts per query per setting. */
+    * the [[sqlAnnIvf]] chain (Lloyd cells) instantiated at probes = 1
+    * and 2, hit counts per query per setting. */
   private def sqlAnnRecall: String = {
-    val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
-    val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
     def chain(p: Int) =
-      s"""best$p AS (SELECT qid, label FROM (
-         |    SELECT qid, label,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS crn
-         |    FROM score) t WHERE crn <= $p),
+      s"""best$p AS (SELECT vec_id AS qid, cluster AS cell FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cluster) AS crn
+         |    FROM cdist WHERE vec_id < 5) t WHERE crn <= $p),
          |pair$p AS (
-         |  SELECT b.qid, e.vec_id,
-         |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
-         |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
-         |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
-         |  FROM best$p b JOIN q ON q.qid = b.qid
-         |  JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid
-         |  CROSS JOIN generate_series(1, 64) g(k)
+         |  SELECT b.qid, a.vec_id,
+         |    CAST(SUM(q1.q * q2.q) AS BIGINT) AS dot,
+         |    CAST(SUM(q1.q * q1.q) AS BIGINT) AS nq,
+         |    CAST(SUM(q2.q * q2.q) AS BIGINT) AS ne
+         |  FROM best$p b JOIN casg a ON a.cluster = b.cell AND a.vec_id <> b.qid
+         |  JOIN qv q1 ON q1.vec_id = b.qid
+         |  JOIN qv q2 ON q2.vec_id = a.vec_id AND q2.d = q1.d
          |  GROUP BY 1, 2),
          |ivf$p AS (SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
@@ -2478,24 +2537,16 @@ object SparkEntry {
          |hit$p AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS hits
          |  FROM truth t JOIN ivf$p i ON t.qid = i.qid AND t.vec_id = i.vec_id
          |  GROUP BY 1)"""
-    s"""WITH cent AS (
-       |  SELECT label, g.k AS dim,
-       |    CAST(SUM(CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
-       |    CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k) GROUP BY 1, 2),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-       |score AS (
-       |  SELECT q.qid, c.label,
-       |    CAST(CAST(SUM(CAST(FLOOR(CAST(q.qe[c.dim] AS DOUBLE) * 1000) AS BIGINT) * c.sum_q) AS BIGINT) AS DOUBLE)
-       |      / MAX(c.n) AS cscore
-       |  FROM q CROSS JOIN cent c GROUP BY 1, 2),
+    s"""WITH $SqlQv,
+       |${sqlCellCtes(IvfCells, IvfCellRounds)},
+       |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
        |tp AS (
-       |  SELECT q.qid, e.vec_id,
-       |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
-       |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
-       |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
-       |  FROM q JOIN embeddings e ON e.vec_id <> q.qid
-       |  CROSS JOIN generate_series(1, 64) g(k)
+       |  SELECT q1.vec_id AS qid, q2.vec_id,
+       |    CAST(SUM(q1.q * q2.q) AS BIGINT) AS dot,
+       |    CAST(SUM(q1.q * q1.q) AS BIGINT) AS nq,
+       |    CAST(SUM(q2.q * q2.q) AS BIGINT) AS ne
+       |  FROM qv q1 JOIN qv q2 ON q2.vec_id <> q1.vec_id AND q2.d = q1.d
+       |  WHERE q1.vec_id < 5
        |  GROUP BY 1, 2),
        |truth AS (SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
@@ -2503,51 +2554,41 @@ object SparkEntry {
        |    FROM tp) t WHERE rn <= 5),
        |${chain(1)},
        |${chain(2)}
-       |SELECT q.qid, CAST(1 AS BIGINT) AS probes,
+       |SELECT qs.qid, CAST(1 AS BIGINT) AS probes,
        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
        |  CAST(1000 * COALESCE(h.hits, 0) // 5 AS BIGINT) AS recall_milli
-       |FROM q LEFT JOIN hit1 h ON q.qid = h.qid
+       |FROM qs LEFT JOIN hit1 h ON qs.qid = h.qid
        |UNION ALL
-       |SELECT q.qid, CAST(2 AS BIGINT) AS probes,
+       |SELECT qs.qid, CAST(2 AS BIGINT) AS probes,
        |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
        |  CAST(1000 * COALESCE(h.hits, 0) // 5 AS BIGINT) AS recall_milli
-       |FROM q LEFT JOIN hit2 h ON q.qid = h.qid
+       |FROM qs LEFT JOIN hit2 h ON qs.qid = h.qid
        |ORDER BY qid, probes""".stripMargin
   }
 
-  private def sqlAnnIvf(probes: Int): String = {
-    val qf = "CAST(FLOOR(CAST(q.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)"
-    val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
-    s"""WITH cent AS (
-       |  SELECT label, g.k AS dim,
-       |    CAST(SUM(CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS sum_q,
-       |    CAST(COUNT(*) AS BIGINT) AS n
-       |  FROM embeddings CROSS JOIN generate_series(1, 64) g(k) GROUP BY 1, 2),
-       |q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-       |score AS (
-       |  SELECT q.qid, c.label,
-       |    CAST(CAST(SUM(CAST(FLOOR(CAST(q.qe[c.dim] AS DOUBLE) * 1000) AS BIGINT) * c.sum_q) AS BIGINT) AS DOUBLE)
-       |      / MAX(c.n) AS cscore
-       |  FROM q CROSS JOIN cent c GROUP BY 1, 2),
-       |best AS (SELECT qid, label FROM (
-       |    SELECT qid, label,
-       |      row_number() OVER (PARTITION BY qid ORDER BY cscore DESC, label) AS crn
-       |    FROM score) t WHERE crn <= $probes),
+  private def sqlAnnIvf(probes: Int): String =
+    s"""WITH $SqlQv,
+       |${sqlCellCtes(IvfCells, IvfCellRounds)},
+       |best AS (SELECT vec_id AS qid, cluster AS cell FROM (
+       |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY dist, cluster) AS crn
+       |    FROM cdist WHERE vec_id < 5) t WHERE crn <= $probes),
+       |cand AS (SELECT b.qid, b.cell, a.vec_id
+       |         FROM best b JOIN casg a
+       |           ON a.cluster = b.cell AND a.vec_id <> b.qid),
        |pair AS (
-       |  SELECT b.qid, e.label, e.vec_id,
-       |    CAST(SUM($qf * $ef) AS BIGINT) AS dot,
-       |    CAST(SUM($qf * $qf) AS BIGINT) AS nq,
-       |    CAST(SUM($ef * $ef) AS BIGINT) AS ne
-       |  FROM best b JOIN q ON q.qid = b.qid
-       |  JOIN embeddings e ON e.label = b.label AND e.vec_id <> b.qid
-       |  CROSS JOIN generate_series(1, 64) g(k)
+       |  SELECT c.qid, c.cell, c.vec_id,
+       |    CAST(SUM(q1.q * q2.q) AS BIGINT) AS dot,
+       |    CAST(SUM(q1.q * q1.q) AS BIGINT) AS nq,
+       |    CAST(SUM(q2.q * q2.q) AS BIGINT) AS ne
+       |  FROM cand c JOIN qv q1 ON q1.vec_id = c.qid
+       |  JOIN qv q2 ON q2.vec_id = c.vec_id AND q2.d = q1.d
        |  GROUP BY 1, 2, 3),
-       |r AS (SELECT qid, label, vec_id,
+       |r AS (SELECT qid, cell, vec_id,
        |        CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos FROM pair),
        |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
        |       FROM r)
-       |SELECT qid, label, vec_id, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
-  }
+       |SELECT qid, cell, vec_id, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
   /** `hard_negatives` oracle: [[sqlAnnIvf]]'s CTE chain with the
     * centroid scoring and member join restricted to FOREIGN cells
@@ -3980,7 +4021,7 @@ object SparkEntry {
     },
     "ann_srp" -> {
       // same seeded plane constants as the Spark query; the code is
-      // the 32-bit sign word, ranking is pure Hamming on that word
+      // ⌈bits/62⌉ sign words, ranking is the summed per-word Hamming
       val planes = graft.operators.Similarity.lshPlanesQuantized(SrpBits, 64)
       val planeRows = planes.zipWithIndex.flatMap { case (row, p) =>
         row.zipWithIndex.map { case (w, d) => s"($p, ${d + 1}, $w)" }
@@ -3991,13 +4032,14 @@ object SparkEntry {
          |    CAST(SUM(pl.w * CAST(FLOOR(CAST(e.embedding[pl.k] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s
          |  FROM embeddings e CROSS JOIN planes pl GROUP BY 1, 2),
          |code AS (
-         |  SELECT vec_id,
-         |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS code
-         |  FROM dots GROUP BY 1),
-         |q AS (SELECT vec_id AS qid, code AS qcode FROM code WHERE vec_id < 5),
+         |  SELECT vec_id, p // 62 AS word,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << (p % 62)) ELSE 0 END) AS BIGINT) AS code
+         |  FROM dots GROUP BY 1, 2),
+         |q AS (SELECT vec_id AS qid, word, code AS qcode FROM code WHERE vec_id < 5),
          |h AS (SELECT q.qid, c.vec_id,
-         |    CAST(bit_count(xor(c.code, q.qcode)) AS BIGINT) AS hamming
-         |  FROM q JOIN code c ON c.vec_id <> q.qid),
+         |    CAST(SUM(bit_count(xor(c.code, q.qcode))) AS BIGINT) AS hamming
+         |  FROM q JOIN code c ON c.vec_id <> q.qid AND c.word = q.word
+         |  GROUP BY 1, 2),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
          |    ORDER BY hamming, vec_id) AS BIGINT) AS rn FROM h)
          |SELECT qid, vec_id, hamming, rn FROM r WHERE rn <= 5
@@ -4162,31 +4204,20 @@ object SparkEntry {
         |v3 AS (SELECT d, (u * 1000) // m AS val FROM u3 CROSS JOIN m3)
         |SELECT d, CAST(val AS BIGINT) AS val FROM v3 ORDER BY d""".stripMargin,
     "pq_codes" ->
-      """WITH q AS (
-        |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
-        |    CAST((s.k - 1) // 8 AS BIGINT) AS sub,
-        |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k)),
-        |cent AS (SELECT label AS cluster, CAST(s.k AS BIGINT) AS d,
-        |    SUM(CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT)) AS sq,
-        |    COUNT(*) AS n
-        |  FROM embeddings CROSS JOIN generate_series(1, 64) s(k) GROUP BY 1, 2),
-        |cq AS (SELECT cluster, d, sq // n AS cq FROM cent),
-        |dist AS (
-        |  SELECT v.vec_id, v.sub, c.cluster,
-        |    SUM((v.q - c.cq) * (v.q - c.cq)) AS dist
-        |  FROM q v JOIN cq c ON v.d = c.d GROUP BY 1, 2, 3),
-        |r AS (SELECT vec_id, sub, cluster, dist,
-        |    row_number() OVER (PARTITION BY vec_id, sub
-        |      ORDER BY dist, cluster) AS rn
-        |  FROM dist)
-        |SELECT vec_id, sub AS subspace, CAST(cluster AS BIGINT) AS code,
-        |  CAST(dist AS BIGINT) AS dist
-        |FROM r WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
-    "pq_residual_codes" -> (s"WITH ${sqlRpqCtes()}\n" +
-      """SELECT vec_id, sub AS subspace, CAST(g AS BIGINT) AS code,
-        |  CAST(dist AS BIGINT) AS dist
-        |FROM crn WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin),
+      s"""WITH $SqlQv,
+         |${sqlSvRaw(PqM)},
+         |${sqlPqTrainCtes(PqCw, PqRounds)}
+         |SELECT vec_id, sub AS subspace, CAST(code AS BIGINT) AS code,
+         |  CAST(dist AS BIGINT) AS dist
+         |FROM pcodes ORDER BY vec_id, subspace""".stripMargin,
+    "pq_residual_codes" ->
+      s"""WITH $SqlQv,
+         |${sqlCellCtes(IvfCells, IvfCellRounds)},
+         |${sqlSvResidual(RpqM)},
+         |${sqlPqTrainCtes(RpqGroups, PqRounds)}
+         |SELECT vec_id, sub AS subspace, CAST(code AS BIGINT) AS code,
+         |  CAST(dist AS BIGINT) AS dist
+         |FROM pcodes ORDER BY vec_id, subspace""".stripMargin,
     "ann_ivf_rpq" -> sqlAnnIvfRpq(probes = 1),
     "ann_ivf_rpq_probe2" -> sqlAnnIvfRpq(probes = 2),
     "ann_pq" -> sqlAnnPq(k = 10),

@@ -52,10 +52,25 @@ object RelationStats {
     * which is also the production story, where the codebook is a
     * persisted lake artifact, not a per-query computation. */
   def memoRelation(source: DataFrame, tag: String)
-                  (build: => DataFrame): DataFrame =
-    rel.computeIfAbsent(
-      (source.sparkSession, source.queryExecution.analyzed.canonicalized,
-        tag), _ => build)
+                  (build: => DataFrame): DataFrame = {
+    val key = (source.sparkSession,
+      source.queryExecution.analyzed.canonicalized, tag)
+    // NOT computeIfAbsent: memoized builds legitimately nest (the
+    // residual-subvector build reads the memoized cell assignment,
+    // which reads the memoized Lloyd book), and a reentrant
+    // computeIfAbsent on one ConcurrentHashMap throws
+    // "Recursive update" whenever the inner insert lands mid-resize.
+    // get + putIfAbsent tolerates nesting; the benign race (two
+    // threads building the same key) just builds the identical
+    // deterministic lazy plan twice and keeps the first.
+    val existing = rel.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prior = rel.putIfAbsent(key, built)
+      if (prior != null) prior else built
+    }
+  }
 
   /** Test hook: forget everything (a fresh session in the same JVM
     * re-counts; distinct sessions never collide — the session is part

@@ -63,14 +63,16 @@ object Similarity {
     * miss the whole truth set still emit (left join, hits = 0). All
     * relations are query-count-scale after their top-k windows. */
   def annRecallAudit(spark: SparkSession, emb: DataFrame, numQueries: Int,
-                     k: Int, probesList: Seq[Int] = Seq(1, 2)): DataFrame = {
+                     k: Int, probesList: Seq[Int] = Seq(1, 2),
+                     cells: Int = 10, cellRounds: Int = 2): DataFrame = {
     val truth = knnExactCosine(emb, numQueries, k)
       .select(col("qid"), col("vec_id"))
       .localCheckpoint(eager = false)
     val qids = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"))
     probesList.map { p =>
-      val hits = annIvf(spark, emb, numQueries, k, probes = p)
+      val hits = annIvf(spark, emb, numQueries, k, probes = p,
+          cells = cells, cellRounds = cellRounds)
         .select(col("qid"), col("vec_id"))
         .join(truth, Seq("qid", "vec_id"))
         .groupBy("qid").agg(count(lit(1)).as("h"))
@@ -117,9 +119,11 @@ object Similarity {
     * (left join, hits = 0). Output: (tier, qid, hits, recall_milli).
     */
   def annRecallQuantized(spark: SparkSession, emb: DataFrame,
-                         numQueries: Int, k: Int, m: Int = 8,
-                         groups: Int = 16, prefilter: Int = 20,
-                         bits: Int = 32, probes: Int = 2): DataFrame = {
+                         numQueries: Int, k: Int, pqM: Int = 16,
+                         pqCw: Int = 256, rpqM: Int = 32, rpqCw: Int = 64,
+                         rounds: Int = 2, prefilter: Int = 50,
+                         bits: Int = 256, probes: Int = 2,
+                         cells: Int = 10, cellRounds: Int = 2): DataFrame = {
     val truthCos = knnExactCosine(emb, numQueries, k)
       .select(col("qid"), col("vec_id"))
       .localCheckpoint(eager = false)
@@ -139,11 +143,14 @@ object Similarity {
             .cast("long").as("recall_milli"))
     }
     Seq(
-      leg("ivfpq", annIvfPq(spark, emb, numQueries, k, m, probes = probes),
+      leg("ivfpq", annIvfPq(spark, emb, numQueries, k, pqM, probes = probes,
+        cw = pqCw, rounds = rounds, cells = cells, cellRounds = cellRounds),
         truthL2),
-      leg("pq", annPq(spark, emb, numQueries, k, m), truthL2),
-      leg("rpq", annIvfRpq(spark, emb, numQueries, k, m, groups,
-        probes = probes), truthL2),
+      leg("pq", annPq(spark, emb, numQueries, k, pqM, cw = pqCw,
+        rounds = rounds), truthL2),
+      leg("rpq", annIvfRpq(spark, emb, numQueries, k, rpqM, rpqCw,
+        probes = probes, rounds = rounds, cells = cells,
+        cellRounds = cellRounds), truthL2),
       leg("srp", annSrpRerank(emb, numQueries, k, prefilter, bits), truthCos)
     ).reduce(_ unionByName _)
   }
@@ -696,27 +703,88 @@ object Similarity {
         .as(Seq("subspace", "vs")))
   }
 
-  /** The PQ codebook: per (label, subspace), the label centroid's
-    * truncated-integer slice — [[labelCentroids]]' coarse codebook cut
-    * into `m` disjoint subspaces (k·m codewords of dim/m longs:
-    * broadcast-trivial even at production k). */
-  private def pqCodebook(spark: SparkSession, emb: DataFrame, m: Int,
-                         dim: Int, scale: Int): DataFrame = {
-    val sub = dim / m
-    labelCentroids(spark, emb, dim, scale)
-      .select(col("label"), expr("transform(sum_q, s -> s div n)").as("cq"))
-      .select(col("label"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> slice(cq, s * $sub + 1, $sub))"))
-        .as(Seq("subspace", "cs")))
-  }
-
   /** Exact integer squared-L2 of every (vector-subspace, codeword)
-    * pair — the assignment relation both PQ entry points share. */
+    * pair — the assignment relation all PQ entry points share. Native
+    * [[graft.functions.SqDistLong]] kernel: the zip_with+aggregate
+    * form is CodegenFallback, and at trained-book size (N·m·cw rows —
+    * cw in the hundreds, the production codeword count) interpreted
+    * lambdas would dominate the whole build. */
   private def subspaceDists(vsub: DataFrame, book: DataFrame): DataFrame =
     vsub.join(broadcast(book), "subspace")
       .select(col("vec_id"), col("subspace"), col("label"),
-        aggregate(zip_with(col("vs"), col("cs"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x).as("dist"))
+        sqDistLong(noNullElements(col("vs")),
+          noNullElements(col("cs"))).as("dist"))
+
+  /** Per-subspace Lloyd-TRAINED codebook over any `(vec_id, subspace,
+    * vs: array<long>)` subvector relation — the production PQ trainer
+    * (Jégou et al. 2011 §II: an independent k-means per subspace),
+    * replacing the r10 label-centroid stand-in whose measured recall@5
+    * was 160 milli (`ann_recall_quantized`, VERDICT r10): label
+    * centroids all sit near the corpus mean in every subspace, so the
+    * codes collapsed to one point. The knob sweep that picked the
+    * declared (m, cw, rounds) is committed as ANN_QUANT_PROBE_r11.json.
+    *
+    * Deterministic end to end, the [[lloydBook]] convention: seeds are
+    * the `cw` lowest-vec_id subvectors (code id = seed vec_id, no rank
+    * relabeling), then `rounds` exact-integer Lloyd rounds — assign
+    * every subvector by squared L2 to the truncated codeword
+    * (tie-break code asc, the [[pqCodesOf]] min-struct), update =
+    * per-dim `sum div n`. A codeword emptied by a reassignment
+    * vanishes (standard drop); both engines agree by construction.
+    *
+    * Scale shape: the book is ≤ m·cw codewords of dim/m longs —
+    * broadcast-trivial at production size (256·16·4 longs); each
+    * round's assignment is a broadcast cross-probe + map-side
+    * min-struct hash agg (the exchange moves N·m skinny rows), the
+    * update one hash aggregation over exploded dims. The corpus never
+    * shuffles wider than (vec_id, subspace) rows. */
+  private def trainedSubspaceBook(vsub: DataFrame, cw: Int,
+                                  rounds: Int): DataFrame = {
+    require(cw >= 1, s"codewords per subspace must be positive: $cw")
+    require(rounds >= 1, s"lloyd rounds must be positive: $rounds")
+    val seeds = vsub.filter(col("vec_id") < cw)
+      .select(col("vec_id").as("label"), col("subspace"), col("vs").as("cs"))
+    (1 to rounds).foldLeft(seeds: DataFrame) { (book, _) =>
+      val asg = subspaceDists(vsub, book)
+        .groupBy("vec_id", "subspace")
+        .agg(min(struct(col("dist"), col("label"))).as("best"))
+        .select(col("vec_id"), col("subspace"), col("best.label").as("code"))
+      asg.join(vsub, Seq("vec_id", "subspace"))
+        .select(col("code"), col("subspace"),
+          posexplode(col("vs")).as(Seq("d0", "v")))
+        .groupBy("code", "subspace", "d0")
+        .agg(sum("v").as("sv"), count(lit(1)).as("n"))
+        .groupBy(col("code").as("label"), col("subspace"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(d0, sv div n as c))), s -> s.c)")
+          .as("cs"))
+    }
+  }
+
+  /** The trained PQ codebook of the raw quantized corpus, pinned and
+    * session-memoized (the codebook is the lake's offline artifact —
+    * every serving query of the family shares ONE build, exactly the
+    * [[lloydBook]] memo rule). */
+  private[graft] def pqCodebookTrained(emb: DataFrame, m: Int, cw: Int,
+                                       rounds: Int, dim: Int,
+                                       scale: Int): DataFrame =
+    RelationStats.memoRelation(emb, s"pqBook:$m:$cw:$rounds:$scale") {
+      trainedSubspaceBook(
+        quantizedSubvectors(emb, m, dim, scale)
+          .localCheckpoint(eager = false), cw, rounds)
+        .localCheckpoint(eager = false)
+    }
+
+  /** The corpus code relation against the trained book — (vec_id,
+    * subspace, code, dist), memoized beside the book (ann_pq, both
+    * IVF-ADC probes, and the recall audit all read the same codes). */
+  private def pqCodesMemo(emb: DataFrame, m: Int, cw: Int, rounds: Int,
+                          dim: Int, scale: Int): DataFrame =
+    RelationStats.memoRelation(emb, s"pqCodes:$m:$cw:$rounds:$scale") {
+      pqCodesOf(quantizedSubvectors(emb, m, dim, scale),
+        pqCodebookTrained(emb, m, cw, rounds, dim, scale))
+        .localCheckpoint(eager = false)
+    }
 
   private def pqCodesOf(vsub: DataFrame, book: DataFrame): DataFrame =
     subspaceDists(vsub, book)
@@ -731,32 +799,74 @@ object Similarity {
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
         col("best.label").cast("long").as("code"), col("best.dist").as("dist"))
 
+  /** The ADC family's coarse cell assignment — every vector to its
+    * nearest [[lloydBook]] centroid, memoized like the book itself
+    * (the posting-list side of the IVF index; at 100 TB the corpus
+    * persists bucketed by this key). The LABEL partition the r10 tiers
+    * coarse-pruned with is gone: its measured ceiling — exact rerank
+    * inside the probed label cells — was 360 milli recall@5 at
+    * probes 2 (data labels simply don't align with L2/cosine
+    * neighborhoods on this corpus), while the Lloyd cells measure 880
+    * at probe 1 (ANN_QUANT_PROBE_r11.json, `ivf_exact` legs). */
+  private[graft] def ivfAssignments(spark: SparkSession, emb: DataFrame,
+                                    cells: Int, cellRounds: Int): DataFrame =
+    RelationStats.memoRelation(emb, s"ivfAsg:$cells:$cellRounds") {
+      assignToBook(emb, lloydBook(spark, emb, cells, cellRounds))
+        .select(col("vec_id"), col("cluster").as("cell"))
+        .localCheckpoint(eager = false)
+    }
+
+  /** Each query's `probes` best coarse cells by exact integer
+    * squared-L2 to the Lloyd centroid (tie-break cell asc) — the
+    * serving-metric cell rank the whole ADC family probes with.
+    * Returns (qid, qe, cell). */
+  private def probedCells(spark: SparkSession, emb: DataFrame,
+                          numQueries: Int, probes: Int, cells: Int,
+                          cellRounds: Int, scale: Int): DataFrame = {
+    val book = broadcast(lloydBook(spark, emb, cells, cellRounds)
+      .select(col("cluster").as("cell"), col("cq")))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val scored = queries.crossJoin(book)
+      .select(col("qid"), col("qe"), col("cell"),
+        sqDistQuantized(col("qe"), col("cq"), scale).as("cdist"))
+    val w = Window.partitionBy("qid").orderBy(col("cdist"), col("cell"))
+    scored.withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= probes)
+      .select(col("qid"), col("qe"), col("cell"))
+  }
+
   /** Product-quantization codes — the compression step of an IVF-PQ
     * index (Jégou et al., "Product Quantization for Nearest Neighbor
-    * Search"): each vector splits into `m` subvectors and each subvector
-    * is assigned its nearest codeword by exact integer squared-L2.
-    * Codebook = the label centroids cut per subspace (deterministic and
-    * engine-reproducible, standing in for the per-subspace k-means a
-    * production trainer would run — the assignment machinery is
-    * identical). Output: (vec_id, subspace, code, dist) — m small ints
-    * per vector in place of dim floats, the representation a 100 TB
-    * embedding store actually keeps in memory.
+    * Search"): each vector splits into `m` subvectors and each
+    * subvector is assigned its nearest codeword of the
+    * [[trainedSubspaceBook]] (per-subspace Lloyd k-means, `cw`
+    * codewords, exact integer squared-L2). Output: (vec_id, subspace,
+    * code, dist) — m small ints per vector in place of dim floats, the
+    * representation a 100 TB embedding store actually keeps in memory.
     *
     * Plan shape: quantize + slice row-locally, broadcast the codebook,
     * one map-side-complete hash aggregation for the argmin. The corpus
     * never shuffles wider than (vec_id, subspace) rows. */
   def pqCodes(spark: SparkSession, emb: DataFrame, m: Int = 8,
-              dim: Int = 64, scale: Int = 1000): DataFrame =
+              dim: Int = 64, scale: Int = 1000, cw: Int = 64,
+              rounds: Int = 2): DataFrame =
+    // the assignment subtree stays VISIBLE (only the trained book is
+    // memo-checkpointed): the declared relation's plan shape — the
+    // broadcast book probe + map-side min-struct argmin — is
+    // PlanAuditSpec-asserted, and a memoized checkpoint here would
+    // hide it behind a Scan ExistingRDD
     pqCodesOf(quantizedSubvectors(emb, m, dim, scale),
-      pqCodebook(spark, emb, m, dim, scale))
+      pqCodebookTrained(emb, m, cw, rounds, dim, scale))
 
   /** ANN search over PQ codes by asymmetric distance computation (ADC):
     * each query precomputes its exact squared-L2 to every codeword per
-    * subspace (the m·k distance table — tiny, broadcast), and a database
-    * vector's approximate distance is the SUM of table lookups selected
-    * by its stored codes — the query never touches raw database vectors.
-    * Top-k per query by (adist asc, vec_id asc), engine-exact integers
-    * end to end.
+    * subspace (the m·cw distance table — tiny, broadcast), and a
+    * database vector's approximate distance is the SUM of table lookups
+    * selected by its stored codes — the query never touches raw
+    * database vectors. Top-k per query by (adist asc, vec_id asc),
+    * engine-exact integers end to end.
     *
     * Plan shape: the codes relation (N·m skinny rows) joins the
     * broadcast distance table on (subspace, code) and one hash
@@ -765,12 +875,9 @@ object Similarity {
     * WindowGroupLimit-pruned. */
   def annPq(spark: SparkSession, emb: DataFrame, numQueries: Int = 5,
             k: Int = 10, m: Int = 8, dim: Int = 64,
-            scale: Int = 1000): DataFrame = {
-    // the codebook subtree (a corpus-wide centroid aggregation) feeds
-    // both the corpus coding and the query table; materialize once
-    val book = pqCodebook(spark, emb, m, dim, scale)
-      .localCheckpoint(eager = false)
-    val codes = pqCodesOf(quantizedSubvectors(emb, m, dim, scale), book)
+            scale: Int = 1000, cw: Int = 64, rounds: Int = 2): DataFrame = {
+    val book = pqCodebookTrained(emb, m, cw, rounds, dim, scale)
+    val codes = pqCodesMemo(emb, m, cw, rounds, dim, scale)
       .select("vec_id", "subspace", "code")
     val qtab = subspaceDists(
         quantizedSubvectors(emb.filter(col("vec_id") < numQueries), m, dim, scale),
@@ -786,127 +893,115 @@ object Similarity {
   }
 
   /** IVF-PQ search — the composed 100 TB serving path (coarse prune,
-    * then code-based rank): each query picks its best coarse cluster by
-    * query·centroid exactly as [[annIvf]], but reranks the cluster's
-    * members by ADC over their stored PQ codes ([[annPq]]'s distance
-    * table) instead of touching raw vectors — the index serves the
-    * whole search from centroids + codes, which is what fits in memory
-    * when the vectors themselves are 100 TB.
+    * then code-based rank): each query probes its `probes` nearest
+    * Lloyd cells by exact query-to-centroid squared-L2 (the serving
+    * metric — [[probedCells]]) and reranks those cells' members by ADC
+    * over their stored PQ codes ([[annPq]]'s distance table) instead
+    * of touching raw vectors — the index serves the whole search from
+    * centroids + codes, which is what fits in memory when the vectors
+    * themselves are 100 TB.
     *
     * Plan shape: centroids and the per-query code-distance table
-    * broadcast; candidates are `probes` clusters per query; the ADC
-    * join and sum are candidate-sized. Raw embeddings are read ONLY by
-    * the offline coding/codebook passes, never at query time.
+    * broadcast; candidates are `probes` cells per query via one
+    * equi-join on the memoized cell assignment; the ADC join and sum
+    * are candidate-sized. Raw embeddings are read ONLY by the offline
+    * coding/codebook passes, never at query time.
     *
     * `probes` is THE serving recall knob (nprobe in every production
     * IVF-PQ deployment): a query near a cell boundary finds its true
     * neighbors in an adjacent cell, and probing P cells trades P×
-    * candidates for that recall — single-probe is the
-    * recall-broken configuration. */
+    * candidates for that recall. */
   def annIvfPq(spark: SparkSession, emb: DataFrame, numQueries: Int,
                k: Int, m: Int = 8, dim: Int = 64,
-               scale: Int = 1000, probes: Int = 1): DataFrame = {
-    val book = pqCodebook(spark, emb, m, dim, scale)
-      .localCheckpoint(eager = false)
-    val codes = pqCodesOf(quantizedSubvectors(emb, m, dim, scale), book)
+               scale: Int = 1000, probes: Int = 1, cw: Int = 64,
+               rounds: Int = 2, cells: Int = 10,
+               cellRounds: Int = 2): DataFrame = {
+    val book = pqCodebookTrained(emb, m, cw, rounds, dim, scale)
+    val codes = pqCodesMemo(emb, m, cw, rounds, dim, scale)
       .select("vec_id", "subspace", "code")
     val qtab = subspaceDists(
         quantizedSubvectors(emb.filter(col("vec_id") < numQueries), m, dim, scale),
         book)
       .select(col("vec_id").as("qid"), col("subspace").cast("long").as("subspace"),
         col("label").cast("long").as("code"), col("dist").as("qdist"))
-    val cents = broadcast(labelCentroids(spark, emb, dim, scale))
-    val queries = broadcast(
-      emb.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    val scoredC = queries.crossJoin(cents)
-      .select(col("qid"), col("label"),
-        (aggregate(zip_with(col("qe"), col("sum_q"),
-          (x, y) => floor(x.cast("double") * scale).cast("long") * y),
-          lit(0L), (acc, x) => acc + x).cast("double") / col("n")).as("cscore"))
-    val wBest = Window.partitionBy("qid")
-      .orderBy(col("cscore").desc, col("label"))
-    val probed = scoredC.withColumn("crn", row_number().over(wBest))
-      .filter(col("crn") <= probes)
-      .select(col("qid"), col("label"))
-    val cand = broadcast(probed).join(emb.select("vec_id", "label"), "label")
+    val probed = probedCells(spark, emb, numQueries, probes, cells,
+      cellRounds, scale).select(col("qid"), col("cell"))
+    val asg = ivfAssignments(spark, emb, cells, cellRounds)
+    val cand = broadcast(probed).join(asg, "cell")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("label"), col("vec_id"))
+      .select(col("qid"), col("cell"), col("vec_id"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     cand.join(codes, "vec_id")
       .join(broadcast(qtab), Seq("qid", "subspace", "code"))
-      .groupBy("qid", "label", "vec_id").agg(sum("qdist").as("adist"))
+      .groupBy("qid", "cell", "vec_id").agg(sum("qdist").as("adist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
 
-  /** Per-label quantized centroid ARRAYS (label, cq: array<long>) —
-    * the coarse codebook reshaped row-per-label for residual math:
-    * cq_d = sum_q div n, dims in order. Metadata-scale (k rows). */
-  private def centroidArrays(spark: SparkSession, emb: DataFrame,
-                             dim: Int, scale: Int): DataFrame =
-    labelCentroids(spark, emb, dim, scale)
-      .select(col("label"), expr("transform(sum_q, s -> s div n)").as("cq"))
+  /** Quantized RESIDUAL subvectors: rq = floor(v·scale) − cq(the
+    * vector's ASSIGNED Lloyd cell — [[ivfAssignments]]), sliced into
+    * `m` subspaces — row-local once the cells-row centroid book
+    * broadcasts. Memoized: the residual relation feeds both the
+    * residual-book training and the corpus coding. */
+  private def residualSubMemo(spark: SparkSession, emb: DataFrame, m: Int,
+                              dim: Int, scale: Int, cells: Int,
+                              cellRounds: Int): DataFrame =
+    RelationStats.memoRelation(emb, s"rpqSub:$m:$scale:$cells:$cellRounds") {
+      val sub = dim / m
+      val book = broadcast(lloydBook(spark, emb, cells, cellRounds)
+        .select(col("cluster").as("cell"), col("cq")))
+      emb.join(ivfAssignments(spark, emb, cells, cellRounds), "vec_id")
+        .join(book, "cell")
+        .select(col("vec_id"), col("cell"),
+          zip_with(
+            transform(col("embedding"),
+              x => floor(x.cast("double") * scale).cast("long")),
+            col("cq"), (a, b) => a - b).as("rq"))
+        .select(col("vec_id"), col("cell"), posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> slice(rq, s * $sub + 1, $sub))"))
+          .as(Seq("subspace", "vs")))
+        .localCheckpoint(eager = false)
+    }
 
-  /** Quantized RESIDUAL subvectors: rq = floor(v·scale) − cq(coarse
-    * label), sliced into `m` subspaces — row-local once the k-row
-    * centroid table broadcasts. */
-  private def residualSubvectors(emb: DataFrame, cents: DataFrame,
-                                 m: Int, dim: Int, scale: Int): DataFrame = {
-    val sub = dim / m
-    emb.join(broadcast(cents), "label")
-      .select(col("vec_id"), col("label"),
-        zip_with(
-          transform(col("embedding"),
-            x => floor(x.cast("double") * scale).cast("long")),
-          col("cq"), (a, b) => a - b).as("rq"))
-      .select(col("vec_id"), col("label"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}), s -> slice(rq, s * $sub + 1, $sub))"))
-        .as(Seq("subspace", "vs")))
-  }
-
-  /** The RESIDUAL codebook: `groups` codewords per subspace, each the
-    * elementwise mean (integer div) of the residual slices of a
-    * deterministic vec_id-mod group — the random-partition stand-in
-    * for the per-subspace k-means a production trainer runs (same
-    * stand-in rule as [[pqCodebook]]'s label centroids, but over
-    * RESIDUALS, which is what makes it a residual quantizer at all:
-    * label-derived codewords are near-zero on residuals by
-    * construction). Output (label = codeword id, subspace, cs) —
-    * the [[subspaceDists]]/[[pqCodesOf]] shape. */
-  private def residualCodebook(rsub: DataFrame, groups: Int): DataFrame =
-    rsub
-      .select((col("vec_id") % groups).as("g"), col("subspace"),
-        posexplode(col("vs")).as(Seq("d0", "r")))
-      .groupBy("g", "subspace", "d0")
-      .agg(sum("r").as("sr"), count(lit(1)).as("n"))
-      .groupBy(col("g").as("label"), col("subspace"))
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(d0, sr div n as c))), s -> s.c)")
-        .as("cs"))
+  /** The RESIDUAL codebook: `groups` Lloyd-trained codewords per
+    * subspace over the residual slices ([[trainedSubspaceBook]] — the
+    * r10 vec_id-mod-group mean stand-in is gone: random-partition
+    * means of zero-centered residuals all collapse near the origin,
+    * which is exactly the code-collapse the recall audit measured).
+    * Memoized beside the residual relation. */
+  private def residualBookMemo(spark: SparkSession, emb: DataFrame, m: Int,
+                               groups: Int, rounds: Int, dim: Int,
+                               scale: Int, cells: Int,
+                               cellRounds: Int): DataFrame =
+    RelationStats.memoRelation(emb,
+      s"rpqBook:$m:$groups:$rounds:$scale:$cells:$cellRounds") {
+      trainedSubspaceBook(
+        residualSubMemo(spark, emb, m, dim, scale, cells, cellRounds)
+          .select("vec_id", "subspace", "vs"), groups, rounds)
+        .localCheckpoint(eager = false)
+    }
 
   /** Residual PQ codes — the encoding IVFADC actually stores (Jégou
     * et al. 2011 §III: quantize v − centroid(cell), not v; residual
     * energy is a fraction of vector energy, so the same code budget
     * buys far less quantization error). Each vector's residual vs its
-    * OWN coarse cell splits into `m` subspaces, assigned to the
-    * nearest of `groups` residual codewords by exact integer
-    * squared-L2. Output (vec_id, subspace, code, dist).
+    * OWN assigned Lloyd cell splits into `m` subspaces, assigned to
+    * the nearest of `groups` trained residual codewords by exact
+    * integer squared-L2. Output (vec_id, subspace, code, dist).
     *
-    * Plan shape: centroid arrays broadcast (k rows); residuals are
-    * row-local; codebook build is one metadata-scale aggregation
-    * (groups·m·(dim/m) cells); assignment is [[pqCodesOf]]'s map-side
-    * min-struct hash agg. */
+    * Plan shape: the Lloyd cell book broadcasts (cells rows);
+    * residuals are row-local; the codebook is per-subspace Lloyd
+    * (broadcast cross-probe rounds); assignment is [[pqCodesOf]]'s
+    * map-side min-struct hash agg. */
   def pqResidualCodes(spark: SparkSession, emb: DataFrame, m: Int = 8,
                       groups: Int = 16, dim: Int = 64,
-                      scale: Int = 1000): DataFrame = {
-    val cents = centroidArrays(spark, emb, dim, scale)
-      .localCheckpoint(eager = false)
-    val rsub = residualSubvectors(emb, cents, m, dim, scale)
-      .localCheckpoint(eager = false)
-    pqCodesOf(rsub.select("vec_id", "subspace", "vs"),
-      residualCodebook(rsub, groups))
-  }
+                      scale: Int = 1000, rounds: Int = 2, cells: Int = 10,
+                      cellRounds: Int = 2): DataFrame =
+    pqCodesOf(
+      residualSubMemo(spark, emb, m, dim, scale, cells, cellRounds)
+        .select("vec_id", "subspace", "vs"),
+      residualBookMemo(spark, emb, m, groups, rounds, dim, scale, cells,
+        cellRounds))
 
   /** IVF-ADC with RESIDUAL codes — the paper-exact composition: probe
     * the `probes` best coarse cells by query·centroid, compute the
@@ -925,92 +1020,82 @@ object Similarity {
     * passes. */
   def annIvfRpq(spark: SparkSession, emb: DataFrame, numQueries: Int,
                 k: Int, m: Int = 8, groups: Int = 16, dim: Int = 64,
-                scale: Int = 1000, probes: Int = 1): DataFrame = {
+                scale: Int = 1000, probes: Int = 1, rounds: Int = 2,
+                cells: Int = 10, cellRounds: Int = 2): DataFrame = {
     val sub = dim / m
-    val cents = centroidArrays(spark, emb, dim, scale)
-      .localCheckpoint(eager = false)
-    val rsub = residualSubvectors(emb, cents, m, dim, scale)
-      .localCheckpoint(eager = false)
-    val book = residualCodebook(rsub, groups).localCheckpoint(eager = false)
-    val codes = pqCodesOf(rsub.select("vec_id", "subspace", "vs"), book)
+    val cellBook = lloydBook(spark, emb, cells, cellRounds)
+      .select(col("cluster").as("cell"), col("cq"))
+    val book = residualBookMemo(spark, emb, m, groups, rounds, dim, scale,
+      cells, cellRounds)
+    val codes = pqCodesOf(
+      residualSubMemo(spark, emb, m, dim, scale, cells, cellRounds)
+        .select("vec_id", "subspace", "vs"), book)
       .select("vec_id", "subspace", "code")
-    // coarse probe: best cluster by query·centroid (the annIvf score)
-    val rawCents = broadcast(labelCentroids(spark, emb, dim, scale))
-    val queries = broadcast(
-      emb.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    val scoredC = queries.crossJoin(rawCents)
-      .select(col("qid"), col("qe"), col("label"),
-        (aggregate(zip_with(col("qe"), col("sum_q"),
-          (x, y) => floor(x.cast("double") * scale).cast("long") * y),
-          lit(0L), (acc, x) => acc + x).cast("double") / col("n")).as("cscore"))
-    val wBest = Window.partitionBy("qid")
-      .orderBy(col("cscore").desc, col("label"))
-    val probed = scoredC.withColumn("crn", row_number().over(wBest))
-      .filter(col("crn") <= probes)
-      .select(col("qid"), col("qe"), col("label"))
+    // coarse probe: `probes` nearest Lloyd cells by exact integer
+    // query-to-centroid squared-L2 (the serving metric)
+    val probed = probedCells(spark, emb, numQueries, probes, cells,
+      cellRounds, scale)
     // query residual vs EACH probed cell's centroid, sliced per
     // subspace — the table keys on (qid, cell): every probed cell is
     // its own residual frame
-    val qres = probed.join(broadcast(cents), "label")
-      .select(col("qid"), col("label"),
+    val qres = probed.join(broadcast(cellBook), "cell")
+      .select(col("qid"), col("cell"),
         zip_with(
           transform(col("qe"), x => floor(x.cast("double") * scale).cast("long")),
           col("cq"), (a, b) => a - b).as("rq"))
       .select(
         // pack (query, cell) as the dist-table probe id so the shared
         // subspaceDists kernel stays single-keyed; unpacked below
-        (col("qid") * lit(1L << 20) + col("label")).as("vec_id"),
+        (col("qid") * lit(1L << 20) + col("cell")).as("vec_id"),
         posexplode(expr(
           s"transform(sequence(0, ${m - 1}), s -> slice(rq, s * $sub + 1, $sub))"))
           .as(Seq("subspace", "vs")))
     val qtab = subspaceDists(qres.select("vec_id", "subspace", "vs"), book)
       .select(expr(s"vec_id div ${1L << 20}").as("qid"),
-        expr(s"vec_id % ${1L << 20}").cast("int").as("label"),
+        expr(s"vec_id % ${1L << 20}").as("cell"),
         col("subspace").cast("long").as("subspace"),
         col("label").cast("long").as("code"), col("dist").as("qdist"))
-    val cand = broadcast(probed.select(col("qid"), col("label")))
-      .join(emb.select("vec_id", "label"), "label")
+    val asg = ivfAssignments(spark, emb, cells, cellRounds)
+    val cand = broadcast(probed.select(col("qid"), col("cell")))
+      .join(asg, "cell")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("label"), col("vec_id"))
+      .select(col("qid"), col("cell"), col("vec_id"))
     val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
     cand.join(codes, "vec_id")
-      .join(broadcast(qtab), Seq("qid", "label", "subspace", "code"))
-      .groupBy("qid", "label", "vec_id").agg(sum("qdist").as("adist"))
+      .join(broadcast(qtab), Seq("qid", "cell", "subspace", "code"))
+      .groupBy("qid", "cell", "vec_id").agg(sum("qdist").as("adist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
 
-  /** IVF-style ANN: rank coarse clusters (labels) by query·centroid,
-    * probe only the best cluster, exact-cosine rerank inside it. The
-    * scale path complementary to [[annLshBucketed]]: candidate count is
-    * one cluster, not one hash bucket, and the codebook (10 centroids
-    * here; ~√N in production) is broadcast-trivial.
-    */
+  /** IVF-style ANN: rank the [[lloydBook]] coarse cells by exact
+    * integer query-to-centroid squared-L2, probe the `probes` best,
+    * exact-cosine rerank inside them. The scale path complementary to
+    * [[annLshBucketed]]: candidate count is a few cells, not one hash
+    * bucket, and the codebook (`cells` centroids here; ~√N in
+    * production) is broadcast-trivial.
+    *
+    * r11: the coarse partition is the Lloyd-TRAINED book, not the data
+    * labels — the label cells' measured recall@5 ceiling (exact rerank
+    * inside the probed cells) was 160/360 milli at probes 1/2 on this
+    * corpus, vs 880/960 for Lloyd cells at probes 1/3
+    * (ANN_QUANT_PROBE_r11.json `ivf_exact` legs): labels simply don't
+    * align with embedding-space neighborhoods, which no amount of
+    * probing fixes at serving-credible probe counts. */
   def annIvf(spark: SparkSession, emb: DataFrame, numQueries: Int, k: Int,
-             dim: Int = 64, scale: Int = 1000, probes: Int = 1): DataFrame = {
-    val cents = broadcast(labelCentroids(spark, emb, dim, scale))
-    val queries = broadcast(
-      emb.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
-    // query·centroid in exact integer space, then one double division
-    val scored = queries.crossJoin(cents)
-      .select(col("qid"), col("qe"), col("label"),
-        (aggregate(zip_with(col("qe"), col("sum_q"),
-          (x, y) => floor(x.cast("double") * scale).cast("long") * y),
-          lit(0L), (acc, x) => acc + x).cast("double") / col("n")).as("cscore"))
-    val wBest = Window.partitionBy("qid")
-      .orderBy(col("cscore").desc, col("label"))
-    // multi-probe: rerank inside the `probes` best clusters — the
+             dim: Int = 64, scale: Int = 1000, probes: Int = 1,
+             cells: Int = 10, cellRounds: Int = 2): DataFrame = {
+    // multi-probe: rerank inside the `probes` best cells — the
     // standard IVF recall knob (boundary vectors live in a neighbor
     // cell; probing P cells trades P× candidates for recall)
-    val probed = scored.withColumn("crn", row_number().over(wBest))
-      .filter(col("crn") <= probes)
-      .select(col("qid"), col("qe"), col("label"))
+    val probed = probedCells(spark, emb, numQueries, probes, cells,
+      cellRounds, scale)
+    val asg = ivfAssignments(spark, emb, cells, cellRounds)
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-    probed.join(emb, "label")
+    broadcast(probed).join(asg, "cell")
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("label"), col("vec_id"),
+      .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("qid"), col("cell"), col("vec_id"),
         // quantized cosine: integer dot + one sqrt + one division, so
         // the rerank ordering (and the SQL oracle) is bit-exact
         cosineQuantized(col("qe"), col("embedding"), scale).as("cos"))
@@ -1103,27 +1188,40 @@ object Similarity {
     * few-TB code relation, scannable without ever touching the raw
     * embeddings at query time.
     *
-    * Plan shape: one shuffle-free projection to (vec_id, code)
+    * Plan shape: one shuffle-free projection to (vec_id, code-words)
     * longs; query codes broadcast; the rank filter sits directly
     * under its window so WindowGroupLimit keeps k rows per query
     * per partition map-side. No raw-vector rerank here by design —
     * the declared operator measures what the codes alone retrieve
     * (compose with [[knnBruteForce]] over the survivors for the
-    * reranked variant). */
+    * reranked variant).
+    *
+    * `bits` is unbounded (r11 — the r10 single-long cap at 62 was the
+    * measured recall bottleneck: this corpus's cosine spectrum is a
+    * dense continuum, rank-5 ≈ 0.30 vs rank-50 ≈ 0.16, and a 32-bit
+    * sketch cannot resolve that 8° band — ANN_QUANT_PROBE_r11.json
+    * sweeps 62/128/256). Codes are ⌈bits/62⌉ longs; Hamming distance
+    * is the summed XOR popcount over words, each a codegen'd
+    * element_at + bit_count — no interpreted lambda on the corpus
+    * scan. Production sketches are 128-256 bits for exactly this
+    * resolution reason (Charikar 2002 §3). */
   def annSrpHamming(emb: DataFrame, numQueries: Int, k: Int,
                     bits: Int = 32, dim: Int = 64, seed: Long = 42L,
                     scale: Int = 1000): DataFrame = {
-    require(bits <= 62, s"code must fit one long, got $bits bits")
     val planes = lshPlanesQuantized(bits, dim, seed)
+    val words = planes.grouped(62).toSeq
     val codes = emb.select(col("vec_id"),
-      hyperplaneBucketQuantized(col("embedding"), planes, scale).as("code"))
+      array(words.map(w =>
+        hyperplaneBucketQuantized(col("embedding"), w, scale)): _*).as("code"))
     val queries = broadcast(codes.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("code").as("qcode")))
     val w = Window.partitionBy("qid").orderBy(col("hamming"), col("vec_id"))
     codes.join(queries, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        bit_count(col("code").bitwiseXOR(col("qcode"))).cast("long")
-          .as("hamming"))
+        words.indices.map(i =>
+          bit_count(col("code").getItem(i)
+            .bitwiseXOR(col("qcode").getItem(i))).cast("long"))
+          .reduce(_ + _).as("hamming"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }

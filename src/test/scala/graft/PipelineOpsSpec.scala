@@ -633,34 +633,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.abs(row.getDouble(0) - row.getDouble(1)) < 0.01)
   }
 
+  // Lloyd cells split this fixture cleanly: seeds are vec 0 (+x
+  // archetype) and vec 1 (−x archetype), so one training round lands
+  // 2, 3 with the query and 4 with the antipode.
+  private lazy val ivfFixture = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+    (2L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+    (3L, Array(0.8f, 0.0f, 0.2f, 0.0f), 0),
+    (4L, Array(-0.9f, -0.1f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
   test("ivf ann probes the best cluster and reranks by exact cosine") {
-    // labels are perfect clusters here: positive-x cluster 0, negative 1
-    val clustered = Seq(
-      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
-      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
-      (2L, Array(0.8f, 0.0f, 0.2f, 0.0f), 0),
-      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
-      (4L, Array(-0.9f, -0.1f, 0.0f, 0.0f), 1)
-    ).toDF("vec_id", "embedding", "label")
-    val out = Similarity.annIvf(spark, clustered, numQueries = 1, k = 2, dim = 4)
+    val out = Similarity.annIvf(spark, ivfFixture, numQueries = 1, k = 2,
+        dim = 4, cells = 2, cellRounds = 1)
       .orderBy("rn").collect()
-    assert(out.map(_.getAs[Int]("label")).forall(_ == 0)) // probed own cluster
-    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L))
+    // probed its own cell (cell id 0 = seed vec 0), never the antipode's
+    assert(out.map(_.getAs[Long]("cell")).forall(_ == 0L))
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 3L))
   }
 
   test("ann recall audit: perfect recall on clustered data, more probes never hurt") {
-    val clustered = Seq(
-      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
-      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
-      (2L, Array(0.8f, 0.0f, 0.2f, 0.0f), 0),
-      (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
-      (4L, Array(-0.9f, -0.1f, 0.0f, 0.0f), 1)
-    ).toDF("vec_id", "embedding", "label")
-    val out = Similarity.annRecallAudit(spark, clustered, numQueries = 1,
-      k = 2, probesList = Seq(1, 2))
+    val out = Similarity.annRecallAudit(spark, ivfFixture, numQueries = 1,
+      k = 2, probesList = Seq(1, 2), cells = 2, cellRounds = 1)
       .collect().map(r => r.getAs[Long]("probes") ->
         ((r.getAs[Long]("hits"), r.getAs[Long]("recall_milli")))).toMap
-    // query 0's exact top-2 (vecs 1, 2) live in its own cluster:
+    // query 0's exact top-2 (vecs 2, 3) live in its own cell:
     // probe-1 already finds both → recall 1000; probe-2 can't regress
     assert(out(1L) === ((2L, 1000L)))
     assert(out(2L) === ((2L, 1000L)))
@@ -709,55 +707,59 @@ class PipelineOpsSpec extends SparkSpec {
 
   test("pq codes pick the nearest codeword slice per subspace") {
     import spark.implicits._
-    // centroids (scale 1000, truncated): label 0 over {v0,v1,v4} =
-    // (1000,1000,333,333); label 1 over {v2,v3} = (0,0,1000,1000).
-    // m=2 subspaces of 2 dims each.
+    // trained book, cw=2 rounds=1, m=2 subspaces of 2 dims: seeds are
+    // v0's slices (code 0) and v1's (code 1). One Lloyd round lands
+    // sub0 {v0,v2,v4}→code0=(1000,1000), {v1,v3}→code1=(0,0); sub1
+    // {v0,v2}→code0=(0,0), {v1,v3,v4}→code1=(1000,1000).
     val emb = Seq(
       (0L, Seq(1.0f, 1.0f, 0.0f, 0.0f), 0),
-      (1L, Seq(1.0f, 1.0f, 0.0f, 0.0f), 0),
-      (2L, Seq(0.0f, 0.0f, 1.0f, 1.0f), 1),
+      (1L, Seq(0.0f, 0.0f, 1.0f, 1.0f), 1),
+      (2L, Seq(1.0f, 1.0f, 0.0f, 0.0f), 0),
       (3L, Seq(0.0f, 0.0f, 1.0f, 1.0f), 1),
       (4L, Seq(1.0f, 1.0f, 1.0f, 1.0f), 0)
     ).toDF("vec_id", "embedding", "label")
-    val codes = Similarity.pqCodes(spark, emb, m = 2, dim = 4)
+    val codes = Similarity.pqCodes(spark, emb, m = 2, dim = 4, cw = 2,
+        rounds = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1)) ->
         (r.getLong(2), r.getLong(3))).toMap
-    // v4: subspace 0 exactly on codeword 0; subspace 1 exactly on 1
+    // v4 = (1,1,1,1): subspace 0 exactly on codeword 0, subspace 1
+    // exactly on codeword 1 — both at distance 0
     assert(codes((4L, 0L)) === ((0L, 0L)))
     assert(codes((4L, 1L)) === ((1L, 0L)))
-    // v0 subspace 1 = (0,0): codeword 0 slice is (333,333) -> dist
-    // 2*333^2 = 221778, closer than codeword 1's (1000,1000)
-    assert(codes((0L, 1L)) === ((0L, 221778L)))
+    assert(codes((0L, 0L)) === ((0L, 0L)))
+    assert(codes((0L, 1L)) === ((0L, 0L)))
 
     // ADC search from q0: adist(v) sums the query's codeword-table
-    // entries selected by v's codes — v1 (same codes as q0) closest at
-    // 221778 (q0's own subspace-1 self-distance), then v4, then v2/v3
+    // entries selected by v's codes — v2 (same codes as q0) at 0,
+    // then v4 (one foreign subspace), then v1/v3 (both foreign)
     val ranked = Similarity.annPq(spark, emb, numQueries = 1, k = 3,
-        m = 2, dim = 4)
+        m = 2, dim = 4, cw = 2, rounds = 1)
       .orderBy("rn").collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("adist")))
-    assert(ranked.toSeq === Seq((1L, 221778L), (4L, 2000000L),
-      (2L, 4000000L)))
+    assert(ranked.toSeq === Seq((2L, 0L), (4L, 2000000L),
+      (1L, 4000000L)))
 
-    // composed IVF-PQ: q0's best coarse cluster is label 0 (cscore
-    // 2e6 vs 0), so only {v1, v4} are candidates — v2/v3 never rank
+    // composed IVF-PQ over 2 Lloyd cells (seeds v0, v1): q0's nearest
+    // cell holds {v2, v4} (v4 ties between cells, asc → cell 0), so
+    // v1/v3 never rank at probe-1
     val ivfpq = Similarity.annIvfPq(spark, emb, numQueries = 1, k = 2,
-        m = 2, dim = 4)
+        m = 2, dim = 4, cw = 2, rounds = 1, cells = 2, cellRounds = 1)
       .orderBy("rn").collect()
-      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("adist")))
-    assert(ivfpq.toSeq === Seq((0, 1L, 221778L), (0, 4L, 2000000L)))
+    assert(ivfpq.toSeq === Seq((0L, 2L, 0L), (0L, 4L, 2000000L)))
 
-    // nprobe: probe-2 ranks across BOTH coarse cells, so v2/v3 (cell 1)
+    // nprobe: probe-2 ranks across BOTH cells, so v1/v3 (cell 1)
     // enter the candidate set; its top-k prefix must contain probe-1's
     // rows (recall ⊇ — a candidate superset can only improve a rank)
     val p2 = Similarity.annIvfPq(spark, emb, numQueries = 1, k = 4,
-        m = 2, dim = 4, probes = 2)
+        m = 2, dim = 4, probes = 2, cw = 2, rounds = 1, cells = 2,
+        cellRounds = 1)
       .orderBy("rn").collect()
-      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("vec_id"),
+      .map(r => (r.getAs[Long]("cell"), r.getAs[Long]("vec_id"),
         r.getAs[Long]("adist")))
-    assert(p2.toSeq === Seq((0, 1L, 221778L), (0, 4L, 2000000L),
-      (1, 2L, 4000000L), (1, 3L, 4000000L)))
+    assert(p2.toSeq === Seq((0L, 2L, 0L), (0L, 4L, 2000000L),
+      (1L, 1L, 4000000L), (1L, 3L, 4000000L)))
     assert(p2.take(2).toSeq === ivfpq.toSeq)
   }
 
@@ -798,29 +800,53 @@ class PipelineOpsSpec extends SparkSpec {
     )
     val e = vecs.toDF("vec_id", "embedding", "label")
     val m = 2; val groups = 2; val scale = 1000
-    // plain-Scala replay: quantize, coarse centroid, residuals,
-    // mod-group codebook, argmin assignment
+    val cells = 2; val cellRounds = 1; val rounds = 1
+    // plain-Scala replay of the full r11 recipe: quantize, Lloyd
+    // coarse cells (seeds = lowest vec_ids, tie-break cell asc,
+    // update = per-dim sum/n — Scala Long `/` truncates toward zero
+    // exactly like Spark `div`), residuals vs the ASSIGNED cell,
+    // seeded+trained residual codebook, argmin codes
     val q = vecs.map { case (id, v, _) =>
       id -> v.map(x => math.floor(x.toDouble * scale).toLong).toArray }.toMap
-    val n = vecs.size
-    val cq = (0 until 4).map(d => q.values.map(_(d)).sum / n).toArray
-    val r = q.view.mapValues(a => a.zip(cq).map { case (x, c) => x - c }).toMap
-    def slice(a: Array[Long], s: Int) = a.slice(s * 2, s * 2 + 2)
-    val book = (for { g <- 0 until groups; s <- 0 until m } yield {
-      val members = r.filter(_._1 % groups == g).values.map(slice(_, s)).toSeq
-      (g, s) -> (0 until 2).map(d =>
+    def sq(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def mean(members: Seq[Array[Long]]): Array[Long] =
+      (0 until members.head.length).map(d =>
         members.map(_(d)).sum / members.size).toArray
-    }).toMap
+    var book: Map[Long, Array[Long]] =
+      q.view.filterKeys(_ < cells).toMap
+    for (_ <- 1 to cellRounds) {
+      val asg = q.view.mapValues(v =>
+        book.toSeq.map { case (c, cq) => (sq(v, cq), c) }.min._2).toMap
+      book = asg.groupBy(_._2).view.mapValues(ids =>
+        mean(ids.keys.toSeq.sorted.map(q))).toMap
+    }
+    val asg = q.view.mapValues(v =>
+      book.toSeq.map { case (c, cq) => (sq(v, cq), c) }.min._2).toMap
+    val r = q.map { case (id, v) =>
+      id -> v.zip(book(asg(id))).map { case (x, c) => x - c } }
+    def slice(a: Array[Long], s: Int) = a.slice(s * 2, s * 2 + 2)
+    var rbook: Map[(Long, Int), Array[Long]] = (for {
+      id <- r.keys.toSeq.sorted if id < groups; s <- 0 until m
+    } yield (id, s) -> slice(r(id), s)).toMap
+    for (_ <- 1 to rounds) {
+      val rasg = (for { id <- r.keys.toSeq; s <- 0 until m } yield
+        (id, s) -> rbook.collect { case ((c, `s`), cs) =>
+          (sq(slice(r(id), s), cs), c) }.min._2).toMap
+      rbook = rasg.groupBy { case ((_, s), c) => (c, s) }.view
+        .mapValues(ms =>
+          mean(ms.keys.toSeq.sortBy(_._1).map { case (id, s) =>
+            slice(r(id), s) })).toMap
+    }
     val expected = (for { id <- r.keys; s <- 0 until m } yield {
       val v = slice(r(id), s)
-      val scored = (0 until groups).map { g =>
-        val cs = book((g, s))
-        (v.zip(cs).map { case (a, b) => (a - b) * (a - b) }.sum, g.toLong)
-      }.min
+      val scored = rbook.collect { case ((c, `s`), cs) =>
+        (sq(v, cs), c) }.min
       (id, s.toLong) -> ((scored._2, scored._1))
     }).toMap
     val got = Similarity.pqResidualCodes(spark, e, m = m, groups = groups,
-        dim = 4, scale = scale)
+        dim = 4, scale = scale, rounds = rounds, cells = cells,
+        cellRounds = cellRounds)
       .collect().map(row => (row.getAs[Long]("vec_id"),
         row.getAs[Long]("subspace")) ->
         ((row.getAs[Long]("code"), row.getAs[Long]("dist")))).toMap

@@ -38,6 +38,29 @@ object RelationStats {
       (df.sparkSession, df.queryExecution.analyzed.canonicalized),
       _ => df.first().getLong(0))
 
+  private val scalarTagged = new ConcurrentHashMap[
+    (SparkSession, LogicalPlan, String), java.lang.Long]()
+
+  /** A scalar memoized under (session, SOURCE plan, tag) with the
+    * value computed by an arbitrary action — for sizing scalars whose
+    * natural computation runs over a checkpoint-PINNED derived relation
+    * (each invocation's checkpoint canonicalizes to a fresh LogicalRDD,
+    * so keying on the computation plan — [[memoScalar]] — would never
+    * hit across invocations; keying on the stable source plan does).
+    * get + putIfAbsent like [[memoRelation]]: tolerates nesting. */
+  def memoScalarTagged(source: DataFrame, tag: String)
+                      (build: => Long): Long = {
+    val key = (source.sparkSession,
+      source.queryExecution.analyzed.canonicalized, tag)
+    val existing = scalarTagged.get(key)
+    if (existing != null) existing.longValue()
+    else {
+      val built = java.lang.Long.valueOf(build)
+      val prior = scalarTagged.putIfAbsent(key, built)
+      (if (prior != null) prior else built).longValue()
+    }
+  }
+
   private val rel = new ConcurrentHashMap[
     (SparkSession, LogicalPlan, String), DataFrame]()
 
@@ -75,5 +98,7 @@ object RelationStats {
   /** Test hook: forget everything (a fresh session in the same JVM
     * re-counts; distinct sessions never collide — the session is part
     * of the key). */
-  private[graft] def reset(): Unit = { memo.clear(); rel.clear() }
+  private[graft] def reset(): Unit = {
+    memo.clear(); rel.clear(); scalarTagged.clear()
+  }
 }

@@ -365,15 +365,30 @@ object TextOps {
     * salient tokens of (postings count)² — the number of joined rows
     * the candidate self-join emits before aggregation, i.e. the
     * query's actual cost driver (hot salient terms emit |bucket|²
-    * pairs; doc count alone cannot see that skew). One vocabulary-
-    * scale aggregation over the salient-vector postings; memoized per
-    * session via [[RelationStats.memoScalar]] like the minhash tier's
-    * measured auto-switch scalar. */
+    * pairs; doc count alone cannot see that skew).
+    *
+    * NOT metadata-scale on first evaluation: the aggregation sits on
+    * the full salient-vector build (corpus token explode, tf·idf
+    * weights, per-doc top-k window). That is why [[tfidfCosinePairs]]
+    * computes it over its own checkpoint-PINNED `vec` (the overload) —
+    * the sizing action then MATERIALIZES the checkpoint the query
+    * itself reuses, so the pass is shared, not extra. Memoized under
+    * the stable (docs, k) key ([[RelationStats.memoScalarTagged]] —
+    * each invocation's checkpoint canonicalizes to a fresh LogicalRDD,
+    * so a plan-keyed memo would never hit across invocations); after
+    * the first evaluation the dial is a lookup. */
   def tfidfCandidateMass(docs: DataFrame, k: Int): Long =
-    RelationStats.memoScalar(
-      salientVectors(docs, k).groupBy("token")
+    tfidfCandidateMass(docs, k, salientVectors(docs, k))
+
+  /** [[tfidfCandidateMass]] over a caller-supplied (typically
+    * checkpoint-pinned) salient-vector relation for `docs`. */
+  def tfidfCandidateMass(docs: DataFrame, k: Int, vec: DataFrame): Long =
+    RelationStats.memoScalarTagged(docs, s"tfidfCandMass:$k") {
+      vec.groupBy("token")
         .agg(count(lit(1)).as("c"))
-        .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("m")))
+        .agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("m"))
+        .first().getLong(0)
+    }
 
   /** Sparse tf·idf cosine pairs over [[salientVectors]] — the IR-style
     * text-similarity tier (the embedding-free twin of
@@ -460,19 +475,24 @@ object TextOps {
     // terms emit |bucket|² joined rows, which doc count cannot see), so
     // a skew-heavy corpus engages sharding before its per-pass pair
     // stream outgrows a comfortable shuffle even when the broadcast
-    // would still fit. Both sizing actions are metadata-scale and
-    // MEMOIZED per session ([[RelationStats]]) so a bench loop pays
-    // them once, not per repetition; pass an explicit buildShards to
-    // keep declaration action-free. Calibration: TFIDF_SHARD_r10.json
-    // records mass and per-shard-count timings at sf0.1 — the defaults
-    // keep this corpus single-broadcast (mass ≪ bound) and engage the
-    // mass rule only where one pass's pair stream reaches shuffle-
-    // spill scale (~2·10⁹ rows ≈ 50 GB of (d1, d2, w) triples).
+    // would still fit. The doc count is metadata-scale; the mass is
+    // NOT — it aggregates the salient-vector build — so it runs over
+    // the PINNED `vec` (r11, the r10 ADVICE item): the sizing action
+    // materializes the same checkpoint the query reuses, one corpus
+    // pass total instead of two. Both scalars are MEMOIZED per session
+    // ([[RelationStats]], the mass under the stable (docs, k) tag) so
+    // a bench loop pays them once, not per repetition; pass an
+    // explicit buildShards to keep declaration action-free.
+    // Calibration: TFIDF_SHARD_r11.json records mass and per-shard-
+    // count timings at sf0.1 — the defaults keep this corpus single-
+    // broadcast (mass ≪ bound) and engage the mass rule only where one
+    // pass's pair stream reaches shuffle-spill scale (~2·10⁹ rows ≈
+    // 50 GB of (d1, d2, w) triples).
     val shards =
       if (buildShards >= 1) buildShards
       else math.max(
         autoBuildShards(RelationStats.memoCount(docs), maxBroadcastDocs),
-        autoBuildShards(tfidfCandidateMass(docs, k), maxPairsPerShard))
+        autoBuildShards(tfidfCandidateMass(docs, k, vec), maxPairsPerShard))
     // every candidate pair (d1, d2) lands in exactly ONE shard (the
     // shard is a function of d2 alone), so the shard branches' joined
     // outputs union into a SINGLE dot aggregation — one exchange for

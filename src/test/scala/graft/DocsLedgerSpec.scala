@@ -22,7 +22,11 @@ class DocsLedgerSpec extends AnyFunSuite {
     // "every declared query hash-matches" claim the docs make)
     assert(SparkEntry.oracleSql.keySet === SparkEntry.queries.keySet,
       "every declared query must carry an oracle (and vice versa)")
-    val claim = raw"(\d+)/(\d+)(?= queries| ?[;)])".r
+    // anchored to the claim's own wording ("N/N queries" / "N/N
+    // hash-match…") — an unanchored self-equal N/N would co-opt any
+    // future table cell or recall fraction into this assertion (the
+    // r10 ADVICE item)
+    val claim = raw"(\d+)/(\d+)(?= (?:declared )?queries| hash-match)".r
     for (f <- Seq("README.md", "ENGINE.md")) {
       val counts = claim.findAllMatchIn(read(f))
         .filter(m => m.group(1) == m.group(2))

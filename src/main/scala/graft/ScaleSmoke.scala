@@ -149,17 +149,22 @@ object ScaleSmoke {
       Op("embedding_gram", e => Similarity.gramMatrix(e), "emb"),
       Op("kmeans_round", e => Similarity.kmeansRound(spark, e), "emb"),
       Op("ann_ivf", e => Similarity.annIvf(spark, e, 25, 5), "emb"),
-      Op("pq_codes", e => Similarity.pqCodes(spark, e, 8), "emb"),
-      Op("ann_pq", e => Similarity.annPq(spark, e, 25, 5, 8), "emb"),
-      Op("ann_ivf_pq", e => Similarity.annIvfPq(spark, e, 25, 5, 8), "emb"),
+      // the r11 trained-quantizer knobs, exactly as declared (PqM=16
+      // cw=256, RpqM=32 groups=128, SRP 256 bits / prefilter 50 —
+      // ANN_QUANT_PROBE_r11.json)
+      Op("pq_codes", e => Similarity.pqCodes(spark, e, 16, cw = 256), "emb"),
+      Op("ann_pq", e => Similarity.annPq(spark, e, 25, 5, 16,
+        cw = 256), "emb"),
+      Op("ann_ivf_pq", e => Similarity.annIvfPq(spark, e, 25, 5, 16,
+        cw = 256), "emb"),
       Op("pq_residual_codes", e =>
-        Similarity.pqResidualCodes(spark, e, 8, 16), "emb"),
+        Similarity.pqResidualCodes(spark, e, 32, 128), "emb"),
       Op("ann_ivf_rpq", e =>
-        Similarity.annIvfRpq(spark, e, 25, 5, 8, 16), "emb"),
+        Similarity.annIvfRpq(spark, e, 25, 5, 32, 128), "emb"),
       Op("ann_ivf_rpq_probe2", e =>
-        Similarity.annIvfRpq(spark, e, 25, 5, 8, 16, probes = 2), "emb"),
+        Similarity.annIvfRpq(spark, e, 25, 5, 32, 128, probes = 2), "emb"),
       Op("ann_srp_rerank", e =>
-        Similarity.annSrpRerank(e, 25, 5, 20), "emb"),
+        Similarity.annSrpRerank(e, 25, 5, 50, bits = 256), "emb"),
       Op("hard_negatives", e =>
         Similarity.hardNegatives(spark, e, 25, 5, probes = 2), "emb"),
       // SemDeDup: replica copies are EXACT embedding dups (only ids
@@ -300,11 +305,17 @@ object ScaleSmoke {
           .groupBy("shard")
           .agg(count(lit(1)).as("docs"), sum("tokens").as("tokens"))
       }, "doc"),
-      Op("ann_srp", e => Similarity.annSrpHamming(e, 25, 5), "emb"),
+      Op("ann_srp", e => Similarity.annSrpHamming(e, 25, 5,
+        bits = 256), "emb"),
       // recall audit: one exact pass + two probe chains, query-count
       // output — prices the ground-truth scan's growth
       Op("ann_recall_ivf", e => Similarity.annRecallAudit(spark, e,
         numQueries = 5, k = 5, probesList = Seq(1, 2)), "emb"),
+      // the quantized-tier recall audit at the declared r11 knobs:
+      // two exact truth passes + all four trained-quantizer chains —
+      // the quality numbers and the 10×-growth bands in ONE artifact
+      Op("ann_recall_quantized", e => Similarity.annRecallQuantized(
+        spark, e, numQueries = 5, k = 5), "emb"),
       // replica copy-tags change only each copy's TAIL windows, so
       // cross-copy duplicated spans grow with the corpus — the smoke
       // prices the worst (dup-heavy) case like the pair tiers

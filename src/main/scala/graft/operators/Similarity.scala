@@ -120,7 +120,7 @@ object Similarity {
     */
   def annRecallQuantized(spark: SparkSession, emb: DataFrame,
                          numQueries: Int, k: Int, pqM: Int = 16,
-                         pqCw: Int = 256, rpqM: Int = 32, rpqCw: Int = 64,
+                         pqCw: Int = 256, rpqM: Int = 32, rpqCw: Int = 128,
                          rounds: Int = 2, prefilter: Int = 50,
                          bits: Int = 256, probes: Int = 2,
                          cells: Int = 10, cellRounds: Int = 2): DataFrame = {

@@ -2151,9 +2151,6 @@ object SparkEntry {
     finally s.catalog.dropTempView(view)
   }
 
-  /** IVF ANN oracle, parameterized by probe count (mirrors
-    * [[Similarity.annIvf]]: centroid scores in exact integer space, the
-    * `probes` best clusters reranked by quantized cosine). */
   /** Shared by `semdedup` / `pipeline_d4` / `semdedup_components` /
     * `proto_prune`: the coarse-cluster CTE prefix, now the k-KNOB
     * Lloyd build ([[graft.operators.Similarity.lloydBook]] replayed in
@@ -2566,6 +2563,10 @@ object SparkEntry {
        |ORDER BY qid, probes""".stripMargin
   }
 
+  /** IVF ANN oracle, parameterized by probe count (mirrors
+    * [[Similarity.annIvf]]: Lloyd cells ranked by exact integer
+    * query-to-centroid squared L2, quantized-cosine rerank inside the
+    * `probes` best). */
   private def sqlAnnIvf(probes: Int): String =
     s"""WITH $SqlQv,
        |${sqlCellCtes(IvfCells, IvfCellRounds)},

@@ -322,6 +322,7 @@ object ScaleSmoke {
       Op("dedup_substring_spans", d => TextOps.substringSpans(d, 8), "doc"),
       Op("cdc_chunks", d => TextOps.cdcChunks(d, 16, 6), "doc"),
       Op("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pair"),
+      Op("dedup_recall_lsh", d => Dedup.lshRecallAudit(d), "pair"),
       // the linear-candidate tier: candidates = window*N by construction
       Op("dedup_snm", d => Dedup.snmPairs(d, 4, 9), "pair",
         cand = Some(d => Dedup.snmCandidates(d, 4))),

@@ -1032,6 +1032,20 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(Tables.documents(s, dir), numHashes = 32,
         bands = 4).orderBy("d1", "d2")),
+    // The probabilistic tier's recall audit (the dedup sibling of
+    // ann_recall_quantized / media_recall_ivf): per integer Jaccard
+    // band, what fraction of the EXACT J >= 0.8 truth the declared
+    // (K=32, bands=4) sketch surfaces — quality as a checked number.
+    "dedup_recall_lsh" -> ((s, dir) =>
+      Dedup.lshRecallAudit(Tables.documents(s, dir), numHashes = 32,
+        bands = 4, minTenths = 8).orderBy("band")),
+    // Shingle-tier sibling: the char-12-gram sketch audited against
+    // the exact n-gram Jaccard truth. Larger per-doc shingle sets →
+    // lower estimator variance → the curve should sit at or above the
+    // word tier's reading.
+    "dedup_recall_shingle" -> ((s, dir) =>
+      Dedup.shingleRecallAudit(Tables.documents(s, dir), n = 12,
+        numHashes = 32, bands = 4, minTenths = 8).orderBy("band")),
     // maxDistance=4 → 5 bands of 12 bits (pigeonhole-exact recall).
     // Tight k is the near-dup regime (corpus Hamming distances center
     // at ~19/60, so k=4 is a genuine tail) AND the regime where band
@@ -4073,6 +4087,92 @@ object SparkEntry {
          |  ($matchSum) / 32.0 AS est_jaccard
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
          |ORDER BY d1, d2""".stripMargin
+    },
+    "dedup_recall_lsh" -> {
+      // truth = the dedup_jaccard_pairs CTEs at t=8; candidates = the
+      // dedup_minhash_lsh CTEs; recall per integer Jaccard band in
+      // milli (floor division on both engines)
+      val params = Dedup.minhashParams(32)
+      val p = Dedup.MinhashPrime
+      val sigMins = params.map { case (a, b) =>
+        s"min((tid * $a + $b) % $p)" }.mkString("[", ", ", "]")
+      val bandEq = (0 until 4).map { b =>
+        val lo = b * 8 + 1; val hi = b * 8 + 8
+        s"a.s[$lo:$hi] = b.s[$lo:$hi]" }.mkString(" OR ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM tok t1 JOIN tok t2
+         |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT d1, d2, CAST((inter * 10) // uni AS INT) AS band
+         |  FROM (SELECT i.d1, i.d2, i.inter, c1.n + c2.n - i.inter AS uni
+         |        FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+         |                     JOIN cnt c2 ON i.d2 = c2.doc_id) j
+         |  WHERE inter * 10 >= uni * 8),
+         |tid AS (SELECT doc_id,
+         |          CAST(concat('0x', substr(md5(token), 1, 10)) AS BIGINT) AS tid
+         |        FROM tok),
+         |sig AS (SELECT doc_id, $sigMins AS s FROM tid GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
+         |SELECT t.band, CAST(COUNT(*) AS BIGINT) AS true_pairs,
+         |  CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+         |  CAST((SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+         |    // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+         |GROUP BY 1 ORDER BY t.band""".stripMargin
+    },
+    "dedup_recall_shingle" -> {
+      // truth = the dedup_ngram_jaccard CTEs at t=8; candidates = the
+      // dedup_minhash_shingle CTEs (FNV window hashes masked to 40
+      // bits); same per-band milli-recall report as dedup_recall_lsh
+      val params = Dedup.minhashParams(32)
+      val p = Dedup.MinhashPrime
+      val sigMins = params.map { case (a, b) =>
+        s"min((tid * $a + $b) % $p)" }.mkString("[", ", ", "]")
+      val bandEq = (0 until 4).map { b =>
+        val lo = b * 8 + 1; val hi = b * 8 + 8
+        s"a.s[$lo:$hi] = b.s[$lo:$hi]" }.mkString(" OR ")
+      val winFnv40 =
+        s"CAST(${sqlFnvUnsigned("substr(text, i, 12)")} % 1099511627776::HUGEINT AS BIGINT)"
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
+         |    range(1, greatest(length(text) - 11, 1) + 1),
+         |    i -> substr(text, i, 12)))) AS token
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM tok t1 JOIN tok t2
+         |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT d1, d2, CAST((inter * 10) // uni AS INT) AS band
+         |  FROM (SELECT i.d1, i.d2, i.inter, c1.n + c2.n - i.inter AS uni
+         |        FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+         |                     JOIN cnt c2 ON i.d2 = c2.doc_id) j
+         |  WHERE inter * 10 >= uni * 8),
+         |tid AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(length(text) - 11, 1) + 1),
+         |    i -> $winFnv40))) AS tid
+         |  FROM documents),
+         |sig AS (SELECT doc_id, $sigMins AS s FROM tid GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
+         |SELECT t.band, CAST(COUNT(*) AS BIGINT) AS true_pairs,
+         |  CAST(SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS lsh_hits,
+         |  CAST((SUM(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+         |    // COUNT(*) AS BIGINT) AS recall_milli
+         |FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+         |GROUP BY 1 ORDER BY t.band""".stripMargin
     },
     "dedup_simhash" -> {
       // generated to mirror Dedup.simhashFingerprints bit-for-bit: the

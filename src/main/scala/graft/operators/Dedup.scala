@@ -963,6 +963,61 @@ object Dedup {
       docs.select(col("doc_id"), md5(col("text").cast("binary")).as("class_fp")),
       shingleSigsOf(n, numHashes), numHashes, bands)
 
+  /** Measured recall of the declared MinHash-LSH tier against the
+    * EXACT Jaccard truth — the dedup sibling of the ANN / media recall
+    * audits ([[graft.operators.Similarity.annRecallQuantized]],
+    * `media_recall_ivf`): the probabilistic tier's quality as a
+    * checked NUMBER, not an S-curve formula quoted in a docstring.
+    *
+    * Truth = [[jaccardPairs]] at `minTenths` (prefix-filtered, recall
+    * exact by the Bayardo theorem), bucketed by integer Jaccard band
+    * `⌊10·inter/union⌋` (exact duplicates land in band 10). Each true
+    * pair either surfaces among the LSH candidates or does not; per
+    * band the audit reports `true_pairs`, `lsh_hits`, and
+    * `recall_milli` (integer floor-div, oracle-exact). Truth keeps the
+    * Jaccard tier's own universe (intra-lang pairs); the sketch is
+    * corpus-wide, so extra cross-lang candidates never earn credit.
+    *
+    * Expected shape at the declared knobs (K=32, bands=4, r=8): the
+    * banding S-curve 1−(1−J^r)^b — ≈0.5 at J=0.8, ≈0.9 at J=0.9, and
+    * exactly 1000 in band 10 (identical token bags share the whole
+    * signature, deterministically). A reading far BELOW the curve
+    * means the sketch or banding is broken; far above means the
+    * corpus's J-mass sits at the band edges. Cost: the truth pass at
+    * the lower threshold (what the audit exists to pay) + the declared
+    * LSH pass + one pair-keyed join, all shuffle-bounded by the pair
+    * relations themselves. */
+  def lshRecallAudit(docs: DataFrame, numHashes: Int = 32, bands: Int = 4,
+                     minTenths: Int = 8): DataFrame =
+    recallAuditOf(jaccardPairs(docs, minTenths),
+      minhashLshPairs(docs, numHashes, bands))
+
+  /** [[lshRecallAudit]] for the shingle tier: the char 12-gram sketch
+    * ([[minhashShingleLshPairs]]) audited against the exact n-gram
+    * Jaccard truth ([[ngramJaccardPairs]]) — same bands, same report.
+    * Shingle sets are much larger than word-token sets (one per
+    * character position), so the estimate variance per band is lower
+    * and the measured curve should sit at or above the word tier's. */
+  def shingleRecallAudit(docs: DataFrame, n: Int = 12,
+                         numHashes: Int = 32, bands: Int = 4,
+                         minTenths: Int = 8): DataFrame =
+    recallAuditOf(ngramJaccardPairs(docs, n, minTenths),
+      minhashShingleLshPairs(docs, n, numHashes, bands))
+
+  /** Shared audit fold: exact `(d1, d2, inter, uni)` truth bucketed by
+    * integer Jaccard band, left-joined against the candidate pairs,
+    * per-band recall in milli (integer floor-div on both engines). */
+  private def recallAuditOf(truth: DataFrame, cand: DataFrame): DataFrame =
+    truth
+      .select(col("d1"), col("d2"),
+        expr("CAST(inter * 10 DIV uni AS INT)").as("band"))
+      .join(cand.select(col("d1"), col("d2"), lit(1L).as("hit")),
+        Seq("d1", "d2"), "left")
+      .groupBy("band")
+      .agg(count(lit(1)).as("true_pairs"),
+        sum(coalesce(col("hit"), lit(0L))).as("lsh_hits"))
+      .withColumn("recall_milli", expr("lsh_hits * 1000 DIV true_pairs"))
+
   /** LSH on the CLASS-QUOTIENT corpus — the [[containmentPairs]]
     * exact-before-near collapse applied to signature banding. `classFp`
     * must fingerprint exactly the signature's preimage (the distinct

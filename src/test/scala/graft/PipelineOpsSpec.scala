@@ -446,6 +446,38 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("lsh recall audit: exact-dup band is 1000 milli, counts tie to truth") {
+    // corpus with an exact-dup pair (band 10) plus the fixture's
+    // near-dups: truth bands and hit counts must tie out against the
+    // two source relations computed independently
+    val dupy = docs.unionByName(
+      docs.limit(2).withColumn("doc_id", col("doc_id") + lit(100L)))
+    val audit = Dedup.lshRecallAudit(dupy, numHashes = 32, bands = 4,
+      minTenths = 8).collect()
+    val byBand = audit.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // identical token bags share the full signature: recall is
+    // deterministic 1000 in band 10, never probabilistic
+    assert(byBand.contains(10) && byBand(10)._3 === 1000L,
+      s"exact-dup band must have full recall, got $byBand")
+    // hits never exceed truth; recall is the integer floor ratio
+    byBand.values.foreach { case (t, h, r) =>
+      assert(h <= t && r === h * 1000 / t)
+    }
+    // per-band truth counts equal an independent jaccardPairs bucketing
+    val truthBands = Dedup.jaccardPairs(dupy, thresholdTenths = 8)
+      .selectExpr("CAST(inter * 10 DIV uni AS INT) AS band")
+      .groupBy("band").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBand.view.mapValues(_._1).toMap === truthBands)
+    // shingle tier: exact text dups share every shingle → band 10 at
+    // full recall, same deterministic argument
+    val sh = Dedup.shingleRecallAudit(dupy).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(sh.contains(10) && sh(10)._2 === 1000L,
+      s"shingle exact-dup band must have full recall, got $sh")
+  }
+
   test("lsh quotient decision follows the calibrated candidate-mass rule") {
     import graft.operators.RelationStats
     RelationStats.reset()

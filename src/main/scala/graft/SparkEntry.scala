@@ -1046,6 +1046,12 @@ object SparkEntry {
     "dedup_recall_shingle" -> ((s, dir) =>
       Dedup.shingleRecallAudit(Tables.documents(s, dir), n = 12,
         numHashes = 32, bands = 4, minTenths = 8).orderBy("band")),
+    // Precision twin: every LSH candidate bucketed by estimated-J
+    // band vs the exact J >= 0.8 truth — the measured cost of the
+    // banding knobs (a near-zero band is pure wasted verify work).
+    "dedup_precision_lsh" -> ((s, dir) =>
+      Dedup.lshPrecisionAudit(Tables.documents(s, dir), numHashes = 32,
+        bands = 4, minTenths = 8).orderBy("est_band")),
     // maxDistance=4 → 5 bands of 12 bits (pigeonhole-exact recall).
     // Tight k is the near-dup regime (corpus Hamming distances center
     // at ~19/60, so k=4 is a genuine tail) AND the regime where band
@@ -4089,9 +4095,10 @@ object SparkEntry {
          |ORDER BY d1, d2""".stripMargin
     },
     "dedup_recall_lsh" -> {
-      // truth = the dedup_jaccard_pairs CTEs at t=8; candidates = the
-      // dedup_minhash_lsh CTEs; recall per integer Jaccard band in
-      // milli (floor division on both engines)
+      // truth = the dedup_jaccard_pairs CTEs at t=8 WITHOUT the lang
+      // block (the sketch bands corpus-wide, so its audit truth is
+      // corpus-wide); candidates = the dedup_minhash_lsh CTEs; recall
+      // per integer Jaccard band in milli (floor div on both engines)
       val params = Dedup.minhashParams(32)
       val p = Dedup.MinhashPrime
       val sigMins = params.map { case (a, b) =>
@@ -4106,7 +4113,7 @@ object SparkEntry {
          |inter AS (
          |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
          |  FROM tok t1 JOIN tok t2
-         |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+         |    ON t1.token = t2.token AND t1.doc_id < t2.doc_id
          |  GROUP BY 1, 2),
          |truth AS (
          |  SELECT d1, d2, CAST((inter * 10) // uni AS INT) AS band
@@ -4128,8 +4135,51 @@ object SparkEntry {
          |FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
          |GROUP BY 1 ORDER BY t.band""".stripMargin
     },
+    "dedup_precision_lsh" -> {
+      // candidates with their estimated-J band (integer-exact:
+      // floor(10·k/32) — 10k/32 is a binary fraction) vs the exact
+      // corpus-wide (lang-free) t=8 truth; per-band precision in milli
+      val params = Dedup.minhashParams(32)
+      val p = Dedup.MinhashPrime
+      val sigMins = params.map { case (a, b) =>
+        s"min((tid * $a + $b) % $p)" }.mkString("[", ", ", "]")
+      val bandEq = (0 until 4).map { b =>
+        val lo = b * 8 + 1; val hi = b * 8 + 8
+        s"a.s[$lo:$hi] = b.s[$lo:$hi]" }.mkString(" OR ")
+      val matchSum = (1 to 32).map(i =>
+        s"(CASE WHEN a.s[$i] = b.s[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (
+         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM tok t1 JOIN tok t2
+         |    ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT i.d1, i.d2
+         |  FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+         |               JOIN cnt c2 ON i.d2 = c2.doc_id
+         |  WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * 8),
+         |tid AS (SELECT doc_id,
+         |          CAST(concat('0x', substr(md5(token), 1, 10)) AS BIGINT) AS tid
+         |        FROM tok),
+         |sig AS (SELECT doc_id, $sigMins AS s FROM tid GROUP BY doc_id),
+         |cand AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2,
+         |    CAST((($matchSum) * 10) // 32 AS INT) AS est_band
+         |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq))
+         |SELECT c.est_band, CAST(COUNT(*) AS BIGINT) AS candidates,
+         |  CAST(SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS true_hits,
+         |  CAST((SUM(CASE WHEN t.d1 IS NOT NULL THEN 1 ELSE 0 END) * 1000)
+         |    // COUNT(*) AS BIGINT) AS precision_milli
+         |FROM cand c LEFT JOIN truth t ON c.d1 = t.d1 AND c.d2 = t.d2
+         |GROUP BY 1 ORDER BY c.est_band""".stripMargin
+    },
     "dedup_recall_shingle" -> {
-      // truth = the dedup_ngram_jaccard CTEs at t=8; candidates = the
+      // truth = the dedup_ngram_jaccard CTEs at t=8 without the lang
+      // block (corpus-wide, matching the sketch); candidates = the
       // dedup_minhash_shingle CTEs (FNV window hashes masked to 40
       // bits); same per-band milli-recall report as dedup_recall_lsh
       val params = Dedup.minhashParams(32)
@@ -4150,7 +4200,7 @@ object SparkEntry {
          |inter AS (
          |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
          |  FROM tok t1 JOIN tok t2
-         |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+         |    ON t1.token = t2.token AND t1.doc_id < t2.doc_id
          |  GROUP BY 1, 2),
          |truth AS (
          |  SELECT d1, d2, CAST((inter * 10) // uni AS INT) AS band

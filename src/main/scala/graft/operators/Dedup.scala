@@ -974,9 +974,9 @@ object Dedup {
     * `⌊10·inter/union⌋` (exact duplicates land in band 10). Each true
     * pair either surfaces among the LSH candidates or does not; per
     * band the audit reports `true_pairs`, `lsh_hits`, and
-    * `recall_milli` (integer floor-div, oracle-exact). Truth keeps the
-    * Jaccard tier's own universe (intra-lang pairs); the sketch is
-    * corpus-wide, so extra cross-lang candidates never earn credit.
+    * `recall_milli` (integer floor-div, oracle-exact). Truth is
+    * CORPUS-WIDE exact Jaccard ([[langFree]] — the sketch has no lang
+    * term, so its audit universe must not be lang-blocked either).
     *
     * Expected shape at the declared knobs (K=32, bands=4, r=8): the
     * banding S-curve 1−(1−J^r)^b — ≈0.5 at J=0.8, ≈0.9 at J=0.9, and
@@ -989,8 +989,21 @@ object Dedup {
     * relations themselves. */
   def lshRecallAudit(docs: DataFrame, numHashes: Int = 32, bands: Int = 4,
                      minTenths: Int = 8): DataFrame =
-    recallAuditOf(jaccardPairs(docs, minTenths),
+    recallAuditOf(jaccardPairs(langFree(docs), minTenths),
       minhashLshPairs(docs, numHashes, bands))
+
+  /** Truth relation for the sketch audits: the sketch tiers band
+    * CORPUS-WIDE (no lang term in the signature), so their audit truth
+    * must be corpus-wide exact Jaccard — the lang-blocked
+    * [[jaccardPairs]] universe would silently exclude cross-lang
+    * duplicate pairs the sketch correctly surfaces (measured at
+    * sf0.01: est-band-10 "precision" read 244 milli against the
+    * blocked truth vs the real estimator quality, because most
+    * identical-bag pairs there are cross-lang). Neutralizing the lang
+    * key reuses the same prefix-filtered machinery with exact recall,
+    * one bucket universe instead of per-lang ones. */
+  private def langFree(docs: DataFrame): DataFrame =
+    docs.withColumn("lang", lit("_"))
 
   /** [[lshRecallAudit]] for the shingle tier: the char 12-gram sketch
     * ([[minhashShingleLshPairs]]) audited against the exact n-gram
@@ -1001,8 +1014,34 @@ object Dedup {
   def shingleRecallAudit(docs: DataFrame, n: Int = 12,
                          numHashes: Int = 32, bands: Int = 4,
                          minTenths: Int = 8): DataFrame =
-    recallAuditOf(ngramJaccardPairs(docs, n, minTenths),
+    recallAuditOf(ngramJaccardPairs(langFree(docs), n, minTenths),
       minhashShingleLshPairs(docs, n, numHashes, bands))
+
+  /** Precision twin of [[lshRecallAudit]]: recall prices what the
+    * sketch MISSES; precision prices what the verify stage PAYS. Every
+    * LSH candidate pair, bucketed by its estimated-Jaccard band
+    * `⌊10·est⌋` (exact: est = k/32 and 10k/32 are binary fractions, so
+    * the floor is the integer `(10·match_cnt) div 32` on both
+    * engines), left-joined against the exact J ≥ `minTenths`/10 truth:
+    * per band the audit reports `candidates`, `true_hits`, and
+    * `precision_milli`. At 100 TB the candidate relation is the cost
+    * the banding knobs control — a band whose precision reads near
+    * zero is pure wasted verify work, and the measured histogram is
+    * what justifies (or indicts) the declared (K, bands) point. */
+  def lshPrecisionAudit(docs: DataFrame, numHashes: Int = 32,
+                        bands: Int = 4, minTenths: Int = 8): DataFrame = {
+    val truth = jaccardPairs(langFree(docs), minTenths)
+      .select(col("d1"), col("d2"), lit(1L).as("hit"))
+    minhashLshPairs(docs, numHashes, bands)
+      .select(col("d1"), col("d2"),
+        floor(col("est_jaccard") * 10).cast("int").as("est_band"))
+      .join(truth, Seq("d1", "d2"), "left")
+      .groupBy("est_band")
+      .agg(count(lit(1)).as("candidates"),
+        sum(coalesce(col("hit"), lit(0L))).as("true_hits"))
+      .withColumn("precision_milli",
+        expr("true_hits * 1000 DIV candidates"))
+  }
 
   /** Shared audit fold: exact `(d1, d2, inter, uni)` truth bucketed by
     * integer Jaccard band, left-joined against the candidate pairs,

@@ -447,11 +447,17 @@ class PipelineOpsSpec extends SparkSpec {
   }
 
   test("lsh recall audit: exact-dup band is 1000 milli, counts tie to truth") {
-    // corpus with an exact-dup pair (band 10) plus the fixture's
+    // corpus with an exact-dup pair (band 10), a CROSS-LANG exact dup
+    // (the sketch bands corpus-wide, so the audit truth must count it
+    // — the lang-blocked Jaccard tier would not), plus the fixture's
     // near-dups: truth bands and hit counts must tie out against the
-    // two source relations computed independently
-    val dupy = docs.unionByName(
-      docs.limit(2).withColumn("doc_id", col("doc_id") + lit(100L)))
+    // source relations computed independently
+    val dupy = docs
+      .unionByName(docs.limit(2)
+        .withColumn("doc_id", col("doc_id") + lit(100L)))
+      .unionByName(docs.limit(1)
+        .withColumn("doc_id", col("doc_id") + lit(200L))
+        .withColumn("lang", lit("fr")))
     val audit = Dedup.lshRecallAudit(dupy, numHashes = 32, bands = 4,
       minTenths = 8).collect()
     val byBand = audit.map(r => r.getInt(0) ->
@@ -464,18 +470,38 @@ class PipelineOpsSpec extends SparkSpec {
     byBand.values.foreach { case (t, h, r) =>
       assert(h <= t && r === h * 1000 / t)
     }
-    // per-band truth counts equal an independent jaccardPairs bucketing
-    val truthBands = Dedup.jaccardPairs(dupy, thresholdTenths = 8)
+    // per-band truth counts equal an independent CORPUS-WIDE (lang-
+    // neutralized) jaccardPairs bucketing — and the cross-lang dup is
+    // in it: band 10 holds all C(6,2) pairs of the identical-bag class
+    // {0, 1, 2, 100, 101, 200}, not just the intra-lang ones
+    val truthBands = Dedup.jaccardPairs(
+        dupy.withColumn("lang", lit("_")), thresholdTenths = 8)
       .selectExpr("CAST(inter * 10 DIV uni AS INT) AS band")
       .groupBy("band").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(byBand.view.mapValues(_._1).toMap === truthBands)
+    assert(byBand(10)._1 === 15L,
+      s"band 10 must hold all 15 identical-bag pairs, got ${byBand(10)}")
     // shingle tier: exact text dups share every shingle → band 10 at
     // full recall, same deterministic argument
     val sh = Dedup.shingleRecallAudit(dupy).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
     assert(sh.contains(10) && sh(10)._2 === 1000L,
       s"shingle exact-dup band must have full recall, got $sh")
+    // precision twin: hits bounded by candidates, floor-ratio exact,
+    // est-band 10 (identical signatures ⊇ identical bags) all-true
+    val prec = Dedup.lshPrecisionAudit(dupy).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    prec.values.foreach { case (c, h, pm) =>
+      assert(h <= c && pm === h * 1000 / c)
+    }
+    assert(prec(10)._3 === 1000L,
+      s"identical-bag candidates are true dups, got $prec")
+    // the two audits see the SAME truth∩candidates intersection:
+    // Σ true_hits (precision, over est bands) = Σ lsh_hits (recall,
+    // over true bands)
+    assert(prec.values.map(_._2).sum === byBand.values.map(_._2).sum)
   }
 
   test("lsh quotient decision follows the calibrated candidate-mass rule") {

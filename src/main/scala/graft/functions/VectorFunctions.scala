@@ -118,13 +118,30 @@ object VectorFunctions {
     * p = sign of Σ w_pd · floor(v_d·scale), an EXACT integer — the
     * bucket assignment is reproducible by any engine regardless of float
     * summation order. |w| ≤ ~5000, |floor(v·1000)| ≤ ~10^3·|v|, so 64-dim
-    * sums sit far below 2^63. */
+    * sums sit far below 2^63. Served by the native [[SrpCodeWords]]
+    * kernel (one vector pass for every plane, codegen'd) — the
+    * portable per-plane zip_with/aggregate chain it replaced paid 2
+    * interpreted lambda traversals per plane per row, which at the
+    * 256-bit production width dominated the whole SRP query. */
   def hyperplaneBucketQuantized(v: Column, planes: Array[Array[Long]],
-                                scale: Int): Column =
-    planes.zipWithIndex.map { case (plane, p) =>
-      val planeCol = array(plane.map(lit): _*)
-      when(aggregate(zip_with(planeCol, v,
-        (w, y) => w * floor(y.cast("double") * scale).cast("long")),
-        lit(0L), (acc, x) => acc + x) >= 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+                                scale: Int): Column = {
+    require(planes.length <= SrpCodeWords.WordBits,
+      s"${planes.length} planes exceed one ${SrpCodeWords.WordBits}-bit " +
+        "bucket word; use srpCodeWords for multi-word sketches")
+    srpCodeWords(v, planes, scale).getItem(0)
+  }
+
+  /** All `planes.length` SRP sign bits of a quantized vector in one
+    * native pass, packed 62 per long word ([[SrpCodeWords]]); the
+    * multi-word form [[hyperplaneBucketQuantized]] is a one-word view
+    * of. Bit p of word ⌊p/62⌋ = sign of plane_p · floor(v·scale). */
+  def srpCodeWords(v: Column, planes: Array[Array[Long]],
+                   scale: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    require(planes.nonEmpty && planes.map(_.length).distinct.length == 1,
+      "planes must be a nonempty rectangular matrix")
+    Bridge.column(SrpCodeWords(
+      Bridge.expression(v.cast("array<float>")),
+      planes.flatten.toIndexedSeq, planes.head.length, scale))
+  }
 }

@@ -1209,16 +1209,19 @@ object Similarity {
                     bits: Int = 32, dim: Int = 64, seed: Long = 42L,
                     scale: Int = 1000): DataFrame = {
     val planes = lshPlanesQuantized(bits, dim, seed)
-    val words = planes.grouped(62).toSeq
+    val numWords = (bits + 61) / 62
+    // ONE native pass emits every word ([[graft.functions.SrpCodeWords]]
+    // — r11: the per-word zip_with/aggregate chain was interpreted and
+    // re-read the vector twice per plane, which at 256 bits made this
+    // projection the suite's most expensive stage)
     val codes = emb.select(col("vec_id"),
-      array(words.map(w =>
-        hyperplaneBucketQuantized(col("embedding"), w, scale)): _*).as("code"))
+      srpCodeWords(col("embedding"), planes, scale).as("code"))
     val queries = broadcast(codes.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("qid"), col("code").as("qcode")))
     val w = Window.partitionBy("qid").orderBy(col("hamming"), col("vec_id"))
     codes.join(queries, col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        words.indices.map(i =>
+        (0 until numWords).map(i =>
           bit_count(col("code").getItem(i)
             .bitwiseXOR(col("qcode").getItem(i))).cast("long"))
           .reduce(_ + _).as("hamming"))

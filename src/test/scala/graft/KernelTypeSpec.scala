@@ -76,6 +76,41 @@ class KernelTypeSpec extends SparkSpec {
     assert(n === 3L)
   }
 
+  test("srp_code_words equals the per-plane zip_with/aggregate form") {
+    import spark.implicits._
+    // seeded vectors spanning signs/magnitudes; 130 planes → 3 words
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val vecs = (0L until 8L).map(i =>
+      (i, Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val df = vecs.toDF("id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+    val planes = graft.operators.Similarity
+      .lshPlanesQuantized(130, dim, seed = 7L)
+    val native = df.select(col("id"),
+      VectorFunctions.srpCodeWords(col("v"), planes, 1000).as("code"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    // the portable per-plane formulation the kernel replaced
+    val portable = df.select(col("id"),
+      array(planes.grouped(62).toSeq.map { word =>
+        word.zipWithIndex.map { case (plane, p) =>
+          val planeCol = array(plane.map(lit): _*)
+          when(aggregate(zip_with(planeCol, col("v"),
+            (w, y) => w * floor(y.cast("double") * 1000).cast("long")),
+            lit(0L), (acc, x) => acc + x) >= 0, lit(1L << p))
+            .otherwise(lit(0L))
+        }.reduce(_ + _)
+      }: _*).as("code"))
+      .orderBy("id").collect().map(_.getSeq[Long](1))
+    assert(native.toSeq === portable.toSeq)
+    assert(native.head.length === 3) // ceil(130/62)
+    // null element and length-mismatch inputs are NULL, not garbage
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("id", "v")
+      .select(VectorFunctions.srpCodeWords(col("v"),
+        planes, 1000).as("code"))
+    assert(bad.filter(col("code").isNull).count() === 1L)
+  }
+
   test("a violated no-null claim fails loudly instead of corrupting") {
     import spark.implicits._
     val df = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "xs")

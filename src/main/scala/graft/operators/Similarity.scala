@@ -92,17 +92,20 @@ object Similarity {
     * ANGLE, audits against [[knnExactCosine]] instead). */
   private[graft] def knnExactL2(emb: DataFrame, numQueries: Int,
                                 k: Int, scale: Int = 1000): DataFrame = {
-    val fq = (x: org.apache.spark.sql.Column) =>
-      floor(x.cast("double") * scale).cast("long")
+    // query side pre-quantizes (numQueries rows — interpreted transform
+    // is fine there); the corpus scan runs the native sqdist_q kernel
+    // (float→floor→diff²→sum in one codegen loop) instead of the
+    // interpreted zip_with+aggregate it replaced — same integers, since
+    // (fq(x)−fq(y))² is symmetric in which side is pre-floored
     val queries = broadcast(
       emb.filter(col("vec_id") < numQueries)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * scale).cast("long")).as("qq")))
     val scored = queries.crossJoin(emb.select(col("vec_id"), col("embedding")))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        aggregate(zip_with(col("qe"), col("embedding"),
-          (x, y) => (fq(x) - fq(y)) * (fq(x) - fq(y))),
-          lit(0L), (acc, x) => acc + x).as("dist"))
+        sqDistQuantized(col("embedding"), col("qq"), scale).as("dist"))
     val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
   }

@@ -1036,6 +1036,8 @@ object SparkEntry {
     // ann_recall_quantized / media_recall_ivf): per integer Jaccard
     // band, what fraction of the EXACT J >= 0.8 truth the declared
     // (K=32, bands=4) sketch surfaces — quality as a checked number.
+    // Runs on the mod-4 systematic sample (the exact truth pass is
+    // the audit's whole cost; pair mass scales 1/mod²).
     "dedup_recall_lsh" -> ((s, dir) =>
       Dedup.lshRecallAudit(Tables.documents(s, dir), numHashes = 32,
         bands = 4, minTenths = 8).orderBy("band")),
@@ -4108,7 +4110,7 @@ object SparkEntry {
         s"a.s[$lo:$hi] = b.s[$lo:$hi]" }.mkString(" OR ")
       s"""WITH tok AS (
          |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
-         |  FROM documents),
+         |  FROM documents WHERE doc_id % 4 = 0),
          |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
          |inter AS (
          |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
@@ -4150,7 +4152,7 @@ object SparkEntry {
         s"(CASE WHEN a.s[$i] = b.s[$i] THEN 1 ELSE 0 END)").mkString(" + ")
       s"""WITH tok AS (
          |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
-         |  FROM documents),
+         |  FROM documents WHERE doc_id % 4 = 0),
          |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
          |inter AS (
          |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
@@ -4195,7 +4197,7 @@ object SparkEntry {
          |  SELECT doc_id, lang, unnest(list_distinct(list_transform(
          |    range(1, greatest(length(text) - 11, 1) + 1),
          |    i -> substr(text, i, 12)))) AS token
-         |  FROM documents),
+         |  FROM documents WHERE doc_id % 4 = 0),
          |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
          |inter AS (
          |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
@@ -4212,7 +4214,7 @@ object SparkEntry {
          |  SELECT doc_id, unnest(list_distinct(list_transform(
          |    range(1, greatest(length(text) - 11, 1) + 1),
          |    i -> $winFnv40))) AS tid
-         |  FROM documents),
+         |  FROM documents WHERE doc_id % 4 = 0),
          |sig AS (SELECT doc_id, $sigMins AS s FROM tid GROUP BY doc_id),
          |cand AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2

@@ -988,9 +988,23 @@ object Dedup {
     * LSH pass + one pair-keyed join, all shuffle-bounded by the pair
     * relations themselves. */
   def lshRecallAudit(docs: DataFrame, numHashes: Int = 32, bands: Int = 4,
-                     minTenths: Int = 8): DataFrame =
-    recallAuditOf(jaccardPairs(langFree(docs), minTenths),
-      minhashLshPairs(docs, numHashes, bands))
+                     minTenths: Int = 8, sampleMod: Int = 4): DataFrame = {
+    val s = sampleDocs(docs, sampleMod)
+    recallAuditOf(jaccardPairs(langFree(s), minTenths),
+      minhashLshPairs(s, numHashes, bands))
+  }
+
+  /** Systematic audit sample: every `mod`-th doc_id. The audits pay
+    * one EXACT all-pairs truth pass — at corpus scale that pass is the
+    * whole cost (measured sf0.1: 11.3 s corpus-wide vs 1.3 s at
+    * mod 4; pair mass scales 1/mod²), and production recall audits are
+    * always estimated on a sample for exactly this reason. Systematic
+    * (id-arithmetic) rather than hashed so the DuckDB oracle replays
+    * it verbatim; the synthetic ids carry no order correlated with
+    * text similarity, so the estimate is unbiased for the S-curve the
+    * audit checks. `mod = 1` is the full-corpus audit. */
+  private def sampleDocs(docs: DataFrame, mod: Int): DataFrame =
+    if (mod <= 1) docs else docs.filter(col("doc_id") % mod === 0)
 
   /** Truth relation for the sketch audits: the sketch tiers band
     * CORPUS-WIDE (no lang term in the signature), so their audit truth
@@ -1013,9 +1027,11 @@ object Dedup {
     * and the measured curve should sit at or above the word tier's. */
   def shingleRecallAudit(docs: DataFrame, n: Int = 12,
                          numHashes: Int = 32, bands: Int = 4,
-                         minTenths: Int = 8): DataFrame =
-    recallAuditOf(ngramJaccardPairs(langFree(docs), n, minTenths),
-      minhashShingleLshPairs(docs, n, numHashes, bands))
+                         minTenths: Int = 8, sampleMod: Int = 4): DataFrame = {
+    val s = sampleDocs(docs, sampleMod)
+    recallAuditOf(ngramJaccardPairs(langFree(s), n, minTenths),
+      minhashShingleLshPairs(s, n, numHashes, bands))
+  }
 
   /** Precision twin of [[lshRecallAudit]]: recall prices what the
     * sketch MISSES; precision prices what the verify stage PAYS. Every
@@ -1029,10 +1045,12 @@ object Dedup {
     * zero is pure wasted verify work, and the measured histogram is
     * what justifies (or indicts) the declared (K, bands) point. */
   def lshPrecisionAudit(docs: DataFrame, numHashes: Int = 32,
-                        bands: Int = 4, minTenths: Int = 8): DataFrame = {
-    val truth = jaccardPairs(langFree(docs), minTenths)
+                        bands: Int = 4, minTenths: Int = 8,
+                        sampleMod: Int = 4): DataFrame = {
+    val s = sampleDocs(docs, sampleMod)
+    val truth = jaccardPairs(langFree(s), minTenths)
       .select(col("d1"), col("d2"), lit(1L).as("hit"))
-    minhashLshPairs(docs, numHashes, bands)
+    minhashLshPairs(s, numHashes, bands)
       .select(col("d1"), col("d2"),
         floor(col("est_jaccard") * 10).cast("int").as("est_band"))
       .join(truth, Seq("d1", "d2"), "left")

@@ -459,7 +459,7 @@ class PipelineOpsSpec extends SparkSpec {
         .withColumn("doc_id", col("doc_id") + lit(200L))
         .withColumn("lang", lit("fr")))
     val audit = Dedup.lshRecallAudit(dupy, numHashes = 32, bands = 4,
-      minTenths = 8).collect()
+      minTenths = 8, sampleMod = 1).collect()
     val byBand = audit.map(r => r.getInt(0) ->
       (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // identical token bags share the full signature: recall is
@@ -484,13 +484,13 @@ class PipelineOpsSpec extends SparkSpec {
       s"band 10 must hold all 15 identical-bag pairs, got ${byBand(10)}")
     // shingle tier: exact text dups share every shingle → band 10 at
     // full recall, same deterministic argument
-    val sh = Dedup.shingleRecallAudit(dupy).collect()
+    val sh = Dedup.shingleRecallAudit(dupy, sampleMod = 1).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
     assert(sh.contains(10) && sh(10)._2 === 1000L,
       s"shingle exact-dup band must have full recall, got $sh")
     // precision twin: hits bounded by candidates, floor-ratio exact,
     // est-band 10 (identical signatures ⊇ identical bags) all-true
-    val prec = Dedup.lshPrecisionAudit(dupy).collect()
+    val prec = Dedup.lshPrecisionAudit(dupy, sampleMod = 1).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     prec.values.foreach { case (c, h, pm) =>

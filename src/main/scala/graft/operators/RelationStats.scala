@@ -101,4 +101,26 @@ object RelationStats {
   private[graft] def reset(): Unit = {
     memo.clear(); rel.clear(); scalarTagged.clear()
   }
+
+  /** A lazy local checkpoint stored at EXECUTOR WIDTH — for pinned
+    * artifacts whose consumers are broadcast-join chains (no exchange
+    * between the pin and the heavy work). AQE rightly coalesces a
+    * small shuffle output to few partitions, and a plain
+    * `localCheckpoint` then FREEZES that layout: every downstream
+    * pass inherits it, and the PQ family's training/encode passes fan
+    * each pinned row out ×codewords with no re-exchange — a coalesced
+    * pin serializes ~100× more work than the relation itself.
+    * Measured (RPQ_COST_PROBE_r11.json, sf0.1 ×10): `ann_ivf_rpq`
+    * 31.0 s against the coalesced pin vs 3.0 s rebuilt at width —
+    * the SCALESMOKE_r11 `ann_ivf_rpq*` ratios ~11-13 over factor 10
+    * were exactly this. The explicit partition count is exempt from
+    * AQE coalescing by contract (REPARTITION_BY_NUM), and hashing on
+    * the relation's id key keeps the layout the downstream partial
+    * aggregations expect. On a cluster this is the artifact-write
+    * rule: persist the index relations with enough splits for their
+    * readers, not with the write job's residual layout. */
+  def pinnedWide(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+        keys: _*)
+      .localCheckpoint(eager = false)
 }

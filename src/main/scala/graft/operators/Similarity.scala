@@ -772,9 +772,13 @@ object Similarity {
                                        rounds: Int, dim: Int,
                                        scale: Int): DataFrame =
     RelationStats.memoRelation(emb, s"pqBook:$m:$cw:$rounds:$scale") {
+      // the subvector pin feeds ×cw broadcast fan-out per training
+      // round with no re-exchange — width-pinned, not plain-pinned
+      // (RelationStats.pinnedWide: 10× measured, RPQ_COST_PROBE_r11)
       trainedSubspaceBook(
-        quantizedSubvectors(emb, m, dim, scale)
-          .localCheckpoint(eager = false), cw, rounds)
+        RelationStats.pinnedWide(
+          quantizedSubvectors(emb, m, dim, scale), col("vec_id")),
+        cw, rounds)
         .localCheckpoint(eager = false)
     }
 
@@ -784,9 +788,10 @@ object Similarity {
   private def pqCodesMemo(emb: DataFrame, m: Int, cw: Int, rounds: Int,
                           dim: Int, scale: Int): DataFrame =
     RelationStats.memoRelation(emb, s"pqCodes:$m:$cw:$rounds:$scale") {
-      pqCodesOf(quantizedSubvectors(emb, m, dim, scale),
-        pqCodebookTrained(emb, m, cw, rounds, dim, scale))
-        .localCheckpoint(eager = false)
+      RelationStats.pinnedWide(
+        pqCodesOf(quantizedSubvectors(emb, m, dim, scale),
+          pqCodebookTrained(emb, m, cw, rounds, dim, scale)),
+        col("vec_id"))
     }
 
   private def pqCodesOf(vsub: DataFrame, book: DataFrame): DataFrame =
@@ -814,9 +819,10 @@ object Similarity {
   private[graft] def ivfAssignments(spark: SparkSession, emb: DataFrame,
                                     cells: Int, cellRounds: Int): DataFrame =
     RelationStats.memoRelation(emb, s"ivfAsg:$cells:$cellRounds") {
-      assignToBook(emb, lloydBook(spark, emb, cells, cellRounds))
-        .select(col("vec_id"), col("cluster").as("cell"))
-        .localCheckpoint(eager = false)
+      RelationStats.pinnedWide(
+        assignToBook(emb, lloydBook(spark, emb, cells, cellRounds))
+          .select(col("vec_id"), col("cluster").as("cell")),
+        col("vec_id"))
     }
 
   /** Each query's `probes` best coarse cells by exact integer
@@ -963,7 +969,10 @@ object Similarity {
         .select(col("vec_id"), col("cell"), posexplode(expr(
           s"transform(sequence(0, ${m - 1}), s -> slice(rq, s * $sub + 1, $sub))"))
           .as(Seq("subspace", "vs")))
-        .localCheckpoint(eager = false)
+        // width-pinned: the ×groups training/encode fan-out downstream
+        // has no exchange of its own, so a coalesced pin serializes it
+        // (the measured 10× — RelationStats.pinnedWide scaladoc)
+        .transform(RelationStats.pinnedWide(_, col("vec_id")))
     }
 
   /** The RESIDUAL codebook: `groups` Lloyd-trained codewords per

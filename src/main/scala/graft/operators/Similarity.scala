@@ -744,14 +744,19 @@ object Similarity {
   private def trainedSubspaceBook(vsub: DataFrame, cw: Int,
                                   rounds: Int): DataFrame = {
     require(cw >= 1, s"codewords per subspace must be positive: $cw")
+    require(cw <= ArgMinPack,
+      s"codeword ids must pack under 2^20 ([[ArgMinPack]]): $cw")
     require(rounds >= 1, s"lloyd rounds must be positive: $rounds")
     val seeds = vsub.filter(col("vec_id") < cw)
       .select(col("vec_id").as("label"), col("subspace"), col("vs").as("cs"))
     (1 to rounds).foldLeft(seeds: DataFrame) { (book, _) =>
       val asg = subspaceDists(vsub, book)
         .groupBy("vec_id", "subspace")
-        .agg(min(struct(col("dist"), col("label"))).as("best"))
-        .select(col("vec_id"), col("subspace"), col("best.label").as("code"))
+        // packed-long argmin — hash agg, not a struct-min sort chain
+        // over the round's N·m·cw assign relation ([[ArgMinPack]])
+        .agg(min(col("dist") * ArgMinPack + col("label")).as("best"))
+        .select(col("vec_id"), col("subspace"),
+          (col("best") % ArgMinPack).as("code"))
       asg.join(vsub, Seq("vec_id", "subspace"))
         .select(col("code"), col("subspace"),
           posexplode(col("vs")).as(Seq("d0", "v")))
@@ -794,18 +799,31 @@ object Similarity {
         col("vec_id"))
     }
 
+  /** Argmin pack width: (dist asc, label asc) lexicographic equals
+    * numeric min of `dist·2²⁰ + label` while 0 ≤ label < 2²⁰ and
+    * 0 ≤ dist < 2⁴³ — and a single-LONG min aggregates on
+    * partial+final HashAggregate (map-side combine, no sort), where a
+    * struct-typed min buffer forces a SortAggregate chain over the
+    * whole N·m·cw assign relation (two full sorts of the family's
+    * biggest intermediate; the dedup_spans_rewrite packed-canon rule).
+    * Bounds: labels are codeword ids seeded from `vec_id < cw`
+    * ([[trainedSubspaceBook]] requires cw ≤ 2²⁰); dist is a subspace
+    * squared-L2 of scale-quantized values — ≤ dim·(2·scale·max|x|)²,
+    * under 2³⁰ for unit-ish embeddings at scale 1000, 8000× headroom. */
+  private val ArgMinPack = 1L << 20
+
   private def pqCodesOf(vsub: DataFrame, book: DataFrame): DataFrame =
     subspaceDists(vsub, book)
-      // argmin as a min-struct hash aggregation, not a rank window: the
-      // broadcast join leaves every (vec, subspace) group complete
+      // argmin as a packed-long hash aggregation, not a rank window:
+      // the broadcast join leaves every (vec, subspace) group complete
       // within its partition, so the partial agg collapses k codeword
       // rows to one map-side — the exchange moves N·m rows and nothing
-      // sorts. Lexicographic struct min = (dist asc, label asc), the
-      // engine-exact tie-break
+      // sorts ([[ArgMinPack]]: min long ⟺ (dist asc, label asc))
       .groupBy("vec_id", "subspace")
-      .agg(min(struct(col("dist"), col("label"))).as("best"))
+      .agg(min(col("dist") * ArgMinPack + col("label")).as("best"))
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
-        col("best.label").cast("long").as("code"), col("best.dist").as("dist"))
+        (col("best") % ArgMinPack).as("code"),
+        expr(s"best div $ArgMinPack").as("dist"))
 
   /** The ADC family's coarse cell assignment — every vector to its
     * nearest [[lloydBook]] centroid, memoized like the book itself

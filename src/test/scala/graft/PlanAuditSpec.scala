@@ -235,9 +235,14 @@ class PlanAuditSpec extends SparkSpec {
   test("pq code assignment is a hash-agg argmin, not a rank window") {
     val p = plan("pq_codes")
     assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
-      s"the argmin must be the min-struct aggregation, plan:\n$p")
+      s"the argmin must be the packed-long aggregation, plan:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the codebook must broadcast into the assignment join, plan:\n$p")
+    // the packed-long argmin (ArgMinPack) keeps the N·m·cw assign
+    // relation — the family's biggest intermediate — on partial+final
+    // HashAggregate; a struct-min buffer would sort all of it twice
+    assert(!p.contains("SortAggregate"),
+      s"the argmin must hash-aggregate, not sort, plan:\n$p")
   }
 
   test("the streaming-shaped LM scorer never windows the bigram explode") {

@@ -253,13 +253,16 @@ class PlanAuditSpec extends SparkSpec {
       s"bigram adjacency must be row-local, not a window lead, plan:\n$p")
   }
 
-  test("semdedup assigns via min-struct hash agg and never cartesians") {
+  test("semdedup assigns via min-struct aggregation and never cartesians") {
     val p = plan("semdedup")
-    // the nearest-centroid argmin is a min(struct(dist, cluster)) HASH
-    // aggregation (the pqCodesOf idiom — the broadcast cross-probe
-    // leaves every vec_id's k rows partition-complete, so the partial
-    // agg collapses them map-side); a rank window here would
-    // sort-shuffle all N·k rows
+    // the nearest-centroid argmin is a min(struct(dist, cluster))
+    // aggregation — the broadcast cross-probe leaves every vec_id's k
+    // rows partition-complete, so the PARTIAL agg collapses them
+    // before any exchange; a rank window here would sort-shuffle all
+    // N·k rows. (A struct-min buffer does plan as SortAggregate — the
+    // per-partition sort is k rows per vector. The PQ family's
+    // packed-long argmin doesn't apply here: cluster ids are seed
+    // vec_ids, unbounded by design, where codeword ids seed below cw.)
     assert(!p.contains("Window"),
       s"assignment argmin must be a hash agg, not a rank window, plan:\n$p")
     assert(p.contains("min(struct("),
@@ -272,9 +275,10 @@ class PlanAuditSpec extends SparkSpec {
 
   test("incremental semantic dedup never cartesians, argmins stay agg") {
     val p = plan("dedup_incremental_embedding")
-    // both assignment argmins (batch + corpus) are min-struct hash aggs
+    // both assignment argmins (batch + corpus) are min-struct
+    // aggregations with map-side partials (see the semdedup note)
     assert(!p.contains("Window"),
-      s"assignment argmins must be hash aggs, not rank windows, plan:\n$p")
+      s"assignment argmins must be aggregations, not rank windows, plan:\n$p")
     assert(p.contains("min(struct("),
       s"assignment argmins must be min-struct aggregations, plan:\n$p")
     assert(!p.contains("CartesianProduct"),

@@ -135,6 +135,14 @@ object SparkEntry {
   private val PqCw = 256
   private val PqRounds = 2
 
+  /** `pq_incremental_codes` frozen-book width: the id-lower corpus
+    * HALF at the verify SF holds ~250 vectors, so the production
+    * PqCw = 256 would seed more codewords than training rows
+    * (memorization, dist ≡ 0); 64 keeps the incremental book's
+    * training honest at every test SF. In production the ingest path
+    * reads whatever width the versioned offline book was trained at. */
+  private val PqIncCw = 64
+
   /** `pq_residual_codes`/`ann_ivf_rpq`: residual subspace count and
     * Lloyd-trained residual codewords per subspace (query + oracle,
     * chosen from ANN_QUANT_PROBE_r11.json). */
@@ -1146,6 +1154,16 @@ object SparkEntry {
       Similarity.pqCodes(s, Tables.embeddings(s, dir), m = PqM, cw = PqCw,
           rounds = PqRounds)
         .orderBy("vec_id", "subspace")),
+    // Frozen-book incremental encode — the PQ index's INGEST path:
+    // the id-upper batch half coded against the id-lower corpus
+    // half's trained codebook, no retraining (retraining on ingest
+    // would re-code the whole store; books are versioned artifacts).
+    "pq_incremental_codes" -> ((s, dir) => {
+      val (batch, corpus) = halvesByMaxId(Tables.embeddings(s, dir), "vec_id")
+      Similarity.pqIncrementalCodes(batch, corpus, m = PqM, cw = PqIncCw,
+          rounds = PqRounds)
+        .orderBy("vec_id", "subspace")
+    }),
     // RESIDUAL PQ codes (IVFADC's actual encoding): quantize each
     // vector's offset from its assigned Lloyd cell, not the vector.
     "pq_residual_codes" -> ((s, dir) =>
@@ -4363,6 +4381,29 @@ object SparkEntry {
          |SELECT vec_id, sub AS subspace, CAST(code AS BIGINT) AS code,
          |  CAST(dist AS BIGINT) AS dist
          |FROM pcodes ORDER BY vec_id, subspace""".stripMargin,
+    // sv (the training slices) restricts to the id-lower corpus half,
+    // so sqlPqTrainCtes trains the frozen book on corpus only; the
+    // batch half slices as svb and encodes against pbook. DuckDB only
+    // evaluates referenced CTEs, so the chain's corpus-side pcodes is
+    // never computed here.
+    "pq_incremental_codes" ->
+      s"""WITH half AS (SELECT MAX(vec_id) // 2 AS h FROM embeddings),
+         |$SqlQv,
+         |sv AS (SELECT vec_id, CAST((d - 1) // ${64 / PqM} AS BIGINT) AS sub,
+         |  d, q FROM qv, half WHERE qv.vec_id <= half.h),
+         |${sqlPqTrainCtes(PqIncCw, PqRounds)},
+         |svb AS (SELECT vec_id, CAST((d - 1) // ${64 / PqM} AS BIGINT) AS sub,
+         |  d, q FROM qv, half WHERE qv.vec_id > half.h),
+         |bdist AS (SELECT v.vec_id, v.sub, b.code,
+         |    CAST(SUM((v.q - b.cs) * (v.q - b.cs)) AS BIGINT) AS dist
+         |  FROM svb v JOIN pbook b ON v.sub = b.sub AND v.d = b.d
+         |  GROUP BY 1, 2, 3)
+         |SELECT vec_id, sub AS subspace, CAST(code AS BIGINT) AS code,
+         |  CAST(dist AS BIGINT) AS dist
+         |FROM (SELECT vec_id, sub, code, dist, row_number() OVER (
+         |    PARTITION BY vec_id, sub ORDER BY dist, code) AS rn
+         |  FROM bdist) t
+         |WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
     "pq_residual_codes" ->
       s"""WITH $SqlQv,
          |${sqlCellCtes(IvfCells, IvfCellRounds)},

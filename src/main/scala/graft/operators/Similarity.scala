@@ -825,6 +825,27 @@ object Similarity {
         (col("best") % ArgMinPack).as("code"),
         expr(s"best div $ArgMinPack").as("dist"))
 
+  /** Frozen-codebook PQ encode of an INCREMENTAL batch — the ingest
+    * path of a PQ index at 100 TB: new vectors are coded against the
+    * CORPUS-trained per-subspace books ([[pqCodebookTrained]] over
+    * `corpus` only) without retraining — codebooks are versioned
+    * offline artifacts, and retraining on every ingest would re-code
+    * the whole store (the same frozen-reference convention as every
+    * other incremental tier: the batch is judged against the corpus'
+    * artifacts, never the other way).
+    *
+    * Plan shape: the corpus-trained book is the memoized offline
+    * build (broadcast-trivial, m·cw codewords); the batch quantizes +
+    * slices row-locally and assigns by the packed-long map-side
+    * argmin ([[pqCodesOf]]) — ONE pass over the batch, and nothing
+    * reads the corpus at encode time. Output (vec_id, subspace, code,
+    * dist), the [[pqCodes]] contract. */
+  def pqIncrementalCodes(batch: DataFrame, corpus: DataFrame, m: Int = 8,
+                         dim: Int = 64, scale: Int = 1000, cw: Int = 64,
+                         rounds: Int = 2): DataFrame =
+    pqCodesOf(quantizedSubvectors(batch, m, dim, scale),
+      pqCodebookTrained(corpus, m, cw, rounds, dim, scale))
+
   /** The ADC family's coarse cell assignment — every vector to its
     * nearest [[lloydBook]] centroid, memoized like the book itself
     * (the posting-list side of the IVF index; at 100 TB the corpus

@@ -821,6 +821,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p2.take(2).toSeq === ivfpq.toSeq)
   }
 
+  test("incremental pq encode codes the batch against the frozen corpus book") {
+    import spark.implicits._
+    // corpus = {v0..v4} (the pq-codes fixture), batch = {v5, v6}:
+    // v5 copies v0 exactly and v6 copies v1 — a frozen-book encode
+    // must give each batch vector its corpus twin's code AND distance
+    // (zero perturbation from the batch: the book never sees it)
+    val corpus = Seq(
+      (0L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.0f, 1.0f, 1.0f)),
+      (2L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 1.0f)),
+      (4L, Seq(1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val batch = Seq(
+      (5L, Seq(1.0f, 1.0f, 0.0f, 0.0f)),
+      (6L, Seq(0.0f, 0.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val corpusCodes = Similarity.pqCodes(spark, corpus, m = 2, dim = 4,
+        cw = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val got = Similarity.pqIncrementalCodes(batch, corpus, m = 2, dim = 4,
+        cw = 2, rounds = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // output is batch-only, every (vector, subspace) coded once
+    assert(got.keySet === Set((5L, 0L), (5L, 1L), (6L, 0L), (6L, 1L)))
+    for (s <- 0L to 1L) {
+      assert(got((5L, s)) === corpusCodes((0L, s)))
+      assert(got((6L, s)) === corpusCodes((1L, s)))
+    }
+  }
+
   test("gram power iteration converges to the dominant eigenvector") {
     import spark.implicits._
     // vecs (1,0) and (1,1) at scale 10 → G = [[200,100],[100,100]];

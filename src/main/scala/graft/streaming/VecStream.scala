@@ -78,6 +78,54 @@ object VecStream {
       .select("vec_id", "ts", "cluster")
   }
 
+  /** Stateless ingest-time PQ encode —
+    * [[Similarity.pqIncrementalCodes]]'s stream twin, the PQ index's
+    * streaming ingest path: arriving vectors take codes against the
+    * FROZEN corpus-trained per-subspace book (retraining in-stream
+    * would re-code the whole store; the book is the versioned offline
+    * artifact). The m·cw-codeword book packs into ONE static row that
+    * equi-joins in on a constant key (broadcast — the
+    * [[semDedupStream]] rule that keeps the stream-static join in the
+    * supported class), and each subspace's argmin is an `array_sort`
+    * over (dist, code) structs — the batch tier's packed-long
+    * (dist asc, code asc) tie-break reproduced row-locally, with no
+    * rank window (illegal on an unbounded stream) and no state store.
+    * Per-row cost is dim·cw multiplies — constant, the line-rate
+    * shape. Output: (vec_id, ts, subspace, code, dist) append rows —
+    * the [[Similarity.pqCodes]] contract plus the event time. The
+    * persisted book has caller-owned lifecycle
+    * ([[DocStream.fuzzyIngestStream]]'s rule). */
+  def pqEncodeStream(vecs: DataFrame, corpus: DataFrame, m: Int = 8,
+                     dim: Int = 64, scale: Int = 1000, cw: Int = 64,
+                     rounds: Int = 2): DataFrame = {
+    val sub = dim / m
+    val book = Similarity.pqCodebookTrained(corpus, m, cw, rounds, dim,
+      scale)
+    val packed = book
+      .agg(collect_list(struct(col("subspace"), col("label"), col("cs")))
+        .as("book"))
+      .withColumn("one", lit(1))
+      .persist()
+    vecs
+      .withColumn("one", lit(1))
+      .join(broadcast(packed), "one")
+      .withColumn("q", transform(col("embedding"),
+        x => floor(x.cast("double") * scale).cast("long")))
+      .select(col("vec_id"), col("ts"), posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}), s -> element_at(array_sort(
+           |  transform(filter(book, b -> b.subspace = s),
+           |    b -> named_struct(
+           |      'dist', aggregate(
+           |        zip_with(slice(q, s * $sub + 1, $sub), b.cs,
+           |          (x, y) -> (x - y) * (x - y)),
+           |        CAST(0 AS BIGINT), (a, x) -> a + x),
+           |      'code', b.label))), 1))""".stripMargin))
+        .as(Seq("subspace", "best")))
+      .select(col("vec_id"), col("ts"),
+        col("subspace").cast("long").as("subspace"),
+        col("best.code").cast("long").as("code"), col("best.dist").as("dist"))
+  }
+
   /** Streaming nearest-neighbor SERVE — arriving query vectors get
     * their single nearest corpus neighbor from the probed IVF cell,
     * completing retrieval's streaming story at the one k where state

@@ -722,6 +722,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pq encode equals the frozen-book incremental twin") {
+    // the pqIncrementalCodes fixture: corpus trains the 2×2 book;
+    // streamed v10 copies corpus v0 and v11 copies corpus v1 — the
+    // frozen-book encode must give each its corpus twin's code AND
+    // distance, and the stream must stay stateless
+    val corpus = Seq(
+      (0L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (4L, Array(1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val input = MemoryStream[VDoc](spark)
+    val q = graft.streaming.VecStream
+      .pqEncodeStream(input.toDF(), corpus, m = 2, dim = 4, cw = 2,
+        rounds = 1)
+      .writeStream.format("memory").queryName("pq_encode_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        VDoc(10, ts("10:00"), Array(1.0f, 1.0f, 0.0f, 0.0f)),
+        VDoc(11, ts("10:01"), Array(0.0f, 0.0f, 1.0f, 1.0f)))
+      q.processAllAvailable()
+      val streamed = spark.table("pq_encode_stream")
+        .select("vec_id", "subspace", "code", "dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.operators.Similarity.pqIncrementalCodes(
+          Seq((10L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+            (11L, Array(0.0f, 0.0f, 1.0f, 1.0f)))
+            .toDF("vec_id", "embedding"),
+          corpus, m = 2, dim = 4, cw = 2, rounds = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed === batch)
+      // exact corpus copies code at distance 0
+      assert(streamed.values.forall(_._2 === 0L))
+      // stateless contract: no state store rows were ever written
+      val progress = q.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming nn serve returns the cell's exact-cosine nearest neighbor") {
     // two clean cells: positive-x cluster 0 (vecs 0, 1), negative-x
     // cluster 1 (vecs 2, 3)

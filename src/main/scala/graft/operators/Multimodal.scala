@@ -346,8 +346,12 @@ object Multimodal {
       .localCheckpoint(eager = false)
     val book = mediaIvfBook(spark, fps, kPerKind, rounds)
       .localCheckpoint(eager = false)
-    val assigned = assignMediaToBook(fps, book)
-      .localCheckpoint(eager = false)
+    // the assignment ends in a shuffle aggregation, so a plain pin
+    // would freeze AQE's coalesced layout for every broadcast-probed
+    // consumer (the RelationStats.pinnedWide rule — measured 10× on
+    // the ADC family's pins, RPQ_COST_PROBE_r11)
+    val assigned = graft.operators.RelationStats.pinnedWide(
+      assignMediaToBook(fps, book), col("media_id"))
     MediaIvfIndex(fps, book, assigned)
   }
 

@@ -159,6 +159,18 @@ object ScaleSmoke {
         cw = 256), "emb"),
       Op("pq_residual_codes", e =>
         Similarity.pqResidualCodes(spark, e, 32, 128), "emb"),
+      // frozen-book ingest: id-upper batch half coded against the
+      // id-lower corpus half's book — one broadcast-book pass over
+      // the batch, linear by construction (the declared PqIncCw=64)
+      Op("pq_incremental_codes", e => {
+        val half = e.agg(expr("max(vec_id) div 2").as("__half"))
+        val withH = e.crossJoin(org.apache.spark.sql.functions
+          .broadcast(half))
+        Similarity.pqIncrementalCodes(
+          withH.filter(col("vec_id") > col("__half")).drop("__half"),
+          withH.filter(col("vec_id") <= col("__half")).drop("__half"),
+          m = 16, cw = 64)
+      }, "emb"),
       Op("ann_ivf_rpq", e =>
         Similarity.annIvfRpq(spark, e, 25, 5, 32, 128), "emb"),
       Op("ann_ivf_rpq_probe2", e =>

@@ -70,6 +70,16 @@ object VectorFunctions {
     Bridge.column(SqDistLong(Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Packed `dist·2²⁰ + label` of the nearest codeword in a subspace's
+    * whole table — the fused PQ assignment argmin ([[PqArgMinCode]]):
+    * one in-register scan per (vector, subspace) row instead of the
+    * explode-join-aggregate's N·m·cw materialized rows. */
+  def pqArgMinCode(vs: Column, books: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(PqArgMinCode(Bridge.expression(vs),
+      Bridge.expression(books)))
+  }
+
   /** Narrows an array column's static type to `containsNull = false`
     * with per-row validation ([[KnownNoNullElements]]) — required on
     * lambda-built (`transform`) arrays before any native long-array

@@ -731,16 +731,17 @@ object Similarity {
     * the `cw` lowest-vec_id subvectors (code id = seed vec_id, no rank
     * relabeling), then `rounds` exact-integer Lloyd rounds — assign
     * every subvector by squared L2 to the truncated codeword
-    * (tie-break code asc, the [[pqCodesOf]] min-struct), update =
+    * (tie-break code asc, the [[pqCodesOf]] packed argmin), update =
     * per-dim `sum div n`. A codeword emptied by a reassignment
     * vanishes (standard drop); both engines agree by construction.
     *
     * Scale shape: the book is ≤ m·cw codewords of dim/m longs —
     * broadcast-trivial at production size (256·16·4 longs); each
-    * round's assignment is a broadcast cross-probe + map-side
-    * min-struct hash agg (the exchange moves N·m skinny rows), the
-    * update one hash aggregation over exploded dims. The corpus never
-    * shuffles wider than (vec_id, subspace) rows. */
+    * round's assignment probes the packed per-subspace table with
+    * the fused `pq_argmin` kernel — the round's N·m·cw candidate
+    * relation never materializes — and the update is one hash
+    * aggregation over exploded dims. The corpus never shuffles wider
+    * than (vec_id, subspace) rows. */
   private def trainedSubspaceBook(vsub: DataFrame, cw: Int,
                                   rounds: Int): DataFrame = {
     require(cw >= 1, s"codewords per subspace must be positive: $cw")
@@ -750,13 +751,12 @@ object Similarity {
     val seeds = vsub.filter(col("vec_id") < cw)
       .select(col("vec_id").as("label"), col("subspace"), col("vs").as("cs"))
     (1 to rounds).foldLeft(seeds: DataFrame) { (book, _) =>
-      val asg = subspaceDists(vsub, book)
-        .groupBy("vec_id", "subspace")
-        // packed-long argmin — hash agg, not a struct-min sort chain
-        // over the round's N·m·cw assign relation ([[ArgMinPack]])
-        .agg(min(col("dist") * ArgMinPack + col("label")).as("best"))
+      // fused-kernel assignment ([[pqCodesOf]]'s argmin): the round's
+      // N·m·cw candidate relation never materializes
+      val asg = vsub.join(broadcast(packedBooks(book)), "subspace")
         .select(col("vec_id"), col("subspace"),
-          (col("best") % ArgMinPack).as("code"))
+          (pqArgMinCode(noNullElements(col("vs")), col("books"))
+            % ArgMinPack).as("code"))
       asg.join(vsub, Seq("vec_id", "subspace"))
         .select(col("code"), col("subspace"),
           posexplode(col("vs")).as(Seq("d0", "v")))
@@ -801,27 +801,36 @@ object Similarity {
 
   /** Argmin pack width: (dist asc, label asc) lexicographic equals
     * numeric min of `dist·2²⁰ + label` while 0 ≤ label < 2²⁰ and
-    * 0 ≤ dist < 2⁴³ — and a single-LONG min aggregates on
-    * partial+final HashAggregate (map-side combine, no sort), where a
-    * struct-typed min buffer forces a SortAggregate chain over the
-    * whole N·m·cw assign relation (two full sorts of the family's
-    * biggest intermediate; the dedup_spans_rewrite packed-canon rule).
-    * Bounds: labels are codeword ids seeded from `vec_id < cw`
-    * ([[trainedSubspaceBook]] requires cw ≤ 2²⁰); dist is a subspace
-    * squared-L2 of scale-quantized values — ≤ dim·(2·scale·max|x|)²,
-    * under 2³⁰ for unit-ish embeddings at scale 1000, 8000× headroom. */
-  private val ArgMinPack = 1L << 20
+    * 0 ≤ dist < 2⁴³ ([[graft.functions.PqArgMinCode.Pack]], the
+    * kernel's own contract — referenced, not redeclared, so the
+    * packing and unpacking sites cannot drift). Bounds: labels are
+    * codeword ids seeded from `vec_id < cw` ([[trainedSubspaceBook]]
+    * requires cw ≤ 2²⁰); dist is a subspace squared-L2 of
+    * scale-quantized values — ≤ dim·(2·scale·max|x|)², under 2³⁰ for
+    * unit-ish embeddings at scale 1000, 8000× headroom. */
+  private val ArgMinPack = graft.functions.PqArgMinCode.Pack
+
+  /** Each subspace's whole codeword table as ONE broadcast row —
+    * (subspace, books: array<struct<label, cs>>), the fused-argmin
+    * kernel's right-hand input (label-sorted for a deterministic
+    * layout; the min is order-independent). */
+  private def packedBooks(book: DataFrame): DataFrame =
+    book.groupBy("subspace")
+      .agg(array_sort(collect_list(struct(col("label"), col("cs"))))
+        .as("books"))
 
   private def pqCodesOf(vsub: DataFrame, book: DataFrame): DataFrame =
-    subspaceDists(vsub, book)
-      // argmin as a packed-long hash aggregation, not a rank window:
-      // the broadcast join leaves every (vec, subspace) group complete
-      // within its partition, so the partial agg collapses k codeword
-      // rows to one map-side — the exchange moves N·m rows and nothing
-      // sorts ([[ArgMinPack]]: min long ⟺ (dist asc, label asc))
-      .groupBy("vec_id", "subspace")
-      .agg(min(col("dist") * ArgMinPack + col("label")).as("best"))
+    vsub.join(broadcast(packedBooks(book)), "subspace")
+      // FUSED argmin (native pq_argmin kernel): the subspace's whole
+      // codeword table rides in as one broadcast row and the nearest
+      // codeword resolves in-register per (vector, subspace) row —
+      // the explode-join-aggregate form materialized N·m·cw joined
+      // rows (256× the codes relation at the declared cw) just to
+      // collapse them again; same integers, same (dist asc, label
+      // asc) tie-break ([[ArgMinPack]]), no aggregate at all
       .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+        pqArgMinCode(noNullElements(col("vs")), col("books")).as("best"))
+      .select(col("vec_id"), col("subspace"),
         (col("best") % ArgMinPack).as("code"),
         expr(s"best div $ArgMinPack").as("dist"))
 
@@ -894,15 +903,17 @@ object Similarity {
     * code, dist) — m small ints per vector in place of dim floats, the
     * representation a 100 TB embedding store actually keeps in memory.
     *
-    * Plan shape: quantize + slice row-locally, broadcast the codebook,
-    * one map-side-complete hash aggregation for the argmin. The corpus
-    * never shuffles wider than (vec_id, subspace) rows. */
+    * Plan shape: quantize + slice row-locally, broadcast the packed
+    * per-subspace codeword tables, resolve the argmin in-register with
+    * the fused native `pq_argmin` kernel — no aggregate, and the
+    * N·m·cw candidate relation never materializes. The corpus never
+    * shuffles wider than (vec_id, subspace) rows. */
   def pqCodes(spark: SparkSession, emb: DataFrame, m: Int = 8,
               dim: Int = 64, scale: Int = 1000, cw: Int = 64,
               rounds: Int = 2): DataFrame =
     // the assignment subtree stays VISIBLE (only the trained book is
     // memo-checkpointed): the declared relation's plan shape — the
-    // broadcast book probe + map-side min-struct argmin — is
+    // broadcast packed-book probe + fused pq_argmin kernel — is
     // PlanAuditSpec-asserted, and a memoized checkpoint here would
     // hide it behind a Scan ExistingRDD
     pqCodesOf(quantizedSubvectors(emb, m, dim, scale),
@@ -1043,7 +1054,7 @@ object Similarity {
     * Plan shape: the Lloyd cell book broadcasts (cells rows);
     * residuals are row-local; the codebook is per-subspace Lloyd
     * (broadcast cross-probe rounds); assignment is [[pqCodesOf]]'s
-    * map-side min-struct hash agg. */
+    * fused `pq_argmin` kernel. */
   def pqResidualCodes(spark: SparkSession, emb: DataFrame, m: Int = 8,
                       groups: Int = 16, dim: Int = 64,
                       scale: Int = 1000, rounds: Int = 2, cells: Int = 10,

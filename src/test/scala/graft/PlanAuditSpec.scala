@@ -232,17 +232,21 @@ class PlanAuditSpec extends SparkSpec {
       s"the per-source size report must broadcast, plan:\n$p")
   }
 
-  test("pq code assignment is a hash-agg argmin, not a rank window") {
+  test("pq code assignment is the fused kernel argmin, not a rank window") {
     val p = plan("pq_codes")
     assert(!p.contains("WindowGroupLimit") && !p.contains("Window"),
-      s"the argmin must be the packed-long aggregation, plan:\n$p")
+      s"the argmin must be the fused pq_argmin kernel, plan:\n$p")
     assert(p.contains("BroadcastHashJoin"),
       s"the codebook must broadcast into the assignment join, plan:\n$p")
-    // the packed-long argmin (ArgMinPack) keeps the N·m·cw assign
-    // relation — the family's biggest intermediate — on partial+final
-    // HashAggregate; a struct-min buffer would sort all of it twice
+    // the fused native kernel (pq_argmin) resolves each (vector,
+    // subspace) row against its subspace's whole broadcast codeword
+    // table in-register — the N·m·cw assign relation (256× the codes
+    // relation at the declared cw) never materializes, and neither a
+    // sort chain nor any argmin aggregate appears in the plan
+    assert(p.contains("pq_argmin"),
+      s"the assignment must run the fused native kernel, plan:\n$p")
     assert(!p.contains("SortAggregate"),
-      s"the argmin must hash-aggregate, not sort, plan:\n$p")
+      s"the argmin must stay sort-free, plan:\n$p")
   }
 
   test("the streaming-shaped LM scorer never windows the bigram explode") {

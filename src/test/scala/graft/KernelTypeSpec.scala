@@ -111,6 +111,39 @@ class KernelTypeSpec extends SparkSpec {
     assert(bad.filter(col("code").isNull).count() === 1L)
   }
 
+  test("pq_argmin picks the nearest codeword with the (dist, label) tie-break") {
+    import spark.implicits._
+    // one subspace table of two codewords: label 7 at (10,10),
+    // label 3 at (0,0) — vec 3 at (5,5) ties exactly, so the lower
+    // label must win (the packed dist·2²⁰+label contract)
+    val books = Seq(Tuple1(Seq((7L, Seq(10L, 10L)), (3L, Seq(0L, 0L)))))
+      .toDF("books")
+    val got = Seq(
+      (1L, Seq(0L, 0L)),
+      (2L, Seq(10L, 10L)),
+      (3L, Seq(5L, 5L))
+    ).toDF("vec_id", "vs")
+      .crossJoin(books)
+      .select(col("vec_id"),
+        VectorFunctions.pqArgMinCode(col("vs"), col("books")).as("p"))
+      .select(col("vec_id"), (col("p") % (1L << 20)).as("code"),
+        expr(s"p div ${1L << 20}").as("dist"))
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3L, 0L), (2L, 7L, 0L), (3L, 3L, 50L)))
+    // an empty table and a codeword/subvector length mismatch are
+    // NULL, not garbage (the SqDistLong strictness contract)
+    val cast = "array<struct<label:bigint,cs:array<bigint>>>"
+    val empty = Seq(Tuple1(Seq(1L, 2L))).toDF("vs")
+      .select(VectorFunctions.pqArgMinCode(col("vs"),
+        expr(s"CAST(array() AS $cast)")).as("p"))
+    assert(empty.filter(col("p").isNull).count() === 1L)
+    val mismatch = Seq(Tuple1(Seq(1L, 2L))).toDF("vs")
+      .crossJoin(Seq(Tuple1(Seq((1L, Seq(5L))))).toDF("books"))
+      .select(VectorFunctions.pqArgMinCode(col("vs"), col("books")).as("p"))
+    assert(mismatch.filter(col("p").isNull).count() === 1L)
+  }
+
   test("a violated no-null claim fails loudly instead of corrupting") {
     import spark.implicits._
     val df = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "xs")

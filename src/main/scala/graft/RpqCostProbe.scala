@@ -77,13 +77,12 @@ object RpqCostProbe {
     println(s"""{"metric":"rpq_cost","factor":$factor,"sf":"$dir",""" +
       s""""x1":${fmt(r1)},"xN":${fmt(rN)},"xN_nocoalesce":${fmt(rNno)}}""")
 
-    // temp replica cleanup (the MediaIvfProbe advice rule)
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm(_))
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(java.nio.file.Paths.get(base))
+    // temp replica cleanup (the MediaIvfProbe advice rule — walk,
+    // not a recursive Files.list, which leaks its directory stream)
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+      .iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
     spark.stop()
   }
 }

@@ -161,15 +161,12 @@ object ScaleSmoke {
         Similarity.pqResidualCodes(spark, e, 32, 128), "emb"),
       // frozen-book ingest: id-upper batch half coded against the
       // id-lower corpus half's book — one broadcast-book pass over
-      // the batch, linear by construction (the declared PqIncCw=64)
+      // the batch, linear by construction (the declared PqIncCw=64;
+      // the split is SparkEntry's own helper, so smoke, query, and
+      // oracle share one boundary convention)
       Op("pq_incremental_codes", e => {
-        val half = e.agg(expr("max(vec_id) div 2").as("__half"))
-        val withH = e.crossJoin(org.apache.spark.sql.functions
-          .broadcast(half))
-        Similarity.pqIncrementalCodes(
-          withH.filter(col("vec_id") > col("__half")).drop("__half"),
-          withH.filter(col("vec_id") <= col("__half")).drop("__half"),
-          m = 16, cw = 64)
+        val (batch, corpus) = SparkEntry.halvesByMaxId(e, "vec_id")
+        Similarity.pqIncrementalCodes(batch, corpus, m = 16, cw = 64)
       }, "emb"),
       Op("ann_ivf_rpq", e =>
         Similarity.annIvfRpq(spark, e, 25, 5, 32, 128), "emb"),

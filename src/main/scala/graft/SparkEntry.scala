@@ -506,7 +506,10 @@ object SparkEntry {
     * query stays ONE submitted plan; at 100 TB the old form paid an
     * extra full-column scan job per invocation just to learn the split
     * point. */
-  private def halvesByMaxId(df: DataFrame, idCol: String): (DataFrame, DataFrame) = {
+  // private[graft]: ScaleSmoke's incremental ops must split on the
+  // SAME boundary convention as the declared queries and the DuckDB
+  // oracle's `MAX(id) // 2` CTE — one definition, not three copies
+  private[graft] def halvesByMaxId(df: DataFrame, idCol: String): (DataFrame, DataFrame) = {
     val half = df.agg(expr(s"max($idCol) div 2").as("__half"))
     val withH = df.crossJoin(broadcast(half))
     (withH.filter(col(idCol) > col("__half")).drop("__half"),

@@ -26,7 +26,9 @@ import org.apache.spark.sql.types._
   * array<struct<label bigint, cs array<bigint>>>` (the subspace's
   * codeword table — broadcast, one row per subspace). NULL on null
   * inputs, an empty table, a codeword/subvector length mismatch, or
-  * any null element — the [[SqDistLong]] strictness contract.
+  * any null element — the [[SqDistLong]] strictness contract. A
+  * distance or label that would overflow the pack FAILS LOUDLY
+  * ([[PqArgMinCode.checkBounds]]) rather than mis-coding.
   */
 case class PqArgMinCode(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -71,6 +73,7 @@ case class PqArgMinCode(left: Expression, right: Expression)
         acc += d * d
         j += 1
       }
+      PqArgMinCode.checkBounds(acc, b.getLong(0))
       val packed = acc * PqArgMinCode.Pack + b.getLong(0)
       if (packed < best) best = packed
       i += 1
@@ -123,6 +126,7 @@ case class PqArgMinCode(left: Expression, right: Expression)
                 $acc += $d * $d;
               }
               if (!$ok) break;
+              graft.functions.PqArgMinCode.checkBounds($acc, $b.getLong(0));
               long $packed = $acc * ${PqArgMinCode.Pack}L + $b.getLong(0);
               if ($packed < $best) $best = $packed;
             }
@@ -148,4 +152,26 @@ object PqArgMinCode {
     * dim·(2·scale·max|x|)², under 2³⁰ for unit-ish embeddings at
     * scale 1000. Unpacking sites use `% Pack` / `div Pack`. */
   val Pack: Long = 1L << 20
+
+  /** Largest distance the pack can carry without overflowing a long
+    * (2⁴³; ~8000× over the unit-embedding bound at scale 1000). */
+  val DistCap: Long = Long.MaxValue / Pack
+
+  /** The pack's validity guard, shared by the interpreted and codegen
+    * paths: a distance at/over [[DistCap]] or a label outside
+    * [0, [[Pack]]) would OVERFLOW the packed long and silently crown
+    * a far codeword — fail loudly instead (the
+    * [[KnownNoNullElements]] rule: corrupt never, error actionably).
+    * The struct-min argmin this kernel replaced compared the two keys
+    * separately and could not overflow. */
+  def checkBounds(dist: Long, label: Long): Unit = {
+    if (dist >= DistCap) throw new IllegalStateException(
+      s"pq_argmin: subspace squared distance $dist >= 2^43 overflows " +
+        "the (dist, label) pack — re-quantize at a smaller scale or " +
+        "normalize the embeddings")
+    if (label < 0L || label >= Pack) throw new IllegalStateException(
+      s"pq_argmin: codeword label $label outside [0, 2^20) breaks the " +
+        "(dist, label) pack — codeword ids must seed from non-negative " +
+        "vec_id < cw <= 2^20")
+  }
 }

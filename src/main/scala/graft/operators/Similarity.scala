@@ -776,7 +776,7 @@ object Similarity {
   private[graft] def pqCodebookTrained(emb: DataFrame, m: Int, cw: Int,
                                        rounds: Int, dim: Int,
                                        scale: Int): DataFrame =
-    RelationStats.memoRelation(emb, s"pqBook:$m:$cw:$rounds:$scale") {
+    RelationStats.memoRelation(emb, s"pqBook:$m:$cw:$rounds:$dim:$scale") {
       // the subvector pin feeds ×cw broadcast fan-out per training
       // round with no re-exchange — width-pinned, not plain-pinned
       // (RelationStats.pinnedWide: 10× measured, RPQ_COST_PROBE_r11)
@@ -792,7 +792,7 @@ object Similarity {
     * IVF-ADC probes, and the recall audit all read the same codes). */
   private def pqCodesMemo(emb: DataFrame, m: Int, cw: Int, rounds: Int,
                           dim: Int, scale: Int): DataFrame =
-    RelationStats.memoRelation(emb, s"pqCodes:$m:$cw:$rounds:$scale") {
+    RelationStats.memoRelation(emb, s"pqCodes:$m:$cw:$rounds:$dim:$scale") {
       RelationStats.pinnedWide(
         pqCodesOf(quantizedSubvectors(emb, m, dim, scale),
           pqCodebookTrained(emb, m, cw, rounds, dim, scale)),
@@ -1005,7 +1005,7 @@ object Similarity {
   private def residualSubMemo(spark: SparkSession, emb: DataFrame, m: Int,
                               dim: Int, scale: Int, cells: Int,
                               cellRounds: Int): DataFrame =
-    RelationStats.memoRelation(emb, s"rpqSub:$m:$scale:$cells:$cellRounds") {
+    RelationStats.memoRelation(emb, s"rpqSub:$m:$dim:$scale:$cells:$cellRounds") {
       val sub = dim / m
       val book = broadcast(lloydBook(spark, emb, cells, cellRounds)
         .select(col("cluster").as("cell"), col("cq")))
@@ -1036,7 +1036,7 @@ object Similarity {
                                scale: Int, cells: Int,
                                cellRounds: Int): DataFrame =
     RelationStats.memoRelation(emb,
-      s"rpqBook:$m:$groups:$rounds:$scale:$cells:$cellRounds") {
+      s"rpqBook:$m:$groups:$rounds:$dim:$scale:$cells:$cellRounds") {
       trainedSubspaceBook(
         residualSubMemo(spark, emb, m, dim, scale, cells, cellRounds)
           .select("vec_id", "subspace", "vs"), groups, rounds)

@@ -86,24 +86,35 @@ object VecStream {
     * artifact). The m·cw-codeword book packs into ONE static row that
     * equi-joins in on a constant key (broadcast — the
     * [[semDedupStream]] rule that keeps the stream-static join in the
-    * supported class), and each subspace's argmin is an `array_sort`
-    * over (dist, code) structs — the batch tier's packed-long
-    * (dist asc, code asc) tie-break reproduced row-locally, with no
-    * rank window (illegal on an unbounded stream) and no state store.
-    * Per-row cost is dim·cw multiplies — constant, the line-rate
-    * shape. Output: (vec_id, ts, subspace, code, dist) append rows —
-    * the [[Similarity.pqCodes]] contract plus the event time. The
-    * persisted book has caller-owned lifecycle
-    * ([[DocStream.fuzzyIngestStream]]'s rule). */
+    * supported class) INDEXED BY SUBSPACE — `element_at(books, s+1)`
+    * lands each slice directly on its own codeword list, no
+    * per-subspace rescan of the whole table — and each subspace's
+    * argmin is an `array_min` over the packed `dist·2²⁰ + label`
+    * longs ([[graft.functions.PqArgMinCode.Pack]], the batch tier's
+    * exact (dist asc, code asc) tie-break), with no rank window
+    * (illegal on an unbounded stream) and no state store. Per-row
+    * cost is dim·cw multiplies plus one m-length index lookup —
+    * constant, the line-rate shape. Output: (vec_id, ts, subspace,
+    * code, dist) append rows — the [[Similarity.pqCodes]] contract
+    * plus the event time. The persisted book has caller-owned
+    * lifecycle ([[DocStream.fuzzyIngestStream]]'s rule). */
   def pqEncodeStream(vecs: DataFrame, corpus: DataFrame, m: Int = 8,
                      dim: Int = 64, scale: Int = 1000, cw: Int = 64,
                      rounds: Int = 2): DataFrame = {
     val sub = dim / m
+    val pack = graft.functions.PqArgMinCode.Pack
     val book = Similarity.pqCodebookTrained(corpus, m, cw, rounds, dim,
       scale)
+    // books[s + 1] = subspace s's codeword list: every subspace holds
+    // ≥ 1 codeword (a vector always assigns somewhere, so the
+    // empty-cluster drop can never empty a whole subspace), so the
+    // sorted-by-subspace entries pack positionally
     val packed = book
-      .agg(collect_list(struct(col("subspace"), col("label"), col("cs")))
-        .as("book"))
+      .groupBy("subspace")
+      .agg(collect_list(struct(col("label"), col("cs"))).as("entries"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(subspace, entries)))," +
+          " x -> x.entries)").as("books"))
       .withColumn("one", lit(1))
       .persist()
     vecs
@@ -112,18 +123,18 @@ object VecStream {
       .withColumn("q", transform(col("embedding"),
         x => floor(x.cast("double") * scale).cast("long")))
       .select(col("vec_id"), col("ts"), posexplode(expr(
-        s"""transform(sequence(0, ${m - 1}), s -> element_at(array_sort(
-           |  transform(filter(book, b -> b.subspace = s),
-           |    b -> named_struct(
-           |      'dist', aggregate(
-           |        zip_with(slice(q, s * $sub + 1, $sub), b.cs,
-           |          (x, y) -> (x - y) * (x - y)),
-           |        CAST(0 AS BIGINT), (a, x) -> a + x),
-           |      'code', b.label))), 1))""".stripMargin))
+        s"""transform(sequence(0, ${m - 1}), s -> array_min(
+           |  transform(element_at(books, s + 1), b ->
+           |    aggregate(
+           |      zip_with(slice(q, s * $sub + 1, $sub), b.cs,
+           |        (x, y) -> (x - y) * (x - y)),
+           |      CAST(0 AS BIGINT), (a, x) -> a + x) * ${pack}L
+           |      + b.label)))""".stripMargin))
         .as(Seq("subspace", "best")))
       .select(col("vec_id"), col("ts"),
         col("subspace").cast("long").as("subspace"),
-        col("best.code").cast("long").as("code"), col("best.dist").as("dist"))
+        (col("best") % pack).as("code"),
+        expr(s"best div $pack").as("dist"))
   }
 
   /** Streaming nearest-neighbor SERVE — arriving query vectors get

@@ -125,11 +125,28 @@ object AnnQuantProbe {
       cell(s"srp_b${bits}_pre$prefilter", mean, mn)
     })
 
+    // ---- leg 6: IVF-PQ ADC shortlist + EXACT re-rank (r12 — the r11
+    // verdict's "last weak tier" ask): recall vs (prefilter × probes)
+    // at the declared PqM=16/PqCw=256 book. The ceiling is the
+    // ivf_exact row at the same probes (the re-rank cannot out-recall
+    // its own coarse partition); the gap to that ceiling measures ADC
+    // shortlist containment at the given prefilter depth. ----
+    val ivfpqRerank = (for {
+      prefilter <- Seq(10, 25, 50)
+      probes <- Seq(1, 2, 3)
+    } yield {
+      val (mean, mn) = recall(
+        Similarity.annIvfPqRerank(spark, emb, numQueries, k, prefilter,
+          m = 16, probes = probes, cw = 256, rounds = 2), truthL2)
+      cell(s"ivfpq_rerank_pre${prefilter}_p$probes", mean, mn)
+    })
+
     println(s"""{"metric":"ann_quant_probe","sf":"$dir","k":$k,""" +
       s""""queries":$numQueries,""" +
       s""""ivf_exact":{${ivfExact.mkString(",")}},""" +
       s""""pq":{${pq.mkString(",")}},"ivfpq":{${ivfpq.mkString(",")}},""" +
-      s""""rpq":{${rpq.mkString(",")}},"srp":{${srp.mkString(",")}}}""")
+      s""""rpq":{${rpq.mkString(",")}},"srp":{${srp.mkString(",")}},""" +
+      s""""ivfpq_rerank":{${ivfpqRerank.mkString(",")}}}""")
     spark.stop()
   }
 

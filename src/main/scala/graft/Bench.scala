@@ -196,21 +196,61 @@ object Bench {
     // BENCH_FULL_r06.json, so the file of record says which round).
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", benchOut)
-    val prevQ: Map[String, Double] = try {
-      val txt = java.nio.file.Files.readString(
-        java.nio.file.Paths.get(prevPath))
-      """"queries":\{(.*?)\}""".r.findFirstMatchIn(txt).map(_.group(1))
-        .map { body =>
-          """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }.getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty }
+    // REAL JSON parse (r12, the r11 ADVICE item): the artifact is
+    // machine-written single-line JSON, and the hand-rolled regex this
+    // replaces silently yielded an EMPTY prev map — disabling solo
+    // re-adjudication with no warning — on any format drift
+    // (scientific notation, pretty-printing, reordered keys). The
+    // session's own JSON reader is the parser that is guaranteed
+    // present; per-query values surface as double/long/decimal
+    // depending on inference, all folded to double. A file that
+    // exists but parses to an empty map now WARNS instead of quietly
+    // benching ungated.
+    val prevQ: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(prevPath)
+      if (!java.nio.file.Files.exists(p)) {
+        System.err.println(s"[bench] no previous artifact at $prevPath — " +
+          "solo re-adjudication disabled for this run")
+        Map.empty
+      } else try {
+        val df = spark.read.json(prevPath).select("queries.*")
+        val row = df.head()
+        val m = df.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
+          if (row.isNullAt(i)) None
+          else Some(n -> (row.get(i) match {
+            case d: java.lang.Double => d.doubleValue
+            case l: java.lang.Long => l.toDouble
+            case bd: java.math.BigDecimal => bd.doubleValue
+            case bd: scala.math.BigDecimal => bd.toDouble
+            case s: String => s.toDouble
+            case other => other.toString.toDouble
+          }))
+        }.toMap
+        if (m.isEmpty) System.err.println(s"[bench] $prevPath exists but " +
+          "its queries map parsed EMPTY — solo re-adjudication disabled; " +
+          "inspect the artifact")
+        m
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $prevPath exists but failed to parse " +
+          s"(${e.getMessage}) — solo re-adjudication disabled; inspect " +
+          "the artifact")
+        Map.empty
+      }
+    }
+    // Gate (r12, the r11 verdict ask): 1.5x for everything, tightened
+    // to 1.3x once the previous number exceeds 2 s — pipeline_curate_v4
+    // slid 2.75 → 3.82 s (1.39x) under the uniform 1.5x gate, and at
+    // multi-second scale the 0.3 s absolute floor is trivially cleared
+    // by real regressions and noise alike, so the solo run must decide.
+    def regressed(cur: Double, p: Double): Boolean =
+      p > 0 && cur - p > 0.3 &&
+        (cur > 1.5 * p || (p > 2.0 && cur > 1.3 * p))
     val flagged = suite.collect { case (name, _)
       if best(name) >= 0 && prevQ.get(name).exists(p =>
-        p > 0 && best(name) > 1.5 * p && best(name) - p > 0.3) => name }
+        regressed(best(name), p)) => name }
     flagged.foreach { name =>
-      System.err.println(f"[bench] ${name} ${best(name)}%.2fs > 1.5x prev " +
-        f"${prevQ(name)}%.2fs — solo re-adjudication")
+      System.err.println(f"[bench] ${name} ${best(name)}%.2fs over gate vs " +
+        f"prev ${prevQ(name)}%.2fs — solo re-adjudication")
       val solos = Seq.fill(2)(once(name)).filter(_ >= 0)
       if (solos.nonEmpty) best(name) = math.min(best(name), solos.min)
     }

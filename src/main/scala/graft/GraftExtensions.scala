@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       classOf[SortedLongIntersectCount], SortedLongIntersectCount))
     ext.injectFunction(binary("zip_equal_count",
       classOf[ZipLongEqualCount], ZipLongEqualCount))
+    // pq_argmin(vs, books): the fused PQ assignment kernel, SQL-callable
+    // so lambda contexts (the streaming encode's per-subspace transform,
+    // where Column-API expressions can't bind lambda variables) share
+    // the batch tier's exact argmin, tie-break, and fail-loud bounds
+    // contract instead of re-deriving the packed argmin in raw SQL
+    ext.injectFunction(binary("pq_argmin",
+      classOf[graft.functions.PqArgMinCode], graft.functions.PqArgMinCode))
     // ngram_fnv(text, n): n must be a foldable integer literal — the
     // window width shapes the expression itself
     ext.injectFunction(binary("ngram_fnv", classOf[NgramFnv], (text, width) => {

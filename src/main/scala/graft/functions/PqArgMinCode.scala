@@ -165,6 +165,18 @@ object PqArgMinCode {
     * The struct-min argmin this kernel replaced compared the two keys
     * separately and could not overflow. */
   def checkBounds(dist: Long, label: Long): Unit = {
+    // wrapped-negative first: per-dim diffs ≳ 2³¹ overflow the d·d
+    // accumulation itself, landing here NEGATIVE — which would sail
+    // under the DistCap gate and silently win the argmin (the r11
+    // ADVICE gap). A multiple wrap back into positive range needs
+    // diffs ≳ 2³², i.e. inputs ~4·10⁶× past the unit-embedding
+    // envelope AND landing in a narrow residue band — outside any
+    // input this kernel's callers can produce from float32 at the
+    // declared scales (|floor(v·1000)| bounds every diff ≪ 2³¹).
+    if (dist < 0L) throw new IllegalStateException(
+      s"pq_argmin: subspace squared-distance accumulator wrapped " +
+        s"negative ($dist) — per-dim diffs exceed the 64-bit budget; " +
+        "re-quantize at a smaller scale or normalize the embeddings")
     if (dist >= DistCap) throw new IllegalStateException(
       s"pq_argmin: subspace squared distance $dist >= 2^43 overflows " +
         "the (dist, label) pack — re-quantize at a smaller scale or " +

@@ -132,7 +132,18 @@ object VectorFunctions {
     * kernel (one vector pass for every plane, codegen'd) — the
     * portable per-plane zip_with/aggregate chain it replaced paid 2
     * interpreted lambda traversals per plane per row, which at the
-    * 256-bit production width dominated the whole SRP query. */
+    * 256-bit production width dominated the whole SRP query.
+    *
+    * NULL CONTRACT (stated, not incidental — the r11 ADVICE item): a
+    * NULL vector, a NULL element, or a plane/vector length mismatch
+    * yields NULL (the [[SrpCodeWords]] kernel's strictness), so such
+    * rows DROP OUT of bucket equi-joins entirely. The pre-kernel
+    * when/otherwise chain instead mapped them to bucket 0, silently
+    * colliding malformed vectors into one bucket's candidate set —
+    * strict-NULL is the deliberate contract: malformed embeddings
+    * surface as missing (auditable via an `isNull` count) rather than
+    * as phantom bucket-0 neighbors. Callers needing the old behavior
+    * wrap with `coalesce(bucket, lit(0L))`. */
   def hyperplaneBucketQuantized(v: Column, planes: Array[Array[Long]],
                                 scale: Int): Column = {
     require(planes.length <= SrpCodeWords.WordBits,

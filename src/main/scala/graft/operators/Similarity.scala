@@ -997,6 +997,51 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Two-stage IVF-PQ serving — ADC shortlist, EXACT re-rank: the
+    * `prefilter`-deep [[annIvfPq]] candidate list (codes-only ADC scan
+    * inside the probed Lloyd cells) re-ranked by exact integer
+    * squared-L2 against the stored vectors, top-`k` per query. This is
+    * the standard production IVFADC shape (Jégou et al. 2011 §III-C's
+    * re-ranking variant, the [[annSrpRerank]] two-stage pattern applied
+    * to the ADC family): the wide rows touched per query drop from
+    * |probed cells| to exactly `prefilter`, while recall recovers the
+    * ADC quantization loss up to the coarse-probe ceiling — measured,
+    * not argued: ANN_QUANT_PROBE_r12.json `ivfpq_rerank` sweeps
+    * (prefilter × probes) beside the raw-ADC cells, and the declared
+    * knobs are chosen from it.
+    *
+    * Scale shape: stage 1 is [[annIvfPq]]'s broadcast-book plan
+    * unchanged; stage 2 broadcasts the (numQueries·prefilter)-row
+    * candidate list against the corpus — the big side streams once,
+    * filtered to candidate vec_ids by the broadcast-hash join, so the
+    * re-rank never shuffles the corpus. At 100 TB the stored-vector
+    * fetch is a point-lookup tier (the IVF posting layout co-locates a
+    * cell's vectors); here it is the same scan the exact tiers use.
+    * Output: (qid, vec_id, dist, rn) — `dist` exact, so rows are
+    * directly comparable against [[knnExactL2]] truth. */
+  def annIvfPqRerank(spark: SparkSession, emb: DataFrame, numQueries: Int,
+                     k: Int, prefilter: Int, m: Int = 8, dim: Int = 64,
+                     scale: Int = 1000, probes: Int = 1, cw: Int = 64,
+                     rounds: Int = 2, cells: Int = 10,
+                     cellRounds: Int = 2): DataFrame = {
+    require(prefilter >= k, s"prefilter ($prefilter) must cover k ($k)")
+    val cands = annIvfPq(spark, emb, numQueries, prefilter, m, dim, scale,
+        probes, cw, rounds, cells, cellRounds)
+      .select(col("qid"), col("vec_id"))
+    val queries = broadcast(
+      emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("qid"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * scale).cast("long")).as("qq")))
+    val w = Window.partitionBy("qid").orderBy(col("dist"), col("vec_id"))
+    broadcast(cands).join(emb, "vec_id")
+      .join(queries, "qid")
+      .select(col("qid"), col("vec_id"),
+        sqDistQuantized(col("embedding"), col("qq"), scale).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Quantized RESIDUAL subvectors: rq = floor(v·scale) − cq(the
     * vector's ASSIGNED Lloyd cell — [[ivfAssignments]]), sliced into
     * `m` subspaces — row-local once the cells-row centroid book
@@ -1209,6 +1254,11 @@ object Similarity {
     * bucket → exact cosine re-rank inside the bucket. Planes are a tiny
     * deterministic driver-side matrix (seeded), broadcast as literals.
     * Recall is tunable via numPlanes (fewer planes = bigger buckets).
+    * NULL contract: a malformed vector (null element / wrong length)
+    * gets a NULL bucket and therefore NO candidates — it vanishes from
+    * the equi-join rather than colliding into bucket 0
+    * ([[graft.functions.VectorFunctions.hyperplaneBucketQuantized]]'s
+    * stated strict-NULL contract).
     */
   /** Seeded hyperplane matrix quantized to integer milli-units — shared
     * between the Spark bucketing expression and the generated SQL

@@ -89,15 +89,22 @@ object VecStream {
     * supported class) INDEXED BY SUBSPACE — `element_at(books, s+1)`
     * lands each slice directly on its own codeword list, no
     * per-subspace rescan of the whole table — and each subspace's
-    * argmin is an `array_min` over the packed `dist·2²⁰ + label`
-    * longs ([[graft.functions.PqArgMinCode.Pack]], the batch tier's
-    * exact (dist asc, code asc) tie-break), with no rank window
-    * (illegal on an unbounded stream) and no state store. Per-row
-    * cost is dim·cw multiplies plus one m-length index lookup —
-    * constant, the line-rate shape. Output: (vec_id, ts, subspace,
-    * code, dist) append rows — the [[Similarity.pqCodes]] contract
-    * plus the event time. The persisted book has caller-owned
-    * lifecycle ([[DocStream.fuzzyIngestStream]]'s rule). */
+    * argmin IS the batch tier's fused `pq_argmin` kernel
+    * ([[graft.functions.PqArgMinCode]], SQL-registered so it binds
+    * the transform's lambda variable): the identical packed
+    * `dist·2²⁰ + label` scan, the identical (dist asc, code asc)
+    * tie-break, and — the r11 ADVICE gap this closes — the identical
+    * FAIL-LOUD bounds contract (`checkBounds`: an out-of-envelope
+    * distance or label errors instead of silently mis-coding, so the
+    * streaming and batch ingest paths share ONE safety contract).
+    * No rank window (illegal on an unbounded stream), no state
+    * store. Per-row cost is dim·cw multiplies plus one m-length
+    * index lookup — constant, the line-rate shape; throughput
+    * measured in STREAM_PROBE_r12.json. Output: (vec_id, ts,
+    * subspace, code, dist) append rows — the [[Similarity.pqCodes]]
+    * contract plus the event time. The persisted book has
+    * caller-owned lifecycle ([[DocStream.fuzzyIngestStream]]'s
+    * rule). */
   def pqEncodeStream(vecs: DataFrame, corpus: DataFrame, m: Int = 8,
                      dim: Int = 64, scale: Int = 1000, cw: Int = 64,
                      rounds: Int = 2): DataFrame = {
@@ -123,13 +130,9 @@ object VecStream {
       .withColumn("q", transform(col("embedding"),
         x => floor(x.cast("double") * scale).cast("long")))
       .select(col("vec_id"), col("ts"), posexplode(expr(
-        s"""transform(sequence(0, ${m - 1}), s -> array_min(
-           |  transform(element_at(books, s + 1), b ->
-           |    aggregate(
-           |      zip_with(slice(q, s * $sub + 1, $sub), b.cs,
-           |        (x, y) -> (x - y) * (x - y)),
-           |      CAST(0 AS BIGINT), (a, x) -> a + x) * ${pack}L
-           |      + b.label)))""".stripMargin))
+        s"""transform(sequence(0, ${m - 1}), s -> pq_argmin(
+           |  slice(q, s * $sub + 1, $sub), element_at(books, s + 1)))"""
+          .stripMargin))
         .as(Seq("subspace", "best")))
       .select(col("vec_id"), col("ts"),
         col("subspace").cast("long").as("subspace"),

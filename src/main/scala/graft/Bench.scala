@@ -215,16 +215,26 @@ object Bench {
       } else try {
         val df = spark.read.json(prevPath).select("queries.*")
         val row = df.head()
+        // per-field Try (r13, the r12 ADVICE item): one malformed
+        // value must not discard the whole map — it skips its own
+        // entry with a warning, and gating stays live for the rest
         val m = df.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
           if (row.isNullAt(i)) None
-          else Some(n -> (row.get(i) match {
+          else scala.util.Try(row.get(i) match {
             case d: java.lang.Double => d.doubleValue
             case l: java.lang.Long => l.toDouble
             case bd: java.math.BigDecimal => bd.doubleValue
             case bd: scala.math.BigDecimal => bd.toDouble
             case s: String => s.toDouble
             case other => other.toString.toDouble
-          }))
+          }) match {
+            case scala.util.Success(v) => Some(n -> v)
+            case scala.util.Failure(e) =>
+              System.err.println(s"[bench] $prevPath queries.$n is " +
+                s"non-numeric (${e.getMessage}) — skipping this entry, " +
+                "gating stays enabled for the rest")
+              None
+          }
         }.toMap
         if (m.isEmpty) System.err.println(s"[bench] $prevPath exists but " +
           "its queries map parsed EMPTY — solo re-adjudication disabled; " +

@@ -107,6 +107,14 @@ object SparkEntry {
   private val SrpBits = 256
   private val SrpPrefilter = 50
 
+  /** `tfidf_cosine_capped` salient-postings ceiling (query + oracle):
+    * candidate generation is restricted to tokens with ≤ this many
+    * salient postings, bounding candidate mass by D·k·N (linear in
+    * corpus size). 180 sits between the verify corpus's p50 (164) and
+    * p90 (209) postings so the cap measurably bites — loss vs the
+    * uncapped truth measured in TFIDF_SHARD_r13.json. */
+  private val TfidfDfCeiling = 180L
+
   /** `shard_balance` output shard count (query + oracle). */
   private val ShardBalanceN = 8
 
@@ -134,6 +142,17 @@ object SparkEntry {
   private val PqM = 16
   private val PqCw = 256
   private val PqRounds = 2
+
+  /** `ann_ivf_pq_rerank` two-stage serving knobs (query + oracle),
+    * chosen from ANN_QUANT_PROBE_r13.json `ivfpq_rerank` (prefilter
+    * 10/25/50 × probes 1/2/3 at the declared PqM/PqCw book):
+    * prefilter 25 / probes 3 measures 960 mean / 800 min milli
+    * recall@5 — EQUAL to the `ivf_exact` coarse ceiling at the same
+    * probes (880/880/960 at p1/p2/p3), i.e. the exact re-rank fully
+    * recovers the ADC quantization loss (raw ivfpq tier: 600-680) and
+    * deepening past 25 buys nothing (pre50 ≡ pre25 at every probe). */
+  private val PqRerankPrefilter = 25
+  private val PqRerankProbes = 3
 
   /** `pq_incremental_codes` frozen-book width: the id-lower corpus
     * HALF at the verify SF holds ~250 vectors, so the production
@@ -742,6 +761,17 @@ object SparkEntry {
       TextOps.tfidfCosinePairs(Tables.documents(s, dir), k = 10,
         thresholdHundredths = 60, buildShards = 4)
         .orderBy("d1", "d2")),
+    // The mass-CAPPED tier (r13): candidates generate only through
+    // salient tokens with <= maxPostings salient postings, dots/norms
+    // complete exactly over full vectors — mass <= D·k·N by algebra,
+    // the heavy-tail-proof shape. D=180 bites at the verify SF
+    // (postings p90 = 209): the oracle pins the capped SEMANTICS
+    // (drops the 7 hottest-term-only pairs of 2081), not an
+    // accidental equality with the uncapped tier.
+    "tfidf_cosine_capped" -> ((s, dir) =>
+      TextOps.tfidfCosinePairsCapped(Tables.documents(s, dir), k = 10,
+        thresholdHundredths = 60, maxPostings = TfidfDfCeiling)
+        .orderBy("d1", "d2")),
     // GPT-style concat-and-chunk packing per language stream: 4096-token
     // cuts, per-chunk occupancy + boundary-straddler counts.
     // shardDocs sized for the test SF so the two-level prefix sum
@@ -1219,6 +1249,19 @@ object SparkEntry {
         .select(col("qid"), col("cell"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+    // Two-stage IVFADC serving (r13): prefilter-deep ADC shortlist
+    // inside the probed cells, then EXACT integer-L2 re-rank of just
+    // those candidates — the production shape that recovers the ADC
+    // tier's quantization loss while touching only `prefilter` wide
+    // rows per query (knobs from ANN_QUANT_PROBE_r13.json).
+    "ann_ivf_pq_rerank" -> ((s, dir) =>
+      Similarity.annIvfPqRerank(s, Tables.embeddings(s, dir),
+          numQueries = 5, k = 5, prefilter = PqRerankPrefilter, m = PqM,
+          probes = PqRerankProbes, cw = PqCw, rounds = PqRounds,
+          cells = IvfCells, cellRounds = IvfCellRounds)
+        .select(col("qid"), col("vec_id"), col("dist"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")),
     "embedding_nearest_pairs" -> ((s, dir) =>
       Similarity.nearestPairsPerLabel(Tables.embeddings(s, dir), pairsPerLabel = 3)
         .select(col("label"), col("id_a"), col("id_b"), col("cos"),
@@ -1267,7 +1310,7 @@ object SparkEntry {
         numQueries = 5, k = 5, pqM = PqM, pqCw = PqCw, rpqM = RpqM,
         rpqCw = RpqGroups, rounds = PqRounds, prefilter = SrpPrefilter,
         bits = SrpBits, probes = 2, cells = IvfCells,
-        cellRounds = IvfCellRounds)
+        cellRounds = IvfCellRounds, rerankPrefilter = PqRerankPrefilter)
         .orderBy("tier", "qid")),
     // Hard-negative mining (contrastive training): top-k most-similar
     // DIFFERENT-label vectors per anchor, via foreign-cell IVF probing.
@@ -2397,10 +2440,12 @@ object SparkEntry {
        |SELECT qid, cell, vec_id, adist, CAST(rn AS BIGINT) AS rn
        |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
 
-  /** IVF-PQ oracle, parameterized by probe count (mirrors
+  /** IVF-PQ oracle, parameterized by probe count and depth (mirrors
     * [[Similarity.annIvfPq]]: Lloyd cells probed by exact
-    * query-to-centroid squared-L2, trained-book ADC rank inside). */
-  private def sqlAnnIvfPq(probes: Int): String =
+    * query-to-centroid squared-L2, trained-book ADC rank inside; `k`
+    * generalizes the cut so the rerank oracle can reuse the chain at
+    * shortlist depth). */
+  private def sqlAnnIvfPq(probes: Int, k: Int = 5): String =
     s"""WITH $SqlQv,
        |${sqlCellCtes(IvfCells, IvfCellRounds)},
        |${sqlSvRaw(PqM)},
@@ -2424,7 +2469,32 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rn
        |  FROM ad)
        |SELECT qid, cell, vec_id, adist, CAST(rn AS BIGINT) AS rn
+       |FROM rr WHERE rn <= $k ORDER BY qid, rn""".stripMargin
+
+  /** Two-stage IVFADC oracle (mirrors [[Similarity.annIvfPqRerank]]):
+    * the [[sqlAnnIvfPq]] chain cut at `prefilter` depth as the
+    * candidate list (nested WITH stays scoped), then exact quantized
+    * squared-L2 of query vs candidate over the raw embeddings, top-5
+    * per query — dist EXACT, directly comparable to the brute-L2
+    * truth. */
+  private def sqlAnnIvfPqRerank(probes: Int, prefilter: Int): String = {
+    val qf = "CAST(FLOOR(CAST(q.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    val ef = "CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"
+    s"""WITH cand AS (SELECT qid, vec_id FROM (
+       |${sqlAnnIvfPq(probes, prefilter)}) c),
+       |ex AS (
+       |  SELECT cand.qid, cand.vec_id,
+       |    CAST(SUM(($qf - $ef) * ($qf - $ef)) AS BIGINT) AS dist
+       |  FROM cand JOIN embeddings q ON q.vec_id = cand.qid
+       |  JOIN embeddings e ON e.vec_id = cand.vec_id
+       |  CROSS JOIN generate_series(1, 64) g(k)
+       |  GROUP BY 1, 2),
+       |rr AS (SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+       |  FROM ex)
+       |SELECT qid, vec_id, dist, CAST(rn AS BIGINT) AS rn
        |FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
+  }
 
   /** PQ/ADC oracle, parameterized by k (mirrors [[Similarity.annPq]]:
     * per-subspace Lloyd-trained codebook, codes by exact integer
@@ -2545,6 +2615,8 @@ object SparkEntry {
          |  GROUP BY 1) h ON qs.vec_id = h.qid""".stripMargin
     Seq(
       leg("ivfpq", truthL2, sqlAnnIvfPq(probes = 2)),
+      leg("ivfpq_rr", truthL2,
+        sqlAnnIvfPqRerank(probes = 2, prefilter = PqRerankPrefilter)),
       leg("pq", truthL2, sqlAnnPq(k = 5)),
       leg("rpq", truthL2, sqlAnnIvfRpq(probes = 2)),
       leg("srp", truthCos, sqlAnnSrpRerank)
@@ -2706,6 +2778,43 @@ object SparkEntry {
       |WHERE CAST(d.dot AS DOUBLE)
       |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.6
       |ORDER BY d1, d2""".stripMargin
+
+  /** `tfidf_cosine_capped` oracle: the [[TfidfCosineSql]] vector CTEs
+    * plus the ceiling — candidates only via tokens with postings ≤
+    * [[TfidfDfCeiling]], exact dot/norm completion over full vectors. */
+  private val TfidfCosineCappedSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM tok GROUP BY 1, 2),
+       |df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |       FROM tok GROUP BY 1),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+       |v AS (
+       |  SELECT tf.doc_id, tf.token, tf.tf * ((n.total * 100) // df.df) AS wq,
+       |    row_number() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY tf.tf * ((n.total * 100) // df.df) DESC, tf.token) AS rnk
+       |  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+       |vk AS (SELECT doc_id, token, wq FROM v WHERE rnk <= 10),
+       |nrm AS (SELECT doc_id, SUM(wq * wq) AS nrm FROM vk GROUP BY 1),
+       |pc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS pc FROM vk GROUP BY 1),
+       |rare AS (SELECT token FROM pc WHERE pc <= $TfidfDfCeiling),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM vk a JOIN rare r ON a.token = r.token
+       |  JOIN vk b ON b.token = a.token AND a.doc_id < b.doc_id),
+       |d AS (
+       |  SELECT c.d1, c.d2, SUM(a.wq * b.wq) AS dot
+       |  FROM cand c JOIN vk a ON a.doc_id = c.d1
+       |  JOIN vk b ON b.doc_id = c.d2 AND b.token = a.token
+       |  GROUP BY 1, 2)
+       |SELECT d.d1, d.d2,
+       |  CAST(d.dot AS DOUBLE)
+       |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) AS cos
+       |FROM d JOIN nrm na ON d.d1 = na.doc_id JOIN nrm nb ON d.d2 = nb.doc_id
+       |WHERE CAST(d.dot AS DOUBLE)
+       |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.6
+       |ORDER BY d1, d2""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "matmul_basic" -> sqlMatmul,
@@ -3236,6 +3345,7 @@ object SparkEntry {
     "tfidf_cosine_pairs" -> TfidfCosineSql,
     // sharded build plan, identical semantics — same oracle text
     "tfidf_cosine_sharded" -> TfidfCosineSql,
+    "tfidf_cosine_capped" -> TfidfCosineCappedSql,
     "pack_chunks" ->
       """WITH t AS (
         |  SELECT lang, doc_id,
@@ -4420,6 +4530,8 @@ object SparkEntry {
     "ann_pq" -> sqlAnnPq(k = 10),
     "ann_ivf_pq" -> sqlAnnIvfPq(probes = 1),
     "ann_ivf_pq_probe2" -> sqlAnnIvfPq(probes = 2),
+    "ann_ivf_pq_rerank" -> sqlAnnIvfPqRerank(probes = PqRerankProbes,
+      prefilter = PqRerankPrefilter),
     "kmeans_round" ->
       """WITH q AS (
         |  SELECT vec_id, label, CAST(s.k AS BIGINT) AS d,

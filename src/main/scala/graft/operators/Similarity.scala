@@ -126,7 +126,8 @@ object Similarity {
                          pqCw: Int = 256, rpqM: Int = 32, rpqCw: Int = 128,
                          rounds: Int = 2, prefilter: Int = 50,
                          bits: Int = 256, probes: Int = 2,
-                         cells: Int = 10, cellRounds: Int = 2): DataFrame = {
+                         cells: Int = 10, cellRounds: Int = 2,
+                         rerankPrefilter: Int = 25): DataFrame = {
     val truthCos = knnExactCosine(emb, numQueries, k)
       .select(col("qid"), col("vec_id"))
       .localCheckpoint(eager = false)
@@ -149,6 +150,12 @@ object Similarity {
       leg("ivfpq", annIvfPq(spark, emb, numQueries, k, pqM, probes = probes,
         cw = pqCw, rounds = rounds, cells = cells, cellRounds = cellRounds),
         truthL2),
+      // the two-stage serving tier (r13): ADC shortlist + exact
+      // re-rank — the audit row that shows the re-rank recovering the
+      // raw-ADC tier's quantization loss up to the coarse-probe ceiling
+      leg("ivfpq_rr", annIvfPqRerank(spark, emb, numQueries, k,
+        rerankPrefilter, pqM, probes = probes, cw = pqCw, rounds = rounds,
+        cells = cells, cellRounds = cellRounds), truthL2),
       leg("pq", annPq(spark, emb, numQueries, k, pqM, cw = pqCw,
         rounds = rounds), truthL2),
       leg("rpq", annIvfRpq(spark, emb, numQueries, k, rpqM, rpqCw,
@@ -1006,9 +1013,12 @@ object Similarity {
     * to the ADC family): the wide rows touched per query drop from
     * |probed cells| to exactly `prefilter`, while recall recovers the
     * ADC quantization loss up to the coarse-probe ceiling — measured,
-    * not argued: ANN_QUANT_PROBE_r12.json `ivfpq_rerank` sweeps
-    * (prefilter × probes) beside the raw-ADC cells, and the declared
-    * knobs are chosen from it.
+    * not argued: ANN_QUANT_PROBE_r13.json `ivfpq_rerank` sweeps
+    * (prefilter × probes) beside the raw-ADC cells, the declared
+    * knobs (SparkEntry PqRerankPrefilter/PqRerankProbes) are chosen
+    * from it, and the tier ships as the oracle-checked
+    * `ann_ivf_pq_rerank` query plus the `ivfpq_rr` row of
+    * `ann_recall_quantized`.
     *
     * Scale shape: stage 1 is [[annIvfPq]]'s broadcast-book plan
     * unchanged; stage 2 broadcasts the (numQueries·prefilter)-row

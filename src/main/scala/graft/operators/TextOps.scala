@@ -522,6 +522,72 @@ object TextOps {
       .select(col("d1"), col("d2"), col("cos"))
   }
 
+  /** [[tfidfCosinePairs]] with the candidate mass CAPPED BY
+    * CONSTRUCTION (the r11/r12 verdict ask — the one algebraic gap
+    * between "the shard dial tracks measured mass" and "mass cannot
+    * outgrow the cluster"): candidate pairs GENERATE only through
+    * salient tokens whose salient-postings count is ≤ `maxPostings`,
+    * so the dot-relation mass is bounded by
+    * Σ_{p ≤ D} p² ≤ D · Σ p ≤ D·k·N — LINEAR in corpus size at fixed
+    * ceiling D, where uncapped a single heavy-tail term costs
+    * |postings|² (quadratic growth no shard count absorbs;
+    * TFIDF_SHARD_r13.json's heavy-tail leg measures the blowup and
+    * this cap's flat line side by side).
+    *
+    * The cosine itself stays EXACT: above-ceiling tokens are excluded
+    * only from candidate GENERATION — every surviving pair's dot/norms
+    * re-aggregate over the FULL k-term vectors (a completion join on
+    * the candidate list, candidate-scale work). The semantic loss is
+    * therefore exactly the pairs whose EVERY shared salient term
+    * exceeds the ceiling — hyper-common-term-only overlaps, the pairs
+    * sparse-IR candidate pruning classically sacrifices (cf. prefix
+    * filtering / champion lists) — and it is a MEASURED loss:
+    * TFIDF_SHARD_r13.json records missed-pair counts vs the uncapped
+    * truth at this corpus alongside the mass bound.
+    *
+    * Plan shape: postings counts are k·N-row aggregation output
+    * (salient-vocab-sized, broadcast); generation reuses the broadcast
+    * candidate join over the CEILING-FILTERED vectors; completion is
+    * two doc_id equi-joins of the distinct candidate list against the
+    * checkpointed vectors. */
+  def tfidfCosinePairsCapped(docs: DataFrame, k: Int = 10,
+                             thresholdHundredths: Int = 60,
+                             maxPostings: Long = 64L): DataFrame = {
+    require(maxPostings >= 1, s"maxPostings must be >= 1: $maxPostings")
+    val vec = salientVectors(docs, k).localCheckpoint(eager = false)
+    val spread = vec.repartition(
+      docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+    // tokens under the ceiling, counted in SALIENT space (postings =
+    // docs whose top-k contains the token, not raw df — stopwords
+    // never reach the vectors in the first place)
+    val rare = broadcast(vec.groupBy("token")
+      .agg(count(lit(1)).as("pc"))
+      .filter(col("pc") <= maxPostings)
+      .select("token"))
+    val genBuild = vec.join(rare, "token")
+    val cands = spread.join(rare, "token").as("a")
+      .join(broadcast(genBuild.as("b")),
+        col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    // completion: exact dot over the FULL vectors of each candidate
+    val dots = cands
+      .join(vec.select(col("doc_id").as("d1"), col("token"),
+        col("wq").as("w1")), "d1")
+      .join(vec.select(col("doc_id").as("d2"), col("token"),
+        col("wq").as("w2")), Seq("d2", "token"))
+      .groupBy("d1", "d2").agg(sum(col("w1") * col("w2")).as("dot"))
+    val norms = vec.groupBy("doc_id")
+      .agg(sum(col("wq") * col("wq")).as("nrm"))
+    dots
+      .join(broadcast(norms.select(col("doc_id").as("d1"), col("nrm").as("na"))), "d1")
+      .join(broadcast(norms.select(col("doc_id").as("d2"), col("nrm").as("nb"))), "d2")
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .filter(col("cos") >= thresholdHundredths / 100.0)
+      .select(col("d1"), col("d2"), col("cos"))
+  }
+
   /** GPT-style concat-and-chunk packing per language stream: documents
     * concatenate in doc_id order and the stream is cut every
     * `budgetTokens` whitespace tokens — each document's chunk is the

@@ -97,10 +97,16 @@ object VecStream {
     * FAIL-LOUD bounds contract (`checkBounds`: an out-of-envelope
     * distance or label errors instead of silently mis-coding, so the
     * streaming and batch ingest paths share ONE safety contract).
+    * Because the argmin is the SQL-registered `pq_argmin`,
+    * graft.GraftExtensions must be on the session
+    * (`spark.sql.extensions=graft.GraftExtensions`) — a plain
+    * session fails analysis with an unresolved-function error (the
+    * [[graft.operators.TextOps.rollingFingerprints]] fnv64 rule).
     * No rank window (illegal on an unbounded stream), no state
     * store. Per-row cost is dim·cw multiplies plus one m-length
-    * index lookup — constant, the line-rate shape; throughput
-    * measured in STREAM_PROBE_r12.json. Output: (vec_id, ts,
+    * index lookup — constant, the line-rate shape; steady-state
+    * ingest rows/s measured in STREAM_PROBE_r13.json
+    * ([[graft.VecStreamProbe]] `pq_encode` leg). Output: (vec_id, ts,
     * subspace, code, dist) append rows — the [[Similarity.pqCodes]]
     * contract plus the event time. The persisted book has
     * caller-owned lifecycle ([[DocStream.fuzzyIngestStream]]'s

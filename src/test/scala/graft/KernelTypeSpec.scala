@@ -144,6 +144,60 @@ class KernelTypeSpec extends SparkSpec {
     assert(mismatch.filter(col("p").isNull).count() === 1L)
   }
 
+  test("pq_argmin fails loudly on a wrapped-negative distance " +
+    "instead of silently winning the argmin") {
+    import spark.implicits._
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // 3037000500² = 9223372037000250000 > Long.MaxValue: the single-dim
+    // d·d wraps NEGATIVE — exactly the r11 ADVICE hole the guard
+    // closes. Were the guard absent, the negative dist would sail
+    // under DistCap and crown this codeword as a "win" at distance
+    // < 0; the contract is IllegalStateException, not a result.
+    val wrap = Seq(Tuple1(Seq(3037000500L))).toDF("vs")
+      .crossJoin(Seq(Tuple1(Seq((0L, Seq(0L))))).toDF("books"))
+      .select(VectorFunctions.pqArgMinCode(col("vs"), col("books")).as("p"))
+    val exWrap = intercept[Exception] { wrap.collect() }
+    assert(messages(exWrap).exists(_.contains("wrapped negative")),
+      s"expected the wrapped-negative guard, got: $exWrap")
+    // the non-wrapping overflow arm: diff 2²² → dist 2⁴⁴ ≥ DistCap,
+    // positive but too wide for the (dist, label) pack
+    val over = Seq(Tuple1(Seq(1L << 22))).toDF("vs")
+      .crossJoin(Seq(Tuple1(Seq((0L, Seq(0L))))).toDF("books"))
+      .select(VectorFunctions.pqArgMinCode(col("vs"), col("books")).as("p"))
+    val exOver = intercept[Exception] { over.collect() }
+    assert(messages(exOver).exists(_.contains("overflows")),
+      s"expected the DistCap guard, got: $exOver")
+    // a codeword label outside [0, 2²⁰) breaks the pack
+    val badLabel = Seq(Tuple1(Seq(1L))).toDF("vs")
+      .crossJoin(Seq(Tuple1(Seq((1L << 20, Seq(1L))))).toDF("books"))
+      .select(VectorFunctions.pqArgMinCode(col("vs"), col("books")).as("p"))
+    val exLabel = intercept[Exception] { badLabel.collect() }
+    assert(messages(exLabel).exists(_.contains("label")),
+      s"expected the label guard, got: $exLabel")
+  }
+
+  test("pq_argmin is SQL-callable via GraftExtensions with the same " +
+    "packed contract") {
+    // the streaming encode path calls the kernel BY NAME inside a SQL
+    // lambda (pqEncodeStream's per-subspace transform) — pin the
+    // registration itself: same argmin, tie-break, and packing as the
+    // Column-API call KernelTypeSpec already covers
+    val pack = graft.functions.PqArgMinCode.Pack
+    val got = spark.sql(
+      """SELECT pq_argmin(
+        |  array(CAST(5 AS BIGINT), CAST(5 AS BIGINT)),
+        |  array(named_struct('label', CAST(7 AS BIGINT),
+        |          'cs', array(CAST(10 AS BIGINT), CAST(10 AS BIGINT))),
+        |        named_struct('label', CAST(3 AS BIGINT),
+        |          'cs', array(CAST(0 AS BIGINT), CAST(0 AS BIGINT))))
+        |) AS p""".stripMargin)
+      .collect().head.getLong(0)
+    // (5,5) ties at 50 against both codewords — label 3 must win
+    assert(got % pack === 3L)
+    assert(got / pack === 50L)
+  }
+
   test("a violated no-null claim fails loudly instead of corrupting") {
     import spark.implicits._
     val df = Seq((1L, Seq(1L, 2L, 3L))).toDF("id", "xs")

@@ -45,6 +45,25 @@ object ScaleSmoke {
       else d.withColumn("text", concat_ws(" ", col("text"), lit(s"copytag$k")))
     }.reduce(_.unionByName(_))
 
+  /** Content-PERTURBED doc replica (r13, the r11/r12 carried ask):
+    * copy k ≥ 1 suffixes EVERY token with a copy tag, so copies share
+    * ZERO vocabulary with their originals and with each other — the
+    * corpus grows ×factor with the original's internal pair structure
+    * repeated and NO cross-copy duplicate mass. Pair candidates
+    * therefore grow ×factor by construction, and a pair op's time
+    * ratio on this leg isolates ALGORITHMIC growth (shuffle width,
+    * aggregation, skew handling) from the constructed near-dup mass
+    * the tagged replica deliberately piles up (where output itself is
+    * quadratic and the ratio measures cost-tracks-candidates
+    * instead). */
+  private def perturbedDocs(docs: DataFrame, factor: Int, stride: Long): DataFrame =
+    (0 until factor).map { k =>
+      val d = docs.withColumn("doc_id", col("doc_id") + lit(k * stride))
+      if (k == 0) d
+      else d.withColumn("text", concat_ws(" ",
+        transform(split(col("text"), " "), x => concat(x, lit(s"_p$k")))))
+    }.reduce(_.unionByName(_))
+
   private def scaledEmb(emb: DataFrame, factor: Int, stride: Long): DataFrame =
     (0 until factor).map { k =>
       emb.withColumn("vec_id", col("vec_id") + lit(k * stride))
@@ -157,6 +176,11 @@ object ScaleSmoke {
         cw = 256), "emb"),
       Op("ann_ivf_pq", e => Similarity.annIvfPq(spark, e, 25, 5, 16,
         cw = 256), "emb"),
+      // the r13 two-stage serving tier at its declared knobs: stage-2
+      // work is (queries·prefilter)-sized, so growth should track the
+      // stage-1 ADC scan like ann_ivf_pq
+      Op("ann_ivf_pq_rerank", e => Similarity.annIvfPqRerank(spark, e,
+        25, 5, prefilter = 25, m = 16, probes = 3, cw = 256), "emb"),
       Op("pq_residual_codes", e =>
         Similarity.pqResidualCodes(spark, e, 32, 128), "emb"),
       // frozen-book ingest: id-upper batch half coded against the
@@ -486,6 +510,55 @@ object ScaleSmoke {
         (o.name, t1, tN, fac, ratio, rows1, rowsN, cands)
       }
 
+    // ---- perturbed leg (r13): the pair tiers at the FULL factor on
+    // the zero-cross-copy-vocabulary replica — candidates grow ×factor
+    // by construction, so ratios ≲ factor certify the plans' growth is
+    // algorithmic, not candidate-mass-driven. The capped tf·idf tier
+    // runs at the sf0.1-spectrum ceiling (D = 1600, the
+    // TFIDF_SHARD_r13 growth leg's value; postings per token are
+    // FLAT on this replica — disjoint vocab — so the cap's membership
+    // is scale-stable). ----
+    val perturbedOps: Seq[Op] = Seq(
+      Op("tfidf_cosine_pairs", d => TextOps.tfidfCosinePairs(d, 10, 60),
+        "pdoc", cand = Some(d => TextOps.tfidfCosinePairs(d, 10, 0))),
+      Op("tfidf_cosine_sharded",
+        d => TextOps.tfidfCosinePairs(d, 10, 60, buildShards = 4), "pdoc"),
+      Op("tfidf_cosine_capped", d => TextOps.tfidfCosinePairsCapped(d, 10,
+        60, maxPostings = 1600L), "pdoc",
+        cand = Some(d => TextOps.tfidfCosinePairsCapped(d, 10, 0,
+          maxPostings = 1600L))),
+      Op("dedup_containment", d => Dedup.containmentPairs(d, 9), "pdoc",
+        cand = Some(d => Dedup.containmentCandidates(d, 9))),
+      Op("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pdoc"))
+    val perturbedWanted = only match {
+      case None => perturbedOps.map(_.name).toSet
+      case Some(ns) => perturbedOps.map(_.name).toSet & ns
+    }
+    val perturbedRows = if (perturbedWanted.isEmpty) Seq.empty else {
+      val docs1 = Tables.documents(spark, sfDir)
+      val stride = docs1.agg(max("doc_id")).first().getLong(0) + 1
+      perturbedDocs(docs1, factor, stride).write.mode("overwrite")
+        .parquet(s"$base/documentsPerturbed")
+      val big = spark.read.parquet(s"$base/documentsPerturbed")
+      docs1.count(); big.count() // scan warm-up
+      perturbedOps.filter(o => perturbedWanted(o.name)).map { o =>
+        println(s"[scale] perturbed ${o.name} (factor $factor) ...")
+        Console.flush()
+        o.f(docs1).count() // per-op codegen warm-up
+        val (ta1, rows1) = time(o.f(docs1))
+        val t1 = math.min(ta1, time(o.f(docs1))._1)
+        val (taN, rowsN) = time(o.f(big))
+        val tN = math.min(taN, time(o.f(big))._1)
+        val ratio = if (t1 > 0) tN / t1 else -1.0
+        val cands = o.cand.map(c => (c(docs1).count(), c(big).count()))
+        val candTxt = cands.map { case (c1, cN) =>
+          f" cand=$c1%d→$cN%d" }.getOrElse("")
+        println(f"[scale] P:${o.name}%-20s t1=$t1%7.2fs tN=$tN%7.2fs factor=$factor ratio=$ratio%6.2f rows=$rows1%d→$rowsN%d$candTxt%s")
+        Console.flush()
+        (o.name, t1, tN, factor, ratio, rows1, rowsN, cands)
+      }
+    }
+
     // matmul: FLOP scaling instead of corpus scaling (8× work per 2×n)
     def mm(n: Long): Double = {
       val a = MatrixOps.genDense(spark, n, seed = 7)
@@ -553,7 +626,15 @@ object ScaleSmoke {
       if (streamJson.isEmpty) qs
       else if (qs == "{}") "{" + streamJson.drop(1) + "}"
       else qs.dropRight(1) + streamJson + "}"
-    println(s"""{"metric":"scale_smoke","factor":$factor,"sf":"$sfDir","ops":$qsWithStream$matmulJson}""")
+    val perturbedJson = if (perturbedRows.isEmpty) "" else {
+      val pq = perturbedRows.map { case (n, t1, tN, fac, r, r1, rN, cands) =>
+        val candJson = cands.map { case (c1, cN) =>
+          s""","cand1":$c1,"candN":$cN""" }.getOrElse("")
+        s""""$n":{"t1":${fmt(t1)},"tN":${fmt(tN)},"factor":$fac,"ratio":${fmt(r)},"rows1":$r1,"rowsN":$rN$candJson}"""
+      }.mkString("{", ",", "}")
+      s""","perturbed":$pq"""
+    }
+    println(s"""{"metric":"scale_smoke","factor":$factor,"sf":"$sfDir","ops":$qsWithStream$perturbedJson$matmulJson}""")
     spark.stop()
   }
 }

@@ -189,6 +189,36 @@ class PipelineOpsSpec extends SparkSpec {
       "identical vectors must have cosine 1")
   }
 
+  test("tfidf df-ceiling: hot-token-only pairs drop, surviving cosines stay exact") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // `hot` is in all 6 docs (postings 6); d3/d4 overlap ONLY through
+    // it (cos 0.64 via the 8× repetition); d1/d2 are identical and
+    // overlap through sub-ceiling tokens too
+    val hot8 = Seq.fill(8)("hot").mkString(" ")
+    val d = Seq(
+      (1L, "zeb qua oka hot"), (2L, "zeb qua oka hot"),
+      (3L, s"$hot8 only3"), (4L, s"$hot8 only4"),
+      (5L, "filler5 words5 here5 hot"), (6L, "filler6 words6 here6 hot")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = rows(TextOps.tfidfCosinePairs(d, k = 10,
+      thresholdHundredths = 60))
+    val capped = rows(TextOps.tfidfCosinePairsCapped(d, k = 10,
+      thresholdHundredths = 60, maxPostings = 5L))
+    assert(uncapped.keySet === Set((1L, 2L), (3L, 4L)))
+    // the ceiling excludes `hot` from GENERATION: the hot-only pair
+    // drops, pairs reachable through sub-ceiling tokens survive
+    assert(capped.keySet === Set((1L, 2L)))
+    // ...and a surviving pair's cosine is EXACT — completion runs over
+    // the full vectors, hot included, so it equals the uncapped value
+    assert(capped((1L, 2L)) === uncapped((1L, 2L)))
+    assert(math.abs(capped((1L, 2L)) - 1.0) < 1e-12)
+    // capped results are always a subset of uncapped
+    assert(capped.keySet.subsetOf(uncapped.keySet))
+  }
+
   test("tfidf auto-sharding: shard choice pinned, forced-small budget engages shards and preserves pairs") {
     import spark.implicits._
     import graft.operators.TextOps
@@ -819,6 +849,38 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p2.toSeq === Seq((0L, 2L, 0L), (0L, 4L, 2000000L),
       (1L, 1L, 4000000L), (1L, 3L, 4000000L)))
     assert(p2.take(2).toSeq === ivfpq.toSeq)
+  }
+
+  test("ivf-pq exact rerank recovers brute-L2 truth when the shortlist covers the corpus") {
+    import spark.implicits._
+    // the pq-codes fixture: probes=2 spans both Lloyd cells and
+    // prefilter=4 admits every non-query vector, so the exact re-rank
+    // must reproduce knnExactL2 bit-for-bit — dist is EXACT integer
+    // squared-L2, unlike the ADC tier's table-sum approximation
+    val emb = Seq(
+      (0L, Seq(1.0f, 1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 0.0f, 1.0f, 1.0f), 1),
+      (2L, Seq(1.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.0f, 0.0f, 1.0f, 1.0f), 1),
+      (4L, Seq(1.0f, 1.0f, 1.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val rr = Similarity.annIvfPqRerank(spark, emb, numQueries = 1, k = 2,
+        prefilter = 4, m = 2, dim = 4, probes = 2, cw = 2, rounds = 1,
+        cells = 2, cellRounds = 1)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dist")))
+    // q0 = (1,1,0,0): v2 identical (0), v4 one foreign half (2e6);
+    // v1/v3 (4e6) rank behind and fall outside k=2
+    assert(rr.toSeq === Seq((2L, 0L), (4L, 2000000L)))
+    val brute = Similarity.knnExactL2(emb, numQueries = 1, k = 2)
+      .orderBy("rn").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("dist")))
+    assert(rr.toSeq === brute.toSeq)
+    // prefilter must cover k
+    intercept[IllegalArgumentException] {
+      Similarity.annIvfPqRerank(spark, emb, numQueries = 1, k = 5,
+        prefilter = 3, m = 2, dim = 4)
+    }
   }
 
   test("incremental pq encode codes the batch against the frozen corpus book") {

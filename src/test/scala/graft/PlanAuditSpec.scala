@@ -75,6 +75,38 @@ class PlanAuditSpec extends SparkSpec {
       s"sharded build must not fall back to a shuffle join, plan:\n$p")
   }
 
+  test("capped tf-idf generates candidates through broadcast joins only") {
+    // the ceiling tier's scale story: the sub-ceiling token set and
+    // the candidate build side broadcast; generation and the two
+    // completion joins stay hash-based — a nested-loop or cartesian
+    // flip would void the D·k·N mass bound in practice
+    val p = plan("tfidf_cosine_capped")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"capped tfidf joins must stay hash joins, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"candidate generation must broadcast the build side, plan:\n$p")
+  }
+
+  test("ivf-pq rerank broadcasts the shortlist — the corpus never shuffles for stage 2") {
+    // stage 2's plan: the (queries·prefilter)-row candidate list and
+    // the query vectors broadcast; the corpus side streams into a
+    // BroadcastHashJoin with no Exchange of the corpus scan for the
+    // re-rank (the only sort allowed is the per-qid rank window over
+    // prefilter-sized groups)
+    // (stage 1 inherits ann_ivf_pq's plan as-is, including its
+    // deliberate queries-×-broadcast-book cross — a 5-row × metadata
+    // side; the audit here is stage 2's additions)
+    val p = plan("ann_ivf_pq_rerank")
+    assert(!p.contains("CartesianProduct"),
+      s"rerank must never plan an unbroadcast cartesian, plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the shortlist must broadcast against the corpus, plan:\n$p")
+    // the exact re-rank top-k prunes map-side like every other top-k
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-qid rank must prune with WindowGroupLimit, plan:\n$p")
+  }
+
   test("row-local text operators are shuffle-free projections") {
     for (q <- Seq("doc_stats", "doc_quality", "doc_fingerprint_rolling",
       "media_resized")) {

@@ -545,11 +545,36 @@ object TextOps {
     * TFIDF_SHARD_r13.json records missed-pair counts vs the uncapped
     * truth at this corpus alongside the mass bound.
     *
-    * Plan shape: postings counts are k·N-row aggregation output
-    * (salient-vocab-sized, broadcast); generation reuses the broadcast
-    * candidate join over the CEILING-FILTERED vectors; completion is
-    * two doc_id equi-joins of the distinct candidate list against the
-    * checkpointed vectors. */
+    * SITE THE CEILING ABOVE THE HEALTHY TAIL (p99+ of the salient
+    * postings distribution), not mid-spectrum: the bound exists for
+    * RUNAWAY terms whose postings² dwarfs the true pair count, and
+    * there the hot set is tiny, the prune is tight, and completion is
+    * output-scale. A mid-spectrum D (≈ p50) makes hot mass dominate
+    * every norm — the Cauchy-Schwarz bound goes loose and completion
+    * runs for most candidates: measured 19.7× for a ×10 corpus on the
+    * r13 perturbed smoke vs ~10× correctly sited
+    * (TFIDF_CAPSCALE_r13.json, SCALESMOKE_r13.json; PLANS.md "round
+    * 13"). The declared D=180 at the verify SF is deliberately
+    * mid-spectrum so the ORACLE exercises the loss semantics — a
+    * correctness-gate choice, not the deployment rule.
+    *
+    * Plan shape (SPLIT-DOT completion — the r13 ScaleSmoke perturbed
+    * leg measured the naive whole-vector completion at 19.7× for a
+    * ×10 corpus: a full pair `distinct` shuffle plus |pairs|·k
+    * completion rows; this shape removed both): postings counts are
+    * k·N-row aggregation output (salient-vocab-sized, broadcast);
+    * generation reuses the broadcast candidate join over the
+    * CEILING-FILTERED vectors, and its joined rows ARE the
+    * sub-ceiling dot terms — one map-side-partial aggregation yields
+    * `dot_rare` AND the distinct pair list for free. Completion then
+    * adds only the ABOVE-ceiling tokens' cross terms (`dot_hot`):
+    * two equi-joins of the pair list against the hot-token vector
+    * rows — and only pairs whose Cauchy-Schwarz cosine UPPER bound
+    * (dot_rare + √(hot-norm product), exact-filter-safe) reaches the
+    * threshold enter it, so completion volume is OUTPUT-scale, not
+    * candidate-scale. Every surviving pair has ≥ 1 sub-ceiling shared
+    * token by construction, so `dot_rare` covers all pairs and
+    * `dot_hot` left-joins in. */
   def tfidfCosinePairsCapped(docs: DataFrame, k: Int = 10,
                              thresholdHundredths: Int = 60,
                              maxPostings: Long = 64L): DataFrame = {
@@ -557,33 +582,65 @@ object TextOps {
     val vec = salientVectors(docs, k).localCheckpoint(eager = false)
     val spread = vec.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-    // tokens under the ceiling, counted in SALIENT space (postings =
-    // docs whose top-k contains the token, not raw df — stopwords
-    // never reach the vectors in the first place)
-    val rare = broadcast(vec.groupBy("token")
-      .agg(count(lit(1)).as("pc"))
-      .filter(col("pc") <= maxPostings)
+    // tokens under/over the ceiling, counted in SALIENT space
+    // (postings = docs whose top-k contains the token, not raw df —
+    // stopwords never reach the vectors in the first place)
+    val counts = vec.groupBy("token").agg(count(lit(1)).as("pc"))
+      .localCheckpoint(eager = false)
+    val rare = broadcast(counts.filter(col("pc") <= maxPostings)
       .select("token"))
     val genBuild = vec.join(rare, "token")
-    val cands = spread.join(rare, "token").as("a")
+    val dotRare = spread.join(rare, "token").as("a")
       .join(broadcast(genBuild.as("b")),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-    // completion: exact dot over the FULL vectors of each candidate
-    val dots = cands
-      .join(vec.select(col("doc_id").as("d1"), col("token"),
-        col("wq").as("w1")), "d1")
-      .join(vec.select(col("doc_id").as("d2"), col("token"),
-        col("wq").as("w2")), Seq("d2", "token"))
-      .groupBy("d1", "d2").agg(sum(col("w1") * col("w2")).as("dot"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        (col("a.wq") * col("b.wq")).as("w"))
+      .groupBy("d1", "d2").agg(sum(col("w")).as("dot_rare"))
+    val hotVec = vec.join(broadcast(counts
+      .filter(col("pc") > maxPostings).select("token")), "token")
+    // CAUCHY-SCHWARZ PRUNE before completion (the r13 perturbed-smoke
+    // finding: completing every candidate pair re-ran 19.6× for a ×10
+    // corpus — the hot cross terms of 88 M pairs, of which ~2% could
+    // possibly pass the threshold). dot_hot is a dot product of the
+    // two docs' hot-token subvectors (shared hot tokens ⊆ each side's
+    // hot set, weights non-negative), so dot_hot ≤ √(hn1·hn2) with
+    // hn = that doc's hot-norm — pairs whose resulting cosine UPPER
+    // BOUND misses the threshold skip completion entirely. The bound
+    // arithmetic runs in doubles off exact longs (< 2⁶⁰ products:
+    // relative error ~2⁻⁵³); the 1e-9 threshold margin dwarfs it, and
+    // survivors still pass through the EXACT integer dot + final
+    // filter, so the prune cannot change a single output row.
     val norms = vec.groupBy("doc_id")
       .agg(sum(col("wq") * col("wq")).as("nrm"))
-    dots
+    val hotNorm = hotVec.groupBy("doc_id")
+      .agg(sum(col("wq") * col("wq")).as("hn"))
+    val pre = dotRare
       .join(broadcast(norms.select(col("doc_id").as("d1"), col("nrm").as("na"))), "d1")
       .join(broadcast(norms.select(col("doc_id").as("d2"), col("nrm").as("nb"))), "d2")
-      .withColumn("cos", col("dot").cast("double") /
-        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .join(broadcast(hotNorm.select(col("doc_id").as("d1"), col("hn").as("h1"))),
+        Seq("d1"), "left")
+      .join(broadcast(hotNorm.select(col("doc_id").as("d2"), col("hn").as("h2"))),
+        Seq("d2"), "left")
+      .filter((col("dot_rare").cast("double") +
+          sqrt((coalesce(col("h1"), lit(0L)) *
+            coalesce(col("h2"), lit(0L))).cast("double"))) /
+        (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >=
+        thresholdHundredths / 100.0 - 1e-9)
+    // (pre feeds both the hot-completion join and the final assembly;
+    // the shared dot_rare exchange is REUSED by Spark's ReuseExchange
+    // rule, so no pin: a localCheckpoint here measured SLOWER — it
+    // blocks the reuse and adds a materialization pass.)
+    val dotHot = pre.select("d1", "d2")
+      .join(hotVec.select(col("doc_id").as("d1"), col("token"),
+        col("wq").as("w1")), "d1")
+      .join(hotVec.select(col("doc_id").as("d2"), col("token"),
+        col("wq").as("w2")), Seq("d2", "token"))
+      .groupBy("d1", "d2").agg(sum(col("w1") * col("w2")).as("dot_hot"))
+    pre
+      .join(dotHot, Seq("d1", "d2"), "left")
+      .withColumn("cos",
+        (col("dot_rare") + coalesce(col("dot_hot"), lit(0L))).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
       .filter(col("cos") >= thresholdHundredths / 100.0)
       .select(col("d1"), col("d2"), col("cos"))
   }

@@ -51,6 +51,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // contract instead of re-deriving the packed argmin in raw SQL
     ext.injectFunction(binary("pq_argmin",
       classOf[graft.functions.PqArgMinCode], graft.functions.PqArgMinCode))
+    // sqdist_l(a, b): the native integer squared-L2 kernel,
+    // SQL-callable so lambda contexts (the streaming ADC serve's
+    // per-codeword distance-table build, where Column-API expressions
+    // can't bind lambda variables) run ONE native eval per codeword
+    // instead of interpreted zip_with + aggregate loops
+    ext.injectFunction(binary("sqdist_l",
+      classOf[graft.functions.SqDistLong], graft.functions.SqDistLong))
     // ngram_fnv(text, n): n must be a foldable integer literal — the
     // window width shapes the expression itself
     ext.injectFunction(binary("ngram_fnv", classOf[NgramFnv], (text, width) => {

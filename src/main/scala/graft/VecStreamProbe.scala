@@ -100,8 +100,16 @@ object VecStreamProbe {
         .outputMode("append").start()
     }, Seq(1, 10))
 
+    // codes-only IVFADC serve at the declared book (r13)
+    val adcServe = throughput("adc_serve", { (input, sink) =>
+      VecStream.adcServeStream(input.toDF(), corpus, m = 16, cw = 256,
+          rounds = 2)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+    }, Seq(1, 10))
+
     println(s"""{"metric":"vec_stream_probe","sf":"$dir",""" +
-      s"""$pqEncode,$nnServe}""")
+      s"""$pqEncode,$nnServe,$adcServe}""")
     spark.stop()
   }
 }

@@ -722,6 +722,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ivfadc serve scores codes-only with the batch integers and tie-break") {
+    // the pq-codes fixture: Lloyd cells (seeds v0, v1, 1 round) land
+    // cell0 = {v0, v2, v4} (v4 ties, asc), cell1 = {v1, v3}; the 2×2
+    // trained book gives codes v0/v2=(0,0), v1/v3=(1,1), v4=(0,1).
+    // Q100 = (.9,.9,.1,.1) probes cell0: qtab sub0 = [20000, 1620000],
+    // sub1 = [20000, 1620000] → adist v0/v2 = 40000, v4 = 1640000 —
+    // nearest is v0 (adist tie with v2 breaks on id asc). Q101 mirrors
+    // into cell1 where v1 and v3 tie EXACTLY (same codes) → v1 by id.
+    val corpus = Seq(
+      (0L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (2L, Array(1.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 1.0f)),
+      (4L, Array(1.0f, 1.0f, 1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val input = MemoryStream[VDoc](spark)
+    val q = graft.streaming.VecStream
+      .adcServeStream(input.toDF(), corpus, m = 2, dim = 4, cw = 2,
+        rounds = 1, cells = 2, cellRounds = 1)
+      .writeStream.format("memory").queryName("adc_serve_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        VDoc(100, ts("10:00"), Array(0.9f, 0.9f, 0.1f, 0.1f)),
+        VDoc(101, ts("10:01"), Array(0.1f, 0.1f, 0.9f, 0.9f)))
+      q.processAllAvailable()
+      input.addData(VDoc(999, ts("12:30"), Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      q.processAllAvailable() // advance the watermark; 999 stays pending
+      val streamed = spark.table("adc_serve_stream")
+        .select("qid", "vec_id", "adist", "n_scored").collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(streamed.keySet === Set(100L, 101L))
+      // hand-computed ADC integers (same arithmetic as the batch
+      // annIvfPq adist column; note floor(0.9f·1000) = 899 — float32
+      // representation is part of the pinned contract) + both
+      // tie-break arms
+      assert(streamed(100L) === ((0L, 40402L, 3L)))
+      assert(streamed(101L) === ((1L, 40402L, 2L)))
+    } finally q.stop()
+  }
+
   test("streaming pq encode equals the frozen-book incremental twin") {
     // the pqIncrementalCodes fixture: corpus trains the 2×2 book;
     // streamed v10 copies corpus v0 and v11 copies corpus v1 — the

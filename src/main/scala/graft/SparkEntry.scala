@@ -1204,6 +1204,31 @@ object SparkEntry {
           groups = RpqGroups, rounds = PqRounds, cells = IvfCells,
           cellRounds = IvfCellRounds)
         .orderBy("vec_id", "subspace")),
+    // The PQ family's OTHER standard quality audit (beside recall):
+    // per-subspace reconstruction MSE — the quantization error the
+    // codebook training minimizes, as an oracle-checked integer
+    // (pqCodes' dist column aggregated; `mse` by exact integer div).
+    "pq_mse_by_subspace" -> ((s, dir) =>
+      Similarity.pqCodes(s, Tables.embeddings(s, dir), m = PqM,
+          cw = PqCw, rounds = PqRounds)
+        .groupBy("subspace")
+        .agg(count(lit(1)).as("n"), sum("dist").as("sum_dist"))
+        .select(col("subspace"), col("n"), col("sum_dist"),
+          expr("sum_dist div n").as("mse"))
+        .orderBy("subspace")),
+    // Residual-book twin: quantizing residuals (vector minus its Lloyd
+    // centroid) should measure LOWER per-subspace MSE than raw-space
+    // PQ at comparable bit budget — the point of the RPQ tier, shipped
+    // as a checked number rather than a narrative.
+    "rpq_mse_by_subspace" -> ((s, dir) =>
+      Similarity.pqResidualCodes(s, Tables.embeddings(s, dir), m = RpqM,
+          groups = RpqGroups, rounds = PqRounds, cells = IvfCells,
+          cellRounds = IvfCellRounds)
+        .groupBy("subspace")
+        .agg(count(lit(1)).as("n"), sum("dist").as("sum_dist"))
+        .select(col("subspace"), col("n"), col("sum_dist"),
+          expr("sum_dist div n").as("mse"))
+        .orderBy("subspace")),
     // IVF-ADC over residual codes: query residual taken against the
     // PROBED cell's centroid — both sides quantize in one frame.
     "ann_ivf_rpq" -> ((s, dir) =>
@@ -4525,6 +4550,23 @@ object SparkEntry {
          |SELECT vec_id, sub AS subspace, CAST(code AS BIGINT) AS code,
          |  CAST(dist AS BIGINT) AS dist
          |FROM pcodes ORDER BY vec_id, subspace""".stripMargin,
+    "pq_mse_by_subspace" ->
+      s"""WITH $SqlQv,
+         |${sqlSvRaw(PqM)},
+         |${sqlPqTrainCtes(PqCw, PqRounds)}
+         |SELECT sub AS subspace, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         |  CAST(SUM(dist) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mse
+         |FROM pcodes GROUP BY 1 ORDER BY 1""".stripMargin,
+    "rpq_mse_by_subspace" ->
+      s"""WITH $SqlQv,
+         |${sqlCellCtes(IvfCells, IvfCellRounds)},
+         |${sqlSvResidual(RpqM)},
+         |${sqlPqTrainCtes(RpqGroups, PqRounds)}
+         |SELECT sub AS subspace, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         |  CAST(SUM(dist) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mse
+         |FROM pcodes GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_ivf_rpq" -> sqlAnnIvfRpq(probes = 1),
     "ann_ivf_rpq_probe2" -> sqlAnnIvfRpq(probes = 2),
     "ann_pq" -> sqlAnnPq(k = 10),

@@ -1274,6 +1274,23 @@ object SparkEntry {
         .select(col("qid"), col("cell"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+    // Serving FROM the persisted lake index (r13): savePqIndex writes
+    // book/cells/cell-PARTITIONED postings as plain parquet, the serve
+    // reads them back with the probed cells pruning index partitions —
+    // declared against the SAME oracle as ann_ivf_pq, so the hash
+    // match proves persistence round-trips the search bit-for-bit.
+    "ann_ivf_pq_indexed" -> ((s, dir) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index"
+      Similarity.savePqIndex(s, Tables.embeddings(s, dir), path, m = PqM,
+        cw = PqCw, rounds = PqRounds, cells = IvfCells,
+        cellRounds = IvfCellRounds)
+      Similarity.annIvfPqFromIndex(s,
+          Tables.embeddings(s, dir).filter(col("vec_id") < 5), path,
+          k = 5, probes = 1, m = PqM)
+        .select(col("qid"), col("cell"), col("vec_id"), col("adist"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    }),
     // Two-stage IVFADC serving (r13): prefilter-deep ADC shortlist
     // inside the probed cells, then EXACT integer-L2 re-rank of just
     // those candidates — the production shape that recovers the ADC
@@ -4574,6 +4591,10 @@ object SparkEntry {
     "ann_ivf_pq_probe2" -> sqlAnnIvfPq(probes = 2),
     "ann_ivf_pq_rerank" -> sqlAnnIvfPqRerank(probes = PqRerankProbes,
       prefilter = PqRerankPrefilter),
+    // the persistence round-trip shares ann_ivf_pq's oracle text: the
+    // hash match IS the equivalence proof (the tfidf_cosine_sharded
+    // rule)
+    "ann_ivf_pq_indexed" -> sqlAnnIvfPq(probes = 1),
     "kmeans_round" ->
       """WITH q AS (
         |  SELECT vec_id, label, CAST(s.k AS BIGINT) AS d,

@@ -1004,6 +1004,75 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Persist the IVF-PQ index as LAKE ARTIFACTS — the offline half of
+    * the 100 TB serving story made concrete instead of narrated: the
+    * trained per-subspace codeword book and the Lloyd cell book as
+    * plain tables (metadata-scale), and the posting lists — (vec_id,
+    * subspace, code) under their cell — as a parquet table
+    * PARTITIONED BY CELL, so a `probes`-cell query plans a scan of
+    * `probes`/`cells` of the index and nothing else (directory-level
+    * pruning, the IVF posting-list layout every production deployment
+    * uses). `path` is a lake prefix (a temp dir in tests); plain
+    * partitioned parquet, no catalog — declared queries stay
+    * metastore-free, and re-building overwrites in place. At 100 TB
+    * these writes are the index-build job; [[annIvfPqFromIndex]] is
+    * the query-time half that never sees raw vectors. */
+  def savePqIndex(spark: SparkSession, corpus: DataFrame, path: String,
+                  m: Int = 8, dim: Int = 64,
+                  scale: Int = 1000, cw: Int = 64, rounds: Int = 2,
+                  cells: Int = 10, cellRounds: Int = 2): Unit = {
+    pqCodebookTrained(corpus, m, cw, rounds, dim, scale)
+      .write.mode("overwrite").parquet(s"$path/book")
+    lloydBook(spark, corpus, cells, cellRounds)
+      .write.mode("overwrite").parquet(s"$path/cells")
+    ivfAssignments(spark, corpus, cells, cellRounds)
+      .join(pqCodes(spark, corpus, m, dim, scale, cw, rounds)
+        .select("vec_id", "subspace", "code"), "vec_id")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/postings")
+  }
+
+  /** IVF-PQ serving FROM the persisted index ([[savePqIndex]]) — the
+    * query-time half of the lake story, output-identical to
+    * [[annIvfPq]] (the declared query shares its oracle text: the
+    * hash match IS the equivalence proof). The probed-cell relation
+    * broadcasts into the postings join, so the cell-partitioned index
+    * scan is pruned at RUNTIME by dynamic partition pruning — a
+    * `probes`-cell query reads `probes`/`cells` of the index from
+    * disk, the access-path property that makes IVF serving sublinear
+    * on a lake (plan-asserted in BucketingSpec). Queries quantize and
+    * build their ADC distance tables against the PERSISTED book; raw
+    * corpus vectors appear nowhere. */
+  def annIvfPqFromIndex(spark: SparkSession, queries: DataFrame,
+                        path: String, k: Int, probes: Int = 1,
+                        m: Int = 8, dim: Int = 64,
+                        scale: Int = 1000): DataFrame = {
+    val book = spark.read.parquet(s"$path/book")
+    val cellBook = broadcast(spark.read.parquet(s"$path/cells")
+      .select(col("cluster").as("cell"), col("cq")))
+    val scored = broadcast(queries
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      .crossJoin(cellBook)
+      .select(col("qid"), col("cell"),
+        sqDistQuantized(col("qe"), col("cq"), scale).as("cdist"))
+    val cw0 = Window.partitionBy("qid").orderBy(col("cdist"), col("cell"))
+    val probed = scored.withColumn("crn", row_number().over(cw0))
+      .filter(col("crn") <= probes).select("qid", "cell")
+    val qtab = subspaceDists(quantizedSubvectors(queries, m, dim, scale),
+        book)
+      .select(col("vec_id").as("qid"),
+        col("subspace").cast("long").as("subspace"),
+        col("label").cast("long").as("code"), col("dist").as("qdist"))
+    val postings = spark.read.parquet(s"$path/postings")
+    val w = Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))
+    broadcast(probed).join(postings, "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .join(broadcast(qtab), Seq("qid", "subspace", "code"))
+      .groupBy("qid", "cell", "vec_id").agg(sum("qdist").as("adist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** Two-stage IVF-PQ serving — ADC shortlist, EXACT re-rank: the
     * `prefilter`-deep [[annIvfPq]] candidate list (codes-only ADC scan
     * inside the probed Lloyd cells) re-ranked by exact integer

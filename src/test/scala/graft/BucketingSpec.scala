@@ -83,6 +83,43 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("persisted ivf-pq index serves pruned: probed cells gate the postings scan") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // 8 vectors, 2 Lloyd cells — the persisted postings split into two
+    // cell partitions; a probes=1 query must plan a partition-pruned
+    // scan (dynamic pruning from the broadcast probed-cell relation)
+    // and reproduce the in-memory annIvfPq rows exactly
+    val emb = (0L until 8L).map { i =>
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i, Array(base, base * 0.9f, 0.1f * i, 0.0f), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_index_spec").toString
+    Similarity.savePqIndex(spark, emb, path, m = 2, dim = 4, cw = 2,
+      rounds = 1, cells = 2, cellRounds = 1)
+    val served = Similarity.annIvfPqFromIndex(spark,
+      emb.filter(col("vec_id") < 2), path, k = 3, probes = 1, m = 2,
+      dim = 4)
+    // partition pruning: the postings scan must carry a runtime
+    // partition filter on cell (dynamicpruning from the broadcast
+    // probed side) — without it every query reads the whole index
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"probed cells must prune postings partitions at runtime, plan:\n$plan")
+    val batch = Similarity.annIvfPq(spark, emb, numQueries = 2, k = 3,
+        m = 2, dim = 4, probes = 1, cw = 2, rounds = 1, cells = 2,
+        cellRounds = 1)
+      .select("qid", "cell", "vec_id", "adist", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val indexed = served.select("qid", "cell", "vec_id", "adist", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(indexed === batch,
+      "the persisted index must round-trip the search bit-for-bit")
+  }
+
   test("bucketed incremental dedup anti-joins without shuffling the corpus") {
     import spark.implicits._
     import graft.operators.Dedup

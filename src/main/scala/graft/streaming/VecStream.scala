@@ -171,8 +171,12 @@ object VecStream {
     * ‖q − v̂‖² ≡ Σ_s ‖q_s − cs_s‖² — bit-identical to the classic
     * per-subspace LUT sum (Jégou et al. 2011 §III-B), but one
     * codegen'd kernel per row where the m-lookup LUT walk runs on
-    * Spark's interpreted higher-order-function path (measured ~18×
-    * slower end-to-end at the declared m=16/cw=256 book). The nearest
+    * Spark's interpreted higher-order-function path — measured ~18×
+    * slower end-to-end at the declared m=16/cw=256 book: the LUT and
+    * per-codeword-kernel forms served 126-230 rows/s in two in-round
+    * captures (commit 276b332's log) vs the 2 424 rows/s the shipped
+    * shape records in STREAM_PROBE_r13.json's `adc_serve` leg. The
+    * nearest
     * pick is one watermark-bounded `min(struct(adist, id))` —
     * (adist asc, vec_id asc), the batch rank order at k = 1.
     *

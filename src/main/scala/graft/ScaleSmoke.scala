@@ -181,6 +181,26 @@ object ScaleSmoke {
       // stage-1 ADC scan like ann_ivf_pq
       Op("ann_ivf_pq_rerank", e => Similarity.annIvfPqRerank(spark, e,
         25, 5, prefilter = 25, m = 16, probes = 3, cw = 256), "emb"),
+      // the PQ quality audits at the declared books — codes-relation
+      // aggregations, expected ~linear with corpus volume
+      Op("pq_mse_by_subspace", e => Similarity.pqCodes(spark, e, 16,
+          cw = 256)
+        .groupBy("subspace")
+        .agg(count(lit(1)).as("n"), sum("dist").as("sum_dist")), "emb"),
+      Op("rpq_mse_by_subspace", e => Similarity.pqResidualCodes(spark, e,
+          32, 128)
+        .groupBy("subspace")
+        .agg(count(lit(1)).as("n"), sum("dist").as("sum_dist")), "emb"),
+      // the persisted-index round trip: build + partitioned write +
+      // pruned serve, all inside the timed region — prices the
+      // index-build job as the corpus grows (the serve is the cheap,
+      // pruned half)
+      Op("ann_ivf_pq_indexed", e => {
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_pq_index_smoke"
+        Similarity.savePqIndex(spark, e, path, m = 16, cw = 256)
+        Similarity.annIvfPqFromIndex(spark, e.filter(col("vec_id") < 25),
+          path, k = 5, probes = 1, m = 16)
+      }, "emb"),
       Op("pq_residual_codes", e =>
         Similarity.pqResidualCodes(spark, e, 32, 128), "emb"),
       // frozen-book ingest: id-upper batch half coded against the

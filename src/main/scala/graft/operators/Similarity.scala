@@ -1032,6 +1032,30 @@ object Similarity {
       .parquet(s"$path/postings")
   }
 
+  /** Append an ingest batch to a persisted [[savePqIndex]] index —
+    * the lake's INCREMENTAL index maintenance, the batch twin of the
+    * [[graft.streaming.VecStream.pqEncodeStream]] ingest path made
+    * durable: the batch encodes against the FROZEN persisted book
+    * (retraining would re-code the whole store — the
+    * [[pqIncrementalCodes]] convention) and assigns to the FROZEN
+    * Lloyd cells, then its posting rows APPEND under their cell
+    * partitions — existing partitions gain files, nothing rewrites,
+    * and [[annIvfPqFromIndex]] serves old + new immediately.
+    * Idempotence is the caller's offsets problem (exactly-once
+    * ingestion dedups upstream), as with every lake append. */
+  def appendToPqIndex(spark: SparkSession, batch: DataFrame, path: String,
+                      m: Int = 8, dim: Int = 64,
+                      scale: Int = 1000): Unit = {
+    val book = spark.read.parquet(s"$path/book")
+    val cellBook = spark.read.parquet(s"$path/cells")
+    assignToBook(batch, cellBook)
+      .select(col("vec_id"), col("cluster").as("cell"))
+      .join(pqCodesOf(quantizedSubvectors(batch, m, dim, scale), book)
+        .select("vec_id", "subspace", "code"), "vec_id")
+      .select("vec_id", "subspace", "code", "cell")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+  }
+
   /** IVF-PQ serving FROM the persisted index ([[savePqIndex]]) — the
     * query-time half of the lake story, output-identical to
     * [[annIvfPq]] (the declared query shares its oracle text: the

@@ -120,6 +120,55 @@ class BucketingSpec extends SparkSpec {
       "the persisted index must round-trip the search bit-for-bit")
   }
 
+  test("index append: frozen-book batch rows land under their cells, old answers unchanged") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    // corpus = ids 0-5 (trains the books); batch = ids 6-7 appended
+    // later with the SAME frozen artifacts. Vector 7 copies vector 1,
+    // so after the append a query near that direction must surface 7
+    // at the same adist as 1 — the appended rows really serve.
+    def vec(i: Long): Array[Float] = {
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      Array(base, base * 0.9f, 0.1f * (i % 6), 0.0f)
+    }
+    val corpus = (0L until 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val batch = Seq((6L, vec(0L)), (7L, vec(1L))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_index_append").toString
+    Similarity.savePqIndex(spark, corpus, path, m = 2, dim = 4, cw = 2,
+      rounds = 1, cells = 2, cellRounds = 1)
+    def serve() = Similarity.annIvfPqFromIndex(spark,
+        corpus.filter(col("vec_id") < 2), path, k = 6, probes = 1, m = 2,
+        dim = 4)
+      .select("qid", "vec_id", "adist", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val before = serve()
+    val rowsBefore = spark.read.parquet(s"$path/postings").count()
+    Similarity.appendToPqIndex(spark, batch, path, m = 2, dim = 4)
+    // m rows per appended vector, nothing rewritten
+    assert(spark.read.parquet(s"$path/postings").count() ===
+      rowsBefore + 2 * 2)
+    val after = serve()
+    // every pre-append answer row survives verbatim except rank
+    // renumbering from the two newcomers...
+    assert(before.map { case (q, v, d, _) => (q, v, d) }.subsetOf(
+      after.map { case (q, v, d, _) => (q, v, d) }))
+    // ...and the appended copies serve with their twins' exact adist
+    val a = after.groupBy(_._1).map { case (q, rows) =>
+      q -> rows.map(r => r._2 -> r._3).toMap }
+    // the appended EXACT copies take their queries' own argmin codes,
+    // so each serves at the query's self-quantization distance — the
+    // MINIMUM possible ADC distance for that query (v6 lands at 0:
+    // v0's slices coincide with codewords; v7 at q1's nonzero
+    // residual: the trained odd centroid moved off the seed)
+    assert(a(0L)(6L) === a(0L).values.min,
+      "appended copy of v0 must achieve query 0's minimum adist")
+    assert(a(1L)(7L) === a(1L).values.min,
+      "appended copy of v1 must achieve query 1's minimum adist")
+    assert(a(0L)(6L) === 0L, "v0 was a codeword seed: exact-zero ADC")
+  }
+
   test("bucketed incremental dedup anti-joins without shuffling the corpus") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -1274,6 +1274,14 @@ object SparkEntry {
         .select(col("qid"), col("cell"), col("vec_id"), col("adist"),
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")),
+    // IVF operational audit (r13): posting-list sizes per Lloyd cell —
+    // the skew metric every IVF deployment watches (a hot cell bounds
+    // probe latency; a starved one wastes a partition). Metadata-scale
+    // output from the memoized assignment relation.
+    "ivf_cell_sizes" -> ((s, dir) =>
+      Similarity.ivfCellSizes(s, Tables.embeddings(s, dir),
+          cells = IvfCells, cellRounds = IvfCellRounds)
+        .orderBy("cell")),
     // Serving FROM the persisted lake index (r13): savePqIndex writes
     // book/cells/cell-PARTITIONED postings as plain parquet, the serve
     // reads them back with the probed cells pruning index partitions —
@@ -4595,6 +4603,12 @@ object SparkEntry {
     // hash match IS the equivalence proof (the tfidf_cosine_sharded
     // rule)
     "ann_ivf_pq_indexed" -> sqlAnnIvfPq(probes = 1),
+    "ivf_cell_sizes" ->
+      s"""WITH $SqlQv,
+         |${sqlCellCtes(IvfCells, IvfCellRounds)}
+         |SELECT CAST(cluster AS BIGINT) AS cell,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM casg GROUP BY 1 ORDER BY 1""".stripMargin,
     "kmeans_round" ->
       """WITH q AS (
         |  SELECT vec_id, label, CAST(s.k AS BIGINT) AS d,

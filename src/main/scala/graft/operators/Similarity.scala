@@ -1004,6 +1004,17 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Posting-list sizes per Lloyd cell — the IVF index's balance
+    * audit (the operational metric every deployment watches: a hot
+    * cell bounds probe latency, a starved one wastes a partition).
+    * One aggregation over the memoized assignment relation;
+    * metadata-scale output (`cells` rows). */
+  def ivfCellSizes(spark: SparkSession, emb: DataFrame, cells: Int = 10,
+                   cellRounds: Int = 2): DataFrame =
+    ivfAssignments(spark, emb, cells, cellRounds)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .select(col("cell").cast("long").as("cell"), col("n"))
+
   /** Persist the IVF-PQ index as LAKE ARTIFACTS — the offline half of
     * the 100 TB serving story made concrete instead of narrated: the
     * trained per-subspace codeword book and the Lloyd cell book as

@@ -415,7 +415,8 @@ object ScaleSmoke {
     // perturbed-leg-only ops (declared below) are valid ONLY targets
     // too — tfidf_cosine_capped runs exclusively on the perturbed
     // replica (its declared D=180 wouldn't bite the tagged one)
-    val PerturbedOnlyOps = Set("tfidf_cosine_capped")
+    val PerturbedOnlyOps =
+      Set("tfidf_cosine_capped", "tfidf_cosine_capped_auto")
     only.foreach { names =>
       val unknown = names -- ops.map(_.name).toSet - StreamDocOp --
         PerturbedOnlyOps
@@ -554,6 +555,11 @@ object ScaleSmoke {
         d => TextOps.tfidfCosinePairs(d, 10, 60, buildShards = 4), "pdoc"),
       Op("tfidf_cosine_capped", d => TextOps.tfidfCosinePairsCapped(d, 10,
         60, maxPostings = 2300L), "pdoc"),
+      // the shipped DEFAULT (r14): ceiling auto-sited at the salient-
+      // postings p99 — must reproduce the r13 re-sited measurement
+      // (~5.7x at x10, zero loss) with no knob typed
+      Op("tfidf_cosine_capped_auto",
+        d => TextOps.tfidfCosinePairsCapped(d, 10, 60), "pdoc"),
       Op("dedup_containment", d => Dedup.containmentPairs(d, 9), "pdoc",
         cand = Some(d => Dedup.containmentCandidates(d, 9))),
       Op("dedup_minhash_lsh", d => Dedup.minhashLshPairs(d), "pdoc"))

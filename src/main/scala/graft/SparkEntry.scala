@@ -772,6 +772,16 @@ object SparkEntry {
       TextOps.tfidfCosinePairsCapped(Tables.documents(s, dir), k = 10,
         thresholdHundredths = 60, maxPostings = TfidfDfCeiling)
         .orderBy("d1", "d2")),
+    // The AUTO-SITED capped tier (r14): maxPostings = 0 derives the
+    // ceiling from the corpus as the salient-postings p99 — the r13
+    // siting rule shipped as the default instead of scaladoc. Declared
+    // against the UNCAPPED tier's oracle: above the healthy tail no
+    // truth pair is hot-only, so the hash match IS the zero-loss-at-
+    // the-auto-ceiling proof (the tfidf_cosine_sharded rule).
+    "tfidf_cosine_capped_auto" -> ((s, dir) =>
+      TextOps.tfidfCosinePairsCapped(Tables.documents(s, dir), k = 10,
+        thresholdHundredths = 60)
+        .orderBy("d1", "d2")),
     // GPT-style concat-and-chunk packing per language stream: 4096-token
     // cuts, per-chunk occupancy + boundary-straddler counts.
     // shardDocs sized for the test SF so the two-level prefix sum
@@ -3396,6 +3406,9 @@ object SparkEntry {
     // sharded build plan, identical semantics — same oracle text
     "tfidf_cosine_sharded" -> TfidfCosineSql,
     "tfidf_cosine_capped" -> TfidfCosineCappedSql,
+    // the auto-sited ceiling (salient-postings p99) drops NO pair at
+    // the verify SF — the uncapped oracle is the zero-loss proof
+    "tfidf_cosine_capped_auto" -> TfidfCosineSql,
     "pack_chunks" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

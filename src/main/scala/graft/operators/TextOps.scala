@@ -545,18 +545,40 @@ object TextOps {
     * TFIDF_SHARD_r13.json records missed-pair counts vs the uncapped
     * truth at this corpus alongside the mass bound.
     *
-    * SITE THE CEILING ABOVE THE HEALTHY TAIL (p99+ of the salient
-    * postings distribution), not mid-spectrum: the bound exists for
-    * RUNAWAY terms whose postings² dwarfs the true pair count, and
-    * there the hot set is tiny, the prune is tight, and completion is
-    * output-scale. A mid-spectrum D (≈ p50) makes hot mass dominate
-    * every norm — the Cauchy-Schwarz bound goes loose and completion
-    * runs for most candidates: measured 19.7× for a ×10 corpus on the
-    * r13 perturbed smoke vs ~10× correctly sited
+    * THE CEILING SITES ITSELF (r14, the r13 verdict ask — the siting
+    * rule shipped as code, not scaladoc): `maxPostings = 0` (the
+    * default) derives the ceiling from the corpus as the salient-
+    * postings p99 (`approx_percentile` over the postings-count
+    * relation the op already aggregates — a one-row plan-side
+    * scalar, no driver action), so a caller who types nothing gets
+    * the ABOVE-THE-HEALTHY-TAIL siting the r13 measurements mandate.
+    * The explicit knob is retained: the bound exists for RUNAWAY
+    * terms whose postings² dwarfs the true pair count, and above the
+    * healthy tail the hot set is tiny, the prune is tight, and
+    * completion is output-scale. A mid-spectrum D (≈ p50) makes hot
+    * mass dominate every norm — the Cauchy-Schwarz bound goes loose
+    * and completion runs for most candidates: measured 19.7× for a
+    * ×10 corpus on the r13 perturbed smoke vs ~10× correctly sited
     * (TFIDF_CAPSCALE_r13.json, SCALESMOKE_r13.json; PLANS.md "round
-    * 13"). The declared D=180 at the verify SF is deliberately
-    * mid-spectrum so the ORACLE exercises the loss semantics — a
-    * correctness-gate choice, not the deployment rule.
+    * 13"). The declared `tfidf_cosine_capped` keeps its explicit
+    * mid-spectrum D=180 at the verify SF so the ORACLE exercises the
+    * loss semantics; the declared `tfidf_cosine_capped_auto` runs
+    * this default and shares the UNCAPPED tier's oracle — its hash
+    * match is the zero-loss-at-the-auto-ceiling proof.
+    *
+    * `buildShards` is the broadcast escape hatch (the r13 ADVICE
+    * item): generation broadcasts the ceiling-filtered vectors —
+    * nearly the WHOLE k·N-row salient relation at a healthy-tail
+    * ceiling, the same O(k·N) bound as the uncapped tier's build
+    * side — so past ~10⁷ docs one broadcast won't fit. Shards > 1
+    * split the build side into disjoint doc_id-hash shards exactly
+    * as [[tfidfCosinePairs]] does: each shard broadcasts separately,
+    * every pair (d1, d2) lands in exactly ONE shard (a function of
+    * d2 alone), and the branches union into a single dot_rare
+    * aggregation. The per-doc norm relations stay whole-broadcast on
+    * the uncapped tier's contract (1 row/doc — k× more headroom than
+    * the vector broadcast; shuffle-hash-join the pair relation on
+    * d1/d2 when even that overflows).
     *
     * Plan shape (SPLIT-DOT completion — the r13 ScaleSmoke perturbed
     * leg measured the naive whole-vector completion at 19.7× for a
@@ -577,8 +599,12 @@ object TextOps {
     * `dot_hot` left-joins in. */
   def tfidfCosinePairsCapped(docs: DataFrame, k: Int = 10,
                              thresholdHundredths: Int = 60,
-                             maxPostings: Long = 64L): DataFrame = {
-    require(maxPostings >= 1, s"maxPostings must be >= 1: $maxPostings")
+                             maxPostings: Long = 0L,
+                             buildShards: Int = 1): DataFrame = {
+    require(maxPostings >= 0,
+      s"maxPostings must be >= 1, or 0 = auto (salient-postings p99): " +
+        s"$maxPostings")
+    require(buildShards >= 1, s"buildShards must be >= 1: $buildShards")
     val vec = salientVectors(docs, k).localCheckpoint(eager = false)
     val spread = vec.repartition(
       docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
@@ -587,17 +613,38 @@ object TextOps {
     // stopwords never reach the vectors in the first place)
     val counts = vec.groupBy("token").agg(count(lit(1)).as("pc"))
       .localCheckpoint(eager = false)
-    val rare = broadcast(counts.filter(col("pc") <= maxPostings)
-      .select("token"))
+    // auto siting: the ceiling is a ONE-ROW aggregate of the postings
+    // relation, cross-joined in as a broadcast scalar — plan-side, so
+    // declaring the query (explain, plan audits) runs no jobs, and the
+    // postings histogram is an aggregation the op computes anyway
+    val (rare, hotTokens) =
+      if (maxPostings >= 1) (
+        broadcast(counts.filter(col("pc") <= maxPostings).select("token")),
+        broadcast(counts.filter(col("pc") > maxPostings).select("token")))
+      else {
+        val ceil = counts.agg(
+          expr("approx_percentile(pc, 0.99, 10000)").as("ceil"))
+        val wc = counts.crossJoin(broadcast(ceil))
+        (broadcast(wc.filter(col("pc") <= col("ceil")).select("token")),
+          broadcast(wc.filter(col("pc") > col("ceil")).select("token")))
+      }
     val genBuild = vec.join(rare, "token")
-    val dotRare = spread.join(rare, "token").as("a")
-      .join(broadcast(genBuild.as("b")),
+    // sharded-build escape hatch — identical contract to the uncapped
+    // tier: shard = f(d2), so each pair lands in exactly one branch and
+    // the union feeds ONE dot_rare aggregation (one exchange total)
+    def genFor(build: DataFrame): DataFrame = spread.join(rare, "token").as("a")
+      .join(broadcast(build.as("b")),
         col("a.token") === col("b.token") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
         (col("a.wq") * col("b.wq")).as("w"))
-      .groupBy("d1", "d2").agg(sum(col("w")).as("dot_rare"))
-    val hotVec = vec.join(broadcast(counts
-      .filter(col("pc") > maxPostings).select("token")), "token")
+    val dotRare =
+      (if (buildShards == 1) genFor(genBuild)
+       else (0 until buildShards).map { s =>
+         genFor(genBuild.filter(
+           pmod(xxhash64(col("doc_id")), lit(buildShards)) === s))
+       }.reduce(_.unionByName(_)))
+        .groupBy("d1", "d2").agg(sum(col("w")).as("dot_rare"))
+    val hotVec = vec.join(hotTokens, "token")
     // CAUCHY-SCHWARZ PRUNE before completion (the r13 perturbed-smoke
     // finding: completing every candidate pair re-ran 19.6× for a ×10
     // corpus — the hot cross terms of 88 M pairs, of which ~2% could
@@ -606,10 +653,17 @@ object TextOps {
     // hot set, weights non-negative), so dot_hot ≤ √(hn1·hn2) with
     // hn = that doc's hot-norm — pairs whose resulting cosine UPPER
     // BOUND misses the threshold skip completion entirely. The bound
-    // arithmetic runs in doubles off exact longs (< 2⁶⁰ products:
-    // relative error ~2⁻⁵³); the 1e-9 threshold margin dwarfs it, and
-    // survivors still pass through the EXACT integer dot + final
-    // filter, so the prune cannot change a single output row.
+    // arithmetic runs in doubles: √(hn1·hn2) is computed as
+    // √hn1·√hn2 with each factor cast BEFORE multiplying — hn reaches
+    // ~1e10 for a hot token in 1% of a million-doc corpus, so a
+    // Long×Long product would silently wrap under non-ANSI arithmetic
+    // and the NaN/garbage bound would DROP correct pairs exactly in
+    // the heavy-tail regime this tier exists for (the r13 ADVICE
+    // item; regression-pinned in PipelineOpsSpec with hot norms whose
+    // product overflows). Per-factor casts round at ~2⁻⁵³ relative;
+    // the 1e-9 threshold margin dwarfs it, and survivors still pass
+    // through the EXACT integer dot + final filter, so the prune
+    // cannot change a single output row.
     val norms = vec.groupBy("doc_id")
       .agg(sum(col("wq") * col("wq")).as("nrm"))
     val hotNorm = hotVec.groupBy("doc_id")
@@ -622,8 +676,8 @@ object TextOps {
       .join(broadcast(hotNorm.select(col("doc_id").as("d2"), col("hn").as("h2"))),
         Seq("d2"), "left")
       .filter((col("dot_rare").cast("double") +
-          sqrt((coalesce(col("h1"), lit(0L)) *
-            coalesce(col("h2"), lit(0L))).cast("double"))) /
+          sqrt(coalesce(col("h1"), lit(0L)).cast("double")) *
+            sqrt(coalesce(col("h2"), lit(0L)).cast("double"))) /
         (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))) >=
         thresholdHundredths / 100.0 - 1e-9)
     // (pre feeds both the hot-completion join and the final assembly;

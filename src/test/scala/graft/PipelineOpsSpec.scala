@@ -219,6 +219,85 @@ class PipelineOpsSpec extends SparkSpec {
     assert(capped.keySet.subsetOf(uncapped.keySet))
   }
 
+  test("tfidf capped: Cauchy-Schwarz prune survives hot-norm products past Long range") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // the r13 ADVICE regression: hn = Σ(tf·idfq)² reaches ~1e10 per doc
+    // here (tf=1000 on a 60-doc corpus → wq=1e5, hn=1e10), so the old
+    // hn1*hn2 Long product wrapped (1e20 > 2^63) and the prune's bound
+    // silently dropped every correct pair. Chain docs share one rare
+    // (sub-ceiling) token with each neighbor; `hot` (pc=60, above the
+    // D=8 ceiling) carries ~all of the weight mass.
+    val hot1000 = Seq.fill(1000)("hot").mkString(" ")
+    val d = (0 until 60).map { i =>
+      (i.toLong, s"s$i s${i + 1} $hot1000")
+    }.toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val capped = rows(TextOps.tfidfCosinePairsCapped(d, k = 10,
+      thresholdHundredths = 60, maxPostings = 8L))
+    // every adjacent pair shares a rare token and its true cosine is
+    // ~0.999 (hot dominates both norms) — all 59 must survive
+    val adjacent = (0 until 59).map(i => (i.toLong, i.toLong + 1)).toSet
+    assert(capped.keySet === adjacent,
+      "overflowed prune bound dropped correct pairs")
+    // ...with cosines EXACT vs the uncapped truth (hot included in
+    // completion; uncapped also pairs non-neighbors through hot itself)
+    val uncapped = rows(TextOps.tfidfCosinePairs(d, k = 10,
+      thresholdHundredths = 60))
+    adjacent.foreach(p => assert(capped(p) === uncapped(p)))
+  }
+
+  test("tfidf capped auto ceiling sites above the healthy tail: hot excluded, zero loss on sub-ceiling pairs") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    // 100 chain docs (each shares 2 of its 3 rare tokens with the next
+    // doc; rare postings <= 3) + `hot` in every doc + 2 hot-dominated
+    // docs pairing ONLY through hot. The auto rule (p99 of ~105 salient
+    // postings counts) must land on the rare tail (3), excluding hot —
+    // chain pairs survive with exact cosines, the hot-only pair drops.
+    val hot130 = Seq.fill(130)("hot").mkString(" ")
+    // ring, not chain: every rare token has postings exactly 3, so no
+    // edge doc carries a df=1 token whose inflated idf sinks its
+    // neighbor cosines below threshold
+    val d = ((0 until 100).map { i =>
+      (i.toLong, s"s$i s${(i + 1) % 100} s${(i + 2) % 100} hot")
+    } ++ Seq((200L, s"$hot130 only200"), (201L, s"$hot130 only201")))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val uncapped = rows(TextOps.tfidfCosinePairs(d, k = 10,
+      thresholdHundredths = 60))
+    val auto = rows(TextOps.tfidfCosinePairsCapped(d, k = 10,
+      thresholdHundredths = 60)) // maxPostings = 0 → p99 siting
+    val chain =
+      (0 until 99).map(i => (i.toLong, i.toLong + 1)).toSet + ((0L, 99L))
+    assert(uncapped.keySet === chain + ((200L, 201L)))
+    // the ceiling ENGAGED (hot-only pair dropped) and sat above the
+    // healthy tail (no chain pair lost; survivors exact)
+    assert(auto.keySet === chain)
+    chain.foreach(p => assert(auto(p) === uncapped(p)))
+  }
+
+  test("tfidf capped buildShards: sharded build is output-identical to single-broadcast") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val hot8 = Seq.fill(8)("hot").mkString(" ")
+    val d = Seq(
+      (1L, "zeb qua oka hot"), (2L, "zeb qua oka hot"),
+      (3L, s"$hot8 only3"), (4L, s"$hot8 only4"),
+      (5L, "zeb qua filler5 hot"), (6L, "filler6 words6 here6 hot")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val one = rows(TextOps.tfidfCosinePairsCapped(d, k = 10,
+      thresholdHundredths = 60, maxPostings = 5L))
+    val three = rows(TextOps.tfidfCosinePairsCapped(d, k = 10,
+      thresholdHundredths = 60, maxPostings = 5L, buildShards = 3))
+    assert(one.nonEmpty)
+    assert(three === one)
+  }
+
   test("tfidf auto-sharding: shard choice pinned, forced-small budget engages shards and preserves pairs") {
     import spark.implicits._
     import graft.operators.TextOps

@@ -169,6 +169,52 @@ class BucketingSpec extends SparkSpec {
     assert(a(0L)(6L) === 0L, "v0 was a codeword seed: exact-zero ADC")
   }
 
+  test("index compaction: appends pile files per cell, compact folds to one, serve bit-identical") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    def vec(i: Long): Array[Float] = {
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      Array(base, base * 0.9f, 0.1f * (i % 6), 0.0f)
+    }
+    val corpus = (0L until 6L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_index_compact").toString
+    Similarity.savePqIndex(spark, corpus, path, m = 2, dim = 4, cw = 2,
+      rounds = 1, cells = 2, cellRounds = 1)
+    // two ingest batches — each append adds at least one file per
+    // touched cell partition (the small-files growth being bounded)
+    Similarity.appendToPqIndex(spark,
+      Seq((6L, vec(0L)), (7L, vec(1L))).toDF("vec_id", "embedding"),
+      path, m = 2, dim = 4)
+    Similarity.appendToPqIndex(spark,
+      Seq((8L, vec(2L)), (9L, vec(3L))).toDF("vec_id", "embedding"),
+      path, m = 2, dim = 4)
+    def filesPerCell(): Map[String, Int] = {
+      val root = new java.io.File(s"$path/postings")
+      root.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("cell=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    def serve() = Similarity.annIvfPqFromIndex(spark,
+        corpus.filter(col("vec_id") < 2), path, k = 8, probes = 2, m = 2,
+        dim = 4)
+      .select("qid", "vec_id", "adist", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val before = filesPerCell()
+    assert(before.nonEmpty && before.values.exists(_ > 1),
+      s"appends should have piled files per cell: $before")
+    val servedBefore = serve()
+    Similarity.compactPqIndex(spark, path)
+    val after = filesPerCell()
+    assert(after.keySet === before.keySet, "compaction must keep cells")
+    assert(after.values.forall(_ === 1),
+      s"compaction must fold each cell to one file: $after")
+    // rows unchanged, answers bit-identical — pure layout maintenance
+    assert(serve() === servedBefore)
+  }
+
   test("bucketed incremental dedup anti-joins without shuffling the corpus") {
     import spark.implicits._
     import graft.operators.Dedup

@@ -1,0 +1,103 @@
+package graft
+
+// Measurement tooling (dev/judge, not a driver surface): adjudicates
+// the two unexplained ×10 ops-smoke entries the r13 verdict flagged —
+// `doc_repetition` 7.9× and `dedup_exact_normalized` 5.8× wall growth
+// for ×10 tagged-replica volume, standing out against shape-siblings
+// like dedup_exact_groups (1.25×, overhead-dominated). Same standard
+// as MINHASH_SCALE_r13: cumulative stage prefixes at ×1 and ×N on the
+// smoke's own replica construction, so the paying stage is NAMED, not
+// guessed, plus a shuffle-width leg to rule out a spilling aggregation.
+//
+//   doc_repetition prefixes: grams (posexplode + lead window + gram
+//     explode — gramRows' volume), agg1 (+ per-(doc,n,gram-hash)
+//     count), full (+ the per-(doc,n) signal aggregation);
+//   dedup_exact_normalized prefixes: norm (the lower + 3×regexp_replace
+//     chain, forced via a length sum so column pruning can't skip it),
+//     hash (+ md5 of the normalized text, same forcing), full (+ the
+//     content-key groupBy).
+//
+// → OPS_PROBE_r{N}.json (append-only per the probe pinning rule).
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+object OpsScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = Tables.documents(spark, sfDir)
+    val stride = docs1.agg(max("doc_id")).first().getLong(0) + 1
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_opsprobe_").toString
+    ScaleSmoke.scaledDocs(docs1, factor, stride).write.mode("overwrite")
+      .parquet(s"$base/documents")
+    val docsN = spark.read.parquet(s"$base/documents")
+    docs1.count(); docsN.count() // scan warm-up
+
+    def minOf2(f: => Unit): Double = {
+      f // codegen warm-up
+      def once(): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    // each stage is a CUMULATIVE prefix timed at both scales
+    def stages(op: String, d1: DataFrame, dN: DataFrame,
+               prefixes: Seq[(String, DataFrame => Unit)]): String = {
+      val cells = prefixes.map { case (tag, f) =>
+        val t1 = minOf2(f(d1))
+        val tN = minOf2(f(dN))
+        println(f"[opsscale] $op/$tag x1=$t1%.2fs x$factor=$tN%.2fs " +
+          f"ratio=${tN / t1}%.2f")
+        Console.flush()
+        f""""$tag":{"t1":$t1%.3f,"tN":$tN%.3f,"ratio":${tN / t1}%.2f}"""
+      }
+      s""""$op":{${cells.mkString(",")}}"""
+    }
+
+    val rep = stages("doc_repetition", docs1, docsN, Seq(
+      // gramRows ends in a filter on the computed gram struct, so a
+      // count cannot prune the explode/window work
+      "grams" -> (d => TextOps.gramRows(d, Seq(1, 2, 3)).count(): Unit),
+      "agg1" -> (d => TextOps.gramRows(d, Seq(1, 2, 3))
+        .select(col("doc_id"), col("n"), xxhash64(col("gram")).as("gh"))
+        .groupBy("doc_id", "n", "gh").agg(count(lit(1)).as("cnt"))
+        .count(): Unit),
+      "full" -> (d => TextOps.repetitionSignals(d).count(): Unit)))
+
+    val norm = stages("dedup_exact_normalized", docs1, docsN, Seq(
+      // force the projection through an aggregate — count() alone
+      // would column-prune the regex chain away
+      "norm" -> (d => d.select(length(TextOps.normalizedText(col("text")))
+        .as("l")).agg(sum("l")).first(): Unit),
+      "hash" -> (d => d.select(length(md5(TextOps.normalizedText(col("text"))
+        .cast("binary"))).as("l")).agg(sum("l")).first(): Unit),
+      "full" -> (d => TextOps.dedupExactNormalized(d).count(): Unit)))
+
+    // width leg: the full ops at 32/128/512 shuffle partitions — flat
+    // means no spilling aggregation, the cluster dial is not the issue
+    val widths = Seq(32, 128, 512).map { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts)
+      val tr = minOf2(TextOps.repetitionSignals(docsN).count(): Unit)
+      val tn = minOf2(TextOps.dedupExactNormalized(docsN).count(): Unit)
+      println(f"[opsscale] width=$parts doc_repetition=$tr%.2fs " +
+        f"dedup_exact_normalized=$tn%.2fs")
+      Console.flush()
+      f""""p$parts":{"doc_repetition":$tr%.3f,"dedup_exact_normalized":$tn%.3f}"""
+    }
+    println(s"""{"metric":"ops_scale_probe","sf":"$sfDir","factor":$factor,""" +
+      s"""$rep,$norm,"width_sec":{${widths.mkString(",")}}}""")
+    spark.stop()
+  }
+}

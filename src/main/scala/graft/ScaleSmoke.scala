@@ -38,7 +38,9 @@ import graft.streaming.{DocStream, EventStream}
   * Dev subset: SPARK_GRAFT_ONLY=op1,op2 (same contract as Bench).
   */
 object ScaleSmoke {
-  private def scaledDocs(docs: DataFrame, factor: Int, stride: Long): DataFrame =
+  // private[graft]: OpsScaleProbe/MinhashScaleProbe reuse the exact
+  // replica constructions so probe corpora match the smoke's
+  private[graft] def scaledDocs(docs: DataFrame, factor: Int, stride: Long): DataFrame =
     (0 until factor).map { k =>
       val d = docs.withColumn("doc_id", col("doc_id") + lit(k * stride))
       if (k == 0) d
@@ -56,7 +58,7 @@ object ScaleSmoke {
     * the tagged replica deliberately piles up (where output itself is
     * quadratic and the ratio measures cost-tracks-candidates
     * instead). */
-  private def perturbedDocs(docs: DataFrame, factor: Int, stride: Long): DataFrame =
+  private[graft] def perturbedDocs(docs: DataFrame, factor: Int, stride: Long): DataFrame =
     (0 until factor).map { k =>
       val d = docs.withColumn("doc_id", col("doc_id") + lit(k * stride))
       if (k == 0) d

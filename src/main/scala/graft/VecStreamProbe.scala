@@ -23,9 +23,22 @@ package graft
 // probed-cell dot products for serve), so rows/s should hold flat
 // across ×1→×10 batch volume up to scheduling overhead — the ratio
 // column is the check.
+//
+// r14 adds the QUALITY leg the r13 verdict asked for (the serve tiers
+// shipped throughput-measured but recall-unmeasured): 500 held-out
+// fresh-id query vectors stream through nn_serve / adc_serve and their
+// k=1 answers are matched against the BATCH tier's on the same corpus
+// — nnServeStream vs the cell-exact cosine twin built from the same
+// persisted artifacts, adcServeStream vs annIvfPqFromIndex over a
+// savePqIndex of the corpus. The batch tier is the truth; the match
+// fraction ships as `recall.{nn,adc}_match` (expected 1.0 — the
+// stream IS the batch algebra under a watermark).
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
 import graft.streaming.VecStream
 
 object VecStreamProbe {
@@ -108,8 +121,90 @@ object VecStreamProbe {
         .outputMode("append").start()
     }, Seq(1, 10))
 
+    // ---- recall leg: streamed k=1 answers vs the batch tier ----
+    // held-out queries: 500 corpus embeddings under FRESH ids, so the
+    // self-exclusion the corpus-member batch queries carry is inert
+    // and both tiers serve identical external-query semantics
+    val qRows = base.take(500).map { case (id, e) =>
+      VRow(1000000L + id, t0, e)
+    }
+    val qDf = qRows.toSeq
+      .map(r => (r.vec_id, r.embedding)).toDF("vec_id", "embedding")
+
+    def streamAnswers(mk: (MemoryStream[VRow], String) =>
+        org.apache.spark.sql.streaming.StreamingQuery,
+        sink: String): Map[Long, Long] = {
+      val input = MemoryStream[VRow](spark)
+      val q = mk(input, sink)
+      try {
+        input.addData(qRows.toSeq)
+        q.processAllAvailable()
+        // advance the watermark past the query timestamps so the
+        // append-mode aggregation EMITS; the pusher row stays pending
+        input.addData(VRow(9999999L,
+          java.sql.Timestamp.valueOf("2026-01-01 03:00:00"),
+          base.head._2))
+        q.processAllAvailable()
+        spark.table(sink).select("qid", "vec_id").collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          .removed(9999999L)
+      } finally q.stop()
+    }
+
+    // nn: batch twin = the stream's own persisted artifacts driven in
+    // batch (coarse cell assign → exact quantized cosine in the cell →
+    // (cos desc, vec_id asc) top-1 — Similarity.annIvf's order)
+    val nnStreamed = streamAnswers({ (input, sink) =>
+      VecStream.nnServeStream(input.toDF(), corpus)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+    }, "nn_recall_stream")
+    val book = Similarity.coarseBook(spark, corpus, 64)
+    val qSide = Similarity.assignToBook(qDf, book)
+      .select(col("vec_id").as("qid"), col("cluster"))
+      .join(qDf.select(col("vec_id").as("qid"),
+        col("embedding").as("qe")), "qid")
+    val cSide = Similarity.assignToBook(corpus, book)
+      .select(col("vec_id"), col("cluster"))
+      .join(corpus.select("vec_id", "embedding"), "vec_id")
+    val wNn = Window.partitionBy("qid")
+      .orderBy(col("cos").desc, col("vec_id"))
+    val nnBatch = qSide.join(cSide, "cluster")
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineQuantized(col("qe"), col("embedding"), 1000)
+          .as("cos"))
+      .withColumn("rn", row_number().over(wNn)).filter(col("rn") === 1)
+      .select("qid", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nnMatch = nnStreamed.count { case (q2, v) =>
+      nnBatch.get(q2).contains(v) }.toDouble / nnBatch.size
+
+    // adc: batch twin = the persisted-index serve (annIvfPqFromIndex)
+    // over a savePqIndex of the same corpus at the declared book
+    val adcStreamed = streamAnswers({ (input, sink) =>
+      VecStream.adcServeStream(input.toDF(), corpus, m = 16, cw = 256,
+          rounds = 2)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+    }, "adc_recall_stream")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_vecprobe_idx_").toString
+    Similarity.savePqIndex(spark, corpus, idxPath, m = 16, cw = 256,
+      rounds = 2, cells = 10, cellRounds = 2)
+    val adcBatch = Similarity.annIvfPqFromIndex(spark, qDf, idxPath,
+        k = 1, probes = 1, m = 16)
+      .select("qid", "vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adcMatch = adcStreamed.count { case (q2, v) =>
+      adcBatch.get(q2).contains(v) }.toDouble / adcBatch.size
+    println(f"[vecstream] recall nn_match=$nnMatch%.3f " +
+      f"adc_match=$adcMatch%.3f over ${nnBatch.size} queries")
+    Console.flush()
+    val recall = f""""recall":{"queries":${nnBatch.size},""" +
+      f""""nn_match":$nnMatch%.3f,"adc_match":$adcMatch%.3f}"""
+
     println(s"""{"metric":"vec_stream_probe","sf":"$dir",""" +
-      s"""$pqEncode,$nnServe,$adcServe}""")
+      s"""$pqEncode,$nnServe,$adcServe,$recall}""")
     spark.stop()
   }
 }

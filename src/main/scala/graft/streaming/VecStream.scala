@@ -183,7 +183,11 @@ object VecStream {
     * Output: (qid, ts, vec_id, adist, n_scored), append mode;
     * `adist` carries the same integers as the batch tier's column so
     * twins are directly comparable; `n_scored` records the probed
-    * cell's population (the serving-cost audit column). The persisted
+    * cell's population (the serving-cost audit column). Quality is
+    * AUDITED against the batch tier, not assumed: 500 held-out
+    * queries' streamed k=1 answers matched
+    * [[graft.operators.Similarity.annIvfPqFromIndex]]'s 1.000 on the
+    * probe corpus (STREAM_PROBE_r14.json `recall.adc_match`). The persisted
     * artifacts (cell book, codeword book, positioned codes) have
     * CALLER-OWNED lifecycle ([[DocStream.fuzzyIngestStream]]'s rule):
     * unpersist the superseded set when re-serving a new corpus
@@ -265,7 +269,10 @@ object VecStream {
     * lowest id on ties, exactly [[Similarity.annIvf]]'s (cos desc,
     * vec_id asc) order at k = 1. Output: (qid, ts, vec_id, cos,
     * n_scored), append mode; n_scored records the probed cell's
-    * candidate count (the serving-cost audit column). The persisted
+    * candidate count (the serving-cost audit column). Quality is
+    * AUDITED against the batch tier: 500 held-out queries' streamed
+    * k=1 answers matched the cell-exact cosine batch twin 1.000 on
+    * the probe corpus (STREAM_PROBE_r14.json `recall.nn_match`). The persisted
     * book + assigned corpus have CALLER-OWNED lifecycle
     * ([[DocStream.fuzzyIngestStream]]'s rule): unpersist the
     * superseded pair when re-serving a new corpus snapshot. */

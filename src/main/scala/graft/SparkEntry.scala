@@ -2228,7 +2228,7 @@ object SparkEntry {
        |      ORDER BY cos DESC, media_id) AS BIGINT) AS rn
        |  FROM (
        |    SELECT d.qid, d.cluster, d.media_id, d.kind,
-       |      CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nsq * nm.nsq AS DOUBLE)) AS cos
+       |      CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nm.nsq AS DOUBLE))) AS cos
        |    FROM dots$p d JOIN hnorm nq ON d.qid = nq.media_id
        |    JOIN hnorm nm ON d.media_id = nm.media_id) s)""".stripMargin
 
@@ -2269,7 +2269,7 @@ object SparkEntry {
        |  SELECT qid, media_id FROM (
        |    SELECT d.qid, d.media_id,
        |      row_number() OVER (PARTITION BY d.qid ORDER BY
-       |        CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nsq * nm.nsq AS DOUBLE)) DESC,
+       |        CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nm.nsq AS DOUBLE))) DESC,
        |        d.media_id) AS rn
        |    FROM bdots d JOIN hnorm nq ON d.qid = nq.media_id
        |    JOIN hnorm nm ON d.media_id = nm.media_id) s WHERE rn <= $MediaKnnK),
@@ -2643,7 +2643,7 @@ object SparkEntry {
        |  CROSS JOIN generate_series(1, 64) g(k)
        |  GROUP BY 1, 2, 3),
        |r AS (SELECT qid, vec_id, hamming,
-       |    CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos
+       |    CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) AS cos
        |  FROM pair),
        |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY qid
        |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rn FROM r)
@@ -2676,7 +2676,7 @@ object SparkEntry {
     val truthCos =
       s"""SELECT qid, vec_id FROM (
          |  SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) DESC,
+         |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) DESC,
          |        vec_id) AS rn
          |  FROM (
          |    SELECT q.vec_id AS qid, e.vec_id,
@@ -2729,7 +2729,7 @@ object SparkEntry {
          |  GROUP BY 1, 2),
          |ivf$p AS (SELECT qid, vec_id FROM (
          |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-         |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) DESC, vec_id) AS rn
+         |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) DESC, vec_id) AS rn
          |    FROM pair$p) t WHERE rn <= 5),
          |hit$p AS (SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS hits
          |  FROM truth t JOIN ivf$p i ON t.qid = i.qid AND t.vec_id = i.vec_id
@@ -2747,7 +2747,7 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |truth AS (SELECT qid, vec_id FROM (
        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
-       |      ORDER BY CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) DESC, vec_id) AS rn
+       |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) DESC, vec_id) AS rn
        |    FROM tp) t WHERE rn <= 5),
        |${chain(1)},
        |${chain(2)}
@@ -2786,7 +2786,7 @@ object SparkEntry {
        |  JOIN qv q2 ON q2.vec_id = c.vec_id AND q2.d = q1.d
        |  GROUP BY 1, 2, 3),
        |r AS (SELECT qid, cell, vec_id,
-       |        CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos FROM pair),
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) AS cos FROM pair),
        |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
        |       FROM r)
        |SELECT qid, cell, vec_id, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
@@ -2823,7 +2823,7 @@ object SparkEntry {
        |  CROSS JOIN generate_series(1, 64) g(k)
        |  GROUP BY 1, 3, 4),
        |r AS (SELECT qid, qlabel, label, vec_id,
-       |        CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos FROM pair),
+       |        CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) AS cos FROM pair),
        |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
        |       FROM r)
        |SELECT qid, CAST(qlabel AS BIGINT) AS qlabel,
@@ -3725,10 +3725,10 @@ object SparkEntry {
          |  JOIN hist h2 ON p.m2 = h2.media_id AND h1.hb = h2.hb
          |  GROUP BY 1, 2, 3, 4)
          |SELECT d.kind, d.m1, d.m2, d.hamming,
-         |  CAST(d.dot AS DOUBLE) / sqrt(CAST(n1.nsq * n2.nsq AS DOUBLE)) AS cos
+         |  CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE))) AS cos
          |FROM dots d JOIN hnorm n1 ON d.m1 = n1.media_id
          |JOIN hnorm n2 ON d.m2 = n2.media_id
-         |WHERE CAST(d.dot AS DOUBLE) / sqrt(CAST(n1.nsq * n2.nsq AS DOUBLE))
+         |WHERE CAST(d.dot AS DOUBLE) / (sqrt(CAST(n1.nsq AS DOUBLE)) * sqrt(CAST(n2.nsq AS DOUBLE)))
          |  >= ${MediaCosHundredths / 100.0}
          |ORDER BY m1, m2""".stripMargin,
 
@@ -3753,7 +3753,7 @@ object SparkEntry {
          |  GROUP BY 1, 2, 3),
          |scored AS (
          |  SELECT d.qid, d.media_id, d.kind,
-         |    CAST(d.dot AS DOUBLE) / sqrt(CAST(nq.nsq * nm.nsq AS DOUBLE)) AS cos
+         |    CAST(d.dot AS DOUBLE) / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(nm.nsq AS DOUBLE))) AS cos
          |  FROM dots d JOIN hnorm nq ON d.qid = nq.media_id
          |  JOIN hnorm nm ON d.media_id = nm.media_id)
          |SELECT qid, media_id, kind, cos, rn FROM (
@@ -4110,9 +4110,9 @@ object SparkEntry {
         |  CROSS JOIN generate_series(1, 64) g(k)
         |  GROUP BY 1, 2, 3)
         |SELECT label, d1, d2,
-        |  CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos
+        |  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
         |FROM prod
-        |WHERE CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) >= 0.35
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.35
         |ORDER BY d1, d2""".stripMargin,
     "semdedup" ->
       s"""WITH $SqlSemClusterCtes,
@@ -4256,7 +4256,7 @@ object SparkEntry {
          |  CROSS JOIN generate_series(1, 64) g(k)
          |  GROUP BY 1, 2, 3),
          |r AS (SELECT qid, vec_id, bucket,
-         |        CAST(dot AS DOUBLE) / sqrt(CAST(nq * ne AS DOUBLE)) AS cos FROM pair),
+         |        CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) AS cos FROM pair),
          |rr AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
          |       FROM r)
          |SELECT qid, vec_id, bucket, cos, rn FROM rr WHERE rn <= 5 ORDER BY qid, rn""".stripMargin
@@ -4492,7 +4492,7 @@ object SparkEntry {
         |  CROSS JOIN generate_series(1, 64) g(k)
         |  GROUP BY 1, 2, 3),
         |p AS (SELECT label, id_a, id_b,
-        |        CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS cos FROM prod),
+        |        CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos FROM prod),
         |r AS (SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos DESC, id_a, id_b) AS rn
         |      FROM p)
         |SELECT label, id_a, id_b, cos, rn FROM r WHERE rn <= 3 ORDER BY label, rn""".stripMargin,

@@ -108,11 +108,20 @@ object VectorFunctions {
       Bridge.expression(a), Bridge.expression(b)))
   }
 
-  /** Cosine from quantized integrals: bigint dot / sqrt(bigint·bigint) —
-    * one exact cast, one sqrt, one division, all IEEE-deterministic. */
+  /** Cosine from quantized integrals: bigint dot / (√norm·√norm) —
+    * exact casts, two sqrts, one multiply, one division, all
+    * IEEE-deterministic. The denominator is √na·√nb with each factor
+    * cast BEFORE multiplying, NEVER sqrt(na·nb): a quantized norm is
+    * Σ floor(aᵢ·s)² ≈ dim·(s·max|aᵢ|)², so the Long product wraps
+    * silently past components of ~7 at s=1000/dim=64 — the same
+    * non-ANSI overflow class the r13 ADVICE caught in the tf·idf
+    * prune, producing NaN/garbage cosines exactly on large-magnitude
+    * embeddings. Every SQL oracle spells the identical √·√ form so
+    * the ≥-threshold comparison stays engine-deterministic. */
   def cosineQuantized(a: Column, b: Column, scale: Int): Column =
     dotQuantized(a, b, scale).cast("double") /
-      sqrt((normSqQuantized(a, scale) * normSqQuantized(b, scale)).cast("double"))
+      (sqrt(normSqQuantized(a, scale).cast("double")) *
+        sqrt(normSqQuantized(b, scale).cast("double")))
 
   /** Random-hyperplane LSH bucket: `planes(p)(d)` is a small driver-side
     * matrix (numPlanes × dim) broadcast as a literal; bit p of the bucket

@@ -244,7 +244,7 @@ object Multimodal {
         aggregate(zip_with(col("h1"), col("h2"), (x, y) => x * y),
           lit(0L), (acc, x) => acc + x))
       .withColumn("cos", col("dot").cast("double") /
-        sqrt((col("n1") * col("n2")).cast("double")))
+        (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))))
       .filter(col("cos") >= thresholdHundredths / 100.0)
       .select("kind", "m1", "m2", "hamming", "cos")
   }
@@ -305,7 +305,7 @@ object Multimodal {
         aggregate(zip_with(col("qh"), col("hist"), (x, y) => x * y),
           lit(0L), (acc, x) => acc + x))
       .withColumn("cos", col("dot").cast("double") /
-        sqrt((col("qn") * col("nsq")).cast("double")))
+        (sqrt(col("qn").cast("double")) * sqrt(col("nsq").cast("double"))))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("media_id"))
     scored.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
@@ -471,7 +471,7 @@ object Multimodal {
       .withColumn("dot", shiftright(
         col("qn") + col("nsq") - sqDistLong(col("qh"), col("hist")), 1))
       .withColumn("cos", col("dot").cast("double") /
-        sqrt((col("qn") * col("nsq")).cast("double")))
+        (sqrt(col("qn").cast("double")) * sqrt(col("nsq").cast("double"))))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select("qid", "cluster", "media_id", "kind", "cos", "rn")

@@ -188,7 +188,8 @@ object Similarity {
     a.join(b, "label").filter(col("id_a") < col("id_b"))
       .select(col("label"), col("id_a"), col("id_b"),
         (dotQuantized(col("ea"), col("eb"), scale).cast("double") /
-          sqrt((col("na") * col("nb")).cast("double"))).as("cos"))
+          (sqrt(col("na").cast("double")) *
+            sqrt(col("nb").cast("double")))).as("cos"))
   }
 
   def nearestPairsPerLabel(emb: DataFrame, pairsPerLabel: Int,

@@ -307,7 +307,7 @@ object VecStream {
       .join(corpusSide, col("cluster") === col("c_cluster"))
       .withColumn("cos",
         dotQuantized(col("embedding"), col("ec"), 1000).cast("double") /
-          sqrt((col("nq") * col("nc")).cast("double")))
+          (sqrt(col("nq").cast("double")) * sqrt(col("nc").cast("double"))))
       .groupBy(col("vec_id").as("qid"), col("ts"))
       .agg(max(struct(col("cos"), (-col("id_c")).as("nid"))).as("best"),
         count(lit(1)).as("n_scored"))

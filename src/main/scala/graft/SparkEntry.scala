@@ -1334,6 +1334,21 @@ object SparkEntry {
           col("rn").cast("long").as("rn"))
         .orderBy("qid", "rn")
     }),
+    // Multi-probe serving from the SAME persisted index (r14): nprobe=2
+    // against the cell-partitioned postings — the production recall
+    // configuration, whose dynamic pruning must now admit TWO
+    // partitions per query instead of one. Shares ann_ivf_pq_probe2's
+    // oracle: the hash match proves the pruned multi-cell scan
+    // reproduces the in-memory multi-probe search bit-for-bit.
+    "ann_ivf_pq_indexed_probe2" -> ((s, dir) => {
+      val path = pqIndexFor(s, dir)
+      Similarity.annIvfPqFromIndex(s,
+          Tables.embeddings(s, dir).filter(col("vec_id") < 5), path,
+          k = 5, probes = 2, m = PqM)
+        .select(col("qid"), col("cell"), col("vec_id"), col("adist"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    }),
     // Two-stage IVFADC serving (r13): prefilter-deep ADC shortlist
     // inside the probed cells, then EXACT integer-L2 re-rank of just
     // those candidates — the production shape that recovers the ADC
@@ -4641,6 +4656,9 @@ object SparkEntry {
     // hash match IS the equivalence proof (the tfidf_cosine_sharded
     // rule)
     "ann_ivf_pq_indexed" -> sqlAnnIvfPq(probes = 1),
+    // nprobe=2 from the persisted index — same oracle as the in-memory
+    // multi-probe tier (the round-trip-equivalence rule)
+    "ann_ivf_pq_indexed_probe2" -> sqlAnnIvfPq(probes = 2),
     "ivf_cell_sizes" ->
       s"""WITH $SqlQv,
          |${sqlCellCtes(IvfCells, IvfCellRounds)}

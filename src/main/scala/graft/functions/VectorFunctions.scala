@@ -31,7 +31,15 @@ object VectorFunctions {
   /** Σ floor(aᵢ·s)·floor(bᵢ·s) as BIGINT — exact, order-insensitive.
     * Uses the native codegen'd [[DotQuantized]] expression (the
     * zip_with+aggregate form is CodegenFallback — interpreted lambdas per
-    * row — which dominates brute-force scans). */
+    * row — which dominates brute-force scans).
+    *
+    * Magnitude budget: each term is (s·|aᵢ|)·(s·|bᵢ|), so the Long sum
+    * stays exact while dim·(s·max|component|)² < 2⁶³ — components to
+    * ~380 at s=1000/dim=64. Downstream DERIVED products are the tight
+    * constraint: anything multiplying two of these sums (norm·norm)
+    * wraps ~2³² earlier, which is why every cosine in the engine
+    * multiplies √norm·√norm in doubles instead (see
+    * [[cosineQuantized]]). */
   def dotQuantized(a: Column, b: Column, scale: Int): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(DotQuantized(

@@ -118,6 +118,28 @@ class BucketingSpec extends SparkSpec {
         r.getLong(3), r.getInt(4))).toSet
     assert(indexed === batch,
       "the persisted index must round-trip the search bit-for-bit")
+    // multi-probe against the SAME index: nprobe=2 of 2 cells covers
+    // the corpus, so every query's k=3 must equal the in-memory
+    // multi-probe tier's — and the serve must still plan the runtime
+    // partition filter (pruning admits two partitions instead of one,
+    // it doesn't disappear)
+    val served2 = Similarity.annIvfPqFromIndex(spark,
+      emb.filter(col("vec_id") < 2), path, k = 3, probes = 2, m = 2,
+      dim = 4)
+    assert(served2.queryExecution.executedPlan.toString
+      .contains("dynamicpruning"),
+      "multi-probe serve must keep the runtime partition filter")
+    val batch2 = Similarity.annIvfPq(spark, emb, numQueries = 2, k = 3,
+        m = 2, dim = 4, probes = 2, cw = 2, rounds = 1, cells = 2,
+        cellRounds = 1)
+      .select("qid", "cell", "vec_id", "adist", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    val indexed2 = served2.select("qid", "cell", "vec_id", "adist", "rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).toSet
+    assert(indexed2 === batch2,
+      "multi-probe persisted serve must round-trip bit-for-bit")
   }
 
   test("index append: frozen-book batch rows land under their cells, old answers unchanged") {

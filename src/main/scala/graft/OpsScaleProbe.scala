@@ -17,6 +17,13 @@ package graft
 //     hash (+ md5 of the normalized text, same forcing), full (+ the
 //     content-key groupBy).
 //
+// Read the numbers as PER-PREFIX ×1→×N ratios, not as cumulative stage
+// deltas: each prefix is forced by its own count/aggregate action, and
+// a prefix whose forcing action runs over a LARGE intermediate (agg1's
+// count over the per-gram relation) can legitimately clock above a
+// longer prefix whose final stage reduces before counting — the
+// comparison that adjudicates is each prefix's own scaling ratio.
+//
 // → OPS_PROBE_r{N}.json (append-only per the probe pinning rule).
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._

@@ -616,7 +616,13 @@ object TextOps {
     // auto siting: the ceiling is a ONE-ROW aggregate of the postings
     // relation, cross-joined in as a broadcast scalar — plan-side, so
     // declaring the query (explain, plan audits) runs no jobs, and the
-    // postings histogram is an aggregation the op computes anyway
+    // postings histogram is an aggregation the op computes anyway.
+    // Determinism: at accuracy 10⁴ the GK sketch is rank-EXACT for
+    // vocabularies under 10⁴ distinct counts (rank error ≤ n/accuracy
+    // < 1), so the declared query's ceiling cannot jitter between
+    // engines or runs; at larger vocabularies the ≤ n/10⁴ rank error
+    // moves the ceiling within the healthy tail it sites into —
+    // harmless to the mass bound, which holds for ANY fixed ceiling
     val (rare, hotTokens) =
       if (maxPostings >= 1) (
         broadcast(counts.filter(col("pc") <= maxPostings).select("token")),

@@ -163,6 +163,30 @@ object SparkEntry {
       p
     })
 
+  /** [[pqIndexFor]]'s corpus-HALF twin for `dedup_incremental_indexed`:
+    * the index trains and codes over the id-lower lake half only, so
+    * the id-upper crawl batch is genuinely out-of-index. Same
+    * memoized unique-path contract. */
+  private def pqHalfIndexFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.computeIfAbsent(dir + "#half", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_pq_index_half_").toString
+      val (_, corpus) = halvesByMaxId(Tables.embeddings(s, dir), "vec_id")
+      Similarity.savePqIndex(s, corpus, p, m = PqM,
+        cw = PqCw, rounds = PqRounds, cells = IvfCells,
+        cellRounds = IvfCellRounds)
+      p
+    })
+
+  /** `dedup_incremental_indexed` ADC drop threshold (query + oracle).
+    * The synthetic embeddings hold NO true near-duplicates (nearest
+    * cross-half ADC distances span ~1.01–1.67 M, p25 ≈ 1.34 M), so
+    * the declared threshold sits mid-distribution on purpose: the
+    * oracle must exercise BOTH the drop and the survive arm (the
+    * TfidfDfCeiling rule). Production siting derives from the book's
+    * reconstruction error / recall audits instead. */
+  private val IncIndexedMaxAdist = 1300000L
+
   /** `ann_ivf_pq_rerank` two-stage serving knobs (query + oracle),
     * chosen from ANN_QUANT_PROBE_r13.json `ivfpq_rerank` (prefilter
     * 10/25/50 × probes 1/2/3 at the declared PqM/PqCw book):
@@ -1203,6 +1227,18 @@ object SparkEntry {
       val (batch, corpus) = halvesByMaxId(Tables.embeddings(s, dir), "vec_id")
       Similarity.semDedupAgainstCorpus(s, batch, corpus,
         thresholdHundredths = SemDedupHundredths)
+        .orderBy("vec_id")
+    }),
+    // Incremental semantic dedup served FROM THE PERSISTED INDEX (r14
+    // — the lake index's flagship pipeline use): the id-upper crawl
+    // batch probes the id-lower half's savePqIndex and drops on ADC
+    // distance <= threshold, codes-only — the lake's raw vectors never
+    // load, and survivors are what appendToPqIndex would ingest.
+    "dedup_incremental_indexed" -> ((s, dir) => {
+      val (batch, _) = halvesByMaxId(Tables.embeddings(s, dir), "vec_id")
+      Similarity.dedupIncrementalFromIndex(s, batch,
+          pqHalfIndexFor(s, dir), maxAdist = IncIndexedMaxAdist,
+          probes = 1, m = PqM)
         .orderBy("vec_id")
     }),
 
@@ -4159,6 +4195,52 @@ object SparkEntry {
          |  CAST(COALESCE(MAX(ap.after_proto), 0) AS BIGINT) AS after_proto
          |FROM verdict v LEFT JOIN ap ON v.cluster = ap.cluster
          |GROUP BY 1 ORDER BY v.cluster""".stripMargin,
+    // Index-served incremental dedup: the ann_ivf_pq training chain
+    // replayed over the CORPUS HALF only (qv filters to vec_id <= h,
+    // so every seed/round/assignment CTE below it is corpus-only),
+    // with a separate batch-side chain (qvb) for cell probe + ADC
+    // distance table, then MIN-per-qid thresholding; fail-open
+    // (a batch vector with no probed-cell candidate survives).
+    "dedup_incremental_indexed" ->
+      s"""WITH half AS (SELECT MAX(vec_id) // 2 AS h FROM embeddings),
+         |qv AS (
+         |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
+         |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+         |  FROM embeddings CROSS JOIN half CROSS JOIN generate_series(1, 64) s(k)
+         |  WHERE vec_id <= h),
+         |qvb AS (
+         |  SELECT vec_id, CAST(s.k AS BIGINT) AS d,
+         |    CAST(FLOOR(CAST(embedding[s.k] AS DOUBLE) * 1000) AS BIGINT) AS q
+         |  FROM embeddings CROSS JOIN half CROSS JOIN generate_series(1, 64) s(k)
+         |  WHERE vec_id > h),
+         |${sqlCellCtes(IvfCells, IvfCellRounds)},
+         |${sqlSvRaw(PqM)},
+         |${sqlPqTrainCtes(PqCw, PqRounds)},
+         |bcd AS (SELECT v.vec_id, b.cluster,
+         |    CAST(SUM((v.q - b.cqd) * (v.q - b.cqd)) AS BIGINT) AS dist
+         |  FROM qvb v JOIN ccq b ON v.d = b.d GROUP BY 1, 2),
+         |bbest AS (SELECT vec_id, cluster FROM (
+         |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY dist, cluster) AS crn FROM bcd) t WHERE crn <= 1),
+         |bsv AS (SELECT vec_id, CAST((d - 1) // ${64 / PqM} AS BIGINT) AS sub,
+         |  d, q FROM qvb),
+         |bqd AS (SELECT v.vec_id AS qid, v.sub, b.code,
+         |    CAST(SUM((v.q - b.cs) * (v.q - b.cs)) AS BIGINT) AS qdist
+         |  FROM bsv v JOIN pbook b ON v.sub = b.sub AND v.d = b.d
+         |  GROUP BY 1, 2, 3),
+         |cand AS (SELECT bb.vec_id AS qid, a.vec_id
+         |         FROM bbest bb JOIN casg a ON a.cluster = bb.cluster),
+         |ad AS (SELECT cand.qid, cand.vec_id,
+         |    CAST(SUM(q2.qdist) AS BIGINT) AS adist
+         |  FROM cand JOIN pcodes c ON c.vec_id = cand.vec_id
+         |  JOIN bqd q2 ON q2.qid = cand.qid AND q2.sub = c.sub
+         |    AND q2.code = c.code
+         |  GROUP BY 1, 2),
+         |mind AS (SELECT qid, MIN(adist) AS md FROM ad GROUP BY 1)
+         |SELECT b.vec_id FROM (SELECT DISTINCT vec_id FROM qvb) b
+         |LEFT JOIN mind ON mind.qid = b.vec_id
+         |WHERE mind.md IS NULL OR mind.md > $IncIndexedMaxAdist
+         |ORDER BY 1""".stripMargin,
     "dedup_incremental_embedding" -> {
       val t2 = SemDedupHundredths.toLong * SemDedupHundredths
       val cb = "CAST(FLOOR(CAST(embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)"

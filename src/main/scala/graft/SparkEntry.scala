@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Analytics, Curation, Dedup, EventOps, Graph, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, BloomJoin, Curation, Dedup, EventOps, Graph, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
 import graft.sources.ResultsCsv
 import graft.streaming.EventStream
 
@@ -772,6 +772,22 @@ object SparkEntry {
     "dedup_exact_normalized" -> ((s, dir) =>
       TextOps.dedupExactNormalized(Tables.documents(s, dir))
         .orderBy("norm_hash")),
+    // PII scrub trio over the deterministic contact-blob fixture
+    // (TextOps.withPiiFixture — the raw corpus carries no digits or @,
+    // FIXTURES.md §A, so the residue-keyed blob exercises detect,
+    // redact, AND the pii-free arm in one gate; the oracle replays the
+    // fixture as a CTE). All three are row-local regex projections —
+    // shuffle-free except the tiny by-source rollup.
+    "pii_stats" -> ((s, dir) =>
+      TextOps.piiStats(TextOps.withPiiFixture(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+    "pii_redact" -> ((s, dir) =>
+      TextOps.piiRedact(TextOps.withPiiFixture(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+    "pii_rate_by_source" -> ((s, dir) =>
+      TextOps.piiRateBySource(
+        TextOps.withPiiFixture(Tables.documents(s, dir)))
+        .orderBy("source")),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     // Rolling-hash fingerprint on the native fnv64 Expression; the SQL
@@ -1765,6 +1781,23 @@ object SparkEntry {
         .agg(sum(money(col("l_extendedprice"))).cast("double").as("total_price"),
           count(lit(1)).as("cnt"))
     }),
+    // Bloom-prefiltered exact semi-join (BloomJoin scaladoc): lineitem
+    // rows whose part is large (p_size ≥ 48, ~6 % of parts). The sketch
+    // built on the dim keys drops the non-matching ~94 % of the fact AT
+    // THE SCAN (codegen'd might_contain on xxhash64) before the exact
+    // LEFT SEMI removes false positives — output provably identical to
+    // the plain IN-subquery oracle; the bloom only moves rows off the
+    // exchange. expectedItems is sized for the 100 TB dim, not this SF:
+    // over-sizing costs bits, never correctness.
+    "bloom_semijoin" -> ((s, dir) => {
+      val dim = Tables.part(s, dir).filter(col("p_size") >= 48)
+        .select("p_partkey")
+      BloomJoin.semiJoinBloom(Tables.lineitem(s, dir), dim,
+          "l_partkey", "p_partkey", expectedItems = 100000L)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
     // TPC-H Q18 shape — large-volume orders: the HAVING side aggregates
     // lineitem FIRST (map-side partial sums on the natural l_orderkey
     // clustering), and only the ~0.1 % surviving orderkeys join back to
@@ -2341,6 +2374,24 @@ object SparkEntry {
   private val SqlNormText: String =
     "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), " +
       "'[0-9]+', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** DuckDB replay of [[TextOps.withPiiFixture]] — byte-identical
+    * contact-blob derivation (residues mod 3/4/5 → email/IPv4/phone). */
+  private val SqlPiiFixture: String =
+    """SELECT doc_id, source, text
+      || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS VARCHAR)
+           || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END
+      || CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+           || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+           || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS text
+      FROM documents""".linesIterator.map(_.trim).mkString(" ")
+
+  /** `CAST(len(regexp_extract_all(text, pat)) AS BIGINT)` — DuckDB's
+    * spelling of Spark's `regexp_count`. */
+  private def sqlPiiCount(pat: String): String =
+    s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT)"
 
   /** Reinterpret a [0, 2^64) HUGEINT expression as the signed BIGINT
     * Spark's wrapping Long arithmetic produces. */
@@ -3922,6 +3973,40 @@ object SparkEntry {
          |  CAST(COUNT(*) AS BIGINT) AS group_size,
          |  CAST(COUNT(DISTINCT text) AS BIGINT) AS raw_variants
          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pii_stats" ->
+      s"""WITH pii AS ($SqlPiiFixture)
+         |SELECT doc_id,
+         |  ${sqlPiiCount(TextOps.PiiEmailRe)} AS n_email,
+         |  ${sqlPiiCount(TextOps.PiiIpv4Re)} AS n_ipv4,
+         |  ${sqlPiiCount(TextOps.PiiPhoneRe)} AS n_phone,
+         |  CAST(${sqlPiiCount(TextOps.PiiEmailRe)}
+         |    + ${sqlPiiCount(TextOps.PiiIpv4Re)}
+         |    + ${sqlPiiCount(TextOps.PiiPhoneRe)} > 0 AS BIGINT) AS has_pii
+         |FROM pii ORDER BY doc_id""".stripMargin,
+    "pii_redact" ->
+      s"""WITH pii AS ($SqlPiiFixture)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '${TextOps.PiiEmailRe}', '<EMAIL>', 'g'),
+         |    '${TextOps.PiiIpv4Re}', '<IP>', 'g'),
+         |    '${TextOps.PiiPhoneRe}', '<PHONE>', 'g') AS text_clean,
+         |  ${sqlPiiCount(TextOps.PiiEmailRe)}
+         |    + ${sqlPiiCount(TextOps.PiiIpv4Re)}
+         |    + ${sqlPiiCount(TextOps.PiiPhoneRe)} AS n_redactions
+         |FROM pii ORDER BY doc_id""".stripMargin,
+    "pii_rate_by_source" ->
+      s"""WITH pii AS ($SqlPiiFixture), c AS (
+         |  SELECT source,
+         |    ${sqlPiiCount(TextOps.PiiEmailRe)} AS ne,
+         |    ${sqlPiiCount(TextOps.PiiIpv4Re)} AS ni,
+         |    ${sqlPiiCount(TextOps.PiiPhoneRe)} AS np
+         |  FROM pii)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs,
+         |  CAST(SUM(CAST(ne + ni + np > 0 AS BIGINT)) AS BIGINT) AS docs_with_pii,
+         |  CAST(SUM(ne) AS BIGINT) AS emails,
+         |  CAST(SUM(ni) AS BIGINT) AS ipv4s,
+         |  CAST(SUM(np) AS BIGINT) AS phones
+         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_exact_kept" ->
       """SELECT doc_id, text, lang, source, n_chars FROM (
         |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -5206,6 +5291,12 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM brand_li JOIN per_part ON l_partkey = ap
         |WHERE l_quantity * cq * 5 < sq""".stripMargin,
+    "bloom_semijoin" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |       SUM(l_quantity) AS sum_qty

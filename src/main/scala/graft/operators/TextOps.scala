@@ -1872,4 +1872,95 @@ object TextOps {
       .select(col("source"), col("token"), col("tf"), col("idf_ppm"),
         col("score"), col("rnk").cast("long").as("rnk"))
   }
+
+  // --------------------------------------------------------------------
+  // PII detection / redaction
+  // --------------------------------------------------------------------
+
+  /** PII patterns, kept in the RE2 ∩ Java dialect (no lookaround, no
+    * `\d` shorthand differences — explicit classes; `\b` is ASCII word
+    * boundary in both engines) so Spark and the DuckDB oracle match the
+    * same spans. Pattern scope is the standard training-data-scrub trio:
+    * emails, dotted-quad IPs, and NNN-NNNN phone tails — the point is
+    * the pipeline shape (row-local scan + rewrite), patterns are a
+    * pluggable list.
+    */
+  val PiiEmailRe: String = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PiiIpv4Re: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val PiiPhoneRe: String = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+  /** The synthetic corpus carries no digits or `@` (FIXTURES.md §A), so
+    * the PII operators are exercised through this deterministic
+    * derivation: a contact blob appended per doc, keyed on `doc_id`
+    * residues (mod 3 → email, mod 4 → IPv4, mod 5 → phone) so every
+    * combination INCLUDING pii-free docs occurs. Pure column arithmetic,
+    * reproduced verbatim by the oracle's CTE — FIXTURES.md family-B
+    * discipline.
+    */
+  def withPiiFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val email = when(id % 3 === 0,
+      concat(lit(" reach user"), s(id), lit("@mail"), s(id % 7),
+        lit(".com"))).otherwise(lit(""))
+    val ip = when(id % 4 === 0,
+      concat(lit(" from 10."), s(id % 256), lit("."), s((id * 7) % 256),
+        lit("."), s((id * 13) % 256))).otherwise(lit(""))
+    val phone = when(id % 5 === 0,
+      concat(lit(" call 555-"), lpad(s(id % 10000), 4, "0")))
+      .otherwise(lit(""))
+    docs.withColumn("text", concat(col("text"), email, ip, phone))
+  }
+
+  /** Per-doc PII match counts + a 0/1 flag. Row-local regex projection —
+    * no shuffle at any corpus size; on a cluster this runs at parquet
+    * scan speed and the counts feed the redaction audit trail a
+    * training-data pipeline has to keep.
+    */
+  def piiStats(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val ne = regexp_count(t, lit(PiiEmailRe)).cast("long")
+    val ni = regexp_count(t, lit(PiiIpv4Re)).cast("long")
+    val np = regexp_count(t, lit(PiiPhoneRe)).cast("long")
+    docs.select(col("doc_id"), ne.as("n_email"), ni.as("n_ipv4"),
+      np.as("n_phone"), (ne + ni + np > 0).cast("long").as("has_pii"))
+  }
+
+  /** Redacted rewrite: each PII class replaced by a typed mask token,
+    * applied in a fixed order (email → IP → phone) so the two engines
+    * transform identical intermediate strings. `n_redactions` is counted
+    * pre-rewrite. Row-local, shuffle-free.
+    */
+  def piiRedact(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val n = (regexp_count(t, lit(PiiEmailRe)) +
+      regexp_count(t, lit(PiiIpv4Re)) +
+      regexp_count(t, lit(PiiPhoneRe))).cast("long")
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, PiiEmailRe, "<EMAIL>"),
+        PiiIpv4Re, "<IP>"),
+      PiiPhoneRe, "<PHONE>")
+    docs.select(col("doc_id"), clean.as("text_clean"),
+      n.as("n_redactions"))
+  }
+
+  /** Corpus-level PII exposure by source — the scrub-coverage dashboard
+    * number. One partial-aggregated shuffle on the (tiny) source key.
+    */
+  def piiRateBySource(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val ne = regexp_count(t, lit(PiiEmailRe)).cast("long")
+    val ni = regexp_count(t, lit(PiiIpv4Re)).cast("long")
+    val np = regexp_count(t, lit(PiiPhoneRe)).cast("long")
+    docs
+      .select(col("source"), ne.as("ne"), ni.as("ni"), np.as("np"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum((col("ne") + col("ni") + col("np") > 0).cast("long"))
+          .as("docs_with_pii"),
+        sum("ne").as("emails"), sum("ni").as("ipv4s"),
+        sum("np").as("phones"))
+  }
 }

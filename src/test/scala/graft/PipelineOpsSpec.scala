@@ -1736,4 +1736,79 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out("do") === ((1L, Some("dog"), false)))    // deletion
     assert(out("zebra") === ((0L, None, true)))         // novel -> kept
   }
+
+  test("pii stats count each class and flag the pii-free arm") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "write to a@b.org or c.d@e-f.io today"),
+      (2L, "server 10.1.2.3 then 192.168.0.255 up"),
+      (3L, "call 555-0199 re 10.0.0.1 or x@y.com"),
+      (4L, "no contact details at all here")
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiStats(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(out(1L) === ((2L, 0L, 0L, 1L)))
+    assert(out(2L) === ((0L, 2L, 0L, 1L)))
+    assert(out(3L) === ((1L, 1L, 1L, 1L)))
+    assert(out(4L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("pii redact masks every class in fixed order and counts rewrites") {
+    import spark.implicits._
+    val d = Seq((1L, "mail a@b.org from 10.1.2.3 call 555-0199 done"))
+      .toDF("doc_id", "text")
+    val r = TextOps.piiRedact(d).head
+    assert(r.getString(1) === "mail <EMAIL> from <IP> call <PHONE> done")
+    assert(r.getLong(2) === 3L)
+  }
+
+  test("pii fixture exercises all residue arms and the oracle trio agrees") {
+    // Fixture docs 0..59 cover every (mod 3, mod 4, mod 5) combination;
+    // ids coprime to 3·4·5 must stay pii-free.
+    import spark.implicits._
+    val base = (0L to 59L).map(i => (i, "plain words only", "s0"))
+      .toDF("doc_id", "text", "source")
+    val st = TextOps.piiStats(TextOps.withPiiFixture(base)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    for (i <- 0L to 59L) {
+      val (ne, ni, np) = st(i)
+      assert(ne === (if (i % 3 == 0) 1L else 0L), s"email arm at $i")
+      assert(ni === (if (i % 4 == 0) 1L else 0L), s"ipv4 arm at $i")
+      assert(np === (if (i % 5 == 0) 1L else 0L), s"phone arm at $i")
+    }
+    // redaction leaves no residual match for any pattern
+    val resid = TextOps.piiStats(
+      TextOps.piiRedact(TextOps.withPiiFixture(base))
+        .select(col("doc_id"), col("text_clean").as("text")))
+      .filter(col("has_pii") > 0).count()
+    assert(resid === 0L)
+  }
+
+  test("bloom semi-join output is identical to the plain semi-join") {
+    import spark.implicits._
+    val fact = (0L until 1000L).map(k => (k, k % 97)).toDF("fk", "payload")
+    val dim = Seq(3L, 11L, 500L, 999L, 1234L).toDF("dk") // 1234 matches nothing
+    val viaBloom = graft.operators.BloomJoin
+      .semiJoinBloom(fact, dim, "fk", "dk", expectedItems = 100L)
+      .select("fk").collect().map(_.getLong(0)).sorted
+    val plain = fact.join(dim, col("fk") === col("dk"), "left_semi")
+      .select("fk").collect().map(_.getLong(0)).sorted
+    assert(viaBloom.toSeq === plain.toSeq && plain.length === 4)
+  }
+
+  test("bloom prefilter never drops a true key and bounds false positives") {
+    import spark.implicits._
+    val dimKeys = (0L until 500L).map(_ * 3)
+    val bloom = graft.operators.BloomJoin.buildBloom(
+      dimKeys.toDF("dk"), "dk", expectedItems = 500L, fpp = 0.03)
+    val probe = (0L until 3000L).toDF("fk")
+    val pass = probe
+      .where(graft.operators.BloomJoin.mightContain(bloom, col("fk")))
+      .collect().map(_.getLong(0)).toSet
+    assert(dimKeys.forall(pass.contains), "bloom false negative")
+    val fp = pass.size - dimKeys.count(_ < 3000L)
+    assert(fp <= (3000 * 0.03 * 5).toInt, s"fp rate implausibly high: $fp")
+  }
 }

@@ -569,4 +569,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"),
       s"branches must read the checkpointed counts relation, plan:\n$p")
   }
+
+  test("bloom semi-join probes at the scan and joins without cartesians") {
+    val p = plan("bloom_semijoin")
+    assert(p.contains("might_contain"),
+      s"fact scan must carry the codegen'd bloom probe, plan:\n$p")
+    assert(p.contains("LeftSemi"),
+      s"exactness comes from the LEFT SEMI against dim keys, plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"bloom semi-join must stay an equi-join, plan:\n$p")
+    // the probe must sit BELOW the join (scan-side prefilter), not above
+    val probeAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("LeftSemi")
+    assert(joinAt < probeAt,
+      s"might_contain must be under the join in the plan tree, plan:\n$p")
+  }
+
+  test("pii projections are shuffle-free row-local scans") {
+    val d = Tables.documents(spark, dir)
+    for ((name, df) <- Seq(
+        "pii_stats" -> graft.operators.TextOps.piiStats(
+          graft.operators.TextOps.withPiiFixture(d)),
+        "pii_redact" -> graft.operators.TextOps.piiRedact(
+          graft.operators.TextOps.withPiiFixture(d)))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name must not shuffle — row-local projection, plan:\n$p")
+    }
+  }
 }

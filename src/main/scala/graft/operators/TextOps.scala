@@ -1927,24 +1927,28 @@ object TextOps {
       np.as("n_phone"), (ne + ni + np > 0).cast("long").as("has_pii"))
   }
 
-  /** Redacted rewrite: each PII class replaced by a typed mask token,
-    * applied in a fixed order (email → IP → phone) so the two engines
-    * transform identical intermediate strings. `n_redactions` is counted
-    * pre-rewrite. Row-local, shuffle-free.
-    */
-  def piiRedact(docs: DataFrame): DataFrame = {
-    val t = col("text")
-    val n = (regexp_count(t, lit(PiiEmailRe)) +
+  /** Total PII matches in `t` across the three classes (pre-rewrite). */
+  def piiCountColumn(t: Column): Column =
+    (regexp_count(t, lit(PiiEmailRe)) +
       regexp_count(t, lit(PiiIpv4Re)) +
       regexp_count(t, lit(PiiPhoneRe))).cast("long")
-    val clean = regexp_replace(
+
+  /** The typed-mask rewrite, applied in a fixed order (email → IP →
+    * phone) so every consumer — batch, oracle, stream — transforms
+    * identical intermediate strings. */
+  def piiRedactColumn(t: Column): Column =
+    regexp_replace(
       regexp_replace(
         regexp_replace(t, PiiEmailRe, "<EMAIL>"),
         PiiIpv4Re, "<IP>"),
       PiiPhoneRe, "<PHONE>")
-    docs.select(col("doc_id"), clean.as("text_clean"),
-      n.as("n_redactions"))
-  }
+
+  /** Redacted rewrite: each PII class replaced by a typed mask token;
+    * `n_redactions` is counted pre-rewrite. Row-local, shuffle-free.
+    */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), piiRedactColumn(col("text")).as("text_clean"),
+      piiCountColumn(col("text")).as("n_redactions"))
 
   /** Corpus-level PII exposure by source — the scrub-coverage dashboard
     * number. One partial-aggregated shuffle on the (tiny) source key.

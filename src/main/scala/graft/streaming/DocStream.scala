@@ -229,4 +229,22 @@ object DocStream {
         size(col("ms")).cast("long").as("n_matches"),
         array_min(col("ms")).as("nearest"))
   }
+
+  /** Streaming PII scrub — the ingest-time twin of
+    * [[graft.operators.TextOps.piiRedact]]. Entirely STATELESS: the
+    * typed-mask rewrite and the redaction count are row-local regex
+    * projections (the shared [[graft.operators.TextOps.piiRedactColumn]]
+    * / `piiCountColumn` definitions, so batch, oracle, and stream
+    * transform identical strings by construction — the spec still pins
+    * the equality under out-of-order delivery). No watermark, no state
+    * store: a scrub that HAD state would be a design smell, since
+    * redaction must apply to every row unconditionally, and the
+    * stateless form survives any ingest rate at any cluster size.
+    */
+  def piiScrubStream(docs: DataFrame): DataFrame = {
+    import graft.operators.TextOps
+    docs
+      .withColumn("n_redactions", TextOps.piiCountColumn(col("text")))
+      .withColumn("text", TextOps.piiRedactColumn(col("text")))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.streaming.EventStream
+import graft.streaming.{DocStream, EventStream}
 
 /** Event row shape for streaming specs — top-level so Spark can build
   * a product encoder without an outer-instance scope. */
@@ -839,6 +839,32 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(101L)._1 === 2L)
       assert(streamed(101L)._2 > 0.999) // colinear → cosine ≈ 1
       assert(streamed.values.forall(_._3 === 2L)) // both cells hold 2
+    } finally q.stop()
+  }
+
+  test("streaming pii scrub equals the batch redaction under reordering") {
+    val input = MemoryStream[Doc](spark)
+    val q = DocStream.piiScrubStream(input.toDF())
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        Doc(3, ts("10:07"), "late but first: x@y.io then 10.1.2.3"),
+        Doc(1, ts("10:00"), "mail a@b.org call 555-0199 done"),
+        Doc(2, ts("10:03"), "nothing sensitive in this one"))
+      input.addData(rows.take(1)); q.processAllAvailable()
+      input.addData(rows.drop(1)); q.processAllAvailable()
+
+      val streamed = spark.table("pii_stream")
+        .select("doc_id", "text", "n_redactions")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      val batch = graft.operators.TextOps.piiRedact(rows.toDF())
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      assert(streamed === batch)
+      assert(streamed(0)._2 === "mail <EMAIL> call <PHONE> done")
+      assert(streamed(1)._3 === 0L) // clean doc passes through untouched
     } finally q.stop()
   }
 }

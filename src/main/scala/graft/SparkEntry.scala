@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Analytics, BloomJoin, Curation, Dedup, EventOps, Graph, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, BloomJoin, Curation, Dedup, EventOps, Graph, Layout, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
 import graft.sources.ResultsCsv
 import graft.streaming.EventStream
 
@@ -1797,6 +1797,20 @@ object SparkEntry {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))
         .orderBy("l_returnflag")
+    }),
+    // Z-order (Morton) clustering key over (user_id, ⌊value⌋) — the
+    // key Layout.zorderWrite range-partitions lake files on so box
+    // scans on either dimension skip files by parquet stats (the
+    // layout itself is audited in LayoutSpec + the ZORDER probe; the
+    // KEY is bit-exact shift/mask/or arithmetic, hash-checked here
+    // against the oracle's unrolled interleave).
+    "zorder_keys" -> ((s, dir) => {
+      val uid = col("user_id").cast("long")
+      val vbin = floor(col("value")).cast("long")
+      Tables.events(s, dir)
+        .select(col("event_id"), uid.as("uid"), vbin.as("vbin"),
+          Layout.zValue(uid, vbin, bits = 16).as("zv"))
+        .orderBy("event_id")
     }),
     // TPC-H Q18 shape — large-volume orders: the HAVING side aggregates
     // lineitem FIRST (map-side partial sums on the natural l_orderkey
@@ -5297,6 +5311,12 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "zorder_keys" ->
+      s"""WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS uid,
+         |  CAST(floor(value) AS BIGINT) AS vbin FROM events)
+         |SELECT event_id, uid, vbin,
+         |  CAST(${graft.operators.Layout.sqlZValue("uid", "vbin", 16)} AS BIGINT) AS zv
+         |FROM e ORDER BY event_id""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |       SUM(l_quantity) AS sum_qty

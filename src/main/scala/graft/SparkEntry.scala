@@ -788,6 +788,22 @@ object SparkEntry {
       TextOps.piiRateBySource(
         TextOps.withPiiFixture(Tables.documents(s, dir)))
         .orderBy("source")),
+    // Boilerplate strip over the markup fixture (even doc_ids wrapped
+    // in an HTML shell, odd plain — both arms gate).
+    "doc_markup_strip" -> ((s, dir) =>
+      TextOps.markupStrip(TextOps.withMarkupFixture(Tables.documents(s, dir)))
+        .orderBy("doc_id")),
+    // Incremental rollup maintenance: the event history split in id
+    // halves, each half aggregated separately, states merged — the
+    // oracle recomputes over the FULL history, so the hash match IS
+    // the merge ≡ recompute proof (all-mergeable state: counts +
+    // integer-cent sums). At 100 TB the delta aggregates at delta
+    // cost and the merge shuffles rollup-scale keys, never history.
+    "rollup_incremental" -> ((s, dir) => {
+      val (delta, old) = halvesByMaxId(Tables.events(s, dir), "event_id")
+      EventOps.rollupMerge(EventOps.rollup(old), EventOps.rollup(delta))
+        .orderBy("user_id", "event_type")
+    }),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
     // Rolling-hash fingerprint on the native fnv64 Expression; the SQL
@@ -5311,6 +5327,27 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "doc_markup_strip" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0
+         |    THEN '<html><body><p class=x>' || text ||
+         |         '</p><!-- note --></body></html>'
+         |    ELSE text END AS text FROM documents)
+         |SELECT doc_id,
+         |  trim(regexp_replace(regexp_replace(text,
+         |    '${TextOps.MarkupTagRe}', ' ', 'g'), ' +', ' ', 'g'))
+         |    AS text_plain,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.MarkupTagRe}'))
+         |    AS BIGINT) AS n_tags,
+         |  CAST(length(trim(regexp_replace(regexp_replace(text,
+         |    '${TextOps.MarkupTagRe}', ' ', 'g'), ' +', ' ', 'g')))
+         |    AS BIGINT) AS n_chars_plain
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "rollup_incremental" ->
+      """SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "zorder_keys" ->
       s"""WITH e AS (SELECT event_id, CAST(user_id AS BIGINT) AS uid,
          |  CAST(floor(value) AS BIGINT) AS vbin FROM events)

@@ -103,4 +103,32 @@ object EventOps {
       .select(col(group), col("n"), col("med"), col("mad"),
         col("n_outliers"), col("outlier_ppm"))
   }
+
+  // --------------------------------------------------------------------
+  // Incremental rollup maintenance
+  // --------------------------------------------------------------------
+
+  /** The per-(user, event_type) rollup relation: row count + value sum
+    * in integer cents (⌊value·100⌋ — association-insensitive, so merge
+    * order can never change a digit). This is the MAINTAINED STATE of
+    * the incremental path, deliberately all mergeable aggregates:
+    * counts and sums re-aggregate losslessly, which is what makes
+    * [[rollupMerge]] ≡ recompute provable by hash.
+    */
+  def rollup(events: DataFrame): DataFrame =
+    events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+
+  /** Merge rollup states: union + re-aggregate. The 100 TB point of
+    * the incremental path: a day's delta aggregates at DELTA cost
+    * (map-side partial sums), and the merge shuffles ROLLUP-scale rows
+    * (distinct user×type keys) — the event history is never rescanned.
+    * Merge is associative and commutative by construction, so daily /
+    * hourly / backfill batches compose in any order to the same bytes.
+    */
+  def rollupMerge(states: DataFrame*): DataFrame =
+    states.reduce(_.unionByName(_))
+      .groupBy("user_id", "event_type")
+      .agg(sum("n").as("n"), sum("sum_cents").as("sum_cents"))
 }

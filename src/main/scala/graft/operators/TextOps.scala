@@ -1950,6 +1950,36 @@ object TextOps {
     docs.select(col("doc_id"), piiRedactColumn(col("text")).as("text_clean"),
       piiCountColumn(col("text")).as("n_redactions"))
 
+  /** Markup tag pattern (boilerplate-strip primitive). `<[^>]*>` spans
+    * tags, closing tags, and comments alike; RE2 ∩ Java dialect. */
+  val MarkupTagRe: String = "<[^>]*>"
+
+  /** Deterministic markup fixture (FIXTURES.md family-B discipline —
+    * the corpus carries no markup): even doc_ids get an HTML shell,
+    * odd stay plain, so the strip and the no-op arm both gate. */
+  def withMarkupFixture(docs: DataFrame): DataFrame =
+    docs.withColumn("text",
+      when(col("doc_id") % 2 === 0,
+        concat(lit("<html><body><p class=x>"), col("text"),
+          lit("</p><!-- note --></body></html>")))
+        .otherwise(col("text")))
+
+  /** Boilerplate strip: remove markup tags (→ space, then collapse),
+    * count tags pre-strip. The RefinedWeb/CCNet extraction step as a
+    * row-local projection — shuffle-free at any corpus size; a real
+    * deployment swaps the tag regex for its extractor, the plumbing
+    * (schema, counters, no shuffle) is the operator.
+    */
+  def markupStrip(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val plain = trim(regexp_replace(
+      regexp_replace(t, MarkupTagRe, " "), " +", " "))
+    docs.select(col("doc_id"),
+      plain.as("text_plain"),
+      regexp_count(t, lit(MarkupTagRe)).cast("long").as("n_tags"),
+      length(plain).cast("long").as("n_chars_plain"))
+  }
+
   /** Corpus-level PII exposure by source — the scrub-coverage dashboard
     * number. One partial-aggregated shuffle on the (tiny) source key.
     */

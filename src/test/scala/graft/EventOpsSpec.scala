@@ -74,4 +74,27 @@ class EventOpsSpec extends SparkSpec {
     assert(out("g") === ((8L, 4.0, 2.0, 1L, 125000L)))
     assert(out("h") === ((3L, 5.0, 0.0, 0L, 0L)))
   }
+
+  test("rollup merge of any batch split equals the full recompute") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "click", 1.25), (1L, "click", 2.50), (1L, "view", 0.10),
+      (2L, "click", 9.99), (2L, "view", 0.01), (3L, "buy", 100.00)
+    ).toDF("user_id", "event_type", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("user_id", "event_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val full = rows(EventOps.rollup(ev))
+    assert(full.contains((1L, "click", 2L, 375L))) // 125 + 250 cents
+    // merge ≡ recompute under an arbitrary 3-way split, any merge order
+    val parts = Seq(1, 2, 3)
+      .map(u => EventOps.rollup(ev.filter(s"user_id = $u")))
+    assert(rows(EventOps.rollupMerge(parts: _*)) === full)
+    assert(rows(EventOps.rollupMerge(parts.reverse: _*)) === full)
+    // re-merging a merged state with an empty delta is a no-op
+    val merged = EventOps.rollupMerge(parts: _*)
+    assert(rows(EventOps.rollupMerge(merged,
+      EventOps.rollup(ev.limit(0)))) === full)
+  }
 }

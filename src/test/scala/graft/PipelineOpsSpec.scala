@@ -1786,6 +1786,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(resid === 0L)
   }
 
+  test("markup strip removes tags, collapses space, counts both arms") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "<div><a href=x>link</a> and <!-- hidden --> tail</div>"),
+      (2L, "no markup at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.markupStrip(d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out(1L) === (("link and tail", 5L, 13L)))
+    assert(out(2L) === (("no markup at all", 0L, 16L)))
+    // fixture round-trip: stripping the wrapped fixture recovers the
+    // original text byte-for-byte on every doc
+    val base = Seq((0L, "alpha beta"), (1L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val stripped = TextOps.markupStrip(TextOps.withMarkupFixture(base))
+      .select(col("doc_id"), col("text_plain").as("text"))
+    assert(stripped.except(base).count() === 0L)
+  }
+
   test("bloom semi-join output is identical to the plain semi-join") {
     import spark.implicits._
     val fact = (0L until 1000L).map(k => (k, k % 97)).toDF("fk", "payload")

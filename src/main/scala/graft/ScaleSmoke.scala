@@ -267,6 +267,32 @@ object ScaleSmoke {
             e.filter(col("vec_id") <= half))
         })),
       Op("sessionize", e => EventStream.sessionize(e), "evt"),
+      // r14 additions: the scrub/strip projections are row-local
+      // regex CPU (the dedup_exact_normalized class — expect
+      // volume-true ~factor with an overhead-dominated ×1); the
+      // rollup merges two half-history states (two partial aggs +
+      // one rollup-scale merge); the z-key is pure bit arithmetic.
+      // Projection ops are wrapped in a consuming aggregate HERE:
+      // `count()` alone lets Catalyst prune the computed columns away
+      // and the smoke would time a bare scan, not the regex/bit work.
+      Op("pii_redact", d =>
+        TextOps.piiRedact(TextOps.withPiiFixture(d))
+          .agg(sum(length(col("text_clean"))).as("chars"),
+            sum("n_redactions").as("n")), "doc"),
+      Op("doc_markup_strip", d =>
+        TextOps.markupStrip(TextOps.withMarkupFixture(d))
+          .agg(sum(length(col("text_plain"))).as("chars"),
+            sum("n_tags").as("n")), "doc"),
+      Op("rollup_incremental", e => {
+        val (delta, old) = SparkEntry.halvesByMaxId(e, "event_id")
+        EventOps.rollupMerge(EventOps.rollup(old), EventOps.rollup(delta))
+      }, "evt"),
+      Op("zorder_keys", e => {
+        val uid = col("user_id").cast("long")
+        val vbin = floor(col("value")).cast("long")
+        e.select(graft.operators.Layout.zValue(uid, vbin, 16).as("zv"))
+          .agg(sum("zv").as("zsum"))
+      }, "evt"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume
       Op("asof_purchase_click", e => {

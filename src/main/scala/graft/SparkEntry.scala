@@ -178,6 +178,28 @@ object SparkEntry {
       p
     })
 
+  /** [[pqHalfIndexFor]]'s text-tier sibling for
+    * `dedup_incremental_lsh_indexed`: the persisted MinHash band index
+    * over the id-lower document half (same memoized unique-path
+    * contract — repeat invocations time the SERVE). */
+  private def lshHalfIndexFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.computeIfAbsent(dir + "#lsh_half", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_lsh_index_half_").toString
+      val (_, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      Dedup.saveLshBandIndex(corpus, p)
+      p
+    })
+
+  /** `dedup_incremental_lsh_indexed` twin threshold (query + oracle):
+    * agreeing minhashes of 32 for a corpus candidate to count as a
+    * twin — 24/32 ≈ J 0.75. Sited mid-distribution on this corpus
+    * (measured at sf0.01: max_matches spans 15–32 over the 219
+    * candidate-bearing batch docs, 31 docs fail open with no banded
+    * candidate; 24 splits 46 keep / 204 drop — both verdict arms and
+    * the fail-open arm all exercised, the IncIndexedMaxAdist rule). */
+  private val LshIndexMinMatches = 24
+
   /** `dedup_incremental_indexed` ADC drop threshold (query + oracle).
     * The synthetic embeddings hold NO true near-duplicates (nearest
     * cross-half ADC distances span ~1.01–1.67 M, p25 ≈ 1.34 M), so
@@ -762,6 +784,19 @@ object SparkEntry {
       val (batch, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
       Dedup.dedupAgainstCorpusContainment(batch, corpus,
         thresholdTenths = IncContainTenths)
+        .orderBy("doc_id")
+    }),
+    // Near-dup incremental dedup served from the PERSISTED MinHash
+    // band index (Dedup.saveLshBandIndex — the text tier's lake-index
+    // lifecycle, sibling of dedup_incremental_indexed): the batch's
+    // band rows broadcast into the prefix-partitioned index, exact
+    // signature overlap scores every banded candidate, no corpus text
+    // loads. Oracle replays the whole chain (signatures, band-slice
+    // candidates, overlap threshold) corpus-only vs batch-side.
+    "dedup_incremental_lsh_indexed" -> ((s, dir) => {
+      val (batch, _) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      Dedup.dedupAgainstCorpusLshIndexed(s, batch,
+          lshHalfIndexFor(s, dir), minMatches = LshIndexMinMatches)
         .orderBy("doc_id")
     }),
     // Canonical normalization (the pre-hash step of CCNet-style dedup)
@@ -4526,6 +4561,48 @@ object SparkEntry {
          |  ($matchSum) / 32.0 AS est_jaccard
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandEq)
          |ORDER BY d1, d2""".stripMargin
+    },
+    "dedup_incremental_lsh_indexed" -> {
+      // same seeded-affine signature chain as dedup_minhash_lsh;
+      // candidates = any of the 4 r=8 signature slices equal between
+      // a batch (id-upper) and corpus (id-lower) doc; per batch doc
+      // the exact overlap count thresholds at LshIndexMinMatches
+      val params = Dedup.minhashParams(32)
+      val p = Dedup.MinhashPrime
+      val sigMins = params.map { case (a, b) =>
+        s"min((tid * $a + $b) % $p)" }.mkString("[", ", ", "]")
+      val bandEq = (0 until 4).map { b =>
+        val lo = b * 8 + 1; val hi = b * 8 + 8
+        s"q.s[$lo:$hi] = c.s[$lo:$hi]" }.mkString(" OR ")
+      val matchSum = (1 to 32).map(i =>
+        s"(CASE WHEN q.s[$i] = c.s[$i] THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH half AS (SELECT MAX(doc_id) // 2 AS h FROM documents),
+         |tok AS (
+         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+         |  FROM documents),
+         |tid AS (SELECT doc_id,
+         |          CAST(concat('0x', substr(md5(token), 1, 10)) AS BIGINT) AS tid
+         |        FROM tok),
+         |sig AS (SELECT doc_id, $sigMins AS s FROM tid GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT q.doc_id AS did, c.doc_id AS cid,
+         |    CAST($matchSum AS BIGINT) AS mc
+         |  FROM sig q JOIN sig c ON q.doc_id > (SELECT h FROM half)
+         |    AND c.doc_id <= (SELECT h FROM half) AND ($bandEq)),
+         |per AS (
+         |  SELECT did, CAST(COUNT(*) AS BIGINT) AS n_cands,
+         |    MAX(mc) AS max_matches,
+         |    CAST(SUM(CASE WHEN mc >= $LshIndexMinMatches THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_twins
+         |  FROM pairs GROUP BY did)
+         |SELECT d.doc_id,
+         |  COALESCE(per.n_cands, 0) AS n_cands,
+         |  COALESCE(per.max_matches, 0) AS max_matches,
+         |  COALESCE(per.n_twins, 0) AS n_twins,
+         |  CAST(COALESCE(per.n_twins, 0) = 0 AS BIGINT) AS keep
+         |FROM documents d LEFT JOIN per ON d.doc_id = per.did
+         |WHERE d.doc_id > (SELECT h FROM half)
+         |ORDER BY d.doc_id""".stripMargin
     },
     "dedup_recall_lsh" -> {
       // truth = the dedup_jaccard_pairs CTEs at t=8 WITHOUT the lang

@@ -963,6 +963,118 @@ object Dedup {
       docs.select(col("doc_id"), md5(col("text").cast("binary")).as("class_fp")),
       shingleSigsOf(n, numHashes), numHashes, bands)
 
+  // --------------------------------------------------------------------
+  // Persisted LSH band index — the near-dup tier's lake index lifecycle
+  // (the minhash sibling of Similarity.savePqIndex/appendToPqIndex)
+  // --------------------------------------------------------------------
+
+  /** One (doc_id, band_fp, sig) row per signature band: `band_fp` =
+    * md5 of `"band|v1,v2,…,vr"` over the band's r-long slice — a
+    * SCALAR band key (arrays can't drive partition layout), engine-
+    * reproducible in the oracle (same string, same md5). A true band
+    * agreement implies fp agreement, so recall is exactly the banded
+    * tier's; an fp collision can only ADD a candidate, which the
+    * exact `sig`-overlap verify then scores truthfully — and the
+    * oracle replays the same fp construction, so even that behavior
+    * is bit-shared across engines. */
+  private[graft] def lshBandFpRows(sigs: DataFrame, numHashes: Int,
+                                   bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        md5(concat(lit(s"$b|"),
+          array_join(transform(slice(col("sig"), b * r + 1, r),
+            x => x.cast("string")), ",")).cast("binary"))
+      }: _*)).as("band_fp"))
+  }
+
+  /** Persist a corpus's MinHash band index as a LAKE ARTIFACT — the
+    * near-dup twin of [[Similarity.savePqIndex]]: one row per
+    * (doc, band) holding the band fp and the full signature
+    * (fingerprint-width — raw text never loads at serve time),
+    * PARTITIONED BY the fp's 2-hex-digit prefix (256 cells). A point
+    * probe (one arriving doc) reads `bands`/256 of the index by
+    * partition pruning; a bulk batch degrades gracefully toward a
+    * full postings scan that is still signature-width, not text-width.
+    * Unlike the PQ index there is NOTHING to retrain or freeze: the
+    * md5-seeded affine family is deterministic, so appends
+    * ([[appendToLshBandIndex]]) are exact by construction forever. */
+  def saveLshBandIndex(docs: DataFrame, path: String,
+                       numHashes: Int = 32, bands: Int = 4): Unit =
+    lshBandFpRows(minhashSignatures(docs, numHashes), numHashes, bands)
+      .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+      .write.mode("overwrite").partitionBy("fp_pfx")
+      .parquet(s"$path/bands")
+
+  /** Append an ingest batch to a persisted [[saveLshBandIndex]] index:
+    * partition append, nothing rewrites (the compaction cadence
+    * contract is [[Similarity.compactPqIndex]]'s, one directory over).
+    * Idempotence is the caller's offsets problem, as with every lake
+    * append. */
+  def appendToLshBandIndex(batch: DataFrame, path: String,
+                           numHashes: Int = 32, bands: Int = 4): Unit =
+    lshBandFpRows(minhashSignatures(batch, numHashes), numHashes, bands)
+      .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+      .write.mode("append").partitionBy("fp_pfx")
+      .parquet(s"$path/bands")
+
+  /** Near-dup incremental dedup served FROM the persisted band index:
+    * the arriving batch computes its own band rows ROW-LOCALLY (the
+    * only text read is the batch's), broadcast-joins the index on
+    * (fp_pfx, band_fp), and every candidate pair scores with the
+    * native exact signature-overlap kernel — `max_matches` of
+    * `numHashes` minhashes agreeing, the same estimate the batch LSH
+    * tier thresholds. Per batch doc: candidate count, best overlap,
+    * twin count at `minMatches`, and the keep verdict (no candidate ⇒
+    * fail open, novel content must survive). Corpus vectors of the
+    * lake: signatures only — the index IS the serving relation. */
+  def dedupAgainstCorpusLshIndexed(spark: org.apache.spark.sql.SparkSession,
+                                   batch: DataFrame, path: String,
+                                   minMatches: Int,
+                                   numHashes: Int = 32,
+                                   bands: Int = 4): DataFrame = {
+    val q = lshBandFpRows(minhashSignatures(batch, numHashes), numHashes,
+        bands)
+      .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+      .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("qid"),
+        col("sig").as("qsig"))
+    // STATIC partition pruning: collect the batch's distinct fp
+    // prefixes (≤ min(bands·|batch|, 256) strings — metadata-scale,
+    // the buildBloom class of driver action) into a literal IN filter
+    // so the planner prunes index partitions DETERMINISTICALLY — the
+    // optimizer's dynamic-pruning rule is heuristic-gated (needs a
+    // selective Filter on the build side) and must not decide whether
+    // a point probe reads bands/256 of the index or all of it. The
+    // extra prefix job re-runs the batch's row-local sketch once;
+    // point/small-batch probes are exactly where that is cheap.
+    val pfxs = q.select("fp_pfx").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val idx = spark.read.parquet(s"$path/bands")
+      .where(col("fp_pfx").isin(pfxs: _*))
+    // parquet round-trips array elements as nullable; narrow back via
+    // the validated KnownNoNullElements wrapper the kernel requires
+    val pairs = idx.join(broadcast(q), Seq("fp_pfx", "band_fp"))
+      .select(col("qid"), col("doc_id").as("corpus_id"),
+        graft.functions.VectorFunctions.zipEqualCount(
+          graft.functions.VectorFunctions.noNullElements(col("qsig")),
+          graft.functions.VectorFunctions.noNullElements(col("sig")))
+          .as("mc"))
+      .groupBy("qid", "corpus_id").agg(max("mc").as("mc"))
+    val perDoc = pairs.groupBy("qid")
+      .agg(count(lit(1)).as("n_cands"),
+        max("mc").as("max_matches"),
+        sum(when(col("mc") >= minMatches, 1L).otherwise(0L)).as("n_twins"))
+    batch.select(col("doc_id"))
+      .join(perDoc, col("doc_id") === col("qid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_cands"), lit(0L)).as("n_cands"),
+        coalesce(col("max_matches"), lit(0L)).as("max_matches"),
+        coalesce(col("n_twins"), lit(0L)).as("n_twins"),
+        (coalesce(col("n_twins"), lit(0L)) === 0).cast("long").as("keep"))
+  }
+
   /** Measured recall of the declared MinHash-LSH tier against the
     * EXACT Jaccard truth — the dedup sibling of the ANN / media recall
     * audits ([[graft.operators.Similarity.annRecallQuantized]],

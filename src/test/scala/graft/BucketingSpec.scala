@@ -237,6 +237,48 @@ class BucketingSpec extends SparkSpec {
     assert(serve() === servedBefore)
   }
 
+  test("persisted lsh band index: save, pruned serve, frozen-family append") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally different words over here"),
+      (3L, "alpha beta gamma delta zeta")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // exact twin of doc 1
+      (11L, "unseen novel content entirely fresh") // no banded candidate
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lsh_index_spec").toString
+    Dedup.saveLshBandIndex(corpus, path)
+    val served = Dedup.dedupAgainstCorpusLshIndexed(spark, batch, path,
+      minMatches = 32)
+    // the batch's fp prefixes become a LITERAL partition filter on the
+    // index scan (static pruning — deterministic, not optimizer-gated)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(raw"fp_pfx#\d+ IN \(".r.findFirstIn(plan).isDefined,
+      s"batch band prefixes must prune index partitions, plan:\n$plan")
+    val out = served.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact twin: all 32 minhashes agree, dropped
+    assert(out(10L)._2 === 32L && out(10L)._3 >= 1L && out(10L)._4 === 0L)
+    // novel doc: fail open with zero candidates
+    assert(out(11L) === ((0L, 0L, 0L, 1L)))
+    // frozen-family append: index the novel content, the re-served
+    // batch now drops it, and the earlier verdict is unchanged
+    Dedup.appendToLshBandIndex(
+      Seq((4L, "unseen novel content entirely fresh")).toDF("doc_id", "text"),
+      path)
+    val out2 = Dedup.dedupAgainstCorpusLshIndexed(spark, batch, path,
+        minMatches = 32)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out2(11L)._2 === 32L && out2(11L)._4 === 0L,
+      "appended twin must be served immediately")
+    assert(out2(10L) === out(10L), "append must not disturb old answers")
+  }
+
   test("bucketed incremental dedup anti-joins without shuffling the corpus") {
     import spark.implicits._
     import graft.operators.Dedup

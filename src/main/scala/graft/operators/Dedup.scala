@@ -1020,6 +1020,14 @@ object Dedup {
       .write.mode("append").partitionBy("fp_pfx")
       .parquet(s"$path/bands")
 
+  /** Compact a persisted band index back to one file per fp-prefix
+    * partition — the small-files bound [[appendToLshBandIndex]] needs,
+    * via the shared [[LakeMaintenance.compactPartitioned]] contract
+    * (rows unchanged; BucketingSpec pins serve equality across it). */
+  def compactLshBandIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit =
+    LakeMaintenance.compactPartitioned(spark, s"$path/bands", "fp_pfx")
+
   /** Near-dup incremental dedup served FROM the persisted band index:
     * the arriving batch computes its own band rows ROW-LOCALLY (the
     * only text read is the batch's), broadcast-joins the index on

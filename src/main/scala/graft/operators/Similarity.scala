@@ -1073,43 +1073,13 @@ object Similarity {
     * item): every append adds one file per touched cell partition, so
     * after B ingest batches a `probes`-cell serve opens O(B) files per
     * probed cell and the dynamic-pruned scan degrades into footer
-    * reads. This op rewrites rows UNCHANGED (frozen book, frozen
-    * cells — pure file-layout maintenance; BucketingSpec pins the
-    * serve output bit-identical across it) with the postings
-    * hash-repartitioned ON the cell column, so each cell's rows land
-    * wholly in one task and the partitioned writer emits exactly one
-    * file per cell.
-    *
-    * Mechanics: stage the rewrite beside the live directory, then
-    * rename-swap — never read-and-overwrite the same path (Spark
-    * refuses it, and a failed in-place rewrite would destroy the
-    * index). The swap is two directory renames: atomic on HDFS-like
-    * filesystems; on S3-consistency stores run it single-writer with
-    * serving paused, or adopt a manifest/table format — the same
-    * contract every plain-parquet lake compaction carries. Cadence:
-    * compact when files-per-cell reaches a small multiple of 1; at
-    * ingest cadence c batches/day that is O(days), and the rewrite
-    * cost is one scan + one shuffle of the postings (codes, not
-    * vectors — bytes per row, not KB). */
-  def compactPqIndex(spark: SparkSession, path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(s"$path/postings")
-    val stage = new Path(s"$path/.postings_compact")
-    val retired = new Path(s"$path/.postings_old")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(stage, true)
-    fs.delete(retired, true)
-    spark.read.parquet(live.toString)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-    if (!fs.rename(live, retired))
-      sys.error(s"compactPqIndex: could not retire $live")
-    if (!fs.rename(stage, live)) {
-      fs.rename(retired, live) // roll back — the old index stays live
-      sys.error(s"compactPqIndex: could not promote $stage")
-    }
-    fs.delete(retired, true)
-  }
+    * reads. Rows rewrite UNCHANGED (frozen book, frozen cells —
+    * BucketingSpec pins the serve output bit-identical across it);
+    * mechanics and the staging/rename-swap contract live in the shared
+    * [[LakeMaintenance.compactPartitioned]] (one helper for every
+    * persisted index — the LSH band index compacts the same way). */
+  def compactPqIndex(spark: SparkSession, path: String): Unit =
+    LakeMaintenance.compactPartitioned(spark, s"$path/postings", "cell")
 
   /** IVF-PQ serving FROM the persisted index ([[savePqIndex]]) — the
     * query-time half of the lake story, output-identical to

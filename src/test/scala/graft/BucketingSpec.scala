@@ -277,6 +277,25 @@ class BucketingSpec extends SparkSpec {
     assert(out2(11L)._2 === 32L && out2(11L)._4 === 0L,
       "appended twin must be served immediately")
     assert(out2(10L) === out(10L), "append must not disturb old answers")
+    // compaction (shared LakeMaintenance contract): appends piled a
+    // second file into touched prefix partitions; compact folds each
+    // back to one file and the serve is bit-identical across it
+    def filesPerPfx(): Map[String, Int] = {
+      val bands = new java.io.File(s"$path/bands")
+      bands.listFiles().filter(_.getName.startsWith("fp_pfx=")).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    assert(filesPerPfx().values.exists(_ > 1),
+      "append must have piled a second file into some prefix partition")
+    Dedup.compactLshBandIndex(spark, path)
+    assert(filesPerPfx().values.forall(_ === 1),
+      "compaction must fold every prefix partition to one file")
+    val out3 = Dedup.dedupAgainstCorpusLshIndexed(spark, batch, path,
+        minMatches = 32)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out3 === out2, "serve must be bit-identical across compaction")
   }
 
   test("bucketed incremental dedup anti-joins without shuffling the corpus") {

@@ -230,6 +230,61 @@ object DocStream {
         array_min(col("ms")).as("nearest"))
   }
 
+  /** Streaming near-dup ingest against the PERSISTED LSH band index
+    * ([[graft.operators.Dedup.saveLshBandIndex]]) — the stream twin of
+    * [[graft.operators.Dedup.dedupAgainstCorpusLshIndexed]], closing
+    * the index-lifecycle loop for the text tier the way
+    * `VecStream.adcServeStream` does for vectors: band rows compute
+    * ROW-LOCALLY on the arriving doc (signature + per-band fp — a
+    * stateless projection), candidates come from ONE stream-static
+    * equi-join on the band fp (no state at all — the index is the
+    * static side and its signatures are the serving relation; corpus
+    * text never loads), each candidate scores with the native exact
+    * overlap kernel, and the single stateful operator is the
+    * watermark-bounded per-doc twin-set aggregation. Output is the
+    * QUARANTINE feed (docs with ≥1 corpus twin at `minMatches`), the
+    * [[contaminationStream]] convention — novel docs flow through the
+    * pipeline unflagged, which is the streaming spelling of the batch
+    * op's fail-open arm. The batch tier's static prefix pruning has no
+    * stream analog (an `isin` literal cannot adapt per micro-batch);
+    * the static side is still the signature-width index, never text.
+    */
+  def lshIndexIngestStream(spark: org.apache.spark.sql.SparkSession,
+                           docs: DataFrame, path: String,
+                           minMatches: Int, numHashes: Int = 32,
+                           bands: Int = 4,
+                           watermark: String = "1 hour"): DataFrame = {
+    import graft.functions.VectorFunctions.{noNullElements, zipEqualCount}
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val r = numHashes / bands
+    val idx = spark.read.parquet(s"$path/bands")
+      .select(col("band_fp"), col("doc_id").as("corpus_id"),
+        col("sig").as("csig"))
+    // watermark BEFORE the join: candidates are inner-join survivors,
+    // and a micro-batch of all-novel docs must still advance event
+    // time (they register at the source-side watermark node, then die
+    // in the join — the fail-open arm can't stall finalization)
+    val banded = docs
+      .withWatermark("ts", watermark)
+      .withColumn("tids", Dedup.tokenIdsColumn(col("text")))
+      .withColumn("sig", Dedup.minhashSigOfIds(col("tids"), numHashes))
+      .select(col("doc_id"), col("ts"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          md5(concat(lit(s"$b|"),
+            array_join(transform(slice(col("sig"), b * r + 1, r),
+              x => x.cast("string")), ",")).cast("binary"))
+        }: _*)).as("band_fp"))
+    banded.join(idx, "band_fp")
+      .filter(zipEqualCount(noNullElements(col("sig")),
+        noNullElements(col("csig"))) >= minMatches)
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(collect_set(col("corpus_id")).as("twins"))
+      .select(col("doc_id"), col("ts"),
+        size(col("twins")).cast("long").as("n_twins"),
+        array_min(col("twins")).as("nearest_twin"))
+  }
+
   /** Streaming PII scrub — the ingest-time twin of
     * [[graft.operators.TextOps.piiRedact]]. Entirely STATELESS: the
     * typed-mask rewrite and the redaction count are row-local regex

@@ -842,6 +842,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lsh index ingest stream quarantines exactly the batch drop set") {
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally different words over here"),
+      (3L, "alpha beta gamma delta zeta")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lsh_stream_spec").toString
+    Dedup.saveLshBandIndex(corpus, path)
+
+    val rows = Seq(
+      Doc(11, ts("10:07"), "unseen novel content entirely fresh"),
+      Doc(10, ts("10:00"), "alpha beta gamma delta epsilon"), // twin of 1
+      Doc(12, ts("10:03"), "alpha beta gamma delta zeta"))    // twin of 3
+    val input = MemoryStream[Doc](spark)
+    val q = DocStream.lshIndexIngestStream(spark, input.toDF(), path,
+        minMatches = 32)
+      .writeStream.format("memory").queryName("lsh_ingest")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(1)); q.processAllAvailable()
+      input.addData(rows.drop(1)); q.processAllAvailable()
+      // close the watermark so pending finals emit
+      input.addData(Doc(99, ts("23:00"), "watermark closer token"))
+      q.processAllAvailable()
+
+      val streamed = spark.table("lsh_ingest")
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val batch = Dedup.dedupAgainstCorpusLshIndexed(spark,
+          rows.toDF().select("doc_id", "text"), path, minMatches = 32)
+        .filter(col("keep") === 0)
+        .collect().map(r => r.getLong(0) ->
+          (r.getAs[Long]("n_twins"), 0L)).toMap
+      // quarantine membership and twin counts match the batch verdict
+      assert(streamed.keySet === batch.keySet)
+      assert(streamed.keySet === Set(10L, 12L)) // novel doc 11 unflagged
+      assert(streamed(10L) === ((1L, 1L)))      // nearest twin = doc 1
+      assert(streamed(12L) === ((1L, 3L)))
+      assert(streamed.map { case (k, v) => k -> v._1 } ===
+        batch.map { case (k, v) => k -> v._1 })
+    } finally q.stop()
+  }
+
   test("streaming pii scrub equals the batch redaction under reordering") {
     val input = MemoryStream[Doc](spark)
     val q = DocStream.piiScrubStream(input.toDF())

@@ -786,6 +786,13 @@ object SparkEntry {
         thresholdTenths = IncContainTenths)
         .orderBy("doc_id")
     }),
+    // Quality-aware canonical selection per near-dup component: keep
+    // the highest-quality member, not the first-crawled (min-id) one —
+    // composition of the green dedup_components and doc_quality
+    // relations; one component-keyed shuffle serves rank + size.
+    "dedup_components_best" -> ((s, dir) =>
+      Dedup.componentsBestQuality(Tables.documents(s, dir),
+        thresholdTenths = 9).orderBy("component")),
     // Near-dup incremental dedup served from the PERSISTED MinHash
     // band index (Dedup.saveLshBandIndex — the text tier's lake-index
     // lifecycle, sibling of dedup_incremental_indexed): the batch's
@@ -4252,6 +4259,45 @@ object SparkEntry {
         |SELECT src AS doc_id, MIN(dst) AS component
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "dedup_components_best" ->
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+         |  FROM documents),
+         |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+         |inter AS (
+         |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM tok t1 JOIN tok t2
+         |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT i.d1, i.d2
+         |  FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+         |               JOIN cnt c2 ON i.d2 = c2.doc_id
+         |  WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * 9),
+         |edges AS (
+         |  SELECT d1 AS src, d2 AS dst FROM pairs
+         |  UNION SELECT d2, d1 FROM pairs),
+         |reach(src, dst) AS (
+         |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+         |comp AS (SELECT src AS doc_id, MIN(dst) AS component
+         |         FROM reach GROUP BY 1),
+         |s AS ($sqlDocStats), t AS ($sqlStatsSelect),
+         |q AS (SELECT doc_id,
+         |  (CASE WHEN chars BETWEEN 100 AND 500 THEN 0.5 ELSE 0.0 END)
+         |  + lexical_diversity * 0.3
+         |  + (CASE WHEN stopword_ratio < 0.2 THEN 0.2 ELSE 0.0 END) AS quality_score
+         |  FROM t),
+         |j AS (
+         |  SELECT c.component, c.doc_id, q.quality_score,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY q.quality_score DESC, c.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY c.component) AS csize
+         |  FROM comp c JOIN q USING (doc_id))
+         |SELECT component, doc_id AS keep_id, quality_score AS keep_quality,
+         |  CAST(csize AS BIGINT) AS size
+         |FROM j WHERE rn = 1 ORDER BY component""".stripMargin,
     "dedup_minhash_shingle" -> {
       // same seeded affine family as the Spark sketch, over FNV window
       // hashes masked to 40 bits (fold reproduced in HUGEINT mod 2^64;

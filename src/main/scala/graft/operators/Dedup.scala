@@ -95,6 +95,34 @@ object Dedup {
         coalesce(col("rep_comp"), col("rep")).as("component"))
   }
 
+  /** Quality-aware CANONICAL SELECTION per near-dup component — the
+    * "keep the best, not the first" policy (RefinedWeb-style): min-id
+    * canonicalization silently prefers whichever duplicate crawled
+    * first; a curation pipeline keeps the highest-QUALITY member and
+    * drops the rest. Components come from [[jaccardComponents]] (the
+    * declared `dedup_components` relation), quality from
+    * [[TextOps.qualityScored]] (the declared `doc_quality` signal —
+    * reproducible doubles, so the per-component argmax is
+    * engine-deterministic); ties break on lowest doc_id. One
+    * component-keyed shuffle serves both window functions (rank +
+    * size); everything upstream is the two already-green relations.
+    */
+  def componentsBestQuality(docs: DataFrame,
+                            thresholdTenths: Int): DataFrame = {
+    val comp = jaccardComponents(docs, thresholdTenths)
+    val q = TextOps.qualityScored(docs).select("doc_id", "quality_score")
+    val byQuality = Window.partitionBy("component")
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    val bySize = Window.partitionBy("component")
+    comp.join(q, "doc_id")
+      .withColumn("rn", row_number().over(byQuality))
+      .withColumn("csize", count(lit(1)).over(bySize))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("keep_id"),
+        col("quality_score").as("keep_quality"),
+        col("csize").as("size"))
+  }
+
   /** Connected components over a near-dup PAIR graph `(d1, d2)` — the
     * step every dedup pipeline runs after pair generation: pairs are
     * only evidence; the unit of removal is the transitive CLUSTER

@@ -1786,6 +1786,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(resid === 0L)
   }
 
+  test("component canonical selection keeps the best member, not the first") {
+    import spark.implicits._
+    // docs 1↔2 pair at J = 20/21 ≈ 0.95; doc 2 (the LATER crawl) lands
+    // in the 100–500 char quality band while doc 1 misses it, so the
+    // quality argmax must pick 2 where min-id canonicalization picks 1
+    val base = (1 to 20).map(i => f"t$i%02d").mkString(" ")
+    val d = Seq(
+      (1L, base, "en", "s0"),
+      (2L, base + " verylongextraordinarytoken", "en", "s0"),
+      (3L, "completely unrelated other words", "en", "s1")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Dedup.componentsBestQuality(d, thresholdTenths = 9).collect()
+    assert(out.length === 1) // doc 3 has no near-dup → no component row
+    val r = out.head
+    assert(r.getAs[Long]("component") === 1L)
+    assert(r.getAs[Long]("keep_id") === 2L,
+      "must keep the higher-quality member, not the lower id")
+    assert(r.getAs[Long]("size") === 2L)
+  }
+
   test("markup strip removes tags, collapses space, counts both arms") {
     import spark.implicits._
     val d = Seq(

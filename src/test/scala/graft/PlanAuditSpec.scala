@@ -586,6 +586,26 @@ class PlanAuditSpec extends SparkSpec {
       s"might_contain must be under the join in the plan tree, plan:\n$p")
   }
 
+  test("rollup merge re-aggregates without its own exchange") {
+    // each half's rollup shuffles once on (user, type); the MERGE agg
+    // sits directly on the union of two identically-hash-partitioned
+    // children, so it must not add a third hash exchange — the whole
+    // point of mergeable rollup state is that merging costs no
+    // history-scale shuffle
+    val p = plan("rollup_incremental")
+    val hashExchanges = "Exchange hashpartitioning".r
+      .findAllMatchIn(p).length
+    assert(hashExchanges === 2,
+      s"expected exactly the two per-state exchanges, got $hashExchanges, plan:\n$p")
+  }
+
+  test("canonical selection reuses the components relation, no cartesian") {
+    val p = plan("dedup_components_best")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"quality argmax must stay equi-join shaped, plan:\n$p")
+  }
+
   test("pii projections are shuffle-free row-local scans") {
     val d = Tables.documents(spark, dir)
     for ((name, df) <- Seq(

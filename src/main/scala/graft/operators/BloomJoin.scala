@@ -60,23 +60,42 @@ object BloomJoin {
       (math.log(2) * math.log(2))).toLong.max(64L)
   }
 
-  /** Build the dim-key bloom filter (one aggregation job). */
+  /** Build the dim-key bloom filter (one aggregation job).
+    *
+    * Spark silently CAPS the sketch at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 64 Mbit ≈ 8 MB) — above ~9 M expected items at fpp=3% the
+    * requested size exceeds the cap and the realized fpp degrades
+    * without any error. Correctness never suffers (the exact LEFT
+    * SEMI absorbs every false positive), but a caller sizing for a
+    * 100 TB-regime reduction must actually GET the bits it asked
+    * for, so when the optimum exceeds the session cap we raise the
+    * conf to fit before aggregating (runtime conf, session-scoped). */
   def buildBloom(dim: DataFrame, dimKey: String, expectedItems: Long,
-      fpp: Double = 0.03): Array[Byte] =
-    dim.select(bloomAgg(col(dimKey), expectedItems,
-        optimalNumBits(expectedItems, fpp)).as("bf"))
+      fpp: Double = 0.03): Array[Byte] = {
+    val numBits = optimalNumBits(expectedItems, fpp)
+    val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val spark = dim.sparkSession
+    val cap = spark.conf.getOption(confKey).map(_.toLong)
+      .getOrElse(67108864L)
+    if (numBits > cap) spark.conf.set(confKey, numBits.toString)
+    dim.select(bloomAgg(col(dimKey), expectedItems, numBits).as("bf"))
       .head.getAs[Array[Byte]](0)
+  }
 
   /** Exact semi-join of `fact` to `dim` keys with the bloom prefilter
     * on the fact scan. Output ≡ `fact WHERE factKey IN (SELECT dimKey
     * FROM dim)`; only bloom-surviving rows shuffle (or hit the
     * broadcast probe), which at a selective dim is the whole cost win.
-    */
+    * The dim key is aliased to a private name before the join so the
+    * common same-name case (fact.partkey semi dim.partkey) doesn't
+    * trip an ambiguous-reference AnalysisException. */
   def semiJoinBloom(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long, fpp: Double = 0.03): DataFrame = {
     val bloom = buildBloom(dim, dimKey, expectedItems, fpp)
+    val dk = "__graft_bloom_dk"
     fact.where(mightContain(bloom, col(factKey)))
-      .join(dim.select(col(dimKey)).distinct(),
-        col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey).as(dk)).distinct(),
+        col(factKey) === col(dk), "left_semi")
   }
 }

@@ -1054,44 +1054,65 @@ object Dedup {
     * (rows unchanged; BucketingSpec pins serve equality across it). */
   def compactLshBandIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit =
-    LakeMaintenance.compactPartitioned(spark, s"$path/bands", "fp_pfx")
+    LakeMaintenance.compactPartitionedString(spark, s"$path/bands", "fp_pfx")
 
   /** Near-dup incremental dedup served FROM the persisted band index:
     * the arriving batch computes its own band rows ROW-LOCALLY (the
-    * only text read is the batch's), broadcast-joins the index on
+    * only text read is the batch's), joins the index on
     * (fp_pfx, band_fp), and every candidate pair scores with the
     * native exact signature-overlap kernel — `max_matches` of
     * `numHashes` minhashes agreeing, the same estimate the batch LSH
     * tier thresholds. Per batch doc: candidate count, best overlap,
     * twin count at `minMatches`, and the keep verdict (no candidate ⇒
     * fail open, novel content must survive). Corpus vectors of the
-    * lake: signatures only — the index IS the serving relation. */
+    * lake: signatures only — the index IS the serving relation.
+    *
+    * REGIME RULE (the `buildShards` contract, one module over): a
+    * point/small-batch probe broadcast-joins — the batch's band rows
+    * are the tiny side and the pruned index scan stays shuffle-free.
+    * But an explicit `broadcast()` hint bypasses
+    * `autoBroadcastJoinThreshold` and its size safeguards, so a BULK
+    * batch (re-ingesting half a corpus) would have to fit its band
+    * rows inside the 8 GB / 512 M-row broadcast hard limits — past
+    * them it dies loudly. `broadcastMaxDocs` is the switch: batches
+    * with more docs than it (counted once — the same driver-action
+    * class as the prefix collect) take the plain shuffled equi-join
+    * on (fp_pfx, band_fp), the natural bulk shape, with identical
+    * output (BucketingSpec pins the cross-regime equality). */
   def dedupAgainstCorpusLshIndexed(spark: org.apache.spark.sql.SparkSession,
                                    batch: DataFrame, path: String,
                                    minMatches: Int,
                                    numHashes: Int = 32,
-                                   bands: Int = 4): DataFrame = {
+                                   bands: Int = 4,
+                                   broadcastMaxDocs: Long = 1000000L): DataFrame = {
     val q = lshBandFpRows(minhashSignatures(batch, numHashes), numHashes,
         bands)
       .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
       .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("qid"),
         col("sig").as("qsig"))
-    // STATIC partition pruning: collect the batch's distinct fp
-    // prefixes (≤ min(bands·|batch|, 256) strings — metadata-scale,
-    // the buildBloom class of driver action) into a literal IN filter
-    // so the planner prunes index partitions DETERMINISTICALLY — the
-    // optimizer's dynamic-pruning rule is heuristic-gated (needs a
-    // selective Filter on the build side) and must not decide whether
-    // a point probe reads bands/256 of the index or all of it. The
-    // extra prefix job re-runs the batch's row-local sketch once;
-    // point/small-batch probes are exactly where that is cheap.
-    val pfxs = q.select("fp_pfx").distinct()
-      .collect().map(_.getString(0)).toSeq
-    val idx = spark.read.parquet(s"$path/bands")
-      .where(col("fp_pfx").isin(pfxs: _*))
+    val pointRegime = batch.count() <= broadcastMaxDocs
+    val idxAll = LakeMaintenance.readPartitionedString(
+      spark, s"$path/bands", "fp_pfx")
+    // STATIC partition pruning (point regime only): collect the
+    // batch's distinct fp prefixes (≤ min(bands·|batch|, 256) strings
+    // — metadata-scale, the buildBloom class of driver action) into a
+    // literal IN filter so the planner prunes index partitions
+    // DETERMINISTICALLY — the optimizer's dynamic-pruning rule is
+    // heuristic-gated (needs a selective Filter on the build side)
+    // and must not decide whether a point probe reads bands/256 of
+    // the index or all of it. The extra prefix job re-runs the
+    // batch's row-local sketch once; point probes are exactly where
+    // that is cheap. A bulk batch populates every prefix anyway, so
+    // it skips the prune and shuffles both sides on the band key.
+    val idx = if (pointRegime) {
+      val pfxs = q.select("fp_pfx").distinct()
+        .collect().map(_.getString(0)).toSeq
+      idxAll.where(col("fp_pfx").isin(pfxs: _*))
+    } else idxAll
+    val qSide = if (pointRegime) broadcast(q) else q
     // parquet round-trips array elements as nullable; narrow back via
     // the validated KnownNoNullElements wrapper the kernel requires
-    val pairs = idx.join(broadcast(q), Seq("fp_pfx", "band_fp"))
+    val pairs = idx.join(qSide, Seq("fp_pfx", "band_fp"))
       .select(col("qid"), col("doc_id").as("corpus_id"),
         graft.functions.VectorFunctions.zipEqualCount(
           graft.functions.VectorFunctions.noNullElements(col("qsig")),

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructType}
 
 /** Shared lake-file maintenance for the persisted indexes (the PQ
   * postings and the LSH band index are the same problem: partition
@@ -24,8 +25,43 @@ import org.apache.spark.sql.functions.col
   */
 object LakeMaintenance {
 
+  /** Read a partitioned parquet directory with `partitionCol` FORCED
+    * to StringType. Spark infers partition-column types from the
+    * directory values at read time, so a 2-hex-digit prefix column
+    * whose populated values happen to be ALL digits (plausible on a
+    * tiny corpus) would infer as integer — serving still works via
+    * implicit casts, but a compaction rewrite would re-emit
+    * `fp_pfx=7` instead of `fp_pfx=07`, silently breaking the
+    * documented layout. Supplying a user schema (data fields inferred
+    * once, partition field overridden to string) pins the raw
+    * directory value — Spark parses a user-typed string partition
+    * straight from the unescaped path, leading zeros intact. */
+  def readPartitionedString(spark: SparkSession, dir: String,
+                            partitionCol: String): DataFrame = {
+    val inferred = spark.read.parquet(dir).schema
+    val forced = StructType(inferred.map { f =>
+      if (f.name == partitionCol) f.copy(dataType = StringType) else f })
+    spark.read.schema(forced).parquet(dir)
+  }
+
+  /** Compact with the partition column read back as its INFERRED type
+    * — correct when the written values are genuinely numeric (the PQ
+    * index's `cell`). String-valued partition columns that can LOOK
+    * numeric must go through [[compactPartitionedString]]. */
   def compactPartitioned(spark: SparkSession, dir: String,
-                         partitionCol: String): Unit = {
+                         partitionCol: String): Unit =
+    compactImpl(spark, dir, partitionCol, forceString = false)
+
+  /** [[compactPartitioned]] for string partition columns: the rewrite
+    * reads via [[readPartitionedString]] so an all-digit value set
+    * cannot flip the column to integer and drop leading zeros. */
+  def compactPartitionedString(spark: SparkSession, dir: String,
+                               partitionCol: String): Unit =
+    compactImpl(spark, dir, partitionCol, forceString = true)
+
+  private def compactImpl(spark: SparkSession, dir: String,
+                          partitionCol: String,
+                          forceString: Boolean): Unit = {
     import org.apache.hadoop.fs.Path
     val live = new Path(dir)
     val stage = new Path(s"$dir.compact_stage")
@@ -33,7 +69,10 @@ object LakeMaintenance {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(stage, true)
     fs.delete(retired, true)
-    spark.read.parquet(live.toString)
+    val rows =
+      if (forceString) readPartitionedString(spark, live.toString, partitionCol)
+      else spark.read.parquet(live.toString)
+    rows
       .repartition(col(partitionCol))
       .write.mode("overwrite").partitionBy(partitionCol)
       .parquet(stage.toString)

@@ -258,7 +258,8 @@ object DocStream {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val r = numHashes / bands
-    val idx = spark.read.parquet(s"$path/bands")
+    val idx = graft.operators.LakeMaintenance
+      .readPartitionedString(spark, s"$path/bands", "fp_pfx")
       .select(col("band_fp"), col("doc_id").as("corpus_id"),
         col("sig").as("csig"))
     // watermark BEFORE the join: candidates are inner-join survivors,

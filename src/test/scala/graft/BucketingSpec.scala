@@ -326,4 +326,77 @@ class BucketingSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS corpus_digests")
     }
   }
+
+  test("lsh indexed serve: bulk regime (no broadcast) matches point regime") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "totally different words over here"),
+      (3L, "alpha beta gamma delta zeta")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon"),
+      (11L, "unseen novel content entirely fresh"),
+      (12L, "totally different words over here")
+    ).toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lsh_bulk_regime").toString
+    Dedup.saveLshBandIndex(corpus, path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val point = Dedup.dedupAgainstCorpusLshIndexed(spark, batch, path,
+      minMatches = 32)
+    val bulk = Dedup.dedupAgainstCorpusLshIndexed(spark, batch, path,
+      minMatches = 32, broadcastMaxDocs = 0L)
+    // the bulk plan must NOT force-broadcast the batch's band rows —
+    // past the broadcast budget that would OOM; the shuffled equi-join
+    // is the bulk shape (no literal prefix prune either: a bulk batch
+    // populates every prefix)
+    val bulkPlan = bulk.queryExecution.executedPlan.toString
+    assert(!bulkPlan.contains("BroadcastHashJoin") ||
+      raw"fp_pfx#\d+ IN \(".r.findFirstIn(bulkPlan).isEmpty,
+      s"bulk regime must not take the hinted broadcast path:\n$bulkPlan")
+    assert(rows(bulk) === rows(point),
+      "bulk and point regimes must serve identical verdicts")
+  }
+
+  test("string partition column survives all-digit values through compaction") {
+    import spark.implicits._
+    import graft.operators.LakeMaintenance
+    // the ADVICE hazard: every populated partition value is all-digit,
+    // so Spark's partition-type inference flips the column to integer
+    // and a rewrite would re-emit pfx=7 instead of pfx=07
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_digit_pfx").toString + "/bands"
+    Seq((1L, "07"), (2L, "12"), (3L, "07"))
+      .toDF("id", "pfx")
+      .write.mode("overwrite").partitionBy("pfx").parquet(dir)
+    // premise: the naive read DOES infer integer on this value set
+    assert(spark.read.parquet(dir).schema("pfx").dataType !==
+      org.apache.spark.sql.types.StringType,
+      "fixture no longer reproduces the inference hazard")
+    val forced = LakeMaintenance.readPartitionedString(spark, dir, "pfx")
+    assert(forced.schema("pfx").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(forced.select("pfx").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("07", "12"),
+      "leading zeros must survive the forced-string read")
+    LakeMaintenance.compactPartitionedString(spark, dir, "pfx")
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("pfx=")).map(_.getName).sorted.toSeq
+    assert(dirs === Seq("pfx=07", "pfx=12"),
+      s"compaction must preserve the 2-digit layout, got $dirs")
+  }
+
+  test("bloom semi-join handles identically-named keys on both sides") {
+    import spark.implicits._
+    val fact = (0L until 100L).map(k => (k, k % 7)).toDF("partkey", "payload")
+    val dim = Seq(3L, 11L, 99L).toDF("partkey")
+    val out = graft.operators.BloomJoin
+      .semiJoinBloom(fact, dim, "partkey", "partkey", expectedItems = 10L)
+      .select("partkey").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out === Seq(3L, 11L, 99L))
+  }
 }

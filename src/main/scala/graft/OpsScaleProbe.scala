@@ -81,6 +81,20 @@ object OpsScaleProbe {
         .select(col("doc_id"), col("n"), xxhash64(col("gram")).as("gh"))
         .groupBy("doc_id", "n", "gh").agg(count(lit(1)).as("cnt"))
         .count(): Unit),
+      // r15 (r14 verdict #6): the second aggregation timed separately —
+      // agg1's forcing count runs over the LARGE per-gram relation
+      // while full's counts the reduced per-(doc,n) rows, so the
+      // agg1→full ratio gap could hide either in the per-(doc,n)
+      // signal aggregation or in the forcing asymmetry; agg2 pins it
+      "agg2" -> (d => TextOps.gramRows(d, Seq(1, 2, 3))
+        .select(col("doc_id"), col("n"), xxhash64(col("gram")).as("gh"))
+        .groupBy("doc_id", "n", "gh").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(sum("cnt").as("grams"), count(lit(1)).as("distinct_grams"),
+          max("cnt").as("top_cnt"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L)))
+            .as("dup_grams"))
+        .count(): Unit),
       "full" -> (d => TextOps.repetitionSignals(d).count(): Unit)))
 
     val norm = stages("dedup_exact_normalized", docs1, docsN, Seq(

@@ -191,6 +191,25 @@ object SparkEntry {
       p
     })
 
+  /** Memoized J≥0.9 components relation per (JVM, corpus) — the
+    * clustering-core sibling of [[pqIndexFor]] (r14 verdict #5): three
+    * of the bench's four most expensive rows were the SAME bounded-
+    * round clustering, so `dedup_components_best` re-paying it hid the
+    * canonical-selection increment the row exists to price. First use
+    * pays the fixpoint loop once and pins the result with an eager
+    * localCheckpoint (block-storage-backed, the loop's own truncation
+    * mechanism); repeat bench passes then measure selection alone —
+    * the serve-only index-row contract. `dedup_components` itself does
+    * NOT read this cache: its row must keep pricing the clustering. */
+  private val componentsCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.DataFrame]()
+  private def componentsFor(s: SparkSession, dir: String,
+                            thresholdTenths: Int): DataFrame =
+    componentsCache.computeIfAbsent(s"$dir#$thresholdTenths", _ =>
+      Dedup.jaccardComponents(Tables.documents(s, dir), thresholdTenths)
+        .localCheckpoint(eager = true))
+
   /** `dedup_incremental_lsh_indexed` twin threshold (query + oracle):
     * agreeing minhashes of 32 for a corpus candidate to count as a
     * twin — 24/32 ≈ J 0.75. Sited mid-distribution on this corpus
@@ -789,10 +808,13 @@ object SparkEntry {
     // Quality-aware canonical selection per near-dup component: keep
     // the highest-quality member, not the first-crawled (min-id) one —
     // composition of the green dedup_components and doc_quality
-    // relations; one component-keyed shuffle serves rank + size.
+    // relations; one component-keyed shuffle serves rank + size. The
+    // clustering core comes from the memoized componentsFor relation
+    // (pqIndexFor contract): first bench pass pays the fixpoint once,
+    // repeat passes price the canonical-selection INCREMENT.
     "dedup_components_best" -> ((s, dir) =>
-      Dedup.componentsBestQuality(Tables.documents(s, dir),
-        thresholdTenths = 9).orderBy("component")),
+      Dedup.componentsBestQualityFrom(componentsFor(s, dir, 9),
+        Tables.documents(s, dir)).orderBy("component")),
     // Near-dup incremental dedup served from the PERSISTED MinHash
     // band index (Dedup.saveLshBandIndex — the text tier's lake-index
     // lifecycle, sibling of dedup_incremental_indexed): the batch's
@@ -898,6 +920,21 @@ object SparkEntry {
     // the-auto-ceiling proof (the tfidf_cosine_sharded rule).
     "tfidf_cosine_capped_auto" -> ((s, dir) =>
       TextOps.tfidfCosinePairsCapped(Tables.documents(s, dir), k = 10,
+        thresholdHundredths = 60)
+        .orderBy("d1", "d2")),
+    // The auto tier with the prune ENGAGED (r14 verdict #1): on the
+    // raw corpus the salient p99 lands on the postings max, so the
+    // auto query above runs with an empty hot set — its hash match
+    // proves the capped plan, not the auto-sited prune. The runaway
+    // fixture (TextOps.withRunawayFixture) makes the hot set
+    // structurally non-empty (` zhot` is salient in N/2 docs, the p99
+    // of a 247-token vocabulary cannot reach it) while every truth
+    // pair still generates through the sub-ceiling tail token, so
+    // declaring against the UNCAPPED oracle proves zero loss through
+    // the engaged prune. PipelineOpsSpec pins hot-set non-emptiness.
+    "tfidf_cosine_capped_auto_hot" -> ((s, dir) =>
+      TextOps.tfidfCosinePairsCapped(
+        TextOps.withRunawayFixture(Tables.documents(s, dir)), k = 10,
         thresholdHundredths = 60)
         .orderBy("d1", "d2")),
     // GPT-style concat-and-chunk packing per language stream: 4096-token
@@ -3011,14 +3048,14 @@ object SparkEntry {
     * `tfidf_cosine_sharded`: the build sharding is a pure physical
     * rewrite, so one oracle text serves both — the gate's hash compare
     * is the equivalence proof. */
-  private val TfidfCosineSql =
-    """WITH tok AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+  private def tfidfCosineSqlOver(src: String, prelude: String = ""): String =
+    s"""WITH ${prelude}tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $src),
       |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
       |       FROM tok GROUP BY 1, 2),
       |df AS (SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
       |       FROM tok GROUP BY 1),
-      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM documents),
+      |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM $src),
       |v AS (
       |  SELECT tf.doc_id, tf.token, tf.tf * ((n.total * 100) // df.df) AS wq,
       |    row_number() OVER (PARTITION BY tf.doc_id
@@ -3037,6 +3074,29 @@ object SparkEntry {
       |WHERE CAST(d.dot AS DOUBLE)
       |    / (sqrt(CAST(na.nrm AS DOUBLE)) * sqrt(CAST(nb.nrm AS DOUBLE))) >= 0.6
       |ORDER BY d1, d2""".stripMargin
+
+  private val TfidfCosineSql = tfidfCosineSqlOver("documents")
+
+  /** DuckDB replay of [[TextOps.withRunawayFixture]] — 8 body tokens
+    * on a 97-residue vocabulary, the ` zhot` runaway on even ids, and
+    * the norm-dominating tail token `zt<id % 149>`. */
+  private val SqlRunawayFixture: String = {
+    val body = TextOps.RunawayBodyMults.zipWithIndex.map { case (m, i) =>
+      val sep = if (i == 0) "'zb'" else "' zb'"
+      s"$sep || CAST((doc_id * $m) % 97 AS VARCHAR)"
+    }.mkString(" || ")
+    s"SELECT doc_id, $body" +
+      " || CASE WHEN doc_id % 2 = 0 THEN ' zhot' ELSE '' END" +
+      " || ' zt' || CAST(doc_id % 149 AS VARCHAR) AS text FROM documents"
+  }
+
+  /** `tfidf_cosine_capped_auto_hot` oracle: the UNCAPPED tier over the
+    * runaway fixture — the engine side runs the auto-sited capped plan
+    * with a structurally non-empty hot set, so the hash match proves
+    * zero loss THROUGH the engaged prune (the raw-corpus auto query's
+    * p99 lands on the postings max and its hot set is empty). */
+  private val TfidfCosineAutoHotSql: String =
+    tfidfCosineSqlOver("run", s"run AS ($SqlRunawayFixture), ")
 
   /** `tfidf_cosine_capped` oracle: the [[TfidfCosineSql]] vector CTEs
     * plus the ceiling — candidates only via tokens with postings ≤
@@ -3608,6 +3668,7 @@ object SparkEntry {
     // the auto-sited ceiling (salient-postings p99) drops NO pair at
     // the verify SF — the uncapped oracle is the zero-loss proof
     "tfidf_cosine_capped_auto" -> TfidfCosineSql,
+    "tfidf_cosine_capped_auto_hot" -> TfidfCosineAutoHotSql,
     "pack_chunks" ->
       """WITH t AS (
         |  SELECT lang, doc_id,

@@ -32,8 +32,20 @@ object ZorderProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val ev = Tables.events(spark, sfDir)
+    // ×factor replica leg (r14 verdict #8): at sf0.1 the 64 files are
+    // footer-dominated (~1.5k rows each) and the 16× file reduction
+    // can't move wall time; replicas with disjoint event_ids (same
+    // user_id/value distribution, so predicates keep their
+    // selectivity) grow per-file row mass until the scan cost is real
+    val factor = args.lift(2).map(_.toInt).getOrElse(1)
+    val ev1 = Tables.events(spark, sfDir)
       .select("event_id", "user_id", "value")
+    val stride = ev1.agg(max("event_id")).first().getLong(0) + 1
+    val ev =
+      if (factor == 1) ev1
+      else (0 until factor).map(f =>
+        ev1.withColumn("event_id", col("event_id") + lit(f * stride)))
+        .reduce(_.unionByName(_))
     val rows = ev.count()
     val base = java.nio.file.Files
       .createTempDirectory("graft_zorder_").toString
@@ -70,7 +82,8 @@ object ZorderProbe {
         f""""wall_zorder_sec":$zw%.3f}"""
     }
     println(s"""{"metric":"zorder_layout_probe","sf":"$sfDir",""" +
-      s""""rows":$rows,"files":$files,"legs":{${legs.mkString(",")}}}""")
+      s""""rows":$rows,"files":$files,"factor":$factor,""" +
+      s""""legs":{${legs.mkString(",")}}}""")
     spark.stop()
   }
 }

@@ -597,6 +597,35 @@ object TextOps {
     * candidate-scale. Every surviving pair has ≥ 1 sub-ceiling shared
     * token by construction, so `dot_rare` covers all pairs and
     * `dot_hot` left-joins in. */
+  /** The rare/hot vocabulary split [[tfidfCosinePairsCapped]] sites its
+    * ceiling with — extracted so the auto path's hot set is a
+    * first-class inspectable relation ([[autoHotTokens]]) rather than
+    * a plan internal only its side effects can witness. */
+  private[graft] def salientPostingsSplit(counts: DataFrame,
+      maxPostings: Long): (DataFrame, DataFrame) =
+    if (maxPostings >= 1) (
+      broadcast(counts.filter(col("pc") <= maxPostings).select("token")),
+      broadcast(counts.filter(col("pc") > maxPostings).select("token")))
+    else {
+      val ceil = counts.agg(
+        expr("approx_percentile(pc, 0.99, 10000)").as("ceil"))
+      val wc = counts.crossJoin(broadcast(ceil))
+      (broadcast(wc.filter(col("pc") <= col("ceil")).select("token")),
+        broadcast(wc.filter(col("pc") > col("ceil")).select("token")))
+    }
+
+  /** The AUTO ceiling's hot set for `docs` — exactly the tokens
+    * [[tfidfCosinePairsCapped]]'s `maxPostings = 0` default excludes
+    * from candidate generation. Exists so specs and probes can assert
+    * the auto-sited prune actually ENGAGED (a corpus whose p99 lands
+    * on the postings max runs with an empty hot set, and a zero-loss
+    * hash match there proves only the capped plan, not the prune). */
+  def autoHotTokens(docs: DataFrame, k: Int = 10): DataFrame = {
+    val vec = salientVectors(docs, k)
+    val counts = vec.groupBy("token").agg(count(lit(1)).as("pc"))
+    salientPostingsSplit(counts, 0L)._2
+  }
+
   def tfidfCosinePairsCapped(docs: DataFrame, k: Int = 10,
                              thresholdHundredths: Int = 60,
                              maxPostings: Long = 0L,
@@ -623,17 +652,7 @@ object TextOps {
     // engines or runs; at larger vocabularies the ≤ n/10⁴ rank error
     // moves the ceiling within the healthy tail it sites into —
     // harmless to the mass bound, which holds for ANY fixed ceiling
-    val (rare, hotTokens) =
-      if (maxPostings >= 1) (
-        broadcast(counts.filter(col("pc") <= maxPostings).select("token")),
-        broadcast(counts.filter(col("pc") > maxPostings).select("token")))
-      else {
-        val ceil = counts.agg(
-          expr("approx_percentile(pc, 0.99, 10000)").as("ceil"))
-        val wc = counts.crossJoin(broadcast(ceil))
-        (broadcast(wc.filter(col("pc") <= col("ceil")).select("token")),
-          broadcast(wc.filter(col("pc") > col("ceil")).select("token")))
-      }
+    val (rare, hotTokens) = salientPostingsSplit(counts, maxPostings)
     val genBuild = vec.join(rare, "token")
     // sharded-build escape hatch — identical contract to the uncapped
     // tier: shard = f(d2), so each pair lands in exactly one branch and
@@ -1911,6 +1930,54 @@ object TextOps {
       concat(lit(" call 555-"), lpad(s(id % 10000), 4, "0")))
       .otherwise(lit(""))
     docs.withColumn("text", concat(col("text"), email, ip, phone))
+  }
+
+  /** Multipliers for [[withRunawayFixture]]'s body-token slots — all
+    * coprime to 97, so each slot sweeps the full residue ring. */
+  private[graft] val RunawayBodyMults: Seq[Long] =
+    Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+
+  /** Runaway-token fixture for the capped-tfidf AUTO ceiling: a corpus
+    * whose salient-postings histogram PROVABLY splits at p99, so the
+    * auto-sited prune runs with a non-empty hot set and the uncapped
+    * oracle's hash match proves zero loss THROUGH the prune (on the
+    * raw verify corpus the salient vocabulary is ~31 tokens, p99 lands
+    * on the postings max, and the hot set is empty — the auto query's
+    * green row there exercises only the capped plan).
+    *
+    * Unlike [[withPiiFixture]] this REPLACES `text` instead of
+    * appending: the zero-loss gate needs control of the WHOLE salient
+    * histogram — original corpus tokens pushed above a fixture-lowered
+    * ceiling could form hot-only pairs above the cosine threshold,
+    * turning the equality into a corpus accident. Construction (pure
+    * doc_id arithmetic, replayed verbatim by the oracle's CTE):
+    *
+    *  - 8 body tokens `zb<(id·m) % 97>` (vocab 97, pc ≈ 8N/97 each);
+    *  - ` zhot` on even ids — the RUNAWAY: salient in N/2 docs, far
+    *    above any p99 the 247-token vocabulary can site, so the hot
+    *    set is structurally non-empty;
+    *  - one tail token `zt<id % 149>` (pc ≈ N/149) whose idf weight
+    *    (~100·149) dominates every norm, so a pair passes the 0.60
+    *    threshold iff it SHARES the tail token (cos ≥ 0.93) or both
+    *    ids are ≡ 0 (mod 97) — the one degenerate class where all 8
+    *    body slots collapse to `zb0` with tf 8 and ITS weight
+    *    dominates instead (zb0's pc ≈ N/97: also sub-ceiling). A hot
+    *    token can never carry a truth pair: hot ⇒ pc > p99 ⇒ df large
+    *    ⇒ per-occurrence weight ≤ 100·97/8, and ≤ 3 of a doc's ≤ 10
+    *    tokens can sit above a p99 — best hot-only cos ≤ ~0.07, a 9×
+    *    margin under the threshold. So zero loss holds by
+    *    construction, not by measurement. Each doc carries ≤ 10
+    *    distinct tokens, so the top-10 salient vectors are the full
+    *    vectors and rank ties cannot perturb the histogram. */
+  def withRunawayFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    def s(c: Column): Column = c.cast("string")
+    val body = RunawayBodyMults.zipWithIndex.map { case (m, i) =>
+      concat(lit(if (i == 0) "zb" else " zb"), s((id * m) % 97))
+    }
+    val hot = when(id % 2 === 0, lit(" zhot")).otherwise(lit(""))
+    val tail = concat(lit(" zt"), s(id % 149))
+    docs.withColumn("text", concat(body ++ Seq(hot, tail): _*))
   }
 
   /** Per-doc PII match counts + a 0/1 flag. Row-local regex projection —

@@ -1826,6 +1826,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stripped.except(base).count() === 0L)
   }
 
+  test("runaway fixture engages the auto ceiling's hot set at zero loss") {
+    import spark.implicits._
+    // 400 ids: enough for tail-sharing truth pairs (149 residues) and
+    // for the runaway's N/2 salient postings to tower over the p99
+    val docs = TextOps.withRunawayFixture(
+      spark.range(400).select(col("id").as("doc_id"), lit("x").as("text")))
+    // the r14 coverage gap: the auto tier must run with a NON-empty
+    // hot set here (on the raw verify corpus p99 == postings max and
+    // the hot set is empty — the prune never engages)
+    val hot = TextOps.autoHotTokens(docs).collect().map(_.getString(0))
+    assert(hot.nonEmpty, "auto ceiling must classify some token hot")
+    assert(hot.contains("zhot"),
+      s"the runaway token must be above the p99 ceiling, hot=${hot.toSeq}")
+    // zero loss THROUGH the engaged prune: auto-capped == uncapped
+    val auto = TextOps.tfidfCosinePairsCapped(docs, k = 10,
+      thresholdHundredths = 60).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = TextOps.tfidfCosinePairs(docs, k = 10,
+      thresholdHundredths = 60).select("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto === uncapped && auto.nonEmpty,
+      s"auto-capped must equal uncapped (|auto|=${auto.size}, " +
+        s"|uncapped|=${uncapped.size})")
+    // and the truth pairs are the shared-tail pairs plus the
+    // degenerate d ≡ 0 (mod 97) class, whose 8 body slots collapse to
+    // one tf-8 token (zb0, pc = 5 — still sub-ceiling, so those pairs
+    // also generate through a RARE token)
+    assert(auto.forall { case (a, b) =>
+      a % 149 === b % 149 || (a % 97 === 0L && b % 97 === 0L) })
+  }
+
   test("bloom semi-join output is identical to the plain semi-join") {
     import spark.implicits._
     val fact = (0L until 1000L).map(k => (k, k % 97)).toDF("fk", "payload")

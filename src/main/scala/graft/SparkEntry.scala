@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.{Analytics, BloomJoin, Curation, Dedup, EventOps, Graph, Layout, MatrixOps, Multimodal, Similarity, Sketches, Temporal, TextOps}
+import graft.operators.{Analytics, BloomJoin, Curation, Dedup, EventOps, Graph, LakeMaintenance, Layout, MatrixOps, Multimodal, Profile, Similarity, Sketches, Temporal, TextOps}
 import graft.sources.ResultsCsv
 import graft.streaming.EventStream
 
@@ -209,6 +209,23 @@ object SparkEntry {
     componentsCache.computeIfAbsent(s"$dir#$thresholdTenths", _ =>
       Dedup.jaccardComponents(Tables.documents(s, dir), thresholdTenths)
         .localCheckpoint(eager = true))
+
+  /** Memoized z-ordered event lake + its min/max stats manifest for
+    * `manifest_pruned_scan` ([[pqIndexFor]] contract): the lake and
+    * the manifest are the offline artifacts, the bench row prices the
+    * metadata-planned pruned serve. */
+  private def manifestFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.computeIfAbsent(dir + "#manifest", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_manifest_").toString
+      val ev = Tables.events(s, dir)
+        .select("event_id", "user_id", "event_type", "value")
+      Layout.zorderWrite(ev, col("user_id").cast("long"),
+        floor(col("value")).cast("long"), s"$p/data", numFiles = 32)
+      Layout.writeStatsManifest(s, s"$p/data", s"$p/manifest",
+        Seq("user_id", "value"))
+      p
+    })
 
   /** `dedup_incremental_lsh_indexed` twin threshold (query + oracle):
     * agreeing minhashes of 32 for a corpus candidate to count as a
@@ -1906,6 +1923,50 @@ object SparkEntry {
         .select(col("event_id"), uid.as("uid"), vbin.as("vbin"),
           Layout.zValue(uid, vbin, bits = 16).as("zv"))
         .orderBy("event_id")
+    }),
+    // Manifest-driven pruned scan (r15): the table-format data-skipping
+    // pattern as relations — a per-file min/max stats manifest over the
+    // z-ordered event lake decides which files a box predicate opens
+    // (metadata-only planning: no data-file footer reads at all), the
+    // exact filter re-applies row-level, and the plain-SQL oracle over
+    // the FULL table is the zero-loss proof (min/max pruning can only
+    // skip files that provably contain no match). Lake + manifest are
+    // memoized per (JVM, corpus) — the pqIndexFor contract: repeat
+    // bench passes price the pruned SERVE. LayoutSpec pins the audit
+    // (files kept < files total, equality incl. the empty-range arm).
+    "manifest_pruned_scan" -> ((s, dir) => {
+      val base = manifestFor(s, dir)
+      Layout.manifestPrunedRead(s, s"$base/data", s"$base/manifest",
+          Seq(("user_id", 3.0, 7.0), ("value", 40.0, 160.0)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("event_type")
+    }),
+    // One-pass column profile (r15): per-column row/null/distinct/
+    // bounds stats as a relation — exact COUNT(DISTINCT) form (the
+    // Expand-plan cost is the declared, oracle-checkable choice; the
+    // approx HLL twin is the 100 TB path, spec-bounded against this
+    // one). Output is |cols| rows regardless of table size.
+    "profile_documents" -> ((s, dir) =>
+      Profile.tableProfile(Tables.documents(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars")).orderBy("column")),
+    // Lake snapshot diff (r15): row-level version delta between two
+    // keyed snapshots — added / removed / changed via row-local payload
+    // md5 + ONE co-partitioned full-outer join on the key (content
+    // never shuffles, only 32-hex digests; delta-scale output). The
+    // snapshots derive deterministically from the documents table
+    // (drop %11 ids from old, drop %13 ids from new, append an edit
+    // marker on %7 texts) so every arm populates and the oracle
+    // replays the exact same states.
+    "lake_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 11 =!= 0)
+      val neu = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      LakeMaintenance.snapshotDiff(old, neu, "doc_id",
+        Seq("text", "lang", "source")).orderBy("doc_id")
     }),
     // TPC-H Q18 shape — large-volume orders: the HAVING side aggregates
     // lineitem FIRST (map-side partial sums on the natural l_orderkey
@@ -5538,6 +5599,38 @@ object SparkEntry {
          |SELECT event_id, uid, vbin,
          |  CAST(${graft.operators.Layout.sqlZValue("uid", "vbin", 16)} AS BIGINT) AS zv
          |FROM e ORDER BY event_id""".stripMargin,
+    "manifest_pruned_scan" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events
+        |WHERE user_id BETWEEN 3 AND 7 AND value BETWEEN 40.0 AND 160.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "profile_documents" ->
+      """SELECT * FROM (
+        |SELECT 'doc_id' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(doc_id) AS BIGINT) AS non_null, CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS nulls, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct, CAST(MIN(doc_id) AS VARCHAR) AS min_str, CAST(MAX(doc_id) AS VARCHAR) AS max_str FROM documents
+        |UNION ALL SELECT 'lang' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(lang) AS BIGINT) AS non_null, CAST(COUNT(*) - COUNT(lang) AS BIGINT) AS nulls, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_distinct, CAST(MIN(lang) AS VARCHAR) AS min_str, CAST(MAX(lang) AS VARCHAR) AS max_str FROM documents
+        |UNION ALL SELECT 'source' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(source) AS BIGINT) AS non_null, CAST(COUNT(*) - COUNT(source) AS BIGINT) AS nulls, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct, CAST(MIN(source) AS VARCHAR) AS min_str, CAST(MAX(source) AS VARCHAR) AS max_str FROM documents
+        |UNION ALL SELECT 'n_chars' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(n_chars) AS BIGINT) AS non_null, CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS nulls, CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_distinct, CAST(MIN(n_chars) AS VARCHAR) AS min_str, CAST(MAX(n_chars) AS VARCHAR) AS max_str FROM documents)
+        |ORDER BY "column" """.stripMargin,
+    "lake_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS old_hash
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |neu AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END,
+        |    lang, source)) AS new_hash
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |d AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.old_hash <> n.new_hash THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    o.old_hash, n.new_hash
+        |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+        |SELECT doc_id, status, old_hash, new_hash FROM d
+        |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |       SUM(l_quantity) AS sum_qty

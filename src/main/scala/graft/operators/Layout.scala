@@ -68,4 +68,104 @@ object Layout {
     * a file). */
   def filesTouched(df: DataFrame, pred: Column): Long =
     df.where(pred).select(input_file_name()).distinct().count()
+
+  /** Per-file min/max column-stats MANIFEST — the table-format
+    * data-skipping pattern (Iceberg manifests / Delta file stats) as a
+    * plain relation: one row per data file with row count and
+    * `min_<c>`/`max_<c>` for each stat column. Built in ONE pass over
+    * the data (`input_file_name()` groupBy — map-side partial agg, so
+    * the shuffle carries file-count rows, metadata-scale at any data
+    * size). A real lake harvests the same numbers from parquet
+    * footers at write time; building it relationally keeps the index
+    * engine-pure and lets the oracle replay the pruning decision. The
+    * manifest is to RANGE scans what the LSH band index is to
+    * near-dup probes: the persisted artifact that decides what NOT to
+    * read — at 100 TB a planner that opens every footer pays a
+    * metadata storm per query ([[manifestPrunedRead]] opens none). */
+  def writeStatsManifest(spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, manifestPath: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "at least one stat column")
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dataPath)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(manifestPath)
+  }
+
+  /** Append an ingest batch to a manifest-tracked lake: write the
+    * batch's part files, stat ONLY the fresh files (a before/after
+    * directory listing names them — driver metadata, never a data
+    * read of the existing lake), and append their manifest rows. The
+    * lifecycle contract is the persisted indexes' ([[graft.operators
+    * .Similarity.appendToPqIndex]] one module over): appends touch
+    * delta-scale data, nothing rebuilds, and idempotence is the
+    * caller's offsets problem. Manifest and data move in two steps —
+    * run single-writer (the plain-parquet lake caveat
+    * [[LakeMaintenance.compactPartitioned]] documents); a reader
+    * between the steps sees fresh files missing from the manifest,
+    * so [[manifestPrunedRead]] would UNDER-read — pause serving
+    * across the append or adopt a table format for concurrent
+    * writers. */
+  def appendWithManifest(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, dataPath: String, manifestPath: String,
+      cols: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(dataPath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parts(): Set[String] = fs.listStatus(dir)
+      .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
+    val before = parts()
+    batch.write.mode("append").parquet(dataPath)
+    val fresh = (parts() -- before).toSeq.sorted
+    require(fresh.nonEmpty, "append produced no new files")
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    spark.read.parquet(fresh: _*)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("append").parquet(manifestPath)
+  }
+
+  /** Manifest-driven pruned scan: keep only files whose [min, max]
+    * stat range intersects EVERY requested closed range, read just
+    * those (the collect is file-count strings — metadata-scale, the
+    * buildBloom class of driver action), and re-apply the exact
+    * predicate for row-level truth. Output ≡ the full scan filtered —
+    * min/max pruning can only skip files that PROVABLY contain no
+    * matching row, so the equality gate is the zero-loss proof and
+    * the files-opened count is the efficiency fact. */
+  def manifestPrunedRead(spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, manifestPath: String,
+      ranges: Seq[(String, Double, Double)]): DataFrame = {
+    require(ranges.nonEmpty, "at least one range predicate")
+    val m = spark.read.parquet(manifestPath)
+    val keep = ranges.foldLeft(m) { case (acc, (c, lo, hi)) =>
+      acc.filter(col(s"max_$c").cast("double") >= lo &&
+        col(s"min_$c").cast("double") <= hi)
+    }
+    val files = keep.select("file").collect().map(_.getString(0))
+    val data =
+      if (files.isEmpty) spark.read.parquet(dataPath).limit(0)
+      else spark.read.parquet(files.toSeq: _*)
+    ranges.foldLeft(data) { case (acc, (c, lo, hi)) =>
+      acc.filter(col(c).cast("double").between(lo, hi))
+    }
+  }
+
+  /** Files the manifest keeps for `ranges` — the audit twin of
+    * [[filesTouched]], answered from the manifest ALONE (no data
+    * file opens at all). */
+  def manifestFilesKept(spark: org.apache.spark.sql.SparkSession,
+      manifestPath: String, ranges: Seq[(String, Double, Double)]): Long = {
+    val m = spark.read.parquet(manifestPath)
+    ranges.foldLeft(m) { case (acc, (c, lo, hi)) =>
+      acc.filter(col(s"max_$c").cast("double") >= lo &&
+        col(s"min_$c").cast("double") <= hi)
+    }.count()
+  }
 }

@@ -390,6 +390,26 @@ class BucketingSpec extends SparkSpec {
       s"compaction must preserve the 2-digit layout, got $dirs")
   }
 
+  test("snapshot diff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    import graft.operators.LakeMaintenance
+    val old = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+      .toDF("doc_id", "text", "lang")
+    val neu = Seq((2L, "b", "en"), (3L, "c CHANGED", "de"), (4L, "d", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val out = LakeMaintenance.snapshotDiff(old, neu, "doc_id",
+        Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // delta-scale output: the unchanged row never surfaces
+    assert(!out.contains(2L))
+    // hash-width shuffle: the join carries (key, 32-hex) projections,
+    // never the payload columns
+    val plan = LakeMaintenance.snapshotDiff(old, neu, "doc_id",
+      Seq("text", "lang")).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Cartesian"), plan)
+  }
+
   test("bloom semi-join handles identically-named keys on both sides") {
     import spark.implicits._
     val fact = (0L until 100L).map(k => (k, k % 7)).toDF("partkey", "payload")

@@ -66,4 +66,65 @@ class LayoutSpec extends SparkSpec {
     assert(zoFiles * 4 <= natFiles,
       s"z-order must concentrate the strip: $zoFiles vs $natFiles files")
   }
+
+  test("stats manifest plans from metadata and prunes at zero loss") {
+    val grid = spark.range(0, 4096)
+      .selectExpr("id", "id % 64 AS a", "id DIV 64 AS b",
+        "CAST(id % 97 AS DOUBLE) AS v")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_manifest_spec_").toString
+    Layout.zorderWrite(grid, col("a"), col("b"), s"$base/data",
+      numFiles = 16, bits = 6)
+    Layout.writeStatsManifest(spark, s"$base/data", s"$base/manifest",
+      Seq("a", "b", "v"))
+    // one manifest row per data file; stats present for every column
+    val m = spark.read.parquet(s"$base/manifest")
+    val dataFiles = new java.io.File(s"$base/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(m.count() === dataFiles.toLong)
+    assert(m.columns.sorted.toSeq ===
+      Seq("file", "max_a", "max_b", "max_v", "min_a", "min_b",
+        "min_v", "rows"))
+    assert(m.agg(sum("rows")).head.getLong(0) === 4096L)
+    // the box prunes: manifest keeps strictly fewer files than exist,
+    // answered from the manifest ALONE
+    val ranges = Seq(("a", 0.0, 7.0), ("b", 0.0, 7.0))
+    val kept = Layout.manifestFilesKept(spark, s"$base/manifest", ranges)
+    assert(kept < dataFiles.toLong && kept >= 1L,
+      s"box must keep a strict subset: $kept of $dataFiles")
+    // zero loss: pruned read ≡ full-scan filter (both directions)
+    val pruned = Layout.manifestPrunedRead(spark, s"$base/data",
+      s"$base/manifest", ranges).select("id")
+    val full = spark.read.parquet(s"$base/data")
+      .filter(col("a").between(0, 7) && col("b").between(0, 7))
+      .select("id")
+    assert(pruned.count() === 64L)
+    assert(pruned.except(full).count() === 0L &&
+      full.except(pruned).count() === 0L)
+    // empty-range arm: no file survives, the read returns zero rows
+    // without erroring (parquet(Nil) is invalid — the limit(0) guard)
+    val none = Layout.manifestPrunedRead(spark, s"$base/data",
+      s"$base/manifest", Seq(("v", 500.0, 600.0)))
+    assert(none.count() === 0L)
+
+    // lifecycle: an ingest append stats ONLY its fresh files and the
+    // pruned serve sees the new rows immediately
+    val batch = spark.range(10000, 10064)
+      .selectExpr("id", "CAST(3 AS BIGINT) AS a", "CAST(3 AS BIGINT) AS b",
+        "CAST(id % 97 AS DOUBLE) AS v")
+      .coalesce(1)
+    Layout.appendWithManifest(spark, batch, s"$base/data",
+      s"$base/manifest", Seq("a", "b", "v"))
+    val m2 = spark.read.parquet(s"$base/manifest")
+    val dataFiles2 = new java.io.File(s"$base/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(dataFiles2 === dataFiles + 1)
+    assert(m2.count() === dataFiles2.toLong,
+      "append must add exactly the fresh files' manifest rows")
+    assert(m2.agg(sum("rows")).head.getLong(0) === 4160L)
+    val pruned2 = Layout.manifestPrunedRead(spark, s"$base/data",
+      s"$base/manifest", ranges).select("id")
+    assert(pruned2.count() === 128L, // 64 original + 64 appended at (3,3)
+      "appended rows must serve through the manifest")
+  }
 }

@@ -1826,6 +1826,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stripped.except(base).count() === 0L)
   }
 
+  test("table profile: exact stats per column, approx twin lands near") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = Seq[(java.lang.Long, String)](
+      (1L, "en"), (2L, "en"), (3L, null), (null, "de"), (5L, "de"))
+      .toDF("id", "lang")
+    val p = Profile.tableProfile(df, Seq("id", "lang"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5), r.getString(6))).toMap
+    assert(p("id") === ((5L, 4L, 1L, 4L, "1", "5")))
+    assert(p("lang") === ((5L, 4L, 1L, 2L, "de", "en")))
+    // the 100 TB twin: identical schema + row/null stats, HLL distinct
+    // within the advertised band (exact on a tiny domain)
+    val a = Profile.tableProfileApprox(df, Seq("id", "lang"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(4)))
+      .toMap
+    assert(a("id")._1 === 5L)
+    assert(math.abs(a("id")._2 - 4L) <= 1L)
+    assert(math.abs(a("lang")._2 - 2L) <= 1L)
+  }
+
   test("runaway fixture engages the auto ceiling's hot set at zero loss") {
     import spark.implicits._
     // 400 ids: enough for tail-sharing truth pairs (149 residues) and

@@ -33,6 +33,22 @@ object EventStream {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value_q"))
 
+  /** Streaming twin of [[graft.operators.EventOps.rollup]] — the
+    * serving-layer form of the incremental rollup: the same
+    * all-mergeable state (per-(user, event_type) count + integer-cent
+    * sum) maintained by the engine's streaming aggregation instead of
+    * explicit [[graft.operators.EventOps.rollupMerge]] batches. Update
+    * output mode; NO watermark on purpose — rollup keys never expire,
+    * and the state store holds exactly the rollup relation
+    * (key-cardinality-bounded, not history-bounded: the same reason
+    * the batch merge never rescans history). StreamingSpec pins the
+    * final state bit-equal to the batch rollup under out-of-order,
+    * multi-batch arrival. */
+  def rollupStream(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+
   /** Gap-based sessionization, declarative: `session_window` merges
     * events per user whose gaps are under `gap`. */
   def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -29,6 +29,32 @@ class StreamingSpec extends SparkSpec {
   private def ts(hhmm: String): Timestamp =
     Timestamp.valueOf(s"2024-01-01 $hhmm:00")
 
+  test("streaming rollup state equals the batch rollup under reordering") {
+    val input = MemoryStream[Ev](spark)
+    // complete mode: the sink shows the whole state relation — which
+    // IS the rollup, the op's key-cardinality-bounded-state point
+    val query = EventStream.rollupStream(input.toDF())
+      .writeStream.format("memory").queryName("rollup_stream")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        Ev(3, ts("10:30"), 1, "click", 2.49, ""), // out of order
+        Ev(1, ts("10:00"), 1, "click", 1.51, ""),
+        Ev(2, ts("10:10"), 2, "view", 0.99, ""),
+        Ev(4, ts("10:40"), 1, "view", 3.10, ""))
+      input.addData(rows.take(2)); query.processAllAvailable()
+      input.addData(rows.drop(2)); query.processAllAvailable()
+      val streamed = spark.table("rollup_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val batch = graft.operators.EventOps.rollup(rows.toDF())
+        .collect().map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed === batch)
+      assert(streamed((1L, "click")) === ((2L, 400L))) // 249 + 151 cents
+    } finally query.stop()
+  }
+
   test("windowed streaming agg matches its batch twin across micro-batches") {
     val input = MemoryStream[Ev](spark)
     val query = EventStream.hourlyByType(input.toDF())

@@ -1,0 +1,35 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Measurement tooling (dev/judge, not a driver surface): 40
+  * back-to-back samples of Bench's INTEGER calibration anchor on a
+  * fresh JVM, printed as one curve — the instrument that adjudicated
+  * the r15 refusal pattern. All four r15 same-code captures showed
+  * pre ~0.28-0.34 s vs post ~0.20 s (> the 1.25x band on three of
+  * them) at loadavg_pre 0.38-0.88; this curve shows a fresh JVM
+  * PLATEAUS at ~0.27-0.29 s for 40 consecutive samples and never
+  * reaches 0.20 — so the post-suite speedup is induced by the
+  * suite's own sustained multi-minute load (cpufreq/boost state),
+  * not by ambient load leaving. The anchor gate is therefore
+  * refusing a SYSTEMATIC host ramp on this container; THROUGHPUT.md
+  * "Round 15" carries the reading and the r16 option (settle the
+  * pre anchor after a sustained warm-up rather than a convergence
+  * loop). */
+object AnchorCurve {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def one(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 4000000L, 1, 32)
+        .selectExpr("id % 997 AS k", "id AS v")
+        .groupBy("k").sum("v").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val xs = (1 to 40).map(_ => one())
+    println("[curve] " + xs.map(x => f"$x%.3f").mkString(" "))
+    spark.stop()
+  }
+}

@@ -293,6 +293,23 @@ object ScaleSmoke {
         e.select(graft.operators.Layout.zValue(uid, vbin, 16).as("zv"))
           .agg(sum("zv").as("zsum"))
       }, "evt"),
+      // r15 additions: snapshot diff hashes payload row-locally, then
+      // ONE hash-width full-outer join — expect ~linear (the replica's
+      // copy docs diff exactly like the originals); the exact profile's
+      // Expand replication (one input copy per COUNT(DISTINCT)) is its
+      // documented cost driver — expect ~linear with the cols-fold
+      // constant unchanged across scale. Both END in aggregations /
+      // delta-scale output, so no extra consuming agg is needed.
+      Op("lake_snapshot_diff", d => {
+        val old = d.filter(col("doc_id") % 11 =!= 0)
+        val neu = d.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        graft.operators.LakeMaintenance.snapshotDiff(old, neu, "doc_id",
+          Seq("text", "lang", "source"))
+      }, "doc"),
+      Op("profile_documents", d => graft.operators.Profile.tableProfile(d,
+        Seq("doc_id", "lang", "source", "n_chars")), "doc"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume
       Op("asof_purchase_click", e => {

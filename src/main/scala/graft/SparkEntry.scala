@@ -227,6 +227,15 @@ object SparkEntry {
       p
     })
 
+  /** `phrase_search` query set (query + oracle): two- and three-token
+    * phrases over the corpus vocabulary — a high-frequency bigram, a
+    * repetition bigram (exercises overlap counting), and one trigram. */
+  private val PhraseQueries: Seq[(String, String)] = Seq(
+    ("p_batch_batch", "batch batch"),
+    ("p_join_vector", "join vector"),
+    ("p_sort_merge", "sort merge"),
+    ("p_merge_slow_join", "merge slow join"))
+
   /** `dedup_incremental_lsh_indexed` twin threshold (query + oracle):
     * agreeing minhashes of 32 for a corpus candidate to count as a
     * twin — 24/32 ≈ J 0.75. Sited mid-distribution on this corpus
@@ -721,6 +730,19 @@ object SparkEntry {
     // Data-mixing step: rebalance the corpus toward target language
     // shares under a 50%-of-corpus token budget; output = per-lang
     // funnel (tokens, share, integer keep rate, sampled docs/tokens).
+    // Exact phrase search (r15): order/adjacency-aware retrieval over
+    // the shared gram pipeline; overlapping occurrences count (gram
+    // semantics, replayed by the oracle's positional self-joins).
+    "phrase_search" -> ((s, dir) =>
+      TextOps.phraseSearch(Tables.documents(s, dir), PhraseQueries)
+        .orderBy("query_id", "doc_id")),
+    // Temperature-sampled mixture (r15): T5/PaLM alpha=1/2 weights —
+    // sqrt is correctly rounded in both engines and the sqrt is
+    // integer-quantized BEFORE the normalizing sum, so the whole chain
+    // is order-free integer math the oracle replays exactly.
+    "mix_temperature" -> ((s, dir) =>
+      TextOps.mixTemperature(Tables.documents(s, dir), budgetPct = 50)
+        .orderBy("lang")),
     "mix_rebalance" -> ((s, dir) =>
       TextOps.mixRebalance(Tables.documents(s, dir), MixTargets.toMap,
         budgetPct = MixBudgetPct).orderBy("lang")),
@@ -1967,6 +1989,23 @@ object SparkEntry {
           concat(col("text"), lit(" rev2"))).otherwise(col("text")))
       LakeMaintenance.snapshotDiff(old, neu, "doc_id",
         Seq("text", "lang", "source")).orderBy("doc_id")
+    }),
+    // Delta APPLY round-trip (r15): the applyable twin of the diff —
+    // snapshotDelta carries new payloads for added/changed keys plus
+    // removal keys; applyDelta = one LEFT ANTI on the delta's keys +
+    // union of upserts (MERGE INTO semantics, delta-scale legs). The
+    // oracle is the NEW state itself, so the hash match proves the
+    // round-trip law apply(old, delta(old, new)) == new exactly.
+    "lake_delta_apply" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val old = docs.filter(col("doc_id") % 11 =!= 0)
+      val neu = docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      val pay = Seq("text", "lang", "source")
+      LakeMaintenance.applyDelta(old,
+        LakeMaintenance.snapshotDelta(old, neu, "doc_id", pay),
+        "doc_id", pay).orderBy("doc_id")
     }),
     // TPC-H Q18 shape — large-volume orders: the HAVING side aggregates
     // lineitem FIRST (map-side partial sums on the natural l_orderkey
@@ -3327,6 +3366,46 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, bucket, rate_256 FROM b
         |WHERE bucket < rate_256 ORDER BY doc_id""".stripMargin,
+    "phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS token,
+        |    generate_subscripts(toks, 1) AS pos FROM t),
+        |p(query_id, phrase, n) AS (VALUES ('p_batch_batch', 'batch batch', 2), ('p_join_vector', 'join vector', 2), ('p_sort_merge', 'sort merge', 2), ('p_merge_slow_join', 'merge slow join', 3)),
+        |g2 AS (
+        |  SELECT a.doc_id, a.token || ' ' || b.token AS gram
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+        |g3 AS (
+        |  SELECT a.doc_id, a.token || ' ' || b.token || ' ' || c.token AS gram
+        |  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |             JOIN tok c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2),
+        |hits AS (
+        |  SELECT p.query_id, g.doc_id, COUNT(*) AS h
+        |  FROM p JOIN g2 g ON p.n = 2 AND g.gram = p.phrase GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT p.query_id, g.doc_id, COUNT(*) AS h
+        |  FROM p JOIN g3 g ON p.n = 3 AND g.gram = p.phrase GROUP BY 1, 2)
+        |SELECT query_id, doc_id, CAST(h AS BIGINT) AS n_hits
+        |FROM hits ORDER BY query_id, doc_id""".stripMargin,
+    "mix_temperature" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |bl AS (
+        |  SELECT lang, CAST(SUM(toks) AS BIGINT) AS toks_lang,
+        |    CAST(FLOOR(sqrt(CAST(SUM(toks) AS DOUBLE)) * 1000) AS BIGINT)
+        |      AS sq_milli
+        |  FROM t GROUP BY 1),
+        |z AS (SELECT CAST(SUM(sq_milli) AS BIGINT) AS z,
+        |        CAST(SUM(toks_lang) AS BIGINT) AS toks_total FROM bl)
+        |SELECT lang, toks_lang,
+        |  (sq_milli * 1000000) // z.z AS weight_ppm,
+        |  (((z.toks_total * 50) // 100) * ((sq_milli * 1000000) // z.z))
+        |    // 1000000 AS alloc_toks,
+        |  ((((z.toks_total * 50) // 100) * ((sq_milli * 1000000) // z.z))
+        |    // 1000000 * 1000) // toks_lang AS epochs_milli
+        |FROM bl CROSS JOIN z ORDER BY lang""".stripMargin,
     "mix_rebalance" -> {
       val cases = MixTargets.map { case (l, p) =>
         s"WHEN '$l' THEN $p" }.mkString(" ")
@@ -5631,6 +5710,11 @@ object SparkEntry {
         |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status, old_hash, new_hash FROM d
         |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+    "lake_delta_apply" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text,
+        |  lang, source
+        |FROM documents WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
         |       SUM(l_quantity) AS sum_qty

@@ -96,6 +96,44 @@ object LakeMaintenance {
       .filter(col("status") =!= "unchanged")
   }
 
+  /** Payload-carrying DELTA between two snapshots — the APPLYABLE form
+    * of [[snapshotDiff]] (which emits audit-width hash rows): upserts
+    * (`added`/`changed` rows WITH the new payload) plus removal keys.
+    * Same plan shape — row-local hashes decide membership, one
+    * co-partitioned full-outer join — but the upsert arm re-reads only
+    * the delta keys' payloads (a delta-scale semi-join against `neu`),
+    * so content moves only for rows that actually changed. */
+  def snapshotDelta(old: DataFrame, neu: DataFrame, key: String,
+                    payload: Seq[String]): DataFrame = {
+    val d = snapshotDiff(old, neu, key, payload)
+    val upserts = neu.join(
+      d.filter(col("status") =!= "removed").select(col(key)), Seq(key),
+      "left_semi")
+      .select((col(key) +: payload.map(col)): _*)
+      .withColumn("op", org.apache.spark.sql.functions.lit("upsert"))
+    val removes = d.filter(col("status") === "removed")
+      .select((col(key) +: payload.map(c =>
+        org.apache.spark.sql.functions.lit(null).cast("string").as(c))): _*)
+      .withColumn("op", org.apache.spark.sql.functions.lit("remove"))
+    upserts.unionByName(removes)
+  }
+
+  /** Apply a [[snapshotDelta]] to the old snapshot: drop every keyed
+    * row the delta mentions (one LEFT ANTI — upserted rows are
+    * replaced wholesale, removed rows disappear), then union the
+    * upsert payloads back in. `apply(old, delta(old, neu)) ≡ neu` is
+    * the round-trip law the declared query proves by hash against the
+    * new state itself. MERGE INTO semantics as two delta-scale plan
+    * legs: the base table streams through the anti-join untouched
+    * except where the delta's broadcast-or-shuffled keys hit. */
+  def applyDelta(old: DataFrame, delta: DataFrame, key: String,
+                 payload: Seq[String]): DataFrame = {
+    val cols = (col(key) +: payload.map(col))
+    old.select(cols: _*)
+      .join(delta.select(col(key)), Seq(key), "left_anti")
+      .unionByName(delta.filter(col("op") === "upsert").select(cols: _*))
+  }
+
   private def compactImpl(spark: SparkSession, dir: String,
                           partitionCol: String,
                           forceString: Boolean): Unit = {

@@ -266,6 +266,75 @@ object TextOps {
         coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled"))
   }
 
+  /** Exact PHRASE search — the retrieval mode [[bm25TopK]]'s
+    * bag-of-words scoring can't express (order and adjacency matter:
+    * "stream join" ≠ "join stream"). Relational shape: the corpus's
+    * n-grams come from the shared codegen'd [[gramRows]] pipeline
+    * (posexplode + lead windows — one pass whatever the phrase
+    * lengths), and the phrase table broadcast-joins on (n, gram), so
+    * the scan side never shuffles; the only exchange is the final
+    * per-(query, doc) count with map-side partials. Occurrences count
+    * OVERLAPPING matches ("w w w" has two "w w" hits) — the gram
+    * semantics, which the oracle replays with positional self-joins.
+    * At 100 TB with a standing query set, the same join runs against
+    * a PERSISTED gram posting list instead (the [[invertedIndex]]
+    * lifecycle); the scan form here is the ad-hoc path. */
+  def phraseSearch(docs: DataFrame,
+                   phrases: Seq[(String, String)]): DataFrame = {
+    require(phrases.nonEmpty, "at least one phrase")
+    require(phrases.forall(_._2.trim.nonEmpty), "phrases must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pt = phrases.map { case (q, p) =>
+      (q, p, p.split(" ").length) }.toDF("query_id", "phrase", "pn")
+    val ns = phrases.map(_._2.split(" ").length).distinct
+    gramRows(docs, ns)
+      .join(broadcast(pt),
+        col("n") === col("pn") && col("gram") === col("phrase"))
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Temperature-sampled mixture weights (the T5/PaLM/mT5 α-mixing
+    * rule at α = 1/2): per-language sampling weight ∝ toks^α, which
+    * UPWEIGHTS low-resource languages relative to proportional
+    * sampling — the standard fix for high-resource domination in
+    * multilingual pretraining. α is fixed at 1/2 because `sqrt` is
+    * correctly rounded in IEEE-754 (bit-identical in Spark and
+    * DuckDB), whereas general `pow` may differ by an ULP between libm
+    * implementations; the sqrt is then floor-quantized to integer
+    * milli-units BEFORE the normalizing sum so summation order can
+    * never move a digit (the engine's partial aggregation vs the
+    * oracle's sequential scan). Everything downstream is integer
+    * floor-division.
+    *
+    * Per language: corpus tokens, weight in ppm, the token allocation
+    * at a `budgetPct` total budget, and `epochs_milli` =
+    * alloc/corpus — the number that shows a low-resource language
+    * sampling past one epoch (the known cost of temperature mixing
+    * that practitioners cap). One metadata-scale aggregate over a
+    * row-local token count: no shuffle carries more than |langs| rows.
+    */
+  def mixTemperature(docs: DataFrame, budgetPct: Int = 50): DataFrame = {
+    require(budgetPct >= 0 && budgetPct <= 100, s"budgetPct: $budgetPct")
+    val byLang = docs
+      .select(col("lang"), tokenCount(col("text")).as("toks"))
+      .groupBy("lang").agg(sum("toks").as("toks_lang"))
+      .withColumn("sq_milli",
+        floor(sqrt(col("toks_lang").cast("double")) * 1000).cast("long"))
+    val z = byLang.agg(sum("sq_milli").as("z"),
+      sum("toks_lang").as("toks_total"))
+    byLang.crossJoin(broadcast(z))
+      .withColumn("weight_ppm",
+        expr("(sq_milli * 1000000) div z"))
+      .withColumn("alloc_toks",
+        expr(s"(((toks_total * $budgetPct) div 100) * weight_ppm) div 1000000"))
+      .withColumn("epochs_milli",
+        expr("(alloc_toks * 1000) div toks_lang"))
+      .select("lang", "toks_lang", "weight_ppm", "alloc_toks",
+        "epochs_milli")
+  }
+
   /** Relative quality gate: keep documents at or above their language's
     * MEDIAN quality — the per-stratum threshold form every curation
     * pipeline prefers over a global cutoff (an absolute threshold

@@ -410,6 +410,25 @@ class BucketingSpec extends SparkSpec {
     assert(!plan.contains("Cartesian"), plan)
   }
 
+  test("delta apply round-trips: apply(old, delta(old, new)) == new") {
+    import spark.implicits._
+    import graft.operators.LakeMaintenance
+    val old = Seq((1L, "a", "en"), (2L, "b", "en"), (3L, "c", "de"))
+      .toDF("doc_id", "text", "lang")
+    val neu = Seq((2L, "b", "en"), (3L, "c CHANGED", "de"), (4L, "d", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val pay = Seq("text", "lang")
+    val delta = LakeMaintenance.snapshotDelta(old, neu, "doc_id", pay)
+    // delta is delta-scale: upserts carry NEW payloads, removes only keys
+    val ops = delta.collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(ops === Map(3L -> "upsert", 4L -> "upsert", 1L -> "remove"))
+    val applied = LakeMaintenance.applyDelta(old, delta, "doc_id", pay)
+    assert(applied.except(neu).count() === 0L &&
+      neu.except(applied).count() === 0L,
+      "round-trip law must reconstruct the new state exactly")
+  }
+
   test("bloom semi-join handles identically-named keys on both sides") {
     import spark.implicits._
     val fact = (0L until 100L).map(k => (k, k % 7)).toDF("partkey", "payload")

@@ -1826,6 +1826,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stripped.except(base).count() === 0L)
   }
 
+  test("phrase search counts overlapping hits and respects token order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "w w w x"), (2L, "join stream now"), (3L, "the stream join"))
+      .toDF("doc_id", "text")
+    val out = TextOps.phraseSearch(docs,
+        Seq(("q_rep", "w w"), ("q_ord", "stream join")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    // overlap: "w w w" carries TWO "w w" occurrences (gram semantics)
+    assert(out === Map(("q_rep", 1L) -> 2L, ("q_ord", 3L) -> 1L))
+    // order matters: doc 2 has both tokens adjacent but reversed — no hit
+    assert(!out.contains(("q_ord", 2L)))
+  }
+
+  test("temperature mixing upweights low-resource languages") {
+    import spark.implicits._
+    // en corpus 100x the size of mi: proportional sampling gives mi
+    // ~1% of the budget; alpha=1/2 gives it sqrt(1/100) ~ 1/11 of en's
+    // weight — the upweighting the op exists for
+    val docs = (
+      (0 until 400).map(i => (i.toLong, "w " * 24 + "w", "en")) ++
+      (0 until 4).map(i => (1000L + i, "w " * 24 + "w", "mi"))
+    ).toDF("doc_id", "text", "lang")
+    val m = TextOps.mixTemperature(docs, budgetPct = 50)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val (enToks, enPpm, _, enEp) = m("en")
+    val (miToks, miPpm, _, miEp) = m("mi")
+    assert(enToks === 100L * miToks)
+    // weights proportional to sqrt(tokens): ratio 10, not 100
+    assert(enPpm > 9L * miPpm && enPpm < 11L * miPpm)
+    // the known temperature cost: the low-resource language samples
+    // past one epoch while the high-resource one stays well under
+    assert(miEp > 1000L && enEp < 1000L,
+      s"mi epochs_milli=$miEp en=$enEp")
+    // weights normalize (floor-division leaves at most |langs| ppm)
+    assert(enPpm + miPpm > 999990L && enPpm + miPpm <= 1000000L)
+  }
+
   test("table profile: exact stats per column, approx twin lands near") {
     import spark.implicits._
     import graft.operators.Profile

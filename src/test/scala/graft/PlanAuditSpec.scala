@@ -618,4 +618,43 @@ class PlanAuditSpec extends SparkSpec {
         s"$name must not shuffle — row-local projection, plan:\n$p")
     }
   }
+
+  test("phrase search broadcasts the phrase table onto the gram scan") {
+    val p = plan("phrase_search")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the phrase table must broadcast, plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("snapshot diff full-outers on the key without nested loops") {
+    val p = plan("lake_snapshot_diff")
+    assert(p.contains("FullOuter"),
+      s"diff must be one keyed full-outer join, plan:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("delta apply plans as anti-join + union, no content re-hash join") {
+    val p = plan("lake_delta_apply")
+    assert(p.contains("LeftAnti"),
+      s"apply must drop delta keys via LEFT ANTI, plan:\n$p")
+    assert(p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("exact profile plans through Expand — the documented cost shape") {
+    // the scaladoc's scale warning (one input replica per
+    // COUNT(DISTINCT)) must stay true of the plan, or the approx twin's
+    // reason to exist silently vanishes
+    val p = plan("profile_documents")
+    assert(p.contains("Expand"),
+      s"exact COUNT(DISTINCT) profile must plan through Expand:\n$p")
+    val pa = graft.operators.Profile.tableProfileApprox(
+        Tables.documents(spark, dir), Seq("doc_id", "lang"))
+      .queryExecution.executedPlan.toString
+    assert(!pa.contains("Expand"),
+      s"the HLL twin must NOT replicate through Expand:\n$pa")
+  }
 }

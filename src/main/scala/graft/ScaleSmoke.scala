@@ -310,6 +310,30 @@ object ScaleSmoke {
       }, "doc"),
       Op("profile_documents", d => graft.operators.Profile.tableProfile(d,
         Seq("doc_id", "lang", "source", "n_chars")), "doc"),
+      // delta apply: anti-join + upsert union — both delta-scale legs,
+      // expect ~linear; the consuming agg stops column pruning from
+      // skipping the payload comparison
+      Op("lake_delta_apply", d => {
+        val old = d.filter(col("doc_id") % 11 =!= 0)
+        val neu = d.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        val pay = Seq("text", "lang", "source")
+        graft.operators.LakeMaintenance.applyDelta(d.filter(col("doc_id") % 11 =!= 0),
+          graft.operators.LakeMaintenance.snapshotDelta(old, neu, "doc_id", pay),
+          "doc_id", pay)
+          .agg(sum(length(col("text"))).as("chars"))
+      }, "doc"),
+      // temperature mixing: one metadata-scale aggregate over a
+      // row-local token count — expect overhead-flat at any factor
+      Op("mix_temperature", d =>
+        TextOps.mixTemperature(d, budgetPct = 50), "doc"),
+      // phrase search: gram scan volume grows with the corpus, the
+      // phrase broadcast is constant — expect ~linear
+      Op("phrase_search", d => TextOps.phraseSearch(d, Seq(
+        ("p_batch_batch", "batch batch"), ("p_join_vector", "join vector"),
+        ("p_sort_merge", "sort merge"),
+        ("p_merge_slow_join", "merge slow join"))), "doc"),
       // as-of join: replicas add user populations, purchases/clicks per
       // user constant — the window join should scale with event volume
       Op("asof_purchase_click", e => {

@@ -30,6 +30,31 @@ object AnchorCurve {
     }
     val xs = (1 to 40).map(_ => one())
     println("[curve] " + xs.map(x => f"$x%.3f").mkString(" "))
+    // Phase 2 (r15, the fix-decider): does DIVERSE sustained work —
+    // the thing the suite does and an anchor-only loop does not —
+    // close the pre/post gap? ~90 s of mixed string/join/window jobs,
+    // then the anchor again. If it reads ~0.20 here, the drift is
+    // JIT/host maturation reachable by a Bench-side warm-up; if it
+    // stays ~0.27, the gap only opens under the full suite and the
+    // gate needs a different fix.
+    val burstEnd = System.nanoTime() + 90L * 1000000000L
+    while (System.nanoTime() < burstEnd) {
+      spark.range(0, 300000L, 1, 32)
+        .selectExpr("concat_ws(' ', 'a', 'bb', 'ccc', CAST(id % 977 AS STRING)) AS s")
+        .selectExpr("explode(split(s, ' ')) AS t")
+        .groupBy("t").count().count()
+      val l = spark.range(0, 500000L, 1, 32)
+        .selectExpr("id % 4999 AS k", "id AS v")
+      val r = spark.range(0, 5000L, 1, 8).selectExpr("id AS k", "id * 2 AS w")
+      l.join(r, "k").groupBy(org.apache.spark.sql.functions.expr("k % 97"))
+        .sum("w").count()
+      spark.range(0, 200000L, 1, 32)
+        .selectExpr("id % 1000 AS g", "id AS v")
+        .selectExpr("g", "v", "row_number() OVER (PARTITION BY g ORDER BY v) AS rn")
+        .where("rn <= 3").count()
+    }
+    val ys = (1 to 10).map(_ => one())
+    println("[curve-postburst] " + ys.map(x => f"$x%.3f").mkString(" "))
     spark.stop()
   }
 }

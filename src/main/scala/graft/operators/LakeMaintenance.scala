@@ -111,9 +111,13 @@ object LakeMaintenance {
       "left_semi")
       .select((col(key) +: payload.map(col)): _*)
       .withColumn("op", org.apache.spark.sql.functions.lit("upsert"))
+    // removal rows carry typed nulls (each payload column's OWN type
+    // from the new snapshot's schema) so the union stays
+    // analysis-clean for non-string payloads too
     val removes = d.filter(col("status") === "removed")
       .select((col(key) +: payload.map(c =>
-        org.apache.spark.sql.functions.lit(null).cast("string").as(c))): _*)
+        org.apache.spark.sql.functions.lit(null)
+          .cast(neu.schema(c).dataType).as(c))): _*)
       .withColumn("op", org.apache.spark.sql.functions.lit("remove"))
     upserts.unionByName(removes)
   }

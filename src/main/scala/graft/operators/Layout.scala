@@ -113,6 +113,10 @@ object Layout {
       batch: DataFrame, dataPath: String, manifestPath: String,
       cols: Seq[String]): Unit = {
     import org.apache.hadoop.fs.Path
+    // FLAT layout assumed (the manifest lake writes no partition
+    // dirs): the fresh-file listing is non-recursive by design —
+    // partition-dir lakes get their stats from the partition values
+    // themselves and don't need this manifest
     val dir = new Path(dataPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def parts(): Set[String] = fs.listStatus(dir)

@@ -427,6 +427,15 @@ class BucketingSpec extends SparkSpec {
     assert(applied.except(neu).count() === 0L &&
       neu.except(applied).count() === 0L,
       "round-trip law must reconstruct the new state exactly")
+    // non-string payloads: removal rows must carry TYPED nulls or the
+    // delta union breaks at analysis
+    val oldN = Seq((1L, 10L), (2L, 20L)).toDF("doc_id", "v")
+    val neuN = Seq((2L, 25L)).toDF("doc_id", "v")
+    val appliedN = LakeMaintenance.applyDelta(oldN,
+      LakeMaintenance.snapshotDelta(oldN, neuN, "doc_id", Seq("v")),
+      "doc_id", Seq("v"))
+    assert(appliedN.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet === Set((2L, 25L)))
   }
 
   test("bloom semi-join handles identically-named keys on both sides") {

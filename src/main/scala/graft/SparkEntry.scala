@@ -730,6 +730,13 @@ object SparkEntry {
     // Data-mixing step: rebalance the corpus toward target language
     // shares under a 50%-of-corpus token budget; output = per-lang
     // funnel (tokens, share, integer keep rate, sampled docs/tokens).
+    // RAG-style sliding-window chunking (r15): 64-token windows at
+    // stride 48 (overlap 16) — row-local explode over a per-doc
+    // sequence, shuffle-free at any corpus size; short docs emit one
+    // clamped chunk, tails clamp (both arms populate at the verify SF).
+    "doc_chunks" -> ((s, dir) =>
+      TextOps.chunkDocs(Tables.documents(s, dir), sizeToks = 64,
+        strideToks = 48).orderBy("doc_id", "chunk")),
     // Exact phrase search (r15): order/adjacency-aware retrieval over
     // the shared gram pipeline; overlapping occurrences count (gram
     // semantics, replayed by the oracle's positional self-joins).
@@ -3366,6 +3373,23 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, bucket, rate_256 FROM b
         |WHERE bucket < rate_256 ORDER BY doc_id""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    CAST(CASE WHEN n <= 64 THEN 1
+        |         ELSE (n - 64 + 47) // 48 + 1 END AS BIGINT) AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, toks, n,
+        |        unnest(range(0, n_chunks)) AS chunk FROM c)
+        |SELECT doc_id, CAST(chunk AS BIGINT) AS chunk,
+        |  CAST(chunk * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - chunk * 48) AS BIGINT) AS n_toks,
+        |  array_to_string(toks[CAST(chunk * 48 + 1 AS BIGINT):
+        |    CAST(chunk * 48 + 64 AS BIGINT)], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk""".stripMargin,
     "phrase_search" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

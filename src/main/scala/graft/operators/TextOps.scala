@@ -266,6 +266,42 @@ object TextOps {
         coalesce(col("toks_sampled"), lit(0L)).as("toks_sampled"))
   }
 
+  /** Sliding-window document CHUNKING with overlap — the RAG/embedding
+    * preprocessing twin of [[packChunks]] (which concatenates and cuts
+    * a stream; this splits each doc independently): window `sizeToks`
+    * tokens, step `strideToks` (< size ⇒ overlap, the standard
+    * retrieval-context recipe), last window clamped to the tail and
+    * short docs emitting exactly one chunk. Per (doc, chunk): the
+    * 0-based chunk index, its token start, its actual token count, and
+    * the chunk text.
+    *
+    * Scale shape: entirely ROW-LOCAL — the chunk fan-out is an explode
+    * over a per-row `sequence`, so there is no shuffle at ANY corpus
+    * size and the operator runs at scan speed on a cluster; output
+    * volume is the size/stride expansion factor, the number a RAG
+    * ingest sizes its downstream embedding job by. The chunk-count
+    * arithmetic is integer (ceil via `(n - size + stride - 1) div
+    * stride + 1`), so the oracle replays it exactly. */
+  def chunkDocs(docs: DataFrame, sizeToks: Int = 64,
+                strideToks: Int = 48): DataFrame = {
+    require(sizeToks >= 1 && strideToks >= 1 && strideToks <= sizeToks,
+      s"need 1 <= stride <= size, got size=$sizeToks stride=$strideToks")
+    val toks = split(col("text"), " ")
+    docs
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .withColumn("n_chunks",
+        when(col("n") <= sizeToks, lit(1L)).otherwise(
+          expr(s"(n - $sizeToks + $strideToks - 1) div $strideToks + 1")))
+      .withColumn("chunk", explode(expr("sequence(0L, n_chunks - 1)")))
+      .withColumn("start_tok", col("chunk") * strideToks)
+      .select(col("doc_id"), col("chunk"), col("start_tok"),
+        least(lit(sizeToks.toLong), col("n") - col("start_tok"))
+          .as("n_toks"),
+        array_join(slice(col("toks"),
+          (col("start_tok") + 1).cast("int"), lit(sizeToks)), " ")
+          .as("chunk_text"))
+  }
+
   /** Exact PHRASE search — the retrieval mode [[bm25TopK]]'s
     * bag-of-words scoring can't express (order and adjacency matter:
     * "stream join" ≠ "join stream"). Relational shape: the corpus's

@@ -1826,6 +1826,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(stripped.except(base).count() === 0L)
   }
 
+  test("doc chunking: overlap windows, clamped tail, short-doc arm") {
+    import spark.implicits._
+    // 10 tokens, size 4, stride 3 → chunks at 0,3,6,(9 clamped);
+    // n_chunks = ceil((10-4)/3)+1 = 3 full + last partial
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, "a b")) // short doc: exactly one clamped chunk
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkDocs(docs, sizeToks = 4, strideToks = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    assert(out.keySet === Set((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L)))
+    assert(out((1L, 0L)) === ((0L, 4L, "t1 t2 t3 t4")))
+    assert(out((1L, 1L)) === ((3L, 4L, "t4 t5 t6 t7"))) // stride-1 overlap
+    assert(out((1L, 2L)) === ((6L, 4L, "t7 t8 t9 t10")))
+    assert(out((2L, 0L)) === ((0L, 2L, "a b")))
+    // shuffle-free: the chunk fan-out is a row-local explode
+    val plan = TextOps.chunkDocs(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"chunking must not shuffle, plan:\n$plan")
+  }
+
   test("phrase search counts overlapping hits and respects token order") {
     import spark.implicits._
     val docs = Seq(

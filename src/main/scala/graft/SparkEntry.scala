@@ -200,13 +200,25 @@ object SparkEntry {
     * localCheckpoint (block-storage-backed, the loop's own truncation
     * mechanism); repeat bench passes then measure selection alone —
     * the serve-only index-row contract. `dedup_components` itself does
-    * NOT read this cache: its row must keep pricing the clustering. */
+    * NOT read this cache: its row must keep pricing the clustering.
+    *
+    * Keyed by SESSION as well as (dir, threshold) (r16, the r15
+    * ADVICE item): a localCheckpoint lives in the owning context's
+    * block storage, so a cached DataFrame from a stopped-and-recreated
+    * session would fail unrecoverably instead of rebuilding — the
+    * session identity in the key makes a fresh session rebuild its own
+    * checkpoint (stale entries are bounded: one per session that ever
+    * served the row, paths-not-data). The path caches (pqIndexPaths,
+    * manifestFor) need no such key — they memoize persisted parquet
+    * DIRECTORIES, which any session can re-read. */
   private val componentsCache =
     new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.DataFrame]()
   private def componentsFor(s: SparkSession, dir: String,
                             thresholdTenths: Int): DataFrame =
-    componentsCache.computeIfAbsent(s"$dir#$thresholdTenths", _ =>
+    componentsCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#${s.sparkContext.startTime}" +
+        s"#$dir#$thresholdTenths", _ =>
       Dedup.jaccardComponents(Tables.documents(s, dir), thresholdTenths)
         .localCheckpoint(eager = true))
 
@@ -226,6 +238,38 @@ object SparkEntry {
         Seq("user_id", "value"))
       p
     })
+
+  /** The `lake_snapshot_diff` / `lake_delta_apply` fixture pair:
+    * deterministic old/new snapshot states derived from the documents
+    * table so every diff arm populates and DuckDB replays the exact
+    * same states. Old drops %11 ids; new drops %13 ids and appends an
+    * edit marker on %7 texts. The r16 null legs make the declared
+    * queries prove the digest's null-safety THROUGH the oracle (the
+    * r15 concat_ws hash was null-blind — the round's one
+    * correctness-class defect):
+    *   - lang: NULL in old on %5 ids, NULL in new only on %10 ids —
+    *     so ids ≡ 5 (mod 10) are a NULL→value flip that must classify
+    *     "changed" (and reconstruct through applyDelta);
+    *   - source: '' in old vs NULL in new on %9 ids — the NULL-vs-''
+    *     collision class, also "changed". */
+  private def lakeSnapshots(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, dir)
+    val nullStr = lit(null).cast("string")
+    val old = docs.filter(col("doc_id") % 11 =!= 0)
+      .withColumn("lang",
+        when(col("doc_id") % 5 === 0, nullStr).otherwise(col("lang")))
+      .withColumn("source",
+        when(col("doc_id") % 9 === 0, lit("")).otherwise(col("source")))
+    val neu = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .withColumn("lang",
+        when(col("doc_id") % 10 === 0, nullStr).otherwise(col("lang")))
+      .withColumn("source",
+        when(col("doc_id") % 9 === 0, nullStr).otherwise(col("source")))
+    (old, neu)
+  }
 
   /** `phrase_search` query set (query + oracle): two- and three-token
     * phrases over the corpus vocabulary — a high-frequency bigram, a
@@ -1980,20 +2024,17 @@ object SparkEntry {
     "profile_documents" -> ((s, dir) =>
       Profile.tableProfile(Tables.documents(s, dir),
         Seq("doc_id", "lang", "source", "n_chars")).orderBy("column")),
-    // Lake snapshot diff (r15): row-level version delta between two
-    // keyed snapshots — added / removed / changed via row-local payload
-    // md5 + ONE co-partitioned full-outer join on the key (content
+    // Lake snapshot diff (r15; null-hardened r16): row-level version
+    // delta between two keyed snapshots — added / removed / changed via
+    // row-local payload md5 over a length-prefixed null-sentinel
+    // encoding + ONE co-partitioned full-outer join on the key (content
     // never shuffles, only 32-hex digests; delta-scale output). The
-    // snapshots derive deterministically from the documents table
-    // (drop %11 ids from old, drop %13 ids from new, append an edit
-    // marker on %7 texts) so every arm populates and the oracle
-    // replays the exact same states.
+    // snapshots derive deterministically from the documents table (see
+    // lakeSnapshots) and since r16 carry NULL and NULL-vs-'' payload
+    // flips, so the oracle's hash gate itself proves the digest is
+    // null-safe — the r15 concat_ws form collided exactly there.
     "lake_snapshot_diff" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val old = docs.filter(col("doc_id") % 11 =!= 0)
-      val neu = docs.filter(col("doc_id") % 13 =!= 0)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      val (old, neu) = lakeSnapshots(s, dir)
       LakeMaintenance.snapshotDiff(old, neu, "doc_id",
         Seq("text", "lang", "source")).orderBy("doc_id")
     }),
@@ -2004,11 +2045,7 @@ object SparkEntry {
     // oracle is the NEW state itself, so the hash match proves the
     // round-trip law apply(old, delta(old, new)) == new exactly.
     "lake_delta_apply" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val old = docs.filter(col("doc_id") % 11 =!= 0)
-      val neu = docs.filter(col("doc_id") % 13 =!= 0)
-        .withColumn("text", when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      val (old, neu) = lakeSnapshots(s, dir)
       val pay = Seq("text", "lang", "source")
       LakeMaintenance.applyDelta(old,
         LakeMaintenance.snapshotDelta(old, neu, "doc_id", pay),
@@ -5715,15 +5752,33 @@ object SparkEntry {
         |UNION ALL SELECT 'source' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(source) AS BIGINT) AS non_null, CAST(COUNT(*) - COUNT(source) AS BIGINT) AS nulls, CAST(COUNT(DISTINCT source) AS BIGINT) AS n_distinct, CAST(MIN(source) AS VARCHAR) AS min_str, CAST(MAX(source) AS VARCHAR) AS max_str FROM documents
         |UNION ALL SELECT 'n_chars' AS "column", CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(n_chars) AS BIGINT) AS non_null, CAST(COUNT(*) - COUNT(n_chars) AS BIGINT) AS nulls, CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS n_distinct, CAST(MIN(n_chars) AS VARCHAR) AS min_str, CAST(MAX(n_chars) AS VARCHAR) AS max_str FROM documents)
         |ORDER BY "column" """.stripMargin,
+    // the digest replays snapshotDiff's injective encoding: per column
+    // `N` when NULL else 'V' || charlen || ':' || value, concatenated —
+    // length() counts code points in both engines, md5 hashes UTF-8
     "lake_snapshot_diff" ->
-      """WITH old AS (
-        |  SELECT doc_id, md5(concat_ws(chr(1), text, lang, source)) AS old_hash
+      """WITH enc_old AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 9 = 0 THEN '' ELSE source END AS source
         |  FROM documents WHERE doc_id % 11 <> 0),
-        |neu AS (
-        |  SELECT doc_id, md5(concat_ws(chr(1),
-        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END,
-        |    lang, source)) AS new_hash
+        |enc_new AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text,
+        |    CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 9 = 0 THEN NULL ELSE source END AS source
         |  FROM documents WHERE doc_id % 13 <> 0),
+        |old AS (
+        |  SELECT doc_id, md5(
+        |    CASE WHEN text IS NULL THEN 'N' ELSE 'V' || CAST(length(text) AS VARCHAR) || ':' || text END ||
+        |    CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || CAST(length(lang) AS VARCHAR) || ':' || lang END ||
+        |    CASE WHEN source IS NULL THEN 'N' ELSE 'V' || CAST(length(source) AS VARCHAR) || ':' || source END
+        |  ) AS old_hash FROM enc_old),
+        |neu AS (
+        |  SELECT doc_id, md5(
+        |    CASE WHEN text IS NULL THEN 'N' ELSE 'V' || CAST(length(text) AS VARCHAR) || ':' || text END ||
+        |    CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || CAST(length(lang) AS VARCHAR) || ':' || lang END ||
+        |    CASE WHEN source IS NULL THEN 'N' ELSE 'V' || CAST(length(source) AS VARCHAR) || ':' || source END
+        |  ) AS new_hash FROM enc_new),
         |d AS (
         |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
         |    CASE WHEN o.doc_id IS NULL THEN 'added'
@@ -5734,10 +5789,13 @@ object SparkEntry {
         |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
         |SELECT doc_id, status, old_hash, new_hash FROM d
         |WHERE status <> 'unchanged' ORDER BY doc_id""".stripMargin,
+    // the oracle IS the new snapshot (round-trip law) — including the
+    // NULL payload cells applyDelta must reconstruct through the delta
     "lake_delta_apply" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text,
-        |  lang, source
+        |  CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 9 = 0 THEN NULL ELSE source END AS source
         |FROM documents WHERE doc_id % 13 <> 0 ORDER BY doc_id""".stripMargin,
     "q18_large_orders" ->
       """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,

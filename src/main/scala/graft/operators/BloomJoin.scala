@@ -70,17 +70,28 @@ object BloomJoin {
     * SEMI absorbs every false positive), but a caller sizing for a
     * 100 TB-regime reduction must actually GET the bits it asked
     * for, so when the optimum exceeds the session cap we raise the
-    * conf to fit before aggregating (runtime conf, session-scoped). */
+    * conf to fit for THIS aggregation only and restore it in a
+    * finally (r16, the r15 verdict #3): the raised cap must not leak
+    * into Spark's own runtime bloom-filter injection on every later
+    * query in the session — the admin sized that cap for broadcast /
+    * driver-memory reasons this one explicit build doesn't get to
+    * repeal. */
   def buildBloom(dim: DataFrame, dimKey: String, expectedItems: Long,
       fpp: Double = 0.03): Array[Byte] = {
     val numBits = optimalNumBits(expectedItems, fpp)
     val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
     val spark = dim.sparkSession
-    val cap = spark.conf.getOption(confKey).map(_.toLong)
-      .getOrElse(67108864L)
-    if (numBits > cap) spark.conf.set(confKey, numBits.toString)
-    dim.select(bloomAgg(col(dimKey), expectedItems, numBits).as("bf"))
-      .head.getAs[Array[Byte]](0)
+    val prior = spark.conf.getOption(confKey)
+    val cap = prior.map(_.toLong).getOrElse(67108864L)
+    val raised = numBits > cap
+    if (raised) spark.conf.set(confKey, numBits.toString)
+    try
+      dim.select(bloomAgg(col(dimKey), expectedItems, numBits).as("bf"))
+        .head.getAs[Array[Byte]](0)
+    finally if (raised) prior match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
   }
 
   /** Exact semi-join of `fact` to `dim` keys with the bloom prefilter

@@ -1084,10 +1084,21 @@ object Dedup {
     * batch (re-ingesting half a corpus) would have to fit its band
     * rows inside the 8 GB / 512 M-row broadcast hard limits — past
     * them it dies loudly. `broadcastMaxDocs` is the switch: batches
-    * with more docs than it (counted once — the same driver-action
-    * class as the prefix collect) take the plain shuffled equi-join
-    * on (fp_pfx, band_fp), the natural bulk shape, with identical
-    * output (BucketingSpec pins the cross-regime equality). */
+    * with more docs than it take the plain shuffled equi-join on
+    * (fp_pfx, band_fp), the natural bulk shape, with identical output
+    * (BucketingSpec pins the cross-regime equality).
+    *
+    * ONE driver action decides the regime AND feeds the prune (r16,
+    * the r15 ADVICE item): the r15 form paid a full `batch.count()`
+    * lineage pass BEFORE the prefix collect — two actions, the second
+    * redundant exactly on the point path the method is optimized for.
+    * Now a single aggregation over the batch's band rows returns
+    * (distinct-doc approx count, distinct prefix set ≤ 256 strings)
+    * together; the count is HLL-approximate (±2% rsd), which only
+    * fuzzes WHERE the regime boundary lands — both regimes are
+    * output-identical, and `broadcastMaxDocs` carries 8× headroom
+    * against the broadcast hard limits, so a 2% miss cannot push an
+    * unsafe batch into the broadcast arm. */
   def dedupAgainstCorpusLshIndexed(spark: org.apache.spark.sql.SparkSession,
                                    batch: DataFrame, path: String,
                                    minMatches: Int,
@@ -1099,25 +1110,29 @@ object Dedup {
       .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
       .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("qid"),
         col("sig").as("qsig"))
-    val pointRegime = batch.count() <= broadcastMaxDocs
     val idxAll = LakeMaintenance.readPartitionedString(
       spark, s"$path/bands", "fp_pfx")
-    // STATIC partition pruning (point regime only): collect the
-    // batch's distinct fp prefixes (≤ min(bands·|batch|, 256) strings
-    // — metadata-scale, the buildBloom class of driver action) into a
-    // literal IN filter so the planner prunes index partitions
-    // DETERMINISTICALLY — the optimizer's dynamic-pruning rule is
-    // heuristic-gated (needs a selective Filter on the build side)
-    // and must not decide whether a point probe reads bands/256 of
-    // the index or all of it. The extra prefix job re-runs the
-    // batch's row-local sketch once; point probes are exactly where
-    // that is cheap. A bulk batch populates every prefix anyway, so
-    // it skips the prune and shuffles both sides on the band key.
-    val idx = if (pointRegime) {
-      val pfxs = q.select("fp_pfx").distinct()
-        .collect().map(_.getString(0)).toSeq
-      idxAll.where(col("fp_pfx").isin(pfxs: _*))
-    } else idxAll
+    // One combined metadata job (regime + prune feed): distinct
+    // prefix set (≤ 256 strings) and approx distinct doc count from
+    // the SAME pass over the batch's row-local band rows — the
+    // buildBloom class of driver action, and the only one this method
+    // runs before the serve plan itself.
+    val meta = q.agg(
+      collect_set(col("fp_pfx")).as("pfxs"),
+      approx_count_distinct(col("qid"), 0.02).as("n")).head()
+    val pfxs = meta.getSeq[String](0)
+    val pointRegime = meta.getLong(1) <= broadcastMaxDocs
+    // STATIC partition pruning (point regime only): the prefix set
+    // becomes a literal IN filter so the planner prunes index
+    // partitions DETERMINISTICALLY — the optimizer's dynamic-pruning
+    // rule is heuristic-gated (needs a selective Filter on the build
+    // side) and must not decide whether a point probe reads bands/256
+    // of the index or all of it. A bulk batch populates every prefix
+    // anyway, so it skips the prune and shuffles both sides on the
+    // band key.
+    val idx =
+      if (pointRegime) idxAll.where(col("fp_pfx").isin(pfxs: _*))
+      else idxAll
     val qSide = if (pointRegime) broadcast(q) else q
     // parquet round-trips array elements as nullable; narrow back via
     // the validated KnownNoNullElements wrapper the kernel requires

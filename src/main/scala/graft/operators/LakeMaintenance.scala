@@ -67,23 +67,40 @@ object LakeMaintenance {
     * delta-scale, not table-scale.
     *
     * 100 TB shape: the payload columns hash ROW-LOCALLY at the scan
-    * (md5 over a `\\u0001`-joined projection — content never shuffles,
-    * only (key, 32-hex) rows do), then ONE co-partitioned full-outer
-    * join on the key. With both snapshots bucketed by key the exchange
-    * disappears entirely; either way the shuffle is hash-width at any
-    * payload size. The hash is engine-reproducible (DuckDB md5 over
-    * the same joined string), so the diff itself is oracle-checkable.
-    * Caveat shared with every digest diff: md5 collisions would mask a
-    * change — the same 2⁻¹²⁸ budget [[graft.operators.Dedup]] spends. */
+    * (md5 over a prefix-free per-column encoding — content never
+    * shuffles, only (key, 32-hex) rows do), then ONE co-partitioned
+    * full-outer join on the key. With both snapshots bucketed by key
+    * the exchange disappears entirely; either way the shuffle is
+    * hash-width at any payload size.
+    *
+    * The digest input is INJECTIVE on the payload tuple (r16; the r15
+    * form was md5 over `concat_ws`, and `concat_ws` SKIPS nulls — so
+    * (text=NULL, lang="en") collided with (text="en", lang=NULL),
+    * NULL collided with '', and a separator byte INSIDE a value
+    * re-bracketed the tuple; a changed row in any of those classes
+    * silently classified "unchanged" and the delta/apply pair quietly
+    * diverged from `neu`). Each column now encodes as `N` when NULL,
+    * else `V<charlen>:<value>` — length-prefixed, so no separator
+    * exists to collide with, and the NULL sentinel is disjoint from
+    * every value encoding (values always start with `V`). The
+    * concatenated encoding decodes left-to-right, hence is injective;
+    * `length()` counts Unicode code points identically in Spark and
+    * DuckDB, so the oracle replays the digest byte-for-byte (the
+    * declared `lake_snapshot_diff` fixture now carries NULL payloads
+    * through the hash gate to prove it). Residual caveat shared with
+    * every digest diff: md5 collisions would mask a change — the same
+    * 2⁻¹²⁸ budget [[graft.operators.Dedup]] spends. */
   def snapshotDiff(old: DataFrame, neu: DataFrame, key: String,
                    payload: Seq[String]): DataFrame = {
     require(payload.nonEmpty, "at least one payload column")
+    import org.apache.spark.sql.functions.{coalesce, concat, length, lit, md5, when}
+    def enc(c: String) =
+      when(col(c).isNull, lit("N")).otherwise(concat(lit("V"),
+        length(col(c).cast("string")).cast("string"), lit(":"),
+        col(c).cast("string")))
     def hashed(df: DataFrame, kc: String, hc: String): DataFrame =
       df.select(col(key).as(kc),
-        org.apache.spark.sql.functions.md5(
-          org.apache.spark.sql.functions.concat_ws(
-            "\u0001", payload.map(col): _*).cast("binary")).as(hc))
-    import org.apache.spark.sql.functions.{coalesce, lit, when}
+        md5(concat(payload.map(enc): _*).cast("binary")).as(hc))
     hashed(old, "k_old", "old_hash")
       .join(hashed(neu, "k_new", "new_hash"),
         col("k_old") === col("k_new"), "full_outer")

@@ -319,11 +319,19 @@ object TextOps {
                    phrases: Seq[(String, String)]): DataFrame = {
     require(phrases.nonEmpty, "at least one phrase")
     require(phrases.forall(_._2.trim.nonEmpty), "phrases must be non-empty")
+    // NORMALIZED tokenization (r16, the r15 verdict #4): the r15 form
+    // split on a single space, so a double-spaced phrase produced
+    // empty-string grams that can never match a gramRows token and the
+    // query SILENTLY zero-matched. Whitespace runs now collapse to the
+    // single-space gram spelling (the one gramRows emits), so
+    // "stream  join" means "stream join" instead of meaning nothing.
+    val norm = phrases.map { case (q, p) =>
+      (q, p.trim.split("\\s+").mkString(" ")) }
     val spark = docs.sparkSession
     import spark.implicits._
-    val pt = phrases.map { case (q, p) =>
+    val pt = norm.map { case (q, p) =>
       (q, p, p.split(" ").length) }.toDF("query_id", "phrase", "pn")
-    val ns = phrases.map(_._2.split(" ").length).distinct
+    val ns = norm.map(_._2.split(" ").length).distinct
     gramRows(docs, ns)
       .join(broadcast(pt),
         col("n") === col("pn") && col("gram") === col("phrase"))

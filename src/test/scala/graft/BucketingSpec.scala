@@ -438,6 +438,39 @@ class BucketingSpec extends SparkSpec {
       .toSet === Set((2L, 25L)))
   }
 
+  test("snapshot diff payload hash is null-safe and separator-proof") {
+    import spark.implicits._
+    import graft.operators.LakeMaintenance
+    // every row below is a CHANGED payload the r15 concat_ws digest
+    // hashed identically (null-skip / null-vs-empty / null column
+    // shift / separator byte re-bracketing) — the r16 length-prefixed
+    // null-sentinel encoding must classify all of them "changed"
+    val old = Seq(
+      (1L, Option("a"), Option.empty[String]),  // null -> value flip
+      (2L, Option(""), Option("x")),            // '' vs NULL
+      (3L, Option("a"), Option.empty[String]),  // (a,NULL) vs (NULL,a)
+      (4L, Option("ab"), Option("c")))    // separator inside value
+      .toDF("doc_id", "text", "lang")
+    val neu = Seq(
+      (1L, Option("a"), Option("en")),
+      (2L, Option(""), Option.empty[String]),
+      (3L, Option.empty[String], Option("a")),
+      (4L, Option("a"), Option("bc")))
+      .toDF("doc_id", "text", "lang")
+    val pay = Seq("text", "lang")
+    val status = LakeMaintenance.snapshotDiff(old, neu, "doc_id", pay)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(status === Map(1L -> "changed", 2L -> "changed",
+      3L -> "changed", 4L -> "changed"))
+    // and the round-trip law holds THROUGH the null-bearing delta:
+    // applyDelta reconstructs the NULL cells exactly
+    val applied = LakeMaintenance.applyDelta(old,
+      LakeMaintenance.snapshotDelta(old, neu, "doc_id", pay), "doc_id", pay)
+    assert(applied.except(neu).count() === 0L &&
+      neu.except(applied).count() === 0L,
+      "null-bearing payloads must survive the delta round-trip")
+  }
+
   test("bloom semi-join handles identically-named keys on both sides") {
     import spark.implicits._
     val fact = (0L until 100L).map(k => (k, k % 7)).toDF("partkey", "payload")

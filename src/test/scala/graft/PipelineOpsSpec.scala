@@ -1863,6 +1863,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!out.contains(("q_ord", 2L)))
   }
 
+  test("phrase search normalizes whitespace runs instead of zero-matching") {
+    import spark.implicits._
+    // r15 split on a single space, so "stream  join" produced an
+    // empty-string gram token and SILENTLY returned 0 hits; whitespace
+    // runs (and tabs, and surrounding space) must mean the
+    // single-space phrase
+    val docs = Seq((1L, "the stream join runs")).toDF("doc_id", "text")
+    val out = TextOps.phraseSearch(docs,
+        Seq(("q_dbl", "stream  join"), ("q_tab", "stream\tjoin"),
+          ("q_pad", " stream join ")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("q_dbl" -> 1L, "q_tab" -> 1L, "q_pad" -> 1L))
+  }
+
   test("temperature mixing upweights low-resource languages") {
     import spark.implicits._
     // en corpus 100x the size of mi: proportional sampling gives mi
@@ -1965,5 +1979,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dimKeys.forall(pass.contains), "bloom false negative")
     val fp = pass.size - dimKeys.count(_ < 3000L)
     assert(fp <= (3000 * 0.03 * 5).toInt, s"fp rate implausibly high: $fp")
+  }
+
+  test("oversized bloom build restores the session maxNumBits cap") {
+    import spark.implicits._
+    val confKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prior = spark.conf.getOption(confKey)
+    // pin a tiny cap so the optimal sketch for 10k expected items
+    // (~73 kbit at fpp 3%) must raise it during the aggregation
+    spark.conf.set(confKey, "1024")
+    try {
+      val dim = Seq(1L, 2L, 3L).toDF("dk")
+      val bloom = graft.operators.BloomJoin.buildBloom(
+        dim, "dk", expectedItems = 10000L)
+      assert(bloom.nonEmpty)
+      assert(spark.conf.get(confKey) === "1024",
+        "buildBloom must not leak the raised cap into the session — " +
+          "Spark's own runtime bloom injection sizes against it")
+    } finally prior match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
   }
 }

@@ -23,11 +23,23 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Layout
 
+// r16 composition leg (r15 verdict #5): `layout` (arg 3) picks the
+// lake's file clustering — `zorder` (default; the production shape:
+// manifest OVER a z-ordered lake, rectangles in (user_id, value)
+// space so few files intersect a box) vs `arrival` (round-robin
+// scatter; every file spans the whole key space, so min/max stats
+// keep almost everything). Same manifest machinery over both layouts
+// at the same file count isolates how the planning win STACKS with
+// clustering: the manifest decides which files, the z-order decides
+// how few files there are to keep.
 object ManifestProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val files = args.lift(1).map(_.toInt).getOrElse(64)
     val factor = args.lift(2).map(_.toInt).getOrElse(100)
+    val layout = args.lift(3).getOrElse("zorder")
+    require(layout == "zorder" || layout == "arrival",
+      s"layout must be zorder|arrival, got $layout")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -50,8 +62,11 @@ object ManifestProbe {
     val rows = ev.count()
     val base = java.nio.file.Files
       .createTempDirectory("graft_manifest_probe_").toString
-    Layout.zorderWrite(ev, col("user_id").cast("long"),
-      floor(col("value")).cast("long"), s"$base/data", numFiles = files)
+    if (layout == "zorder")
+      Layout.zorderWrite(ev, col("user_id").cast("long"),
+        floor(col("value")).cast("long"), s"$base/data", numFiles = files)
+    else
+      ev.repartition(files).write.mode("overwrite").parquet(s"$base/data")
     Layout.writeStatsManifest(spark, s"$base/data", s"$base/manifest",
       Seq("user_id", "value"))
 
@@ -75,7 +90,8 @@ object ManifestProbe {
       f"wall full=$wFull%.3f manifest=$wMan%.3f")
     Console.flush()
     println(s"""{"metric":"manifest_probe","sf":"$sfDir","rows":$rows,""" +
-      s""""files":$files,"factor":$factor,"matching_rows":$sel,""" +
+      s""""files":$files,"factor":$factor,"layout":"$layout",""" +
+      s""""matching_rows":$sel,""" +
       s""""files_kept":$kept,""" +
       f""""wall_full_sec":$wFull%.3f,"wall_manifest_sec":$wMan%.3f,""" +
       s""""note":"local fs + warm page cache underprice per-footer """ +

@@ -119,8 +119,12 @@ object Layout {
     // themselves and don't need this manifest
     val dir = new Path(dataPath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parts(): Set[String] = fs.listStatus(dir)
-      .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
+    // a FIRST append bootstraps the lake (the stream twin's batch 0):
+    // a missing data dir is an empty file set, not an error
+    def parts(): Set[String] =
+      if (!fs.exists(dir)) Set.empty
+      else fs.listStatus(dir)
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).toSet
     val before = parts()
     batch.write.mode("append").parquet(dataPath)
     val fresh = (parts() -- before).toSeq.sorted

@@ -404,4 +404,44 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .outputMode(OutputMode.Append)
       .start()
+
+  /** Streaming ingest into a MANIFEST-TRACKED lake — the stream twin
+    * of [[graft.operators.Layout.appendWithManifest]] (r16, the r15
+    * verdict #7: the one lake-lifecycle op without a stream sibling;
+    * the LSH and PQ indexes both have ingest twins). `foreachBatch` is
+    * the correct streaming shape for a SINK lifecycle (the op is a
+    * write protocol, not a transformation): each micro-batch runs the
+    * exact batch append — write part files, stat ONLY the fresh files
+    * from a before/after listing, append their manifest rows — so the
+    * streamed manifest is ROW-IDENTICAL to rebuilding from scratch
+    * with [[graft.operators.Layout.writeStatsManifest]] over the same
+    * lake (StreamingSpec pins the equality; STREAM_PROBE_r16 prices
+    * it). Per micro-batch cost is delta-scale: one write of the
+    * batch's rows + one stat pass over just-written files.
+    *
+    * Caveats carried from the batch op, stated: single-writer (the
+    * data and manifest move in two steps — a concurrent
+    * `manifestPrunedRead` between them UNDER-reads; pause serving
+    * across appends or adopt a table format), and idempotence is the
+    * caller's offsets problem — `batchId` is the handle (foreachBatch
+    * re-delivers a batch after a crash between the data write and the
+    * checkpoint commit; a production caller records applied batchIds
+    * in the manifest path and skips replays — this probe-scale twin
+    * documents rather than implements that ledger, matching the
+    * append-only contract of the persisted index twins). */
+  def manifestIngestStream(events: DataFrame, dataPath: String,
+      manifestPath: String, statsCols: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        // an empty re-trigger must not reach appendWithManifest (its
+        // fresh-file require is the guard against silent no-op stats)
+        if (!batch.isEmpty)
+          graft.operators.Layout.appendWithManifest(
+            batch.sparkSession, batch.toDF(), dataPath, manifestPath,
+            statsCols)
+      }
+      .start()
 }

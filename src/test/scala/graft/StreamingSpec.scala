@@ -938,4 +938,47 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(1)._3 === 0L) // clean doc passes through untouched
     } finally q.stop()
   }
+
+  test("streaming manifest ingest equals the batch manifest builder") {
+    val input = MemoryStream[Ev](spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_manifest_stream_").toString
+    val q = EventStream.manifestIngestStream(input.toDF(),
+      s"$base/data", s"$base/manifest", Seq("user_id", "value"),
+      s"$base/ckpt")
+    try {
+      // three micro-batches = three delta-scale appendWithManifest
+      // runs, each statting only its own fresh part files
+      input.addData(Ev(1, ts("10:00"), 10, "click", 1.0, ""),
+        Ev(2, ts("10:01"), 20, "view", 5.0, ""))
+      q.processAllAvailable()
+      input.addData(Ev(3, ts("10:02"), 30, "click", 9.0, ""))
+      q.processAllAvailable()
+      input.addData(Ev(4, ts("10:03"), 5, "view", 2.0, ""),
+        Ev(5, ts("10:04"), 40, "click", 7.0, ""))
+      q.processAllAvailable()
+      // the streamed manifest must be ROW-IDENTICAL to rebuilding
+      // from scratch over the same lake files
+      graft.operators.Layout.writeStatsManifest(spark, s"$base/data",
+        s"$base/manifest_rebuilt", Seq("user_id", "value"))
+      def rows(p: String) = spark.read.parquet(p)
+        .collect().map(_.toSeq).toSet
+      val streamed = rows(s"$base/manifest")
+      assert(streamed === rows(s"$base/manifest_rebuilt"),
+        "streamed manifest diverged from the batch builder")
+      // and the manifest actually tracks per-batch files: >= 3 data
+      // files (one+ per non-empty micro-batch), total rows = 5
+      assert(streamed.size >= 3)
+      assert(spark.read.parquet(s"$base/manifest")
+        .agg(org.apache.spark.sql.functions.sum("rows")).head.getLong(0)
+        === 5L)
+      // pruned serve over the streamed manifest still equals the
+      // full-scan filter (the zero-loss contract, now via the twin)
+      val pruned = graft.operators.Layout.manifestPrunedRead(spark,
+        s"$base/data", s"$base/manifest",
+        Seq(("user_id", 10.0, 30.0))).select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(pruned === Set(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }

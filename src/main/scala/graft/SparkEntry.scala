@@ -56,6 +56,13 @@ object SparkEntry {
     "q_join" -> Seq("join", "merge", "hash"))
   private val Bm25K = 20
 
+  /** `hybrid_rrf` knobs (query + oracle, the [[Bm25Queries]] rule):
+    * 3 doc-as-query probes (documents and embeddings share ids), each
+    * arm cut to 20 before fusion, fused top-10 served at RRF K=60. */
+  private val HybridProbes = 3
+  private val HybridArmK = 20
+  private val HybridK = 10
+
   /** `dedup_snm`'s neighborhood width and Jaccard threshold (tenths) —
     * shared query/oracle constants, same rule as [[Bm25Queries]]. */
   private val SnmWindow = 4
@@ -1128,6 +1135,17 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(Tables.documents(s, dir), Bm25Queries, Bm25K)
         .orderBy("query_id", "rnk")),
+    // Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
+    // (r16): BM25 doc-as-query arm + quantized brute-cosine arm, each
+    // cut to kArm, fused by integer floor(1e6/(60+rank)) sums — rank
+    // is the only unit the arms share, and the fusion join is
+    // corpus-size-independent (≤ 2·kArm rows per query). Both arm
+    // ranks ship as audit columns (NULL = arm didn't surface it).
+    "hybrid_rrf" -> ((s, dir) =>
+      TextOps.hybridRrfTopK(Tables.documents(s, dir),
+          Tables.embeddings(s, dir), numQueries = HybridProbes,
+          kArm = HybridArmK, k = HybridK)
+        .orderBy("query_id", "rnk")),
     // Bigram familiarity vs the corpus top-100 table — the
     // integer-exact LM-perplexity filtering proxy.
     "doc_familiarity" -> ((s, dir) =>
@@ -1995,6 +2013,29 @@ object SparkEntry {
       Tables.events(s, dir)
         .select(col("event_id"), uid.as("uid"), vbin.as("vbin"),
           Layout.zValue(uid, vbin, bits = 16).as("zv"))
+        .orderBy("event_id")
+    }),
+    // SCALED z-order key (r16): min-max affine bucketing before the
+    // interleave, the built-in fix for zValue's wide-domain wrap
+    // (event_id at sf0.1 exceeds 2^16, so the masked key scrambles
+    // locality — the 8-bit probe leg in ZORDER_PROBE_r16 measures the
+    // scramble). One metadata min/max aggregation broadcast into a
+    // row-local expression; the oracle replays bounds + bucketing +
+    // interleave bit-for-bit.
+    "zorder_scaled_keys" -> ((s, dir) => {
+      val eid = col("event_id").cast("long")
+      val uid = col("user_id").cast("long")
+      val ev = Tables.events(s, dir)
+      val bounds = ev.agg(min(eid).as("amin"), max(eid).as("amax"),
+        min(uid).as("bmin"), max(uid).as("bmax"))
+      ev.crossJoin(broadcast(bounds))
+        .select(col("event_id"),
+          Layout.scaledBucket(eid, col("amin"), col("amax"), 8).as("ab"),
+          Layout.scaledBucket(uid, col("bmin"), col("bmax"), 8).as("bb"),
+          Layout.zValue(
+            Layout.scaledBucket(eid, col("amin"), col("amax"), 8),
+            Layout.scaledBucket(uid, col("bmin"), col("bmax"), 8),
+            bits = 8).as("zv"))
         .orderBy("event_id")
     }),
     // Manifest-driven pruned scan (r15): the table-format data-skipping
@@ -4119,6 +4160,69 @@ object SparkEntry {
         |ORDER BY query_id, rnk""".stripMargin
     },
 
+    // both arms replay their proven oracles (bm25_topk's quantized
+    // scoring with the probe docs' distinct tokens as query terms;
+    // knn_brute_force's quantized dot), then the fusion is exact
+    // integer arithmetic: floor(1e6/(60+rank)) per arm, BIGINT sum
+    "hybrid_rrf" ->
+      s"""WITH qt AS (
+        |  SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents WHERE doc_id < $HybridProbes),
+        |base AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM base WHERE token IN (SELECT DISTINCT token FROM qt)
+        |  GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1),
+        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM documents),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |lscored AS (
+        |  SELECT q.qid, tf.doc_id,
+        |    CAST(SUM(CAST(floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * 10000) AS BIGINT)
+        |      * CAST(floor((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) * 10000) AS BIGINT)) AS BIGINT) AS score
+        |  FROM tf JOIN qt q ON tf.token = q.token
+        |    JOIN dfreq d ON tf.token = d.token
+        |    JOIN dl l ON tf.doc_id = l.doc_id
+        |    CROSS JOIN stats s
+        |  WHERE tf.doc_id <> q.qid
+        |  GROUP BY 1, 2),
+        |lex AS (SELECT qid, doc_id, lex_rnk FROM (
+        |  SELECT qid, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
+        |  FROM lscored) lr WHERE lex_rnk <= $HybridArmK),
+        |dq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+        |  WHERE vec_id < $HybridProbes),
+        |prod AS (
+        |  SELECT dq.qid, e.vec_id AS doc_id,
+        |    SUM(CAST(FLOOR(CAST(dq.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)
+        |      * CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS score
+        |  FROM dq CROSS JOIN embeddings e CROSS JOIN generate_series(1, 64) g(k)
+        |  WHERE e.vec_id <> dq.qid GROUP BY 1, 2),
+        |den AS (SELECT qid, doc_id, den_rnk FROM (
+        |  SELECT qid, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY score DESC, doc_id) AS BIGINT) AS den_rnk
+        |  FROM prod) dr WHERE den_rnk <= $HybridArmK),
+        |fused AS (
+        |  SELECT COALESCE(l.qid, d.qid) AS query_id,
+        |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |    COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rnk)) AS BIGINT), 0)
+        |      + COALESCE(CAST(floor(1000000.0 / (60 + d.den_rnk)) AS BIGINT), 0) AS rrf_micro,
+        |    l.lex_rnk, d.den_rnk
+        |  FROM lex l FULL OUTER JOIN den d
+        |    ON l.qid = d.qid AND l.doc_id = d.doc_id)
+        |SELECT query_id, doc_id, rrf_micro, lex_rnk, den_rnk, rnk FROM (
+        |  SELECT query_id, doc_id, rrf_micro, lex_rnk, den_rnk,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM fused) f
+        |WHERE rnk <= $HybridK ORDER BY query_id, rnk""".stripMargin,
+
     "media_features" ->
       // the stub codec's scalar surface is pure arithmetic over the
       // payload: FNV checksum (same fold as doc_fingerprint_rolling)
@@ -5738,6 +5842,18 @@ object SparkEntry {
          |  CAST(floor(value) AS BIGINT) AS vbin FROM events)
          |SELECT event_id, uid, vbin,
          |  CAST(${graft.operators.Layout.sqlZValue("uid", "vbin", 16)} AS BIGINT) AS zv
+         |FROM e ORDER BY event_id""".stripMargin,
+    "zorder_scaled_keys" ->
+      s"""WITH bounds AS (SELECT CAST(MIN(event_id) AS BIGINT) AS amin,
+         |    CAST(MAX(event_id) AS BIGINT) AS amax,
+         |    CAST(MIN(user_id) AS BIGINT) AS bmin,
+         |    CAST(MAX(user_id) AS BIGINT) AS bmax FROM events),
+         |e AS (SELECT event_id,
+         |  ${graft.operators.Layout.sqlScaledBucket("event_id", "amin", "amax", 8)} AS ab,
+         |  ${graft.operators.Layout.sqlScaledBucket("user_id", "bmin", "bmax", 8)} AS bb
+         |FROM events CROSS JOIN bounds)
+         |SELECT event_id, ab, bb,
+         |  CAST(${graft.operators.Layout.sqlZValue("ab", "bb", 8)} AS BIGINT) AS zv
          |FROM e ORDER BY event_id""".stripMargin,
     "manifest_pruned_scan" ->
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -84,6 +84,28 @@ object ZorderProbe {
     println(s"""{"metric":"zorder_layout_probe","sf":"$sfDir",""" +
       s""""rows":$rows,"files":$files,"factor":$factor,""" +
       s""""legs":{${legs.mkString(",")}}}""")
+
+    // r16 SCALED-vs-MASKED leg: z-order on the WIDE key pair
+    // (event_id, user_id) — event_id exceeds 2^16 at sf0.1 ×factor,
+    // so the plain masked zValue wraps (id % 65536) and an id-box
+    // scatters across every z range; zorderWriteScaled min-max-buckets
+    // first, keeping the box a contiguous z band. Same replica set,
+    // same file count — the delta isolates the bucketing.
+    Layout.zorderWrite(ev, col("event_id"), col("user_id"),
+      s"$base/wide_masked", numFiles = files)
+    Layout.zorderWriteScaled(ev, col("event_id"), col("user_id"),
+      s"$base/wide_scaled", numFiles = files)
+    val idLo = stride * factor / 3
+    val idBox = col("event_id").between(idLo, idLo + stride * factor / 20)
+    val wm = spark.read.parquet(s"$base/wide_masked")
+    val ws = spark.read.parquet(s"$base/wide_scaled")
+    val mf = Layout.filesTouched(wm, idBox)
+    val sf2 = Layout.filesTouched(ws, idBox)
+    println(f"[zorderprobe] scaled-vs-masked id-box files $mf -> $sf2")
+    Console.flush()
+    println(s"""{"metric":"zorder_scaled_probe","sf":"$sfDir",""" +
+      s""""rows":$rows,"files":$files,"factor":$factor,""" +
+      s""""id_box_files_masked":$mf,"id_box_files_scaled":$sf2}""")
     spark.stop()
   }
 }

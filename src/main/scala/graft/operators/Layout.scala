@@ -62,6 +62,63 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
+  /** Min-max AFFINE bucketing to a bounded domain — the built-in
+    * answer to [[zValue]]'s documented precondition ("callers bucket
+    * wider domains first"; r16). `zValue` masks each key to its low
+    * `bits` bits, so a domain wider than 2^bits WRAPS (event_id
+    * 65 537 ≡ 1 at 16 bits) and the interleaved key scrambles
+    * locality — a box predicate then touches most files and the
+    * layout silently stops paying. Scaling
+    * floor((x − min)/(max − min) · (2^bits − 1)) is order-preserving,
+    * lands exactly in [0, 2^bits), and costs ONE metadata aggregation
+    * (the min/max pair, broadcast) plus row-local arithmetic — no
+    * rank window, no global sort, fully codegen (an NTILE-balanced
+    * bucketing would equalize bucket POPULATIONS under skew but needs
+    * a total-order rank; file-size balance is already the range
+    * partitioner's job in [[zorderWrite]], so the affine form keeps
+    * the write path distributed and the oracle replay is one
+    * correctly-rounded double division — bit-identical in DuckDB).
+    * Degenerate max == min maps to bucket 0. */
+  def scaledBucket(c: Column, minV: Column, maxV: Column,
+                   bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val span = maxV.cast("double") - minV.cast("double")
+    when(span <= 0.0, lit(0L)).otherwise(
+      floor((c.cast("double") - minV.cast("double")) / span *
+        ((1L << bits) - 1).toDouble).cast("long"))
+  }
+
+  /** The DuckDB spelling of [[scaledBucket]] — same expression order,
+    * so the double division rounds identically. */
+  def sqlScaledBucket(c: String, minV: String, maxV: String,
+                      bits: Int): String =
+    s"(CASE WHEN CAST($maxV AS DOUBLE) - CAST($minV AS DOUBLE) <= 0.0 " +
+      s"THEN 0 ELSE CAST(floor((CAST($c AS DOUBLE) - CAST($minV AS DOUBLE)) " +
+      s"/ (CAST($maxV AS DOUBLE) - CAST($minV AS DOUBLE)) * " +
+      s"${(1L << bits) - 1}.0) AS BIGINT) END)"
+
+  /** [[zorderWrite]] with built-in [[scaledBucket]] bucketing: one
+    * extra aggregation computes both keys' min/max (metadata-scale,
+    * broadcast into the scan), then the usual range-partitioned
+    * sorted write on the interleaved key. Reach for this whenever
+    * either key's domain exceeds 2^bits or is not already
+    * zero-anchored — i.e. almost always on real ids. */
+  def zorderWriteScaled(df: DataFrame, a: Column, b: Column,
+      path: String, numFiles: Int, bits: Int = 16): Unit = {
+    val bounds = df.agg(min(a).as("amin"), max(a).as("amax"),
+      min(b).as("bmin"), max(b).as("bmax"))
+    val z = zValue(
+      scaledBucket(a, col("amin"), col("amax"), bits),
+      scaledBucket(b, col("bmin"), col("bmax"), bits), bits)
+    df.crossJoin(broadcast(bounds))
+      .withColumn("_z", z)
+      .drop("amin", "amax", "bmin", "bmax")
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Files a predicate actually has to read under a given layout — the
     * layout audit number (files whose contents intersect the predicate;
     * parquet stats let the scan skip the rest when one row group spans

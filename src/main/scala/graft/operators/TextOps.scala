@@ -1202,6 +1202,88 @@ object TextOps {
       .select("query_id", "doc_id", "score", "rnk")
   }
 
+  /** HYBRID retrieval with Reciprocal Rank Fusion (r16) — the serving
+    * pattern every RAG stack runs: a LEXICAL arm and a DENSE arm rank
+    * independently, and the fused score is Σ_arms 1/(K + rank) (K=60,
+    * Cormack/Clarke/Büttcher's constant), which rewards documents BOTH
+    * arms surface without ever comparing their incomparable raw scores
+    * — rank is the only unit the two arms share.
+    *
+    * Doc-as-query over this corpus (documents and embeddings share the
+    * id space): for each probe id < `numQueries`, the lexical arm is
+    * [[bm25TopK]]'s exact integer-quantized scoring with the probe
+    * doc's DISTINCT tokens as the query (the query-term relation stays
+    * a broadcast DataFrame — no driver collect), and the dense arm is
+    * [[Similarity.knnBruteForce]]'s quantized dot top-k. Both arms
+    * exclude the probe doc itself and cut to `kArm` before fusion, so
+    * the full-outer fusion join touches ≤ 2·kArm rows per query —
+    * fusion cost is independent of corpus size; the arms' own costs
+    * are the priced retrieval tiers (at 100 TB the dense arm swaps to
+    * the IVF-PQ index serve and the lexical arm to the persisted
+    * inverted index — rank lists are rank lists, the fusion is
+    * unchanged).
+    *
+    * Engine-exact fusion: each arm's contribution is
+    * floor(10⁶/(rrfK + rank)) — one correctly-rounded double division
+    * then floor, summed as BIGINTs — so the fused score is
+    * cross-engine bit-exact and tie-breaks (score desc, doc_id) are
+    * total. Output carries both arm ranks (NULL where an arm did not
+    * surface the doc) — the "why did this rank here" audit column. */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, numQueries: Int,
+                    kArm: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    // lexical arm — bm25TopK's scoring, query terms from the probes
+    val qterms = docs.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("qid"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = toks
+      .join(broadcast(qterms.select("token").distinct()), "token")
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"), tokenCount(col("text")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double"))
+        .as("avgdl"))
+    val idfq = floor(log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) * 10000)
+      .cast("long")
+    val satq = floor((col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) * 10000)
+      .cast("long")
+    val wl = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc_id"))
+    val lex = tf
+      .join(broadcast(qterms), "token")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", idfq * satq)
+      .groupBy("qid", "doc_id")
+      .agg(sum("contrib").as("score"))
+      .withColumn("lex_rnk", row_number().over(wl).cast("long"))
+      .filter(col("lex_rnk") <= kArm)
+      .select("qid", "doc_id", "lex_rnk")
+    // dense arm — the quantized brute-force tier (same probe ids)
+    val den = Similarity.knnBruteForce(emb, numQueries, kArm)
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rn").cast("long").as("den_rnk"))
+    // fusion — ≤ 2·kArm rows per query, corpus-size-independent
+    def rrfMicro(rank: org.apache.spark.sql.Column) =
+      coalesce(floor(lit(1000000.0) / (lit(rrfK) + rank)).cast("long"),
+        lit(0L))
+    val wf = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+    lex.join(den, Seq("qid", "doc_id"), "full_outer")
+      .select(col("qid").as("query_id"), col("doc_id"),
+        (rrfMicro(col("lex_rnk")) + rrfMicro(col("den_rnk")))
+          .as("rrf_micro"),
+        col("lex_rnk"), col("den_rnk"))
+      .withColumn("rnk", row_number().over(wf).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Cross-split leakage: duplicate-content classes whose members land
     * in DIFFERENT [[hashSplit]] splits — the train/test contamination
     * every deduplicate-then-split pipeline must audit (dedup by

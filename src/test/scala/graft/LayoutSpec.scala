@@ -127,4 +127,55 @@ class LayoutSpec extends SparkSpec {
     assert(pruned2.count() === 128L, // 64 original + 64 appended at (3,3)
       "appended rows must serve through the manifest")
   }
+
+  test("scaled bucket is order-preserving, bounded, degenerate-safe") {
+    import spark.implicits._
+    val df = (0L to 10L).toDF("x")
+      .withColumn("b", Layout.scaledBucket(col("x"), lit(0L), lit(10L), 3))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min -> 0, max -> 2^bits - 1, interior floor((x/10)*7)
+    assert(m(0L) === 0L && m(10L) === 7L && m(5L) === 3L)
+    // order-preserving across the whole domain
+    val bs = (0L to 10L).map(m)
+    assert(bs === bs.sorted)
+    // degenerate max == min never divides by zero
+    val deg = Seq(42L).toDF("x")
+      .select(Layout.scaledBucket(col("x"), lit(42L), lit(42L), 3).as("b"))
+      .head.getLong(0)
+    assert(deg === 0L)
+  }
+
+  test("scaled z-order restores locality on a wide (wrapping) domain") {
+    import spark.implicits._
+    // ids span 0..8191 — 32x past the 8-bit mask, so plain zValue at
+    // bits=8 WRAPS (id % 256) and an id-range box is scattered across
+    // every z range; scaledBucket maps the full span into [0, 256)
+    // order-preserved, so the same box stays a contiguous z band
+    val rows = (0L until 8192L).map(i => (i, i % 61))
+      .toDF("id", "v")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_zscale_").toString
+    Layout.zorderWriteScaled(rows, col("id"), col("v"),
+      s"$base/scaled", numFiles = 16, bits = 8)
+    Layout.zorderWrite(rows, col("id"), col("v"),
+      s"$base/masked", numFiles = 16, bits = 8)
+    // row preservation through the scaled write
+    val back = spark.read.parquet(s"$base/scaled")
+    assert(back.count() === 8192L &&
+      back.agg(sum("id")).head.getLong(0) === 8192L * 8191L / 2)
+    val box = col("id").between(1000, 1255) // 1/32 of the id span
+    val scaledTouched = Layout.filesTouched(
+      spark.read.parquet(s"$base/scaled"), box)
+    val maskedTouched = Layout.filesTouched(
+      spark.read.parquet(s"$base/masked"), box)
+    // the masked layout scatters the box (id % 256 covers every
+    // residue), the scaled layout keeps it in a few z-adjacent files
+    assert(maskedTouched === 16L,
+      s"wide-domain wrap should scatter the box, got $maskedTouched")
+    // the box spans ~9 of 256 a-buckets crossed with the full v range
+    // — a thin vertical strip, so a handful of z-adjacent files, not
+    // a perfect 1/16 (measured 5/16 vs the masked layout's 16/16)
+    assert(scaledTouched <= 6L,
+      s"scaled z-order should localize the box, got $scaledTouched")
+  }
 }

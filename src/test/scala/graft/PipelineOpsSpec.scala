@@ -784,6 +784,38 @@ class PipelineOpsSpec extends SparkSpec {
     (4L, Array(0.8f, 0.2f, 0.0f, 0.0f), 1)
   ).toDF("vec_id", "embedding", "label")
 
+  test("hybrid rrf fuses arm ranks and keeps single-arm docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma"),   // the probe (doc-as-query)
+      (1L, "alpha beta gamma"),   // identical text: lexical rank 1
+      (2L, "alpha noise noise2"), // partial lexical overlap
+      (3L, "zzz yyy xxx"),        // zero overlap: lexical arm absent
+      (4L, "beta beta beta"))     // lexical only (dense rank 4 > kArm)
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),  // dot 0: dense rank 3
+      (2L, Array(0.5f, 0.0f, 0.0f, 0.0f)),  // dense rank 2
+      (3L, Array(0.9f, 0.0f, 0.0f, 0.0f)),  // dense rank 1
+      (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))) // below the kArm=3 cut
+      .toDF("vec_id", "embedding")
+    val out = TextOps.hybridRrfTopK(docs, emb, numQueries = 1,
+        kArm = 3, k = 4)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.get(4)).map(_.asInstanceOf[Long])))
+    // doc 1 is in BOTH arms (lex 1, dense 3) and must outrank doc 3's
+    // single dense rank-1: floor(1e6/61) + floor(1e6/63) = 32266 >
+    // 16393 — the reward-agreement property RRF exists for
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out(0) === ((1L, 16393L + 15873L, Some(1L), Some(3L))))
+    // single-arm docs survive with a NULL audit column for the other
+    assert(out(2) === ((3L, 16393L, None, Some(1L))))
+    assert(out(3)._4 === None) // doc 4: lexical only
+  }
+
   test("brute-force knn ranks by true dot product with id tie-break") {
     val out = Similarity.knnBruteForce(vecs, numQueries = 1, k = 4)
       .orderBy("rn").select("vec_id").collect().map(_.getLong(0))

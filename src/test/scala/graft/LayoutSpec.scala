@@ -174,8 +174,13 @@ class LayoutSpec extends SparkSpec {
       s"wide-domain wrap should scatter the box, got $maskedTouched")
     // the box spans ~9 of 256 a-buckets crossed with the full v range
     // — a thin vertical strip, so a handful of z-adjacent files, not
-    // a perfect 1/16 (measured 5/16 vs the masked layout's 16/16)
-    assert(scaledTouched <= 6L,
-      s"scaled z-order should localize the box, got $scaledTouched")
+    // a perfect 1/16 (measured 5-7/16 across runs: repartitionByRange
+    // SAMPLES its bounds, so the exact file split wobbles ±2 with
+    // input parallelism; the masked layout saturates at 16/16 every
+    // time, which is the contrast the test pins)
+    assert(scaledTouched <= 8L &&
+      scaledTouched * 2 <= maskedTouched,
+      s"scaled z-order should localize the box, got $scaledTouched " +
+        s"vs masked $maskedTouched")
   }
 }

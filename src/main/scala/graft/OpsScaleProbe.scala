@@ -121,4 +121,63 @@ object OpsScaleProbe {
       s"""$rep,$norm,"width_sec":{${widths.mkString(",")}}}""")
     spark.stop()
   }
+
+}
+
+/** r16 scale leg (runMain graft.HybridScaleLeg): ×1 vs ×factor wall
+  * for `hybrid_rrf` on matched doc+embedding replicas (the smoke's
+  * own scaledDocs/scaledEmb constructions). Both arms are
+  * corpus-linear scans (token scan / probe×corpus dot) and the fusion
+  * is ≤ 2·kArm rows per query by construction — the leg verifies the
+  * measured growth tracks that claim. → OPS_PROBE_r{N}.json */
+
+object HybridScaleLeg {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = Tables.documents(spark, sfDir)
+    val emb1 = Tables.embeddings(spark, sfDir)
+    val dStride = docs1.agg(max("doc_id")).first().getLong(0) + 1
+    val eStride = emb1.agg(max("vec_id")).first().getLong(0) + 1
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hybridscale_").toString
+    ScaleSmoke.scaledDocs(docs1, factor, dStride).write.mode("overwrite")
+      .parquet(s"$base/documents")
+    ScaleSmoke.scaledEmb(emb1, factor, eStride).write.mode("overwrite")
+      .parquet(s"$base/embeddings")
+    val docsN = spark.read.parquet(s"$base/documents")
+    val embN = spark.read.parquet(s"$base/embeddings")
+    docs1.count(); docsN.count(); emb1.count(); embN.count()
+
+    def minOf2(f: => Unit): Double = {
+      f
+      def once(): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    def run(d: org.apache.spark.sql.DataFrame,
+            e: org.apache.spark.sql.DataFrame): Unit =
+      TextOps.hybridRrfTopK(d, e, numQueries = 3, kArm = 20, k = 10)
+        .count(): Unit
+    val t1 = minOf2(run(docs1, emb1))
+    val tN = minOf2(run(docsN, embN))
+    println(f"[hybridscale] x1=$t1%.3fs x$factor=$tN%.3fs " +
+      f"ratio=${tN / t1}%.2f")
+    Console.flush()
+    println(f"""{"metric":"hybrid_scale_probe","sf":"$sfDir",""" +
+      f""""factor":$factor,"t1":$t1%.3f,"tN":$tN%.3f,""" +
+      f""""ratio":${tN / t1}%.2f}""")
+    spark.stop()
+  }
 }

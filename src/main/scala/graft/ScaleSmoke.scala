@@ -66,7 +66,7 @@ object ScaleSmoke {
         transform(split(col("text"), " "), x => concat(x, lit(s"_p$k")))))
     }.reduce(_.unionByName(_))
 
-  private def scaledEmb(emb: DataFrame, factor: Int, stride: Long): DataFrame =
+  private[graft] def scaledEmb(emb: DataFrame, factor: Int, stride: Long): DataFrame =
     (0 until factor).map { k =>
       emb.withColumn("vec_id", col("vec_id") + lit(k * stride))
     }.reduce(_.unionByName(_))

@@ -657,4 +657,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!pa.contains("Expand"),
       s"the HLL twin must NOT replicate through Expand:\n$pa")
   }
+
+  test("hybrid rrf cuts both arms map-side and fuses rank-width rows") {
+    val p = plan("hybrid_rrf")
+    // each arm's kArm cut plus the final top-k must plan as
+    // WindowGroupLimit (map-side k-row prune before the per-query
+    // sort) — lose one and an arm sorts its whole scored relation
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4,
+      s"both arm cuts + the fusion top-k must WindowGroupLimit:\n$p")
+    // the fusion joins two <= kArm-rows-per-query rank lists; the
+    // corpus-side joins are all broadcast hash joins off one token
+    // scan — no sort-merge below the fusion, no cartesian anywhere
+    assert(p.contains("FullOuter"),
+      s"fusion must be the single full-outer rank join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("scaled z-order keys plan as one broadcast bounds row, no shuffle of data") {
+    val p = plan("zorder_scaled_keys")
+    // the min/max bounds broadcast onto the scan; the only exchanges
+    // are the bounds aggregation's and the final presentation sort's
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"bounds must broadcast as the standard one-row cross join:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      s"row-local bucketing must not hash-shuffle the data side:\n$p")
+  }
 }

@@ -63,6 +63,10 @@ object SparkEntry {
   private val HybridArmK = 20
   private val HybridK = 10
 
+  /** `bm25_passages` top-k (query + oracle, the [[Bm25Queries]] rule);
+    * chunking fixed at 32/24 in both spellings. */
+  private val PassageK = 10
+
   /** `dedup_snm`'s neighborhood width and Jaccard threshold (tenths) —
     * shared query/oracle constants, same rule as [[Bm25Queries]]. */
   private val SnmWindow = 4
@@ -1135,6 +1139,26 @@ object SparkEntry {
     "bm25_topk" -> ((s, dir) =>
       TextOps.bm25TopK(Tables.documents(s, dir), Bm25Queries, Bm25K)
         .orderBy("query_id", "rnk")),
+    // Passage-level BM25 (r16): the chunk relation (row-local explode)
+    // feeds the exact bm25TopK pipeline under a packed passage key —
+    // dl/avgdl normalize at passage length, the RAG serving
+    // granularity. Same query set as bm25_topk, k=10, 32/24 chunking.
+    "bm25_passages" -> ((s, dir) =>
+      TextOps.bm25Passages(Tables.documents(s, dir), Bm25Queries,
+          k = PassageK, sizeToks = 32, strideToks = 24)
+        .orderBy("query_id", "rnk")),
+    // Per-source churn report (r16): the snapshot diff's delta rows
+    // attributed to a source (new snapshot wins, old covers removals,
+    // both-NULL folds to a sentinel so the grouping key is
+    // engine-orderable) and rolled up — the "which feed moved" audit
+    // every incremental crawl triages with. Delta-scale everywhere:
+    // the diff output joins source projections BY KEY, content never
+    // moves.
+    "lake_churn_by_source" -> ((s, dir) => {
+      val (old, neu) = lakeSnapshots(s, dir)
+      LakeMaintenance.churnBy(old, neu, "doc_id",
+        Seq("text", "lang", "source"), "source").orderBy("source")
+    }),
     // Hybrid lexical+dense retrieval fused by Reciprocal Rank Fusion
     // (r16): BM25 doc-as-query arm + quantized brute-cosine arm, each
     // cut to kArm, fused by integer floor(1e6/(60+rank)) sums — rank
@@ -4159,6 +4183,99 @@ object SparkEntry {
         |WHERE rnk <= $Bm25K
         |ORDER BY query_id, rnk""".stripMargin
     },
+
+    // the chunk CTE replays doc_chunks' integer arithmetic at 32/24,
+    // then the bm25_topk scoring replays over passages under the
+    // packed pid = doc_id*100000 + chunk key, unpacked in the output
+    "bm25_passages" -> {
+      val values = Bm25Queries.flatMap { case (qid, ts) =>
+        ts.map(t => s"('$qid', '$t')") }.mkString(", ")
+      s"""WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    CAST(CASE WHEN n <= 32 THEN 1
+        |         ELSE (n - 32 + 23) // 24 + 1 END AS BIGINT) AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, toks, n,
+        |        unnest(range(0, n_chunks)) AS chunk FROM c),
+        |ch AS (SELECT doc_id * 100000 + CAST(chunk AS BIGINT) AS pid,
+        |  array_to_string(toks[CAST(chunk * 24 + 1 AS BIGINT):
+        |    CAST(chunk * 24 + 32 AS BIGINT)], ' ') AS text
+        |FROM e),
+        |q(query_id, token) AS (VALUES $values),
+        |base AS (SELECT pid, unnest(string_split(text, ' ')) AS token
+        |  FROM ch),
+        |tf AS (SELECT pid, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM base GROUP BY 1, 2),
+        |dfreq AS (SELECT token, CAST(COUNT(DISTINCT pid) AS BIGINT) AS df
+        |  FROM base GROUP BY 1),
+        |dl AS (SELECT pid, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |  FROM ch),
+        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+        |  FROM dl),
+        |scored AS (
+        |  SELECT q.query_id, tf.pid,
+        |    CAST(SUM(CAST(floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * 10000) AS BIGINT)
+        |      * CAST(floor((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) * 10000) AS BIGINT)) AS BIGINT) AS score
+        |  FROM tf JOIN q ON tf.token = q.token
+        |    JOIN dfreq d ON tf.token = d.token
+        |    JOIN dl l ON tf.pid = l.pid
+        |    CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(pid // 100000 AS BIGINT) AS doc_id,
+        |  CAST(pid % 100000 AS BIGINT) AS chunk, score, rnk FROM (
+        |  SELECT query_id, pid, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, pid) AS BIGINT) AS rnk
+        |  FROM scored) r
+        |WHERE rnk <= $PassageK
+        |ORDER BY query_id, rnk""".stripMargin
+    },
+
+    // replays the lake_snapshot_diff oracle's fixture states + digest,
+    // then attributes each delta row (new source wins, old covers
+    // removals, both-NULL folds to the sentinel) and rolls up
+    "lake_churn_by_source" ->
+      """WITH enc_old AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 9 = 0 THEN '' ELSE source END AS source
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |enc_new AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text,
+        |    CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+        |    CASE WHEN doc_id % 9 = 0 THEN NULL ELSE source END AS source
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |old AS (
+        |  SELECT doc_id, source, md5(
+        |    CASE WHEN text IS NULL THEN 'N' ELSE 'V' || CAST(length(text) AS VARCHAR) || ':' || text END ||
+        |    CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || CAST(length(lang) AS VARCHAR) || ':' || lang END ||
+        |    CASE WHEN source IS NULL THEN 'N' ELSE 'V' || CAST(length(source) AS VARCHAR) || ':' || source END
+        |  ) AS h FROM enc_old),
+        |neu AS (
+        |  SELECT doc_id, source, md5(
+        |    CASE WHEN text IS NULL THEN 'N' ELSE 'V' || CAST(length(text) AS VARCHAR) || ':' || text END ||
+        |    CASE WHEN lang IS NULL THEN 'N' ELSE 'V' || CAST(length(lang) AS VARCHAR) || ':' || lang END ||
+        |    CASE WHEN source IS NULL THEN 'N' ELSE 'V' || CAST(length(source) AS VARCHAR) || ':' || source END
+        |  ) AS h FROM enc_new),
+        |d AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.h <> n.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status,
+        |    COALESCE(n.source, o.source, '(none)') AS source
+        |  FROM old o FULL OUTER JOIN neu n ON o.doc_id = n.doc_id)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS delta_rows,
+        |  CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS added,
+        |  CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS changed,
+        |  CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS removed
+        |FROM d WHERE status <> 'unchanged'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // both arms replay their proven oracles (bm25_topk's quantized
     // scoring with the probe docs' distinct tokens as query terms;

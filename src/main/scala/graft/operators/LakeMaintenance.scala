@@ -139,6 +139,36 @@ object LakeMaintenance {
     upserts.unionByName(removes)
   }
 
+  /** Per-attribute CHURN rollup over a [[snapshotDiff]] (r16) — the
+    * "which feed moved" audit an incremental crawl triages with:
+    * each delta row attributes to `attrCol` (new snapshot wins, old
+    * covers removals, both-NULL folds to a `(none)` sentinel so the
+    * grouping key stays engine-orderable) and rolls up to
+    * (attr, delta_rows, added, changed, removed). Delta-scale
+    * everywhere: the diff's (key, status) rows join the two
+    * (key, attr) projections BY KEY — content never moves, and the
+    * rollup output is |attr values| rows at any lake size. */
+  def churnBy(old: DataFrame, neu: DataFrame, key: String,
+              payload: Seq[String], attrCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, lit, sum, when}
+    snapshotDiff(old, neu, key, payload)
+      .select(col(key), col("status"))
+      .join(old.select(col(key), col(attrCol).as("__attr_old")),
+        Seq(key), "left")
+      .join(neu.select(col(key), col(attrCol).as("__attr_new")),
+        Seq(key), "left")
+      .withColumn(attrCol, org.apache.spark.sql.functions.coalesce(
+        col("__attr_new"), col("__attr_old"), lit("(none)")))
+      .groupBy(attrCol)
+      .agg(count(lit(1)).as("delta_rows"),
+        sum(when(col("status") === "added", 1L).otherwise(0L))
+          .as("added"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("changed"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("removed"))
+  }
+
   /** Apply a [[snapshotDelta]] to the old snapshot: drop every keyed
     * row the delta mentions (one LEFT ANTI — upserted rows are
     * replaced wholesale, removed rows disappear), then union the

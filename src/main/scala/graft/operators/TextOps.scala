@@ -1202,6 +1202,32 @@ object TextOps {
       .select("query_id", "doc_id", "score", "rnk")
   }
 
+  /** PASSAGE-level BM25 retrieval (r16) — the RAG serving granularity:
+    * rank [[chunkDocs]] passages, not whole documents, so a hit
+    * localizes the answer span and long documents can't bury a
+    * relevant paragraph under off-topic mass (dl/avgdl normalize at
+    * PASSAGE length, the semantics passage retrieval wants). Pure
+    * composition: the chunk relation (row-local explode, no shuffle)
+    * feeds the exact [[bm25TopK]] scoring pipeline; the only new
+    * mechanics is the passage key, packed as doc_id·10⁵ + chunk so
+    * the shared single-column pipeline applies and unpacked in the
+    * output (valid while chunks/doc < 10⁵ — ~3 M tokens per doc at
+    * the default stride; a corpus past that packs into a wider long
+    * or a struct key). Top-k per query via the same WindowGroupLimit
+    * map-side prune. */
+  def bm25Passages(docs: DataFrame, queries: Seq[(String, Seq[String])],
+                   k: Int, sizeToks: Int = 32,
+                   strideToks: Int = 24): DataFrame = {
+    val passages = chunkDocs(docs, sizeToks, strideToks)
+      .select((col("doc_id") * 100000L + col("chunk")).as("doc_id"),
+        col("chunk_text").as("text"))
+    bm25TopK(passages, queries, k)
+      .select(col("query_id"),
+        expr("doc_id div 100000").cast("long").as("doc_id"),
+        (col("doc_id") % 100000L).as("chunk"),
+        col("score"), col("rnk"))
+  }
+
   /** HYBRID retrieval with Reciprocal Rank Fusion (r16) — the serving
     * pattern every RAG stack runs: a LEXICAL arm and a DENSE arm rank
     * independently, and the fused score is Σ_arms 1/(K + rank) (K=60,

@@ -471,6 +471,31 @@ class BucketingSpec extends SparkSpec {
       "null-bearing payloads must survive the delta round-trip")
   }
 
+  test("churn rollup attributes delta rows new-wins with a null sentinel") {
+    import spark.implicits._
+    import graft.operators.LakeMaintenance
+    val old = Seq(
+      (1L, "a", Option("s1")),  // removed: attribution falls to OLD
+      (2L, "b", Option("s1")),  // changed in neu
+      (3L, "c", Option("s2")))  // unchanged: must not appear anywhere
+      .toDF("doc_id", "text", "source")
+    val neu = Seq(
+      (2L, "bX", Option("s1")),
+      (3L, "c", Option("s2")),
+      (4L, "d", Option("s2")),            // added under s2
+      (5L, "e", Option.empty[String]))    // added, NULL source -> (none)
+      .toDF("doc_id", "text", "source")
+    val out = LakeMaintenance.churnBy(old, neu, "doc_id",
+        Seq("text", "source"), "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    //                       delta, added, changed, removed
+    assert(out === Map(
+      "s1" -> ((2L, 0L, 1L, 1L)),
+      "s2" -> ((1L, 1L, 0L, 0L)),
+      "(none)" -> ((1L, 1L, 0L, 0L))))
+  }
+
   test("bloom semi-join handles identically-named keys on both sides") {
     import spark.implicits._
     val fact = (0L until 100L).map(k => (k, k % 7)).toDF("partkey", "payload")

@@ -784,6 +784,28 @@ class PipelineOpsSpec extends SparkSpec {
     (4L, Array(0.8f, 0.2f, 0.0f, 0.0f), 1)
   ).toDF("vec_id", "embedding", "label")
 
+  test("passage bm25 surfaces the tail chunk a doc-level rank would bury") {
+    import spark.implicits._
+    // doc 1 buries the query terms at token 61-63 of 63; 32/24
+    // chunking puts them alone in chunk 2 (tokens 49-63, dl=15), so
+    // the passage rank must point AT the span — doc_id + chunk
+    // unpack from the packed pid — and the short relevant passage
+    // must outrank doc 2's terms diluted across a long single chunk
+    val filler = (1 to 60).map(i => s"f$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$filler spark stream window"),
+      (2L, "spark " + (1 to 25).map(i => s"g$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextOps.bm25Passages(docs,
+        Seq(("q", Seq("spark", "stream", "window"))), k = 5)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(out.head === ((1L, 2L)),
+      s"top passage must be doc 1's tail chunk, got ${out.toSeq}")
+    // doc 2's single chunk ranks somewhere, but below the 3-term hit
+    assert(out.contains((2L, 0L)))
+  }
+
   test("hybrid rrf fuses arm ranks and keeps single-arm docs") {
     import spark.implicits._
     val docs = Seq(

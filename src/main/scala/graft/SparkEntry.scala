@@ -1170,6 +1170,17 @@ object SparkEntry {
           Tables.embeddings(s, dir), numQueries = HybridProbes,
           kArm = HybridArmK, k = HybridK)
         .orderBy("query_id", "rnk")),
+    // Hybrid recall audit (r16): recall@k of the fused tier AND both
+    // arms against exact-cosine truth — whether RRF helps on a given
+    // corpus is a computed number (the annRecallAudit pattern applied
+    // to fusion; on this synthetic corpus text and embeddings are
+    // independent, so the audit SHOWS the lexical arm diluting dense
+    // recall — the measurement a deployment makes before fusing).
+    "hybrid_recall" -> ((s, dir) =>
+      TextOps.hybridRecallAudit(Tables.documents(s, dir),
+          Tables.embeddings(s, dir), numQueries = HybridProbes,
+          kArm = HybridArmK, k = HybridK)
+        .orderBy("query_id", "tier")),
     // Bigram familiarity vs the corpus top-100 table — the
     // integer-exact LM-perplexity filtering proxy.
     "doc_familiarity" -> ((s, dir) =>
@@ -3132,6 +3143,57 @@ object SparkEntry {
   /** `ann_recall_ivf` oracle: exact-cosine top-5 ground truth beside
     * the [[sqlAnnIvf]] chain (Lloyd cells) instantiated at probes = 1
     * and 2, hit counts per query per setting. */
+  /** The hybrid tier's two arm chains as a WITH-body block (no WITH
+    * keyword): lexical doc-as-query BM25 (`lex`, rank ≤ `armK`) and
+    * quantized-dot dense (`den`, rank ≤ `armK`). Shared by the
+    * `hybrid_rrf` and `hybrid_recall` oracles so the audited arms ARE
+    * the served arms in both spellings; a tier cut tighter than
+    * `armK` is a prefix filter on these (same total order). */
+  private def sqlHybridArms(armK: Int): String =
+    s"""qt AS (
+      |  SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents WHERE doc_id < $HybridProbes),
+      |hbase AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents),
+      |htf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM hbase WHERE token IN (SELECT DISTINCT token FROM qt)
+      |  GROUP BY 1, 2),
+      |hdf AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+      |  FROM htf GROUP BY 1),
+      |hdl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |  FROM documents),
+      |hstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      |  FROM hdl),
+      |lscored AS (
+      |  SELECT q.qid, htf.doc_id,
+      |    CAST(SUM(CAST(floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * 10000) AS BIGINT)
+      |      * CAST(floor((htf.tf * 2.2) / (htf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) * 10000) AS BIGINT)) AS BIGINT) AS score
+      |  FROM htf JOIN qt q ON htf.token = q.token
+      |    JOIN hdf d ON htf.token = d.token
+      |    JOIN hdl l ON htf.doc_id = l.doc_id
+      |    CROSS JOIN hstats s
+      |  WHERE htf.doc_id <> q.qid
+      |  GROUP BY 1, 2),
+      |lex AS (SELECT qid, doc_id, lex_rnk FROM (
+      |  SELECT qid, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
+      |  FROM lscored) lr WHERE lex_rnk <= $armK),
+      |hdq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      |  WHERE vec_id < $HybridProbes),
+      |hprod AS (
+      |  SELECT hdq.qid, e.vec_id AS doc_id,
+      |    SUM(CAST(FLOOR(CAST(hdq.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)
+      |      * CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS score
+      |  FROM hdq CROSS JOIN embeddings e CROSS JOIN generate_series(1, 64) g(k)
+      |  WHERE e.vec_id <> hdq.qid GROUP BY 1, 2),
+      |den AS (SELECT qid, doc_id, den_rnk FROM (
+      |  SELECT qid, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, doc_id) AS BIGINT) AS den_rnk
+      |  FROM hprod) dr WHERE den_rnk <= $armK)""".stripMargin
+
   private def sqlAnnRecall: String = {
     def chain(p: Int) =
       s"""best$p AS (SELECT vec_id AS qid, cluster AS cell FROM (
@@ -4282,49 +4344,7 @@ object SparkEntry {
     // knn_brute_force's quantized dot), then the fusion is exact
     // integer arithmetic: floor(1e6/(60+rank)) per arm, BIGINT sum
     "hybrid_rrf" ->
-      s"""WITH qt AS (
-        |  SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS token
-        |  FROM documents WHERE doc_id < $HybridProbes),
-        |base AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
-        |  FROM documents),
-        |tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM base WHERE token IN (SELECT DISTINCT token FROM qt)
-        |  GROUP BY 1, 2),
-        |dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
-        |  FROM tf GROUP BY 1),
-        |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |  FROM documents),
-        |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
-        |  FROM dl),
-        |lscored AS (
-        |  SELECT q.qid, tf.doc_id,
-        |    CAST(SUM(CAST(floor(ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) * 10000) AS BIGINT)
-        |      * CAST(floor((tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)) * 10000) AS BIGINT)) AS BIGINT) AS score
-        |  FROM tf JOIN qt q ON tf.token = q.token
-        |    JOIN dfreq d ON tf.token = d.token
-        |    JOIN dl l ON tf.doc_id = l.doc_id
-        |    CROSS JOIN stats s
-        |  WHERE tf.doc_id <> q.qid
-        |  GROUP BY 1, 2),
-        |lex AS (SELECT qid, doc_id, lex_rnk FROM (
-        |  SELECT qid, doc_id,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
-        |  FROM lscored) lr WHERE lex_rnk <= $HybridArmK),
-        |dq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-        |  WHERE vec_id < $HybridProbes),
-        |prod AS (
-        |  SELECT dq.qid, e.vec_id AS doc_id,
-        |    SUM(CAST(FLOOR(CAST(dq.qe[g.k] AS DOUBLE) * 1000) AS BIGINT)
-        |      * CAST(FLOOR(CAST(e.embedding[g.k] AS DOUBLE) * 1000) AS BIGINT)) AS score
-        |  FROM dq CROSS JOIN embeddings e CROSS JOIN generate_series(1, 64) g(k)
-        |  WHERE e.vec_id <> dq.qid GROUP BY 1, 2),
-        |den AS (SELECT qid, doc_id, den_rnk FROM (
-        |  SELECT qid, doc_id,
-        |    CAST(row_number() OVER (PARTITION BY qid
-        |      ORDER BY score DESC, doc_id) AS BIGINT) AS den_rnk
-        |  FROM prod) dr WHERE den_rnk <= $HybridArmK),
+      s"""WITH ${sqlHybridArms(HybridArmK)},
         |fused AS (
         |  SELECT COALESCE(l.qid, d.qid) AS query_id,
         |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
@@ -4339,6 +4359,64 @@ object SparkEntry {
         |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
         |  FROM fused) f
         |WHERE rnk <= $HybridK ORDER BY query_id, rnk""".stripMargin,
+
+    // truth = exact quantized cosine (the ann_recall spelling); the
+    // arms replay sqlHybridArms at the served armK, tighter tier cuts
+    // are prefix filters on the same total order, and recall_milli is
+    // the integer 1000·hits // k
+    "hybrid_recall" ->
+      s"""WITH $SqlQv,
+        |${sqlHybridArms(HybridArmK)},
+        |fused AS (
+        |  SELECT COALESCE(l.qid, d.qid) AS qid,
+        |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |    COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rnk)) AS BIGINT), 0)
+        |      + COALESCE(CAST(floor(1000000.0 / (60 + d.den_rnk)) AS BIGINT), 0) AS rrf_micro
+        |  FROM lex l FULL OUTER JOIN den d
+        |    ON l.qid = d.qid AND l.doc_id = d.doc_id),
+        |hyb AS (SELECT qid, doc_id FROM (
+        |  SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf_micro DESC, doc_id) AS rnk
+        |  FROM fused) f WHERE rnk <= $HybridK),
+        |tp AS (
+        |  SELECT q1.vec_id AS qid, q2.vec_id,
+        |    CAST(SUM(q1.q * q2.q) AS BIGINT) AS dot,
+        |    CAST(SUM(q1.q * q1.q) AS BIGINT) AS nq,
+        |    CAST(SUM(q2.q * q2.q) AS BIGINT) AS ne
+        |  FROM qv q1 JOIN qv q2 ON q2.vec_id <> q1.vec_id AND q2.d = q1.d
+        |  WHERE q1.vec_id < $HybridProbes
+        |  GROUP BY 1, 2),
+        |truth AS (SELECT qid, vec_id AS doc_id FROM (
+        |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+        |      ORDER BY CAST(dot AS DOUBLE) / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(ne AS DOUBLE))) DESC, vec_id) AS rn
+        |    FROM tp) t WHERE rn <= $HybridK),
+        |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < $HybridProbes),
+        |hitd AS (SELECT d.qid, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM den d JOIN truth t ON d.qid = t.qid AND d.doc_id = t.doc_id
+        |  WHERE d.den_rnk <= $HybridK GROUP BY 1),
+        |hith AS (SELECT h.qid, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM hyb h JOIN truth t ON h.qid = t.qid AND h.doc_id = t.doc_id
+        |  GROUP BY 1),
+        |hitl AS (SELECT l.qid, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM lex l JOIN truth t ON l.qid = t.qid AND l.doc_id = t.doc_id
+        |  WHERE l.lex_rnk <= $HybridK GROUP BY 1)
+        |SELECT qid AS query_id, tier, hits, recall_milli FROM (
+        |  SELECT qs.qid, 'dense' AS tier,
+        |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |    CAST(1000 * COALESCE(h.hits, 0) // $HybridK AS BIGINT) AS recall_milli
+        |  FROM qs LEFT JOIN hitd h ON qs.qid = h.qid
+        |  UNION ALL
+        |  SELECT qs.qid, 'hybrid' AS tier,
+        |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |    CAST(1000 * COALESCE(h.hits, 0) // $HybridK AS BIGINT) AS recall_milli
+        |  FROM qs LEFT JOIN hith h ON qs.qid = h.qid
+        |  UNION ALL
+        |  SELECT qs.qid, 'lexical' AS tier,
+        |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |    CAST(1000 * COALESCE(h.hits, 0) // $HybridK AS BIGINT) AS recall_milli
+        |  FROM qs LEFT JOIN hitl h ON qs.qid = h.qid) u
+        |ORDER BY query_id, tier""".stripMargin,
 
     "media_features" ->
       // the stub codec's scalar surface is pure arithmetic over the

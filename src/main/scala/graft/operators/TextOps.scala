@@ -1255,9 +1255,14 @@ object TextOps {
     * cross-engine bit-exact and tie-breaks (score desc, doc_id) are
     * total. Output carries both arm ranks (NULL where an arm did not
     * surface the doc) — the "why did this rank here" audit column. */
-  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, numQueries: Int,
-                    kArm: Int, k: Int, rrfK: Int = 60): DataFrame = {
-    // lexical arm — bm25TopK's scoring, query terms from the probes
+  /** The hybrid tier's LEXICAL arm standalone — doc-as-query BM25
+    * ([[bm25TopK]]'s exact quantized scoring with the probe doc's
+    * distinct tokens as a broadcast query-term relation), self
+    * excluded, cut to k. Shared by [[hybridRrfTopK]] and the
+    * [[hybridRecallAudit]] per-arm rows so the audited arm IS the
+    * served arm. */
+  private[graft] def lexicalDocAsQueryTopK(docs: DataFrame,
+      numQueries: Int, k: Int): DataFrame = {
     val qterms = docs.filter(col("doc_id") < numQueries)
       .select(col("doc_id").as("qid"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
@@ -1279,8 +1284,7 @@ object TextOps {
       .cast("long")
     val wl = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("doc_id"))
-    val lex = tf
-      .join(broadcast(qterms), "token")
+    tf.join(broadcast(qterms), "token")
       .filter(col("doc_id") =!= col("qid"))
       .join(broadcast(dfreq), "token")
       .join(dl, "doc_id")
@@ -1289,8 +1293,14 @@ object TextOps {
       .groupBy("qid", "doc_id")
       .agg(sum("contrib").as("score"))
       .withColumn("lex_rnk", row_number().over(wl).cast("long"))
-      .filter(col("lex_rnk") <= kArm)
+      .filter(col("lex_rnk") <= k)
       .select("qid", "doc_id", "lex_rnk")
+  }
+
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, numQueries: Int,
+                    kArm: Int, k: Int, rrfK: Int = 60): DataFrame = {
+    // lexical arm — bm25TopK's scoring, query terms from the probes
+    val lex = lexicalDocAsQueryTopK(docs, numQueries, kArm)
     // dense arm — the quantized brute-force tier (same probe ids)
     val den = Similarity.knnBruteForce(emb, numQueries, kArm)
       .select(col("qid"), col("vec_id").as("doc_id"),
@@ -1308,6 +1318,47 @@ object TextOps {
         col("lex_rnk"), col("den_rnk"))
       .withColumn("rnk", row_number().over(wf).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Measured RECALL@k of the hybrid tier and BOTH its arms against
+    * exact-cosine ground truth — the quality audit every approximate
+    * serving tier in this engine carries
+    * ([[Similarity.annRecallAudit]]'s pattern applied to fusion):
+    * whether RRF helps or hurts on a given corpus is a NUMBER the
+    * engine computes, not a claim. Truth is one shared
+    * exact-quantized-cosine pass; each tier's top-k inner-joins it
+    * and per-query hit counts union into (query_id, tier, hits,
+    * recall_milli) rows. On corpora where text and embeddings are
+    * independent (this synthetic testdata), the audit SHOWS the
+    * lexical arm diluting cosine recall — exactly the fact a fusion
+    * deployment needs measured before turning the lexical arm on
+    * against a dense-retrieval objective. */
+  def hybridRecallAudit(docs: DataFrame, emb: DataFrame,
+      numQueries: Int, kArm: Int, k: Int): DataFrame = {
+    val truth = Similarity.knnExactCosine(emb, numQueries, k)
+      .select(col("qid"), col("vec_id").as("doc_id"))
+      .localCheckpoint(eager = false)
+    val qids = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"))
+    def tierRows(tier: String, cand: DataFrame): DataFrame = {
+      val hits = cand.join(truth, Seq("qid", "doc_id"))
+        .groupBy("qid").agg(count(lit(1)).as("h"))
+      qids.join(hits.withColumnRenamed("qid", "query_id"),
+          Seq("query_id"), "left")
+        .select(col("query_id"), lit(tier).as("tier"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          (lit(1000L) * coalesce(col("h"), lit(0L)) / lit(k))
+            .cast("long").as("recall_milli"))
+    }
+    tierRows("dense",
+        Similarity.knnBruteForce(emb, numQueries, k)
+          .select(col("qid"), col("vec_id").as("doc_id")))
+      .unionByName(tierRows("hybrid",
+        hybridRrfTopK(docs, emb, numQueries, kArm, k)
+          .select(col("query_id").as("qid"), col("doc_id"))))
+      .unionByName(tierRows("lexical",
+        lexicalDocAsQueryTopK(docs, numQueries, k)
+          .select("qid", "doc_id")))
   }
 
   /** Cross-split leakage: duplicate-content classes whose members land

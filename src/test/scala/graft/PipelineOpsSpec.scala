@@ -838,6 +838,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out(3)._4 === None) // doc 4: lexical only
   }
 
+  test("hybrid recall audit scores each tier against cosine truth") {
+    import spark.implicits._
+    // equal-norm corpus vectors make dot ranking == cosine ranking,
+    // so the dense arm must score recall 1000; probe-disjoint vocab
+    // zeroes the lexical arm; fusion with an empty lexical arm IS the
+    // dense set — the audit's three rows are fully determined
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.8f, 0.6f, 0.0f, 0.0f)),
+      (2L, Array(0.6f, 0.8f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq(
+      (0L, "alpha beta"), (1L, "x y"), (2L, "z w"), (3L, "u v"))
+      .toDF("doc_id", "text")
+    val out = TextOps.hybridRecallAudit(docs, emb, numQueries = 1,
+        kArm = 3, k = 2)
+      .collect().map(r => r.getString(1) -> r.getLong(3)).toMap
+    assert(out === Map("dense" -> 1000L, "hybrid" -> 1000L,
+      "lexical" -> 0L))
+  }
+
   test("brute-force knn ranks by true dot product with id tie-break") {
     val out = Similarity.knnBruteForce(vecs, numQueries = 1, k = 4)
       .orderBy("rn").select("vec_id").collect().map(_.getLong(0))

@@ -323,18 +323,26 @@ object Bench {
     // 4 of 6 clean r15 captures, and AnchorCurve refuted the warm-up
     // fix (a fresh JVM plateaus at ~0.27-0.29 s; ~90 s of diverse
     // warm-up jobs never reaches the post-suite fast state). The sound
-    // comparison is LIKE-STATE vs LIKE-STATE across captures: this
-    // run's PRE anchors (fresh-JVM, pre-ramp) against the previous
-    // artifact's PRE anchors, and this run's POST anchors (fully
-    // ramped) against the previous POST anchors. Ambient load at the
-    // start moves pre-vs-prev-pre; load arriving mid-run moves
-    // post-vs-prev-post (the ramp no longer straddles either pair).
-    // Band stays 1.25×; the old 0.1 s absolute floor shrinks to a
-    // 0.05 s jitter guard so the band does the work, not the floor.
-    // First capture on a host (no prev anchors) writes with a warning
-    // — the loadavg gate above still applies, and every later capture
-    // is anchor-gated; falling back to the within-run form would
-    // reinstate the structural self-refusal this replaces.
+    // start-state comparison is LIKE-STATE vs LIKE-STATE across
+    // captures: this run's PRE anchors (fresh-JVM, pre-ramp) against
+    // the previous artifact's PRE anchors. Band stays 1.25×; the old
+    // 0.1 s absolute floor shrinks to a 0.05 s jitter guard so the
+    // band does the work, not the floor.
+    //
+    // Mid-run load is gated WITHIN-run but ASYMMETRICALLY: the ramp
+    // can only make the post anchor FASTER than the pre, so a post
+    // reading slower than pre by the band can only be load that
+    // arrived during the suite (r16 capture 2's genuine catch read
+    // post 0.298/0.375 vs pre 0.269/0.320). A symmetric
+    // post-vs-prev-POST pair was tried first and measured WRONG: ramp
+    // DEPTH varies with the window (post 0.176/0.219/0.242 across
+    // three clean same-day captures), so a cross-capture post
+    // baseline refused the round's quietest capture (152.3 s,
+    // loadavg_pre 0.35, 4 re-adjudications, flat PRE pairs) on a
+    // stale 0.173 — conflating how far the boost ramped with host
+    // state. First capture on a host (no prev anchors): the pre pairs
+    // are skipped with a warning, the within-run asymmetric check
+    // still applies, and the loadavg gate above still holds.
     else {
       def drifted(tag: String, cur: Double, prev: Option[Double])
           : Option[String] = prev.flatMap { p =>
@@ -343,13 +351,19 @@ object Bench {
           Some(f"$tag ${p}%.3f (prev) -> $cur%.3f (this run)")
         else None
       }
+      // asymmetric: only post SLOWER than pre flags (ramp-safe)
+      def slowedMidRun(tag: String, pre: Double, post: Double)
+          : Option[String] =
+        if (post > 1.25 * pre && post - pre > 0.05)
+          Some(f"$tag pre $pre%.3f -> post $post%.3f (slower — load " +
+            "arrived mid-run)")
+        else None
       val drifts = Seq(
         drifted("calib_pre", calibPre, prevAnchors.get("calib_pre")),
         drifted("calib_str_pre", calibStrPre,
           prevAnchors.get("calib_str_pre")),
-        drifted("calib_post", calibPost, prevAnchors.get("calib_post")),
-        drifted("calib_str_post", calibStrPost,
-          prevAnchors.get("calib_str_post"))).flatten
+        slowedMidRun("calib", calibPre, calibPost),
+        slowedMidRun("calib_str", calibStrPre, calibStrPost)).flatten
       if (prevAnchors.isEmpty)
         System.err.println(s"[bench] $prevPath carries no anchor fields " +
           "— cross-capture anchor gate unavailable for this run; writing " +

@@ -328,6 +328,23 @@ object ScaleSmoke {
       // row-local token count — expect overhead-flat at any factor
       Op("mix_temperature", d =>
         TextOps.mixTemperature(d, budgetPct = 50), "doc"),
+      // r16: passage retrieval = chunk explode (row-local, ×expansion
+      // volume) + the bm25 pipeline over passages — expect ~linear
+      // like bm25_topk with the chunk fan-out constant
+      Op("bm25_passages", d => TextOps.bm25Passages(d, Seq(
+        "q_stream" -> Seq("spark", "stream", "window"),
+        "q_join" -> Seq("join", "merge", "hash")), 10), "doc"),
+      // r16: churn rollup = the diff's hash-width FOJ + two key-width
+      // attribution joins + a |sources|-row aggregate — expect the
+      // lake_snapshot_diff growth shape
+      Op("lake_churn_by_source", d => {
+        val old = d.filter(col("doc_id") % 11 =!= 0)
+        val neu = d.filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text", when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        graft.operators.LakeMaintenance.churnBy(old, neu, "doc_id",
+          Seq("text", "lang", "source"), "source")
+      }, "doc"),
       // phrase search: gram scan volume grows with the corpus, the
       // phrase broadcast is constant — expect ~linear
       Op("phrase_search", d => TextOps.phraseSearch(d, Seq(

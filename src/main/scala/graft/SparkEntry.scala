@@ -1369,6 +1369,21 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       Dedup.jaccardComponents(Tables.documents(s, dir), thresholdTenths = 9)
         .orderBy("doc_id")),
+    // INCREMENTAL clustering (r16): fold the id-upper batch half into
+    // the id-lower corpus half's existing assignment — delta-sized
+    // pair generation (prefix-filtered batch-batch + broadcast-verify
+    // batch-corpus; the corpus never shuffles) and a CONTRACTED
+    // fixpoint over batch docs + touched component labels. The oracle
+    // is the FULL recompute over the whole table, so the hash match
+    // proves incremental == recompute exactly (the applyDelta law
+    // applied to clustering — closing the one dedup family whose
+    // incremental story was still "recompute nightly").
+    "dedup_components_incremental" -> ((s, dir) => {
+      val (batch, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      Dedup.jaccardComponentsIncremental(
+        Dedup.jaccardComponents(corpus, thresholdTenths = 9),
+        corpus, batch, thresholdTenths = 9).orderBy("doc_id")
+    }),
     // Asymmetric containment ≥ 0.9 (|A∩B|/|A|): the quote-inclusion /
     // boilerplate-wrapping dedup mode Jaccard misses; directed pairs
     // (d1 contained in d2), one-sided prefix filter.
@@ -4796,6 +4811,35 @@ object SparkEntry {
         |WHERE i.inter * 10 >= c1.n * 9
         |ORDER BY d1, d2""".stripMargin,
     "dedup_components" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |inter AS (
+        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM tok t1 JOIN tok t2
+        |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT i.d1, i.d2
+        |  FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+        |               JOIN cnt c2 ON i.d2 = c2.doc_id
+        |  WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * 9),
+        |edges AS (
+        |  SELECT d1 AS src, d2 AS dst FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, MIN(dst) AS component
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the INCREMENTAL op's oracle IS the full recompute over the whole
+    // table — so the hash match proves the law
+    // incremental(assign(C), C, B) == jaccardComponents(C ∪ B) exactly
+    // (the applyDelta round-trip pattern applied to clustering)
+    "dedup_components_incremental" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
         |  FROM documents),

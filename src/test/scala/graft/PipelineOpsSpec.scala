@@ -698,6 +698,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(quotient === Set((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L), (6L, 0L)))
   }
 
+  test("incremental components equal the full recompute, bridges included") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus: FOUR separate near-dup components (superset pairs at
+    // J = 10/11 or 21/22 ≥ 0.9), plus unassigned singletons 20, 21;
+    // comps {70,71} and {80,81} share 19 of ~21 tokens
+    // (J = 19/23 = 0.826 — close but legitimately SEPARATE)
+    val t19 = (1 to 19).map(i => s"t$i").mkString(" ")
+    val corpus = mk(Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11"), // J=10/11 with 0
+      (10L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+      (11L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11"),
+      (20L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (21L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10"),
+      (70L, s"$t19 u1 u2"), (71L, s"$t19 u1 u2 u3"),
+      (80L, s"$t19 v1 v2"), (81L, s"$t19 v1 v2 v3")))
+    val batch = mk(Seq(
+      (30L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a12"), // joins {0,1}
+      (40L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"), // pulls singleton 20
+      (50L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),     // batch-internal pair
+      (51L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11"),
+      // the BRIDGE: J(90,70) = J(90,80) = 21/23 = 0.913 — one batch
+      // doc near both old components MERGES them (the arm the
+      // contracted fixpoint exists for)
+      (90L, s"$t19 u1 u2 v1 v2"),
+      (60L, "f1 f2 f3 f4 f5 f6 f7 f8 f9 f10")))    // true singleton: drops
+    val assign = Dedup.jaccardComponents(corpus, thresholdTenths = 9)
+    // precondition the fixture banks on: the corpus really holds four
+    // separate components before the batch arrives
+    assert(assign.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((0L, 0L), (1L, 0L), (10L, 10L), (11L, 10L),
+        (70L, 70L), (71L, 70L), (80L, 80L), (81L, 80L)))
+    val inc = Dedup.jaccardComponentsIncremental(assign, corpus, batch,
+        thresholdTenths = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.jaccardComponents(corpus.unionByName(batch),
+        thresholdTenths = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc === full, s"law violated: inc=$inc full=$full")
+    // and the arms individually: untouched comp {10,11} keeps its
+    // label; 30 joins comp 0; the unassigned singleton 20 enters via
+    // 40 under label 20; the batch-only pair {50,51} forms; the
+    // bridge doc 90 MERGES comps 70 and 80 under the global min 70;
+    // 60 and 21 stay dropped singletons
+    assert(inc === Set((0L, 0L), (1L, 0L), (30L, 0L),
+      (10L, 10L), (11L, 10L),
+      (20L, 20L), (40L, 20L),
+      (50L, 50L), (51L, 50L),
+      (70L, 70L), (71L, 70L), (80L, 70L), (81L, 70L), (90L, 70L)))
+  }
+
   test("simhash of identical and near-dup docs is close in hamming distance") {
     val fps = Dedup.simhashFingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -233,6 +233,23 @@ object SparkEntry {
       Dedup.jaccardComponents(Tables.documents(s, dir), thresholdTenths)
         .localCheckpoint(eager = true))
 
+  /** Memoized id-lower-half J≥0.9 assignment for
+    * `dedup_components_incremental` ([[componentsFor]]'s contract,
+    * same session-keyed cache): the STANDING assignment is the lake
+    * artifact an incremental fold serves against — built once per
+    * (session, corpus) off the row's clock, so the bench row prices
+    * the FOLD (delta pair tiers + contracted fixpoint), which is what
+    * the op exists to make cheap. The `dedup_components` row keeps
+    * pricing the full clustering. */
+  private def halfAssignFor(s: SparkSession, dir: String): DataFrame =
+    componentsCache.computeIfAbsent(
+      s"${s.sparkContext.applicationId}#${s.sparkContext.startTime}" +
+        s"#$dir#half#9", _ => {
+      val (_, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      Dedup.jaccardComponents(corpus, thresholdTenths = 9)
+        .localCheckpoint(eager = true)
+    })
+
   /** Memoized z-ordered event lake + its min/max stats manifest for
     * `manifest_pruned_scan` ([[pqIndexFor]] contract): the lake and
     * the manifest are the offline artifacts, the bench row prices the
@@ -1378,10 +1395,12 @@ object SparkEntry {
     // proves incremental == recompute exactly (the applyDelta law
     // applied to clustering — closing the one dedup family whose
     // incremental story was still "recompute nightly").
+    // The standing assignment comes from the memoized halfAssignFor
+    // (the pqIndexFor serve-only contract): the row prices the FOLD.
     "dedup_components_incremental" -> ((s, dir) => {
       val (batch, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
       Dedup.jaccardComponentsIncremental(
-        Dedup.jaccardComponents(corpus, thresholdTenths = 9),
+        halfAssignFor(s, dir),
         corpus, batch, thresholdTenths = 9).orderBy("doc_id")
     }),
     // Asymmetric containment ≥ 0.9 (|A∩B|/|A|): the quote-inclusion /

@@ -471,6 +471,46 @@ class BucketingSpec extends SparkSpec {
       "null-bearing payloads must survive the delta round-trip")
   }
 
+  test("snapshot diff digest is injective on randomized null-laden payloads") {
+    import spark.implicits._
+    import graft.operators.LakeMaintenance
+    // 300 seeded-random payload pairs over a vocabulary built to
+    // collide under every known-broken encoding: NULL, '', the r15
+    // separator byte, the new sentinel/prefix characters themselves
+    // ('N', 'V', ':'), and values that concatenate ambiguously.
+    // Classification must equal tuple equality EXACTLY — "changed"
+    // iff the payload tuples differ.
+    val rnd = new scala.util.Random(42)
+    val vocab: IndexedSeq[Option[String]] = IndexedSeq(
+      None, Some(""), Some("N"), Some("V"), Some(":"), Some("V1:"),
+      Some("a"), Some("b"), Some("ab"), Some("a"), Some("a"),
+      Some("ab"), Some("N1"), Some("1:a"), Some("V2:ab"))
+    def tup() = (vocab(rnd.nextInt(vocab.size)),
+      vocab(rnd.nextInt(vocab.size)), vocab(rnd.nextInt(vocab.size)))
+    // every third case repeats its tuple so the unchanged arm is
+    // genuinely exercised (independent random tuples almost never
+    // collide - which is the point of the other 200 cases)
+    val cases = (1L to 300L).map { i =>
+      val t1 = tup()
+      (i, t1, if (i % 3 == 0) t1 else tup())
+    }
+    val old = cases.map { case (i, t, _) => (i, t._1, t._2, t._3) }
+      .toDF("doc_id", "p1", "p2", "p3")
+    val neu = cases.map { case (i, _, t) => (i, t._1, t._2, t._3) }
+      .toDF("doc_id", "p1", "p2", "p3")
+    val status = LakeMaintenance.snapshotDiff(old, neu, "doc_id",
+        Seq("p1", "p2", "p3"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, t1, t2) =>
+      val got = status.getOrElse(i, "unchanged")
+      val want = if (t1 == t2) "unchanged" else "changed"
+      assert(got === want,
+        s"doc $i: payloads $t1 vs $t2 classified $got, want $want")
+    }
+    // the generator actually exercised both arms
+    assert(status.nonEmpty && status.size < 300)
+  }
+
   test("churn rollup attributes delta rows new-wins with a null sentinel") {
     import spark.implicits._
     import graft.operators.LakeMaintenance

@@ -218,8 +218,13 @@ object Bench {
         Map.empty
       } else try {
         val full = spark.read.json(prevPath)
-        prevAnchors = Seq("calib_pre", "calib_post", "calib_str_pre",
-          "calib_str_post").flatMap { f =>
+        // PRE anchors only (r17, the r16 ADVICE item): the gate's
+        // cross-capture legs compare like-state pre-vs-prev-pre, and
+        // the post legs are WITHIN-run by design (post-vs-prev-post
+        // was tried and refuted — ramp depth varies across clean
+        // windows), so parsing prev post fields suggested an input
+        // the gate deliberately does not use.
+        prevAnchors = Seq("calib_pre", "calib_str_pre").flatMap { f =>
           scala.util.Try(full.select(f).head().get(0) match {
             case d: java.lang.Double => f -> d.doubleValue
             case l: java.lang.Long => f -> l.toDouble

@@ -167,8 +167,16 @@ object Dedup {
   def jaccardComponentsIncremental(assign: DataFrame, corpus: DataFrame,
       batch: DataFrame, thresholdTenths: Int,
       maxBroadcastRows: Long = 100000L): DataFrame = {
-    val bb = jaccardPairs(batch, thresholdTenths).select("d1", "d2")
-    val bc = jaccardPairsAgainstCorpus(batch, corpus, thresholdTenths,
+    // materialize the batch ONCE (r17, the r16 ADVICE item): three
+    // consumers traverse it (batch-batch pairs, batch-corpus pairs,
+    // the cross tier's guard count), so an expensive upstream batch
+    // lineage would otherwise recompute three times. The batch is
+    // bounded by the broadcast-tier contract, so the eager local
+    // checkpoint is one delta-scale materialization; the guard count
+    // inside jaccardPairsAgainstCorpus then reads checkpoint blocks.
+    val b = batch.localCheckpoint(eager = true)
+    val bb = jaccardPairs(b, thresholdTenths).select("d1", "d2")
+    val bc = jaccardPairsAgainstCorpus(b, corpus, thresholdTenths,
       maxBroadcastRows).select("d1", "d2")
     val a = assign.select(col("doc_id").as("cid"),
       col("component").as("ccomp"))
@@ -1204,6 +1212,17 @@ object Dedup {
                                    numHashes: Int = 32,
                                    bands: Int = 4,
                                    broadcastMaxDocs: Long = 1000000L): DataFrame = {
+    // the 8x headroom the regime decision leans on is ENFORCED, not
+    // just documented (r17, the r16 ADVICE item): the broadcast side
+    // carries `bands` rows per doc against the 512M-row broadcast hard
+    // limit, so a caller-raised broadcastMaxDocs must keep
+    // docs*bands <= 512M/8 — past that the HLL regime count's rsd
+    // could silently push an unsafe batch into the broadcast arm
+    require(broadcastMaxDocs * bands <= 512000000L / 8,
+      s"broadcastMaxDocs=$broadcastMaxDocs x bands=$bands exceeds the " +
+        "8x-headroom bound under the 512M-row broadcast hard limit " +
+        "(docs*bands must stay <= 64M); lower broadcastMaxDocs — bulk " +
+        "batches take the shuffled regime with identical output")
     val q = lshBandFpRows(minhashSignatures(batch, numHashes), numHashes,
         bands)
       .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
@@ -1215,12 +1234,16 @@ object Dedup {
     // prefix set (≤ 256 strings) and approx distinct doc count from
     // the SAME pass over the batch's row-local band rows — the
     // buildBloom class of driver action, and the only one this method
-    // runs before the serve plan itself.
+    // runs before the serve plan itself. The HLL count inflates by 3
+    // sigma (rsd 0.02 -> +6%) before the regime compare, so a tail
+    // under-estimate can't slide a past-the-knob batch into the
+    // broadcast arm either (r17; belt to the headroom require above —
+    // both regimes stay output-identical, this is resource safety).
     val meta = q.agg(
       collect_set(col("fp_pfx")).as("pfxs"),
       approx_count_distinct(col("qid"), 0.02).as("n")).head()
     val pfxs = meta.getSeq[String](0)
-    val pointRegime = meta.getLong(1) <= broadcastMaxDocs
+    val pointRegime = meta.getLong(1) * 106L / 100L <= broadcastMaxDocs
     // STATIC partition pruning (point regime only): the prefix set
     // becomes a literal IN filter so the planner prunes index
     // partitions DETERMINISTICALLY — the optimizer's dynamic-pruning

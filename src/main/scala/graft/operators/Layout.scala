@@ -196,6 +196,74 @@ object Layout {
       .write.mode("append").parquet(manifestPath)
   }
 
+  /** [[appendWithManifest]] made IDEMPOTENT under replay of a tagged
+    * batch (r17, the r16 ADVICE item on
+    * [[graft.streaming.EventStream.manifestIngestStream]]): foreachBatch
+    * re-delivers a batch after a crash between the data write and the
+    * checkpoint commit, and the plain append would then duplicate both
+    * lake rows and manifest rows. This variant makes the whole append
+    * a replay-safe transaction keyed by `tag` (the stream's batchId):
+    *
+    *   1. a MARKER (`_applied_batches/b<tag>` under the manifest dir —
+    *      `_`-prefixed, invisible to parquet reads) is written LAST,
+    *      only after both the data and manifest rows are in place; a
+    *      replay that sees it is an exact no-op;
+    *   2. every file the attempt places carries a `b<tag>_` name
+    *      prefix, so a replay WITHOUT the marker first scrubs whatever
+    *      a half-crashed prior attempt left (data files, manifest
+    *      rows) and redoes the append from its staged copy — every
+    *      crash window lands in "scrub and redo", none in "duplicate".
+    *
+    * The stats pass reads ONLY this batch's files (delta-scale, the
+    * batch contract), and single-writer remains the lake's concurrency
+    * contract — the ledger serializes REPLAYS of one writer, not two
+    * concurrent writers. */
+  def appendWithManifestIdempotent(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, dataPath: String, manifestPath: String,
+      cols: Seq[String], tag: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dataDir = new Path(dataPath)
+    val mDir = new Path(manifestPath)
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(mDir, s"_applied_batches/b$tag")
+    if (fs.exists(marker)) return // replayed after commit: no-op
+    def scrub(dir: Path): Unit =
+      if (fs.exists(dir))
+        fs.listStatus(dir).map(_.getPath)
+          .filter(_.getName.startsWith(s"b${tag}_"))
+          .foreach(p => fs.delete(p, false))
+    scrub(dataDir); scrub(mDir)
+    def stageInto(df: DataFrame, stage: Path, dst: Path): Seq[String] = {
+      fs.delete(stage, true)
+      df.write.mode("overwrite").parquet(stage.toString)
+      fs.mkdirs(dst)
+      val placed = fs.listStatus(stage).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).toSeq.sortBy(_.getName)
+        .map { p =>
+          val target = new Path(dst, s"b${tag}_${p.getName}")
+          if (!fs.rename(p, target))
+            sys.error(s"appendWithManifestIdempotent: rename $p -> $target")
+          target.toString
+        }
+      fs.delete(stage, true)
+      placed
+    }
+    val fresh = stageInto(batch,
+      new Path(s"$dataPath.stage_b$tag"), dataDir)
+    require(fresh.nonEmpty, "append produced no new files")
+    val aggs = count(lit(1)).as("rows") +:
+      cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+        max(col(c)).as(s"max_$c")))
+    stageInto(
+      spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .coalesce(1),
+      new Path(s"$manifestPath.stage_b$tag"), mDir)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+  }
+
   /** Manifest-driven pruned scan: keep only files whose [min, max]
     * stat range intersects EVERY requested closed range, read just
     * those (the collect is file-count strings — metadata-scale, the

@@ -1213,14 +1213,28 @@ object TextOps {
     * the shared single-column pipeline applies and unpacked in the
     * output (valid while chunks/doc < 10⁵ — ~3 M tokens per doc at
     * the default stride; a corpus past that packs into a wider long
-    * or a struct key). Top-k per query via the same WindowGroupLimit
-    * map-side prune. */
+    * or a struct key). The validity bound is ENFORCED row-locally
+    * (r17, the r16 ADVICE item): a doc with ≥10⁵ chunks or a doc_id
+    * outside [0, ⌊Long.Max/10⁵⌋) would silently collide passages
+    * across documents under the packed key, so the pack expression
+    * raises instead — a codegen'd branch, no extra action, free on
+    * every in-domain row. Top-k per query via the same
+    * WindowGroupLimit map-side prune. */
   def bm25Passages(docs: DataFrame, queries: Seq[(String, Seq[String])],
                    k: Int, sizeToks: Int = 32,
                    strideToks: Int = 24): DataFrame = {
+    val maxDocId = Long.MaxValue / 100000L // 9.2e13: pack can't overflow
+    val packed = when(
+      col("chunk") < 100000L && col("doc_id").between(0L, maxDocId - 1),
+      col("doc_id") * 100000L + col("chunk"))
+      .otherwise(raise_error(concat(
+        lit("bm25Passages packed key out of domain: doc_id="),
+        col("doc_id").cast("string"), lit(" chunk="),
+        col("chunk").cast("string"),
+        lit(s" (need chunk < 100000 and 0 <= doc_id < $maxDocId — use a" +
+          " struct key past that)"))))
     val passages = chunkDocs(docs, sizeToks, strideToks)
-      .select((col("doc_id") * 100000L + col("chunk")).as("doc_id"),
-        col("chunk_text").as("text"))
+      .select(packed.as("doc_id"), col("chunk_text").as("text"))
     bm25TopK(passages, queries, k)
       .select(col("query_id"),
         expr("doc_id div 100000").cast("long").as("doc_id"),

@@ -419,16 +419,15 @@ object EventStream {
     * it). Per micro-batch cost is delta-scale: one write of the
     * batch's rows + one stat pass over just-written files.
     *
-    * Caveats carried from the batch op, stated: single-writer (the
-    * data and manifest move in two steps — a concurrent
-    * `manifestPrunedRead` between them UNDER-reads; pause serving
-    * across appends or adopt a table format), and idempotence is the
-    * caller's offsets problem — `batchId` is the handle (foreachBatch
-    * re-delivers a batch after a crash between the data write and the
-    * checkpoint commit; a production caller records applied batchIds
-    * in the manifest path and skips replays — this probe-scale twin
-    * documents rather than implements that ledger, matching the
-    * append-only contract of the persisted index twins). */
+    * Replay-safe (r17, the r16 ADVICE item): each micro-batch applies
+    * through [[graft.operators.Layout.appendWithManifestIdempotent]]
+    * keyed by `batchId` — an applied-batch marker ledger plus
+    * batch-tagged file names, so a batch re-delivered after a crash
+    * between the data write and the checkpoint commit scrubs its own
+    * partial files and redoes (or no-ops if it fully landed), instead
+    * of duplicating lake and manifest rows. The remaining caveat is
+    * the batch op's own: single-writer — the ledger serializes
+    * replays of ONE writer; concurrent writers need a table format. */
   def manifestIngestStream(events: DataFrame, dataPath: String,
       manifestPath: String, statsCols: Seq[String],
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
@@ -436,12 +435,12 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        // an empty re-trigger must not reach appendWithManifest (its
+        // an empty re-trigger must not reach the append (its
         // fresh-file require is the guard against silent no-op stats)
         if (!batch.isEmpty)
-          graft.operators.Layout.appendWithManifest(
+          graft.operators.Layout.appendWithManifestIdempotent(
             batch.sparkSession, batch.toDF(), dataPath, manifestPath,
-            statsCols)
+            statsCols, tag = batchId)
       }
       .start()
 }

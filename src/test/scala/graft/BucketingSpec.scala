@@ -536,6 +536,41 @@ class BucketingSpec extends SparkSpec {
       "(none)" -> ((1L, 1L, 0L, 0L))))
   }
 
+  test("snapshot diff enforces the replayable payload-type contract") {
+    import spark.implicits._
+    import graft.operators.LakeMaintenance
+    // double payloads render differently across engines (1.0E-4 in
+    // Spark vs 0.0001 in DuckDB): the digest must REFUSE them loudly
+    // instead of silently breaking oracle replayability
+    val old = Seq((1L, 0.0001)).toDF("doc_id", "v")
+    val neu = Seq((1L, 0.0002)).toDF("doc_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      LakeMaintenance.snapshotDiff(old, neu, "doc_id", Seq("v"))
+    }
+    assert(e.getMessage.contains("micro-units"), e.getMessage)
+    // integral/boolean/date payloads stay in-contract
+    val oldOk = Seq((1L, 10L, true)).toDF("doc_id", "n", "b")
+    val neuOk = Seq((1L, 11L, true)).toDF("doc_id", "n", "b")
+    val st = LakeMaintenance.snapshotDiff(oldOk, neuOk, "doc_id",
+        Seq("n", "b"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st === Map(1L -> "changed"))
+  }
+
+  test("churn rollup casts a numeric attr column to string explicitly") {
+    import spark.implicits._
+    import graft.operators.LakeMaintenance
+    val old = Seq((1L, "a", 7L), (2L, "b", 8L)).toDF("doc_id", "text", "feed")
+    val neu = Seq((2L, "bX", 8L), (3L, "c", 7L)).toDF("doc_id", "text", "feed")
+    val out = LakeMaintenance.churnBy(old, neu, "doc_id",
+      Seq("text"), "feed")
+    assert(out.schema("feed").dataType ===
+      org.apache.spark.sql.types.StringType,
+      "the (none) sentinel's type contract: attr groups as string")
+    val m = out.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m === Map("7" -> 2L, "8" -> 1L))
+  }
+
   test("bloom semi-join handles identically-named keys on both sides") {
     import spark.implicits._
     val fact = (0L until 100L).map(k => (k, k % 7)).toDF("partkey", "payload")

@@ -128,6 +128,50 @@ class LayoutSpec extends SparkSpec {
       "appended rows must serve through the manifest")
   }
 
+  test("idempotent manifest append: replay no-op and crash scrub-redo") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_midem_").toString
+    val b0 = spark.range(0, 64)
+      .selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v").coalesce(1)
+    def apply0(): Unit = Layout.appendWithManifestIdempotent(spark, b0,
+      s"$base/data", s"$base/manifest", Seq("v"), tag = 0L)
+    apply0()
+    def dataRows = spark.read.parquet(s"$base/data").count()
+    def mSet = spark.read.parquet(s"$base/manifest")
+      .collect().map(_.toSeq).toSet
+    val (d1, m1) = (dataRows, mSet)
+    assert(d1 === 64L && m1.size === 1)
+    // replay AFTER the marker committed: exact no-op (same files)
+    apply0()
+    assert(dataRows === d1 && mSet === m1)
+    // crash window: data + manifest landed but the marker did not —
+    // the replay must scrub its own tagged files and redo, converging
+    // to the one-apply state (not 128 rows / 2 manifest rows)
+    val marker = new java.io.File(s"$base/manifest/_applied_batches/b0")
+    assert(marker.exists, "marker ledger must exist after a full apply")
+    assert(marker.delete())
+    apply0()
+    assert(dataRows === 64L, "scrub-redo must not duplicate lake rows")
+    assert(mSet.size === 1, "scrub-redo must not duplicate manifest rows")
+    // crash window: a stray partial data file from a half-renamed
+    // attempt of tag 1 — the tag-1 apply must scrub it before redoing
+    val junk = new java.io.File(s"$base/data/b1_junk.parquet")
+    java.nio.file.Files.writeString(junk.toPath, "not parquet")
+    val b1 = spark.range(100, 132)
+      .selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v").coalesce(1)
+    Layout.appendWithManifestIdempotent(spark, b1,
+      s"$base/data", s"$base/manifest", Seq("v"), tag = 1L)
+    assert(!junk.exists, "partial tagged files must be scrubbed")
+    assert(dataRows === 96L && mSet.size === 2)
+    // the ledgered manifest still equals a from-scratch rebuild
+    Layout.writeStatsManifest(spark, s"$base/data",
+      s"$base/manifest_rebuilt", Seq("v"))
+    val rebuilt = spark.read.parquet(s"$base/manifest_rebuilt")
+      .collect().map(_.toSeq).toSet
+    assert(mSet === rebuilt,
+      "ledgered manifest diverged from the batch builder")
+  }
+
   test("scaled bucket is order-preserving, bounded, degenerate-safe") {
     import spark.implicits._
     val df = (0L to 10L).toDF("x")

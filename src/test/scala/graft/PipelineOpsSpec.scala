@@ -861,6 +861,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.contains((2L, 0L)))
   }
 
+  test("passage bm25 raises on a doc_id outside the packed-key domain") {
+    import spark.implicits._
+    // doc_id past Long.Max/1e5 would silently overflow the packed
+    // (doc_id, chunk) key and collide passages across documents — the
+    // r17 guard turns that into a loud row-local error
+    val docs = Seq(
+      (Long.MaxValue / 100000L + 5L, "spark stream window"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextOps.bm25Passages(docs, Seq(("q", Seq("spark"))), k = 5).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("packed key out of domain")),
+      messages(e).mkString(" | "))
+    // in-domain docs are untouched by the guard
+    val ok = TextOps.bm25Passages(
+      Seq((1L, "spark stream")).toDF("doc_id", "text"),
+      Seq(("q", Seq("spark"))), k = 5).collect()
+    assert(ok.nonEmpty)
+  }
+
   test("hybrid rrf fuses arm ranks and keeps single-arm docs") {
     import spark.implicits._
     val docs = Seq(

@@ -195,7 +195,21 @@ object Bench {
     // SPARK_GRAFT_BENCH_OUT names the file (per-round artifacts, e.g.
     // BENCH_FULL_r06.json, so the file of record says which round).
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", benchOut)
+    // SPARK_GRAFT_BENCH_PREV accepts a ':'-separated LIST of artifacts
+    // (r17, the r16 verdict #5): the FIRST is the previous artifact of
+    // record (anchors + the single-window baseline); the per-query MIN
+    // over ALL of them is the cross-capture noise floor
+    // (scripts/bench_merge.py's estimator, computed in-process).
+    // Gate = AND of both baselines — MEASURED, not assumed: across the
+    // nine r16 same-code captures, floor-only gating flags 63 rows
+    // (the floor is the fastest view, so ordinary window jitter
+    // clears 1.5x of it constantly) vs 7 for single-only; the AND
+    // keeps those same 7 genuinely-slow-in-window rows while pruning
+    // the lucky-fast-prev class single-only churns on. One path given
+    // -> floor == single, the r16 behavior unchanged.
+    val prevPaths = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", benchOut)
+      .split(":").map(_.trim).filter(_.nonEmpty).toSeq
+    val prevPath = prevPaths.headOption.getOrElse(benchOut)
     // REAL JSON parse (r12, the r11 ADVICE item): the artifact is
     // machine-written single-line JSON, and the hand-rolled regex this
     // replaces silently yielded an EMPTY prev map — disabling solo
@@ -266,16 +280,58 @@ object Bench {
         Map.empty
       }
     }
+    // cross-capture noise floor (r17, the r16 verdict #5): per-query
+    // MIN over every artifact in SPARK_GRAFT_BENCH_PREV — the
+    // bench_merge.py estimator in-process. Parse failures skip their
+    // file with a warning; one path -> floor == single baseline.
+    val floorQ: Map[String, Double] =
+      prevPaths.drop(1).foldLeft(prevQ) { (acc, path) =>
+        val p = java.nio.file.Paths.get(path)
+        val m: Map[String, Double] =
+          if (!java.nio.file.Files.exists(p)) {
+            System.err.println(s"[bench] floor artifact missing at " +
+              s"$path — skipped for the noise floor")
+            Map.empty
+          } else try {
+            val df = spark.read.json(path).select("queries.*")
+            val row = df.head()
+            df.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
+              if (row.isNullAt(i)) None
+              else scala.util.Try(row.get(i) match {
+                case d: java.lang.Double => d.doubleValue
+                case l: java.lang.Long => l.toDouble
+                case bd: java.math.BigDecimal => bd.doubleValue
+                case bd: scala.math.BigDecimal => bd.toDouble
+                case s: String => s.toDouble
+                case other => other.toString.toDouble
+              }).toOption.map(n -> _)
+            }.toMap
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] floor artifact $path failed " +
+              s"to parse (${e.getMessage}) — skipped for the noise floor")
+            Map.empty
+          }
+        (acc.keySet ++ m.keySet).iterator.map { k =>
+          k -> math.min(acc.getOrElse(k, Double.MaxValue),
+            m.getOrElse(k, Double.MaxValue))
+        }.toMap
+      }
     // Gate (r12, the r11 verdict ask): 1.5x for everything, tightened
     // to 1.3x once the previous number exceeds 2 s — pipeline_curate_v4
     // slid 2.75 → 3.82 s (1.39x) under the uniform 1.5x gate, and at
     // multi-second scale the 0.3 s absolute floor is trivially cleared
     // by real regressions and noise alike, so the solo run must decide.
+    // r17: a row flags only if it regressed against BOTH the previous
+    // artifact of record AND the min-merged noise floor (a genuine
+    // regression clears both by construction, floor <= single; a
+    // lucky-fast single-window prev no longer churns a solo re-run on
+    // its own — measured rates in the SPARK_GRAFT_BENCH_PREV note).
     def regressed(cur: Double, p: Double): Boolean =
       p > 0 && cur - p > 0.3 &&
         (cur > 1.5 * p || (p > 2.0 && cur > 1.3 * p))
     val flagged = suite.collect { case (name, _)
       if best(name) >= 0 && prevQ.get(name).exists(p =>
+        regressed(best(name), p)) && floorQ.get(name).exists(p =>
         regressed(best(name), p)) => name }
     flagged.foreach { name =>
       System.err.println(f"[bench] ${name} ${best(name)}%.2fs over gate vs " +

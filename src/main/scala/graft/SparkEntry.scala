@@ -233,21 +233,53 @@ object SparkEntry {
       Dedup.jaccardComponents(Tables.documents(s, dir), thresholdTenths)
         .localCheckpoint(eager = true))
 
-  /** Memoized id-lower-half J≥0.9 assignment for
-    * `dedup_components_incremental` ([[componentsFor]]'s contract,
-    * same session-keyed cache): the STANDING assignment is the lake
-    * artifact an incremental fold serves against — built once per
-    * (session, corpus) off the row's clock, so the bench row prices
-    * the FOLD (delta pair tiers + contracted fixpoint), which is what
-    * the op exists to make cheap. The `dedup_components` row keeps
-    * pricing the full clustering. */
-  private def halfAssignFor(s: SparkSession, dir: String): DataFrame =
-    componentsCache.computeIfAbsent(
-      s"${s.sparkContext.applicationId}#${s.sparkContext.startTime}" +
-        s"#$dir#half#9", _ => {
+  /** PERSISTED id-lower-half J≥0.9 assignment for
+    * `dedup_components_incremental` (r17, the r16 verdict #1 — was a
+    * session-memoized DataFrame, which silently re-paid the full
+    * clustering on every JVM restart): the STANDING assignment is now
+    * a lake artifact ([[Dedup.saveComponentsAssign]]) under the
+    * [[pqIndexFor]] path contract — built at most once per corpus dir,
+    * any session re-reads it from parquet, and the bench row prices
+    * the FOLD served from disk (load + delta pair tiers + contracted
+    * fixpoint), which is the real nightly shape. The
+    * `dedup_components` row keeps pricing the full clustering. */
+  private def halfAssignPathFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.computeIfAbsent(dir + "#assign_half9", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_assign_half_").toString + "/assign"
       val (_, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
-      Dedup.jaccardComponents(corpus, thresholdTenths = 9)
-        .localCheckpoint(eager = true)
+      Dedup.saveComponentsAssign(
+        Dedup.jaccardComponents(corpus, thresholdTenths = 9), p)
+      p
+    })
+
+  /** Persisted band index over the id-lower half at bands=16 (r=2)
+    * for `dedup_components_incremental_banded` — the HIGH-RECALL
+    * banding the clustering fold needs (the serve index's bands=4
+    * tier is the verdict knob: S-curve ≈0.9 at J=0.9, fine for
+    * keep/drop verdicts, wrong for a tier whose oracle is the exact
+    * recompute; at r=2 the per-pair miss probability at J=0.9 is
+    * ≈4e-12). Same memoized unique-path contract. */
+  private def lshHalf16IndexFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.computeIfAbsent(dir + "#lsh_half16", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_lsh_index_half16_").toString
+      val (_, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      Dedup.saveLshBandIndex(corpus, p, numHashes = 32, bands = 16)
+      p
+    })
+
+  /** Persisted lexical (BM25) serving index for `hybrid_rrf_indexed`
+    * (r17, the r16 verdict #2): tf postings + doclen + corpus stats
+    * over the full documents table, the [[pqIndexFor]] memoized
+    * unique-path contract — built at most once per corpus dir, repeat
+    * invocations price the SERVE. */
+  private def lexIndexFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.computeIfAbsent(dir + "#lex", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_lex_index_").toString
+      TextOps.saveLexicalIndex(Tables.documents(s, dir), p)
+      p
     })
 
   /** Memoized z-ordered event lake + its min/max stats manifest for
@@ -1187,16 +1219,45 @@ object SparkEntry {
           Tables.embeddings(s, dir), numQueries = HybridProbes,
           kArm = HybridArmK, k = HybridK)
         .orderBy("query_id", "rnk")),
+    // Hybrid RRF served from the PERSISTED indexes (r17, the r16
+    // verdict #2): dense arm = the IVF-PQ index serve (the
+    // ann_ivf_pq_indexed relation at armK depth), lexical arm = BM25
+    // over the persisted tf-postings index — NEITHER arm scans the
+    // corpus; the fusion is the shared integer RRF unchanged. The
+    // oracle replays the lexical scan arm (serve == scan is the index
+    // contract) and the IVF-PQ training chain, so the hash proves the
+    // whole served fusion end-to-end.
+    "hybrid_rrf_indexed" -> ((s, dir) =>
+      TextOps.hybridRrfTopKIndexed(s,
+          Tables.embeddings(s, dir).filter(col("vec_id") < HybridProbes),
+          lexIndexFor(s, dir), pqIndexFor(s, dir),
+          numQueries = HybridProbes, kArm = HybridArmK, k = HybridK,
+          m = PqM)
+        .orderBy("query_id", "rnk")),
     // Hybrid recall audit (r16): recall@k of the fused tier AND both
     // arms against exact-cosine truth — whether RRF helps on a given
     // corpus is a computed number (the annRecallAudit pattern applied
     // to fusion; on this synthetic corpus text and embeddings are
     // independent, so the audit SHOWS the lexical arm diluting dense
     // recall — the measurement a deployment makes before fusing).
+    // r17: a fourth `hybrid_indexed` tier row audits the INDEX-SERVED
+    // fusion against the same exact-cosine truth — the served tier's
+    // quality is a measured number beside the scan tiers', not an
+    // assumed equality (the dense arm is ADC-approximate, so the
+    // indexed fusion CAN differ from the scan fusion; this row prices
+    // by how much).
     "hybrid_recall" -> ((s, dir) =>
       TextOps.hybridRecallAudit(Tables.documents(s, dir),
           Tables.embeddings(s, dir), numQueries = HybridProbes,
-          kArm = HybridArmK, k = HybridK)
+          kArm = HybridArmK, k = HybridK,
+          extraTiers = Seq("hybrid_indexed" ->
+            TextOps.hybridRrfTopKIndexed(s,
+                Tables.embeddings(s, dir)
+                  .filter(col("vec_id") < HybridProbes),
+                lexIndexFor(s, dir), pqIndexFor(s, dir),
+                numQueries = HybridProbes, kArm = HybridArmK,
+                k = HybridK, m = PqM)
+              .select(col("query_id").as("qid"), col("doc_id"))))
         .orderBy("query_id", "tier")),
     // Bigram familiarity vs the corpus top-100 table — the
     // integer-exact LM-perplexity filtering proxy.
@@ -1395,13 +1456,30 @@ object SparkEntry {
     // proves incremental == recompute exactly (the applyDelta law
     // applied to clustering — closing the one dedup family whose
     // incremental story was still "recompute nightly").
-    // The standing assignment comes from the memoized halfAssignFor
-    // (the pqIndexFor serve-only contract): the row prices the FOLD.
+    // The standing assignment serves from the PERSISTED parquet
+    // artifact (r17 — halfAssignPathFor, the pqIndexFor serve-only
+    // contract): the row prices the fold FROM DISK, the real nightly
+    // shape; the oracle hash proves persisted-fold == full recompute.
     "dedup_components_incremental" -> ((s, dir) => {
       val (batch, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
       Dedup.jaccardComponentsIncremental(
-        halfAssignFor(s, dir),
+        Dedup.loadComponentsAssign(s, halfAssignPathFor(s, dir)),
         corpus, batch, thresholdTenths = 9).orderBy("doc_id")
+    }),
+    // The SAME fold past the broadcast cap (r17, the r16 verdict #4):
+    // the batch-corpus pair tier routes through the persisted bands=16
+    // index — candidates by banded equi-join, verification by the
+    // exact sorted-intersect kernel — so unbounded arriving batches
+    // get the clustering fold too. The oracle is STILL the full
+    // recompute: the hash gate measures banding recall on real data
+    // (at r=2 the per-pair miss probability at J=0.9 is ~4e-12)
+    // instead of assuming the S-curve.
+    "dedup_components_incremental_banded" -> ((s, dir) => {
+      val (batch, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      Dedup.jaccardComponentsIncrementalBanded(s,
+        Dedup.loadComponentsAssign(s, halfAssignPathFor(s, dir)),
+        corpus, batch, lshHalf16IndexFor(s, dir),
+        thresholdTenths = 9).orderBy("doc_id")
     }),
     // Asymmetric containment ≥ 0.9 (|A∩B|/|A|): the quote-inclusion /
     // boilerplate-wrapping dedup mode Jaccard misses; directed pairs
@@ -3183,7 +3261,41 @@ object SparkEntry {
     * `hybrid_rrf` and `hybrid_recall` oracles so the audited arms ARE
     * the served arms in both spellings; a tier cut tighter than
     * `armK` is a prefix filter on these (same total order). */
-  private def sqlHybridArms(armK: Int): String =
+  /** Full-recompute J≥0.9 components over the WHOLE documents table —
+    * the shared oracle of both incremental-clustering queries: the
+    * fold's correctness law is `incremental(assign(C), C, B) ≡
+    * components(C ∪ B)`, so the recompute IS the strongest possible
+    * check of any incremental tier. */
+  private val SqlComponentsFullRecompute: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+      |inter AS (
+      |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
+      |  FROM tok t1 JOIN tok t2
+      |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT i.d1, i.d2
+      |  FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
+      |               JOIN cnt c2 ON i.d2 = c2.doc_id
+      |  WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * 9),
+      |edges AS (
+      |  SELECT d1 AS src, d2 AS dst FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, MIN(dst) AS component
+      |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The hybrid tiers' LEXICAL arm CTEs alone (ends in `lex`), shared
+    * by the scan-fused and index-served oracles — the persisted
+    * lexical index's serve is bit-identical to the scan arm by
+    * contract, so one SQL replays both. */
+  private def sqlLexArmCtes(armK: Int): String =
     s"""qt AS (
       |  SELECT doc_id AS qid, unnest(list_distinct(string_split(text, ' '))) AS token
       |  FROM documents WHERE doc_id < $HybridProbes),
@@ -3213,8 +3325,12 @@ object SparkEntry {
       |  SELECT qid, doc_id,
       |    CAST(row_number() OVER (PARTITION BY qid
       |      ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
-      |  FROM lscored) lr WHERE lex_rnk <= $armK),
-      |hdq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      |  FROM lscored) lr WHERE lex_rnk <= $armK)""".stripMargin
+
+  /** The scan-tier hybrid's DENSE arm CTEs (quantized brute cosine,
+    * ends in `den`). */
+  private def sqlDenseBruteArmCtes(armK: Int): String =
+    s"""hdq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
       |  WHERE vec_id < $HybridProbes),
       |hprod AS (
       |  SELECT hdq.qid, e.vec_id AS doc_id,
@@ -3227,6 +3343,41 @@ object SparkEntry {
       |    CAST(row_number() OVER (PARTITION BY qid
       |      ORDER BY score DESC, doc_id) AS BIGINT) AS den_rnk
       |  FROM hprod) dr WHERE den_rnk <= $armK)""".stripMargin
+
+  private def sqlHybridArms(armK: Int): String =
+    s"""${sqlLexArmCtes(armK)},
+      |${sqlDenseBruteArmCtes(armK)}""".stripMargin
+
+  /** The INDEX-SERVED hybrid's dense arm: the IVF-PQ chain
+    * ([[sqlAnnIvfPq]]'s training + probe + ADC CTEs, `i`-prefixed so
+    * they compose beside the scan arms in one WITH) cut at `armK`,
+    * ending in `iden` (qid, doc_id, den_rnk). Requires [[SqlQv]] in
+    * scope; probes = 1 (the serve's declared configuration — each
+    * candidate appears via exactly one cell, so the rank order is
+    * total). */
+  private def sqlIvfPqArmCtes(numQueries: Int, armK: Int): String =
+    s"""${sqlCellCtes(IvfCells, IvfCellRounds)},
+      |${sqlSvRaw(PqM)},
+      |${sqlPqTrainCtes(PqCw, PqRounds)},
+      |iqd AS (SELECT vec_id AS qid, sub, code, dist AS qdist
+      |  FROM pdist WHERE vec_id < $numQueries),
+      |ibest AS (SELECT vec_id AS qid, cluster AS cell FROM (
+      |    SELECT vec_id, cluster, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cluster) AS crn
+      |    FROM cdist WHERE vec_id < $numQueries) t WHERE crn <= 1),
+      |icand AS (SELECT b.qid, a.vec_id FROM ibest b JOIN casg a
+      |          ON a.cluster = b.cell AND a.vec_id <> b.qid),
+      |iad AS (SELECT icand.qid, icand.vec_id,
+      |    CAST(SUM(iqd.qdist) AS BIGINT) AS adist
+      |  FROM icand JOIN pcodes c ON c.vec_id = icand.vec_id
+      |  JOIN iqd ON iqd.qid = icand.qid AND iqd.sub = c.sub
+      |    AND iqd.code = c.code
+      |  GROUP BY 1, 2),
+      |iden AS (SELECT qid, doc_id, den_rnk FROM (
+      |  SELECT qid, vec_id AS doc_id,
+      |    CAST(row_number() OVER (PARTITION BY qid
+      |      ORDER BY adist, vec_id) AS BIGINT) AS den_rnk
+      |  FROM iad) t WHERE den_rnk <= $armK)""".stripMargin
 
   private def sqlAnnRecall: String = {
     def chain(p: Int) =
@@ -4394,10 +4545,36 @@ object SparkEntry {
         |  FROM fused) f
         |WHERE rnk <= $HybridK ORDER BY query_id, rnk""".stripMargin,
 
+    // the INDEX-SERVED fusion: the lexical arm replays the scan arm's
+    // SQL (serve == scan is the persisted index's contract — the hash
+    // gate proves it THROUGH the fusion), the dense arm replays the
+    // IVF-PQ training + probe + ADC chain at armK depth (the
+    // ann_ivf_pq_indexed oracle's chain, i-prefixed), and the fusion
+    // is the same exact integer arithmetic
+    "hybrid_rrf_indexed" ->
+      s"""WITH $SqlQv,
+        |${sqlLexArmCtes(HybridArmK)},
+        |${sqlIvfPqArmCtes(HybridProbes, HybridArmK)},
+        |fused AS (
+        |  SELECT COALESCE(l.qid, d.qid) AS query_id,
+        |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |    COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rnk)) AS BIGINT), 0)
+        |      + COALESCE(CAST(floor(1000000.0 / (60 + d.den_rnk)) AS BIGINT), 0) AS rrf_micro,
+        |    l.lex_rnk, d.den_rnk
+        |  FROM lex l FULL OUTER JOIN iden d
+        |    ON l.qid = d.qid AND l.doc_id = d.doc_id)
+        |SELECT query_id, doc_id, rrf_micro, lex_rnk, den_rnk, rnk FROM (
+        |  SELECT query_id, doc_id, rrf_micro, lex_rnk, den_rnk,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
+        |  FROM fused) f
+        |WHERE rnk <= $HybridK ORDER BY query_id, rnk""".stripMargin,
+
     // truth = exact quantized cosine (the ann_recall spelling); the
     // arms replay sqlHybridArms at the served armK, tighter tier cuts
     // are prefix filters on the same total order, and recall_milli is
-    // the integer 1000·hits // k
+    // the integer 1000·hits // k; the r17 hybrid_indexed tier fuses
+    // the lex arm with the IVF-PQ chain's iden arm the same way
     "hybrid_recall" ->
       s"""WITH $SqlQv,
         |${sqlHybridArms(HybridArmK)},
@@ -4434,7 +4611,23 @@ object SparkEntry {
         |  GROUP BY 1),
         |hitl AS (SELECT l.qid, CAST(COUNT(*) AS BIGINT) AS hits
         |  FROM lex l JOIN truth t ON l.qid = t.qid AND l.doc_id = t.doc_id
-        |  WHERE l.lex_rnk <= $HybridK GROUP BY 1)
+        |  WHERE l.lex_rnk <= $HybridK GROUP BY 1),
+        |${sqlIvfPqArmCtes(HybridProbes, HybridArmK)},
+        |ifused AS (
+        |  SELECT COALESCE(l.qid, d.qid) AS qid,
+        |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |    COALESCE(CAST(floor(1000000.0 / (60 + l.lex_rnk)) AS BIGINT), 0)
+        |      + COALESCE(CAST(floor(1000000.0 / (60 + d.den_rnk)) AS BIGINT), 0) AS rrf_micro
+        |  FROM lex l FULL OUTER JOIN iden d
+        |    ON l.qid = d.qid AND l.doc_id = d.doc_id),
+        |ihyb AS (SELECT qid, doc_id FROM (
+        |  SELECT qid, doc_id,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY rrf_micro DESC, doc_id) AS rnk
+        |  FROM ifused) f WHERE rnk <= $HybridK),
+        |hiti AS (SELECT h.qid, CAST(COUNT(*) AS BIGINT) AS hits
+        |  FROM ihyb h JOIN truth t ON h.qid = t.qid AND h.doc_id = t.doc_id
+        |  GROUP BY 1)
         |SELECT qid AS query_id, tier, hits, recall_milli FROM (
         |  SELECT qs.qid, 'dense' AS tier,
         |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
@@ -4445,6 +4638,11 @@ object SparkEntry {
         |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
         |    CAST(1000 * COALESCE(h.hits, 0) // $HybridK AS BIGINT) AS recall_milli
         |  FROM qs LEFT JOIN hith h ON qs.qid = h.qid
+        |  UNION ALL
+        |  SELECT qs.qid, 'hybrid_indexed' AS tier,
+        |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+        |    CAST(1000 * COALESCE(h.hits, 0) // $HybridK AS BIGINT) AS recall_milli
+        |  FROM qs LEFT JOIN hiti h ON qs.qid = h.qid
         |  UNION ALL
         |  SELECT qs.qid, 'lexical' AS tier,
         |    CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
@@ -4854,34 +5052,14 @@ object SparkEntry {
         |SELECT src AS doc_id, MIN(dst) AS component
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    // the INCREMENTAL op's oracle IS the full recompute over the whole
+    // the INCREMENTAL ops' oracle IS the full recompute over the whole
     // table — so the hash match proves the law
     // incremental(assign(C), C, B) == jaccardComponents(C ∪ B) exactly
-    // (the applyDelta round-trip pattern applied to clustering)
-    "dedup_components_incremental" ->
-      """WITH RECURSIVE tok AS (
-        |  SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
-        |  FROM documents),
-        |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
-        |inter AS (
-        |  SELECT t1.doc_id AS d1, t2.doc_id AS d2, CAST(COUNT(*) AS BIGINT) AS inter
-        |  FROM tok t1 JOIN tok t2
-        |    ON t1.token = t2.token AND t1.lang = t2.lang AND t1.doc_id < t2.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT i.d1, i.d2
-        |  FROM inter i JOIN cnt c1 ON i.d1 = c1.doc_id
-        |               JOIN cnt c2 ON i.d2 = c2.doc_id
-        |  WHERE i.inter * 10 >= (c1.n + c2.n - i.inter) * 9),
-        |edges AS (
-        |  SELECT d1 AS src, d2 AS dst FROM pairs
-        |  UNION SELECT d2, d1 FROM pairs),
-        |reach(src, dst) AS (
-        |  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
-        |SELECT src AS doc_id, MIN(dst) AS component
-        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+    // (the applyDelta round-trip pattern applied to clustering); the
+    // BANDED variant shares it, so its hash additionally measures the
+    // band tier's recall on real data
+    "dedup_components_incremental" -> SqlComponentsFullRecompute,
+    "dedup_components_incremental_banded" -> SqlComponentsFullRecompute,
 
     "dedup_components_best" ->
       s"""WITH RECURSIVE tok AS (

@@ -264,6 +264,61 @@ object Layout {
     fs.create(marker, true).close()
   }
 
+  /** Compact a manifest-tracked FLAT lake (r17, the r16 verdict #3):
+    * [[appendWithManifest]] accumulates one part file + one manifest
+    * row per batch forever, so after B batches every pruned serve
+    * pays a B-file listing and the manifest itself grows B rows — the
+    * small-files debt every append-only lake owes. This rewrites the
+    * data to `numFiles` RANGE-SORTED files on `sortCol` and rebuilds
+    * the manifest wholesale, retiring every superseded row.
+    *
+    * Sort, don't coalesce: a bin-packing coalesce would widen every
+    * file's min/max to the whole domain and silently destroy the
+    * manifest's pruning value — range-partitioned + sorted files keep
+    * stat ranges tight (disjoint on `sortCol`), so the pruned serve
+    * gets BETTER after compaction, not just fewer files. Staging +
+    * rename-swap is the shared [[LakeMaintenance.compactPartitioned]]
+    * contract (never read-and-overwrite; single-writer, serving
+    * paused). The `_applied_batches` replay ledger SURVIVES the
+    * manifest rebuild — a late replay of a pre-compaction batch must
+    * still no-op, or it would re-append rows the compacted files
+    * already hold. */
+  def compactManifestLake(spark: org.apache.spark.sql.SparkSession,
+      dataPath: String, manifestPath: String, cols: Seq[String],
+      numFiles: Int, sortCol: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
+    val dataDir = new Path(dataPath)
+    val mDir = new Path(manifestPath)
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swap(live: Path, stage: Path): Unit = {
+      val retired = new Path(s"$live.compact_old")
+      fs.delete(retired, true)
+      if (!fs.rename(live, retired))
+        sys.error(s"compactManifestLake: could not retire $live")
+      if (!fs.rename(stage, live)) {
+        fs.rename(retired, live) // roll back — the old layout stays live
+        sys.error(s"compactManifestLake: could not promote $stage")
+      }
+      fs.delete(retired, true)
+    }
+    val stage = new Path(s"$dataPath.compact_stage")
+    fs.delete(stage, true)
+    spark.read.parquet(dataPath)
+      .repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(stage.toString)
+    swap(dataDir, stage)
+    val mStage = new Path(s"$manifestPath.compact_stage")
+    fs.delete(mStage, true)
+    writeStatsManifest(spark, dataPath, mStage.toString, cols)
+    val ledger = new Path(mDir, "_applied_batches")
+    if (fs.exists(ledger) &&
+        !fs.rename(ledger, new Path(mStage, "_applied_batches")))
+      sys.error("compactManifestLake: could not carry the replay ledger")
+    swap(mDir, mStage)
+  }
+
   /** Manifest-driven pruned scan: keep only files whose [min, max]
     * stat range intersects EVERY requested closed range, read just
     * those (the collect is file-count strings — metadata-scale, the

@@ -1312,14 +1312,20 @@ object TextOps {
   }
 
   def hybridRrfTopK(docs: DataFrame, emb: DataFrame, numQueries: Int,
-                    kArm: Int, k: Int, rrfK: Int = 60): DataFrame = {
-    // lexical arm — bm25TopK's scoring, query terms from the probes
-    val lex = lexicalDocAsQueryTopK(docs, numQueries, kArm)
-    // dense arm — the quantized brute-force tier (same probe ids)
-    val den = Similarity.knnBruteForce(emb, numQueries, kArm)
-      .select(col("qid"), col("vec_id").as("doc_id"),
-        col("rn").cast("long").as("den_rnk"))
-    // fusion — ≤ 2·kArm rows per query, corpus-size-independent
+                    kArm: Int, k: Int, rrfK: Int = 60): DataFrame =
+    rrfFuse(
+      lexicalDocAsQueryTopK(docs, numQueries, kArm),
+      Similarity.knnBruteForce(emb, numQueries, kArm)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rn").cast("long").as("den_rnk")),
+      k, rrfK)
+
+  /** The RRF fusion shared by the scan-tier and index-served hybrids:
+    * full-outer on (qid, doc_id) over the two rank lists — ≤ 2·kArm
+    * rows per query, corpus-size-independent — summing integer
+    * floor(10⁶/(rrfK + rank)) contributions. */
+  private def rrfFuse(lex: DataFrame, den: DataFrame, k: Int,
+                      rrfK: Int): DataFrame = {
     def rrfMicro(rank: org.apache.spark.sql.Column) =
       coalesce(floor(lit(1000000.0) / (lit(rrfK) + rank)).cast("long"),
         lit(0L))
@@ -1333,6 +1339,101 @@ object TextOps {
       .withColumn("rnk", row_number().over(wf).cast("long"))
       .filter(col("rnk") <= k)
   }
+
+  /** Persist the LEXICAL serving index as lake artifacts (r17, the
+    * r16 verdict #2's missing half): `postings` (token, doc_id, tf) —
+    * the tf-carrying inverted index every BM25 deployment serves from
+    * (the declared `inverted_index` relation is its capped audit
+    * cousin) — plus `doclen` (doc_id, dl) and the one-row `stats`
+    * (n_docs, sum_dl). Everything BM25 needs at query time lives in
+    * these three relations; raw text appears nowhere at serve. Stored
+    * as plain parquet; at 100 TB the postings bucket-sort by token so
+    * a query's terms prune to their buckets (the posting-list layout),
+    * and appends follow the frozen-stats convention of the PQ index —
+    * df/avgdl drift under append is the standard BM25 staleness
+    * trade, recomputed at compaction. `sum_dl` persists instead of
+    * avgdl so the serve recomputes the SAME division the scan tier
+    * evaluates — bit-identical doubles. */
+  def saveLexicalIndex(docs: DataFrame, path: String): Unit = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    toks.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("overwrite").parquet(s"$path/postings")
+    val dl = docs.select(col("doc_id"), tokenCount(col("text")).as("dl"))
+    dl.write.mode("overwrite").parquet(s"$path/doclen")
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** Doc-as-query BM25 served FROM the persisted lexical index —
+    * output bit-identical to [[lexicalDocAsQueryTopK]] (spec-pinned;
+    * the fused declared query's oracle replays the scan arm, so the
+    * hash match proves serve ≡ scan through the fusion too). Probe
+    * terms come from the INDEX (the probe doc's posting rows ARE its
+    * distinct tokens), df aggregates over the query-term postings,
+    * dl/stats read their relations — raw text never loads. Plan
+    * shape: query-term relation and df broadcast; the postings scan
+    * is the only corpus-width leg (pruned to the query's tokens —
+    * with token-bucketed postings, to their buckets). */
+  def bm25DocAsQueryFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, numQueries: Int, k: Int): DataFrame = {
+    val postings = spark.read.parquet(s"$path/postings")
+    val dl = spark.read.parquet(s"$path/doclen")
+    val stats = broadcast(spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl")))
+    val qterms = postings.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("qid"), col("token"))
+    val tf = postings
+      .join(broadcast(qterms.select("token").distinct()), "token")
+      .select("doc_id", "token", "tf")
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val idfq = floor(log(lit(1.0) +
+      (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) * 10000)
+      .cast("long")
+    val satq = floor((col("tf") * 2.2) /
+      (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))) * 10000)
+      .cast("long")
+    val wl = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("doc_id"))
+    tf.join(broadcast(qterms), "token")
+      .filter(col("doc_id") =!= col("qid"))
+      .join(broadcast(dfreq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(stats)
+      .withColumn("contrib", idfq * satq)
+      .groupBy("qid", "doc_id")
+      .agg(sum("contrib").as("score"))
+      .withColumn("lex_rnk", row_number().over(wl).cast("long"))
+      .filter(col("lex_rnk") <= k)
+      .select("qid", "doc_id", "lex_rnk")
+  }
+
+  /** Hybrid RRF served from the PERSISTED indexes (r17, the r16
+    * verdict #2): dense arm = the IVF-PQ index serve
+    * ([[Similarity.annIvfPqFromIndex]] — dynamic-partition-pruned
+    * postings, ADC against the frozen book), lexical arm =
+    * [[bm25DocAsQueryFromIndex]] over the persisted inverted index.
+    * This is the docstring promise of [[hybridRrfTopK]] made a
+    * declared, oracle-checked query instead of a narrated swap: rank
+    * lists are rank lists, so the fusion is the shared [[rrfFuse]]
+    * unchanged — what changes is that NEITHER arm scans the corpus
+    * (the lexical arm's postings leg prunes to the query's terms; the
+    * dense arm reads probes/cells of its index). `queries` carries the
+    * probe embeddings (vec_id, embedding) — query-side input, the one
+    * thing an index can't hold. */
+  def hybridRrfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      queries: DataFrame, lexIndexPath: String, pqIndexPath: String,
+      numQueries: Int, kArm: Int, k: Int, rrfK: Int = 60,
+      m: Int = 8, probes: Int = 1): DataFrame =
+    rrfFuse(
+      bm25DocAsQueryFromIndex(spark, lexIndexPath, numQueries, kArm),
+      Similarity.annIvfPqFromIndex(spark, queries, pqIndexPath,
+          k = kArm, probes = probes, m = m)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rn").cast("long").as("den_rnk")),
+      k, rrfK)
 
   /** Measured RECALL@k of the hybrid tier and BOTH its arms against
     * exact-cosine ground truth — the quality audit every approximate
@@ -1348,7 +1449,8 @@ object TextOps {
     * deployment needs measured before turning the lexical arm on
     * against a dense-retrieval objective. */
   def hybridRecallAudit(docs: DataFrame, emb: DataFrame,
-      numQueries: Int, kArm: Int, k: Int): DataFrame = {
+      numQueries: Int, kArm: Int, k: Int,
+      extraTiers: Seq[(String, DataFrame)] = Nil): DataFrame = {
     val truth = Similarity.knnExactCosine(emb, numQueries, k)
       .select(col("qid"), col("vec_id").as("doc_id"))
       .localCheckpoint(eager = false)
@@ -1364,7 +1466,7 @@ object TextOps {
           (lit(1000L) * coalesce(col("h"), lit(0L)) / lit(k))
             .cast("long").as("recall_milli"))
     }
-    tierRows("dense",
+    val base = tierRows("dense",
         Similarity.knnBruteForce(emb, numQueries, k)
           .select(col("qid"), col("vec_id").as("doc_id")))
       .unionByName(tierRows("hybrid",
@@ -1373,6 +1475,11 @@ object TextOps {
       .unionByName(tierRows("lexical",
         lexicalDocAsQueryTopK(docs, numQueries, k)
           .select("qid", "doc_id")))
+    // extra served tiers (r17: the index-served fusion) audit against
+    // the SAME truth pass — each a (tier, (qid, doc_id)) rank list
+    extraTiers.foldLeft(base) { case (acc, (tier, cand)) =>
+      acc.unionByName(tierRows(tier, cand.select("qid", "doc_id")))
+    }
   }
 
   /** Cross-split leakage: duplicate-content classes whose members land

@@ -172,6 +172,48 @@ class LayoutSpec extends SparkSpec {
       "ledgered manifest diverged from the batch builder")
   }
 
+  test("manifest lake compaction shrinks files, retires rows, serves equal") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_mcompact_").toString
+    // 8 ingest batches -> 8+ data files, 8 manifest rows (the
+    // accumulating small-files debt the compaction exists to retire)
+    (0 until 8).foreach { b =>
+      val batch = spark.range(b * 100L, b * 100L + 100L)
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v").coalesce(1)
+      Layout.appendWithManifestIdempotent(spark, batch,
+        s"$base/data", s"$base/manifest", Seq("id", "v"), tag = b.toLong)
+    }
+    def dataFiles = new java.io.File(s"$base/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    def mRows = spark.read.parquet(s"$base/manifest").count()
+    assert(dataFiles >= 8 && mRows >= 8L)
+    val ranges = Seq(("id", 250.0, 349.0))
+    def served = Layout.manifestPrunedRead(spark, s"$base/data",
+        s"$base/manifest", ranges)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val before = served
+    assert(before === (250L to 349L))
+    Layout.compactManifestLake(spark, s"$base/data", s"$base/manifest",
+      Seq("id", "v"), numFiles = 2, sortCol = "id")
+    // files and manifest rows SHRINK to the target
+    assert(dataFiles === 2, s"expected 2 compacted files, got $dataFiles")
+    assert(mRows === 2L, s"superseded manifest rows must retire: $mRows")
+    // zero-loss: the pruned serve is row-identical across compaction
+    assert(served === before,
+      "pruned serve must be identical across the compaction")
+    // range-sorted rewrite keeps stats tight: the id box still prunes
+    assert(Layout.manifestFilesKept(spark, s"$base/manifest", ranges)
+      === 1L, "compacted files must stay range-disjoint on the sort col")
+    // the replay ledger survives: a pre-compaction batch replay is
+    // still a no-op (no duplicate rows re-appended into the lake)
+    val b3 = spark.range(300L, 400L)
+      .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v").coalesce(1)
+    Layout.appendWithManifestIdempotent(spark, b3,
+      s"$base/data", s"$base/manifest", Seq("id", "v"), tag = 3L)
+    assert(spark.read.parquet(s"$base/data").count() === 800L,
+      "a replayed pre-compaction batch must no-op through the ledger")
+  }
+
   test("scaled bucket is order-preserving, bounded, degenerate-safe") {
     import spark.implicits._
     val df = (0L to 10L).toDF("x")

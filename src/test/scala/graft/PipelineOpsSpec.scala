@@ -753,6 +753,61 @@ class PipelineOpsSpec extends SparkSpec {
       (70L, 70L), (71L, 70L), (80L, 70L), (81L, 70L), (90L, 70L)))
   }
 
+  test("persisted assignment and banded tier serve the identical fold") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val t19 = (1 to 19).map(i => s"t$i").mkString(" ")
+    val corpus = mk(Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11"),
+      (10L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+      (11L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11"),
+      (20L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (70L, s"$t19 u1 u2"), (71L, s"$t19 u1 u2 u3"),
+      (80L, s"$t19 v1 v2"), (81L, s"$t19 v1 v2 v3")))
+    val batch = mk(Seq(
+      (30L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a12"), // joins {0,1}
+      (40L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"), // pulls singleton 20
+      (50L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10"),     // batch-internal pair
+      (51L, "e1 e2 e3 e4 e5 e6 e7 e8 e9 e10 e11"),
+      (90L, s"$t19 u1 u2 v1 v2")))                 // bridges 70 and 80
+    val assign = Dedup.jaccardComponents(corpus, thresholdTenths = 9)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_assign_spec_").toString
+    // the r16 verdict #1 law, extended one hop: persisted-fold ==
+    // memoized-fold == full recompute — the standing assignment is a
+    // lake artifact any session re-reads, not a session cache
+    Dedup.saveComponentsAssign(assign, s"$base/assign")
+    val loaded = Dedup.loadComponentsAssign(spark, s"$base/assign")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = setOf(Dedup.jaccardComponents(corpus.unionByName(batch),
+      thresholdTenths = 9))
+    val foldMem = setOf(Dedup.jaccardComponentsIncremental(assign,
+      corpus, batch, thresholdTenths = 9))
+    val foldPersisted = setOf(Dedup.jaccardComponentsIncremental(loaded,
+      corpus, batch, thresholdTenths = 9))
+    assert(foldMem === full)
+    assert(foldPersisted === full,
+      "the persisted artifact must serve the identical fold")
+    // the r16 verdict #4 arm: PAST the broadcast cap the banded tier
+    // carries the fold — candidates from the persisted bands=16 index,
+    // exact verify, same contracted fixpoint
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsAgainstCorpus(batch, corpus, thresholdTenths = 9,
+        maxBroadcastRows = 1L)
+    }
+    Dedup.saveLshBandIndex(corpus, s"$base/lsh", numHashes = 32,
+      bands = 16)
+    val foldBanded = setOf(Dedup.jaccardComponentsIncrementalBanded(
+      spark, loaded, corpus, batch, s"$base/lsh", thresholdTenths = 9))
+    assert(foldBanded === full,
+      "banded-candidate + exact-verify fold must equal the broadcast fold")
+  }
+
   test("simhash of identical and near-dup docs is close in hamming distance") {
     val fps = Dedup.simhashFingerprints(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -859,6 +914,36 @@ class PipelineOpsSpec extends SparkSpec {
       s"top passage must be doc 1's tail chunk, got ${out.toSeq}")
     // doc 2's single chunk ranks somewhere, but below the 3-term hit
     assert(out.contains((2L, 0L)))
+  }
+
+  test("persisted lexical index serves the scan arm bit-identically") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha noise noise2 beta"),
+      (3L, "zzz yyy xxx www"),
+      (4L, "beta beta beta gamma"),
+      (5L, "alpha gamma delta other"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lex_spec_").toString
+    TextOps.saveLexicalIndex(docs, base)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val scan = rows(TextOps.lexicalDocAsQueryTopK(docs, numQueries = 2,
+      k = 4))
+    val served = rows(TextOps.bm25DocAsQueryFromIndex(spark, base,
+      numQueries = 2, k = 4))
+    assert(served === scan,
+      "index serve must reproduce the scan arm exactly (same quantized " +
+        "scores, same ranks)")
+    // and raw text really is absent from the serving relations
+    val cols = spark.read.parquet(s"$base/postings").columns.toSet ++
+      spark.read.parquet(s"$base/doclen").columns.toSet ++
+      spark.read.parquet(s"$base/stats").columns.toSet
+    assert(!cols.contains("text"), s"index leaked raw text: $cols")
   }
 
   test("passage bm25 raises on a doc_id outside the packed-key domain") {

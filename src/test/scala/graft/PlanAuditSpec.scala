@@ -673,6 +673,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("indexed hybrid serves from index relations, never the documents table") {
+    val p = plan("hybrid_rrf_indexed")
+    // both arms cut map-side and the fusion is the rank-width
+    // full-outer, exactly like the scan tier
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 3,
+      s"arm cuts + fusion top-k must WindowGroupLimit:\n$p")
+    assert(p.contains("FullOuter"),
+      s"fusion must be the single full-outer rank join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the serving contract: raw corpus text and raw corpus vectors
+    // appear nowhere — every scan is an index relation (postings /
+    // doclen / stats / book / cells), plus the probe embeddings
+    assert(!p.contains("documents.parquet"),
+      s"indexed serve must not scan the documents table:\n$p")
+  }
+
   test("scaled z-order keys plan as one broadcast bounds row, no shuffle of data") {
     val p = plan("zorder_scaled_keys")
     // the min/max bounds broadcast onto the scan; the only exchanges

@@ -181,3 +181,81 @@ object HybridScaleLeg {
     spark.stop()
   }
 }
+
+/** r17 scale leg (runMain graft.HybridIndexedScaleLeg): the
+  * INDEX-SERVED hybrid (`hybrid_rrf_indexed`) vs the scan-tier hybrid
+  * at ×1 and ×factor corpus — the number behind the
+  * [[graft.operators.TextOps.hybridRrfTopKIndexed]] serving claim.
+  * Index builds (lexical postings + IVF-PQ) clock SEPARATELY as the
+  * offline job they are; the serve comparison is what a query pays.
+  * Expected shape: the scan tier grows with the corpus (both arms are
+  * corpus-linear by declared design); the indexed serve's lexical arm
+  * touches only the query terms' postings and its dense arm reads
+  * probes/cells of the index — so the serve ratio should sit well
+  * under the scan ratio. → OPS_PROBE_r{N}.json */
+object HybridIndexedScaleLeg {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs1 = Tables.documents(spark, sfDir)
+    val emb1 = Tables.embeddings(spark, sfDir)
+    val dStride = docs1.agg(max("doc_id")).first().getLong(0) + 1
+    val eStride = emb1.agg(max("vec_id")).first().getLong(0) + 1
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_hybridxscale_").toString
+    ScaleSmoke.scaledDocs(docs1, factor, dStride).write.mode("overwrite")
+      .parquet(s"$base/documents")
+    ScaleSmoke.scaledEmb(emb1, factor, eStride).write.mode("overwrite")
+      .parquet(s"$base/embeddings")
+    val docsN = spark.read.parquet(s"$base/documents")
+    val embN = spark.read.parquet(s"$base/embeddings")
+    docs1.count(); docsN.count(); emb1.count(); embN.count()
+
+    def minOf2(f: => Unit): Double = {
+      f
+      def once(): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      math.min(once(), once())
+    }
+    def leg(tag: String, d: org.apache.spark.sql.DataFrame,
+            e: org.apache.spark.sql.DataFrame): (Double, Double, Double) = {
+      val lex = s"$base/lex_$tag"; val pq = s"$base/pq_$tag"
+      val tb0 = System.nanoTime()
+      TextOps.saveLexicalIndex(d, lex)
+      graft.operators.Similarity.savePqIndex(spark, e, pq,
+        m = 16, cw = 256, rounds = 2, cells = 10, cellRounds = 2)
+      val build = (System.nanoTime() - tb0) / 1e9
+      val serve = minOf2(
+        TextOps.hybridRrfTopKIndexed(spark,
+          e.filter(col("vec_id") < 3), lex, pq,
+          numQueries = 3, kArm = 20, k = 10, m = 16).count(): Unit)
+      val scan = minOf2(
+        TextOps.hybridRrfTopK(d, e, numQueries = 3, kArm = 20,
+          k = 10).count(): Unit)
+      (build, serve, scan)
+    }
+    val (b1, s1, c1) = leg("x1", docs1, emb1)
+    val (bN, sN, cN) = leg("xN", docsN, embN)
+    println(f"[hybridxscale] x1 build=$b1%.3f serve=$s1%.3f scan=$c1%.3f" +
+      f" | x$factor build=$bN%.3f serve=$sN%.3f scan=$cN%.3f" +
+      f" | serve ratio=${sN / s1}%.2f scan ratio=${cN / c1}%.2f")
+    Console.flush()
+    println(f"""{"metric":"hybrid_indexed_scale_probe","sf":"$sfDir",""" +
+      f""""factor":$factor,"build_x1":$b1%.3f,"build_xN":$bN%.3f,""" +
+      f""""serve_x1":$s1%.3f,"serve_xN":$sN%.3f,""" +
+      f""""scan_x1":$c1%.3f,"scan_xN":$cN%.3f,""" +
+      f""""serve_ratio":${sN / s1}%.2f,"scan_ratio":${cN / c1}%.2f}""")
+    spark.stop()
+  }
+}

@@ -1385,7 +1385,22 @@ object TextOps {
           .as("avgdl")))
     val qterms = postings.filter(col("doc_id") < numQueries)
       .select(col("doc_id").as("qid"), col("token"))
-    val tf = postings
+    // the probe docs' distinct vocabulary is query-side metadata
+    // (bounded by numQueries docs' token sets), so it pushes into the
+    // postings scan as a LITERAL In filter — the parquet reader then
+    // prunes row groups by token stats instead of scanning the whole
+    // postings relation (the bm25TopK literal-terms pattern; with
+    // token-bucketed postings the same filter prunes directories).
+    // A broadcast join alone would NOT prune the scan. Guarded: a
+    // degenerate probe set with a huge vocabulary (> 10k terms) skips
+    // the pushdown rather than building an absurd literal list —
+    // output identical either way, the join still restricts.
+    val wanted = qterms.select("token").distinct()
+      .limit(10001).collect().map(_.getString(0))
+    val scanned =
+      if (wanted.length > 10000) postings
+      else postings.filter(col("token").isin(wanted.toSeq: _*))
+    val tf = scanned
       .join(broadcast(qterms.select("token").distinct()), "token")
       .select("doc_id", "token", "tf")
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))

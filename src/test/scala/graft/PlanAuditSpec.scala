@@ -687,6 +687,12 @@ class PlanAuditSpec extends SparkSpec {
     // doclen / stats / book / cells), plus the probe embeddings
     assert(!p.contains("documents.parquet"),
       s"indexed serve must not scan the documents table:\n$p")
+    // the lexical arm's postings scan is PRUNED by the probe docs'
+    // literal token set (r17 — a broadcast join alone would not prune;
+    // OPS_PROBE_r17 measured the pushdown cutting the x10 serve ratio
+    // 1.71 -> 1.27): the scan must carry a pushed In(token, ...) filter
+    assert("PushedFilters: \\[[^\\]]*In\\(token".r.findFirstIn(p).nonEmpty,
+      s"postings scan must push the literal token filter:\n$p")
   }
 
   test("scaled z-order keys plan as one broadcast bounds row, no shuffle of data") {

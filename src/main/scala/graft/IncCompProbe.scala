@@ -72,13 +72,31 @@ object IncCompProbe {
         .count())
     require(nFull == nInc,
       s"law violated at probe scale: full=$nFull inc=$nInc")
+    // r17 BANDED leg: the same fold with the batch-corpus tier served
+    // from the persisted bands=8 index (the past-the-broadcast-cap
+    // shape, the declared configuration) — index build off-clock like
+    // the assignment; the require measures banding recall on this
+    // corpus (deterministic md5-seeded family — equality is a fixture
+    // fact the oracle also re-proves each round)
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_inccomp_lsh_").toString
+    Dedup.saveLshBandIndex(corpus, idxPath, numHashes = 32, bands = 8)
+    val (tBand, nBand) = minOf2(
+      Dedup.jaccardComponentsIncrementalBanded(spark, assign, corpus,
+        batch, idxPath, 9).count())
+    require(nFull == nBand,
+      s"banded fold diverged at probe scale: full=$nFull banded=$nBand")
     println(f"[inccomp] batch=$batchPct%% recompute=$tFull%.2fs " +
-      f"incremental=$tInc%.2fs speedup=${tFull / tInc}%.2fx rows=$nFull")
+      f"incremental=$tInc%.2fs banded=$tBand%.2fs " +
+      f"speedup=${tFull / tInc}%.2fx/${tFull / tBand}%.2fx rows=$nFull")
     Console.flush()
     println(f"""{"metric":"inccomp_probe","sf":"$sfDir",""" +
       f""""batch_pct":$batchPct,"rows":$nFull,""" +
       f""""recompute_sec":$tFull%.3f,"incremental_sec":$tInc%.3f,""" +
-      f""""speedup":${tFull / tInc}%.2f}""")
+      f""""banded_sec":$tBand%.3f,""" +
+      f""""speedup":${tFull / tInc}%.2f,""" +
+      f""""banded_speedup":${tFull / tBand}%.2f,""" +
+      f""""banded_equal":true}""")
     spark.stop()
   }
 }

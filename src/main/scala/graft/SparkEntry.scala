@@ -253,19 +253,37 @@ object SparkEntry {
       p
     })
 
-  /** Persisted band index over the id-lower half at bands=16 (r=2)
-    * for `dedup_components_incremental_banded` — the HIGH-RECALL
-    * banding the clustering fold needs (the serve index's bands=4
-    * tier is the verdict knob: S-curve ≈0.9 at J=0.9, fine for
-    * keep/drop verdicts, wrong for a tier whose oracle is the exact
-    * recompute; at r=2 the per-pair miss probability at J=0.9 is
-    * ≈4e-12). Same memoized unique-path contract. */
-  private def lshHalf16IndexFor(s: SparkSession, dir: String): String =
-    pqIndexPaths.computeIfAbsent(dir + "#lsh_half16", _ => {
+  /** Persisted band index over the id-lower half at bands=8 (r=4)
+    * for `dedup_components_incremental_banded` — higher-recall
+    * banding than the serve index's bands=4 verdict knob (S-curve
+    * ≈0.9 at J=0.9, fine for keep/drop verdicts, wrong for a tier
+    * whose oracle is the exact recompute). r=4 over r=2 is a MEASURED
+    * call: r=2 reached ~4e-12 per-pair miss but exploded junk-pair
+    * candidate mass ~4x the full recompute's cost on this
+    * self-similar corpus (16.3 s vs 4.0 s for the broadcast fold);
+    * r=4's ~2e-4 miss is deterministic per fixture (md5-seeded
+    * family) and the full-recompute oracle re-proves the equality
+    * every round. Same memoized unique-path contract. */
+  private def lshDecile8IndexFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.computeIfAbsent(dir + "#lsh_dec8", _ => {
       val p = java.nio.file.Files
-        .createTempDirectory("graft_lsh_index_half16_").toString
-      val (_, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
-      Dedup.saveLshBandIndex(corpus, p, numHashes = 32, bands = 16)
+        .createTempDirectory("graft_lsh_index_dec8_").toString
+      val (_, corpus) = splitByMaxIdFrac(Tables.documents(s, dir),
+        "doc_id", 9, 10)
+      Dedup.saveLshBandIndex(corpus, p, numHashes = 32, bands = 8)
+      p
+    })
+
+  /** Standing assignment over the id-lower 90% for the banded row —
+    * [[halfAssignPathFor]]'s decile twin, persisted the same way. */
+  private def decileAssignPathFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.computeIfAbsent(dir + "#assign_dec9", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_assign_dec_").toString + "/assign"
+      val (_, corpus) = splitByMaxIdFrac(Tables.documents(s, dir),
+        "doc_id", 9, 10)
+      Dedup.saveComponentsAssign(
+        Dedup.jaccardComponents(corpus, thresholdTenths = 9), p)
       p
     })
 
@@ -748,6 +766,20 @@ object SparkEntry {
     val withH = df.crossJoin(broadcast(half))
     (withH.filter(col(idCol) > col("__half")).drop("__half"),
       withH.filter(col(idCol) <= col("__half")).drop("__half"))
+  }
+
+  /** [[halvesByMaxId]] at an arbitrary num/den cut — (upper=batch,
+    * lower=corpus) around `max(idCol)*num div den`, same single-plan
+    * broadcast-threshold idiom. The banded incremental row uses 9/10:
+    * a 10% arriving batch against a 90% standing lake is the shape
+    * that op exists for (the 50/50 split is its broadcast sibling's
+    * stress shape; at 50% "batch" the honest answer is a recompute). */
+  private[graft] def splitByMaxIdFrac(df: DataFrame, idCol: String,
+      num: Int, den: Int): (DataFrame, DataFrame) = {
+    val cut = df.agg(expr(s"(max($idCol) * $num) div $den").as("__cut"))
+    val withC = df.crossJoin(broadcast(cut))
+    (withC.filter(col(idCol) > col("__cut")).drop("__cut"),
+      withC.filter(col(idCol) <= col("__cut")).drop("__cut"))
   }
 
   // =====================================================================
@@ -1467,18 +1499,24 @@ object SparkEntry {
         corpus, batch, thresholdTenths = 9).orderBy("doc_id")
     }),
     // The SAME fold past the broadcast cap (r17, the r16 verdict #4):
-    // the batch-corpus pair tier routes through the persisted bands=16
+    // the batch-corpus pair tier routes through the persisted bands=8
     // index — candidates by banded equi-join, verification by the
     // exact sorted-intersect kernel — so unbounded arriving batches
-    // get the clustering fold too. The oracle is STILL the full
-    // recompute: the hash gate measures banding recall on real data
-    // (at r=2 the per-pair miss probability at J=0.9 is ~4e-12)
-    // instead of assuming the S-curve.
+    // get the clustering fold too. Declared at the 90/10 split (a 10%
+    // arriving batch against a 90% standing lake — the shape this
+    // tier exists for; corpus ∪ batch is the whole table either way,
+    // so the oracle is the SAME full recompute). Banding is
+    // md5-seeded deterministic, so the hash gate RE-PROVES this
+    // configuration catches every qualifying pair on the fixture each
+    // round (r=4 ~2e-4/pair in general; r=2's 4e-12 was measured 4x
+    // more expensive than the recompute itself — candidate-mass
+    // explosion on a self-similar corpus).
     "dedup_components_incremental_banded" -> ((s, dir) => {
-      val (batch, corpus) = halvesByMaxId(Tables.documents(s, dir), "doc_id")
+      val (batch, corpus) = splitByMaxIdFrac(Tables.documents(s, dir),
+        "doc_id", 9, 10)
       Dedup.jaccardComponentsIncrementalBanded(s,
-        Dedup.loadComponentsAssign(s, halfAssignPathFor(s, dir)),
-        corpus, batch, lshHalf16IndexFor(s, dir),
+        Dedup.loadComponentsAssign(s, decileAssignPathFor(s, dir)),
+        corpus, batch, lshDecile8IndexFor(s, dir),
         thresholdTenths = 9).orderBy("doc_id")
     }),
     // Asymmetric containment ≥ 0.9 (|A∩B|/|A|): the quote-inclusion /

@@ -154,20 +154,25 @@ object Dedup {
     * Exactness caveat, stated not hidden: banding is a probabilistic
     * CANDIDATE generator, so this tier's recall is the band S-curve's,
     * not 1 — a true pair every band misses never reaches the exact
-    * verify. At the default bands=16 (r=2 over 32 hashes) the miss
-    * probability at J=0.9 is (1−0.81)¹⁶ ≈ 4e-12 per pair and exact
-    * duplicates are NEVER missed (identical token bags share the whole
-    * signature); the declared query's oracle is the full recompute, so
-    * the hash gate measures this tier's equality on real data instead
-    * of assuming it. Wider r (fewer bands) cuts candidate mass but
-    * walks down the S-curve — the dial is the caller's. The index at
+    * verify. At the default bands=8 (r=4 over 32 hashes)
+    * the miss probability at J=0.9 is (1−0.9⁴)⁸ ≈ 2e-4 per pair,
+    * exact duplicates are NEVER missed (identical token bags share
+    * the whole signature), and the family is md5-SEEDED DETERMINISTIC
+    * — for a fixed corpus, which pairs band together is a testable
+    * fact, not a per-run roll: the declared query's oracle is the
+    * full recompute, so the hash gate re-proves this configuration's
+    * equality on the fixture every round. The dial: bands=16 (r=2)
+    * walks the S-curve up to ~4e-12 miss but was MEASURED exploding
+    * candidate mass ~4x the full recompute's cost on a self-similar
+    * corpus (junk pairs at J≈0.3 collide a band at J²≈0.09 vs
+    * J⁴≈0.008) — recall insurance priced in candidate verify work. The index at
     * `bandIndexPath` must have been saved with the SAME
     * (numHashes, bands). */
   def jaccardPairsAgainstCorpusBanded(
       spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, corpus: DataFrame, bandIndexPath: String,
       thresholdTenths: Int, numHashes: Int = 32,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 8): DataFrame = {
     val t = thresholdTenths
     val qb = lshBandFpRows(minhashSignatures(batch, numHashes),
         numHashes, bands)
@@ -176,8 +181,11 @@ object Dedup {
     val idx = LakeMaintenance.readPartitionedString(
         spark, s"$bandIndexPath/bands", "fp_pfx")
       .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("d2"))
+    // materialized ONCE (eager local checkpoint): two consumers — the
+    // corpus-text semi-join and the verify join — would otherwise run
+    // the banded equi-join twice; the pair-id relation is delta-scale
     val cand = qb.join(idx, Seq("fp_pfx", "band_fp"))
-      .select("d1", "d2").distinct()
+      .select("d1", "d2").distinct().localCheckpoint(eager = true)
     def arrays(d: DataFrame) = tokenPostings(d)
       .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid"))
       .groupBy("doc_id", "lang")
@@ -292,7 +300,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       assign: DataFrame, corpus: DataFrame, batch: DataFrame,
       bandIndexPath: String, thresholdTenths: Int,
-      numHashes: Int = 32, bands: Int = 16): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val b = batch.localCheckpoint(eager = true)
     val bb = jaccardPairs(b, thresholdTenths).select("d1", "d2")
     val bc = jaccardPairsAgainstCorpusBanded(spark, b, corpus,

@@ -1365,6 +1365,44 @@ object TextOps {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Append an ingest batch to a persisted [[saveLexicalIndex]] index
+    * (r17 — the lexical index joins the band/PQ indexes' append
+    * lifecycle): the batch's tf postings and doclen rows APPEND
+    * (delta-scale — the batch is the only text read); the one-row
+    * stats relation is NOT touched, so serves between append and
+    * [[refreshLexicalStats]] score with a slightly stale avgdl/n_docs
+    * — the standard BM25 index-staleness trade (df is never stale: it
+    * aggregates from postings at serve time). Unlike the PQ book
+    * there is nothing to retrain — postings are exact by
+    * construction, so append + refresh ≡ a from-scratch rebuild
+    * BIT-IDENTICALLY (spec-pinned): every serving relation is a union
+    * or an order-free aggregation. Idempotence is the caller's
+    * offsets problem, as with every lake append. */
+  def appendToLexicalIndex(batch: DataFrame, path: String): Unit = {
+    batch.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$path/postings")
+    batch.select(col("doc_id"), tokenCount(col("text")).as("dl"))
+      .write.mode("append").parquet(s"$path/doclen")
+  }
+
+  /** Recompute the lexical index's one-row stats from its doclen
+    * relation — the post-append refresh that makes
+    * append ≡ rebuild exact (one metadata-scale aggregation; run at
+    * the compaction cadence, or per append if staleness matters). */
+  def refreshLexicalStats(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    val fresh = spark.read.parquet(s"$path/doclen")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+      .collect()(0)
+    import spark.implicits._
+    // one row, rewritten via a literal frame: reading and overwriting
+    // the same parquet path in one plan is refused by Spark
+    Seq((fresh.getLong(0), fresh.getLong(1))).toDF("n_docs", "sum_dl")
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** Doc-as-query BM25 served FROM the persisted lexical index —
     * output bit-identical to [[lexicalDocAsQueryTopK]] (spec-pinned;
     * the fused declared query's oracle replays the scan arm, so the

@@ -794,14 +794,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(foldPersisted === full,
       "the persisted artifact must serve the identical fold")
     // the r16 verdict #4 arm: PAST the broadcast cap the banded tier
-    // carries the fold — candidates from the persisted bands=16 index,
-    // exact verify, same contracted fixpoint
+    // carries the fold — candidates from the persisted bands=8 index
+    // (the declared configuration), exact verify, same contracted
+    // fixpoint
     intercept[IllegalArgumentException] {
       Dedup.jaccardPairsAgainstCorpus(batch, corpus, thresholdTenths = 9,
         maxBroadcastRows = 1L)
     }
     Dedup.saveLshBandIndex(corpus, s"$base/lsh", numHashes = 32,
-      bands = 16)
+      bands = 8)
     val foldBanded = setOf(Dedup.jaccardComponentsIncrementalBanded(
       spark, loaded, corpus, batch, s"$base/lsh", thresholdTenths = 9))
     assert(foldBanded === full,
@@ -944,6 +945,43 @@ class PipelineOpsSpec extends SparkSpec {
       spark.read.parquet(s"$base/doclen").columns.toSet ++
       spark.read.parquet(s"$base/stats").columns.toSet
     assert(!cols.contains("text"), s"index leaked raw text: $cols")
+  }
+
+  test("lexical index append + stats refresh equals a from-scratch rebuild") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha noise noise2 beta"),
+      (3L, "zzz yyy xxx www"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (4L, "beta beta beta gamma"),
+      (5L, "alpha gamma delta other"))
+      .toDF("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_lex_append_").toString
+    TextOps.saveLexicalIndex(corpus, s"$base/inc")
+    TextOps.appendToLexicalIndex(batch, s"$base/inc")
+    TextOps.refreshLexicalStats(spark, s"$base/inc")
+    TextOps.saveLexicalIndex(corpus.unionByName(batch), s"$base/full")
+    def rows(path: String) =
+      TextOps.bm25DocAsQueryFromIndex(spark, path, numQueries = 2, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(rows(s"$base/inc") === rows(s"$base/full"),
+      "append + refresh must serve bit-identically to a rebuild " +
+        "(unions + order-free aggregations everywhere)")
+    // without the refresh, serves still WORK (new docs retrievable)
+    // but score with the stale avgdl — the documented staleness trade
+    val stale = java.nio.file.Files
+      .createTempDirectory("graft_lex_stale_").toString
+    TextOps.saveLexicalIndex(corpus, stale)
+    TextOps.appendToLexicalIndex(batch, stale)
+    val served = TextOps.bm25DocAsQueryFromIndex(spark, stale,
+      numQueries = 2, k = 10).collect().map(_.getLong(1)).toSet
+    assert(served.contains(4L) || served.contains(5L),
+      "appended docs must be retrievable before the stats refresh")
   }
 
   test("passage bm25 raises on a doc_id outside the packed-key domain") {

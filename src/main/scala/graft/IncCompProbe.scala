@@ -73,14 +73,15 @@ object IncCompProbe {
     require(nFull == nInc,
       s"law violated at probe scale: full=$nFull inc=$nInc")
     // r17 BANDED leg: the same fold with the batch-corpus tier served
-    // from the persisted bands=8 index (the past-the-broadcast-cap
-    // shape, the declared configuration) — index build off-clock like
-    // the assignment; the require measures banding recall on this
-    // corpus (deterministic md5-seeded family — equality is a fixture
-    // fact the oracle also re-proves each round)
+    // from the persisted bands=8 index QUOTIENTED by bag class (the
+    // past-the-broadcast-cap shape, the declared configuration) —
+    // index build off-clock like the assignment; the require measures
+    // banding recall on this corpus (deterministic md5-seeded family —
+    // equality is a fixture fact the oracle also re-proves each round)
     val idxPath = java.nio.file.Files
       .createTempDirectory("graft_inccomp_lsh_").toString
-    Dedup.saveLshBandIndex(corpus, idxPath, numHashes = 32, bands = 8)
+    Dedup.saveLshBandIndex(Dedup.bagClassReps(corpus), idxPath,
+      numHashes = 32, bands = 8)
     val (tBand, nBand) = minOf2(
       Dedup.jaccardComponentsIncrementalBanded(spark, assign, corpus,
         batch, idxPath, 9).count())

@@ -270,7 +270,13 @@ object SparkEntry {
         .createTempDirectory("graft_lsh_index_dec8_").toString
       val (_, corpus) = splitByMaxIdFrac(Tables.documents(s, dir),
         "doc_id", 9, 10)
-      Dedup.saveLshBandIndex(corpus, p, numHashes = 32, bands = 8)
+      // QUOTIENTED by bag class (r17): one band-index row set per
+      // distinct (lang, token-bag) — sound for the clustering fold
+      // (bag-equal members share their rep's component, so contracted
+      // edges are identical; Dedup.bagClassReps scaladoc) and the
+      // measured lever against self-similar candidate mass
+      Dedup.saveLshBandIndex(Dedup.bagClassReps(corpus), p,
+        numHashes = 32, bands = 8)
       p
     })
 

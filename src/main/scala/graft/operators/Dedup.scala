@@ -308,6 +308,29 @@ object Dedup {
     foldComponents(assign, bb, bc)
   }
 
+  /** One representative doc per (lang, distinct-token-bag) class —
+    * the [[jaccardComponents]] quotient exposed as a relation (r17,
+    * the measured next lever for the banded fold): token-set Jaccard
+    * cannot distinguish bag-equal docs, so for CANDIDATE GENERATION
+    * one member stands for the class exactly. A band index built over
+    * reps shrinks by the corpus's dup mass — and on LLM crawl corpora
+    * dup mass IS most of the mass — cutting banded candidate pairs
+    * and verify work by the same factor. Sound for the CLUSTERING
+    * fold because the fold contracts corpus endpoints to component
+    * labels and bag-equal members already share their rep's component
+    * (J=1 ≥ any threshold): edge (batch, member) exists iff
+    * (batch, rep) exists, and both contract to the same label —
+    * rep-index fold ≡ member-index fold EXACTLY. NOT for
+    * [[dedupAgainstCorpusLshIndexed]]-style per-doc verdict serving,
+    * whose candidate/twin COUNTS are per corpus doc. */
+  def bagClassReps(docs: DataFrame): DataFrame = {
+    val bagFp = md5(concat_ws("\u0000", col("lang"),
+      concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))))
+    val reps = docs.select(col("doc_id"), bagFp.as("bag_fp"))
+      .groupBy("bag_fp").agg(min("doc_id").as("doc_id"))
+    docs.join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+  }
+
   /** Persist a components ASSIGNMENT `(doc_id, component)` as a lake
     * artifact (r17, the r16 verdict #1): the standing assignment an
     * incremental fold serves against must live ON DISK with the band

@@ -807,6 +807,22 @@ class PipelineOpsSpec extends SparkSpec {
       spark, loaded, corpus, batch, s"$base/lsh", thresholdTenths = 9))
     assert(foldBanded === full,
       "banded-candidate + exact-verify fold must equal the broadcast fold")
+    // and the QUOTIENTED index (one row set per bag class — the
+    // declared configuration) serves the identical fold: bag-equal
+    // corpus members already share their rep's component, so the
+    // contracted edge set is unchanged
+    val corpusQ = corpus.unionByName(mk(Seq(
+      (72L, s"$t19 u1 u2 u3"),   // bag-dup of 71: quotients away
+      (82L, s"$t19 v1 v2 v3")))) // bag-dup of 81
+    val assignQ = Dedup.jaccardComponents(corpusQ, thresholdTenths = 9)
+    val fullQ = setOf(Dedup.jaccardComponents(
+      corpusQ.unionByName(batch), thresholdTenths = 9))
+    Dedup.saveLshBandIndex(Dedup.bagClassReps(corpusQ), s"$base/lshq",
+      numHashes = 32, bands = 8)
+    val foldQ = setOf(Dedup.jaccardComponentsIncrementalBanded(
+      spark, assignQ, corpusQ, batch, s"$base/lshq", thresholdTenths = 9))
+    assert(foldQ === fullQ,
+      "the bag-class-quotiented index must serve the identical fold")
   }
 
   test("simhash of identical and near-dup docs is close in hamming distance") {

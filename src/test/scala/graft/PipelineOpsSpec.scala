@@ -963,6 +963,65 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!cols.contains("text"), s"index leaked raw text: $cols")
   }
 
+  test("two-day nightly cycle: fold, save back, append bands, fold again") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // the saveComponentsAssign scaladoc's cycle — load → fold the
+    // day's batch → save back — proven ACROSS two days, broadcast and
+    // banded tiers both: day-2 state from chained folds must equal
+    // the full recompute over corpus ∪ day1 ∪ day2
+    def mk(rows: Seq[(Long, String)]) = rows
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = mk(Seq(
+      (0L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"),
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11"),
+      (10L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+      (11L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11")))
+    val day1 = mk(Seq(
+      (30L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a12"),  // joins {0,1}
+      (40L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10")))     // new singleton
+    val day2 = mk(Seq(
+      (50L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11"),  // pairs with 40
+      // bridges the a-cluster and the b-cluster via day-1 doc 30's
+      // tokens: proves day-2 folds see day-1 DOCS, not just labels
+      (60L, "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b12")))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_nightly_").toString
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // day 0: cluster the lake, persist assignment + band index
+    Dedup.saveComponentsAssign(
+      Dedup.jaccardComponents(corpus, 9), s"$base/assign")
+    Dedup.saveLshBandIndex(Dedup.bagClassReps(corpus), s"$base/lsh",
+      numHashes = 32, bands = 8)
+    // day 1: fold via the BANDED tier, save the assignment back,
+    // append the day's docs to the band index (plain append — reps
+    // are an optimization; members only add duplicate candidates)
+    val fold1 = Dedup.jaccardComponentsIncrementalBanded(spark,
+      Dedup.loadComponentsAssign(spark, s"$base/assign"),
+      corpus, day1, s"$base/lsh", thresholdTenths = 9)
+    Dedup.saveComponentsAssign(fold1, s"$base/assign")
+    Dedup.appendToLshBandIndex(day1, s"$base/lsh", numHashes = 32,
+      bands = 8)
+    val lake1 = corpus.unionByName(day1)
+    assert(setOf(Dedup.loadComponentsAssign(spark, s"$base/assign"))
+      === setOf(Dedup.jaccardComponents(lake1, 9)),
+      "day-1 persisted state must equal the day-1 recompute")
+    // day 2: the chained fold against the updated artifacts
+    val fold2 = Dedup.jaccardComponentsIncrementalBanded(spark,
+      Dedup.loadComponentsAssign(spark, s"$base/assign"),
+      lake1, day2, s"$base/lsh", thresholdTenths = 9)
+    assert(setOf(fold2) ===
+      setOf(Dedup.jaccardComponents(lake1.unionByName(day2), 9)),
+      "day-2 chained fold must equal the two-day full recompute")
+    // and the broadcast tier chains identically from the same artifact
+    val fold2b = Dedup.jaccardComponentsIncremental(
+      Dedup.loadComponentsAssign(spark, s"$base/assign"),
+      lake1, day2, thresholdTenths = 9)
+    assert(setOf(fold2b) === setOf(fold2))
+  }
+
   test("lexical index append + stats refresh equals a from-scratch rebuild") {
     import spark.implicits._
     val corpus = Seq(

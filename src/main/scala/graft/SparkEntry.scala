@@ -1272,6 +1272,16 @@ object SparkEntry {
           numQueries = HybridProbes, kArm = HybridArmK, k = HybridK,
           m = PqM)
         .orderBy("query_id", "rnk")),
+    // The lexical index serve STANDALONE (r17): doc-as-query BM25
+    // answered entirely from the persisted tf-postings index — probe
+    // terms, df, dl, stats all read from index relations, the probe
+    // vocabulary pushed into the postings scan as a literal In filter.
+    // The oracle is the SCAN arm's SQL: serve ≡ scan is the index
+    // contract, here priced (and hash-proven) outside the fusion too.
+    "bm25_indexed" -> ((s, dir) =>
+      TextOps.bm25DocAsQueryFromIndex(s, lexIndexFor(s, dir),
+          numQueries = HybridProbes, k = HybridArmK)
+        .orderBy("qid", "lex_rnk")),
     // Hybrid recall audit (r16): recall@k of the fused tier AND both
     // arms against exact-cosine truth — whether RRF helps on a given
     // corpus is a computed number (the annRecallAudit pattern applied
@@ -4588,6 +4598,13 @@ object SparkEntry {
         |      ORDER BY rrf_micro DESC, doc_id) AS BIGINT) AS rnk
         |  FROM fused) f
         |WHERE rnk <= $HybridK ORDER BY query_id, rnk""".stripMargin,
+
+    // the lexical index serve standalone: the oracle IS the scan
+    // arm's chain — the hash match proves serve ≡ scan directly
+    "bm25_indexed" ->
+      s"""WITH ${sqlLexArmCtes(HybridArmK)}
+        |SELECT qid, doc_id, lex_rnk FROM lex
+        |ORDER BY qid, lex_rnk""".stripMargin,
 
     // the INDEX-SERVED fusion: the lexical arm replays the scan arm's
     // SQL (serve == scan is the persisted index's contract — the hash

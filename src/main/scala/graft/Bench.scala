@@ -224,93 +224,77 @@ object Bench {
     // artifact's calib_{,str_}{pre,post} fields are the like-state
     // baselines the new cross-capture gate compares against.
     var prevAnchors: Map[String, Double] = Map.empty
-    val prevQ: Map[String, Double] = {
-      val p = java.nio.file.Paths.get(prevPath)
-      if (!java.nio.file.Files.exists(p)) {
-        System.err.println(s"[bench] no previous artifact at $prevPath — " +
-          "solo re-adjudication disabled for this run")
+    // ONE per-query artifact parser for the prev baseline AND every
+    // floor artifact (r18, the r17 ADVICE item — the floor fold
+    // duplicated this parse but collapsed failures with .toOption,
+    // silently dropping non-numeric entries and quietly weakening the
+    // noise floor): per-field Try (r13) with a loud per-skip warning,
+    // a missing file or whole-file parse failure warns and yields an
+    // empty map so gating stays live for whatever did parse.
+    def toDouble(v: Any): Double = v match {
+      case d: java.lang.Double => d.doubleValue
+      case l: java.lang.Long => l.toDouble
+      case bd: java.math.BigDecimal => bd.doubleValue
+      case bd: scala.math.BigDecimal => bd.toDouble
+      case s: String => s.toDouble
+      case other => other.toString.toDouble
+    }
+    def parseQueryFields(path: String): Map[String, Double] = {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+        System.err.println(s"[bench] no artifact at $path — skipped " +
+          "for gating")
+        return Map.empty
+      }
+      try {
+        val df = spark.read.json(path).select("queries.*")
+        val row = df.head()
+        df.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
+          if (row.isNullAt(i)) None
+          else scala.util.Try(toDouble(row.get(i))) match {
+            case scala.util.Success(v) => Some(n -> v)
+            case scala.util.Failure(e) =>
+              System.err.println(s"[bench] $path queries.$n is " +
+                s"non-numeric (${e.getMessage}) — skipping this entry, " +
+                "gating stays enabled for the rest")
+              None
+          }
+        }.toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $path exists but failed to parse " +
+          s"(${e.getMessage}) — skipped for gating; inspect the artifact")
         Map.empty
-      } else try {
-        val full = spark.read.json(prevPath)
+      }
+    }
+    val prevQ: Map[String, Double] = {
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(prevPath))) {
         // PRE anchors only (r17, the r16 ADVICE item): the gate's
         // cross-capture legs compare like-state pre-vs-prev-pre, and
         // the post legs are WITHIN-run by design (post-vs-prev-post
         // was tried and refuted — ramp depth varies across clean
         // windows), so parsing prev post fields suggested an input
         // the gate deliberately does not use.
-        prevAnchors = Seq("calib_pre", "calib_str_pre").flatMap { f =>
-          scala.util.Try(full.select(f).head().get(0) match {
-            case d: java.lang.Double => f -> d.doubleValue
-            case l: java.lang.Long => f -> l.toDouble
-            case bd: java.math.BigDecimal => f -> bd.doubleValue
-            case other => f -> other.toString.toDouble
-          }).toOption
-        }.toMap
-        val df = full.select("queries.*")
-        val row = df.head()
-        // per-field Try (r13, the r12 ADVICE item): one malformed
-        // value must not discard the whole map — it skips its own
-        // entry with a warning, and gating stays live for the rest
-        val m = df.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
-          if (row.isNullAt(i)) None
-          else scala.util.Try(row.get(i) match {
-            case d: java.lang.Double => d.doubleValue
-            case l: java.lang.Long => l.toDouble
-            case bd: java.math.BigDecimal => bd.doubleValue
-            case bd: scala.math.BigDecimal => bd.toDouble
-            case s: String => s.toDouble
-            case other => other.toString.toDouble
-          }) match {
-            case scala.util.Success(v) => Some(n -> v)
-            case scala.util.Failure(e) =>
-              System.err.println(s"[bench] $prevPath queries.$n is " +
-                s"non-numeric (${e.getMessage}) — skipping this entry, " +
-                "gating stays enabled for the rest")
-              None
-          }
-        }.toMap
-        if (m.isEmpty) System.err.println(s"[bench] $prevPath exists but " +
-          "its queries map parsed EMPTY — solo re-adjudication disabled; " +
-          "inspect the artifact")
-        m
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $prevPath exists but failed to parse " +
-          s"(${e.getMessage}) — solo re-adjudication disabled; inspect " +
-          "the artifact")
-        Map.empty
+        prevAnchors = scala.util.Try(spark.read.json(prevPath)) match {
+          case scala.util.Success(full) =>
+            Seq("calib_pre", "calib_str_pre").flatMap { f =>
+              scala.util.Try(f -> toDouble(full.select(f).head().get(0)))
+                .toOption
+            }.toMap
+          case scala.util.Failure(_) => Map.empty
+        }
       }
+      val m = parseQueryFields(prevPath)
+      if (m.isEmpty) System.err.println(s"[bench] $prevPath yielded no " +
+        "query baselines — solo re-adjudication disabled; inspect the " +
+        "artifact")
+      m
     }
     // cross-capture noise floor (r17, the r16 verdict #5): per-query
     // MIN over every artifact in SPARK_GRAFT_BENCH_PREV — the
-    // bench_merge.py estimator in-process. Parse failures skip their
-    // file with a warning; one path -> floor == single baseline.
+    // bench_merge.py estimator in-process, through the SAME loud
+    // parser as the prev baseline. One path -> floor == single.
     val floorQ: Map[String, Double] =
       prevPaths.drop(1).foldLeft(prevQ) { (acc, path) =>
-        val p = java.nio.file.Paths.get(path)
-        val m: Map[String, Double] =
-          if (!java.nio.file.Files.exists(p)) {
-            System.err.println(s"[bench] floor artifact missing at " +
-              s"$path — skipped for the noise floor")
-            Map.empty
-          } else try {
-            val df = spark.read.json(path).select("queries.*")
-            val row = df.head()
-            df.schema.fieldNames.zipWithIndex.flatMap { case (n, i) =>
-              if (row.isNullAt(i)) None
-              else scala.util.Try(row.get(i) match {
-                case d: java.lang.Double => d.doubleValue
-                case l: java.lang.Long => l.toDouble
-                case bd: java.math.BigDecimal => bd.doubleValue
-                case bd: scala.math.BigDecimal => bd.toDouble
-                case s: String => s.toDouble
-                case other => other.toString.toDouble
-              }).toOption.map(n -> _)
-            }.toMap
-          } catch { case e: Throwable =>
-            System.err.println(s"[bench] floor artifact $path failed " +
-              s"to parse (${e.getMessage}) — skipped for the noise floor")
-            Map.empty
-          }
+        val m = parseQueryFields(path)
         (acc.keySet ++ m.keySet).iterator.map { k =>
           k -> math.min(acc.getOrElse(k, Double.MaxValue),
             m.getOrElse(k, Double.MaxValue))

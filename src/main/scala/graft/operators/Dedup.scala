@@ -167,12 +167,34 @@ object Dedup {
     * corpus (junk pairs at J≈0.3 collide a band at J²≈0.09 vs
     * J⁴≈0.008) — recall insurance priced in candidate verify work. The index at
     * `bandIndexPath` must have been saved with the SAME
-    * (numHashes, bands). */
+    * (numHashes, bands).
+    *
+    * HOT-BAND BOUND (r18, the r17 verdict #1 — the classic LSH
+    * hot-key blowup): without a cap, one degenerate band fingerprint
+    * shared by 10⁶ corpus docs emits 10⁶ candidates PER PROBING BATCH
+    * BAND — at lake scale ~10¹² junk pairs from a single hot key, and
+    * BANDED_COST_PROBE_r17 already showed the mechanism at 145:1 junk
+    * candidate mass on a self-similar corpus. `maxBandPostings` caps
+    * the index-side posting-list length a band may contribute: bands
+    * past the cap are SKIPPED from candidate generation (the
+    * `source_cap` accounting pattern — [[bandedHotBands]] reports
+    * exactly which bands were dropped and how many postings each
+    * held, so skipped recall is an audited number, not a silent
+    * hole). Skip beats spill-to-exact here because a band fp shared
+    * by >cap docs is by construction low-information — its collision
+    * mass is dominated by sub-threshold junk the verify would reject
+    * pair by pair at full cost — while a TRUE pair at J≥0.9 agrees
+    * on ~6 of 8 bands in expectation, so losing its hottest band
+    * leaves ~5 cold ones to surface it. Candidate mass is then
+    * bounded by |batch band rows| × cap regardless of corpus skew.
+    * The posting-count aggregation is restricted to bands the batch
+    * actually probes (one left-semi) and shuffles on the same key as
+    * the candidate join itself. */
   def jaccardPairsAgainstCorpusBanded(
       spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, corpus: DataFrame, bandIndexPath: String,
       thresholdTenths: Int, numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8, maxBandPostings: Long = 100000L): DataFrame = {
     val t = thresholdTenths
     val qb = lshBandFpRows(minhashSignatures(batch, numHashes),
         numHashes, bands)
@@ -181,10 +203,22 @@ object Dedup {
     val idx = LakeMaintenance.readPartitionedString(
         spark, s"$bandIndexPath/bands", "fp_pfx")
       .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("d2"))
+    // hot-band prune: posting counts over ONLY the probed bands, then
+    // an anti-join drops bands past the cap before any pair forms
+    val hot = idx
+      .join(qb.select("fp_pfx", "band_fp").distinct(),
+        Seq("fp_pfx", "band_fp"), "left_semi")
+      .groupBy("fp_pfx", "band_fp").agg(count(lit(1)).as("plen"))
+      .filter(col("plen") > maxBandPostings)
+      .select("fp_pfx", "band_fp")
+    // the anti-join prunes the INDEX side BEFORE the pair-forming
+    // join — filtering pairs after the equi-join would materialize
+    // the very blowup the cap exists to prevent
+    val cold = idx.join(hot, Seq("fp_pfx", "band_fp"), "left_anti")
     // materialized ONCE (eager local checkpoint): two consumers — the
     // corpus-text semi-join and the verify join — would otherwise run
     // the banded equi-join twice; the pair-id relation is delta-scale
-    val cand = qb.join(idx, Seq("fp_pfx", "band_fp"))
+    val cand = qb.join(cold, Seq("fp_pfx", "band_fp"))
       .select("d1", "d2").distinct().localCheckpoint(eager = true)
     def arrays(d: DataFrame) = tokenPostings(d)
       .select(col("doc_id"), col("lang"), xxhash64(col("token")).as("tid"))
@@ -209,6 +243,38 @@ object Dedup {
       .filter(col("inter") * 10 >= col("uni") * t)
       .select(col("d1"), col("d2"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** The skip ACCOUNTING for [[jaccardPairsAgainstCorpusBanded]]'s
+    * hot-band cap (r18): every band the batch probes whose index
+    * posting list exceeds `maxBandPostings`, with its length and the
+    * number of batch docs that probed it — the relation an operator
+    * reads to know exactly what candidate mass was declined and
+    * whether the cap is sized right for the corpus (all-zero rows =
+    * the cap never fired; a band at 100× the cap = raise nothing,
+    * that band is pure junk mass). Same plan legs as the serve path's
+    * prune: batch band rows are row-local, the count aggregation is
+    * semi-restricted to probed bands. */
+  def bandedHotBands(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, bandIndexPath: String, maxBandPostings: Long,
+      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val qb = lshBandFpRows(minhashSignatures(batch, numHashes),
+        numHashes, bands)
+      .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+      .select(col("fp_pfx"), col("band_fp"), col("doc_id"))
+    val idx = LakeMaintenance.readPartitionedString(
+        spark, s"$bandIndexPath/bands", "fp_pfx")
+      .select(col("fp_pfx"), col("band_fp"))
+    idx.join(qb.select("fp_pfx", "band_fp").distinct(),
+        Seq("fp_pfx", "band_fp"), "left_semi")
+      .groupBy("fp_pfx", "band_fp").agg(count(lit(1)).as("plen"))
+      .filter(col("plen") > maxBandPostings)
+      .join(qb.groupBy("fp_pfx", "band_fp")
+          .agg(countDistinct(col("doc_id")).as("probing_docs")),
+        Seq("fp_pfx", "band_fp"))
+      .select(col("fp_pfx"), col("band_fp"), col("plen"),
+        col("probing_docs"),
+        (col("plen") * col("probing_docs")).as("skipped_candidates"))
   }
 
   /** INCREMENTAL near-dup clustering (r16) — fold an arriving batch
@@ -300,11 +366,13 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       assign: DataFrame, corpus: DataFrame, batch: DataFrame,
       bandIndexPath: String, thresholdTenths: Int,
-      numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      numHashes: Int = 32, bands: Int = 8,
+      maxBandPostings: Long = 100000L): DataFrame = {
     val b = batch.localCheckpoint(eager = true)
     val bb = jaccardPairs(b, thresholdTenths).select("d1", "d2")
     val bc = jaccardPairsAgainstCorpusBanded(spark, b, corpus,
-      bandIndexPath, thresholdTenths, numHashes, bands).select("d1", "d2")
+      bandIndexPath, thresholdTenths, numHashes, bands,
+      maxBandPostings).select("d1", "d2")
     foldComponents(assign, bb, bc)
   }
 
@@ -1367,17 +1435,16 @@ object Dedup {
                                    numHashes: Int = 32,
                                    bands: Int = 4,
                                    broadcastMaxDocs: Long = 1000000L): DataFrame = {
-    // the 8x headroom the regime decision leans on is ENFORCED, not
-    // just documented (r17, the r16 ADVICE item): the broadcast side
-    // carries `bands` rows per doc against the 512M-row broadcast hard
-    // limit, so a caller-raised broadcastMaxDocs must keep
-    // docs*bands <= 512M/8 — past that the HLL regime count's rsd
-    // could silently push an unsafe batch into the broadcast arm
-    require(broadcastMaxDocs * bands <= 512000000L / 8,
-      s"broadcastMaxDocs=$broadcastMaxDocs x bands=$bands exceeds the " +
-        "8x-headroom bound under the 512M-row broadcast hard limit " +
-        "(docs*bands must stay <= 64M); lower broadcastMaxDocs — bulk " +
-        "batches take the shuffled regime with identical output")
+    // the 8x headroom the regime decision leans on is ENFORCED by
+    // CLAMPING, not by throwing (r18, the r17 ADVICE item — the r17
+    // require hard-failed on the configured cap even when the actual
+    // batch was tiny and safe): the broadcast side carries `bands`
+    // rows per doc against the 512M-row broadcast hard limit, so the
+    // point-regime decision compares against min(caller cap, 64M/bands)
+    // — a generous caller cap with small batches keeps working, and a
+    // batch past the bound takes the shuffled regime with identical
+    // output instead of an error
+    val safeMaxDocs = math.min(broadcastMaxDocs, 512000000L / 8 / bands)
     val q = lshBandFpRows(minhashSignatures(batch, numHashes), numHashes,
         bands)
       .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
@@ -1398,7 +1465,7 @@ object Dedup {
       collect_set(col("fp_pfx")).as("pfxs"),
       approx_count_distinct(col("qid"), 0.02).as("n")).head()
     val pfxs = meta.getSeq[String](0)
-    val pointRegime = meta.getLong(1) * 106L / 100L <= broadcastMaxDocs
+    val pointRegime = meta.getLong(1) * 106L / 100L <= safeMaxDocs
     // STATIC partition pruning (point regime only): the prefix set
     // becomes a literal IN filter so the planner prunes index
     // partitions DETERMINISTICALLY — the optimizer's dynamic-pruning

@@ -215,18 +215,30 @@ object Layout {
     *      crash window lands in "scrub and redo", none in "duplicate".
     *
     * The stats pass reads ONLY this batch's files (delta-scale, the
-    * batch contract), and single-writer remains the lake's concurrency
-    * contract — the ledger serializes REPLAYS of one writer, not two
-    * concurrent writers. */
+    * batch contract), and single-writer is now ENFORCED, not just
+    * documented (r18, the r17 verdict #5): two concurrent writers
+    * would race the `_applied_batches` marker — writer A scrubs
+    * writer B's in-flight `b<tag>_` files as "crashed", or both place
+    * files for the same tag and the marker commits a union neither
+    * wrote. The guard is [[withWriterLock]]'s marker-file mutex: the
+    * lock is acquired with an atomic create-no-overwrite before any
+    * file moves and released after the marker commits, so a second
+    * concurrent writer fails LOUDLY instead of corrupting the lake. A
+    * crashed writer's stale lock is taken over by age (the replay of
+    * its own batch must not deadlock behind its own corpse) —
+    * `staleLockMs` must exceed the longest legitimate append. */
   def appendWithManifestIdempotent(spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, dataPath: String, manifestPath: String,
-      cols: Seq[String], tag: Long): Unit = {
+      cols: Seq[String], tag: Long,
+      staleLockMs: Long = 15 * 60 * 1000L): Unit = {
     import org.apache.hadoop.fs.Path
     val dataDir = new Path(dataPath)
     val mDir = new Path(manifestPath)
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(mDir, s"_applied_batches/b$tag")
     if (fs.exists(marker)) return // replayed after commit: no-op
+    withWriterLock(fs, mDir, staleLockMs) {
+    if (fs.exists(marker)) return // committed while we waited for the lock
     def scrub(dir: Path): Unit =
       if (fs.exists(dir))
         fs.listStatus(dir).map(_.getPath)
@@ -262,6 +274,42 @@ object Layout {
       new Path(s"$manifestPath.stage_b$tag"), mDir)
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
+    }
+  }
+
+  /** Marker-file WRITER MUTEX for the manifest ledger (r18, the r17
+    * verdict #5): `_writer_lock` under the manifest dir, acquired by
+    * atomic create-no-overwrite (every HDFS-like filesystem's create
+    * with overwrite=false is the one atomic primitive a plain-parquet
+    * lake has). A lock that already exists means another writer is
+    * live — fail loudly — UNLESS it is older than `staleLockMs`
+    * (a crashed writer never releases; its own batch's replay must be
+    * able to take over, or the ledger deadlocks behind a corpse): then
+    * delete-and-retake once, and if the retake ALSO collides, another
+    * writer won the takeover race and this one still fails loudly.
+    * S3-consistency caveat unchanged: without atomic create, adopt a
+    * table format — this mutex is for filesystems that have one. */
+  private def withWriterLock[T](fs: org.apache.hadoop.fs.FileSystem,
+      mDir: org.apache.hadoop.fs.Path, staleLockMs: Long)(body: => T): T = {
+    import org.apache.hadoop.fs.Path
+    val lock = new Path(mDir, "_writer_lock")
+    def tryAcquire(): Boolean =
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    fs.mkdirs(mDir)
+    if (!tryAcquire()) {
+      val age = try System.currentTimeMillis() -
+        fs.getFileStatus(lock).getModificationTime
+      catch { case _: java.io.FileNotFoundException => Long.MaxValue }
+      val takeover = age > staleLockMs && { fs.delete(lock, false); tryAcquire() }
+      if (!takeover)
+        throw new IllegalStateException(
+          s"manifest ledger at $mDir is locked by another live writer " +
+            s"(lock age ${age / 1000}s <= stale bound ${staleLockMs / 1000}s " +
+            "or takeover lost) — the ledger serializes ONE writer; run " +
+            "ingest single-writer or adopt a table format for concurrency")
+    }
+    try body finally fs.delete(lock, false)
   }
 
   /** Compact a manifest-tracked FLAT lake (r17, the r16 verdict #3):
@@ -282,15 +330,47 @@ object Layout {
     * paused). The `_applied_batches` replay ledger SURVIVES the
     * manifest rebuild — a late replay of a pre-compaction batch must
     * still no-op, or it would re-append rows the compacted files
-    * already hold. */
+    * already hold.
+    *
+    * UNMARKED tagged files are scrubbed FIRST (r18, the r17 ADVICE
+    * item): a batch that crashed between placing its `b<tag>_` files
+    * and writing its ledger marker leaves partial rows the replay
+    * contract says must be scrubbed-and-redone — but a compaction that
+    * folded them into untagged compacted files would strand them
+    * (scrub finds no tagged files, the replay re-appends the FULL
+    * batch, and the partial rows duplicate). So before the rewrite,
+    * every `b<tag>_` file in either directory whose tag has no marker
+    * is deleted — the same scrub [[appendWithManifestIdempotent]]
+    * itself runs, just across all tags — and the stream's replay then
+    * redoes those batches cleanly against the compacted lake. */
   def compactManifestLake(spark: org.apache.spark.sql.SparkSession,
       dataPath: String, manifestPath: String, cols: Seq[String],
-      numFiles: Int, sortCol: String): Unit = {
+      numFiles: Int, sortCol: String,
+      staleLockMs: Long = 15 * 60 * 1000L): Unit = {
     import org.apache.hadoop.fs.Path
     require(numFiles >= 1, s"numFiles must be >= 1: $numFiles")
     val dataDir = new Path(dataPath)
     val mDir = new Path(manifestPath)
     val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the compactor is a WRITER too: it must hold the same mutex the
+    // ingest path holds, or an in-flight append's tagged-but-unmarked
+    // files would be scrubbed below as a crashed batch. The lock rides
+    // the manifest swap into the promoted directory's place (the swap
+    // is the final step, so release-by-swap is release-at-commit).
+    withWriterLock(fs, mDir, staleLockMs) {
+    // scrub crashed batches (tagged files with no ledger marker) so the
+    // rewrite folds only committed rows; the replay redoes them after
+    val ledgerDir = new Path(mDir, "_applied_batches")
+    val marked: Set[String] =
+      if (!fs.exists(ledgerDir)) Set.empty
+      else fs.listStatus(ledgerDir).map(_.getPath.getName).toSet
+    val TaggedName = "^(b\\d+)_.*".r
+    for (dir <- Seq(dataDir, mDir) if fs.exists(dir);
+         st <- fs.listStatus(dir)) st.getPath.getName match {
+      case TaggedName(tag) if !marked.contains(tag) =>
+        fs.delete(st.getPath, false)
+      case _ =>
+    }
     def swap(live: Path, stage: Path): Unit = {
       val retired = new Path(s"$live.compact_old")
       fs.delete(retired, true)
@@ -317,6 +397,7 @@ object Layout {
         !fs.rename(ledger, new Path(mStage, "_applied_batches")))
       sys.error("compactManifestLake: could not carry the replay ledger")
     swap(mDir, mStage)
+    }
   }
 
   /** Manifest-driven pruned scan: keep only files whose [min, max]

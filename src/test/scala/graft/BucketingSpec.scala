@@ -360,6 +360,14 @@ class BucketingSpec extends SparkSpec {
       s"bulk regime must not take the hinted broadcast path:\n$bulkPlan")
     assert(rows(bulk) === rows(point),
       "bulk and point regimes must serve identical verdicts")
+    // r18 (the r17 ADVICE item): a GENEROUS caller cap with a small,
+    // safe batch must keep working — the headroom bound CLAMPS the
+    // regime decision (docs*bands past 64M routes to the shuffled
+    // regime) instead of hard-failing before it
+    val generous = Dedup.dedupAgainstCorpusLshIndexed(spark, batch, path,
+      minMatches = 32, broadcastMaxDocs = 10000000000L)
+    assert(rows(generous) === rows(point),
+      "a generous cap with a small batch must serve identical verdicts")
   }
 
   test("string partition column survives all-digit values through compaction") {

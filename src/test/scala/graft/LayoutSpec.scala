@@ -214,6 +214,81 @@ class LayoutSpec extends SparkSpec {
       "a replayed pre-compaction batch must no-op through the ledger")
   }
 
+  test("compaction scrubs unmarked crashed-batch files (no replay dupes)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_mcrash_").toString
+    (0 until 4).foreach { b =>
+      val batch = spark.range(b * 100L, b * 100L + 100L)
+        .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v").coalesce(1)
+      Layout.appendWithManifestIdempotent(spark, batch,
+        s"$base/data", s"$base/manifest", Seq("id", "v"), tag = b.toLong)
+    }
+    // simulate the crash window: batch 3's files landed but its marker
+    // did not (delete the marker — the tagged files stay behind)
+    val marker = new java.io.File(s"$base/manifest/_applied_batches/b3")
+    assert(marker.exists && marker.delete())
+    // the r17 form folded those partial rows into untagged compacted
+    // files; now they scrub BEFORE the rewrite
+    Layout.compactManifestLake(spark, s"$base/data", s"$base/manifest",
+      Seq("id", "v"), numFiles = 2, sortCol = "id")
+    assert(spark.read.parquet(s"$base/data").count() === 300L,
+      "unmarked (crashed) batch rows must not survive into compacted files")
+    // the stream's replay then redoes batch 3 cleanly — exactly once
+    val b3 = spark.range(300L, 400L)
+      .selectExpr("id", "CAST(id % 97 AS DOUBLE) AS v").coalesce(1)
+    Layout.appendWithManifestIdempotent(spark, b3,
+      s"$base/data", s"$base/manifest", Seq("id", "v"), tag = 3L)
+    val ids = spark.read.parquet(s"$base/data")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids === (0L until 400L),
+      "replayed crashed batch must land exactly once after compaction")
+    // manifest agrees with a from-scratch rebuild over the final lake
+    Layout.writeStatsManifest(spark, s"$base/data",
+      s"$base/manifest_rebuilt", Seq("id", "v"))
+    val mSet = spark.read.parquet(s"$base/manifest")
+      .collect().map(_.toSeq).toSet
+    val rebuilt = spark.read.parquet(s"$base/manifest_rebuilt")
+      .collect().map(_.toSeq).toSet
+    assert(mSet === rebuilt)
+  }
+
+  test("writer lock: second concurrent writer rejected, stale lock taken over") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_mlock_").toString
+    val b0 = spark.range(0, 64)
+      .selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v").coalesce(1)
+    Layout.appendWithManifestIdempotent(spark, b0,
+      s"$base/data", s"$base/manifest", Seq("v"), tag = 0L)
+    // another writer is live: its lock is present and FRESH — a second
+    // writer must fail loudly instead of racing the ledger (this is
+    // the race the guard closes: writer A would scrub writer B's
+    // in-flight tagged files as "crashed")
+    val lock = new java.io.File(s"$base/manifest/_writer_lock")
+    assert(lock.createNewFile())
+    val b1 = spark.range(100, 164)
+      .selectExpr("id", "CAST(id % 7 AS DOUBLE) AS v").coalesce(1)
+    val e = intercept[IllegalStateException] {
+      Layout.appendWithManifestIdempotent(spark, b1,
+        s"$base/data", s"$base/manifest", Seq("v"), tag = 1L)
+    }
+    assert(e.getMessage.contains("locked by another live writer"))
+    assert(spark.read.parquet(s"$base/data").count() === 64L,
+      "a rejected writer must not have moved any files")
+    // compaction is a writer too — same rejection
+    intercept[IllegalStateException] {
+      Layout.compactManifestLake(spark, s"$base/data", s"$base/manifest",
+        Seq("v"), numFiles = 1, sortCol = "id")
+    }
+    // a CRASHED writer never releases: age the lock past the stale
+    // bound and the next writer takes over instead of deadlocking
+    assert(lock.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+    Layout.appendWithManifestIdempotent(spark, b1,
+      s"$base/data", s"$base/manifest", Seq("v"), tag = 1L,
+      staleLockMs = 60 * 1000L)
+    assert(spark.read.parquet(s"$base/data").count() === 128L)
+    assert(!lock.exists, "the lock must release after a successful append")
+  }
+
   test("scaled bucket is order-preserving, bounded, degenerate-safe") {
     import spark.implicits._
     val df = (0L to 10L).toDF("x")

@@ -247,15 +247,37 @@ object HybridIndexedScaleLeg {
     }
     val (b1, s1, c1) = leg("x1", docs1, emb1)
     val (bN, sN, cN) = leg("xN", docsN, embN)
+    // LEXICAL BUCKETED-PRUNE leg (r18, the r17 verdict #2's "show the
+    // ratio drop"): the scaled replicas above SHARE the base
+    // vocabulary, so the probe terms' postings genuinely grow xN and
+    // no layout can shrink them — the corpus-linear floor of lexical
+    // serving on a vocabulary-saturating query. The lake-realistic
+    // shape is the PERTURBED replica set (zero shared vocabulary:
+    // global vocab grows xN, the probe docs' terms stay a 1/N slice),
+    // where the token-bucketed directory prune + sorted row groups
+    // should hold the lexical serve near-flat while the corpus grows
+    // xN. Measured on the lexical arm alone to isolate the layout.
+    ScaleSmoke.perturbedDocs(docs1, factor, dStride).write
+      .mode("overwrite").parquet(s"$base/documents_pert")
+    val docsP = spark.read.parquet(s"$base/documents_pert")
+    docsP.count()
+    TextOps.saveLexicalIndex(docsP, s"$base/lex_pert")
+    val l1 = minOf2(TextOps.bm25DocAsQueryFromIndex(spark,
+      s"$base/lex_x1", numQueries = 3, k = 20).count(): Unit)
+    val lP = minOf2(TextOps.bm25DocAsQueryFromIndex(spark,
+      s"$base/lex_pert", numQueries = 3, k = 20).count(): Unit)
     println(f"[hybridxscale] x1 build=$b1%.3f serve=$s1%.3f scan=$c1%.3f" +
       f" | x$factor build=$bN%.3f serve=$sN%.3f scan=$cN%.3f" +
-      f" | serve ratio=${sN / s1}%.2f scan ratio=${cN / c1}%.2f")
+      f" | serve ratio=${sN / s1}%.2f scan ratio=${cN / c1}%.2f" +
+      f" | lex pert x1=$l1%.3f xN=$lP%.3f ratio=${lP / l1}%.2f")
     Console.flush()
     println(f"""{"metric":"hybrid_indexed_scale_probe","sf":"$sfDir",""" +
       f""""factor":$factor,"build_x1":$b1%.3f,"build_xN":$bN%.3f,""" +
       f""""serve_x1":$s1%.3f,"serve_xN":$sN%.3f,""" +
       f""""scan_x1":$c1%.3f,"scan_xN":$cN%.3f,""" +
-      f""""serve_ratio":${sN / s1}%.2f,"scan_ratio":${cN / c1}%.2f}""")
+      f""""serve_ratio":${sN / s1}%.2f,"scan_ratio":${cN / c1}%.2f,""" +
+      f""""lex_pert_x1":$l1%.3f,"lex_pert_xN":$lP%.3f,""" +
+      f""""lex_pert_ratio":${lP / l1}%.2f}""")
     spark.stop()
   }
 }

@@ -306,6 +306,21 @@ object SparkEntry {
       p
     })
 
+  /** Persisted media IVF index for `media_ann_ivf_indexed` (r18, the
+    * r17 verdict #3 — the media sibling of [[pqIndexFor]]): codebook +
+    * cell-partitioned fingerprint postings over the derived media
+    * table, built at most once per corpus dir; repeat invocations
+    * price the DPP-pruned SERVE. */
+  private def mediaIvfIndexFor(s: SparkSession, dir: String): String =
+    pqIndexPaths.computeIfAbsent(dir + "#media_ivf", _ => {
+      val p = java.nio.file.Files
+        .createTempDirectory("graft_media_ivf_").toString
+      Multimodal.saveMediaIvfIndex(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)), p,
+        kPerKind = MediaIvfK, rounds = 1)
+      p
+    })
+
   /** Memoized z-ordered event lake + its min/max stats manifest for
     * `manifest_pruned_scan` ([[pqIndexFor]] contract): the lake and
     * the manifest are the offline artifacts, the bench row prices the
@@ -2603,6 +2618,16 @@ object SparkEntry {
         numQueries = MediaKnnQ, k = MediaKnnK, kPerKind = MediaIvfK,
         rounds = 1, probes = 1)
         .orderBy("qid", "rn")),
+    // Media IVF served FROM the persisted index (r18, the r17 verdict
+    // #3): queries fingerprint row-locally; the corpus side is the
+    // cell-partitioned posting relation, DPP-pruned to the probed
+    // cells — output bit-identical to media_ann_ivf (shared oracle).
+    "media_ann_ivf_indexed" -> ((s, dir) =>
+      Multimodal.mediaAnnIvfFromIndex(s,
+        Multimodal.fromDocuments(Tables.documents(s, dir)),
+        mediaIvfIndexFor(s, dir),
+        numQueries = MediaKnnQ, k = MediaKnnK, probes = 1)
+        .orderBy("qid", "rn")),
     // Multi-probe twin — the recall knob for boundary media.
     "media_ann_ivf_probe2" -> ((s, dir) =>
       Multimodal.mediaAnnIvf(s,
@@ -4793,6 +4818,10 @@ object SparkEntry {
          |ORDER BY qid, rn""".stripMargin,
 
     "media_ann_ivf" -> sqlMediaAnnIvf(p = 1),
+    // the index serve shares the scan tier's oracle verbatim: the hash
+    // match IS the serve == scan equivalence proof (the
+    // ann_ivf_pq_indexed convention)
+    "media_ann_ivf_indexed" -> sqlMediaAnnIvf(p = 1),
     "media_ann_ivf_probe2" -> sqlMediaAnnIvf(p = 2),
     "media_recall_ivf" -> sqlMediaRecallIvf,
 

@@ -409,9 +409,11 @@ object Dedup {
     * range-partitioned + sorted on doc_id so parquet min/max stats
     * prune point/range probes; at 100 TB the same relation bucket-sorts
     * by doc_id so the fold's contraction join co-locates. The nightly
-    * cycle is load → fold the day's batch → save back (overwrite —
-    * the assignment is a VERSION, not an append log; keep N versions
-    * by path if rollback matters). */
+    * cycle is load → fold the day's batch → save back. This flat form
+    * OVERWRITES in place — a fold that fails after overwriting has
+    * lost the prior assignment; production nightly cycles go through
+    * [[saveComponentsAssignVersioned]] (promote-by-rename, keep-N,
+    * crash-safe — r18). */
   def saveComponentsAssign(assign: DataFrame, path: String,
                            numFiles: Int = 16): Unit =
     assign.select(col("doc_id").cast("long").as("doc_id"),
@@ -424,6 +426,63 @@ object Dedup {
   def loadComponentsAssign(spark: org.apache.spark.sql.SparkSession,
                            path: String): DataFrame =
     spark.read.parquet(path).select("doc_id", "component")
+
+  /** VERSIONED assignment save (r18, the r17 verdict #6 — the flat
+    * [[saveComponentsAssign]] overwrites in place, so a nightly fold
+    * that fails AFTER overwriting has destroyed the prior assignment
+    * it would need to retry from): write the new assignment to a
+    * hidden stage, PROMOTE BY RENAME to `assign_v<N+1>` (the
+    * [[LakeMaintenance.compactPartitioned]] swap discipline — the
+    * rename is the commit point; a crash anywhere before it leaves
+    * only a `.stage_*` directory no reader matches, and the prior
+    * version stays servable), then prune to the newest `keep`
+    * versions. Returns the promoted version number. Rollback after a
+    * bad fold = delete the bad version; the loader serves the highest
+    * remaining. */
+  def saveComponentsAssignVersioned(assign: DataFrame, root: String,
+                                    numFiles: Int = 16,
+                                    keep: Int = 3): Long = {
+    import org.apache.hadoop.fs.Path
+    require(keep >= 1, s"keep must be >= 1: $keep")
+    val spark = assign.sparkSession
+    val dir = new Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val next = assignVersions(fs, dir).lastOption.getOrElse(0L) + 1L
+    val stage = new Path(dir, s".stage_v$next")
+    fs.delete(stage, true)
+    saveComponentsAssign(assign, stage.toString, numFiles)
+    val live = new Path(dir, s"assign_v$next")
+    if (!fs.rename(stage, live))
+      sys.error(s"saveComponentsAssignVersioned: could not promote $stage")
+    assignVersions(fs, dir).dropRight(keep).foreach(v =>
+      fs.delete(new Path(dir, s"assign_v$v"), true))
+    next
+  }
+
+  /** Serve the HIGHEST promoted version under a
+    * [[saveComponentsAssignVersioned]] root — stage directories and
+    * partially-deleted older versions are invisible by construction
+    * (only fully-promoted `assign_v<N>` names match). */
+  def loadComponentsAssignVersioned(
+      spark: org.apache.spark.sql.SparkSession, root: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vs = assignVersions(fs, dir)
+    require(vs.nonEmpty,
+      s"no promoted assignment version under $root — run the initial " +
+        "clustering save first")
+    loadComponentsAssign(spark, s"$root/assign_v${vs.last}")
+  }
+
+  private def assignVersions(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val V = "^assign_v(\\d+)$".r
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case V(n) => n.toLong }.toSeq.sorted
+  }
 
   /** Quality-aware CANONICAL SELECTION per near-dup component — the
     * "keep the best, not the first" policy (RefinedWeb-style): min-id

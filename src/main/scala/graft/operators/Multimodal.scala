@@ -477,6 +477,102 @@ object Multimodal {
       .select("qid", "cluster", "media_id", "kind", "cos", "rn")
   }
 
+  /** Persist the media IVF index as LAKE ARTIFACTS (r18, the r17
+    * verdict #3 — the text/embedding side had the full
+    * save/append/serve lifecycle; the media IVF was session-memoized
+    * only, re-paying the codebook build per JVM): `book` (kind,
+    * cluster, cq — kinds·kPerKind rows, metadata-scale) and
+    * `postings` (media_id, kind, hist, nsq under their CELL partition
+    * — fingerprint-width; payload bytes appear nowhere). Same
+    * contract as [[graft.operators.Similarity.savePqIndex]]: the
+    * partition-by-cell layout lets a `probes`-cell query plan a scan
+    * of probes/cells of the index via dynamic partition pruning, and
+    * the raw histogram + norm in the posting row is exactly what the
+    * exact-cosine rerank needs — [[mediaAnnIvfFromIndex]] never
+    * touches media payloads for the corpus side. */
+  def saveMediaIvfIndex(spark: SparkSession, media: DataFrame,
+                        path: String, kPerKind: Int = 4,
+                        rounds: Int = 1): Unit = {
+    val idx = mediaIvfIndex(spark, media, kPerKind, rounds)
+    idx.book.write.mode("overwrite").parquet(s"$path/book")
+    idx.assigned
+      .join(idx.fps.select("media_id", "hist", "nsq"), "media_id")
+      .select("media_id", "kind", "hist", "nsq", "cluster")
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(s"$path/postings")
+  }
+
+  /** Append an ingest batch to a persisted [[saveMediaIvfIndex]] index:
+    * the batch fingerprints row-locally (the only payload read is the
+    * batch's), assigns against the FROZEN codebook (retraining would
+    * re-cell the whole store — the [[Similarity.appendToPqIndex]]
+    * convention), and its posting rows APPEND under their cell
+    * partitions. Compaction cadence and idempotence contracts are the
+    * PQ index's. */
+  def appendToMediaIvfIndex(spark: SparkSession, batch: DataFrame,
+                            path: String): Unit = {
+    val book = spark.read.parquet(s"$path/book")
+    val fps = withHistN(mediaFingerprints(spark, batch)
+      .select("media_id", "kind", "n_bytes", "hist", "nsq"))
+    assignMediaToBook(fps, book)
+      .join(fps.select("media_id", "hist", "nsq"), "media_id")
+      .select("media_id", "kind", "hist", "nsq", "cluster")
+      .write.mode("append").partitionBy("cluster")
+      .parquet(s"$path/postings")
+  }
+
+  /** Compact a persisted media IVF index's postings back to one file
+    * per cell — the shared [[LakeMaintenance.compactPartitioned]]
+    * contract (cluster ids are numeric media_ids, so the inferred-type
+    * variant is correct here, as with the PQ index's cells). */
+  def compactMediaIvfIndex(spark: SparkSession, path: String): Unit =
+    LakeMaintenance.compactPartitioned(spark, s"$path/postings", "cluster")
+
+  /** Media IVF search served FROM the persisted index — output
+    * bit-identical to [[mediaAnnIvfSearch]] over the same corpus
+    * (spec-pinned; the declared query shares the scan tier's oracle,
+    * so the hash match is the cross-engine proof): queries arrive as
+    * media rows and fingerprint ROW-LOCALLY (batch-scale — the one
+    * thing an index can't hold), rank the same-kind centroids from
+    * the persisted book by exact integer squared L2 on the normalized
+    * histograms, and the probed-cell relation broadcasts into the
+    * postings join so the cell-partitioned scan is pruned at runtime
+    * by dynamic partition pruning — a `probes`-cell query reads
+    * probes/cells of the index from disk ([[Similarity
+    * .annIvfPqFromIndex]]'s access-path property, plan-asserted). The
+    * rerank is the same polarization-identity exact cosine on the
+    * posting rows' raw histograms. */
+  def mediaAnnIvfFromIndex(spark: SparkSession, queries: DataFrame,
+                           path: String, numQueries: Int, k: Int,
+                           probes: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions.sqDistLong
+    val book = broadcast(spark.read.parquet(s"$path/book"))
+    val qf = withHistN(mediaFingerprints(spark, queries)
+        .select("media_id", "kind", "n_bytes", "hist", "nsq"))
+      .filter(col("media_id") < numQueries)
+      .select(col("media_id").as("qid"), col("kind"),
+        col("hist").as("qh"), col("nsq").as("qn"), col("histn").as("qhn"))
+    val wBest = Window.partitionBy("qid").orderBy(col("qdist"), col("cluster"))
+    val probed = broadcast(qf).join(book, "kind")
+      .select(col("qid"), col("cluster"), col("qh"), col("qn"),
+        sqDistLong(col("qhn"), col("cq")).as("qdist"))
+      .withColumn("crn", row_number().over(wBest))
+      .filter(col("crn") <= probes)
+      .select("qid", "cluster", "qh", "qn")
+    val postings = spark.read.parquet(s"$path/postings")
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("media_id"))
+    broadcast(probed).join(postings, "cluster")
+      .filter(col("media_id") =!= col("qid"))
+      .withColumn("dot", shiftright(
+        col("qn") + col("nsq") - sqDistLong(col("qh"), col("hist")), 1))
+      .withColumn("cos", col("dot").cast("double") /
+        (sqrt(col("qn").cast("double")) * sqrt(col("nsq").cast("double"))))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("qid", "cluster", "media_id", "kind", "cos", "rn")
+  }
+
   /** Measured recall@k of the media IVF tier against the brute
     * kind-blocked exact-cosine ground truth — the
     * [[graft.operators.Similarity.annRecallAudit]] shape on the media

@@ -1346,10 +1346,24 @@ object TextOps {
     * (the declared `inverted_index` relation is its capped audit
     * cousin) — plus `doclen` (doc_id, dl) and the one-row `stats`
     * (n_docs, sum_dl). Everything BM25 needs at query time lives in
-    * these three relations; raw text appears nowhere at serve. Stored
-    * as plain parquet; at 100 TB the postings bucket-sort by token so
-    * a query's terms prune to their buckets (the posting-list layout),
-    * and appends follow the frozen-stats convention of the PQ index —
+    * these relations; raw text appears nowhere at serve.
+    *
+    * The postings are TOKEN-BUCKETED (r18, the r17 verdict #2 — the
+    * "bucket-sort by token at 100 TB" this scaladoc used to narrate is
+    * now the written layout): PARTITIONED BY `tok_pfx` = the
+    * 2-hex-digit md5 prefix of the token (256 cells — the `fp_pfx`
+    * pattern the LSH band index uses) and SORTED by token within each
+    * partition, so a query's term set prunes DIRECTORIES (literal
+    * partition filters computed from the probe vocabulary, the
+    * [[bm25DocAsQueryFromIndex]] serve) and then ROW GROUPS (tight
+    * token min/max from the sort) — where before only unsorted
+    * row-group stats stood between a 10-term query and the whole
+    * postings relation. A `docterms` relation (the FORWARD index:
+    * distinct (doc_id, token), range-partitioned + sorted by doc_id)
+    * rides beside it so doc-as-query probes fetch their term sets by
+    * doc_id min/max pruning instead of scanning the inverted postings
+    * sideways — real lexical deployments keep both orientations.
+    * Appends follow the frozen-stats convention of the PQ index —
     * df/avgdl drift under append is the standard BM25 staleness
     * trade, recomputed at compaction. `sum_dl` persists instead of
     * avgdl so the serve recomputes the SAME division the scan tier
@@ -1357,12 +1371,40 @@ object TextOps {
   def saveLexicalIndex(docs: DataFrame, path: String): Unit = {
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
-    toks.groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-      .write.mode("overwrite").parquet(s"$path/postings")
+    val postings = toks.groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+    postings
+      .withColumn("tok_pfx", tokPfx(col("token")))
+      .repartition(col("tok_pfx"))
+      .sortWithinPartitions("token", "doc_id")
+      .write.mode("overwrite").partitionBy("tok_pfx")
+      .parquet(s"$path/postings")
+    postings.select("doc_id", "token")
+      .repartitionByRange(16, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$path/docterms")
     val dl = docs.select(col("doc_id"), tokenCount(col("text")).as("dl"))
     dl.write.mode("overwrite").parquet(s"$path/doclen")
     dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
       .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** The postings' partition key: 2-hex-digit md5 prefix of the token
+    * (column form; [[tokenPrefixHex]] is the driver-side twin the
+    * serve uses to turn its collected probe vocabulary into literal
+    * partition filters). Hash-prefixed, not lexical-prefixed, so
+    * natural-language token skew cannot pile one directory. */
+  private def tokPfx(token: Column): Column =
+    substring(md5(token.cast("binary")), 1, 2)
+
+  /** Driver-side twin of [[tokPfx]] — MessageDigest MD5 over the
+    * token's UTF-8 bytes, first byte as 2 lowercase hex digits
+    * (byte-identical to Spark's md5-over-cast-binary). */
+  private[graft] def tokenPrefixHex(token: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = md.digest(
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+    f"${b & 0xff}%02x"
   }
 
   /** Append an ingest batch to a persisted [[saveLexicalIndex]] index
@@ -1379,13 +1421,31 @@ object TextOps {
     * or an order-free aggregation. Idempotence is the caller's
     * offsets problem, as with every lake append. */
   def appendToLexicalIndex(batch: DataFrame, path: String): Unit = {
-    batch.select(col("doc_id"),
+    val postings = batch.select(col("doc_id"),
         explode(split(col("text"), " ")).as("token"))
       .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
-      .write.mode("append").parquet(s"$path/postings")
+    postings
+      .withColumn("tok_pfx", tokPfx(col("token")))
+      .repartition(col("tok_pfx"))
+      .sortWithinPartitions("token", "doc_id")
+      .write.mode("append").partitionBy("tok_pfx")
+      .parquet(s"$path/postings")
+    postings.select("doc_id", "token")
+      .write.mode("append").parquet(s"$path/docterms")
     batch.select(col("doc_id"), tokenCount(col("text")).as("dl"))
       .write.mode("append").parquet(s"$path/doclen")
   }
+
+  /** Compact a persisted lexical index's postings back to one file per
+    * token-prefix partition — the small-files bound
+    * [[appendToLexicalIndex]] needs, via the shared
+    * [[LakeMaintenance.compactPartitionedString]] contract (rows
+    * unchanged; the string-forced read keeps an all-digit prefix set
+    * from flipping the partition column to integer). */
+  def compactLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit =
+    LakeMaintenance.compactPartitionedString(spark, s"$path/postings",
+      "tok_pfx")
 
   /** Recompute the lexical index's one-row stats from its doclen
     * relation — the post-append refresh that makes
@@ -1415,29 +1475,39 @@ object TextOps {
     * with token-bucketed postings, to their buckets). */
   def bm25DocAsQueryFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, numQueries: Int, k: Int): DataFrame = {
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = LakeMaintenance.readPartitionedString(
+      spark, s"$path/postings", "tok_pfx")
     val dl = spark.read.parquet(s"$path/doclen")
     val stats = broadcast(spark.read.parquet(s"$path/stats")
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl")))
-    val qterms = postings.filter(col("doc_id") < numQueries)
+    // probe term sets come from the FORWARD index (docterms is
+    // range-partitioned + sorted by doc_id, so the doc_id < numQueries
+    // predicate prunes to the head files by min/max stats) — fetching
+    // them from the inverted postings would scan the relation sideways
+    val qterms = spark.read.parquet(s"$path/docterms")
+      .filter(col("doc_id") < numQueries)
       .select(col("doc_id").as("qid"), col("token"))
     // the probe docs' distinct vocabulary is query-side metadata
     // (bounded by numQueries docs' token sets), so it pushes into the
-    // postings scan as a LITERAL In filter — the parquet reader then
-    // prunes row groups by token stats instead of scanning the whole
-    // postings relation (the bm25TopK literal-terms pattern; with
-    // token-bucketed postings the same filter prunes directories).
-    // A broadcast join alone would NOT prune the scan. Guarded: a
-    // degenerate probe set with a huge vocabulary (> 10k terms) skips
-    // the pushdown rather than building an absurd literal list —
-    // output identical either way, the join still restricts.
+    // postings scan TWICE over (r18, the r17 verdict #2): the tokens'
+    // md5 prefixes as a LITERAL partition filter (tok_pfx IN — the
+    // planner prunes token-bucket DIRECTORIES deterministically,
+    // never opening the other buckets' footers) and the tokens
+    // themselves as a pushed In(token) data filter (row-group stats,
+    // tight under the within-partition token sort). A broadcast join
+    // alone would prune NEITHER. Guarded: a degenerate probe set with
+    // a huge vocabulary (> 10k terms) skips both pushdowns rather
+    // than building an absurd literal list — output identical either
+    // way, the join still restricts.
     val wanted = qterms.select("token").distinct()
       .limit(10001).collect().map(_.getString(0))
     val scanned =
       if (wanted.length > 10000) postings
-      else postings.filter(col("token").isin(wanted.toSeq: _*))
+      else postings.filter(
+        col("tok_pfx").isin(wanted.map(tokenPrefixHex).distinct.toSeq: _*)
+          && col("token").isin(wanted.toSeq: _*))
     val tf = scanned
       .join(broadcast(qterms.select("token").distinct()), "token")
       .select("doc_id", "token", "tf")

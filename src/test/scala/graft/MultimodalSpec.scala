@@ -235,6 +235,68 @@ class MultimodalSpec extends SparkSpec {
     assert(ivf.toSeq === brute.toSeq)
   }
 
+  test("persisted media ivf index: serve == scan, DPP-pruned, append == rebuild") {
+    val media = Multimodal.fromDocuments(ivfDocs)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_media_ivf_spec_").toString
+    Multimodal.saveMediaIvfIndex(spark, media, s"$base/full",
+      kPerKind = 3, rounds = 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cluster", "media_id", "kind", "cos", "rn")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getDouble(4), r.getLong(5)))
+        .sortBy(t => (t._1, t._6)).toSeq
+    val served = Multimodal.mediaAnnIvfFromIndex(spark, media,
+      s"$base/full", numQueries = 6, k = 3, probes = 2)
+    val scan = Multimodal.mediaAnnIvf(spark, media, numQueries = 6,
+      k = 3, kPerKind = 3, rounds = 1, probes = 2)
+    // serve == scan BIT-IDENTICALLY (same centroids, same probe rank,
+    // same polarization-identity cosine)
+    assert(rows(served) === rows(scan))
+    // access path: the cell-partitioned postings scan must be pruned
+    // at runtime by the broadcast probed-cell relation (the
+    // annIvfPqFromIndex DPP property)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"probed cells must prune posting partitions at runtime:\n$plan")
+    // and the corpus side must never read media payloads: the only
+    // scans are the index relations + the query batch
+    // append == rebuild: index the id-lower half, append the id-upper
+    // half against the FROZEN book, serve equals an index built with
+    // the same (half-trained) book over everything — i.e. the serve
+    // sees appended media immediately through the same cells
+    val lower = media.filter(col("media_id") < 15)
+    val upper = media.filter(col("media_id") >= 15)
+    Multimodal.saveMediaIvfIndex(spark, lower, s"$base/half",
+      kPerKind = 3, rounds = 1)
+    Multimodal.appendToMediaIvfIndex(spark, upper, s"$base/half")
+    val servedAppended = Multimodal.mediaAnnIvfFromIndex(spark, media,
+      s"$base/half", numQueries = 6, k = 3, probes = 3)
+    // full probing makes the cell layout irrelevant, so the appended
+    // index must reproduce the brute ranking exactly — proof no
+    // appended row was lost or mis-celled
+    val brute = Multimodal.mediaKnn(spark, media, numQueries = 6, k = 3)
+      .select("qid", "media_id", "cos", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val appendedFlat = servedAppended
+      .select("qid", "media_id", "cos", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(appendedFlat === brute,
+      "append against the frozen book must serve old + new immediately")
+    // compaction: rows unchanged, serve identical across it
+    Multimodal.compactMediaIvfIndex(spark, s"$base/half")
+    val servedCompacted = Multimodal.mediaAnnIvfFromIndex(spark, media,
+        s"$base/half", numQueries = 6, k = 3, probes = 3)
+      .select("qid", "media_id", "cos", "rn").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    assert(servedCompacted === brute,
+      "compaction must not change the served ranking")
+  }
+
   test("media recall audit reports full recall at full probing, bounded below it") {
     val media = Multimodal.fromDocuments(ivfDocs)
     val rows = Multimodal.mediaRecallAudit(spark, media, numQueries = 6,

@@ -1078,6 +1078,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(setOf(fold2b) === setOf(fold2))
   }
 
+  test("versioned assignment: promote-by-rename, crash-safe, keep-N pruned") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def assignOf(pairs: (Long, Long)*) =
+      pairs.toSeq.toDF("doc_id", "component")
+    def setOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_assignv_").toString + "/assign"
+    // no promoted version yet: loading is a loud error, not an empty df
+    intercept[IllegalArgumentException] {
+      Dedup.loadComponentsAssignVersioned(spark, root)
+    }
+    val v1 = Dedup.saveComponentsAssignVersioned(
+      assignOf((0L, 0L), (1L, 0L)), root, keep = 2)
+    val v2 = Dedup.saveComponentsAssignVersioned(
+      assignOf((0L, 0L), (1L, 0L), (2L, 0L)), root, keep = 2)
+    assert(v1 === 1L && v2 === 2L)
+    assert(setOf(Dedup.loadComponentsAssignVersioned(spark, root))
+      === Set((0L, 0L), (1L, 0L), (2L, 0L)),
+      "the loader must serve the highest promoted version")
+    // MID-PROMOTE CRASH (the r17 verdict #6 scenario): a fold that
+    // died while writing its stage leaves only a .stage_* directory —
+    // no reader matches it, and the prior version stays servable
+    val junk = new java.io.File(s"$root/.stage_v3/part-junk.parquet")
+    junk.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(junk.toPath, "not parquet")
+    assert(setOf(Dedup.loadComponentsAssignVersioned(spark, root))
+      === Set((0L, 0L), (1L, 0L), (2L, 0L)),
+      "a crashed stage must not affect the served version")
+    // the retry's save reuses the version slot cleanly (stage scrubbed)
+    val v3 = Dedup.saveComponentsAssignVersioned(
+      assignOf((0L, 0L), (3L, 3L)), root, keep = 2)
+    assert(v3 === 3L)
+    // keep-N pruning: only the newest 2 versions remain on disk
+    val names = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("assign_v")).sorted.toSeq
+    assert(names === Seq("assign_v2", "assign_v3"),
+      s"keep=2 must prune older versions, found $names")
+    // rollback after a bad fold: delete the bad version, the loader
+    // serves the prior one — the capability the flat overwrite lacked
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$root/assign_v3"))
+    assert(setOf(Dedup.loadComponentsAssignVersioned(spark, root))
+      === Set((0L, 0L), (1L, 0L), (2L, 0L)))
+  }
+
   test("lexical index append + stats refresh equals a from-scratch rebuild") {
     import spark.implicits._
     val corpus = Seq(

@@ -693,6 +693,15 @@ class PlanAuditSpec extends SparkSpec {
     // 1.71 -> 1.27): the scan must carry a pushed In(token, ...) filter
     assert("PushedFilters: \\[[^\\]]*In\\(token".r.findFirstIn(p).nonEmpty,
       s"postings scan must push the literal token filter:\n$p")
+    // and the token-BUCKETED layout (r18, the r17 verdict #2): the
+    // probe vocabulary's md5 prefixes must reach the scan as literal
+    // PARTITION filters, so the planner prunes token-bucket
+    // directories deterministically — row-group pushdown alone still
+    // opens every bucket's footers
+    assert(
+      "PartitionFilters: \\[[^\\]]*tok_pfx[^\\]]*(IN|INSET)".r
+        .findFirstIn(p).nonEmpty,
+      s"postings scan must prune token-bucket partitions:\n$p")
   }
 
   test("scaled z-order keys plan as one broadcast bounds row, no shuffle of data") {

@@ -909,8 +909,8 @@ object Dedup {
     * IEEE step is the final inter/n1 division, written identically in
     * the oracle.
     *
-    * PROFILE (round 6, `graft.ContainmentProbe`, sf0.1, t = 0.9,
-    * committed as CONTAINMENT_PROBE_r06.json — cumulative stage
+    * PROFILE (round 6, the since-retired ContainmentProbe main, sf0.1,
+    * t = 0.9, committed as CONTAINMENT_PROBE_r06.json — cumulative stage
     * counts): quotient 0.64 s → 4,266 reps; + prefix candidates +
     * distinct 5.64 s → 4.2 M candidate pairs; + sorted-merge verify
     * 6.31 s → 983 k rep pairs; + member expansion 6.51 s → 2.1 M
@@ -1027,8 +1027,9 @@ object Dedup {
       // Explicit count disables AQE's byte-based coalescing. Keying by
       // doc_id also lands every hit of a given d1 in one partition, so
       // the distinct collapses the ~2× raw multiplicity map-side
-      // before its shuffle. Measured in isolation (ContainmentProbe /
-      // eager-checkpoint staging): distinct stage 4.4 s → 1.0 s.
+      // before its shuffle. Measured in isolation (the retired
+      // ContainmentProbe's eager-checkpoint staging, r7 artifact):
+      // distinct stage 4.4 s → 1.0 s.
       .repartition(docs.sparkSession.sparkContext.defaultParallelism,
         col("doc_id"))
     val raw = prefix.as("p")
@@ -1042,19 +1043,6 @@ object Dedup {
           col("p.doc_id") =!= col("f.doc_id"))
       .select(col("p.doc_id").as("d1"), col("f.doc_id").as("d2"))
     (docTokens, raw.distinct())
-  }
-
-  /** Stage hooks for [[graft.ContainmentProbe]]'s cost decomposition
-    * (dev/judge measurement tooling): the quotiented rep relation, the
-    * rep-level verified pairs (pre-expansion), and the candidate
-    * relation. */
-  private[graft] def containmentRepDocs(docs: DataFrame): DataFrame =
-    bagQuotient(docs)._2
-  private[graft] def containmentRepPairs(docs: DataFrame,
-                                         thresholdTenths: Int): DataFrame = {
-    val (_, repDocs) = bagQuotient(docs)
-    containmentPairsOf(repDocs, thresholdTenths,
-      bruteVerify = containmentBruteWins(docs, thresholdTenths))
   }
 
   /** Representative-level candidate (d1, d2) relation of
@@ -1316,13 +1304,11 @@ object Dedup {
   private def bagClassFp: Column = md5(concat_ws(" ",
     sort_array(array_distinct(split(col("text"), " ")))))
 
-  /** Probe hooks ([[graft.MinhashProbe]]): the auto-rule's candidate-
-    * mass estimator per tier, and the forced RAW / forced-quotient
-    * paths, regardless of what the corpus would auto-select. */
-  private[graft] def wordCandMassRelation(docs: DataFrame): DataFrame =
-    bandCandMass(minhashSignatures(docs, 32), 32, 8)
-  private[graft] def shingleCandMassRelation(docs: DataFrame): DataFrame =
-    bandCandMass(shingleSigsOf(12, 32)(docs), 32, 4)
+  /** Forced RAW / forced-quotient paths regardless of what the corpus
+    * would auto-select — the quotient-equivalence spec and the MinHash
+    * scale probe measure through these (the per-tier candidate-mass
+    * decomposition lives in MINHASH_PROBE_r07.json from the retired
+    * MinhashProbe main). */
   private[graft] def minhashLshPairsRaw(docs: DataFrame, numHashes: Int = 32,
                                         bands: Int = 8): DataFrame =
     lshPairsOfSigs(minhashSignatures(docs, numHashes), numHashes, bands)
@@ -1375,19 +1361,6 @@ object Dedup {
       .select(col("doc_id"), shingleIdsColumn(col("text"), n).as("tids"))
       .select(col("doc_id"),
         minhashSigOfIds(col("tids"), numHashes).as("sig"))
-
-  /** Probe hooks ([[graft.MinhashProbe]]), shingle tier. */
-  private[graft] def minhashShinglePairsRaw(docs: DataFrame, n: Int = 12,
-                                            numHashes: Int = 32,
-                                            bands: Int = 4): DataFrame =
-    lshPairsOfSigs(shingleSigsOf(n, numHashes)(docs), numHashes, bands)
-  private[graft] def minhashShinglePairsForceQuotient(docs: DataFrame,
-                                                      n: Int = 12,
-                                                      numHashes: Int = 32,
-                                                      bands: Int = 4): DataFrame =
-    lshPairsQuotientedCore(docs,
-      docs.select(col("doc_id"), md5(col("text").cast("binary")).as("class_fp")),
-      shingleSigsOf(n, numHashes), numHashes, bands)
 
   // --------------------------------------------------------------------
   // Persisted LSH band index — the near-dup tier's lake index lifecycle
@@ -1769,8 +1742,10 @@ object Dedup {
   }
 
   /** The engaged quotient path of [[lshPairsQuotiented]] (also the
-    * probe hook — [[graft.MinhashProbe]] times it against the raw
-    * banding path on the same corpus). */
+    * spec hook behind [[minhashLshPairsForceQuotient]] — the
+    * quotient ≡ raw equivalence is pinned there; the retired
+    * MinhashProbe's raw-vs-quotient timing lives in
+    * MINHASH_PROBE_r07.json). */
   private[graft] def lshPairsQuotientedCore(docs: DataFrame, keyed: DataFrame,
                                             sigsOf: DataFrame => DataFrame,
                                             numHashes: Int, bands: Int): DataFrame = {

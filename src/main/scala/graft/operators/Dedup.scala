@@ -187,9 +187,10 @@ object Dedup {
     * on ~6 of 8 bands in expectation, so losing its hottest band
     * leaves ~5 cold ones to surface it. Candidate mass is then
     * bounded by |batch band rows| × cap regardless of corpus skew.
-    * The posting-count aggregation is restricted to bands the batch
-    * actually probes (one left-semi) and shuffles on the same key as
-    * the candidate join itself. */
+    * Posting counts come from the index's `band_stats` relation
+    * (metadata-scale, written at save/append time — [[probedBandCounts]]),
+    * semi-restricted to the bands the batch actually probes; the
+    * serve never re-aggregates the postings to learn their lengths. */
   def jaccardPairsAgainstCorpusBanded(
       spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, corpus: DataFrame, bandIndexPath: String,
@@ -203,12 +204,12 @@ object Dedup {
     val idx = LakeMaintenance.readPartitionedString(
         spark, s"$bandIndexPath/bands", "fp_pfx")
       .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("d2"))
-    // hot-band prune: posting counts over ONLY the probed bands, then
-    // an anti-join drops bands past the cap before any pair forms
-    val hot = idx
-      .join(qb.select("fp_pfx", "band_fp").distinct(),
-        Seq("fp_pfx", "band_fp"), "left_semi")
-      .groupBy("fp_pfx", "band_fp").agg(count(lit(1)).as("plen"))
+    // hot-band prune: posting counts over ONLY the probed bands (from
+    // the index's metadata-scale band_stats relation — r18; an
+    // on-the-fly count here was a second full postings pass), then an
+    // anti-join drops bands past the cap before any pair forms
+    val hot = probedBandCounts(spark, bandIndexPath,
+        qb.select("fp_pfx", "band_fp").distinct())
       .filter(col("plen") > maxBandPostings)
       .select("fp_pfx", "band_fp")
     // the anti-join prunes the INDEX side BEFORE the pair-forming
@@ -262,12 +263,8 @@ object Dedup {
         numHashes, bands)
       .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
       .select(col("fp_pfx"), col("band_fp"), col("doc_id"))
-    val idx = LakeMaintenance.readPartitionedString(
-        spark, s"$bandIndexPath/bands", "fp_pfx")
-      .select(col("fp_pfx"), col("band_fp"))
-    idx.join(qb.select("fp_pfx", "band_fp").distinct(),
-        Seq("fp_pfx", "band_fp"), "left_semi")
-      .groupBy("fp_pfx", "band_fp").agg(count(lit(1)).as("plen"))
+    probedBandCounts(spark, bandIndexPath,
+        qb.select("fp_pfx", "band_fp").distinct())
       .filter(col("plen") > maxBandPostings)
       .join(qb.groupBy("fp_pfx", "band_fp")
           .agg(countDistinct(col("doc_id")).as("probing_docs")),
@@ -1399,33 +1396,90 @@ object Dedup {
     * full postings scan that is still signature-width, not text-width.
     * Unlike the PQ index there is NOTHING to retrain or freeze: the
     * md5-seeded affine family is deterministic, so appends
-    * ([[appendToLshBandIndex]]) are exact by construction forever. */
+    * ([[appendToLshBandIndex]]) are exact by construction forever.
+    *
+    * Beside the postings the save writes `band_stats` (r18): one
+    * (fp_pfx, band_fp, plen) row per distinct band — posting-list
+    * lengths as a METADATA-SCALE relation, sorted by band so point
+    * probes row-group-prune. The hot-band cap's prune reads these
+    * instead of re-aggregating the whole postings relation per serve
+    * (measured: the on-the-fly count pass added ~2.5 s to the banded
+    * fold's bench row — a second full index pass the stats relation
+    * replaces with a footer-scale scan). Appends append their own
+    * per-band counts; consumers SUM per band, so the relation is
+    * mergeable the way every sketch here is. */
   def saveLshBandIndex(docs: DataFrame, path: String,
-                       numHashes: Int = 32, bands: Int = 4): Unit =
+                       numHashes: Int = 32, bands: Int = 4): Unit = {
     lshBandFpRows(minhashSignatures(docs, numHashes), numHashes, bands)
       .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
       .write.mode("overwrite").partitionBy("fp_pfx")
       .parquet(s"$path/bands")
+    writeBandStats(docs.sparkSession, path, "overwrite")
+  }
+
+  /** Rebuild `band_stats` from the written postings — one
+    * signature-width scan, offline (save/compaction time), never at
+    * serve. Reading the written files back instead of re-planning the
+    * signature pipeline keeps the stats bit-agreed with the postings
+    * whatever produced them. */
+  private def writeBandStats(spark: org.apache.spark.sql.SparkSession,
+                             path: String, mode: String): Unit =
+    LakeMaintenance.readPartitionedString(spark, s"$path/bands", "fp_pfx")
+      .groupBy("fp_pfx", "band_fp").agg(count(lit(1)).as("plen"))
+      .repartitionByRange(4, col("fp_pfx"), col("band_fp"))
+      .sortWithinPartitions("fp_pfx", "band_fp")
+      .write.mode(mode).parquet(s"$path/band_stats")
 
   /** Append an ingest batch to a persisted [[saveLshBandIndex]] index:
     * partition append, nothing rewrites (the compaction cadence
-    * contract is [[Similarity.compactPqIndex]]'s, one directory over).
-    * Idempotence is the caller's offsets problem, as with every lake
-    * append. */
+    * contract is [[Similarity.compactPqIndex]]'s, one directory over);
+    * the batch's own per-band counts append to `band_stats` (sum-merge
+    * semantics). Idempotence is the caller's offsets problem, as with
+    * every lake append. */
   def appendToLshBandIndex(batch: DataFrame, path: String,
-                           numHashes: Int = 32, bands: Int = 4): Unit =
-    lshBandFpRows(minhashSignatures(batch, numHashes), numHashes, bands)
+                           numHashes: Int = 32, bands: Int = 4): Unit = {
+    val rows = lshBandFpRows(minhashSignatures(batch, numHashes),
+        numHashes, bands)
       .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
-      .write.mode("append").partitionBy("fp_pfx")
+      .localCheckpoint(eager = true)
+    rows.write.mode("append").partitionBy("fp_pfx")
       .parquet(s"$path/bands")
+    rows.groupBy("fp_pfx", "band_fp").agg(count(lit(1)).as("plen"))
+      .write.mode("append").parquet(s"$path/band_stats")
+  }
 
   /** Compact a persisted band index back to one file per fp-prefix
     * partition — the small-files bound [[appendToLshBandIndex]] needs,
     * via the shared [[LakeMaintenance.compactPartitioned]] contract
-    * (rows unchanged; BucketingSpec pins serve equality across it). */
+    * (rows unchanged; BucketingSpec pins serve equality across it).
+    * `band_stats` rewrites consolidated in the same pass (append
+    * fragments fold back to one row per band). */
   def compactLshBandIndex(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Unit =
+                          path: String): Unit = {
     LakeMaintenance.compactPartitionedString(spark, s"$path/bands", "fp_pfx")
+    writeBandStats(spark, path, "overwrite")
+  }
+
+  /** Per-band posting counts of a persisted index, restricted to the
+    * bands a probing batch touches: served from the `band_stats`
+    * relation (sum-merged across append fragments) when the index has
+    * one, else by aggregating the postings (pre-r18 indexes). The
+    * semi-join keeps the aggregation probed-bands-only either way. */
+  private def probedBandCounts(spark: org.apache.spark.sql.SparkSession,
+      bandIndexPath: String, probed: DataFrame): DataFrame = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$bandIndexPath/band_stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src =
+      if (fs.exists(statsPath))
+        spark.read.parquet(statsPath.toString)
+          .select(col("fp_pfx"), col("band_fp"), col("plen"))
+      else
+        LakeMaintenance.readPartitionedString(
+            spark, s"$bandIndexPath/bands", "fp_pfx")
+          .select(col("fp_pfx"), col("band_fp"), lit(1L).as("plen"))
+    src.join(probed, Seq("fp_pfx", "band_fp"), "left_semi")
+      .groupBy("fp_pfx", "band_fp").agg(sum("plen").as("plen"))
+  }
 
   /** Near-dup incremental dedup served FROM the persisted band index:
     * the arriving batch computes its own band rows ROW-LOCALLY (the

@@ -879,6 +879,39 @@ class PipelineOpsSpec extends SparkSpec {
       bands = 8)
     assert(Dedup.bandedHotBands(spark, batch, s"$base/lsh_n",
       maxBandPostings = 100000L).isEmpty)
+    // the prune reads posting lengths from the persisted band_stats
+    // relation (r18 — a serve must never re-aggregate the postings);
+    // the postings-derived fallback (pre-r18 index, stats dir absent)
+    // must audit and serve identically
+    assert(new java.io.File(s"$base/lsh/band_stats").isDirectory,
+      "saveLshBandIndex must write the band_stats relation")
+    def auditSet() = Dedup.bandedHotBands(spark, batch, s"$base/lsh",
+        maxBandPostings = 5L).collect()
+      .map(r => (r.getAs[String]("band_fp"), r.getAs[Long]("plen"),
+        r.getAs[Long]("skipped_candidates"))).toSet
+    val fromStats = auditSet()
+    val cappedFromStats = pairsAt(5L)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$base/lsh/band_stats"))
+    assert(auditSet() === fromStats,
+      "stats-served and postings-derived audits must agree")
+    assert(pairsAt(5L) === cappedFromStats,
+      "stats-served and postings-derived prunes must serve identically")
+    // an APPEND keeps stats sum-mergeable: appending half the corpus
+    // again doubles every audited posting length
+    Dedup.saveLshBandIndex(corpus, s"$base/lsh_a", numHashes = 32,
+      bands = 8)
+    Dedup.appendToLshBandIndex(corpus, s"$base/lsh_a", numHashes = 32,
+      bands = 8)
+    val doubled = Dedup.bandedHotBands(spark, batch, s"$base/lsh_a",
+        maxBandPostings = 5L).collect()
+      .map(r => r.getAs[String]("band_fp") -> r.getAs[Long]("plen")).toMap
+    fromStats.foreach { case (fp, plen, _) =>
+      assert(doubled(fp) === 2 * plen,
+        "appended stats fragments must sum-merge per band")
+    }
   }
 
   test("simhash of identical and near-dup docs is close in hamming distance") {

@@ -127,7 +127,8 @@ object BandedCostProbe {
     def candMass(capV: Long): Long = {
       val qb = Dedup.lshBandFpRows(
           Dedup.minhashSignatures(batch, 32), 32, 8)
-        .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+        .withColumn("fp_pfx", substring(col("band_fp"), 1,
+          Dedup.bandPfxWidthOf(spark, idxPath)))
         .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("d1"))
       val idx = spark.read.parquet(s"$idxPath/bands")
         .select(col("fp_pfx").cast("string").as("fp_pfx"),

@@ -66,7 +66,8 @@ object LshIndexProbe {
     // vs the populated partition count
     val pointPfx = Dedup.lshBandFpRows(
         Dedup.minhashSignatures(one, 32), 32, 4)
-      .select(substring(col("band_fp"), 1, 2)).distinct().count()
+      .select(substring(col("band_fp"), 1,
+        Dedup.bandPfxWidthOf(spark, path))).distinct().count()
 
     println(f"[lshindexprobe] build=$buildS%.2fs bulk=$bulkS%.2fs " +
       f"point=$pointS%.2fs partitions=$partitions pointPfx=$pointPfx")

@@ -197,9 +197,10 @@ object Dedup {
       thresholdTenths: Int, numHashes: Int = 32,
       bands: Int = 8, maxBandPostings: Long = 100000L): DataFrame = {
     val t = thresholdTenths
+    val width = bandPfxWidthOf(spark, bandIndexPath)
     val qb = lshBandFpRows(minhashSignatures(batch, numHashes),
         numHashes, bands)
-      .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+      .withColumn("fp_pfx", substring(col("band_fp"), 1, width))
       .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("d1"))
     val idx = LakeMaintenance.readPartitionedString(
         spark, s"$bandIndexPath/bands", "fp_pfx")
@@ -261,7 +262,8 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8): DataFrame = {
     val qb = lshBandFpRows(minhashSignatures(batch, numHashes),
         numHashes, bands)
-      .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+      .withColumn("fp_pfx", substring(col("band_fp"), 1,
+        bandPfxWidthOf(spark, bandIndexPath)))
       .select(col("fp_pfx"), col("band_fp"), col("doc_id"))
     probedBandCounts(spark, bandIndexPath,
         qb.select("fp_pfx", "band_fp").distinct())
@@ -1410,11 +1412,52 @@ object Dedup {
     * mergeable the way every sketch here is. */
   def saveLshBandIndex(docs: DataFrame, path: String,
                        numHashes: Int = 32, bands: Int = 4): Unit = {
+    // SCALE-ADAPTIVE prefix width (r18 optimization round, guide §6 /
+    // §2: derive partitioning from input size, not a constant tuned
+    // for either local mode or the cluster): the 2-hex 256-cell layout
+    // priced 2.5-3.9 s of pure footer/listing metadata per serve at
+    // sf0.1 (BANDED_COST_PROBE_r17/r18 — 34k rows spread over 230
+    // dirs × ~3 files), while a small index prunes just as well from
+    // 16 cells. One hex char per ~16M postings rows keeps directories
+    // in the tens-of-GB range at lake scale (width 2 ≈ 4B rows; the
+    // documented extension is width 3 past that). The width is a pure
+    // function of the band-row count, and serves DISCOVER it from the
+    // written directory names ([[bandPfxWidthOf]]) so probe and index
+    // can never disagree. fp_pfx is a prefix of band_fp, so any width
+    // yields identical join results — layout only, results unchanged.
+    val n = docs.count() * bands // save-time action: offline, like writeBandStats
+    val width = bandPfxWidthForRows(n)
     lshBandFpRows(minhashSignatures(docs, numHashes), numHashes, bands)
-      .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+      .withColumn("fp_pfx", substring(col("band_fp"), 1, width))
+      // cluster by the partition value so each directory is written by
+      // exactly ONE task — 1 file per dir per save instead of
+      // (tasks × dirs) tiny files (guide §6 small-files; measured 613
+      // files → 16 at sf0.1). AQE sizes the task count.
+      .repartition(col("fp_pfx"))
       .write.mode("overwrite").partitionBy("fp_pfx")
       .parquet(s"$path/bands")
     writeBandStats(docs.sparkSession, path, "overwrite")
+  }
+
+  /** Prefix width for a band index of `rows` postings rows — one hex
+    * char (16 cells) up to ~16M rows, two (256 cells) past it. */
+  private[graft] def bandPfxWidthForRows(rows: Long): Int =
+    if (rows <= 16000000L) 1 else 2
+
+  /** The prefix width a PERSISTED index was written with, discovered
+    * from its `fp_pfx=<v>` directory names (one metadata listing) —
+    * the probe side must band-prefix at the same width or the
+    * (fp_pfx, band_fp) equi-join silently matches nothing. */
+  private[graft] def bandPfxWidthOf(
+      spark: org.apache.spark.sql.SparkSession, path: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$path/bands")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 2
+    else fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collectFirst { case n if n.startsWith("fp_pfx=") =>
+        n.length - "fp_pfx=".length }
+      .getOrElse(2)
   }
 
   /** Rebuild `band_stats` from the written postings — one
@@ -1438,9 +1481,12 @@ object Dedup {
     * every lake append. */
   def appendToLshBandIndex(batch: DataFrame, path: String,
                            numHashes: Int = 32, bands: Int = 4): Unit = {
+    // appends must keep the SAVED width — a batch-sized width rule
+    // here would fork the directory scheme mid-index
+    val width = bandPfxWidthOf(batch.sparkSession, path)
     val rows = lshBandFpRows(minhashSignatures(batch, numHashes),
         numHashes, bands)
-      .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+      .withColumn("fp_pfx", substring(col("band_fp"), 1, width))
       .localCheckpoint(eager = true)
     rows.write.mode("append").partitionBy("fp_pfx")
       .parquet(s"$path/bands")
@@ -1533,7 +1579,8 @@ object Dedup {
     val safeMaxDocs = math.min(broadcastMaxDocs, 512000000L / 8 / bands)
     val q = lshBandFpRows(minhashSignatures(batch, numHashes), numHashes,
         bands)
-      .withColumn("fp_pfx", substring(col("band_fp"), 1, 2))
+      .withColumn("fp_pfx", substring(col("band_fp"), 1,
+        bandPfxWidthOf(spark, path)))
       .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("qid"),
         col("sig").as("qsig"))
     val idxAll = LakeMaintenance.readPartitionedString(

@@ -336,19 +336,23 @@ object Dedup {
         .select(col("d1"), coalesce(col("ccomp"), col("d2")).as("d2")))
     val comp0 = connectedComponents(edges)
       .select(col("doc_id").as("node"), col("component").as("newcomp"))
-    // old members ride their component label through the (possibly
-    // merging) contracted fixpoint; untouched components keep theirs
-    val oldRemap = assign
-      .join(comp0, assign("component") === comp0("node"), "left")
-      .select(assign("doc_id"),
+    // ONE full-outer join replaces the r16 left-join + distinct +
+    // anti-join + union (r18 optimization round — the remap was ~1.8 s
+    // of the fold, three shuffled legs over the same two relations):
+    //   - assign row with a matching contracted node → (doc_id, newcomp)
+    //     (old members ride their label through any merges);
+    //   - assign row with no match → (doc_id, component)
+    //     (untouched components keep their label);
+    //   - comp0 node matching no assign label → (node, newcomp)
+    //     (batch docs + newly-connected C singletons enter directly).
+    // Row-for-row the same output: assign doc_ids are unique, comp0
+    // nodes are unique (CC labels are keyed by node), and a comp0 node
+    // that IS an old component label only ever joins — never lands in
+    // the null-assign arm — exactly as the anti-join excluded it.
+    assign.join(comp0, assign("component") === comp0("node"), "full")
+      .select(
+        coalesce(assign("doc_id"), col("node")).as("doc_id"),
         coalesce(col("newcomp"), assign("component")).as("component"))
-    // batch docs + newly-connected C singletons enter directly; nodes
-    // that are old component labels are already covered by the remap
-    val newRows = comp0
-      .join(assign.select(col("component").as("node")).distinct(),
-        Seq("node"), "left_anti")
-      .select(col("node").as("doc_id"), col("newcomp").as("component"))
-    oldRemap.unionByName(newRows)
   }
 
   /** [[jaccardComponentsIncremental]] PAST the broadcast cap (r17, the
@@ -559,26 +563,23 @@ object Dedup {
     def sumMetric = coalesce(
       org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")),
       lit(0).cast("decimal(38,0)")).as("lsum")
-    // undirected: propagate along both directions of every edge
-    val obsEdges = new Observation()
-    val edges0 = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+    // undirected: propagate along both directions of every edge.
+    // ONE materialization (r18 optimization round): the r11 form
+    // checkpointed the distinct edge list just to COUNT it, sized a
+    // manual repartition from the count, and checkpointed again — two
+    // edge-list materializations plus an observe round-trip before the
+    // first propagation round. A bare repartition(dst) under AQE
+    // coalescing sizes the same relation from its measured BYTES
+    // (skinny (long,long) rows — bytes are the right proxy), so the
+    // distinct's exchange and the dst keying land in one plan and one
+    // checkpoint. Keyed by dst once: each round's join then shuffles
+    // only the (tiny, shrinking-entropy) label relation, never the
+    // edges.
+    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
       .distinct()
-      .observe(obsEdges, count(lit(1)).as("n"))
+      .repartition(col("dst"))
       .localCheckpoint()
-    val nEdges = obsEdges.get("n").asInstanceOf[Long]
-    // A dedup graph is orders of magnitude smaller than its corpus
-    // (only docs that PAIRED appear), so the loop sizes its own
-    // partitioning from the materialized edge count instead of
-    // inheriting the corpus-sized shuffle setting — per-round latency
-    // is all scheduler overhead when 2k edges spread over 32 tasks.
-    // ~100k (long,long) rows per task; grows with the graph at 100 TB.
-    val parts = math.max(1, math.min(
-      edges0.sparkSession.sparkContext.defaultParallelism,
-      (nEdges / 100000L).toInt + 1))
-    // keyed by dst once: each round's join then shuffles only the
-    // (tiny, shrinking-entropy) label relation, never the edges
-    val edges = edges0.repartition(parts, col("dst")).localCheckpoint()
     // initial label = min(self, direct neighbors): the first
     // propagation round as ONE aggregation over the (bidirectional)
     // edge list — no join, and cliques converge here immediately

@@ -80,11 +80,18 @@ object Dedup {
   def jaccardComponents(docs: DataFrame, thresholdTenths: Int): DataFrame = {
     val bagFp = md5(concat_ws("\u0000", col("lang"),
       concat_ws(" ", sort_array(array_distinct(split(col("text"), " "))))))
-    val bagged = docs.select(col("doc_id"), col("lang"), col("text"),
-      bagFp.as("bag_fp"))
+    // SKINNY + pinned bag relation (r18 optimization round): the md5
+    // over the sorted distinct token bag is the heaviest row-wise op
+    // in the quotient and it was re-executed for every consumer (the
+    // class agg, the members join); `lang`/`text` never leave this
+    // subtree (lang is folded into the fp; repDocs re-joins `docs` for
+    // text), so the pinned relation is (long, 32-char) rows. Lazy: the
+    // declaration stays jobless.
+    val bagged = docs.select(col("doc_id"), bagFp.as("bag_fp"))
+      .localCheckpoint(eager = false)
     val reps = bagged.groupBy("bag_fp")
       .agg(min("doc_id").as("rep"), count(lit(1)).as("grp_size"))
-    val members = bagged.select("doc_id", "bag_fp").join(reps, "bag_fp")
+    val members = bagged.join(reps, "bag_fp")
     val repDocs = members.filter(col("doc_id") === col("rep"))
       .select("doc_id").join(docs, "doc_id")
     val repComp = connectedComponents(jaccardPairs(repDocs, thresholdTenths))
@@ -418,12 +425,19 @@ object Dedup {
     * [[saveComponentsAssignVersioned]] (promote-by-rename, keep-N,
     * crash-safe — r18). */
   def saveComponentsAssign(assign: DataFrame, path: String,
-                           numFiles: Int = 16): Unit =
-    assign.select(col("doc_id").cast("long").as("doc_id"),
-        col("component").cast("long").as("component"))
-      .repartitionByRange(numFiles, col("doc_id"))
+                           numFiles: Int = 0): Unit = {
+    // numFiles = 0 (the default since the r18 optimization round):
+    // AQE sizes the range partitions from measured bytes — one file at
+    // fixture scale instead of 16 footer-only fragments per load,
+    // advisory-sized files at lake scale. An explicit count keeps the
+    // old pinned layout for callers that need it.
+    val ranged = assign.select(col("doc_id").cast("long").as("doc_id"),
+      col("component").cast("long").as("component"))
+    (if (numFiles >= 1) ranged.repartitionByRange(numFiles, col("doc_id"))
+     else ranged.repartitionByRange(col("doc_id")))
       .sortWithinPartitions("doc_id")
       .write.mode("overwrite").parquet(path)
+  }
 
   /** Read back a [[saveComponentsAssign]] artifact. */
   def loadComponentsAssign(spark: org.apache.spark.sql.SparkSession,
@@ -443,7 +457,7 @@ object Dedup {
     * bad fold = delete the bad version; the loader serves the highest
     * remaining. */
   def saveComponentsAssignVersioned(assign: DataFrame, root: String,
-                                    numFiles: Int = 16,
+                                    numFiles: Int = 0,
                                     keep: Int = 3): Long = {
     import org.apache.hadoop.fs.Path
     require(keep >= 1, s"keep must be >= 1: $keep")
@@ -832,6 +846,14 @@ object Dedup {
   private def jaccardPairsOf(tok: DataFrame, thresholdTenths: Int,
                              rankByFrequency: Boolean = true): DataFrame = {
     val t = thresholdTenths
+    // (r18 optimization round: a lazy localCheckpoint of `tok` was
+    // measured here and REJECTED — the postings relation is cheap to
+    // recompute (native split/NgramFnv passes) and large to
+    // materialize, so pinning traded 3 cheap passes for a write+read
+    // of the widest relation in the query: ngram tier 3.1 → 4.1 s,
+    // word tier flat-to-worse. The win of that shape belongs to
+    // SMALL-after-expensive relations — see jaccardComponents'
+    // pinned bag quotient.)
     // Per-doc SORTED id arrays + counts (verification side): sorted so
     // the verify kernel is a linear primitive merge, not a hash probe.
     val docTokens = tok.groupBy("doc_id", "lang")

@@ -38,11 +38,25 @@ object LakeMaintenance {
     * straight from the unescaped path, leading zeros intact. */
   def readPartitionedString(spark: SparkSession, dir: String,
                             partitionCol: String): DataFrame = {
-    val inferred = spark.read.parquet(dir).schema
-    val forced = StructType(inferred.map { f =>
-      if (f.name == partitionCol) f.copy(dataType = StringType) else f })
+    // Schema memo (r18 optimization round): the inference pass builds
+    // a second InMemoryFileIndex + footer read per serve just to learn
+    // a schema that is an index-lifecycle CONTRACT (save/append/compact
+    // all preserve it — appends are refused by parquet on field-type
+    // drift, compaction rewrites what it read). Paths here are unique
+    // per artifact, so a stale entry would require rewriting a
+    // different relation to the same directory, which no lifecycle
+    // does. Keyed on (dir, partitionCol); the cached value is a plain
+    // StructType, valid across sessions.
+    val forced = schemaMemo.computeIfAbsent(s"$dir#$partitionCol", _ => {
+      val inferred = spark.read.parquet(dir).schema
+      StructType(inferred.map { f =>
+        if (f.name == partitionCol) f.copy(dataType = StringType) else f })
+    })
     spark.read.schema(forced).parquet(dir)
   }
+
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   /** Compact with the partition column read back as its INFERRED type
     * — correct when the written values are genuinely numeric (the PQ

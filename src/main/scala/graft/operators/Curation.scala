@@ -159,13 +159,17 @@ object Curation {
       .distinct()
       .localCheckpoint(eager = false)
     val sketch = grams
-      .select(col("source"), explode(sequence(lit(0), lit(m - 1))).as("i"),
-        Sketches.hash60(col("gram")).as("g"))
+      // gram hash + its string form computed ONCE per gram, BEFORE the
+      // m-way component explode (r18 optimization round: the cast sat
+      // after the explode, re-run m times per gram) — component i then
+      // re-keys through hash60, same recipe in the oracle
+      .select(col("source"),
+        Sketches.hash60(col("gram")).cast("string").as("gs"))
+      .select(col("source"), col("gs"),
+        explode(sequence(lit(0), lit(m - 1))).as("i"))
       .select(col("source"), col("i"),
-        // component i re-keys the gram hash through hash60 again —
-        // cheap and component-independent, same recipe in the oracle
         Sketches.hash60(concat(col("i").cast("string"), lit(":"),
-          col("g").cast("string"))).as("h"))
+          col("gs"))).as("h"))
       .groupBy("source", "i").agg(min("h").as("minh"))
     val pairsEst = sketch.as("a")
       .join(sketch.as("b"),
@@ -192,10 +196,23 @@ object Curation {
       withSizes.select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
         col("matches"), col("est_milli"))
     else {
-      val inter = grams.as("a")
-        .join(grams.as("b"),
-          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      // Exact intersection via ONE gram-keyed aggregation instead of
+      // the gram-keyed SELF-JOIN (r18 optimization round, guide §2.5
+      // skew: every source shares the head of the gram distribution,
+      // so the join's hot keys carried most of its work and the gram
+      // relation crossed the wire twice). Per gram, the sorted source
+      // set pairs in place — |sources|²/2 rows per gram, bounded by
+      // the source count, never corpus size — and sort_array gives the
+      // same lexicographic a < b orientation as the join condition.
+      val inter = grams.groupBy("gram")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ss, (x, i) -> " +
+            "transform(slice(ss, i + 2, size(ss) - i - 1), " +
+            "y -> struct(x AS src_a, y AS src_b))))")).as("p"))
+        .select(col("p.src_a"), col("p.src_b"))
+        .groupBy("src_a", "src_b")
         .agg(count(lit(1)).as("inter"))
       withSizes
         .join(inter, Seq("src_a", "src_b"), "left")

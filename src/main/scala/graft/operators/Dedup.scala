@@ -2326,11 +2326,21 @@ object Dedup {
     * self ⇒ insert/delete), so no levenshtein verify is needed
     * either. */
   private[graft] def editDistanceIdPairs(keyed: DataFrame): DataFrame = {
+    // PROJECTED to (bk, pos, kid) before the self-join (r18
+    // optimization round, guide §2.3 shuffle fewer bytes): the edge
+    // list needs only ids, so the name string — the widest column —
+    // never enters the variant self-join's exchange; the pair
+    // condition compares the unique-per-name long kid instead of the
+    // name (kid = min id over disjoint per-name row sets, so kid order
+    // is a strict total order on names: the same unordered pair set,
+    // and components are direction-agnostic — both directions union
+    // into the fixpoint).
     val dels = deletionVariantsKeyed(keyed.select(col("n"), col("kid")))
+      .select(col("bk"), col("pos"), col("kid"))
     val subs = dels.as("a")
       .join(dels.as("b"),
         col("a.bk") === col("b.bk") && col("a.pos") === col("b.pos") &&
-          col("a.n") < col("b.n"))
+          col("a.kid") < col("b.kid"))
       .select(col("a.kid").as("d1"), col("b.kid").as("d2"))
     val insdel = dels.as("d")
       .join(keyed.as("s"), col("d.bk") === col("s.n"))

@@ -543,9 +543,18 @@ object Similarity {
   def semDedupAssignments(spark: SparkSession, emb: DataFrame,
                           dim: Int = 64, k: Int = 0,
                           rounds: Int = 1): DataFrame =
+    // PINNED (r18 optimization round): every consumer re-reads this
+    // relation — the verdict tier 3× (both self-join sides + the final
+    // keep join), components/candidates 2× (self-join), protoPrune 2×
+    // (sizes + window) — and without the pin each copy re-pays the
+    // N·k sqdist cross-probe, the expensive subtree. Output is skinny
+    // (vec_id, cluster, dist) longs — exactly the pin-after-reduce
+    // shape (small relation, big compute). Lazy: declaration stays
+    // jobless; on a cluster, `checkpoint` to reliable storage.
     assignToBook(emb,
       if (k > 0) lloydBook(spark, emb, k, rounds)
       else coarseBook(spark, emb, dim))
+      .localCheckpoint(eager = false)
 
   /** The coarse codebook: truncated integer per-label centroids,
     * broadcast-ready `(cluster, cq: array<long>)`. */
@@ -601,7 +610,13 @@ object Similarity {
       s"cosine threshold must be in (0, 1] hundredths: $thresholdHundredths")
     val t2 = thresholdHundredths.toLong * thresholdHundredths
     val book = coarseBook(spark, corpus, dim)
-    val b = assignToBook(batch, book).select(col("vec_id"), col("cluster"))
+    // batch assignment pinned (r18 optimization round): consumed by the
+    // pair join AND the final survivor anti-join — without the pin both
+    // re-pay the batch×book cross-probe. Skinny (vec_id, cluster) rows.
+    val bAsg = assignToBook(batch, book)
+      .select(col("vec_id"), col("cluster"))
+      .localCheckpoint(eager = false)
+    val b = bAsg
       .join(batch.select(col("vec_id"), col("embedding").as("eb"),
         normSqQuantized(col("embedding"), 100).as("nb")), "vec_id")
     val c = assignToBook(corpus, book)
@@ -614,8 +629,7 @@ object Similarity {
       .filter(col("dot") > 0 &&
         lit(10000L) * col("dot") * col("dot") >= lit(t2) * col("nb") * col("nc"))
       .select("vec_id").distinct()
-    b.select("vec_id", "cluster")
-      .join(matched, Seq("vec_id"), "left_anti")
+    bAsg.join(matched, Seq("vec_id"), "left_anti")
   }
 
   /** SSL-prototype pruning (Sorscher et al. 2022, "Beyond neural

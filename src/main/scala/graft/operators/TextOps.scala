@@ -2355,12 +2355,27 @@ object TextOps {
     val perDoc = gramRows(docs, Seq(n))
       .groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
       .localCheckpoint(eager = false)
-    val dfTab = perDoc.groupBy("gram").agg(count(lit(1)).as("df"))
-    perDoc.join(dfTab, "gram")
-      .groupBy("doc_id")
-      .agg(sum("c").as("grams"),
-        sum(when(col("df") === 1, col("c")).otherwise(lit(0L)))
-          .as("unique_grams"))
+    // A gram contributes to unique_grams iff its df is 1 — and a df-1
+    // group IS its single (doc_id, c) row, so the gram aggregation can
+    // carry the owner along (min over one row) and the corpus-scale
+    // gram-keyed JOIN of perDoc × df disappears (r18 optimization
+    // round, guide §2 remove shuffles: before, perDoc shuffled by gram
+    // a second time to meet the df table; now the only gram-keyed
+    // exchange is the aggregation's own, map-side collapsed, and the
+    // remaining join is doc-count-sized). Row-for-row equal: grams =
+    // Σc per doc either way; unique_grams sums exactly the df-1 grams'
+    // counts, and docs with none read 0 through the left join — the
+    // inner-join form also emitted every doc (every perDoc row matches
+    // its own gram's df row).
+    val uniq = perDoc.groupBy("gram")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"),
+        min("c").as("uc"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(sum("uc").as("unique_grams"))
+    perDoc.groupBy("doc_id").agg(sum("c").as("grams"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("grams"),
+        coalesce(col("unique_grams"), lit(0L)).as("unique_grams"))
       .withColumn("novelty_ppm",
         expr("CAST(unique_grams * 1000000 div grams AS BIGINT)"))
   }

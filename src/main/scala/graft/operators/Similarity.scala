@@ -543,18 +543,21 @@ object Similarity {
   def semDedupAssignments(spark: SparkSession, emb: DataFrame,
                           dim: Int = 64, k: Int = 0,
                           rounds: Int = 1): DataFrame =
-    // PINNED (r18 optimization round): every consumer re-reads this
-    // relation — the verdict tier 3× (both self-join sides + the final
-    // keep join), components/candidates 2× (self-join), protoPrune 2×
-    // (sizes + window) — and without the pin each copy re-pays the
-    // N·k sqdist cross-probe, the expensive subtree. Output is skinny
-    // (vec_id, cluster, dist) longs — exactly the pin-after-reduce
-    // shape (small relation, big compute). Lazy: declaration stays
-    // jobless; on a cluster, `checkpoint` to reliable storage.
+    // UNPINNED (r19, reverting the r18 final-commit localCheckpoint):
+    // the pin was measured a fixture-scale REGRESSION — the driver's
+    // r18 row read semdedup 0.274 → 0.427 s, and the r19 paired subset
+    // re-measurement confirmed it (semdedup 0.376 → 0.309 s,
+    // pipeline_d4 1.376 → 0.811 s unpinned) — because materializing the
+    // assignment per invocation costs more than re-running the
+    // broadcast cross-probe, whose map-side partial argmin already
+    // collapses N·k rows before any exchange. The multi-consumer reuse
+    // argument only pays when the subtree dwarfs its output's
+    // write+read; here it did not. At 100 TB the assignment persists
+    // as the lake's offline artifact (the lloydBook memo pattern), not
+    // a per-query checkpoint.
     assignToBook(emb,
       if (k > 0) lloydBook(spark, emb, k, rounds)
       else coarseBook(spark, emb, dim))
-      .localCheckpoint(eager = false)
 
   /** The coarse codebook: truncated integer per-label centroids,
     * broadcast-ready `(cluster, cq: array<long>)`. */
@@ -610,12 +613,16 @@ object Similarity {
       s"cosine threshold must be in (0, 1] hundredths: $thresholdHundredths")
     val t2 = thresholdHundredths.toLong * thresholdHundredths
     val book = coarseBook(spark, corpus, dim)
-    // batch assignment pinned (r18 optimization round): consumed by the
-    // pair join AND the final survivor anti-join — without the pin both
-    // re-pay the batch×book cross-probe. Skinny (vec_id, cluster) rows.
+    // UNPINNED (r19, reverting the r18 final-commit localCheckpoint):
+    // a lazy localCheckpoint here calls .rdd at CONSTRUCTION time,
+    // which materializes the subtree's broadcast exchanges — declaring
+    // the query submitted 5 jobs (PlanAuditSpec's no-driver-action
+    // audit caught it), and the paired r19 subset measurement read the
+    // pinned dedup_incremental_embedding SLOWER (2.365 s vs unpinned).
+    // Both consumers re-run the batch×book cross-probe; its map-side
+    // argmin keeps that re-run cheaper than a checkpoint round-trip.
     val bAsg = assignToBook(batch, book)
       .select(col("vec_id"), col("cluster"))
-      .localCheckpoint(eager = false)
     val b = bAsg
       .join(batch.select(col("vec_id"), col("embedding").as("eb"),
         normSqQuantized(col("embedding"), 100).as("nb")), "vec_id")

@@ -31,6 +31,18 @@ import graft.operators.TextOps
 
 object OpsScaleProbe {
   def main(args: Array[String]): Unit = {
+    // Subcommand dispatch (r19, the r18 verdict #8 — probe mains fold
+    // into OpsScaleProbe instead of accreting one-shot top-level
+    // objects): `banded`/`hotband` are the r17/r18 BandedCostProbe
+    // legs verbatim; `foldcost` decomposes the components fixpoint and
+    // A/B-prices connected-components loop variants.
+    args.headOption match {
+      case Some("banded") => ProbeLegs.bandedCost(args.drop(1)); return
+      case Some("hotband") => ProbeLegs.hotband(args.drop(1)); return
+      case Some("foldcost") => ProbeLegs.foldCost(args.drop(1)); return
+      case Some("pairspin") => ProbeLegs.pairsPin(args.drop(1)); return
+      case _ =>
+    }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -122,6 +134,286 @@ object OpsScaleProbe {
     spark.stop()
   }
 
+}
+
+/** The folded-in probe legs ([[OpsScaleProbe]] subcommands — r19, the
+  * r18 verdict #8: no new one-shot mains at HEAD).
+  *
+  *   banded <sfDir> <batchPct> — cumulative stage prefixes of the
+  *     banded incremental fold (idx_scan / cand / verify / fold), the
+  *     r17 BandedCostProbe decomposition. → INCCOMP/BANDED probe JSON.
+  *   hotband <nCorpus> <nBatch> <cap> — the adversarial hot-band
+  *     fixture pricing the maxBandPostings cap (r18).
+  *   foldcost <sfDir> — the r19 fixpoint decomposition: pair
+  *     generation vs the connected-components loop on the REAL rep
+  *     graph, plus an A/B of loop variants (current jump through the
+  *     round's own stepped relation / STALE jump through the previous
+  *     checkpointed labels / no jump) — each variant validated against
+  *     the current loop's output before its timing counts. */
+object ProbeLegs {
+  import graft.operators.Dedup
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  private def minOf2Long(f: => Long): (Double, Long) = {
+    f
+    def once(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (a, n) = once(); val (b, _) = once()
+    (math.min(a, b), n)
+  }
+
+  def bandedCost(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val batchPct = args.lift(1).map(_.toInt).getOrElse(10)
+    val spark = session()
+    val docs = Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max("doc_id")).first().getLong(0)
+    val stride = maxId + 1
+    val cut = maxId - maxId * batchPct / 100
+    val batch = docs.filter(col("doc_id") > cut)
+      .withColumn("doc_id", col("doc_id") + lit(stride))
+      .withColumn("text", concat_ws(" ", col("text"), lit("inccopy")))
+      .localCheckpoint()
+    val corpus = docs.localCheckpoint()
+    val assign = Dedup.jaccardComponents(corpus, 9).localCheckpoint()
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_bandedcost_").toString
+    Dedup.saveLshBandIndex(Dedup.bagClassReps(corpus), idxPath,
+      numHashes = 32, bands = 8)
+    val (tIdx, nIdx) = minOf2Long(
+      spark.read.parquet(s"$idxPath/bands").count())
+    val (tCand, nCand) = minOf2Long {
+      val qb = Dedup.lshBandFpRows(
+          Dedup.minhashSignatures(batch, 32), 32, 8)
+        .select(col("band_fp"), col("doc_id").as("d1"))
+      val idx = spark.read.parquet(s"$idxPath/bands")
+        .select(col("band_fp"), col("doc_id").as("d2"))
+      qb.join(idx, "band_fp").select("d1", "d2").distinct().count()
+    }
+    val (tVerify, nVerify) = minOf2Long(
+      Dedup.jaccardPairsAgainstCorpusBanded(spark, batch, corpus,
+        idxPath, 9).count())
+    // skinny-first A/B in the SAME session (r19): same output, arrays
+    // attached only to lang/length survivors
+    val (tVerifySk, nVerifySk) = minOf2Long(
+      Dedup.jaccardPairsAgainstCorpusBanded(spark, batch, corpus,
+        idxPath, 9, skinnyVerify = true).count())
+    val (tFold, nFold) = minOf2Long(
+      Dedup.jaccardComponentsIncrementalBanded(spark, assign, corpus,
+        batch, idxPath, 9).count())
+    println(f"[bandedcost] idx_scan=$tIdx%.2fs ($nIdx rows) " +
+      f"cand=$tCand%.2fs ($nCand pairs) verify=$tVerify%.2fs " +
+      f"verify_skinny=$tVerifySk%.2fs ($nVerify/$nVerifySk pairs) " +
+      f"fold=$tFold%.2fs ($nFold rows)")
+    Console.flush()
+    println(f"""{"metric":"banded_cost_probe","sf":"$sfDir",""" +
+      f""""batch_pct":$batchPct,""" +
+      f""""idx_scan_sec":$tIdx%.3f,"idx_rows":$nIdx,""" +
+      f""""cand_sec":$tCand%.3f,"cand_pairs":$nCand,""" +
+      f""""verify_sec":$tVerify%.3f,"verified_pairs":$nVerify,""" +
+      f""""verify_skinny_sec":$tVerifySk%.3f,""" +
+      f""""verified_pairs_skinny":$nVerifySk,""" +
+      f""""fold_sec":$tFold%.3f,"fold_rows":$nFold}""")
+    spark.stop()
+  }
+
+  /** `hotband <nCorpus> <nBatch> <cap>` — the r17 verdict #1
+    * adversarial fixture at probe scale: every doc shares a 36-token
+    * core (one band fingerprint per band covers nearly the whole
+    * corpus), so uncapped banded candidate mass approaches
+    * |batch|·|corpus| and the cap's bound (|batch band rows| × cap)
+    * is the number under test. → HOTBAND_PROBE_r{N}.json. */
+  def hotband(args: Array[String]): Unit = {
+    val nCorpus = args.lift(0).map(_.toInt).getOrElse(20000)
+    val nBatch = args.lift(1).map(_.toInt).getOrElse(500)
+    val cap = args.lift(2).map(_.toLong).getOrElse(1000L)
+    val spark = session()
+    val core = (1 to 36).map(i => s"c$i").mkString(" ")
+    def mk(n: Int, idBase: Long, tag: String) =
+      spark.range(0, n, 1, 32)
+        .selectExpr(s"id + $idBase AS doc_id",
+          s"concat('$core ${tag}', id, 'a ${tag}', id, 'b') AS text",
+          "'en' AS lang", "'s' AS source", "40L AS n_chars")
+    val corpus = mk(nCorpus, 1000000L, "x").localCheckpoint()
+    val batch = mk(nBatch, 9000000L, "y").localCheckpoint()
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_hotband_probe_").toString
+    Dedup.saveLshBandIndex(corpus, idxPath, numHashes = 32, bands = 8)
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = f
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    // candidate mass per regime — count BEFORE distinct (the join's
+    // raw output is what explodes; distinct is damage already done)
+    def candMass(capV: Long): Long = {
+      val qb = Dedup.lshBandFpRows(
+          Dedup.minhashSignatures(batch, 32), 32, 8)
+        .withColumn("fp_pfx", substring(col("band_fp"), 1,
+          Dedup.bandPfxWidthOf(spark, idxPath)))
+        .select(col("fp_pfx"), col("band_fp"), col("doc_id").as("d1"))
+      val idx = spark.read.parquet(s"$idxPath/bands")
+        .select(col("fp_pfx").cast("string").as("fp_pfx"),
+          col("band_fp"), col("doc_id").as("d2"))
+      val hot = idx.join(qb.select("fp_pfx", "band_fp").distinct(),
+          Seq("fp_pfx", "band_fp"), "left_semi")
+        .groupBy("fp_pfx", "band_fp").agg(count(lit(1)).as("plen"))
+        .filter(col("plen") > capV).select("fp_pfx", "band_fp")
+      qb.join(idx.join(hot, Seq("fp_pfx", "band_fp"), "left_anti"),
+        Seq("fp_pfx", "band_fp")).count()
+    }
+    val (tUn, mUn) = timed(candMass(Long.MaxValue))
+    val (tCap, mCap) = timed(candMass(cap))
+    val audit = Dedup.bandedHotBands(spark, batch, idxPath, cap)
+      .agg(count(lit(1)), coalesce(max("plen"), lit(0L)),
+        coalesce(sum("skipped_candidates"), lit(0L))).first()
+    val qbRows = Dedup.lshBandFpRows(
+      Dedup.minhashSignatures(batch, 32), 32, 8).count()
+    val bound = qbRows * cap
+    println(f"[hotband] corpus=$nCorpus batch=$nBatch cap=$cap " +
+      f"uncapped=$mUn (${tUn}%.2fs) capped=$mCap (${tCap}%.2fs) " +
+      f"bound=$bound hot_bands=${audit.getLong(0)} " +
+      f"max_plen=${audit.getLong(1)} skipped=${audit.getLong(2)}")
+    Console.flush()
+    println(f"""{"metric":"hotband_probe","n_corpus":$nCorpus,""" +
+      f""""n_batch":$nBatch,"cap":$cap,""" +
+      f""""uncapped_cand":$mUn,"uncapped_sec":$tUn%.3f,""" +
+      f""""capped_cand":$mCap,"capped_sec":$tCap%.3f,""" +
+      f""""cand_bound":$bound,"hot_bands":${audit.getLong(0)},""" +
+      f""""max_plen":${audit.getLong(1)},""" +
+      f""""skipped_candidates":${audit.getLong(2)}}""")
+    spark.stop()
+  }
+
+  /** `pairspin <sfDir>` — one-JVM A/B of the docTokens lazy pin inside
+    * jaccardPairsOf (r19, the r18 verdict #5): the aggregated per-doc
+    * sorted-array relation is consumed 3× (prefix length join + both
+    * verify sides) and each pass re-runs the explode + groupBy +
+    * sort_array; the pin trades those re-runs for one materialization
+    * of an arrays-wide relation. Word tier and ngram tier, both ways,
+    * min-of-2 in the same session so the JVM ramp cancels. */
+  def pairsPin(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = session()
+    // raw parquet scan, exactly the declared queries' input shape (a
+    // checkpointed docs relation was measured to distort the A/B: it
+    // collapses the scan to the checkpoint's partitioning for every
+    // consumer, taxing the unpinned side 3x)
+    val docs = Tables.documents(spark, sfDir)
+    docs.count() // footer warm-up off-clock
+    def word(pin: Boolean) = Dedup.jaccardPairsOf(
+      Dedup.tokenPostings(docs).select(col("doc_id"), col("lang"),
+        xxhash64(col("token")).as("tid")), 9, pinDocTokens = pin)
+    def ngram(pin: Boolean) = Dedup.jaccardPairsOf(
+      Dedup.ngramIdPostings(docs, 12), 9, pinDocTokens = pin)
+    val cells = Seq(
+      ("word_nopin", () => word(false)), ("word_pin", () => word(true)),
+      ("ngram_nopin", () => ngram(false)), ("ngram_pin", () => ngram(true))
+    ).map { case (tag, f) =>
+      val (t, n) = minOf2Long(f().count())
+      println(f"[pairspin] $tag min2=$t%.2fs rows=$n")
+      Console.flush()
+      f""""$tag":$t%.3f"""
+    }
+    println(s"""{"metric":"pairspin_probe","sf":"$sfDir",""" +
+      s""""sec":{${cells.mkString(",")}}}""")
+    spark.stop()
+  }
+
+  def foldCost(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = session()
+    val docs = Tables.documents(spark, sfDir)
+    // the REAL rep graph the declared dedup_components runs its
+    // fixpoint on (bag-quotiented), pairs pinned off-clock
+    val pairs = Dedup.jaccardPairs(Dedup.bagClassReps(docs), 9)
+      .select("d1", "d2").localCheckpoint()
+    val nPairs = pairs.count()
+    val (tPairs, _) = minOf2Long(
+      Dedup.jaccardPairs(Dedup.bagClassReps(docs), 9).count())
+    val truth = Dedup.connectedComponents(pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // --- loop variants on the pinned edge list ---
+    def loop(jump: String): DataFrame = {
+      val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .distinct()
+        .repartition(col("dst"))
+        .localCheckpoint()
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("min_nbr"))
+        .select(col("id"), least(col("id"), col("min_nbr")).as("comp"))
+        .localCheckpoint()
+      var sum = labels.agg(coalesce(
+        org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
+      var converged = false
+      var i = 0
+      while (!converged && i < 30) {
+        def step(l: DataFrame): DataFrame = edges
+          .join(l.withColumnRenamed("id", "dst"), "dst")
+          .select(col("src").as("id"), col("comp"))
+          .unionByName(l)
+          .groupBy("id").agg(min("comp").as("comp"))
+        val stepped =
+          if (jump == "double_stale") step(step(labels)) else step(labels)
+        val next = jump match {
+          case "current" =>
+            val j = stepped.select(col("id").as("jid"), col("comp").as("jcomp"))
+            stepped.join(j, col("comp") === col("jid"), "left")
+              .select(col("id"),
+                least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+          case "stale" | "double_stale" =>
+            // pointer jump through the PREVIOUS round's checkpointed
+            // labels: comp's label as of round i-1 — still a member of
+            // the same component and <= comp, so monotone and safe
+            val j = labels.select(col("id").as("jid"), col("comp").as("jcomp"))
+            stepped.join(j, col("comp") === col("jid"), "left")
+              .select(col("id"),
+                least(col("comp"), coalesce(col("jcomp"), col("comp"))).as("comp"))
+          case _ => stepped
+        }
+        labels = next.localCheckpoint()
+        val s = labels.agg(coalesce(
+          org.apache.spark.sql.functions.sum(col("comp").cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).first().getDecimal(0)
+        converged = s.compareTo(sum) == 0
+        sum = s
+        i += 1
+      }
+      println(s"[foldcost] variant=$jump rounds=$i")
+      labels.select(col("id").as("doc_id"), col("comp").as("component"))
+    }
+    val variants = Seq("current", "stale", "double_stale", "none").map { v =>
+      val got = loop(v).orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      require(got.sameElements(truth), s"variant $v diverged from truth")
+      val (t, _) = minOf2Long(loop(v).count())
+      println(f"[foldcost] variant=$v min2=$t%.2fs")
+      Console.flush()
+      f""""$v":$t%.3f"""
+    }
+    println(f"""{"metric":"foldcost_probe","sf":"$sfDir",""" +
+      f""""rep_pairs":$nPairs,"pairs_sec":$tPairs%.3f,""" +
+      f""""cc_variants_sec":{${variants.mkString(",")}}}""")
+    spark.stop()
+  }
 }
 
 /** r16 scale leg (runMain graft.HybridScaleLeg): ×1 vs ×factor wall

@@ -202,7 +202,8 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession,
       batch: DataFrame, corpus: DataFrame, bandIndexPath: String,
       thresholdTenths: Int, numHashes: Int = 32,
-      bands: Int = 8, maxBandPostings: Long = 100000L): DataFrame = {
+      bands: Int = 8, maxBandPostings: Long = 100000L,
+      skinnyVerify: Boolean = false): DataFrame = {
     val t = thresholdTenths
     val width = bandPfxWidthOf(spark, bandIndexPath)
     val qb = lshBandFpRows(minhashSignatures(batch, numHashes),
@@ -234,24 +235,51 @@ object Dedup {
       .groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("tid"))).as("toks"),
         count(lit(1)).as("n"))
-    val b = arrays(batch).select(col("lang"), col("doc_id").as("d1"),
+    val b0 = arrays(batch).select(col("lang"), col("doc_id").as("d1"),
       col("toks").as("toks1"), col("n").as("n1"))
     // candidate corpus docs only: text loads for the delta, not the lake
-    val c = arrays(corpus.join(cand.select(col("d2").as("doc_id")),
+    val c0 = arrays(corpus.join(cand.select(col("d2").as("doc_id")),
         Seq("doc_id"), "left_semi"))
       .select(col("lang").as("lang2"), col("doc_id").as("d2"),
         col("toks").as("toks2"), col("n").as("n2"))
-    cand.join(b, "d1").join(c, "d2")
-      // lang blocking, as the exact tier's join-on-lang enforces
-      .filter(col("lang") === col("lang2"))
-      .filter(col("n1") * t <= col("n2") * 10 &&
-        col("n2") * t <= col("n1") * 10)
+    def verdict(pairs: DataFrame): DataFrame = pairs
       .withColumn("inter", graft.functions.VectorFunctions
         .sortedIntersectCount(col("toks1"), col("toks2")))
       .withColumn("uni", col("n1") + col("n2") - col("inter"))
       .filter(col("inter") * 10 >= col("uni") * t)
       .select(col("d1"), col("d2"), col("inter"), col("uni"),
         (col("inter").cast("double") / col("uni")).as("jaccard"))
+    if (!skinnyVerify) {
+      // single-pass verify: arrays attach once, lang/length filters
+      // evaluate before the intersect kernel (Catalyst keeps the
+      // predicate order), each relation consumed exactly once
+      verdict(cand.join(b0, "d1").join(c0, "d2")
+        // lang blocking, as the exact tier's join-on-lang enforces
+        .filter(col("lang") === col("lang2"))
+        .filter(col("n1") * t <= col("n2") * 10 &&
+          col("n2") * t <= col("n1") * 10))
+    } else {
+      // SKINNY-FIRST probe shape (guide §2.3/§8: decide with small
+      // rows, attach arrays only to lang/length survivors; arrays pin
+      // because both passes consume them). MEASURED NOT PAYING on the
+      // fixture (`OpsScaleProbe banded`): the self-similar corpus
+      // passes most candidates through the lang/length prune, so the
+      // second pass re-pays the pair join for no byte savings. Kept as
+      // the probe-selectable shape because its win condition —
+      // length-heterogeneous corpora where the prune is selective —
+      // is the 100 TB crawl shape, and the accounting (keep vs cand
+      // counts) is what sizes that decision.
+      val b = b0.localCheckpoint(eager = false)
+      val c = c0.localCheckpoint(eager = false)
+      val keep = cand
+        .join(b.select(col("d1"), col("lang"), col("n1")), "d1")
+        .join(c.select(col("d2"), col("lang2"), col("n2")), "d2")
+        .filter(col("lang") === col("lang2"))
+        .filter(col("n1") * t <= col("n2") * 10 &&
+          col("n2") * t <= col("n1") * 10)
+        .select("d1", "d2")
+      verdict(keep.join(b, "d1").join(c, "d2"))
+    }
   }
 
   /** The skip ACCOUNTING for [[jaccardPairsAgainstCorpusBanded]]'s
@@ -843,8 +871,9 @@ object Dedup {
     *     shuffles (O(corpus grams) each) dominate the candidate join,
     *     e.g. incremental batches with few dups against a huge gram
     *     universe. */
-  private def jaccardPairsOf(tok: DataFrame, thresholdTenths: Int,
-                             rankByFrequency: Boolean = true): DataFrame = {
+  private[graft] def jaccardPairsOf(tok: DataFrame, thresholdTenths: Int,
+                             rankByFrequency: Boolean = true,
+                             pinDocTokens: Boolean = false): DataFrame = {
     val t = thresholdTenths
     // (r18 optimization round: a lazy localCheckpoint of `tok` was
     // measured here and REJECTED — the postings relation is cheap to
@@ -852,12 +881,23 @@ object Dedup {
     // materialize, so pinning traded 3 cheap passes for a write+read
     // of the widest relation in the query: ngram tier 3.1 → 4.1 s,
     // word tier flat-to-worse. The win of that shape belongs to
-    // SMALL-after-expensive relations — see jaccardComponents'
-    // pinned bag quotient.)
+    // SMALL-after-expensive relations.
+    // r19 re-measured the AGGREGATED docTokens relation the same way
+    // and it is ALSO REJECTED on the declared input shape —
+    // `OpsScaleProbe pairspin`, one JVM, min-of-2 over the raw parquet
+    // scan: word tier 2.77 s both ways, ngram tier 2.80 → 4.15 s
+    // pinned. The pin only wins when the INPUT relation is itself a
+    // materialized checkpoint (word tier 5.74 → 2.66 s on a
+    // checkpointed docs input, where every re-run re-reads the
+    // checkpoint's collapsed partitioning) — the declared queries scan
+    // parquet, so the knob stays off and is kept for the probe.)
     // Per-doc SORTED id arrays + counts (verification side): sorted so
     // the verify kernel is a linear primitive merge, not a hash probe.
-    val docTokens = tok.groupBy("doc_id", "lang")
+    val docTokens0 = tok.groupBy("doc_id", "lang")
       .agg(sort_array(collect_list(col("tid"))).as("toks"), count(lit(1)).as("n"))
+    val docTokens =
+      if (pinDocTokens) docTokens0.localCheckpoint(eager = false)
+      else docTokens0
     // prefix length = n − ⌈t·n⌉ + 1  (integer ceil: (t·n + 9) div 10)
     val prefixLen = col("n") - ((col("n") * t + 9) / 10).cast("long") + 1
     val prefix = if (rankByFrequency) {

@@ -1095,14 +1095,27 @@ object SparkEntry {
       TextOps.tfidfCosinePairs(Tables.documents(s, dir), k = 10,
         thresholdHundredths = 60)
         .orderBy("d1", "d2")),
-    // The SHARDED-build continuation of the same operator (the >10⁷-doc
-    // plan: build vectors split into 4 disjoint doc_id-hash shards,
-    // one broadcast per shard) declared against the SAME oracle — the
-    // correctness gate is the proof that sharding preserves cosine
-    // semantics exactly.
+    // The SHARDED-build continuation of the same operator, declared
+    // through the AUTO-SIZING rule (r19, the r18 verdict #6 — was a
+    // pinned buildShards = 4): shards = max(ceil(docs / maxBroadcastDocs),
+    // ceil(measured candidate mass / maxPairsPerShard)), both scalars
+    // memoized per session. The fixture corpus (5k docs, mass 8.6e7)
+    // merits the single-broadcast plan, and the pinned 4 paid three
+    // extra broadcast-build jobs + probe streams for nothing (same-
+    // session bench: 3.54 s pinned-4 vs 2.67 s single; TFIDF_SHARD
+    // probes measure shard count itself a wash in-JVM); a >10⁷-doc or
+    // mass-heavy corpus (×10 replicas → mass 8.6e9 → 5 shards) engages
+    // disjoint doc_id-hash shards from the SAME declaration. The
+    // budgets are spelled out here so the declaration documents the
+    // rule it runs. Multi-shard ≡ single-broadcast stays CI-pinned:
+    // PipelineOpsSpec proves sharded-vs-single equality and forced-
+    // small-budget engagement, PlanAuditSpec audits the 4-shard plan
+    // shape at the operator altitude, and the shared uncapped oracle
+    // re-proves the auto rule's output each round.
     "tfidf_cosine_sharded" -> ((s, dir) =>
       TextOps.tfidfCosinePairs(Tables.documents(s, dir), k = 10,
-        thresholdHundredths = 60, buildShards = 4)
+        thresholdHundredths = 60, buildShards = 0,
+        maxBroadcastDocs = 10000000L, maxPairsPerShard = 2000000000L)
         .orderBy("d1", "d2")),
     // The mass-CAPPED tier (r13): candidates generate only through
     // salient tokens with <= maxPostings salient postings, dots/norms

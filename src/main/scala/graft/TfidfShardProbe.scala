@@ -51,7 +51,9 @@ object TfidfShardProbe {
       once() // per-shape codegen warm-up, untimed
       math.min(once(), once())
     }
-    val rows = Seq(1, 2, 4, 8).map { s =>
+    val rows = Seq(0, 1, 2, 4, 8).map { s =>
+      // s = 0 is the AUTO rule (r19 — the declared tfidf_cosine_sharded
+      // configuration): stats memoized per session, 1 shard at this SF
       val t = timed(s)
       println(f"[tfidfshard] shards=$s $t%.2fs")
       Console.flush()

@@ -64,15 +64,24 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("sharded tf-idf broadcasts each build shard — no sort-merge fallback") {
-    // the >10⁷-doc continuation: 4 disjoint build shards must appear as
-    // 4 separate broadcast candidate joins (plus 2 norm probes), with
-    // the probe side never repartitioned by token (an SMJ/shuffled-hash
-    // flip would serialize pair generation on hot-token partitions)
+    // r19: the declared row runs the AUTO shard rule (1 shard at
+    // fixture scale — candidate join + 2 norm probes, all broadcast);
+    // the >10⁷-doc 4-shard SHAPE is audited at the operator altitude
+    // (the salientVectors pattern), since the declared plan only
+    // engages shards past the broadcast/mass budgets by design.
     val p = plan("tfidf_cosine_sharded")
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(bhj >= 6, s"expected >= 6 broadcast joins (4 shards + 2 norms), got $bhj, plan:\n$p")
+    assert(bhj >= 3, s"expected >= 3 broadcast joins (candidates + 2 norms), got $bhj, plan:\n$p")
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
-      s"sharded build must not fall back to a shuffle join, plan:\n$p")
+      s"auto-sized build must not fall back to a shuffle join, plan:\n$p")
+    val p4 = graft.operators.TextOps.tfidfCosinePairs(
+      Tables.documents(spark, dir), k = 10, thresholdHundredths = 60,
+      buildShards = 4)
+      .queryExecution.executedPlan.toString
+    val bhj4 = "BroadcastHashJoin".r.findAllIn(p4).length
+    assert(bhj4 >= 6, s"expected >= 6 broadcast joins (4 shards + 2 norms), got $bhj4, plan:\n$p4")
+    assert(!p4.contains("SortMergeJoin") && !p4.contains("ShuffledHashJoin"),
+      s"sharded build must not fall back to a shuffle join, plan:\n$p4")
   }
 
   test("capped tf-idf generates candidates through broadcast joins only") {

@@ -41,6 +41,8 @@ object OpsScaleProbe {
       case Some("hotband") => ProbeLegs.hotband(args.drop(1)); return
       case Some("foldcost") => ProbeLegs.foldCost(args.drop(1)); return
       case Some("pairspin") => ProbeLegs.pairsPin(args.drop(1)); return
+      case Some("containment") => ProbeLegs.containmentSpread(args.drop(1)); return
+      case Some("sourceoverlap") => ProbeLegs.sourceOverlapInter(args.drop(1)); return
       case _ =>
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -332,6 +334,82 @@ object ProbeLegs {
     }
     println(s"""{"metric":"pairspin_probe","sf":"$sfDir",""" +
       s""""sec":{${cells.mkString(",")}}}""")
+    spark.stop()
+  }
+
+  /** `sourceoverlap <sfDir>` — adjudicates the r18 final-commit
+    * exact-intersection rewrite (gram-keyed self-join → per-gram
+    * sorted collect_set + in-place pair expansion, guide §2.5 skew by
+    * construction) with a one-JVM A/B over the SAME pinned grams
+    * relation; per-pair intersections asserted equal. */
+  def sourceOverlapInter(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = session()
+    val docs = Tables.documents(spark, sfDir)
+    val n = 3
+    val grams = docs
+      .select(col("source"), split(col("text"), " ").as("ts"))
+      .select(col("source"), explode(expr(
+        s"""CASE WHEN size(ts) < $n THEN array(concat_ws(' ', ts)) ELSE
+           |  transform(sequence(0, size(ts) - $n),
+           |            i -> concat_ws(' ', slice(ts, i + 1, $n)))
+           |END""".stripMargin)).as("gram"))
+      .distinct()
+      .localCheckpoint()
+    def interSet(): DataFrame = grams.groupBy("gram")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ss, (x, i) -> " +
+          "transform(slice(ss, i + 2, size(ss) - i - 1), " +
+          "y -> struct(x AS src_a, y AS src_b))))")).as("p"))
+      .select(col("p.src_a"), col("p.src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("inter"))
+    def interJoin(): DataFrame = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    def rows(df: DataFrame) = df.collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    require(rows(interSet()) == rows(interJoin()),
+      "inter formulations diverged")
+    val (tJoin, _) = minOf2Long(interJoin().count())
+    val (tSet, _) = minOf2Long(interSet().count())
+    println(f"[sourceoverlap] inter_join=$tJoin%.2fs inter_set=$tSet%.2fs")
+    Console.flush()
+    println(f"""{"metric":"source_overlap_inter_probe","sf":"$sfDir",""" +
+      f""""join_sec":$tJoin%.3f,"set_sec":$tSet%.3f}""")
+    spark.stop()
+  }
+
+  /** `containment <sfDir>` — one-JVM A/B of the brute-verify
+    * probe-side spread (r19, the r18 verdict #4): without the
+    * repartition, AQE coalesces the ~4k-row rep docTokens probe to one
+    * partition and the 9.1 M-pair intersect fan-out serializes on one
+    * core (the 0.63 8-vs-32-core scaling row). Rep relation + brute
+    * switch resolved once off-clock; both variants' outputs asserted
+    * equal. */
+  def containmentSpread(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = session()
+    val docs = Tables.documents(spark, sfDir)
+    docs.count()
+    def run(spread: Boolean): DataFrame = {
+      val (_, repDocs) = Dedup.bagQuotientPlans(docs)
+      Dedup.containmentPairsOf(repDocs, 9, bruteVerify = true,
+        spreadProbe = spread)
+    }
+    val nS = run(spread = true).count()
+    val nU = run(spread = false).count()
+    require(nS == nU, s"spread changed the output: $nS vs $nU")
+    val (tU, _) = minOf2Long(run(spread = false).count())
+    val (tS, _) = minOf2Long(run(spread = true).count())
+    println(f"[containment] rep_pairs_verified=$nS " +
+      f"nospread=$tU%.2fs spread=$tS%.2fs")
+    Console.flush()
+    println(f"""{"metric":"containment_spread_probe","sf":"$sfDir",""" +
+      f""""verified":$nS,"nospread_sec":$tU%.3f,"spread_sec":$tS%.3f}""")
     spark.stop()
   }
 

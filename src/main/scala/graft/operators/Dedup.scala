@@ -1119,6 +1119,9 @@ object Dedup {
     if (containmentBruteWins(docs, thresholdTenths)) {
       val (_, docTokens) = containmentTokenRels(repDocs)
       docTokens.select(col("lang"), col("doc_id").as("d1"))
+        // probe-side spread, as the brute verify (see containmentPairsOf)
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+          col("d1"))
         .join(broadcast(docTokens.select(col("lang"),
           col("doc_id").as("d2"))), "lang")
         .filter(col("d1") =!= col("d2"))
@@ -1189,7 +1192,8 @@ object Dedup {
     * the decision needs memo-stable plans, which the checkpointed rep
     * relation this method receives cannot key). */
   private[graft] def containmentPairsOf(docs: DataFrame, thresholdTenths: Int,
-                                 bruteVerify: Boolean = false): DataFrame = {
+                                 bruteVerify: Boolean = false,
+                                 spreadProbe: Boolean = true): DataFrame = {
     val t = thresholdTenths
     if (bruteVerify) {
       // all ordered same-lang rep pairs, arrays INLINE in the join (a
@@ -1198,8 +1202,21 @@ object Dedup {
       // enforced by the switch — so pair emission parallelizes across
       // the probe side's partitions, never |langs| tasks
       val (_, docTokens) = containmentTokenRels(docs)
-      docTokens.select(col("lang"), col("doc_id").as("d1"),
-          col("toks").as("toks1"), col("n").as("n1"))
+      val probeSide = docTokens.select(col("lang"), col("doc_id").as("d1"),
+        col("toks").as("toks1"), col("n").as("n1"))
+      // Spread the PROBE side (r19 — the tfidfCosinePairs trap,
+      // found HERE by the scaling table: dedup_containment read 0.63
+      // at 8-vs-32 cores, i.e. 8 cores BEAT 32): the checkpointed
+      // rep docTokens relation is ~4k rows, AQE coalesces it to ~one
+      // partition, and the brute join's cost is the O(|lang pairs|)
+      // intersect fan-out (9.1 M pairs at sf0.1), not the input size
+      // — so the whole verify ran on one core. Explicit count
+      // disables AQE's byte-based coalescing, exactly as the prefix
+      // path already does for its candidate fan-out. `spreadProbe`
+      // false is the probe's A/B knob (`OpsScaleProbe containment`).
+      (if (spreadProbe) probeSide.repartition(
+          docs.sparkSession.sparkContext.defaultParallelism, col("d1"))
+       else probeSide)
         .join(broadcast(docTokens.select(col("lang"),
           col("doc_id").as("d2"), col("toks").as("toks2"))), "lang")
         .filter(col("d1") =!= col("d2"))
@@ -1510,17 +1527,32 @@ object Dedup {
   /** The prefix width a PERSISTED index was written with, discovered
     * from its `fp_pfx=<v>` directory names (one metadata listing) —
     * the probe side must band-prefix at the same width or the
-    * (fp_pfx, band_fp) equi-join silently matches nothing. */
+    * (fp_pfx, band_fp) equi-join silently matches nothing.
+    *
+    * FAILS LOUDLY (r19, the r18 ADVICE item) on a missing/empty index
+    * or a MIXED-width directory set (a partially failed rewrite, or a
+    * re-save across the 16M-row threshold under dynamic partition
+    * overwrite): the old collectFirst-with-default-2 silently returned
+    * an arbitrary width in both cases, and a wrong width makes every
+    * probe match nothing — an empty result, not an error. */
   private[graft] def bandPfxWidthOf(
       spark: org.apache.spark.sql.SparkSession, path: String): Int = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(s"$path/bands")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) 2
-    else fs.listStatus(dir).iterator.map(_.getPath.getName)
-      .collectFirst { case n if n.startsWith("fp_pfx=") =>
+    require(fs.exists(dir), s"bandPfxWidthOf: no band index at $dir — " +
+      "save one with saveLshBandIndex before serving")
+    val widths = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .collect { case n if n.startsWith("fp_pfx=") =>
         n.length - "fp_pfx=".length }
-      .getOrElse(2)
+      .toSet
+    require(widths.nonEmpty, s"bandPfxWidthOf: $dir holds no fp_pfx= " +
+      "partition directories — empty or corrupt index")
+    require(widths.size == 1, s"bandPfxWidthOf: $dir mixes fp_pfx " +
+      s"widths ${widths.toSeq.sorted.mkString(",")} — a partial " +
+      "rewrite or a re-save across the width threshold left an " +
+      "inconsistent layout; compact or rebuild the index")
+    widths.head
   }
 
   /** Rebuild `band_stats` from the written postings — one

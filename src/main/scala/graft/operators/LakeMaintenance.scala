@@ -58,6 +58,22 @@ object LakeMaintenance {
   private val schemaMemo =
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
+  /** Drop the memoized schema for `dir` (r19, the r18 ADVICE item:
+    * the memo had no invalidation, so a directory deleted and
+    * rewritten with different data columns in the same JVM — tests
+    * reusing tmp paths, a future index-layout migration — would be
+    * read through the stale schema, silently yielding nulls for
+    * missing columns). Called by the one write path that rewrites a
+    * memoized directory in place ([[compactImpl]]); tests and layout
+    * migrations call it directly. */
+  def invalidateSchemaMemo(dir: String): Unit = {
+    schemaMemo.keySet.removeIf(_.startsWith(s"$dir#"))
+    ()
+  }
+
+  /** Test hook: forget every memoized schema. */
+  private[graft] def clearSchemaMemo(): Unit = schemaMemo.clear()
+
   /** Compact with the partition column read back as its INFERRED type
     * — correct when the written values are genuinely numeric (the PQ
     * index's `cell`). String-valued partition columns that can LOOK
@@ -255,5 +271,10 @@ object LakeMaintenance {
       sys.error(s"compactPartitioned: could not promote $stage")
     }
     fs.delete(retired, true)
+    // the rewrite preserves the schema by construction (it reads what
+    // it writes), but the memo entry must not outlive the directory
+    // it described — invalidate so the next serve re-learns from the
+    // promoted files
+    invalidateSchemaMemo(dir)
   }
 }

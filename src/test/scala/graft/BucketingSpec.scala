@@ -579,6 +579,49 @@ class BucketingSpec extends SparkSpec {
     assert(m === Map("7" -> 2L, "8" -> 1L))
   }
 
+  test("schema memo invalidates on rewrite; band width discovery fails loudly") {
+    import spark.implicits._
+    import graft.operators.{Dedup, LakeMaintenance}
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_memo_spec_").toString
+    // (a) memo invalidation: same dir rewritten with a DIFFERENT data
+    // column set must be re-learned, not served through a stale schema
+    val dir = s"$base/rel"
+    Seq(("07", 1L, 2L)).toDF("pfx", "a", "b")
+      .write.partitionBy("pfx").parquet(dir)
+    assert(LakeMaintenance.readPartitionedString(spark, dir, "pfx")
+      .columns.toSet === Set("pfx", "a", "b"))
+    // delete + rewrite with a different payload column
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Seq(("07", 9L)).toDF("pfx", "c")
+      .write.partitionBy("pfx").parquet(dir)
+    LakeMaintenance.invalidateSchemaMemo(dir)
+    assert(LakeMaintenance.readPartitionedString(spark, dir, "pfx")
+      .columns.toSet === Set("pfx", "c"),
+      "rewritten directory must serve its NEW schema after invalidation")
+    // (b) compaction invalidates implicitly (it rewrites the dir)
+    LakeMaintenance.compactPartitionedString(spark, dir, "pfx")
+    assert(LakeMaintenance.readPartitionedString(spark, dir, "pfx")
+      .select("c").collect().map(_.getLong(0)).toSeq === Seq(9L))
+    // (c) band width discovery: missing index and mixed widths FAIL
+    // instead of silently defaulting (a wrong width makes the probe
+    // join match nothing)
+    intercept[IllegalArgumentException] {
+      Dedup.bandPfxWidthOf(spark, s"$base/nope")
+    }
+    val mixed = s"$base/mixed"
+    Seq(("0", 1L)).toDF("fp_pfx", "doc_id")
+      .write.partitionBy("fp_pfx").parquet(s"$mixed/bands")
+    Seq(("0a", 2L)).toDF("fp_pfx", "doc_id")
+      .write.mode("append").partitionBy("fp_pfx").parquet(s"$mixed/bands")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.bandPfxWidthOf(spark, mixed)
+    }
+    assert(e.getMessage.contains("mixes fp_pfx widths"))
+  }
+
   test("bloom semi-join handles identically-named keys on both sides") {
     import spark.implicits._
     val fact = (0L until 100L).map(k => (k, k % 7)).toDF("partkey", "payload")

@@ -43,6 +43,7 @@ object OpsScaleProbe {
       case Some("pairspin") => ProbeLegs.pairsPin(args.drop(1)); return
       case Some("containment") => ProbeLegs.containmentSpread(args.drop(1)); return
       case Some("sourceoverlap") => ProbeLegs.sourceOverlapInter(args.drop(1)); return
+      case Some("fuzzy") => ProbeLegs.fuzzyIdPairs(args.drop(1)); return
       case _ =>
     }
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -334,6 +335,50 @@ object ProbeLegs {
     }
     println(s"""{"metric":"pairspin_probe","sf":"$sfDir",""" +
       s""""sec":{${cells.mkString(",")}}}""")
+    spark.stop()
+  }
+
+  /** `fuzzy <sfDir>` — adjudicates the r18 final-commit
+    * editDistanceIdPairs projection (name string dropped from the
+    * variant self-join's exchange, pair order on kid — guide §2.3):
+    * one-JVM A/B of the old name-carrying formulation vs the current
+    * one on the real customer keys; unordered edge sets asserted
+    * equal. */
+  def fuzzyIdPairs(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = session()
+    val keyed = Tables.customer(spark, sfDir)
+      .select(col("c_name").cast("string").as("n"),
+        col("c_custkey").cast("long").as("id"))
+      .filter(col("n").isNotNull && length(col("n")) >= 1)
+      .groupBy("n").agg(min("id").as("kid"))
+      .localCheckpoint()
+    def oldForm(): DataFrame = {
+      val dels = Dedup.deletionVariantsKeyed(keyed.select(col("n"), col("kid")))
+      val subs = dels.as("a")
+        .join(dels.as("b"),
+          col("a.bk") === col("b.bk") && col("a.pos") === col("b.pos") &&
+            col("a.n") < col("b.n"))
+        .select(col("a.kid").as("d1"), col("b.kid").as("d2"))
+      val insdel = dels.as("d")
+        .join(keyed.as("s"), col("d.bk") === col("s.n"))
+        .select(least(col("d.kid"), col("s.kid")).as("d1"),
+          greatest(col("d.kid"), col("s.kid")).as("d2"))
+        .distinct()
+      subs.unionByName(insdel)
+    }
+    def norm(df: DataFrame) = df.select(
+        least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    require(norm(oldForm()) == norm(Dedup.editDistanceIdPairs(keyed)),
+      "edge sets diverged")
+    val (tOld, _) = minOf2Long(oldForm().count())
+    val (tNew, _) = minOf2Long(Dedup.editDistanceIdPairs(keyed).count())
+    println(f"[fuzzy] idpairs_old=$tOld%.2fs idpairs_new=$tNew%.2fs")
+    Console.flush()
+    println(f"""{"metric":"fuzzy_idpairs_probe","sf":"$sfDir",""" +
+      f""""old_sec":$tOld%.3f,"new_sec":$tNew%.3f}""")
     spark.stop()
   }
 
